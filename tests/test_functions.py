@@ -1,0 +1,119 @@
+"""Unit tests for the scalar/vectorized helpers (SURVEY.md §5 strategy 1)."""
+
+import numpy as np
+
+from texrex_ray.functions.assess import LanguageProfile, assess_multi, badness
+from texrex_ray.functions.cleanse import cleanse_full, decode_entities
+from texrex_ray.functions.hashing import (
+    hamming64,
+    md5_hex,
+    minhash_signatures,
+    ngrams,
+    simhash64,
+    simple_fingerprint,
+)
+from texrex_ray.functions.normalize import nfc, normalize_text, valid_utf8
+from texrex_ray.functions.tokenize import LATIN_TOKEN_RE, rel_freqs, tokenize, type_counts
+from texrex_ray.functions.urlkit import (
+    host_of,
+    ip_to_int,
+    link_relation,
+    scope_links,
+    tld_of,
+)
+
+
+def test_entity_double_wash():
+    # ref: trentityconverters.pas:71-85 — &amp;acirc; must fully decode
+    assert decode_entities("&amp;acirc;") == "â"
+    assert decode_entities("&#228;") == "ä"
+    assert decode_entities("no entities") == "no entities"
+
+
+def test_cleanse_counts():
+    s = "Hi <b>x</b> see http://a.b/c mail me@you.org tag #cool"
+    out, n_tag, n_email, n_uri, n_hash = cleanse_full(s)
+    assert n_tag == 2 and n_email == 1 and n_uri == 1 and n_hash == 1
+    assert "<" not in out and "@" not in out and "http" not in out
+
+
+def test_normalize_rules():
+    assert normalize_text("a​b") == "ab"  # ZWSP deleted
+    assert normalize_text("a b") == "a b"  # NBSP folded
+    assert normalize_text("x–y—z") == "x-y-z"  # dashes folded
+    assert normalize_text("a\x01b") == "a b"  # illegal codepoint swept
+
+
+def test_nfc():
+    decomposed = "á"
+    assert nfc(decomposed) == "á"
+    assert valid_utf8("héllo".encode()) and not valid_utf8(b"\xff\xfe")
+
+
+def test_tokenizer_letter_runs():
+    assert tokenize("foo123bar baz-qux") == ["foo", "bar", "baz", "qux"]
+    assert tokenize("héllo wörld") == ["héllo", "wörld"]
+    c = type_counts(["a", "A", "b"])
+    assert c["A"] == 2 and c["B"] == 1
+    rf = rel_freqs(c)
+    assert abs(rf["A"] - 2 / 3) < 1e-12
+
+
+def test_ngrams_padding():
+    # ref: trshingler.pas:105-130 — concat 5 tokens, pad to >= 9 chars
+    g = ngrams(["a", "b", "c", "d", "e", "f"], n=5, pad_to=9)
+    assert g == ["____abcde", "____bcdef"]
+    assert ngrams(["ab"], n=5) == ["_______ab"]
+    assert ngrams([]) == []
+
+
+def test_minhash_identity_and_similarity():
+    t1 = ["the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog"]
+    t2 = list(t1)
+    t3 = ["completely", "different", "words", "here", "now", "ok", "fine", "yes"]
+    sig = minhash_signatures([t1, t2, t3], k=64)
+    assert (sig[0] == sig[1]).all()
+    assert (sig[0] == sig[2]).mean() < 0.3
+
+
+def test_simhash_similarity():
+    base = ["alpha", "beta", "gamma", "delta", "epsilon"] * 4
+    near = base[:-1] + ["zeta"]
+    far = ["one", "two", "three", "four", "five"] * 4
+    sh = simhash64([base, near, far])
+    d_near = hamming64(sh[:1], sh[1:2])[0]
+    d_far = hamming64(sh[:1], sh[2:3])[0]
+    assert d_near < d_far
+
+
+def test_simple_fingerprint_stride():
+    # ref: trdata.pas:1195-1211 — 64 bytes at even strides
+    raw = bytes(range(256))
+    fp = simple_fingerprint(raw, k=64)
+    assert len(fp) == 64 and fp[0] == 0 and fp[1] == 4
+    assert simple_fingerprint(b"abc", k=64) == b"abc"
+
+
+def test_assessment_badness():
+    prof = LanguageProfile.parse("en", "THE|-1.3|0.5|4.0\nAND|-1.5|0.5|4.0")
+    # text matching the profile exactly: rel freq 10^-1.3 ≈ 0.05
+    rf = {"THE": 10**-1.3, "AND": 10**-1.5}
+    assert badness(rf, prof) < 1e-9
+    # missing both words: mean of limits
+    assert abs(badness({}, prof) - 4.0) < 1e-12
+    lang, b = assess_multi(rf, [prof, LanguageProfile.parse("xx", "ZZZ|-1.0|0.5|4.0")])
+    assert lang == "en"
+
+
+def test_urlkit():
+    assert host_of("http://WWW.Example.COM/p?x=1") == "www.example.com"
+    assert tld_of("www.example.com") == "com"
+    assert ip_to_int("1.2.3.4") == (1 << 24) + (2 << 16) + (3 << 8) + 4
+    assert link_relation("www.a.com", "www.a.com") == 0
+    assert link_relation("www.a.com", "blog.a.com") == 1
+    assert link_relation("www.a.com", "www.b.com") == 2
+    links = scope_links(
+        "http://a.com/x/",
+        ["/y", "http://b.com/z", "img.png", "mailto:a@b.c", "/y", "ftp://c.com/f"],
+    )
+    assert links == ["http://a.com/y", "http://b.com/z"]

@@ -1,0 +1,172 @@
+"""Deterministic 64-bit hashing, MinHash, SimHash, document fingerprints.
+
+The reference fingerprints documents with 100 Rabin64 hashes over all token
+5-grams (ref: trshingler.pas:97-150, trrabinhash.pas:111-268, fixed
+polynomial table trpoly64.pas).  We keep the *shape* of that scheme — k
+deterministic 64-bit hash functions, min over all n-grams — but build it
+from a single fast vectorized base hash (polars' stable xxhash-based
+``Series.hash``) composed with k affine permutations ``h_i = a_i*h + b_i
+(mod 2^64)``, the standard MinHash construction.  This is fully vectorized:
+one hash pass over the n-grams, then an (n × k) numpy min-reduction.
+
+Everything here is deterministic across processes and machines (no
+PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import polars as pl
+
+U64 = np.uint64
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def permutation_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """k affine permutation params (odd multipliers a_i, offsets b_i)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=k, dtype=np.uint64) * U64(2) + U64(1)
+    b = rng.integers(0, 1 << 63, size=k, dtype=np.uint64)
+    return a, b
+
+
+def hash64(strings: list[str] | pl.Series, seed: int = 0) -> np.ndarray:
+    """Stable vectorized 64-bit hash of strings (polars xxhash)."""
+    s = strings if isinstance(strings, pl.Series) else pl.Series(strings, dtype=pl.Utf8)
+    return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def ngrams(tokens: list[str], n: int = 5, pad_to: int = 9) -> list[str]:
+    """Concatenated token n-grams, left-padded to ≥``pad_to`` chars.
+
+    Mirrors the reference's shingle construction (ref: trshingler.pas:105-130:
+    concatenate 5 consecutive tokens, pad short shingles).  A document with
+    fewer than ``n`` tokens yields one single padded shingle of all tokens.
+    """
+    if not tokens:
+        return []
+    if len(tokens) < n:
+        g = "".join(tokens)
+        return [g.rjust(pad_to, "_")]
+    joined = ["".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    return [g if len(g) >= pad_to else g.rjust(pad_to, "_") for g in joined]
+
+
+def minhash_from_hashes(base: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """k-minhash signature from base hashes: min_i (a*h_i + b) per column."""
+    if base.size == 0:
+        return np.full(a.shape[0], _MASK64, dtype=np.uint64)
+    # (n, k) product under uint64 wraparound — numpy wraps mod 2^64 natively.
+    with np.errstate(over="ignore"):
+        m = base[:, None] * a[None, :] + b[None, :]
+    return m.min(axis=0)
+
+
+def minhash_signatures(
+    token_lists: list[list[str]], k: int = 100, n: int = 5, seed: int = 42
+) -> np.ndarray:
+    """(num_docs, k) minhash signatures over token n-grams, one hash pass.
+
+    All documents' n-grams are hashed in a single polars call, then segmented
+    min-reductions produce per-document signatures.
+    """
+    a, b = permutation_params(k, seed)
+    grams: list[str] = []
+    offsets = [0]
+    for toks in token_lists:
+        grams.extend(ngrams(toks, n=n))
+        offsets.append(len(grams))
+    out = np.full((len(token_lists), k), _MASK64, dtype=np.uint64)
+    if not grams:
+        return out
+    base = hash64(grams)
+    with np.errstate(over="ignore"):
+        all_m = base[:, None] * a[None, :] + b[None, :]
+    for d in range(len(token_lists)):
+        lo, hi = offsets[d], offsets[d + 1]
+        if hi > lo:
+            out[d] = all_m[lo:hi].min(axis=0)
+    return out
+
+
+def simhash64(token_lists: list[list[str]]) -> np.ndarray:
+    """64-bit SimHash per document over its token set (weight = count).
+
+    Standard Charikar construction: sum ±1 per bit over token hashes, sign →
+    bit.  Vectorized: one hash pass over all tokens, per-doc bit-count
+    reduction via np.add.reduceat.
+    """
+    n_docs = len(token_lists)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    flat: list[str] = []
+    offsets = [0]
+    for toks in token_lists:
+        flat.extend(toks)
+        offsets.append(len(flat))
+    if not flat:
+        return out
+    h = hash64(flat)
+    # (n_tokens, 64) bit matrix as int8 contributions ±1
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(np.int32)
+    contrib = bits * 2 - 1
+    starts = np.array(offsets[:-1])
+    # docs with zero tokens: reduceat needs increasing indices; mask after.
+    safe_starts = np.minimum(starts, len(flat) - 1)
+    sums = np.add.reduceat(contrib, safe_starts, axis=0)
+    sig = (sums > 0).astype(np.uint64)
+    vals = (sig << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    lens = np.diff(offsets)
+    out[lens > 0] = vals[lens > 0]
+    return out
+
+
+def hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between uint64 arrays."""
+    v = np.bitwise_xor(x, y)
+    return np.array([bin(int(t)).count("1") for t in v], dtype=np.int32)
+
+
+def md5_hex(s: str) -> str:
+    """Lower-case hex md5 of the UTF-8 encoding (DuckDB-compatible)."""
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def doc_id_for_url(url: str) -> str:
+    """Deterministic 32-hex document id = md5(url).
+
+    The reference appends 4 random hex chars (ref: trdata.pas:1285-1293);
+    we deliberately drop them so ids are deterministic and task retries are
+    idempotent (SURVEY.md §7.4).
+    """
+    return hashlib.md5(url.encode("utf-8")).hexdigest()
+
+
+def simple_fingerprint(raw: bytes, k: int = 64) -> bytes:
+    """k bytes sampled at even strides from the raw payload.
+
+    Exact-dup fingerprint semantics of the reference's DuplicateDetector
+    (ref: trdata.pas:1195-1211 SimpleFingerprint): k bytes at even strides;
+    payloads shorter than k are used whole.
+    """
+    n = len(raw)
+    if n <= k:
+        return raw
+    idx = (np.arange(k) * (n // k)).astype(np.int64)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    return arr[idx].tobytes()
+
+
+def rolling_fingerprint(s: str, window: int = 64, mod_bits: int = 64) -> int:
+    """Polynomial rolling-hash document fingerprint (content-defined).
+
+    A cheap whole-document fingerprint for exact dedup and incremental
+    comparison; deterministic, endianness-free.
+    """
+    h = 1469598103934665603  # FNV-1a offset basis
+    prime = 1099511628211
+    mask = (1 << mod_bits) - 1
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * prime) & mask
+    return h

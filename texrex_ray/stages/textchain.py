@@ -1,0 +1,169 @@
+"""The texrex cleaning chain over flat text documents, as Arrow batch stages.
+
+Maps the reference worker chain (ref: trworker.pas:422-621, stages §2.2 of
+SURVEY.md) onto ``map_batches``-composable functions for tables with a
+``text`` column (the driver ``documents`` table, image captions, crawl
+page paragraphs).  Stage order mirrors the reference: cleanse (SecondPass)
+→ normalize → NFC → tokenize → quality/size filter → assessment (badness +
+language) → fingerprints (md5 / rolling / minhash / simhash).
+
+All stages are stateless pure functions except ``Assessor`` (profiles are
+tiny, but it is written as a callable class so profile parsing happens once
+per actor — the reference instantiates profiles per worker thread,
+trworker.pas:297-344).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from texrex_ray.functions.assess import LanguageProfile, assess_multi
+from texrex_ray.functions.cleanse import cleanse_full
+from texrex_ray.functions.hashing import (
+    md5_hex,
+    minhash_signatures,
+    rolling_fingerprint,
+    simhash64,
+)
+from texrex_ray.functions.normalize import nfc, normalize_text, utf8_size
+from texrex_ray.functions.tokenize import LATIN_TOKEN_RE, rel_freqs, type_counts
+
+# A small English-ish stopword set used by the quality scorer; fixed so the
+# DuckDB oracle can embed the identical list.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "at", "by", "from", "as", "it", "this", "that", "be",
+)
+
+
+def secondpass(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Entity decode + tag/email/URI/hashtag blanking + whitespace collapse.
+
+    Adds replacement-count columns (the reference's per-div cleanse metrics,
+    ref: trsecondpass.pas:135-141).
+    """
+    texts = batch.column(col).to_pylist()
+    out = [cleanse_full(s or "") for s in texts]
+    cleaned = [o[0] for o in out]
+    counts = np.array([o[1:] for o in out], dtype=np.int32).reshape(len(out), 4)
+    batch = batch.set_column(batch.schema.get_field_index(col), col, pa.array(cleaned, pa.string()))
+    for i, name in enumerate(("n_tags", "n_emails", "n_uris", "n_hashtags")):
+        batch = batch.append_column(name, pa.array(counts[:, i]))
+    return batch
+
+
+def normalize(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Normalizer + NFC (ref: trnormalizer.pas, trnfcnormalizer.pas)."""
+    texts = batch.column(col).to_pylist()
+    normed = [nfc(normalize_text(s or "")) for s in texts]
+    return batch.set_column(
+        batch.schema.get_field_index(col), col, pa.array(normed, pa.string())
+    )
+
+
+def tokenize_stage(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Adds tokens (list<string>), n_tokens, n_types, utf8_size."""
+    texts = batch.column(col).to_pylist()
+    toks = [LATIN_TOKEN_RE.findall(s or "") for s in texts]
+    n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
+    n_types = np.array([len({w.upper() for w in t}) for t in toks], dtype=np.int64)
+    sizes = np.array([utf8_size(s or "") for s in texts], dtype=np.int64)
+    return (
+        batch.append_column("tokens", pa.array(toks, pa.list_(pa.string())))
+        .append_column("n_tokens", pa.array(n_tokens))
+        .append_column("n_types", pa.array(n_types))
+        .append_column("utf8_size", pa.array(sizes))
+    )
+
+
+def quality(batch: pa.Table) -> pa.Table:
+    """Quality metrics: stopword ratio, alpha ratio, mean token length.
+
+    The size/paragraph-count kill of SimpleDocumentFilter (ref:
+    trsimpledocumentfilter.pas:81-89) generalizes here to a ``valid`` flag
+    from utf8_size and token-count thresholds.
+    """
+    toks_col = batch.column("tokens").to_pylist()
+    texts = batch.column("text").to_pylist()
+    stop = set(STOPWORDS)
+    n = len(texts)
+    stop_ratio = np.zeros(n, dtype=np.float64)
+    mean_len = np.zeros(n, dtype=np.float64)
+    alpha_ratio = np.zeros(n, dtype=np.float64)
+    for i, (toks, text) in enumerate(zip(toks_col, texts)):
+        if toks:
+            stop_ratio[i] = sum(1 for t in toks if t.lower() in stop) / len(toks)
+            tot = sum(len(t) for t in toks)
+            mean_len[i] = tot / len(toks)
+            alpha_ratio[i] = tot / max(1, len(text))
+    batch = (
+        batch.append_column("stop_ratio", pa.array(stop_ratio))
+        .append_column("mean_token_len", pa.array(mean_len))
+        .append_column("alpha_ratio", pa.array(alpha_ratio))
+    )
+    valid = pc.and_(
+        pc.greater_equal(batch.column("utf8_size"), pa.scalar(1, pa.int64())),
+        pc.greater_equal(batch.column("n_tokens"), pa.scalar(1, pa.int64())),
+    )
+    return batch.append_column("valid", valid)
+
+
+class Assessor:
+    """TextAssessmentMulti as an actor-pool stage (ref: trtextassessment.pas).
+
+    Profiles are parsed once per actor in ``__init__``; per batch, each
+    document's upper-cased type relative frequencies are scored against all
+    profiles; language = argmin badness.
+    """
+
+    def __init__(self, profiles: list[tuple[str, str]], threshold: float = 5.0):
+        self.profiles = [LanguageProfile.parse(n, t) for n, t in profiles]
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks_col = batch.column("tokens").to_pylist()
+        langs: list[str] = []
+        bad = np.zeros(len(toks_col), dtype=np.float64)
+        for i, toks in enumerate(toks_col):
+            rf = rel_freqs(type_counts(toks))
+            lang, b = assess_multi(rf, self.profiles)
+            langs.append(lang)
+            bad[i] = b
+        batch = batch.append_column("pred_lang", pa.array(langs, pa.string()))
+        batch = batch.append_column("badness", pa.array(bad))
+        ok = pc.less_equal(batch.column("badness"), pa.scalar(self.threshold))
+        return batch.set_column(
+            batch.schema.get_field_index("valid"),
+            "valid",
+            pc.and_(batch.column("valid"), ok),
+        )
+
+
+def fingerprints(batch: pa.Table, k: int = 100, ngram: int = 5) -> pa.Table:
+    """md5 + rolling 64-bit + minhash(k) + simhash fingerprints.
+
+    Minhash mirrors the reference Shingler (ref: trshingler.pas:97-150,
+    100 hashes over token 5-grams); simhash and the rolling fingerprint are
+    additions for the training-data dedup suite.
+    """
+    texts = batch.column("text").to_pylist()
+    toks = batch.column("tokens").to_pylist()
+    md5s = [md5_hex(s or "") for s in texts]
+    roll = np.array([rolling_fingerprint(s or "") for s in texts], dtype=np.uint64)
+    sig = minhash_signatures(toks, k=k, n=ngram)
+    sh = simhash64(toks)
+    return (
+        batch.append_column("text_md5", pa.array(md5s, pa.string()))
+        .append_column("fp64", pa.array(roll))
+        .append_column("minhash", pa.array(list(sig), pa.list_(pa.uint64(), k)))
+        .append_column("simhash", pa.array(sh))
+    )
+
+
+def drop_tokens(batch: pa.Table) -> pa.Table:
+    """Drop the wide tokens column once downstream stages no longer need it."""
+    if "tokens" in batch.column_names:
+        return batch.drop_columns(["tokens"])
+    return batch
