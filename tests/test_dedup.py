@@ -1,0 +1,155 @@
+"""Dedup operator tests: tender semantics (FIXTURES.md §4), LSH, embeddings."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _shingle_table():
+    """FIXTURES.md §4: clusters sharing ≥5 shingles, a <5 pair, a hot shingle."""
+    rows = []
+    # cluster A: docs 1,2,3 share shingles 100..105 (6 shared) — sizes 10,20,30
+    for s in range(100, 106):
+        for d, sz in ((1, 10), (2, 20), (3, 30)):
+            rows.append((s, d, sz))
+    # pair B: docs 4,5 share shingles 200..202 (3 < 5) — survives
+    for s in range(200, 203):
+        for d, sz in ((4, 40), (5, 50)):
+            rows.append((s, d, sz))
+    # hot shingle 999 shared by 250 docs — must be skipped by the cap
+    for d in range(1000, 1250):
+        rows.append((999, d, 5))
+    df = pd.DataFrame(rows, columns=["shingle", "doc_id", "doc_size"])
+    df["shingle"] = df["shingle"].astype("uint64")
+    return ray.data.from_pandas(df)
+
+
+def test_tender_pair_semantics():
+    from texrex_ray.dedup.tender import blacklist, count_pairs, shingle_pairs
+
+    sh = _shingle_table()
+    pairs = count_pairs(shingle_pairs(sh, max_redundancy=200), pair_threshold=5).to_pandas()
+    got = {(r.id_small, r.id_big, r.n_shared) for r in pairs.itertuples()}
+    # cluster A: all 3 pairs, smaller-doc-first by (size, id), 6 shared each
+    assert got == {(1, 2, 6), (1, 3, 6), (2, 3, 6)}
+    # blacklist = smaller ids {1, 2}
+    bl = set(blacklist(count_pairs(shingle_pairs(sh), 5)).to_pandas()["id_small"])
+    assert bl == {1, 2}
+
+
+def test_tender_hot_shingle_cap():
+    from texrex_ray.dedup.tender import count_pairs, shingle_pairs
+
+    sh = _shingle_table()
+    # without the cap the hot shingle contributes C(250,2) pairs
+    pairs_uncapped = shingle_pairs(sh, max_redundancy=10**9).count()
+    pairs_capped = shingle_pairs(sh, max_redundancy=200).count()
+    assert pairs_uncapped - pairs_capped == 250 * 249 // 2
+
+
+def test_tender_on_documents_matches_bruteforce():
+    """gram-shingle tender == brute-force pair counting (python oracle)."""
+    from texrex_ray.dedup.tender import count_pairs, gram_shingles, shingle_pairs
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    got = count_pairs(shingle_pairs(gram_shingles(ds, n=5)), 5).to_pandas()
+    got_set = {(r.id_small, r.id_big, r.n_shared) for r in got.itertuples()}
+
+    df = ds.to_pandas()
+    grams = {}
+    sizes = {}
+    for r in df.itertuples():
+        toks = LATIN_TOKEN_RE.findall(r.text.lower())
+        grams[r.doc_id] = {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+        sizes[r.doc_id] = r.n_chars
+    # shingle -> docs, apply cap, count shared per pair
+    from collections import Counter, defaultdict
+
+    by_g = defaultdict(list)
+    for d, gs in grams.items():
+        for g in gs:
+            by_g[g].append(d)
+    cnt: Counter = Counter()
+    for g, docs in by_g.items():
+        if len(docs) < 2 or len(docs) > 200:
+            continue
+        docs = sorted(docs, key=lambda d: (sizes[d], d))
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                cnt[(docs[i], docs[j])] += 1
+    want = {(a, b, n) for (a, b), n in cnt.items() if n >= 5}
+    assert got_set == want
+
+
+def test_minhash_lsh_finds_true_pairs():
+    from texrex_ray.dedup.lsh import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " extra tail words here"},  # near-dup of 1
+        {"doc_id": 3, "text": "totally different content with other words " * 6},
+        {"doc_id": 4, "text": "totally different content with other words " * 6},  # dup of 3
+        {"doc_id": 5, "text": "unique snowflake paragraph about nothing at all in particular"},
+    ]
+    ds = ray.data.from_items(docs)
+    pairs = minhash_lsh_pairs(ds, k=96, bands=24, n=3, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (1, 2) in got and (3, 4) in got
+    assert all(5 not in p for p in got)
+
+
+def test_simhash_near_vs_far():
+    from texrex_ray.dedup.lsh import simhash_pairs
+
+    words = ["w%d" % i for i in range(60)]
+    near_a = " ".join(words)
+    near_b = " ".join(words[:-2] + ["x1", "x2"])
+    far = " ".join("z%d" % i for i in range(60))
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": near_a},
+            {"doc_id": 2, "text": near_b},
+            {"doc_id": 3, "text": far},
+        ]
+    )
+    pairs = simhash_pairs(ds, max_hamming=12)
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_knn_bruteforce_matches_numpy():
+    from texrex_ray.dedup.embed import knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = knn_bruteforce(ds, query_ids=[0, 1], k=5)
+    df = ds.to_pandas()
+    m = np.asarray(list(df["embedding"]), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    for q in (0, 1):
+        qv = m[ids == q][0]
+        sims = m @ qv
+        sims[ids == q] = -np.inf
+        order = np.lexsort((ids, -sims))[:5]
+        want = list(ids[order])
+        mine = list(got.loc[got["query_id"] == q].sort_values("rank")["neighbor_id"])
+        assert mine == want, (q, mine, want)
+
+
+def test_lsh_ann_recall():
+    from texrex_ray.dedup.embed import knn_bruteforce, lsh_ann
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = knn_bruteforce(ds, query_ids=list(range(8)), k=10)
+    approx = lsh_ann(ds, query_ids=list(range(8)), k=10, n_planes=4)
+    recalls = []
+    for q in range(8):
+        e = set(exact.loc[exact["query_id"] == q, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == q, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5  # 4 planes + multi-probe 1 on 500 vecs

@@ -1,0 +1,177 @@
+"""Embedding-space operators: brute-force cosine KNN, nearest-neighbor
+dedup, and an LSH-bucketed approximate variant (the scale path).
+
+The brute-force path broadcasts the (small) query matrix once with
+``ray.put`` and computes per-batch partial top-k inside ``map_batches``
+(numpy float64 matmul), then reduces the partials — the full corpus is
+never materialized on the driver.  The LSH variant buckets vectors by
+random-hyperplane sign bits and searches only within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _matrix(t: pa.Table, col: str) -> np.ndarray:
+    return np.asarray(t[col].to_pylist(), dtype=np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), self excluded.
+
+    Ties broken by neighbor_id ascending (matches the SQL oracle's ORDER BY
+    sim DESC, neighbor_id ASC).
+    """
+    qset = set(query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        mask = [i in qset for i in t[id_col].to_pylist()]
+        return t.filter(pa.array(mask)).select([id_col, vec_col])
+
+    qdf = ds.map_batches(grab_queries, batch_format="pyarrow").to_pandas()
+    qids = qdf[id_col].to_numpy()
+    qmat = _unit(np.asarray(list(qdf[vec_col]), dtype=np.float64))
+    q_ref = ray.put((qids, qmat))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qmat_ = ray.get(q_ref)
+        ids = np.asarray(t[id_col].to_pylist())
+        m = _unit(_matrix(t, vec_col))
+        sims = m @ qmat_.T  # (batch, n_queries)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, len(ids))  # +1 headroom for self row
+        for qi in range(len(qids_)):
+            col = sims[:, qi]
+            top = np.argpartition(-col, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            for j in top:
+                out_q.append(qids_[qi])
+                out_n.append(ids[j])
+                out_s.append(col[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def nearest_neighbors(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Per-vector argmax-cosine neighbor: (vec_id, nn_id).
+
+    The reference corpus matrix is broadcast once (ray.put) and each batch
+    computes its block of the similarity matrix — embarrassingly parallel.
+    At 100 TB the broadcast side would be replaced by the IVF/LSH bucketed
+    search (``lsh_ann``); the batch-side structure is unchanged.
+    """
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    mat_all = _unit(np.asarray(list(full[vec_col]), dtype=np.float64))
+    ref = ray.put((ids_all, mat_all))
+
+    def block_nn(t: pa.Table) -> pa.Table:
+        ids_a, mat_a = ray.get(ref)
+        ids = np.asarray(t[id_col].to_pylist())
+        m = _unit(_matrix(t, vec_col))
+        sims = m @ mat_a.T
+        # exclude self by masking identical ids
+        for r, i in enumerate(ids):
+            sims[r, ids_a == i] = -np.inf
+        nn = ids_a[np.argmax(sims, axis=1)]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "nn_id": pa.array(nn, pa.int64())}
+        )
+
+    out = ds.map_batches(block_nn, batch_format="pyarrow")
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def lsh_ann(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane buckets, search within bucket.
+
+    Vectors hash to a ``n_planes``-bit sign bucket; each query searches its
+    own bucket plus all buckets at Hamming distance 1 (multi-probe).  The
+    bucket groupby is the only shuffle.  Returns (query_id, neighbor_id,
+    rank); recall measured against ``knn_bruteforce`` in tests.
+    """
+    rng = np.random.default_rng(seed)
+    # dim taken from the first row
+    dim = len(ds.take(1)[0][vec_col])
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+    qset = set(query_ids)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _unit(_matrix(t, vec_col))
+        bits = (m @ pl) > 0
+        bucket = (bits * (1 << np.arange(pl.shape[1]))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t[id_col],
+                "bucket": pa.array(bucket),
+                "embedding": t[vec_col],
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow").to_pandas()
+    by_bucket: dict[int, pd.DataFrame] = dict(tuple(bucketed.groupby("bucket")))
+    rows = []
+    qrows = bucketed[bucketed["vec_id"].isin(qset)]
+    for r in qrows.itertuples():
+        probe = [r.bucket] + [r.bucket ^ (1 << b) for b in range(n_planes)]
+        cand = pd.concat([by_bucket[b] for b in probe if b in by_bucket])
+        cand = cand[cand["vec_id"] != r.vec_id]
+        cm = _unit(np.asarray(list(cand["embedding"]), dtype=np.float64))
+        qv = _unit(np.asarray([r.embedding], dtype=np.float64))[0]
+        sims = cm @ qv
+        order = np.lexsort((cand["vec_id"].to_numpy(), -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((r.vec_id, int(cand["vec_id"].iloc[j]), rank))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype("int64")

@@ -1,0 +1,197 @@
+"""tender — near-duplicate detection via shingle pair counting.
+
+Ray-Data re-expression of the reference's three external-sort phases (ref:
+trtenderapplication.pas:340-632; pair generation trshinglehelpers.pas:
+430-548): the manual sort-run/merge machinery collapses into
+``groupby(shingle) → C(n,2) pairs → groupby(pair).count() → filter ≥ t``.
+
+Semantics kept from the reference:
+- shingle groups larger than ``max_redundancy`` (default 200) are skipped
+  (the hot-shingle skew cap, trshinglehelpers.pas:436-437);
+- each pair is ordered smaller-document-first, "smaller" = (doc_size,
+  doc_id) lexicographic (trshinglehelpers.pas:445-452);
+- pairs sharing ≥ ``pair_threshold`` (default 5) shingles blacklist the
+  SMALLER document (trtenderapplication.pas:549-632).
+
+Scale note: the shuffle key is the shingle value.  The production path
+feeds 64-bit minhashes (``minhash_shingles``), so the exchange moves
+(uint64, id, size) rows; the exact-n-gram variant (``gram_shingles``) is
+for oracle parity and small corpora — hash grams to uint64 first at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from texrex_ray.functions.hashing import hash64, minhash_signatures
+from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+
+def gram_shingles(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str | None = "n_chars",
+    n: int = 5,
+) -> ray.data.Dataset:
+    """Explode documents into DISTINCT space-joined token n-gram rows.
+
+    Output schema: (doc_id, shingle: string, doc_size: int64).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams, sizes = [], [], []
+        texts = t[text_col].to_pylist()
+        id_vals = t[id_col].to_pylist()
+        size_vals = (
+            t[size_col].to_pylist() if size_col else [len(s or "") for s in texts]
+        )
+        for did, s, sz in zip(id_vals, texts, size_vals):
+            toks = LATIN_TOKEN_RE.findall((s or "").lower())
+            seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            for g in seen:
+                ids.append(did)
+                grams.append(g)
+                sizes.append(sz)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shingle": pa.array(grams, pa.string()),
+                "doc_size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def minhash_shingles(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str | None = "n_chars",
+    k: int = 100,
+    n: int = 5,
+) -> ray.data.Dataset:
+    """Explode documents into k minhash rows (the reference's shingle file).
+
+    Output schema: (doc_id, shingle: uint64, doc_size: int64) — 100 rows per
+    document, exactly the writer layout of trwritetools.pas:419-441 minus
+    the fixed-width text encoding.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in texts]
+        sig = minhash_signatures(toks, k=k, n=n)
+        id_vals = t[id_col].to_pylist()
+        size_vals = (
+            t[size_col].to_pylist() if size_col else [len(s or "") for s in texts]
+        )
+        ids = [d for d in id_vals for _ in range(k)]
+        sizes = [s for s in size_vals for _ in range(k)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shingle": pa.array(sig.reshape(-1)),
+                "doc_size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def shingle_pairs(
+    shingles: ray.data.Dataset,
+    max_redundancy: int = 200,
+    order_by_size: bool = True,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Phase 2: per-shingle C(n,2) pair generation, smaller doc first.
+
+    ``order_by_size=True`` orders pairs by (doc_size, doc_id) per the
+    reference; ``False`` orders by doc_id alone (the Jaccard variant).
+
+    Implementation: a bucketed hash self-join, NOT per-group UDF calls —
+    shingles hash into ``n_buckets`` coarse partitions (the only shuffle),
+    and each bucket computes all its groups' pairs with one vectorized
+    pandas self-merge.  The ``max_redundancy`` cap (ref:
+    trshinglehelpers.pas:436-437) drops hot shingles before the merge, so
+    skewed shingles cannot blow up a bucket.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t["shingle"]
+        if pa.types.is_unsigned_integer(col.type) or pa.types.is_integer(col.type):
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            h = hash64(col.to_pylist())
+        return t.append_column("bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g["shingle"].value_counts()
+        ok = counts[(counts >= 2) & (counts <= max_redundancy)].index
+        g = g[g["shingle"].isin(ok)][["shingle", "doc_id", "doc_size"]]
+        if g.empty:
+            return pd.DataFrame(
+                {"id_small": pd.Series([], dtype="int64"), "id_big": pd.Series([], dtype="int64")}
+            )
+        m = g.merge(g, on="shingle", suffixes=("_x", "_y"))
+        if order_by_size:
+            keep = (m["doc_size_x"] < m["doc_size_y"]) | (
+                (m["doc_size_x"] == m["doc_size_y"]) & (m["doc_id_x"] < m["doc_id_y"])
+            )
+        else:
+            keep = m["doc_id_x"] < m["doc_id_y"]
+        m = m[keep]
+        return pd.DataFrame({"id_small": m["doc_id_x"].to_numpy(), "id_big": m["doc_id_y"].to_numpy()})
+
+    return (
+        shingles.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+def count_pairs(
+    pairs: ray.data.Dataset, pair_threshold: int = 5
+) -> ray.data.Dataset:
+    """Phase 3: count identical pairs, keep those sharing ≥ threshold."""
+    counted = pairs.groupby(["id_small", "id_big"]).aggregate(
+        Count(alias_name="n_shared")
+    )
+    return counted.filter(
+        expr=f"n_shared >= {int(pair_threshold)}"
+    )
+
+
+def blacklist(near_dup_pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct smaller-doc ids from the surviving pairs (the blacklist)."""
+    return (
+        near_dup_pairs.select_columns(["id_small"])
+        .groupby("id_small")
+        .count()
+        .select_columns(["id_small"])
+    )
+
+
+def tender(
+    ds: ray.data.Dataset,
+    *,
+    use_minhash: bool = True,
+    pair_threshold: int = 5,
+    max_redundancy: int = 200,
+    k: int = 100,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str | None = "n_chars",
+) -> ray.data.Dataset:
+    """Full tender: documents → near-dup pairs (id_small, id_big, n_shared)."""
+    mk = minhash_shingles if use_minhash else gram_shingles
+    kw = {"k": k, "n": n} if use_minhash else {"n": n}
+    sh = mk(ds, id_col=id_col, text_col=text_col, size_col=size_col, **kw)
+    return count_pairs(shingle_pairs(sh, max_redundancy), pair_threshold)

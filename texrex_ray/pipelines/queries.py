@@ -358,3 +358,208 @@ def q10_user_sessions(sf_dir: str):
 
     out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate detection (tender/tecl, §2.4/2.5) + training-data dedup ops
+# --------------------------------------------------------------------------
+
+_GRAMS_CTE = """
+    toks AS (SELECT doc_id, n_chars, regexp_extract_all(lower(text), '[a-z]+') t FROM documents),
+    grams AS (SELECT DISTINCT doc_id, n_chars, array_to_string(t[i:i+{m}], ' ') g
+              FROM toks, unnest(range(1, len(t) - {m1})) AS u(i))
+"""
+
+_TENDER_SQL = (
+    "WITH "
+    + _GRAMS_CTE.format(m=4, m1=3)
+    + """,
+    grp AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 200),
+    pairs AS (SELECT a.doc_id AS id_small, b.doc_id AS id_big, COUNT(*) AS n_shared
+              FROM grams a JOIN grams b USING (g) JOIN grp USING (g)
+              WHERE (a.n_chars < b.n_chars OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+                AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_small, id_big, n_shared FROM pairs WHERE n_shared >= 5
+"""
+)
+
+
+@query("q11_near_dup_pairs", sql=_TENDER_SQL)
+def q11_near_dup_pairs(sf_dir: str):
+    """tender phases 1-3 over exact 5-gram shingles (sort/merge collapses to
+    groupby; pair cap 200; smaller-doc-first by (n_chars, doc_id); pair
+    threshold 5).  ref: trtenderapplication.pas:340-632."""
+    from texrex_ray.dedup.tender import count_pairs, gram_shingles, shingle_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    sh = gram_shingles(ds, n=5)
+    pairs = count_pairs(shingle_pairs(sh, max_redundancy=200), pair_threshold=5)
+    df = pairs.to_pandas()
+    return df.astype({"id_small": "int64", "id_big": "int64", "n_shared": "int64"})
+
+
+@query(
+    "q12_near_dup_survivors",
+    sql="SELECT doc_id FROM documents WHERE doc_id NOT IN "
+    "(SELECT DISTINCT id_small FROM (" + _TENDER_SQL + "))",
+)
+def q12_near_dup_survivors(sf_dir: str):
+    """tender blacklist → tecl anti-join: documents that survive near-dedup.
+
+    The blacklist (distinct smaller ids of near-dup pairs) is tiny, so it is
+    broadcast and applied as a filter inside map_batches — the tecl hash
+    anti-join (ref: trteclapplication.pas:248-368)."""
+    from texrex_ray.dedup.tender import blacklist, count_pairs, gram_shingles, shingle_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    sh = gram_shingles(ds, n=5)
+    pairs = count_pairs(shingle_pairs(sh, max_redundancy=200), pair_threshold=5)
+    black = set(blacklist(pairs).to_pandas()["id_small"])
+    black_ref = ray.put(black)
+
+    def anti(t: pa.Table) -> pa.Table:
+        b = ray.get(black_ref)
+        mask = [i not in b for i in t["doc_id"].to_pylist()]
+        return t.filter(pa.array(mask)).select(["doc_id"])
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+@query("q13_minhash_tender")
+def q13_minhash_tender(sf_dir: str):
+    """The reference's actual tender scheme: 100 minhashes/doc as the shingle
+    table, pair counting on minhash collisions (rows-only: the hash family
+    is not SQL-expressible).  ref: trshingler.pas + trtenderapplication.pas."""
+    from texrex_ray.dedup.tender import tender
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pairs = tender(ds, use_minhash=True, k=100, pair_threshold=5)
+    df = pairs.to_pandas()
+    return df.astype({"id_small": "int64", "id_big": "int64", "n_shared": "int64"})
+
+
+_JACCARD_SQL = (
+    "WITH "
+    + _GRAMS_CTE.format(m=2, m1=1)
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) sz FROM grams GROUP BY 1),
+    inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+              FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, i AS n_inter,
+           (sa.sz + sb.sz - i) AS n_union
+    FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+    WHERE i * 2 >= (sa.sz + sb.sz - i)
+"""
+)
+
+
+@query("q14_ngram_jaccard", sql=_JACCARD_SQL)
+def q14_ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup pairs (3-gram sets, J ≥ 0.5) with integer-exact
+    threshold arithmetic (2·|∩| ≥ |∪|), no float compare."""
+    from ray.data.aggregate import Count as _Count
+
+    from texrex_ray.dedup.tender import gram_shingles, shingle_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    sh = gram_shingles(ds, n=3)
+    sizes = sh.groupby("doc_id").count().to_pandas()
+    size_map = dict(zip(sizes["doc_id"], sizes["count()"]))
+    size_ref = ray.put(size_map)
+    pairs = (
+        shingle_pairs(sh, max_redundancy=10**9, order_by_size=False)
+        .groupby(["id_small", "id_big"])
+        .aggregate(_Count(alias_name="n_inter"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sm = ray.get(size_ref)
+        ia = t["id_small"].to_pylist()
+        ib = t["id_big"].to_pylist()
+        ni = t["n_inter"].to_pylist()
+        nu = [sm[a] + sm[b] - i for a, b, i in zip(ia, ib, ni)]
+        keep = [2 * i >= u for i, u in zip(ni, nu)]
+        out = pa.table(
+            {
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "n_inter": pa.array(ni, pa.int64()),
+                "n_union": pa.array(nu, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+@query(
+    "q15_embed_knn",
+    sql="""
+    WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),
+    s AS (SELECT q.qid, e.vec_id nid,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) sim
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+    SELECT qid AS query_id, nid AS neighbor_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+    FROM s QUALIFY rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def q15_embed_knn(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id<8: broadcast query
+    matrix, per-batch partial top-k, groupby-reduce (similarity-search op)."""
+    from texrex_ray.dedup.embed import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = knn_bruteforce(ds, query_ids=list(range(8)), k=10)
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
+@query(
+    "q16_embed_nn",
+    sql="""
+    SELECT a.vec_id, b.vec_id AS nn_id
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                 b.vec_id ASC) = 1
+    ORDER BY a.vec_id
+    """,
+)
+def q16_embed_nn(sf_dir: str):
+    """Per-vector argmax-cosine neighbor (embedding near-dup primitive)."""
+    from texrex_ray.dedup.embed import nearest_neighbors
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return nearest_neighbors(ds)
+
+
+@query("q17_minhash_lsh")
+def q17_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup pairs (banded buckets → candidates → exact
+    Jaccard ≥ 0.5 verify); rows-only, validated against q14 in tests."""
+    from texrex_ray.dedup.lsh import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, k=96, bands=24, n=3, jaccard_threshold=0.5)
+
+
+@query("q18_simhash_dups")
+def q18_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 12 via 16-bit block LSH); rows-only."""
+    from texrex_ray.dedup.lsh import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=12)
+
+
+@query("q19_lsh_ann")
+def q19_lsh_ann(sf_dir: str):
+    """Approximate NN via random-hyperplane LSH buckets (scale path of q15);
+    rows-only, recall vs brute force asserted in tests."""
+    from texrex_ray.dedup.embed import lsh_ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_ann(ds, query_ids=list(range(8)), k=10, n_planes=4)
