@@ -1,0 +1,59 @@
+"""Scaling Bloom filter tests (ref semantics: trbloom.pas)."""
+
+import math
+
+import numpy as np
+
+from texrex_ray.state.bloom import ScalingBloom, bloom_bits
+
+
+def test_sizing_math():
+    # bits = ceil(-n ln p / ln^2 2) + 1  (ref: trbloom.pas:289-294)
+    n, p = 20_000_000, 1e-6
+    bits = bloom_bits(n, p)
+    assert bits == math.ceil(-n * math.log(p) / math.log(2) ** 2) + 1
+    # one static segment for 20M @ 1e-6 is ~69 MB; the manual's "~100 MB per
+    # 20 M adds" (manual:234-236) includes the scaling chain's smaller
+    # predecessors, so the same order of magnitude
+    assert 50 < bits / 8 / 1024 / 1024 < 110
+
+
+def test_first_wins_and_membership():
+    b = ScalingBloom(initial_capacity=1000, error_rate=1e-9)
+    new = b.add_if_new(["a", "b", "a", "c"])
+    assert new.tolist() == [True, True, False, True]
+    assert b.contains_many(["a", "b", "c", "d"]).tolist() == [True, True, True, False]
+    assert b.add_if_new(["b", "d"]).tolist() == [False, True]
+
+
+def test_scaling_growth():
+    b = ScalingBloom(initial_capacity=100, error_rate=1e-4)
+    items = [f"u{i}" for i in range(1000)]
+    res = b.add_if_new(items)
+    assert res.all()
+    assert len(b.segments) > 1
+    assert b.contains_many(items).all()
+
+
+def test_snapshot_restore():
+    b = ScalingBloom(initial_capacity=100, error_rate=1e-6)
+    b.add_if_new([f"x{i}" for i in range(500)])
+    b2 = ScalingBloom.restore(b.snapshot())
+    assert b2.contains_many([f"x{i}" for i in range(500)]).all()
+    assert not b2.contains_many(["nope"]).any()
+    assert b2.add_if_new(["x1", "fresh"]).tolist() == [False, True]
+
+
+def test_false_positive_rate():
+    b = ScalingBloom(initial_capacity=10_000, error_rate=1e-6)
+    b.add_if_new([f"in{i}" for i in range(10_000)])
+    probes = [f"out{i}" for i in range(20_000)]
+    fp = int(b.contains_many(probes).sum())
+    assert fp <= 2  # 1e-6 nominal; allow slack
+
+
+def test_out_of_memory_refuses_adds():
+    b = ScalingBloom(initial_capacity=64, error_rate=0.01, max_memory_mb=0)
+    # cap segment fits (pre-allocated); growth beyond memory cap refuses
+    res = b.add_if_new([f"a{i}" for i in range(200)])
+    assert not res[100:].any() or b.out_of_memory

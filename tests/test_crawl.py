@@ -1,0 +1,110 @@
+"""Crawl engine: oracle fidelity, physical-layout determinism, checkpointing.
+
+The BASELINE.json north-rule gates: the engine's single-walker projection
+must reproduce the sequential ClaraX oracle's visit order and URL-seen set;
+multi-walker runs must be bit-identical across partition/shard counts
+(the cluster-size-independence evidence).
+"""
+
+import shutil
+
+import pytest
+
+from texrex_ray.crawl.engine import CrawlEngine
+from texrex_ray.crawl.oracle import clarax_walk
+from texrex_ray.crawl.policy import CrawlConfig, Walker
+from texrex_ray.sources.webgraph import make_webgraph
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+
+
+def test_engine_matches_oracle_single_walker(graph):
+    cfg = CrawlConfig()
+    oracle = clarax_walk(graph, max_steps=120, seed=42, config=cfg)
+    eng = CrawlEngine(graph, n_walkers=1, n_partitions=4, seed=42, config=cfg)
+    eng.run(max_steps=120)
+    assert eng.visit_order() == oracle.visit_order
+    assert eng.url_seen() == oracle.url_seen
+    assert len(oracle.visit_order) == 120
+
+
+def test_engine_matches_oracle_other_seed(graph):
+    cfg = CrawlConfig(random_jump_probability=0.2)
+    oracle = clarax_walk(graph, max_steps=60, seed=7, config=cfg)
+    eng = CrawlEngine(graph, n_walkers=1, n_partitions=2, seed=7, config=cfg)
+    eng.run(max_steps=60)
+    assert eng.visit_order() == oracle.visit_order
+    assert eng.url_seen() == oracle.url_seen
+
+
+def test_engine_deterministic_across_layouts(graph):
+    """Same K: partition/shard counts must not change any decision."""
+    cfg = CrawlConfig()
+    runs = []
+    for n_parts, n_shards in ((2, 1), (8, 4)):
+        eng = CrawlEngine(
+            graph, n_walkers=4, n_partitions=n_parts,
+            n_walker_shards=n_shards, seed=42, config=cfg,
+        )
+        eng.run(max_steps=100)
+        runs.append((eng.visit_order(), eng.url_seen()))
+    assert runs[0][0] == runs[1][0]
+    assert runs[0][1] == runs[1][1]
+
+
+def test_robots_and_politeness_respected(graph):
+    cfg = CrawlConfig()
+    eng = CrawlEngine(graph, n_walkers=4, n_partitions=4, seed=1, config=cfg)
+    eng.run(max_steps=150)
+    from texrex_ray.state.politeness import parse_robots
+
+    rules = {h: parse_robots(b or "", cfg.agent) for h, b in graph.robots.items()}
+    from urllib.parse import urlsplit
+
+    # corpus contains no robots-disallowed URL
+    for row in eng.corpus_rows:
+        sp = urlsplit(row["url"])
+        assert rules[sp.hostname].allows(sp.path or "/"), row["url"]
+    # non-cached fetches of the same host are spaced ≥ its crawl delay
+    fetch_rounds: dict[str, list[int]] = {}
+    for rnd, _wid, url, host, _a, cached in sorted(eng.visit_rows):
+        if not cached:
+            fetch_rounds.setdefault(host, []).append(rnd)
+    for host, rounds in fetch_rounds.items():
+        delay = max(rules[host].crawl_delay, cfg.min_politeness)
+        gaps = [b - a for a, b in zip(rounds, rounds[1:])]
+        assert all(g >= delay for g in gaps), (host, delay, rounds)
+
+
+def test_checkpoint_resume_identical(graph, tmp_path):
+    cfg = CrawlConfig()
+    # straight run
+    full = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg)
+    full.run(max_steps=100)
+    # checkpointed run: stop mid-way by rounds, resume, finish
+    d = str(tmp_path / "crawl")
+    e1 = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg, out_dir=d)
+    e1.run(max_steps=100, checkpoint_every=10, max_rounds=30)
+    assert e1.steps < 100
+    e1.checkpoint()
+    e2 = CrawlEngine.resume(graph, d)
+    e2.run(max_steps=100)
+    resumed_visits = e2.visit_order()
+    # the resumed engine only logs post-resume visits; compare the tail
+    tail = full.visit_order()[len(full.visit_order()) - len(resumed_visits):]
+    assert [v[1:] for v in resumed_visits] == [v[1:] for v in tail]
+    assert full.steps == e2.steps
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_walker_snapshot_roundtrip():
+    cfg = CrawlConfig()
+    w = Walker(3, ["http://a.com/", "http://b.com/"], 42, cfg)
+    p1 = w.propose()
+    w.deliver(True, ["http://a.com/x", "http://a.com/y"])
+    w2 = Walker.restore(w.snapshot(), cfg)
+    # identical future behavior
+    assert w2.propose() == w.propose()

@@ -1,0 +1,497 @@
+"""The distributed crawl engine: ClaraX semantics on sharded Ray actors.
+
+Re-architecture of the reference's single-threaded walker (ref:
+trwalkers.pas:858-997, SURVEY.md §3.2) per the north rule:
+
+- **Walker shards** (actor pool): each holds a group of walkers' stacks,
+  RNGs and document caches — the walk state.  K walkers is the *logical*
+  parallelism and is fixed; shard/partition counts are physical and can
+  change without changing any decision (determinism across cluster sizes).
+- **Frontier partitions** (actor pool): partition = ``hash(host) % P``;
+  each holds the per-host politeness + robots state and its Bloom URL-seen
+  segment, so first-wins races never span actors.  Gate decisions within a
+  partition process proposals in walker-id order → deterministic under any
+  physical layout.
+- **Fetch** runs as Ray tasks over URL batches against the broadcast
+  (``ray.put``) synthetic web graph; fetch+strip+scope per URL.
+- The round loop: propose → gate (politeness/robots) → fetch → deliver
+  links / record output (Bloom first-wins) → next round.  One round ≡ one
+  virtual second.  The single-walker projection reproduces the sequential
+  oracle's visit order and URL-seen set exactly (tested).
+- **Checkpoint/resume**: every ``checkpoint_every`` rounds each state
+  holder snapshots (walker stacks+RNG, politeness, Bloom bits, metrics)
+  under ``ckpt/round=R/`` with a commit marker; corpus and visit-log rows
+  flush to parquet per checkpoint window (resumable output layout).
+
+At real-web scale the fetch stage becomes an HTTP actor pool with
+sessions (same interface); everything else is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from collections import Counter
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from texrex_ray.crawl.fetcher import fetch_parse
+from texrex_ray.crawl.policy import CrawlConfig, Walker, split_seeds
+from texrex_ray.functions.hashing import hash64
+from texrex_ray.functions.urlkit import host_of
+from texrex_ray.sources.webgraph import WebGraph
+from texrex_ray.state.bloom import ScalingBloom
+from texrex_ray.state.politeness import PolitenessManager
+
+
+@dataclass
+class CrawlStats:
+    steps: int = 0
+    outputs: int = 0
+    rounds: int = 0
+    fetches: int = 0
+    cache_hits: int = 0
+    waits: int = 0
+    disallowed: int = 0
+    failed: int = 0
+    elapsed_sec: float = 0.0
+    urls_per_sec: float = 0.0
+    partition_metrics: dict = field(default_factory=dict)
+
+
+@ray.remote
+class WalkerShardActor:
+    """A group of walkers; propose/deliver in walker-id order."""
+
+    def __init__(self, walker_ids: list[int], seeds_by_walker: dict[int, list[str]],
+                 seed: int, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.walkers = {
+            wid: Walker(wid, seeds_by_walker[wid], seed, cfg) for wid in walker_ids
+        }
+
+    def propose_all(self) -> list[tuple[int, str, str, bool]]:
+        """[(walker_id, url, action, is_cache_hit)] for live walkers.
+
+        Cache hits are resolved immediately (the step is taken here; ref:
+        trwalkers.pas:882-894 — cache hit = MakeStep only).
+        """
+        out = []
+        for wid in sorted(self.walkers):
+            w = self.walkers[wid]
+            prop = w.propose()
+            if prop is None:
+                continue
+            url, action = prop
+            cached = w.cached_links(url)
+            if cached is not None:
+                w.deliver(True, cached)
+                out.append((wid, url, action, True))
+            else:
+                out.append((wid, url, action, False))
+        return out
+
+    def resolve(self, results: list[tuple[int, str, list[str] | None]]) -> None:
+        """results: (walker_id, verdict, links) — verdict ∈ ok|fail|wait."""
+        for wid, verdict, links in results:
+            w = self.walkers[wid]
+            if verdict == "ok":
+                w.deliver(True, links)
+            elif verdict == "fail":
+                w.deliver(False, None)
+            # "wait": leave pending
+
+    def alive(self) -> int:
+        return sum(0 if w.exhausted else 1 for w in self.walkers.values())
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({wid: w.snapshot() for wid, w in self.walkers.items()})
+
+    def restore(self, blob: bytes) -> None:
+        snaps = pickle.loads(blob)
+        self.walkers = {
+            wid: Walker.restore(s, self.cfg) for wid, s in snaps.items()
+        }
+
+
+@ray.remote
+class FrontierPartActor:
+    """Politeness + robots + Bloom segment for one host-hash partition."""
+
+    def __init__(self, part_id: int, robots_map: dict[str, str | None], cfg: CrawlConfig):
+        self.part_id = part_id
+        self.cfg = cfg
+        self.robots_map = robots_map
+        self.pm = PolitenessManager(
+            min_politeness=cfg.min_politeness,
+            robots_refresh_interval=cfg.robots_refresh_interval,
+            agent=cfg.agent,
+        )
+        self.bloom = ScalingBloom(
+            initial_capacity=cfg.bloom_initial_capacity,
+            error_rate=cfg.bloom_error_rate,
+            max_memory_mb=cfg.bloom_max_memory_mb,
+        )
+        self.metrics: Counter = Counter()
+
+    def gate(self, items: list[tuple[int, str]], now: int) -> list[str]:
+        """verdict per (walker_id, url), processed in walker-id order:
+        'fetch' (access recorded), 'wait', or 'disallowed'."""
+        out = []
+        for _wid, url in sorted(items):
+            host = host_of(url)
+            if self.pm.needs_robots(host, now):
+                self.pm.set_robots(host, self.robots_map.get(host), now)
+                self.metrics["robots_fetches"] += 1
+            w = self.pm.seconds_until_retrieval(url, now)
+            if w < 0:
+                out.append("disallowed")
+                self.metrics["disallowed"] += 1
+            elif w == 0:
+                self.pm.retrieved(url, now)
+                out.append("fetch")
+                self.metrics["gated_fetches"] += 1
+            else:
+                out.append("wait")
+                self.metrics["waits"] += 1
+        return out
+
+    def seen_add(self, urls: list[str]) -> list[bool]:
+        """Bloom first-wins: True per url that is NEW (now recorded)."""
+        res = self.bloom.add_if_new(urls).tolist()
+        self.metrics["seen_added"] += sum(res)
+        return res
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "politeness": self.pm.snapshot(),
+                "bloom": self.bloom.snapshot(),
+                "metrics": dict(self.metrics),
+            }
+        )
+
+    def restore(self, blob: bytes) -> None:
+        snap = pickle.loads(blob)
+        self.pm = PolitenessManager.restore(snap["politeness"])
+        self.bloom = ScalingBloom.restore(snap["bloom"])
+        self.metrics = Counter(snap["metrics"])
+
+
+@ray.remote
+def fetch_batch(pages: dict, urls: list[str], cfg: CrawlConfig) -> list[dict]:
+    out = []
+    for u in urls:
+        fr = fetch_parse(pages, u, cfg)
+        out.append(
+            {
+                "url": fr.url, "ok": fr.ok, "status": fr.status,
+                "final_url": fr.final_url, "charset": fr.charset,
+                "title": fr.title, "divs": fr.divs, "links": fr.links,
+                "raw_len": fr.raw_len, "redirect_from": fr.redirect_from,
+            }
+        )
+    return out
+
+
+def partition_of(hosts: list[str], n_partitions: int) -> np.ndarray:
+    return (hash64(hosts, seed=7) % np.uint64(n_partitions)).astype(np.int64)
+
+
+class CrawlEngine:
+    """Round-based distributed crawl over a synthetic web graph."""
+
+    def __init__(
+        self,
+        graph: WebGraph,
+        *,
+        n_walkers: int = 1,
+        n_partitions: int = 4,
+        n_walker_shards: int | None = None,
+        seed: int = 42,
+        config: CrawlConfig | None = None,
+        out_dir: str | None = None,
+        fetch_task_size: int = 64,
+    ):
+        self.graph = graph
+        self.cfg = config or CrawlConfig()
+        self.seed = seed
+        self.n_walkers = n_walkers
+        self.n_partitions = n_partitions
+        self.n_walker_shards = n_walker_shards or min(n_walkers, 8)
+        self.out_dir = out_dir
+        self.fetch_task_size = fetch_task_size
+        self.pages_ref = ray.put(graph.pages)
+
+        seeds_split = split_seeds(graph.seeds, n_walkers)
+        shard_members: dict[int, list[int]] = {s: [] for s in range(self.n_walker_shards)}
+        for wid in range(n_walkers):
+            shard_members[wid % self.n_walker_shards].append(wid)
+        self.shards = [
+            WalkerShardActor.remote(
+                shard_members[s],
+                {wid: seeds_split[wid] for wid in shard_members[s]},
+                seed,
+                self.cfg,
+            )
+            for s in range(self.n_walker_shards)
+        ]
+        # robots maps are small; every partition gets the full dict (a real
+        # deployment would slice by host-hash — the lookup key is the same)
+        self.parts = [
+            FrontierPartActor.remote(p, graph.robots, self.cfg)
+            for p in range(self.n_partitions)
+        ]
+        self.round = 0
+        self.steps = 0
+        self.visit_rows: list[tuple] = []   # (seq round, walker, url, host, action, cached)
+        self.corpus_rows: list[dict] = []
+        self.stats = CrawlStats()
+        self._flushed_visits = 0
+        self._flushed_corpus = 0
+
+    # -- round loop --------------------------------------------------------
+
+    def run(self, max_steps: int, checkpoint_every: int | None = None,
+            max_rounds: int | None = None) -> CrawlStats:
+        t0 = time.perf_counter()
+        while self.steps < max_steps:
+            if max_rounds is not None and self.round >= max_rounds:
+                break
+            made_progress = self._run_round()
+            if checkpoint_every and self.out_dir and self.round % checkpoint_every == 0:
+                self.checkpoint()
+            if not made_progress:
+                alive = sum(ray.get([s.alive.remote() for s in self.shards]))
+                if alive == 0:
+                    break
+        self.stats.steps = self.steps
+        self.stats.rounds = self.round
+        self.stats.elapsed_sec = time.perf_counter() - t0
+        self.stats.urls_per_sec = (
+            self.steps / self.stats.elapsed_sec if self.stats.elapsed_sec > 0 else 0.0
+        )
+        self.stats.partition_metrics = {
+            p: m for p, m in enumerate(ray.get([a.get_metrics.remote() for a in self.parts]))
+        }
+        if self.out_dir:
+            self._flush_outputs()
+        return self.stats
+
+    def _run_round(self) -> bool:
+        now = self.round
+        self.round += 1
+        proposals = []
+        for res in ray.get([s.propose_all.remote() for s in self.shards]):
+            proposals.extend(res)
+        if not proposals:
+            return False
+        # cache hits already stepped inside the shard
+        for wid, url, action, cached in proposals:
+            if cached:
+                self.steps += 1
+                self.stats.cache_hits += 1
+                self.visit_rows.append((now, wid, url, host_of(url), action, True))
+        pending = [(wid, url, action) for wid, url, action, c in proposals if not c]
+        if not pending:
+            return True
+        hosts = [host_of(u) for _, u, _ in pending]
+        parts = partition_of(hosts, self.n_partitions)
+        by_part: dict[int, list[int]] = {}
+        for i, p in enumerate(parts.tolist()):
+            by_part.setdefault(p, []).append(i)
+        verdict_futs = {
+            p: self.parts[p].gate.remote([(pending[i][0], pending[i][1]) for i in idxs], now)
+            for p, idxs in by_part.items()
+        }
+        verdicts: dict[int, str] = {}
+        for p, idxs in by_part.items():
+            vs = ray.get(verdict_futs[p])
+            # gate() processed items sorted by (walker_id, url); map back
+            order = sorted(range(len(idxs)), key=lambda j: (pending[idxs[j]][0], pending[idxs[j]][1]))
+            for j, v in zip(order, vs):
+                verdicts[idxs[j]] = v
+
+        to_fetch = [i for i in range(len(pending)) if verdicts[i] == "fetch"]
+        fetch_results: dict[int, dict] = {}
+        futs = []
+        for c in range(0, len(to_fetch), self.fetch_task_size):
+            chunk = to_fetch[c : c + self.fetch_task_size]
+            futs.append(
+                (chunk, fetch_batch.remote(self.pages_ref, [pending[i][1] for i in chunk], self.cfg))
+            )
+        for chunk, fut in futs:
+            for i, fr in zip(chunk, ray.get(fut)):
+                fetch_results[i] = fr
+
+        # record outputs (Bloom first-wins) for successful fetches
+        ok_idx = [i for i in to_fetch if fetch_results[i]["ok"]]
+        by_part_ok: dict[int, list[int]] = {}
+        for i in ok_idx:
+            by_part_ok.setdefault(int(parts[i]), []).append(i)
+        new_futs = {
+            p: self.parts[p].seen_add.remote([pending[i][1] for i in idxs])
+            for p, idxs in by_part_ok.items()
+        }
+        for p, idxs in by_part_ok.items():
+            for i, is_new in zip(idxs, ray.get(new_futs[p])):
+                if is_new:
+                    fr = fetch_results[i]
+                    wid, url, action = pending[i]
+                    self.corpus_rows.append(
+                        {
+                            "url": url, "final_url": fr["final_url"], "host": hosts[i],
+                            "status": fr["status"], "charset": fr["charset"],
+                            "title": fr["title"], "text": "\n".join(fr["divs"]),
+                            "n_divs": len(fr["divs"]), "links": fr["links"],
+                            "round": now, "walker_id": wid, "action": action,
+                            "raw_len": fr["raw_len"],
+                        }
+                    )
+                    self.stats.outputs += 1
+
+        # deliver outcomes to walkers
+        by_shard: dict[int, list[tuple[int, str, list[str] | None]]] = {}
+        for i, (wid, url, action) in enumerate(pending):
+            v = verdicts[i]
+            if v == "fetch":
+                fr = fetch_results[i]
+                if fr["ok"]:
+                    self.steps += 1
+                    self.stats.fetches += 1
+                    self.visit_rows.append((now, wid, url, hosts[i], action, False))
+                    out = (wid, "ok", fr["links"])
+                else:
+                    self.stats.failed += 1
+                    out = (wid, "fail", None)
+            elif v == "disallowed":
+                self.stats.disallowed += 1
+                out = (wid, "fail", None)
+            else:
+                self.stats.waits += 1
+                out = (wid, "wait", None)
+            by_shard.setdefault(wid % self.n_walker_shards, []).append(out)
+        ray.get([self.shards[s].resolve.remote(items) for s, items in by_shard.items()])
+        return True
+
+    # -- fixtures ----------------------------------------------------------
+
+    def visit_order(self) -> list[tuple[int, str, str, str]]:
+        """(seq, url, host, action) ordered by (round, walker_id)."""
+        rows = sorted(self.visit_rows, key=lambda r: (r[0], r[1]))
+        return [(i + 1, r[2], r[3], r[4]) for i, r in enumerate(rows)]
+
+    def url_seen(self) -> set[str]:
+        return {r["url"] for r in self.corpus_rows} | self._persisted_seen()
+
+    def _persisted_seen(self) -> set[str]:
+        if not self.out_dir:
+            return set()
+        d = os.path.join(self.out_dir, "corpus")
+        if not os.path.isdir(d):
+            return set()
+        seen = set()
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                seen.update(pq.read_table(os.path.join(d, f), columns=["url"])["url"].to_pylist())
+        return seen
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def checkpoint(self) -> str:
+        assert self.out_dir
+        r = self.round
+        ck = os.path.join(self.out_dir, "ckpt", f"round={r:08d}")
+        os.makedirs(ck, exist_ok=True)
+        shard_blobs = ray.get([s.snapshot.remote() for s in self.shards])
+        part_blobs = ray.get([p.snapshot.remote() for p in self.parts])
+        for i, b in enumerate(shard_blobs):
+            with open(os.path.join(ck, f"shard-{i}.pkl"), "wb") as f:
+                f.write(b)
+        for i, b in enumerate(part_blobs):
+            with open(os.path.join(ck, f"part-{i}.pkl"), "wb") as f:
+                f.write(b)
+        meta = {
+            "round": self.round, "steps": self.steps,
+            "outputs": self.stats.outputs, "n_walkers": self.n_walkers,
+            "n_partitions": self.n_partitions, "n_walker_shards": self.n_walker_shards,
+            "seed": self.seed,
+        }
+        with open(os.path.join(ck, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        self._flush_outputs()
+        with open(os.path.join(ck, "COMMIT"), "w") as f:
+            f.write("ok")
+        return ck
+
+    def _flush_outputs(self) -> None:
+        assert self.out_dir
+        vd = os.path.join(self.out_dir, "visits")
+        cd = os.path.join(self.out_dir, "corpus")
+        os.makedirs(vd, exist_ok=True)
+        os.makedirs(cd, exist_ok=True)
+        if len(self.visit_rows) > self._flushed_visits:
+            rows = self.visit_rows[self._flushed_visits :]
+            t = pa.table(
+                {
+                    "round": pa.array([r[0] for r in rows], pa.int64()),
+                    "walker_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "url": pa.array([r[2] for r in rows], pa.string()),
+                    "host": pa.array([r[3] for r in rows], pa.string()),
+                    "action": pa.array([r[4] for r in rows], pa.string()),
+                    "cached": pa.array([r[5] for r in rows], pa.bool_()),
+                }
+            )
+            pq.write_table(t, os.path.join(vd, f"visits-r{self.round:08d}.parquet"))
+            self._flushed_visits = len(self.visit_rows)
+        if len(self.corpus_rows) > self._flushed_corpus:
+            rows = self.corpus_rows[self._flushed_corpus :]
+            t = pa.table(
+                {
+                    k: pa.array([r[k] for r in rows])
+                    for k in rows[0]
+                }
+            )
+            pq.write_table(t, os.path.join(cd, f"corpus-r{self.round:08d}.parquet"))
+            self._flushed_corpus = len(self.corpus_rows)
+
+    @classmethod
+    def resume(cls, graph: WebGraph, out_dir: str, **kw) -> "CrawlEngine":
+        ckroot = os.path.join(out_dir, "ckpt")
+        rounds = sorted(
+            d for d in os.listdir(ckroot)
+            if os.path.exists(os.path.join(ckroot, d, "COMMIT"))
+        )
+        if not rounds:
+            raise FileNotFoundError(f"no committed checkpoint under {ckroot}")
+        ck = os.path.join(ckroot, rounds[-1])
+        with open(os.path.join(ck, "meta.json")) as f:
+            meta = json.load(f)
+        eng = cls(
+            graph,
+            n_walkers=meta["n_walkers"],
+            n_partitions=meta["n_partitions"],
+            n_walker_shards=meta["n_walker_shards"],
+            seed=meta["seed"],
+            out_dir=out_dir,
+            **kw,
+        )
+        for i, s in enumerate(eng.shards):
+            with open(os.path.join(ck, f"shard-{i}.pkl"), "rb") as f:
+                ray.get(s.restore.remote(f.read()))
+        for i, p in enumerate(eng.parts):
+            with open(os.path.join(ck, f"part-{i}.pkl"), "rb") as f:
+                ray.get(p.restore.remote(f.read()))
+        eng.round = meta["round"]
+        eng.steps = meta["steps"]
+        eng.stats.outputs = meta["outputs"]
+        return eng

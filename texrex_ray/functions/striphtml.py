@@ -1,0 +1,108 @@
+"""HTML stripper: raw HTML → paragraphs ("divs") + links + header metadata.
+
+Semantics follow the reference's single-pass HtmlStripper (ref:
+trhtmlstripper.pas:595-704): start capturing at ``<body>`` (or everywhere
+when absent), split text into divs at break tags (``div p li h1-h6
+blockquote td article section`` …, ref :181-184), drop the subtrees of
+``script style head form applet code audio video`` (ref :179-180), skip
+comments/CDATA, collapse whitespace, collect ``<a href>`` values, and
+extract doctype + meta charset from the header (ref :566-591).
+
+One regex-tokenizer pass per document; this is inherently per-string work
+(the reference is a char-level state machine) and runs inside
+``map_batches`` stages.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+TAG_TOKEN_RE = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<[^>]*>", re.DOTALL)
+
+BREAK_TAGS = frozenset(
+    "div p li h1 h2 h3 h4 h5 h6 blockquote td article section tr table ul ol br".split()
+)
+DROP_TAGS = frozenset("script style head form applet code audio video noscript svg iframe".split())
+
+HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+CHARSET_META_RE = re.compile(
+    r"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+DOCTYPE_RE = re.compile(r"<!doctype\s+([^>]*)>", re.IGNORECASE)
+WS_RE = re.compile(r"\s+")
+
+MAX_LINK_LEN = 512  # href length clamp (ref: trhtmlstripper.pas:372-414)
+
+
+@dataclass
+class StripResult:
+    divs: list[str] = field(default_factory=list)
+    links: list[str] = field(default_factory=list)
+    title: str = ""
+    meta_charset: str = ""
+    doctype: str = ""
+
+
+def strip_html(raw: str) -> StripResult:
+    res = StripResult()
+    m = DOCTYPE_RE.search(raw[:512])
+    if m:
+        res.doctype = m.group(1).strip().lower()
+
+    body_pos = raw.lower().find("<body")
+    capture_from = body_pos if body_pos >= 0 else 0
+    head = raw[:body_pos] if body_pos > 0 else raw[:4096]
+    cm = CHARSET_META_RE.search(head)
+    if cm:
+        res.meta_charset = cm.group(1).lower()
+    tm = re.search(r"<title[^>]*>(.*?)</title>", head, re.IGNORECASE | re.DOTALL)
+    if tm:
+        res.title = WS_RE.sub(" ", tm.group(1)).strip()
+
+    text = raw[capture_from:]
+    buf: list[str] = []
+    drop_depth = 0
+    pos = 0
+
+    def flush():
+        if buf:
+            s = WS_RE.sub(" ", "".join(buf)).strip()
+            buf.clear()
+            if s:
+                res.divs.append(s)
+
+    for m in TAG_TOKEN_RE.finditer(text):
+        if drop_depth == 0 and m.start() > pos:
+            buf.append(text[pos : m.start()])
+        pos = m.end()
+        tok = m.group(0)
+        if tok.startswith("<!--") or tok.startswith("<!["):
+            continue
+        inner = tok[1:-1].strip()
+        if not inner or inner.startswith("!"):
+            continue
+        closing = inner.startswith("/")
+        name = inner.lstrip("/").split(None, 1)[0].split("/", 1)[0].lower()
+        if name in DROP_TAGS:
+            if inner.endswith("/"):
+                continue
+            if closing:
+                drop_depth = max(0, drop_depth - 1)
+            else:
+                drop_depth += 1
+            continue
+        if drop_depth > 0:
+            continue
+        if name == "a" and not closing:
+            hm = HREF_RE.search(inner)
+            if hm:
+                href = (hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
+                if 0 < len(href) <= MAX_LINK_LEN:
+                    res.links.append(href)
+        if name in BREAK_TAGS:
+            flush()
+    if drop_depth == 0 and pos < len(text):
+        buf.append(text[pos:])
+    flush()
+    return res

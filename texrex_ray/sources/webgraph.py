@@ -1,0 +1,167 @@
+"""Deterministic synthetic web graph — the hermetic crawl universe.
+
+Replaces live HTTP for the ClaraX-equivalent crawler (FIXTURES.md §2):
+~``n_hosts`` hosts with Zipf-skewed page counts (the top host holds a
+large share of pages → exercises hot-host handling), synthetic HTML with
+break-tag paragraphs, drop-containers, entities and anchors whose targets
+follow a seeded preferential-attachment draw (skewed host in-degree →
+degree-biased sampling observable), per-host robots.txt bodies with mixed
+sections, and a fixed ordered seed list.
+
+Everything derives from one integer seed; no wall clock, no network.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Page:
+    url: str
+    host: str
+    status: int
+    content: bytes
+    charset: str
+    redirect_to: str | None
+    out_links: list[str]
+
+
+@dataclass
+class WebGraph:
+    pages: dict[str, Page]
+    robots: dict[str, str | None]
+    seeds: list[str]
+    hosts: list[str]
+    seed: int = 42
+
+    @property
+    def n_pages(self) -> int:
+        return len(self.pages)
+
+
+_PARA_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim minim veniam"
+).split()
+
+
+def _page_html(
+    url: str,
+    paras: list[str],
+    hrefs: list[str],
+    charset: str,
+) -> bytes:
+    body_parts = ["<html><head>"]
+    if charset != "utf-8":
+        body_parts.append(f'<meta http-equiv="Content-Type" content="text/html; charset={charset}">')
+    body_parts.append(f"<title>Page {url}</title></head><body>")
+    body_parts.append("<script>var junk = 'dropped subtree';</script>")
+    for i, p in enumerate(paras):
+        href = f' <a href="{hrefs[i]}">link {i}</a>' if i < len(hrefs) else ""
+        body_parts.append(f"<p>{p}{href}</p>")
+    for href in hrefs[len(paras):]:
+        body_parts.append(f'<div><a href="{href}">more</a></div>')
+    body_parts.append("</body></html>")
+    html = "".join(body_parts)
+    enc = "latin-1" if charset == "iso-8859-1" else "utf-8"
+    return html.encode(enc, errors="replace")
+
+
+def make_webgraph(
+    n_hosts: int = 20,
+    pages_per_host_base: int = 20,
+    n_seeds: int = 8,
+    seed: int = 42,
+    mean_links: int = 6,
+    p_external: float = 0.3,
+) -> WebGraph:
+    """Deterministic web graph; Zipf page counts, preferential-attachment links."""
+    rng = np.random.default_rng(seed)
+    hosts = [f"host{h}.tld{h % 3}" for h in range(n_hosts)]
+    # Zipf-ish page counts: host h gets base * n_hosts / (h+1), min 3
+    page_counts = np.maximum(
+        (pages_per_host_base * n_hosts / (np.arange(n_hosts) + 1)).astype(int), 3
+    )
+    urls_by_host: list[list[str]] = [
+        [f"http://{hosts[h]}/p{k}" for k in range(page_counts[h])] for h in range(n_hosts)
+    ]
+    all_urls = [u for us in urls_by_host for u in us]
+    # host attachment weights ∝ page count (preferential attachment proxy)
+    host_w = page_counts / page_counts.sum()
+
+    pages: dict[str, Page] = {}
+    for h, host in enumerate(hosts):
+        n_h = len(urls_by_host[h])
+        # one ISO-8859-1-declared page per host
+        latin_idx = int(rng.integers(0, n_h))
+        for k, url in enumerate(urls_by_host[h]):
+            r = rng.random()
+            status, redirect_to = 200, None
+            if r > 0.93:
+                if r > 0.98:
+                    status = 301
+                    redirect_to = all_urls[int(rng.integers(0, len(all_urls)))]
+                elif r > 0.955:
+                    status = 500
+                else:
+                    status = 404
+            n_links = int(rng.poisson(mean_links))
+            hrefs: list[str] = []
+            for _ in range(n_links):
+                if rng.random() < p_external:
+                    th = int(rng.choice(n_hosts, p=host_w))
+                else:
+                    th = h
+                t_urls = urls_by_host[th]
+                target = t_urls[int(rng.integers(0, len(t_urls)))]
+                # same-host links sometimes relative
+                if th == h and rng.random() < 0.5:
+                    hrefs.append("/" + target.rsplit("/", 1)[1])
+                else:
+                    hrefs.append(target)
+            n_paras = 2 + int(rng.integers(0, 4))
+            paras = [
+                " ".join(
+                    rng.choice(_PARA_WORDS, size=12 + int(rng.integers(0, 20)))
+                )
+                + (" &amp; more" if rng.random() < 0.3 else "")
+                for _ in range(n_paras)
+            ]
+            charset = "iso-8859-1" if k == latin_idx else "utf-8"
+            content = (
+                b"" if status != 200 else _page_html(url, paras, hrefs, charset)
+            )
+            pages[url] = Page(
+                url=url,
+                host=host,
+                status=status,
+                content=content,
+                charset=charset,
+                redirect_to=redirect_to,
+                out_links=hrefs if status == 200 else [],
+            )
+
+    robots: dict[str, str | None] = {}
+    for h, host in enumerate(hosts):
+        r = rng.random()
+        if r < 0.3:
+            robots[host] = None
+        elif r < 0.6:
+            robots[host] = "User-agent: *\nDisallow: /p1\n"
+        elif r < 0.8:
+            robots[host] = (
+                "User-agent: othercrawler\nDisallow: /\n\n"
+                f"User-agent: *\nCrawl-delay: {1 + int(rng.integers(0, 3))}\n"
+            )
+        else:
+            robots[host] = (
+                "User-agent: texrex\nDisallow: /p2\nCrawl-delay: 1\n\n"
+                "User-agent: *\nDisallow: /\n"
+            )
+
+    # fixed ordered seed list: first page of the n_seeds highest-degree hosts
+    seeds = [urls_by_host[h][0] for h in range(min(n_seeds, n_hosts))]
+    return WebGraph(pages=pages, robots=robots, seeds=seeds, hosts=hosts, seed=seed)
