@@ -1,0 +1,80 @@
+"""Image payload tests: codec round-trip invariants, pipeline e2e."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from texrex_ray.sources.images import (
+    decode_external,
+    decode_image,
+    encode_image,
+    make_images,
+    phash_of,
+    psnr,
+)
+
+
+def test_codec_roundtrip_invariants():
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    # png lossless
+    assert np.array_equal(decode_image(encode_image(px, "png")), px)
+    # lossy ≥ 40 dB (input_hint invariant)
+    for fmt in ("jpeg", "webp"):
+        out = decode_image(encode_image(px, fmt))
+        assert psnr(px, out) >= 40.0, fmt
+
+
+def test_decode_external_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_external(b"\x89PNG\r\n\x1a\n...")
+
+
+def test_make_images_deterministic_with_dups():
+    t1, e1 = make_images(n=60, seed=42)
+    t2, _ = make_images(n=60, seed=42)
+    assert t1.equals(t2)
+    ph = t1["phash"].to_pylist()
+    assert len(set(ph)) < len(ph)  # injected exact dups share phash
+    # phash matches decoded pixels
+    row = {c: t1[c][0].as_py() for c in t1.column_names}
+    px = np.frombuffer(e1["pixels"][0].as_py(), dtype=np.uint8).reshape(
+        e1["h"][0].as_py(), e1["w"][0].as_py(), 3
+    )
+    assert phash_of(px, row["fmt"]) == row["phash"]
+
+
+def test_pipeline_e2e_with_verification():
+    import ray
+
+    from texrex_ray.pipelines.caption import fixture_path, image_caption_pipeline
+    from texrex_ray.stages.images import verify_against_expected
+
+    d = fixture_path(n=80, seed=42)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    out = image_caption_pipeline(ds, batch_size=32)
+    df = out.to_pandas()
+    src = ray.data.read_parquet(f"{d}/images.parquet").to_pandas()
+    # dedup kept exactly one row per phash
+    assert len(df) == src["phash"].nunique()
+    assert df["ok"].all()
+    assert df["feat"].map(len).eq(14).all()
+    # captions cleansed: no tags/uris left
+    assert not df["caption"].str.contains("<b>").any()
+    assert not df["caption"].str.contains("http://").any()
+    # per-row pixel invariant vs stored originals
+    import pyarrow.parquet as pq
+
+    exp = pq.read_table(f"{d}/images_expected.parquet")
+    emap = {
+        i: (p, w, h)
+        for i, p, w, h in zip(
+            exp["image_id"].to_pylist(), exp["pixels"].to_pylist(),
+            exp["w"].to_pylist(), exp["h"].to_pylist(),
+        )
+    }
+    import pyarrow as pa
+
+    ver = verify_against_expected(pa.Table.from_pandas(src), emap)
+    assert ver["pixel_ok"].to_pandas().all()
+    assert (ver["psnr"].to_pandas() >= 40).all()

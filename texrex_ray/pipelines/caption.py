@@ -1,0 +1,73 @@
+"""Flagship image+caption pipeline (the graft payload path).
+
+read images table → caption cleanse (SecondPass → Normalizer → NFC) →
+decode+stats (actor pool) → features (actor pool) → phash exact dedup →
+cleaned table.  This is texrex's cleaning chain grafted onto the
+image+caption "document": caption ≈ div text, bytes ≈ RawText, phash ≈
+the exact-dup fingerprint (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from texrex_ray.sources.images import make_images
+from texrex_ray.stages import textchain as tc
+from texrex_ray.stages.images import ImageDecoder, ImageFeatures
+
+
+def fixture_path(n: int, seed: int = 42, root: str = "/tmp/texrex_ray_fixtures") -> str:
+    """Write (once) and return the deterministic images fixture parquet."""
+    d = os.path.join(root, f"images_n{n}_s{seed}")
+    imgs_p = os.path.join(d, "images.parquet")
+    exp_p = os.path.join(d, "images_expected.parquet")
+    if not (os.path.exists(imgs_p) and os.path.exists(exp_p)):
+        os.makedirs(d, exist_ok=True)
+        images, expected = make_images(n=n, seed=seed)
+        pq.write_table(images, imgs_p + ".tmp")
+        pq.write_table(expected, exp_p + ".tmp")
+        os.replace(imgs_p + ".tmp", imgs_p)
+        os.replace(exp_p + ".tmp", exp_p)
+    return d
+
+
+def caption_clean_stage(batch: pa.Table) -> pa.Table:
+    """SecondPass + Normalizer + NFC over the caption column."""
+    t = batch.rename_columns(
+        [c if c != "caption" else "text" for c in batch.column_names]
+    )
+    t = tc.secondpass(t)
+    t = tc.normalize(t)
+    return t.rename_columns([c if c != "text" else "caption" for c in t.column_names])
+
+
+def image_caption_pipeline(
+    ds: ray.data.Dataset,
+    *,
+    decoder_concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    with_features: bool = True,
+    dedup: bool = True,
+) -> ray.data.Dataset:
+    kw = dict(batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(caption_clean_stage, **kw)
+    if decoder_concurrency is None:
+        ds = ds.map_batches(ImageDecoder(), **kw)
+        if with_features:
+            ds = ds.map_batches(ImageFeatures(), **kw)
+    else:
+        ds = ds.map_batches(ImageDecoder, concurrency=decoder_concurrency, **kw)
+        if with_features:
+            ds = ds.map_batches(ImageFeatures, concurrency=decoder_concurrency, **kw)
+    if dedup:
+        import pandas as pd
+
+        def first(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values("image_id").head(1)
+
+        ds = ds.groupby("phash").map_groups(first, batch_format="pandas")
+    return ds

@@ -555,6 +555,101 @@ def q18_simhash_dups(sf_dir: str):
     return simhash_pairs(ds, max_hamming=12)
 
 
+def _sf_of(sf_dir: str) -> float:
+    import os
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+@query("q20_image_pipeline")
+def q20_image_pipeline(sf_dir: str):
+    """Graft payload: image+caption cleaning pipeline (caption cleanse →
+    decode/verify → features → phash dedup) over the deterministic
+    synthetic images fixture, scaled by sf.  Rows-only (fixture is not a
+    driver view)."""
+    from texrex_ray.pipelines.caption import fixture_path, image_caption_pipeline
+
+    n = {0.001: 100, 0.01: 300, 0.1: 1000}.get(_sf_of(sf_dir), 300)
+    d = fixture_path(n=n, seed=42)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    out = image_caption_pipeline(ds, batch_size=64)
+    df = out.to_pandas()[["image_id", "phash", "ok", "fmt", "w", "h"]]
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+@query("q21_crawl_visits")
+def q21_crawl_visits(sf_dir: str):
+    """ClaraX crawl on the synthetic web graph (single walker, oracle-
+    faithful): visit-order table (seq, url, host, action).  Rows-only —
+    validated against the sequential oracle in tests."""
+    from texrex_ray.crawl.engine import CrawlEngine
+    from texrex_ray.crawl.policy import CrawlConfig
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    steps = {0.001: 60, 0.01: 150, 0.1: 400}.get(_sf_of(sf_dir), 150)
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    eng = CrawlEngine(g, n_walkers=1, n_partitions=4, seed=42, config=CrawlConfig())
+    eng.run(max_steps=steps)
+    rows = eng.visit_order()
+    return pd.DataFrame(rows, columns=["seq", "url", "host", "action"])
+
+
+@query("q24_text_assessment")
+def q24_text_assessment(sf_dir: str):
+    """TextAssessmentMulti over documents: predicted language (argmin
+    badness over profiles) + badness in basis points (rows-only: the
+    profile math is not SQL-expressible)."""
+    from texrex_ray.pipelines.clean_documents import clean_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = clean_documents(ds, minhash_k=16).select_columns(["doc_id", "pred_lang", "badness"])
+    df = out.to_pandas()
+    df["badness_bp"] = (df["badness"] * 10_000).round().astype("int64")
+    return df[["doc_id", "pred_lang", "badness_bp"]].sort_values("doc_id").reset_index(drop=True)
+
+
+@query(
+    "q26_range_join",
+    sql="""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('tiny', 0, 10), ('small', 10, 25), ('large', 25, 100)),
+    j AS (SELECT b.band, l.l_quantity FROM lineitem l
+          JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi)
+    SELECT band, COUNT(*) AS n, CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_c
+    FROM j GROUP BY band ORDER BY band
+    """,
+)
+def q26_range_join(sf_dir: str):
+    """Range join against a broadcast interval table — the geolocator's
+    IP-interval binary-search lookup pattern (ref: trgeolocator.pas:131-171)
+    demonstrated on lineitem quantity bands via np.searchsorted."""
+    bands = [("tiny", 0.0, 10.0), ("small", 10.0, 25.0), ("large", 25.0, 100.0)]
+    los = np.array([b[1] for b in bands])
+    names = [b[0] for b in bands]
+    bands_ref = ray.put((los, names))
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        los_, names_ = ray.get(bands_ref)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los_, q, side="right") - 1
+        band = [names_[i] for i in idx]
+        return pa.table({"band": pa.array(band, pa.string()), "l_quantity": t["l_quantity"]})
+
+    out = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    )
+    df = out.to_pandas().sort_values("band").reset_index(drop=True)
+    df["sum_qty_c"] = df["sum_qty"].map(_cents).astype("int64")
+    return df[["band", "n", "sum_qty_c"]]
+
+
 @query("q19_lsh_ann")
 def q19_lsh_ann(sf_dir: str):
     """Approximate NN via random-hyperplane LSH buckets (scale path of q15);

@@ -1,0 +1,114 @@
+"""Image payload stages: decode/verify, resize, feature-extract, caption
+cleanse — actor-pool ``map_batches`` stages over zero-copy Arrow batches.
+
+Large binary rows: these stages are built for SMALL batch sizes (the
+driver pipeline uses batch_size≈256 for 128×128 RGB) so batch × pool
+concurrency stays inside worker heaps; blocks of encoded bytes flow
+zero-copy from the object store (input_hint: Dataset + map_batches over
+zero-copy Arrow, actor pools for stateful stages).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from texrex_ray.sources.images import decode_image, psnr
+
+
+class ImageDecoder:
+    """Actor-pool stage: decode bytes → verify dims → per-image stats.
+
+    Stateful shape: a real deployment loads codec contexts / a GPU decoder
+    once per actor in ``__init__`` (here the synthetic codec needs no
+    state, but the pool pattern is what scales).
+    Adds: ok(bool), mean_lum(float), std_lum(float).
+    """
+
+    def __init__(self) -> None:
+        self.decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok, mean_l, std_l = [], [], []
+        for raw, w, h in zip(
+            batch["bytes"].to_pylist(), batch["w"].to_pylist(), batch["h"].to_pylist()
+        ):
+            try:
+                px = self.decode(raw)
+                good = px.shape == (h, w, 3)
+            except Exception:
+                px, good = None, False
+            ok.append(good)
+            if good:
+                lum = px.astype(np.float32).mean(axis=2)
+                mean_l.append(float(lum.mean()))
+                std_l.append(float(lum.std()))
+            else:
+                mean_l.append(0.0)
+                std_l.append(0.0)
+        return (
+            batch.append_column("ok", pa.array(ok, pa.bool_()))
+            .append_column("mean_lum", pa.array(mean_l, pa.float64()))
+            .append_column("std_lum", pa.array(std_l, pa.float64()))
+        )
+
+
+class ImageResizer:
+    """Actor-pool stage: nearest-neighbor resize to (target, target), stored
+    as a fixed-size raw RGB column ``thumb``."""
+
+    def __init__(self, target: int = 16) -> None:
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = []
+        t = self.target
+        for raw in batch["bytes"].to_pylist():
+            px = decode_image(raw)
+            h, w, _ = px.shape
+            yi = (np.arange(t) * h // t).clip(0, h - 1)
+            xi = (np.arange(t) * w // t).clip(0, w - 1)
+            thumbs.append(px[yi][:, xi].tobytes())
+        return batch.append_column("thumb", pa.array(thumbs, pa.binary()))
+
+
+class ImageFeatures:
+    """Actor-pool stage: per-channel mean/std + 8-bin luminance histogram
+    → ``feat: list<float>[14]`` (a model-inference stand-in: weights/model
+    would load in ``__init__``)."""
+
+    def __init__(self) -> None:
+        self.bins = np.linspace(0, 256, 9)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for raw in batch["bytes"].to_pylist():
+            px = decode_image(raw).astype(np.float32)
+            means = px.mean(axis=(0, 1)) / 255.0
+            stds = px.std(axis=(0, 1)) / 255.0
+            lum = px.mean(axis=2)
+            hist, _ = np.histogram(lum, bins=self.bins)
+            hist = hist / max(1, lum.size)
+            feats.append(np.concatenate([means, stds, hist]).astype(np.float32))
+        return batch.append_column(
+            "feat", pa.array([list(map(float, f)) for f in feats], pa.list_(pa.float32(), 14))
+        )
+
+
+def verify_against_expected(batch: pa.Table, expected: dict, min_psnr: float = 40.0) -> pa.Table:
+    """Per-row invariant (input_hint): decoded pixels vs stored originals —
+    bit-exact for png, PSNR ≥ 40 dB for lossy formats.  ``expected`` maps
+    image_id → (pixels bytes, w, h); broadcast via ray.put by the caller."""
+    res_psnr, res_ok = [], []
+    for iid, raw, fmt in zip(
+        batch["image_id"].to_pylist(), batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+    ):
+        px = decode_image(raw)
+        want_b, w, h = expected[iid]
+        want = np.frombuffer(want_b, dtype=np.uint8).reshape(h, w, 3)
+        p = psnr(want, px)
+        res_psnr.append(p if np.isfinite(p) else 99.0)
+        res_ok.append(bool(p >= min_psnr) if fmt != "png" else bool(np.array_equal(want, px)))
+    return batch.append_column("psnr", pa.array(res_psnr, pa.float64())).append_column(
+        "pixel_ok", pa.array(res_ok, pa.bool_())
+    )
