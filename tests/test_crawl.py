@@ -65,7 +65,7 @@ def test_robots_and_politeness_respected(graph):
     from urllib.parse import urlsplit
 
     # corpus contains no robots-disallowed URL
-    for row in eng.corpus_rows:
+    for row in eng.collect_corpus():
         sp = urlsplit(row["url"])
         assert rules[sp.hostname].allows(sp.path or "/"), row["url"]
     # non-cached fetches of the same host are spaced ≥ its crawl delay

@@ -79,8 +79,10 @@ class WalkerShardActor:
     def propose_all(self) -> list[tuple[int, str, str, bool]]:
         """[(walker_id, url, action, is_cache_hit)] for live walkers.
 
-        Cache hits are resolved immediately (the step is taken here; ref:
-        trwalkers.pas:882-894 — cache hit = MakeStep only).
+        Cache hits (ref: trwalkers.pas:882-894 — cache hit = MakeStep only,
+        no fetch) are only FLAGGED here; the step is applied when the driver
+        acks with verdict "cache" in resolve(), so walker state never runs
+        ahead of driver-recorded rounds (checkpoint consistency).
         """
         out = []
         for wid in sorted(self.walkers):
@@ -89,23 +91,28 @@ class WalkerShardActor:
             if prop is None:
                 continue
             url, action = prop
-            cached = w.cached_links(url)
-            if cached is not None:
-                w.deliver(True, cached)
-                out.append((wid, url, action, True))
-            else:
-                out.append((wid, url, action, False))
+            out.append((wid, url, action, w.cached_links(url) is not None))
         return out
 
     def resolve(self, results: list[tuple[int, str, list[str] | None]]) -> None:
-        """results: (walker_id, verdict, links) — verdict ∈ ok|fail|wait."""
+        """results: (walker_id, verdict, links) — verdict ∈ ok|fail|wait|cache."""
         for wid, verdict, links in results:
             w = self.walkers[wid]
             if verdict == "ok":
                 w.deliver(True, links)
+            elif verdict == "cache":
+                w.deliver(True, w.cached_links(w.pending[0]))
             elif verdict == "fail":
                 w.deliver(False, None)
             # "wait": leave pending
+
+    def resolve_and_propose(
+        self, results: list[tuple[int, str, list[str] | None]]
+    ) -> list[tuple[int, str, str, bool]]:
+        """Fused resolve + next-round propose: one barrier per shard per
+        round instead of two."""
+        self.resolve(results)
+        return self.propose_all()
 
     def alive(self) -> int:
         return sum(0 if w.exhausted else 1 for w in self.walkers.values())
@@ -122,12 +129,24 @@ class WalkerShardActor:
 
 @ray.remote
 class FrontierPartActor:
-    """Politeness + robots + Bloom segment for one host-hash partition."""
+    """Politeness + robots + Bloom segment + fetch for one host-hash
+    partition.
 
-    def __init__(self, part_id: int, robots_map: dict[str, str | None], cfg: CrawlConfig):
+    The whole per-URL sequence — robots refresh, politeness gate, fetch,
+    Bloom first-wins output gating, corpus-row buffering — runs inside ONE
+    actor call per partition per round (``gate_fetch``), so a round costs
+    two driver barriers total (propose + gate_fetch) instead of five.
+    Items are processed in (walker_id, url) order → identical decisions
+    under any physical layout.  Corpus rows stay in the actor and are
+    written as per-partition parquet files (resumable output layout).
+    """
+
+    def __init__(self, part_id: int, robots_map: dict[str, str | None],
+                 pages: dict, cfg: CrawlConfig):
         self.part_id = part_id
         self.cfg = cfg
         self.robots_map = robots_map
+        self.pages = pages
         self.pm = PolitenessManager(
             min_politeness=cfg.min_politeness,
             robots_refresh_interval=cfg.robots_refresh_interval,
@@ -139,34 +158,71 @@ class FrontierPartActor:
             max_memory_mb=cfg.bloom_max_memory_mb,
         )
         self.metrics: Counter = Counter()
+        self.corpus_buf: list[dict] = []
 
-    def gate(self, items: list[tuple[int, str]], now: int) -> list[str]:
-        """verdict per (walker_id, url), processed in walker-id order:
-        'fetch' (access recorded), 'wait', or 'disallowed'."""
+    def gate_fetch(self, items: list[tuple[int, str, str]], now: int
+                   ) -> list[tuple[int, str, list[str] | None, bool]]:
+        """Per (walker_id, url, action), in walker-id order:
+        → (walker_id, verdict ok|fail|wait, links, is_new_output)."""
+        t0 = time.perf_counter()
         out = []
-        for _wid, url in sorted(items):
+        for wid, url, action in sorted(items):
             host = host_of(url)
             if self.pm.needs_robots(host, now):
                 self.pm.set_robots(host, self.robots_map.get(host), now)
                 self.metrics["robots_fetches"] += 1
             w = self.pm.seconds_until_retrieval(url, now)
             if w < 0:
-                out.append("disallowed")
                 self.metrics["disallowed"] += 1
-            elif w == 0:
-                self.pm.retrieved(url, now)
-                out.append("fetch")
-                self.metrics["gated_fetches"] += 1
-            else:
-                out.append("wait")
+                out.append((wid, "fail", None, False))
+                continue
+            if w > 0:
                 self.metrics["waits"] += 1
+                out.append((wid, "wait", None, False))
+                continue
+            self.pm.retrieved(url, now)
+            self.metrics["gated_fetches"] += 1
+            fr = fetch_parse(self.pages, url, self.cfg)
+            if not fr.ok:
+                self.metrics["failed_fetches"] += 1
+                out.append((wid, "fail", None, False))
+                continue
+            is_new = bool(self.bloom.add_if_new([url])[0])
+            if is_new:
+                self.metrics["outputs"] += 1
+                self.corpus_buf.append(
+                    {
+                        "url": url, "final_url": fr.final_url, "host": host,
+                        "status": fr.status, "charset": fr.charset,
+                        "title": fr.title, "text": "\n".join(fr.divs),
+                        "n_divs": len(fr.divs), "links": fr.links,
+                        "round": now, "walker_id": wid, "action": action,
+                        "raw_len": fr.raw_len,
+                    }
+                )
+            out.append((wid, "ok", fr.links, is_new))
+        self.metrics["gate_ms"] += int((time.perf_counter() - t0) * 1000)
+        self.metrics["gate_calls"] += 1
         return out
 
-    def seen_add(self, urls: list[str]) -> list[bool]:
-        """Bloom first-wins: True per url that is NEW (now recorded)."""
-        res = self.bloom.add_if_new(urls).tolist()
-        self.metrics["seen_added"] += sum(res)
-        return res
+    def flush_corpus(self, out_dir: str, upto_round: int) -> int:
+        """Write buffered corpus rows to a per-partition parquet file."""
+        if not self.corpus_buf:
+            return 0
+        d = os.path.join(out_dir, "corpus", f"part={self.part_id:04d}")
+        os.makedirs(d, exist_ok=True)
+        rows = self.corpus_buf
+        t = pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]})
+        path = os.path.join(d, f"corpus-r{upto_round:08d}.parquet")
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        n = len(rows)
+        self.corpus_buf = []
+        return n
+
+    def drain_corpus(self) -> list[dict]:
+        rows, self.corpus_buf = self.corpus_buf, []
+        return rows
 
     def get_metrics(self) -> dict:
         return dict(self.metrics)
@@ -177,6 +233,7 @@ class FrontierPartActor:
                 "politeness": self.pm.snapshot(),
                 "bloom": self.bloom.snapshot(),
                 "metrics": dict(self.metrics),
+                "corpus_buf": self.corpus_buf,
             }
         )
 
@@ -185,22 +242,7 @@ class FrontierPartActor:
         self.pm = PolitenessManager.restore(snap["politeness"])
         self.bloom = ScalingBloom.restore(snap["bloom"])
         self.metrics = Counter(snap["metrics"])
-
-
-@ray.remote
-def fetch_batch(pages: dict, urls: list[str], cfg: CrawlConfig) -> list[dict]:
-    out = []
-    for u in urls:
-        fr = fetch_parse(pages, u, cfg)
-        out.append(
-            {
-                "url": fr.url, "ok": fr.ok, "status": fr.status,
-                "final_url": fr.final_url, "charset": fr.charset,
-                "title": fr.title, "divs": fr.divs, "links": fr.links,
-                "raw_len": fr.raw_len, "redirect_from": fr.redirect_from,
-            }
-        )
-    return out
+        self.corpus_buf = list(snap.get("corpus_buf", []))
 
 
 def partition_of(hosts: list[str], n_partitions: int) -> np.ndarray:
@@ -220,8 +262,9 @@ class CrawlEngine:
         seed: int = 42,
         config: CrawlConfig | None = None,
         out_dir: str | None = None,
-        fetch_task_size: int = 64,
     ):
+        from texrex_ray.crawl.fetcher import plain_pages
+
         self.graph = graph
         self.cfg = config or CrawlConfig()
         self.seed = seed
@@ -229,8 +272,7 @@ class CrawlEngine:
         self.n_partitions = n_partitions
         self.n_walker_shards = n_walker_shards or min(n_walkers, 8)
         self.out_dir = out_dir
-        self.fetch_task_size = fetch_task_size
-        self.pages_ref = ray.put(graph.pages)
+        self.pages_ref = ray.put(plain_pages(graph))
 
         seeds_split = split_seeds(graph.seeds, n_walkers)
         shard_members: dict[int, list[int]] = {s: [] for s in range(self.n_walker_shards)}
@@ -246,28 +288,31 @@ class CrawlEngine:
             for s in range(self.n_walker_shards)
         ]
         # robots maps are small; every partition gets the full dict (a real
-        # deployment would slice by host-hash — the lookup key is the same)
+        # deployment would slice by host-hash — the lookup key is the same).
+        # pages go once via the broadcast ref (deserialized once per actor).
         self.parts = [
-            FrontierPartActor.remote(p, graph.robots, self.cfg)
+            FrontierPartActor.remote(p, graph.robots, self.pages_ref, self.cfg)
             for p in range(self.n_partitions)
         ]
         self.round = 0
         self.steps = 0
-        self.visit_rows: list[tuple] = []   # (seq round, walker, url, host, action, cached)
-        self.corpus_rows: list[dict] = []
+        self.visit_rows: list[tuple] = []   # (round, walker, url, host, action, cached)
+        self.output_urls: set[str] = set()
         self.stats = CrawlStats()
         self._flushed_visits = 0
-        self._flushed_corpus = 0
 
     # -- round loop --------------------------------------------------------
 
     def run(self, max_steps: int, checkpoint_every: int | None = None,
             max_rounds: int | None = None) -> CrawlStats:
         t0 = time.perf_counter()
+        # prime the first round's proposals (subsequent rounds get theirs
+        # from the fused resolve_and_propose call)
+        prop_futs = [s.propose_all.remote() for s in self.shards]
         while self.steps < max_steps:
             if max_rounds is not None and self.round >= max_rounds:
                 break
-            made_progress = self._run_round()
+            prop_futs, made_progress = self._run_round(prop_futs)
             if checkpoint_every and self.out_dir and self.round % checkpoint_every == 0:
                 self.checkpoint()
             if not made_progress:
@@ -287,101 +332,72 @@ class CrawlEngine:
             self._flush_outputs()
         return self.stats
 
-    def _run_round(self) -> bool:
+    def _run_round(self, prop_futs: list) -> tuple[list, bool]:
         now = self.round
         self.round += 1
         proposals = []
-        for res in ray.get([s.propose_all.remote() for s in self.shards]):
+        for res in ray.get(prop_futs):
             proposals.extend(res)
         if not proposals:
-            return False
-        # cache hits already stepped inside the shard
+            return [s.propose_all.remote() for s in self.shards], False
+        # cache hits: record the step now; the walker applies it on ack
+        cache_acks: dict[int, list[tuple[int, str, None]]] = {}
         for wid, url, action, cached in proposals:
             if cached:
                 self.steps += 1
                 self.stats.cache_hits += 1
                 self.visit_rows.append((now, wid, url, host_of(url), action, True))
+                cache_acks.setdefault(wid % self.n_walker_shards, []).append(
+                    (wid, "cache", None)
+                )
         pending = [(wid, url, action) for wid, url, action, c in proposals if not c]
         if not pending:
-            return True
+            next_futs = [
+                self.shards[s].resolve_and_propose.remote(cache_acks.get(s, []))
+                for s in range(self.n_walker_shards)
+            ]
+            return next_futs, True
         hosts = [host_of(u) for _, u, _ in pending]
         parts = partition_of(hosts, self.n_partitions)
         by_part: dict[int, list[int]] = {}
         for i, p in enumerate(parts.tolist()):
             by_part.setdefault(p, []).append(i)
-        verdict_futs = {
-            p: self.parts[p].gate.remote([(pending[i][0], pending[i][1]) for i in idxs], now)
-            for p, idxs in by_part.items()
-        }
-        verdicts: dict[int, str] = {}
-        for p, idxs in by_part.items():
-            vs = ray.get(verdict_futs[p])
-            # gate() processed items sorted by (walker_id, url); map back
-            order = sorted(range(len(idxs)), key=lambda j: (pending[idxs[j]][0], pending[idxs[j]][1]))
-            for j, v in zip(order, vs):
-                verdicts[idxs[j]] = v
-
-        to_fetch = [i for i in range(len(pending)) if verdicts[i] == "fetch"]
-        fetch_results: dict[int, dict] = {}
-        futs = []
-        for c in range(0, len(to_fetch), self.fetch_task_size):
-            chunk = to_fetch[c : c + self.fetch_task_size]
-            futs.append(
-                (chunk, fetch_batch.remote(self.pages_ref, [pending[i][1] for i in chunk], self.cfg))
-            )
-        for chunk, fut in futs:
-            for i, fr in zip(chunk, ray.get(fut)):
-                fetch_results[i] = fr
-
-        # record outputs (Bloom first-wins) for successful fetches
-        ok_idx = [i for i in to_fetch if fetch_results[i]["ok"]]
-        by_part_ok: dict[int, list[int]] = {}
-        for i in ok_idx:
-            by_part_ok.setdefault(int(parts[i]), []).append(i)
-        new_futs = {
-            p: self.parts[p].seen_add.remote([pending[i][1] for i in idxs])
-            for p, idxs in by_part_ok.items()
-        }
-        for p, idxs in by_part_ok.items():
-            for i, is_new in zip(idxs, ray.get(new_futs[p])):
-                if is_new:
-                    fr = fetch_results[i]
-                    wid, url, action = pending[i]
-                    self.corpus_rows.append(
-                        {
-                            "url": url, "final_url": fr["final_url"], "host": hosts[i],
-                            "status": fr["status"], "charset": fr["charset"],
-                            "title": fr["title"], "text": "\n".join(fr["divs"]),
-                            "n_divs": len(fr["divs"]), "links": fr["links"],
-                            "round": now, "walker_id": wid, "action": action,
-                            "raw_len": fr["raw_len"],
-                        }
-                    )
-                    self.stats.outputs += 1
-
-        # deliver outcomes to walkers
+        # ONE actor call per partition: gate + fetch + bloom + corpus buffer
+        part_ids = list(by_part)
+        res_all = ray.get(
+            [
+                self.parts[p].gate_fetch.remote([pending[i] for i in by_part[p]], now)
+                for p in part_ids
+            ]
+        )
+        by_wid = {wid: (i, url, action) for i, (wid, url, action) in enumerate(pending)}
         by_shard: dict[int, list[tuple[int, str, list[str] | None]]] = {}
-        for i, (wid, url, action) in enumerate(pending):
-            v = verdicts[i]
-            if v == "fetch":
-                fr = fetch_results[i]
-                if fr["ok"]:
+        for p, res in zip(part_ids, res_all):
+            for wid, verdict, links, is_new in res:
+                i, url, action = by_wid[wid]
+                if verdict == "ok":
                     self.steps += 1
                     self.stats.fetches += 1
                     self.visit_rows.append((now, wid, url, hosts[i], action, False))
-                    out = (wid, "ok", fr["links"])
+                    if is_new:
+                        self.stats.outputs += 1
+                        self.output_urls.add(url)
+                elif verdict == "wait":
+                    self.stats.waits += 1
                 else:
                     self.stats.failed += 1
-                    out = (wid, "fail", None)
-            elif v == "disallowed":
-                self.stats.disallowed += 1
-                out = (wid, "fail", None)
-            else:
-                self.stats.waits += 1
-                out = (wid, "wait", None)
-            by_shard.setdefault(wid % self.n_walker_shards, []).append(out)
-        ray.get([self.shards[s].resolve.remote(items) for s, items in by_shard.items()])
-        return True
+                by_shard.setdefault(wid % self.n_walker_shards, []).append(
+                    (wid, verdict, links)
+                )
+        # fused resolve + next-round propose: one barrier per round; every
+        # shard gets a call (cache acks included; idle shards still propose)
+        next_futs = [
+            self.shards[s].resolve_and_propose.remote(
+                cache_acks.get(s, []) + by_shard.get(s, [])
+            )
+            for s in range(self.n_walker_shards)
+        ]
+        return next_futs, True
 
     # -- fixtures ----------------------------------------------------------
 
@@ -391,7 +407,17 @@ class CrawlEngine:
         return [(i + 1, r[2], r[3], r[4]) for i, r in enumerate(rows)]
 
     def url_seen(self) -> set[str]:
-        return {r["url"] for r in self.corpus_rows} | self._persisted_seen()
+        return set(self.output_urls) | self._persisted_seen()
+
+    def collect_corpus(self) -> list[dict]:
+        """Drain corpus rows buffered in the partition actors (accumulates
+        driver-side across calls; for tests/small runs — large runs use
+        ``flush_corpus`` → per-partition parquet instead)."""
+        if not hasattr(self, "_corpus_local"):
+            self._corpus_local: list[dict] = []
+        for rows in ray.get([p.drain_corpus.remote() for p in self.parts]):
+            self._corpus_local.extend(rows)
+        return self._corpus_local
 
     def _persisted_seen(self) -> set[str]:
         if not self.out_dir:
@@ -400,9 +426,15 @@ class CrawlEngine:
         if not os.path.isdir(d):
             return set()
         seen = set()
-        for f in os.listdir(d):
-            if f.endswith(".parquet"):
-                seen.update(pq.read_table(os.path.join(d, f), columns=["url"])["url"].to_pylist())
+        for part in os.listdir(d):
+            pd_ = os.path.join(d, part)
+            if not os.path.isdir(pd_):
+                continue
+            for f in os.listdir(pd_):
+                if f.endswith(".parquet"):
+                    seen.update(
+                        pq.read_table(os.path.join(pd_, f), columns=["url"])["url"].to_pylist()
+                    )
         return seen
 
     # -- checkpoint / resume ----------------------------------------------
@@ -412,6 +444,9 @@ class CrawlEngine:
         r = self.round
         ck = os.path.join(self.out_dir, "ckpt", f"round={r:08d}")
         os.makedirs(ck, exist_ok=True)
+        # flush BEFORE snapshotting so restored corpus buffers are empty
+        # (no double-write after resume)
+        self._flush_outputs()
         shard_blobs = ray.get([s.snapshot.remote() for s in self.shards])
         part_blobs = ray.get([p.snapshot.remote() for p in self.parts])
         for i, b in enumerate(shard_blobs):
@@ -428,7 +463,6 @@ class CrawlEngine:
         }
         with open(os.path.join(ck, "meta.json"), "w") as f:
             json.dump(meta, f)
-        self._flush_outputs()
         with open(os.path.join(ck, "COMMIT"), "w") as f:
             f.write("ok")
         return ck
@@ -453,16 +487,7 @@ class CrawlEngine:
             )
             pq.write_table(t, os.path.join(vd, f"visits-r{self.round:08d}.parquet"))
             self._flushed_visits = len(self.visit_rows)
-        if len(self.corpus_rows) > self._flushed_corpus:
-            rows = self.corpus_rows[self._flushed_corpus :]
-            t = pa.table(
-                {
-                    k: pa.array([r[k] for r in rows])
-                    for k in rows[0]
-                }
-            )
-            pq.write_table(t, os.path.join(cd, f"corpus-r{self.round:08d}.parquet"))
-            self._flushed_corpus = len(self.corpus_rows)
+        ray.get([p.flush_corpus.remote(self.out_dir, self.round) for p in self.parts])
 
     @classmethod
     def resume(cls, graph: WebGraph, out_dir: str, **kw) -> "CrawlEngine":

@@ -49,28 +49,44 @@ def decode_content(content: bytes, declared: str) -> tuple[str, str]:
         return content.decode("cp1252", errors="replace"), "windows-1252"
 
 
+def plain_pages(graph) -> dict[str, tuple[int, bytes, str, str | None]]:
+    """Flatten Page dataclasses to tuples (status, content, charset,
+    redirect_to) — ~10× cheaper to (de)serialize when broadcast."""
+    return {
+        u: (p.status, p.content, p.charset, p.redirect_to)
+        for u, p in graph.pages.items()
+    }
+
+
 def fetch_parse(pages: dict, url: str, cfg: CrawlConfig) -> FetchResult:
-    """One fetch through the synthetic web, following ≤3 redirects."""
+    """One fetch through the synthetic web, following ≤3 redirects.
+
+    ``pages`` maps url → (status, content, charset, redirect_to) tuples
+    (see ``plain_pages``).
+    """
     requested = url
     redirect_from = ""
+    page = None
     for _hop in range(4):
         page = pages.get(url)
         if page is None:
             return FetchResult(url=requested, ok=False, status=0, final_url=url, charset="")
-        if page.status == 301 and page.redirect_to:
+        status, content, charset_decl, redirect_to = page
+        if status == 301 and redirect_to:
             redirect_from = url
-            url = page.redirect_to
+            url = redirect_to
             continue
         break
-    if page is None or page.status != 200:
+    if page is None or page[0] != 200:
         return FetchResult(
-            url=requested, ok=False, status=page.status if page else 0,
+            url=requested, ok=False, status=page[0] if page else 0,
             final_url=url, charset="", redirect_from=redirect_from,
         )
-    text, charset = decode_content(page.content, page.charset)
+    _status, content, charset_decl, _r = page
+    text, charset = decode_content(content, charset_decl)
     sr = strip_html(text)
     if sr.meta_charset and sr.meta_charset != charset:
-        text2, charset = decode_content(page.content, sr.meta_charset)
+        text2, charset = decode_content(content, sr.meta_charset)
         sr = strip_html(text2)
     links = scope_links(
         url,
@@ -88,6 +104,6 @@ def fetch_parse(pages: dict, url: str, cfg: CrawlConfig) -> FetchResult:
         title=sr.title,
         divs=sr.divs,
         links=links,
-        raw_len=len(page.content),
+        raw_len=len(content),
         redirect_from=redirect_from,
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from texrex_ray.crawl.fetcher import fetch_parse
+from texrex_ray.crawl.fetcher import fetch_parse, plain_pages
 from texrex_ray.crawl.policy import CrawlConfig, Walker
 from texrex_ray.functions.urlkit import host_of
 from texrex_ray.sources.webgraph import WebGraph
@@ -41,6 +41,7 @@ def clarax_walk(
     config: CrawlConfig | None = None,
 ) -> OracleResult:
     cfg = config or CrawlConfig()
+    pages = plain_pages(graph)
     walker = Walker(0, graph.seeds, seed, cfg)
     bloom = ScalingBloom(
         initial_capacity=cfg.bloom_initial_capacity,
@@ -81,7 +82,7 @@ def clarax_walk(
         if la is not None:
             wait = max(max(rules.crawl_delay, cfg.min_politeness) - (now - la), 0)
             now += wait  # the reference walker sleeps (ref: trpoliteness.pas:320-373)
-        fr = fetch_parse(graph.pages, url, cfg)
+        fr = fetch_parse(pages, url, cfg)
         last_access[host] = now
         now += 1
         if not fr.ok:

@@ -77,14 +77,22 @@ def make_webgraph(
     seed: int = 42,
     mean_links: int = 6,
     p_external: float = 0.3,
+    max_pages_per_host: int | None = None,
 ) -> WebGraph:
-    """Deterministic web graph; Zipf page counts, preferential-attachment links."""
+    """Deterministic web graph; Zipf page counts, preferential-attachment links.
+
+    ``max_pages_per_host`` caps the Zipf head (hot hosts) — use it for
+    throughput benches where host diversity, not one mega-host, should
+    bound politeness parallelism.
+    """
     rng = np.random.default_rng(seed)
     hosts = [f"host{h}.tld{h % 3}" for h in range(n_hosts)]
     # Zipf-ish page counts: host h gets base * n_hosts / (h+1), min 3
     page_counts = np.maximum(
         (pages_per_host_base * n_hosts / (np.arange(n_hosts) + 1)).astype(int), 3
     )
+    if max_pages_per_host is not None:
+        page_counts = np.minimum(page_counts, max_pages_per_host)
     urls_by_host: list[list[str]] = [
         [f"http://{hosts[h]}/p{k}" for k in range(page_counts[h])] for h in range(n_hosts)
     ]
