@@ -1,0 +1,178 @@
+"""Benchmark harness — headline pipelines at $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": <sf>, "num_cpus": N, ...extras}
+
+--scaling runs the identical bench in two fresh processes
+(num_cpus=8 and num_cpus=32) and reports throughput at both plus the
+scaling efficiency (T8/T32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+            # one polars pool per worker would be 32 threads × N workers on
+            # this box — cap it; numpy stays at Ray's OMP_NUM_THREADS=1
+            runtime_env={"env_vars": {"POLARS_MAX_THREADS": "2"}},
+        )
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow as pa
+
+    from texrex_ray.crawl.engine import CrawlEngine
+    from texrex_ray.crawl.policy import CrawlConfig
+    from texrex_ray.dedup.embed import knn_bruteforce
+    from texrex_ray.dedup.tender import count_pairs, minhash_shingles, shingle_pairs
+    from texrex_ray.pipelines.caption import fixture_path, image_caption_pipeline
+    from texrex_ray.pipelines.clean_documents import clean_documents
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    out_root = "/tmp/texrex_ray_bench"
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the page cache (untimed)
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+
+    # ---- crawl: fetch + strip + politeness + bloom over synthetic web ----
+    t0 = time.perf_counter()
+    graph = make_webgraph(
+        n_hosts=1200, pages_per_host_base=6, n_seeds=256, seed=42,
+        max_pages_per_host=60,
+    )
+    extras["webgraph_gen_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_parts = max(2, num_cpus // 4)
+    eng = CrawlEngine(
+        graph, n_walkers=256, n_partitions=n_parts, n_walker_shards=n_parts,
+        seed=42, config=CrawlConfig(), out_dir=f"{out_root}/crawl",
+    )
+    stats = eng.run(max_steps=8000)
+    eng.checkpoint()
+    times["crawl"] = time.perf_counter() - t0
+    extras["crawl_urls_per_sec"] = round(stats.urls_per_sec, 1)
+    extras["crawl_steps"] = stats.steps
+
+    # ---- clean: the texrex chain over crawled corpus + replicated docs ----
+    t0 = time.perf_counter()
+    corpus = ray.data.read_parquet(f"{out_root}/crawl/corpus")
+    corpus = corpus.select_columns(["url", "text"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        # deterministic 8x expansion to reach a bench-worthy volume
+        reps = [t] * 8
+        return pa.concat_tables(reps)
+
+    big = docs.map_batches(replicate, batch_format="pyarrow")
+    union = big.select_columns(["text"]).union(corpus.select_columns(["text"]))
+    # split into enough blocks that the fused chain parallelizes across all
+    # CPUs (the inputs arrive as a handful of large blocks otherwise)
+    union = union.repartition(num_cpus * 3)
+    cleaned = clean_documents(union, minhash_k=64, batch_size=1024)
+    cleaned.write_parquet(f"{out_root}/clean")
+    n_clean = ray.data.read_parquet(f"{out_root}/clean").count()
+    times["clean"] = time.perf_counter() - t0
+    extras["clean_rows"] = n_clean
+    extras["clean_rows_per_sec"] = round(n_clean / times["clean"], 1)
+
+    # ---- tender: minhash shingle pair counting over documents ----
+    t0 = time.perf_counter()
+    docs_full = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    sh = minhash_shingles(docs_full, k=100)
+    pairs = count_pairs(shingle_pairs(sh, max_redundancy=200), pair_threshold=5)
+    extras["tender_pairs"] = pairs.count()
+    times["tender"] = time.perf_counter() - t0
+
+    # ---- knn: brute-force cosine top-k over embeddings ----
+    t0 = time.perf_counter()
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    knn = knn_bruteforce(emb, query_ids=list(range(16)), k=10)
+    extras["knn_rows"] = len(knn)
+    times["knn"] = time.perf_counter() - t0
+
+    # ---- images: caption cleanse + decode + features + phash dedup ----
+    t0 = time.perf_counter()
+    d = fixture_path(n=1000, seed=42)
+    imgs = ray.data.read_parquet(f"{d}/images.parquet", override_num_blocks=num_cpus)
+    out = image_caption_pipeline(imgs, batch_size=64)
+    extras["image_rows"] = out.count()
+    times["images"] = time.perf_counter() - t0
+
+    total = sum(times.values())
+    urls_and_rows = stats.steps + n_clean
+    result = {
+        "metric": "texrex_ray headline pipelines (crawl+clean+tender+knn+images)",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": float(sf) if sf else 0.1,
+        "num_cpus": num_cpus,
+        "fetch_clean_rows_per_sec": round(urls_and_rows / (times["crawl"] + times["clean"]), 1),
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (fresh ray.init at 8 vs 32 cpus, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8": round(r_lo["fetch_clean_rows_per_sec"], 1),
+        "throughput_32": round(r_hi["fetch_clean_rows_per_sec"], 1),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,98 @@
+"""hydra/rofl goldens (FIXTURES.md §5) + writer projections."""
+
+import pyarrow as pa
+
+from texrex_ray.stages.postproc import (
+    CONCATENATE,
+    LEAVE,
+    MERGE,
+    UnigramLM,
+    dehyphenate,
+    fix_runtogether,
+    hydra_decision,
+)
+
+
+def _lm():
+    return UnigramLM(
+        {
+            "auto": 50, "bahn": 40, "autobahn": 400,          # merge wins
+            "well": 100, "known": 100, "well-known": 900,     # hyphen wins
+            "red": 500, "car": 500, "redcar": 1, "red-car": 1,  # parts win
+        }
+    )
+
+
+def test_hydra_decision_branches():
+    lm = _lm()
+    assert hydra_decision(lm, "auto", "bahn") == MERGE
+    assert hydra_decision(lm, "well", "known") == CONCATENATE
+    assert hydra_decision(lm, "red", "car") == LEAVE
+
+
+def test_hydra_rewrites_line():
+    lm = _lm()
+    assert dehyphenate("the auto- bahn is long", lm) == "the autobahn is long"
+    assert dehyphenate("a well- known fact", lm) == "a well-known fact"
+    assert dehyphenate("a red- car here", lm) == "a red- car here"
+    out = dehyphenate("the auto- bahn", lm, non_destructive=True)
+    assert out == 'the <normalized from="auto- bahn">autobahn</normalized>'
+
+
+def test_rofl_splits_runtogether():
+    words = {"rain", "tomorrow", "sun", "today"}
+    out = fix_runtogether("rain.tomorrow it ends", words)
+    assert out == "rain. Tomorrow it ends"
+    # unknown words untouched
+    assert fix_runtogether("xyzzy.plugh stays", words) == "xyzzy.plugh stays"
+    # ignore lists suppress the split
+    assert (
+        fix_runtogether("rain.tomorrow", words, suffix_ignore={"tomorrow"})
+        == "rain.tomorrow"
+    )
+    # emoticons protected
+    assert fix_runtogether("look :lol: rain.today", words) == "look :lol: rain. Today"
+    # split limit respected
+    out = fix_runtogether("rain.today sun.tomorrow rain.today sun.today", words, limit=2)
+    assert out.count(". ") == 2
+
+
+def test_writers_projections():
+    from texrex_ray.sources.writers import doc_to_xml, link_rows, shingle_rows, token_rows
+
+    row = {
+        "url": "http://a.com/x", "ip": "1.2.3.4", "charset": "utf-8",
+        "doctype": "html", "badness": 1.234, "title": "T",
+        "meta_author": "A",
+        "divs": [
+            {"text": "hello & <world>", "valid": True, "dup_of": -1,
+             "boiler_score": 0.2, "boilerplate": False},
+            {"text": "hello & <world>", "valid": True, "dup_of": 0,
+             "boiler_score": 0.2, "boilerplate": False},
+            {"text": "gone", "valid": False, "dup_of": -1,
+             "boiler_score": 0.9, "boilerplate": True},
+        ],
+    }
+    xml = doc_to_xml(row)
+    assert 'url="http://a.com/x"' in xml
+    assert "&amp; &lt;world&gt;" in xml
+    assert '<dup idx="1" of="0"/>' in xml
+    assert xml.count("<div") == 1  # invalid div not emitted
+
+    batch = pa.table(
+        {
+            "url": ["http://a.com/1"],
+            "fingerprint": [[1, 2, 3]],
+            "raw_len": [100],
+            "links": [["http://http://b.com/x", "http://c.com/y"]],
+            "badness": [0.5],
+            "tokens": [["a", "b", "a", "c", "a"]],
+        }
+    )
+    sh = shingle_rows(batch)
+    assert sh.num_rows == 3 and sh["doc_size"].to_pylist() == [100, 100, 100]
+    lk = link_rows(batch)
+    assert lk["link"].to_pylist() == ["http://b.com/x", "http://c.com/y"]
+    tk = token_rows(batch, top_n=2)
+    assert tk["type"].to_pylist() == ["A", "B"]
+    assert tk["count"].to_pylist() == [3, 1]

@@ -69,8 +69,10 @@ def minhash_signatures(
 ) -> np.ndarray:
     """(num_docs, k) minhash signatures over token n-grams, one hash pass.
 
-    All documents' n-grams are hashed in a single polars call, then segmented
-    min-reductions produce per-document signatures.
+    All documents' n-grams are hashed in a single polars call; per-document
+    signatures come from slab-bounded (a·h+b) min-reductions (one giant
+    (n_grams, k) matrix would cost hundreds of MB of fresh pages per batch —
+    page faults dominate on large allocations).
     """
     a, b = permutation_params(k, seed)
     grams: list[str] = []
@@ -82,12 +84,22 @@ def minhash_signatures(
     if not grams:
         return out
     base = hash64(grams)
+    slab_rows = 8192
+    slab = np.empty((slab_rows, k), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        all_m = base[:, None] * a[None, :] + b[None, :]
-    for d in range(len(token_lists)):
-        lo, hi = offsets[d], offsets[d + 1]
-        if hi > lo:
-            out[d] = all_m[lo:hi].min(axis=0)
+        for d in range(len(token_lists)):
+            lo, hi = offsets[d], offsets[d + 1]
+            if hi <= lo:
+                continue
+            sig = None
+            for s0 in range(lo, hi, slab_rows):
+                s1 = min(s0 + slab_rows, hi)
+                m = slab[: s1 - s0]
+                np.multiply(base[s0:s1, None], a[None, :], out=m)
+                np.add(m, b[None, :], out=m)
+                part = m.min(axis=0)
+                sig = part if sig is None else np.minimum(sig, part)
+            out[d] = sig
     return out
 
 
@@ -108,17 +120,51 @@ def simhash64(token_lists: list[list[str]]) -> np.ndarray:
     if not flat:
         return out
     h = hash64(flat)
-    # (n_tokens, 64) bit matrix as int8 contributions ±1
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(np.int32)
-    contrib = bits * 2 - 1
-    starts = np.array(offsets[:-1])
-    # docs with zero tokens: reduceat needs increasing indices; mask after.
-    safe_starts = np.minimum(starts, len(flat) - 1)
-    sums = np.add.reduceat(contrib, safe_starts, axis=0)
-    sig = (sums > 0).astype(np.uint64)
-    vals = (sig << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
-    lens = np.diff(offsets)
-    out[lens > 0] = vals[lens > 0]
+    # Bit-plane slabs (64 × ≤64k tokens) with one REUSED buffer: this
+    # environment pays ~200 ms/MB for first-touch pages, so any large fresh
+    # allocation (full bit matrix, cumsum, reduceat, unpackbits output)
+    # dominates; bounded reused buffers + small per-doc sums stay fast.
+    one = np.uint64(1)
+    slab_cap = 1 << 16
+    bitsT = np.empty((64, slab_cap), dtype=np.uint64)
+    tmp = np.empty(slab_cap, dtype=np.uint64)
+    weights = one << np.arange(64, dtype=np.uint64)
+    d = 0
+    while d < n_docs:
+        lo = offsets[d]
+        # group consecutive docs whose spans fit one slab (a single doc
+        # larger than the slab is processed alone, slab-by-slab)
+        e = d
+        while e < n_docs and offsets[e + 1] - lo <= slab_cap:
+            e += 1
+        if e == d:  # oversized single doc: accumulate plane sums in pieces
+            hi = offsets[d + 1]
+            ones = np.zeros(64, dtype=np.int64)
+            for s0 in range(lo, hi, slab_cap):
+                s1 = min(s0 + slab_cap, hi)
+                m = s1 - s0
+                t = tmp[:m]
+                for j in range(64):
+                    np.right_shift(h[s0:s1], np.uint64(j), out=t)
+                    np.bitwise_and(t, one, out=t)
+                    ones[j] += int(t.sum())
+            sig = 2 * ones > (hi - lo)
+            out[d] = weights[sig].sum()
+            d += 1
+            continue
+        m = offsets[e] - lo
+        t = tmp[:m]
+        for j in range(64):
+            np.right_shift(h[lo : lo + m], np.uint64(j), out=t)
+            np.bitwise_and(t, one, out=t)
+            bitsT[j, :m] = t
+        for dd in range(d, e):
+            a0, a1 = offsets[dd] - lo, offsets[dd + 1] - lo
+            if a1 > a0:
+                ones = bitsT[:, a0:a1].sum(axis=1, dtype=np.int64)
+                sig = 2 * ones > (a1 - a0)
+                out[dd] = weights[sig].sum()
+        d = e
     return out
 
 

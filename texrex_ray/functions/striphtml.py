@@ -35,9 +35,27 @@ WS_RE = re.compile(r"\s+")
 MAX_LINK_LEN = 512  # href length clamp (ref: trhtmlstripper.pas:372-414)
 
 
+CONTAINER_CLASSES = {"p": 1, "div": 2, "li": 3, "td": 4, "h1": 5, "h2": 5,
+                     "h3": 5, "h4": 5, "h5": 5, "h6": 5, "blockquote": 6}
+
+
+@dataclass
+class DivInfo:
+    """One paragraph with the tag statistics the deboilerplater consumes
+    (ref: trdata.pas:176-277 TTrDiv — OpenTags/CloseTags/Anchors/Container)."""
+
+    text: str
+    open_tags: int = 0
+    close_tags: int = 0
+    anchors: int = 0
+    container: int = 0  # CONTAINER_CLASSES of the break tag that closed it
+    skipped: int = 0    # dropped subtrees encountered inside
+
+
 @dataclass
 class StripResult:
     divs: list[str] = field(default_factory=list)
+    div_infos: list[DivInfo] = field(default_factory=list)
     links: list[str] = field(default_factory=list)
     title: str = ""
     meta_charset: str = ""
@@ -64,13 +82,22 @@ def strip_html(raw: str) -> StripResult:
     buf: list[str] = []
     drop_depth = 0
     pos = 0
+    n_open = n_close = n_anchor = n_skipped = 0
 
-    def flush():
+    def flush(container: int):
+        nonlocal n_open, n_close, n_anchor, n_skipped
         if buf:
             s = WS_RE.sub(" ", "".join(buf)).strip()
             buf.clear()
             if s:
                 res.divs.append(s)
+                res.div_infos.append(
+                    DivInfo(
+                        text=s, open_tags=n_open, close_tags=n_close,
+                        anchors=n_anchor, container=container, skipped=n_skipped,
+                    )
+                )
+        n_open = n_close = n_anchor = n_skipped = 0
 
     for m in TAG_TOKEN_RE.finditer(text):
         if drop_depth == 0 and m.start() > pos:
@@ -91,18 +118,24 @@ def strip_html(raw: str) -> StripResult:
                 drop_depth = max(0, drop_depth - 1)
             else:
                 drop_depth += 1
+                n_skipped += 1
             continue
         if drop_depth > 0:
             continue
+        if closing:
+            n_close += 1
+        else:
+            n_open += 1
         if name == "a" and not closing:
+            n_anchor += 1
             hm = HREF_RE.search(inner)
             if hm:
                 href = (hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
                 if 0 < len(href) <= MAX_LINK_LEN:
                     res.links.append(href)
         if name in BREAK_TAGS:
-            flush()
+            flush(CONTAINER_CLASSES.get(name, 0))
     if drop_depth == 0 and pos < len(text):
         buf.append(text[pos:])
-    flush()
+    flush(0)
     return res

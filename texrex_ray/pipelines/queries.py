@@ -650,6 +650,186 @@ def q26_range_join(sf_dir: str):
     return df[["band", "n", "sum_qty_c"]]
 
 
+@query("q27_raw_docs_pipeline")
+def q27_raw_docs_pipeline(sf_dir: str):
+    """Full texrex worker chain over WARC records (charset → strip →
+    filter → meta → secondpass → deboilerplate → normalize → div-dedup →
+    assess → shingle → geolocate); rows-only, invariants asserted in
+    tests.  ref: trworker.pas:422-621."""
+    import os
+    import tempfile
+
+    from texrex_ray.pipelines.raw_docs import raw_docs_pipeline
+    from texrex_ray.sources.warc import make_warc_bytes, read_warc
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    n_hosts = {0.001: 5, 0.01: 10, 0.1: 20}.get(_sf_of(sf_dir), 10)
+    g = make_webgraph(n_hosts=n_hosts, pages_per_host_base=10, seed=42)
+    recs = [
+        {"url": p.url, "ip": "10.0.0.1", "charset": p.charset, "body": p.content}
+        for p in g.pages.values()
+        if p.status == 200
+    ]
+    d = tempfile.mkdtemp(prefix="texrex_warc_")
+    with open(os.path.join(d, "fixture.warc"), "wb") as f:
+        f.write(make_warc_bytes(recs))
+    ds = read_warc(os.path.join(d, "fixture.warc"), min_doc_size=0)
+    out = raw_docs_pipeline(ds, minhash_k=16, drop_invalid=False)
+    df = out.to_pandas()
+    df["n_divs"] = df["divs"].map(len)
+    return (
+        df[["url", "charset", "n_divs", "pred_lang", "country", "valid"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+@query(
+    "q28_token_writer",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(upper(text), '[A-Z]+')) AS type
+        FROM documents),
+    c AS (SELECT doc_id, type, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+    SELECT doc_id, type, cnt FROM c
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, type) <= 3
+    ORDER BY doc_id, cnt DESC, type
+    """,
+)
+def q28_token_writer(sf_dir: str):
+    """Token writer: per-doc top-3 upper-cased types with counts
+    (ref: trwritetools.pas:274-310)."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rx = _re.compile(r"[A-Z]+")
+
+    def topn(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, types, cnts = [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(rx.findall((s or "").upper()))
+            for ty, n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]:
+                ids.append(i)
+                types.append(ty)
+                cnts.append(n)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "type": pa.array(types, pa.string()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    return ds.map_batches(topn, batch_format="pyarrow")
+
+
+@query(
+    "q29_top_orders",
+    sql="""
+    SELECT o_orderkey FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q29_top_orders(sf_dir: str):
+    """Global top-k via distributed sort + limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()[["o_orderkey"]]
+
+
+@query("q30_distinct_event_types", sql="SELECT DISTINCT event_type FROM events")
+def q30_distinct_event_types(sf_dir: str):
+    """Distinct values (shuffle dedup on a low-cardinality key)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = ds.unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+@query("q31_hydra")
+def q31_hydra(sf_dir: str):
+    """hydra de-hyphenation (ref: trhydraapplication.pas:400-568): seeded
+    hyphen injection into documents text, then LM-driven repair; returns
+    per-doc repair counts (rows-only)."""
+    import re as _re
+
+    from texrex_ray.stages.postproc import UnigramLM, dehyphenate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = q02_top_tokens(sf_dir)  # corpus top tokens as the unigram LM
+    lm = UnigramLM(dict(zip(toks["token"], toks["n"])))
+    lm_ref = ray.put(lm)
+
+    def repair(t: pa.Table) -> pa.Table:
+        lm_ = ray.get(lm_ref)
+        ids, n_rep = [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = s or ""
+            # deterministic dirt: hyphen-split the first 3 words of ≥6 chars
+            dirty = _re.sub(r"\b(\w{3})(\w{3,})\b", r"\1- \2", s, count=3)
+            fixed = dehyphenate(dirty, lm_)
+            ids.append(i)
+            n_rep.append(sum(1 for a, b in zip(dirty.split(), fixed.split()) if a != b))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_repairs": pa.array(n_rep, pa.int64())})
+
+    return ds.map_batches(repair, batch_format="pyarrow")
+
+
+@query("q32_rofl")
+def q32_rofl(sf_dir: str):
+    """rofl run-together fixing (ref: trroflapplication.pas:380-493):
+    seeded '.'-gluing of token pairs, then word-list-driven splits;
+    per-doc split counts (rows-only)."""
+    import re as _re
+
+    from texrex_ray.stages.postproc import fix_runtogether
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = q02_top_tokens(sf_dir)
+    words = set(toks["token"])
+    words_ref = ray.put(words)
+
+    def fix(t: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        ids, n_sp = [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = s or ""
+            dirty = _re.sub(r"(\w+) (\w+)", r"\1.\2", s, count=3)
+            fixed = fix_runtogether(dirty, w, limit=10)
+            ids.append(i)
+            n_sp.append(fixed.count(". "))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_splits": pa.array(n_sp, pa.int64())})
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+@query("q33_xml_writer")
+def q33_xml_writer(sf_dir: str):
+    """XML corpus writer over the raw-docs pipeline output (ref:
+    trwritetools.pas:81-271); returns (doc_id, xml length) rows-only."""
+    from texrex_ray.pipelines.raw_docs import raw_docs_pipeline
+    from texrex_ray.sources.warc import make_warc_bytes, read_warc
+    from texrex_ray.sources.webgraph import make_webgraph
+    from texrex_ray.sources.writers import xml_format
+    import os
+    import tempfile
+
+    g = make_webgraph(n_hosts=5, pages_per_host_base=8, seed=42)
+    recs = [
+        {"url": p.url, "ip": "10.0.0.1", "charset": p.charset, "body": p.content}
+        for p in g.pages.values()
+        if p.status == 200
+    ]
+    d = tempfile.mkdtemp(prefix="texrex_warc_")
+    with open(os.path.join(d, "f.warc"), "wb") as f:
+        f.write(make_warc_bytes(recs))
+    ds = read_warc(os.path.join(d, "f.warc"), min_doc_size=0)
+    out = raw_docs_pipeline(ds, minhash_k=16, drop_invalid=False).map_batches(
+        xml_format, batch_format="pyarrow"
+    )
+    df = out.to_pandas()
+    df["xml_chars"] = df["xml"].str.len()
+    return df[["doc_id", "xml_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
 @query("q19_lsh_ann")
 def q19_lsh_ann(sf_dir: str):
     """Approximate NN via random-hyperplane LSH buckets (scale path of q15);

@@ -1,0 +1,181 @@
+"""Corpus writers: XML formatter, shingle / link / token / TARC projections.
+
+Ray-Data re-expressions of the reference writer pool (ref:
+trwritetools.pas; pool trwriter.pas:299-370).  Canonical sink is
+partitioned parquet (``ds.write_parquet``); the XML formatter reproduces
+the reference's document markup for byte-level interop, the rest are
+column projections/explosions:
+
+- XML corpus (ref: trwritetools.pas:81-271): ``<doc url id ...>`` +
+  ``<meta/>`` + ``<div idx bpc bpv>`` / ``<dup idx of>``.
+- shingle writer (ref: :419-441): k rows/doc ``(shingle, doc_id, doc_size)``.
+- link writer (ref: :373-416): ``(src_url, link, badness, boiler_score)``
+  per kept link; repairs ``http://http://``.
+- token writer (ref: :274-310): per-doc top-N ``(type, count, freq)``.
+- TARC writer (ref: :313-369): raw passthrough ``(doc_id, header, body)``;
+  byte offsets replaced by row addressing (arcxi ≡ filter by id,
+  src/programs/arcxi.pas).
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape, quoteattr
+
+import pyarrow as pa
+import ray.data
+
+from texrex_ray.functions.hashing import doc_id_for_url
+from texrex_ray.functions.tokenize import type_counts
+
+
+def doc_to_xml(row: dict) -> str:
+    """One document's corpus-XML (ref: trwritetools.pas:81-271)."""
+    doc_id = row.get("doc_id") or doc_id_for_url(row.get("url", ""))
+    divs = row.get("divs") or []
+    badness = row.get("badness", 0.0) or 0.0
+    parts = [
+        f"<doc url={quoteattr(row.get('url', ''))} id={quoteattr(str(doc_id))}"
+        f" ip={quoteattr(row.get('ip', '') or '')}"
+        f" sourcecharset={quoteattr(row.get('charset', '') or '')}"
+        f" sourcedoctype={quoteattr(row.get('doctype', '') or '')}"
+        f" badness={quoteattr(f'{badness:.3f}')}"
+        ">"
+    ]
+    metas = {
+        k[len("meta_"):]: v for k, v in row.items() if k.startswith("meta_") and v
+    }
+    if row.get("title"):
+        metas.setdefault("title", row["title"])
+    for k, v in sorted(metas.items()):
+        parts.append(f"<meta name={quoteattr(k)} content={quoteattr(str(v))}/>")
+    for i, d in enumerate(divs):
+        if not d.get("valid", True):
+            continue
+        dup_of = d.get("dup_of", -1)
+        if dup_of is not None and dup_of >= 0:
+            parts.append(f'<dup idx="{i}" of="{dup_of}"/>')
+            continue
+        bpc = d.get("boiler_score", 0.0) or 0.0
+        parts.append(
+            f'<div idx="{i}" bpc="{bpc:.3f}" bpv="{int(d.get("boilerplate", False))}">'
+            f"{escape(d.get('text', ''))}</div>"
+        )
+    parts.append("</doc>")
+    return "\n".join(parts)
+
+
+def xml_format(batch: pa.Table) -> pa.Table:
+    rows = batch.to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [r.get("doc_id") or doc_id_for_url(r.get("url", "")) for r in rows],
+                pa.string(),
+            ),
+            "xml": pa.array([doc_to_xml(r) for r in rows], pa.string()),
+        }
+    )
+
+
+def shingle_rows(batch: pa.Table, fingerprint_col: str = "fingerprint") -> pa.Table:
+    """Explode per-doc fingerprints to (shingle, doc_id, doc_size) rows."""
+    fps = batch[fingerprint_col].to_pylist()
+    urls = batch["url"].to_pylist() if "url" in batch.column_names else None
+    ids = (
+        batch["doc_id"].to_pylist()
+        if "doc_id" in batch.column_names
+        else [doc_id_for_url(u) for u in urls]
+    )
+    sizes = (
+        batch["raw_len"].to_pylist()
+        if "raw_len" in batch.column_names
+        else [0] * len(ids)
+    )
+    out_s, out_i, out_z = [], [], []
+    for fp, i, z in zip(fps, ids, sizes):
+        for s in fp or []:
+            out_s.append(s)
+            out_i.append(i)
+            out_z.append(z)
+    return pa.table(
+        {
+            "shingle": pa.array(out_s, pa.uint64()),
+            "doc_id": pa.array(out_i),
+            "doc_size": pa.array(out_z, pa.int64()),
+        }
+    )
+
+
+def link_rows(batch: pa.Table) -> pa.Table:
+    """Explode per-doc links to (src_url, link, badness, boiler_score)."""
+    urls = batch["url"].to_pylist()
+    links = batch["links"].to_pylist()
+    bad = (
+        batch["badness"].to_pylist()
+        if "badness" in batch.column_names
+        else [0.0] * len(urls)
+    )
+    out_u, out_l, out_b = [], [], []
+    for u, ls, b in zip(urls, links, bad):
+        for link in ls or []:
+            # repair the double-scheme artifact (ref: trwritetools.pas:373-416)
+            while link.startswith("http://http://") or link.startswith("https://http://"):
+                link = link.split("//", 1)[1]
+                if not link.startswith(("http://", "https://")):
+                    link = "http://" + link
+            out_u.append(u)
+            out_l.append(link)
+            out_b.append(b)
+    return pa.table(
+        {
+            "src_url": pa.array(out_u, pa.string()),
+            "link": pa.array(out_l, pa.string()),
+            "badness": pa.array(out_b, pa.float64()),
+        }
+    )
+
+
+def token_rows(batch: pa.Table, top_n: int = 20) -> pa.Table:
+    """Per-doc top-N (doc_id, type, count, freq) (ref: trwritetools.pas:274-310)."""
+    ids = (
+        batch["doc_id"].to_pylist()
+        if "doc_id" in batch.column_names
+        else [doc_id_for_url(u) for u in batch["url"].to_pylist()]
+    )
+    toks = batch["tokens"].to_pylist()
+    out_i, out_t, out_c, out_f = [], [], [], []
+    for i, ts in zip(ids, toks):
+        counts = type_counts(ts or [])
+        total = sum(counts.values()) or 1
+        for t, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]:
+            out_i.append(i)
+            out_t.append(t)
+            out_c.append(c)
+            out_f.append(c / total)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_i),
+            "type": pa.array(out_t, pa.string()),
+            "count": pa.array(out_c, pa.int64()),
+            "freq": pa.array(out_f, pa.float64()),
+        }
+    )
+
+
+def tarc_rows(batch: pa.Table) -> pa.Table:
+    """Raw passthrough (doc_id, body) — random access by row id (arcxi)."""
+    urls = batch["url"].to_pylist()
+    raws = batch["raw"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array([doc_id_for_url(u) for u in urls], pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "body": pa.array(raws, pa.binary()),
+        }
+    )
+
+
+def arcxi_lookup(tarc_ds: ray.data.Dataset, doc_id: str) -> bytes | None:
+    """Fetch one raw document by id (ref: src/programs/arcxi.pas:30-148)."""
+    hit = tarc_ds.filter(expr=f"doc_id == '{doc_id}'").take(1)
+    return hit[0]["body"] if hit else None

@@ -154,10 +154,11 @@ def fingerprints(batch: pa.Table, k: int = 100, ngram: int = 5) -> pa.Table:
     roll = np.array([rolling_fingerprint(s or "") for s in texts], dtype=np.uint64)
     sig = minhash_signatures(toks, k=k, n=ngram)
     sh = simhash64(toks)
+    minhash_col = pa.FixedSizeListArray.from_arrays(pa.array(sig.reshape(-1)), k)
     return (
         batch.append_column("text_md5", pa.array(md5s, pa.string()))
         .append_column("fp64", pa.array(roll))
-        .append_column("minhash", pa.array(list(sig), pa.list_(pa.uint64(), k)))
+        .append_column("minhash", minhash_col)
         .append_column("simhash", pa.array(sh))
     )
 
