@@ -108,3 +108,18 @@ def test_walker_snapshot_roundtrip():
     w2 = Walker.restore(w.snapshot(), cfg)
     # identical future behavior
     assert w2.propose() == w.propose()
+
+
+def test_salted_rebalance_preserves_order(graph):
+    """Hot-shard salted repartition must not change any crawl decision."""
+    cfg = CrawlConfig()
+    base = CrawlEngine(graph, n_walkers=4, n_partitions=4, seed=42, config=cfg)
+    base.run(max_steps=120)
+
+    eng = CrawlEngine(graph, n_walkers=4, n_partitions=4, seed=42, config=cfg)
+    eng.run(max_steps=60)
+    salt = eng.rebalance_hot_partitions(hot_ratio=0.5)  # force migrations
+    assert salt  # something moved
+    eng.run(max_steps=120)
+    assert eng.visit_order() == base.visit_order()
+    assert eng.url_seen() == base.url_seen()

@@ -96,3 +96,25 @@ def test_writers_projections():
     tk = token_rows(batch, top_n=2)
     assert tk["type"].to_pylist() == ["A", "B"]
     assert tk["count"].to_pylist() == [3, 1]
+
+
+def test_cowtools(tmp_path):
+    import ray.data
+
+    from texrex_ray.sources.cowtools import cowinterleave, cowsplit
+
+    corpus = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(20)]
+    )
+    cowsplit(corpus, str(tmp_path / "out"), docs_per_file=5)
+    import os
+
+    files = [f for f in os.listdir(tmp_path / "out") if f.endswith(".parquet")]
+    assert len(files) >= 2
+
+    ann = ray.data.from_items(
+        [{"doc_id": i, "pos_tags": f"T{i}"} for i in range(0, 20, 2)]
+    )
+    merged = cowinterleave(corpus, ann).to_pandas().sort_values("doc_id")
+    assert merged.loc[merged["doc_id"] == 2, "ann_pos_tags"].iloc[0] == "T2"
+    assert merged.loc[merged["doc_id"] == 3, "ann_pos_tags"].isna().all()

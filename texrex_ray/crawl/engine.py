@@ -159,6 +159,58 @@ class FrontierPartActor:
         )
         self.metrics: Counter = Counter()
         self.corpus_buf: list[dict] = []
+        self.host_fetches: Counter = Counter()
+
+    # -- hot-shard rebalancing (salted repartition, host granularity) ------
+
+    def host_load(self) -> dict[str, int]:
+        return dict(self.host_fetches)
+
+    def export_host_states(self, hosts: list[str]) -> bytes:
+        """Extract (and drop) per-host politeness state for migration."""
+        out = {}
+        for h in hosts:
+            st = self.pm.hosts.pop(h, None)
+            if st is not None:
+                out[h] = {
+                    "last_access": st.last_access,
+                    "robots_fetched_at": st.robots_fetched_at,
+                    "disallows": st.robots.disallows if st.robots else None,
+                    "crawl_delay": st.robots.crawl_delay if st.robots else 0,
+                }
+            self.host_fetches.pop(h, None)
+        return pickle.dumps(out)
+
+    def import_host_states(self, blob: bytes) -> None:
+        from texrex_ray.state.politeness import HostState, RobotsRules
+
+        for h, s in pickle.loads(blob).items():
+            st = HostState(
+                last_access=s["last_access"], robots_fetched_at=s["robots_fetched_at"]
+            )
+            if s["disallows"] is not None:
+                st.robots = RobotsRules(
+                    disallows=list(s["disallows"]), crawl_delay=s["crawl_delay"]
+                )
+            self.pm.hosts[h] = st
+
+    def export_bloom(self) -> bytes:
+        return pickle.dumps(self.bloom.snapshot())
+
+    def attach_bloom_base(self, blob: bytes) -> None:
+        """Chain another partition's Bloom segments as read-only history.
+
+        Migrated hosts' already-seen URLs live in the source partition's
+        segments; chaining them preserves no-false-negatives (first-wins)
+        at a small false-positive cost — per-host bits cannot be extracted
+        from a Bloom filter.
+        """
+        base = ScalingBloom.restore(pickle.loads(blob))
+        # older segments become read-only history; adds keep going to the
+        # CURRENT tail by marking imported segments full
+        for seg in base.segments:
+            seg.count = seg.capacity
+        self.bloom.segments = base.segments + self.bloom.segments
 
     def gate_fetch(self, items: list[tuple[int, str, str]], now: int
                    ) -> list[tuple[int, str, list[str] | None, bool]]:
@@ -182,6 +234,7 @@ class FrontierPartActor:
                 continue
             self.pm.retrieved(url, now)
             self.metrics["gated_fetches"] += 1
+            self.host_fetches[host] += 1
             fr = fetch_parse(self.pages, url, self.cfg)
             if not fr.ok:
                 self.metrics["failed_fetches"] += 1
@@ -245,8 +298,18 @@ class FrontierPartActor:
         self.corpus_buf = list(snap.get("corpus_buf", []))
 
 
-def partition_of(hosts: list[str], n_partitions: int) -> np.ndarray:
-    return (hash64(hosts, seed=7) % np.uint64(n_partitions)).astype(np.int64)
+def partition_of(
+    hosts: list[str], n_partitions: int, salt: dict[str, int] | None = None
+) -> np.ndarray:
+    """hash(host) % P, with explicit per-host overrides (the salt map used
+    to split/relocate hot shards — north-rule skew handling)."""
+    parts = (hash64(hosts, seed=7) % np.uint64(n_partitions)).astype(np.int64)
+    if salt:
+        for i, h in enumerate(hosts):
+            ov = salt.get(h)
+            if ov is not None:
+                parts[i] = ov
+    return parts
 
 
 class CrawlEngine:
@@ -298,8 +361,60 @@ class CrawlEngine:
         self.steps = 0
         self.visit_rows: list[tuple] = []   # (round, walker, url, host, action, cached)
         self.output_urls: set[str] = set()
+        self.salt: dict[str, int] = {}      # host → partition overrides
         self.stats = CrawlStats()
         self._flushed_visits = 0
+
+    def shutdown(self) -> None:
+        """Kill the engine's actors, releasing their CPU reservations.
+
+        Each actor reserves one CPU; a finished crawl would otherwise starve
+        subsequent Dataset stages in the same session."""
+        for a in self.shards + self.parts:
+            ray.kill(a)
+        self.shards, self.parts = [], []
+
+    # -- skew handling -----------------------------------------------------
+
+    def rebalance_hot_partitions(self, hot_ratio: float = 2.0) -> dict[str, int]:
+        """Salted repartition of hot frontier shards (host granularity).
+
+        Measures per-host fetch load, finds partitions above ``hot_ratio``×
+        the mean, and migrates their heaviest hosts to the least-loaded
+        partitions: politeness state moves exactly; the source partition's
+        Bloom segments are chained read-only into the destination (first-
+        wins preserved; per-host bits can't leave a Bloom).  Decisions are
+        per-host/per-URL, so visit order is unaffected (tested).  Returns
+        the applied salt map.
+        """
+        loads = ray.get([p.host_load.remote() for p in self.parts])
+        totals = np.array([sum(l.values()) for l in loads], dtype=np.float64)
+        mean = max(1.0, totals.mean())
+        new_salt: dict[str, int] = {}
+        for p_hot in np.argsort(-totals):
+            if totals[p_hot] <= hot_ratio * mean:
+                break
+            excess = totals[p_hot] - mean
+            hosts_sorted = sorted(loads[p_hot].items(), key=lambda kv: -kv[1])
+            moved_bloom = False
+            for host, load in hosts_sorted:
+                if excess <= 0:
+                    break
+                p_cold = int(np.argmin(totals))
+                if p_cold == p_hot:
+                    break
+                blob = ray.get(self.parts[p_hot].export_host_states.remote([host]))
+                ray.get(self.parts[p_cold].import_host_states.remote(blob))
+                if not moved_bloom:
+                    bloom_blob = ray.get(self.parts[p_hot].export_bloom.remote())
+                    ray.get(self.parts[p_cold].attach_bloom_base.remote(bloom_blob))
+                    moved_bloom = True
+                new_salt[host] = p_cold
+                totals[p_hot] -= load
+                totals[p_cold] += load
+                excess -= load
+        self.salt.update(new_salt)
+        return new_salt
 
     # -- round loop --------------------------------------------------------
 
@@ -358,7 +473,7 @@ class CrawlEngine:
             ]
             return next_futs, True
         hosts = [host_of(u) for _, u, _ in pending]
-        parts = partition_of(hosts, self.n_partitions)
+        parts = partition_of(hosts, self.n_partitions, self.salt)
         by_part: dict[int, list[int]] = {}
         for i, p in enumerate(parts.tolist()):
             by_part.setdefault(p, []).append(i)
@@ -459,7 +574,7 @@ class CrawlEngine:
             "round": self.round, "steps": self.steps,
             "outputs": self.stats.outputs, "n_walkers": self.n_walkers,
             "n_partitions": self.n_partitions, "n_walker_shards": self.n_walker_shards,
-            "seed": self.seed,
+            "seed": self.seed, "salt": self.salt,
         }
         with open(os.path.join(ck, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -519,4 +634,5 @@ class CrawlEngine:
         eng.round = meta["round"]
         eng.steps = meta["steps"]
         eng.stats.outputs = meta["outputs"]
+        eng.salt = dict(meta.get("salt", {}))
         return eng
