@@ -148,3 +148,32 @@ def test_geolocator_binary_search():
     if int(starts[0]) > 1:
         outside = g.lookup_ints(np.array([int(starts[0]) - 1], dtype=np.uint64))
         assert outside == [""]
+
+
+def test_read_lines_gzip(tmp_path):
+    import gzip as _gz
+
+    from texrex_ray.sources.lines import read_lines
+
+    (tmp_path / "a.txt").write_text("one\ntwo\nthree")
+    (tmp_path / "b.txt.gz").write_bytes(_gz.compress(b"four\nfive"))
+    ds = read_lines([str(tmp_path / "a.txt"), str(tmp_path / "b.txt.gz")])
+    df = ds.to_pandas()
+    assert len(df) == 5
+    assert set(df["line"]) == {"one", "two", "three", "four", "five"}
+    assert df.loc[df["line"] == "five", "line_no"].iloc[0] == 1
+
+
+def test_walk_dump_and_metrics():
+    from texrex_ray.crawl.engine import CrawlEngine
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    g = make_webgraph(n_hosts=6, pages_per_host_base=6, n_seeds=4, seed=3)
+    eng = CrawlEngine(g, n_walkers=2, n_partitions=2, seed=3)
+    eng.run(max_steps=30)
+    dump = eng.walk_stack_dump().to_pandas()
+    assert {"walker_id", "url", "host", "n_links", "depth"} <= set(dump.columns)
+    assert len(dump) > 0
+    m = eng.metrics_table().to_pandas()
+    assert len(m) == 2 and "gated_fetches" in m.columns
+    eng.shutdown()

@@ -365,6 +365,39 @@ class CrawlEngine:
         self.stats = CrawlStats()
         self._flushed_visits = 0
 
+    def walk_stack_dump(self) -> "pa.Table":
+        """Dump remaining walker stacks (ref: trwalkers.pas:984-996 — the
+        `.walk` file: url, id, host, epoch, n_links per stack entry)."""
+        from texrex_ray.functions.hashing import doc_id_for_url
+
+        rows = []
+        for blob in ray.get([s.snapshot.remote() for s in self.shards]):
+            for wid, snap in pickle.loads(blob).items():
+                for depth, (url, links) in enumerate(snap["stack"]):
+                    rows.append((wid, depth, url, doc_id_for_url(url),
+                                 host_of(url), self.round, len(links)))
+        return pa.table(
+            {
+                "walker_id": pa.array([r[0] for r in rows], pa.int64()),
+                "depth": pa.array([r[1] for r in rows], pa.int64()),
+                "url": pa.array([r[2] for r in rows], pa.string()),
+                "doc_id": pa.array([r[3] for r in rows], pa.string()),
+                "host": pa.array([r[4] for r in rows], pa.string()),
+                "round": pa.array([r[5] for r in rows], pa.int64()),
+                "n_links": pa.array([r[6] for r in rows], pa.int64()),
+            }
+        )
+
+    def metrics_table(self) -> "pa.Table":
+        """Per-partition crawl metrics (the texcomm/Dash surface, ref:
+        trtexrex.pas:801-873) as an Arrow table."""
+        ms = ray.get([p.get_metrics.remote() for p in self.parts])
+        keys = sorted({k for m in ms for k in m})
+        cols = {"partition": pa.array(range(len(ms)), pa.int64())}
+        for k in keys:
+            cols[k] = pa.array([int(m.get(k, 0)) for m in ms], pa.int64())
+        return pa.table(cols)
+
     def shutdown(self) -> None:
         """Kill the engine's actors, releasing their CPU reservations.
 
