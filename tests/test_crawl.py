@@ -123,3 +123,40 @@ def test_salted_rebalance_preserves_order(graph):
     eng.run(max_steps=120)
     assert eng.visit_order() == base.visit_order()
     assert eng.url_seen() == base.url_seen()
+
+
+def test_priority_engine_deterministic_and_degree_biased(graph):
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+
+    runs = []
+    for n_parts in (2, 4):
+        eng = PriorityCrawlEngine(graph, n_partitions=n_parts, budget_per_round=8)
+        stats = eng.run(max_fetches=80)
+        runs.append(eng.visit_order())
+        assert stats.fetched >= 80
+        eng.shutdown()
+    # schedule independent of the partition count
+    assert runs[0] == runs[1]
+    # degree bias: host0 (most pages → most inbound links) dominates the
+    # early crawl compared to the tail host
+    early_hosts = [h for _, _, h in runs[0][:30]]
+    assert early_hosts.count("host0.tld0") > early_hosts.count("host9.tld0")
+
+
+def test_priority_engine_politeness(graph):
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+    from texrex_ray.state.politeness import parse_robots
+    from urllib.parse import urlsplit
+
+    eng = PriorityCrawlEngine(graph, n_partitions=4, budget_per_round=16)
+    eng.run(max_fetches=100)
+    rules = {h: parse_robots(b or "") for h, b in graph.robots.items()}
+    per_host_rounds: dict[str, list[int]] = {}
+    for rnd, url, host in eng.visit_order():
+        assert rules[host].allows(urlsplit(url).path or "/")
+        per_host_rounds.setdefault(host, []).append(rnd)
+    for host, rounds in per_host_rounds.items():
+        delay = max(rules[host].crawl_delay, 1)
+        gaps = [b - a for a, b in zip(rounds, rounds[1:])]
+        assert all(g >= delay for g in gaps), (host, delay, rounds)
+    eng.shutdown()

@@ -595,6 +595,7 @@ def q21_crawl_visits(sf_dir: str):
     eng = CrawlEngine(g, n_walkers=1, n_partitions=4, seed=42, config=CrawlConfig())
     eng.run(max_steps=steps)
     rows = eng.visit_order()
+    eng.shutdown()  # release actor CPU reservations (driver session lives on)
     return pd.DataFrame(rows, columns=["seq", "url", "host", "action"])
 
 
@@ -828,6 +829,24 @@ def q33_xml_writer(sf_dir: str):
     df = out.to_pandas()
     df["xml_chars"] = df["xml"].str.len()
     return df[["doc_id", "xml_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
+@query("q34_priority_crawl")
+def q34_priority_crawl(sf_dir: str):
+    """Degree-biased priority-frontier crawl (the north-star's priority
+    scheduler): per-partition heaps keyed by host in-degree, global top-B
+    selection per round, politeness/robots gated; rows-only (validated for
+    partition-count determinism + degree bias in tests)."""
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    fetches = {0.001: 50, 0.01: 120, 0.1: 300}.get(_sf_of(sf_dir), 120)
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    eng = PriorityCrawlEngine(g, n_partitions=4, budget_per_round=16)
+    eng.run(max_fetches=fetches)
+    rows = eng.visit_order()
+    eng.shutdown()
+    return pd.DataFrame(rows, columns=["round", "url", "host"])
 
 
 @query("q19_lsh_ann")

@@ -44,6 +44,7 @@ def secondpass(batch: pa.Table, col: str = "text") -> pa.Table:
     Adds replacement-count columns (the reference's per-div cleanse metrics,
     ref: trsecondpass.pas:135-141).
     """
+    batch = batch.replace_schema_metadata(None)  # drop pandas metadata
     texts = batch.column(col).to_pylist()
     out = [cleanse_full(s or "") for s in texts]
     cleaned = [o[0] for o in out]
