@@ -142,17 +142,25 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 12,
+    shingle_n: int = 3,
 ) -> pd.DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation via 4×16-bit block LSH (two signatures within
-    Hamming ≤ 3 must agree on ≥1 of 4 blocks; wider radii raise the block
-    count); candidates verified exactly.  Returns (id_a, id_b, hamming).
+    Signatures are computed over token ``shingle_n``-grams (word-order
+    sensitive — a bag-of-words simhash confuses documents that merely share
+    vocabulary).  Candidate generation via 4×16-bit block LSH (two
+    signatures within Hamming ≤ 3 must agree on ≥1 of 4 blocks; wider radii
+    raise the block count); candidates verified exactly.
+    Returns (id_a, id_b, hamming).
     """
 
     def sig_rows(t: pa.Table) -> pa.Table:
         toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in t[text_col].to_pylist()]
-        sh = simhash64(toks)
+        grams = [
+            [" ".join(tk[i : i + shingle_n]) for i in range(max(0, len(tk) - shingle_n + 1))]
+            for tk in toks
+        ]
+        sh = simhash64(grams)
         return pa.table({"doc_id": t[id_col], "simhash": pa.array(sh)})
 
     df = ds.map_batches(sig_rows, batch_format="pyarrow").to_pandas()
