@@ -60,14 +60,14 @@ def run_bench() -> dict:
     # ---- crawl: fetch + strip + politeness + bloom over synthetic web ----
     t0 = time.perf_counter()
     graph = make_webgraph(
-        n_hosts=1200, pages_per_host_base=6, n_seeds=256, seed=42,
+        n_hosts=1200, pages_per_host_base=6, n_seeds=512, seed=42,
         max_pages_per_host=60,
     )
     extras["webgraph_gen_sec"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     n_parts = max(2, num_cpus // 4)
     eng = CrawlEngine(
-        graph, n_walkers=256, n_partitions=n_parts, n_walker_shards=n_parts,
+        graph, n_walkers=512, n_partitions=n_parts, n_walker_shards=n_parts,
         seed=42, config=CrawlConfig(), out_dir=f"{out_root}/crawl",
     )
     stats = eng.run(max_steps=8000)
