@@ -47,3 +47,34 @@ def test_entry_contract():
     qs, oracle = e.queries(), e.oracle_sql()
     assert set(oracle) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_resumable_write_skips_committed(tmp_path):
+    """Failed-run recovery: committed shards are skipped on re-run."""
+    import os
+
+    from texrex_ray.state.resume import read_committed, resumable_write
+
+    calls = []
+
+    def pipeline(files):
+        calls.append(tuple(files))
+        ds = ray.data.read_parquet(files)
+        return ds.map_batches(
+            lambda t: t.append_column("n2", pa.array([x * 2 for x in t["doc_id"].to_pylist()])),
+            batch_format="pyarrow",
+        )
+
+    paths = [f"{SF}/documents.parquet"] * 4
+    out = str(tmp_path / "out")
+    r1 = resumable_write(paths, pipeline, out, n_shards=4)
+    assert len(r1["written"]) == 4 and not r1["skipped"]
+    # simulate a crashed shard: remove one commit marker
+    os.remove(os.path.join(out, "shard=0002", "_COMMIT"))
+    calls.clear()
+    r2 = resumable_write(paths, pipeline, out, n_shards=4)
+    assert r2["written"] == ["shard=0002"]
+    assert len(r2["skipped"]) == 3
+    assert len(calls) == 1  # only the broken shard was re-processed
+    total = read_committed(out).count()
+    assert total == 4 * 500
