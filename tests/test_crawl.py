@@ -100,6 +100,30 @@ def test_checkpoint_resume_identical(graph, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_driver_memory_bounded(graph, tmp_path):
+    """North-rule design point: the driver holds no per-URL state — the
+    visit log truncates at every flush and the URL-seen set lives in the
+    partition actors / parquet, so driver memory is O(checkpoint window)."""
+    cfg = CrawlConfig()
+    d = str(tmp_path / "bounded")
+    eng = CrawlEngine(graph, n_walkers=4, n_partitions=4, seed=42, config=cfg, out_dir=d)
+    eng.run(max_steps=200, checkpoint_every=5)
+    assert not hasattr(eng, "output_urls")  # the unbounded set is gone
+    assert len(eng.visit_rows) == 0  # flushed + truncated at run end
+    assert eng._visits_flushed_rows == eng.steps
+    # reconstruction from parquet ≡ the in-memory (no out_dir) semantics
+    mem = CrawlEngine(graph, n_walkers=4, n_partitions=4, seed=42, config=cfg)
+    mem.run(max_steps=200)
+    assert eng.visit_order() == mem.visit_order()
+    assert eng.url_seen() == mem.url_seen()
+    # mid-window the tail is bounded by walkers × checkpoint_every
+    eng2 = CrawlEngine(graph, n_walkers=4, n_partitions=4, seed=42, config=cfg, out_dir=d + "2")
+    eng2.run(max_steps=200, checkpoint_every=5, max_rounds=23)
+    assert len(eng2.visit_rows) <= 4 * 5
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(d + "2", ignore_errors=True)
+
+
 def test_walker_snapshot_roundtrip():
     cfg = CrawlConfig()
     w = Walker(3, ["http://a.com/", "http://b.com/"], 42, cfg)

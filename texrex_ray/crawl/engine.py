@@ -43,7 +43,7 @@ import ray
 
 from texrex_ray.crawl.fetcher import fetch_parse
 from texrex_ray.crawl.policy import CrawlConfig, Walker, split_seeds
-from texrex_ray.functions.hashing import hash64
+from texrex_ray.functions.hashing import stable_hash64
 from texrex_ray.functions.urlkit import host_of
 from texrex_ray.sources.webgraph import WebGraph
 from texrex_ray.state.bloom import ScalingBloom
@@ -277,6 +277,9 @@ class FrontierPartActor:
         rows, self.corpus_buf = self.corpus_buf, []
         return rows
 
+    def buffered_urls(self) -> list[str]:
+        return [r["url"] for r in self.corpus_buf]
+
     def get_metrics(self) -> dict:
         return dict(self.metrics)
 
@@ -302,8 +305,12 @@ def partition_of(
     hosts: list[str], n_partitions: int, salt: dict[str, int] | None = None
 ) -> np.ndarray:
     """hash(host) % P, with explicit per-host overrides (the salt map used
-    to split/relocate hot shards — north-rule skew handling)."""
-    parts = (hash64(hosts, seed=7) % np.uint64(n_partitions)).astype(np.int64)
+    to split/relocate hot shards — north-rule skew handling).
+
+    The hash is blake2b-based (``stable_hash64``): routing must survive a
+    resume across library upgrades, or per-host politeness state and Bloom
+    segments silently end up on the wrong partition."""
+    parts = (stable_hash64(hosts, seed=7) % np.uint64(n_partitions)).astype(np.int64)
     if salt:
         for i, h in enumerate(hosts):
             ov = salt.get(h)
@@ -359,11 +366,16 @@ class CrawlEngine:
         ]
         self.round = 0
         self.steps = 0
-        self.visit_rows: list[tuple] = []   # (round, walker, url, host, action, cached)
-        self.output_urls: set[str] = set()
+        # UNFLUSHED visit rows only: (round, walker, url, host, action,
+        # cached).  With out_dir set, _flush_outputs truncates this list at
+        # every checkpoint, so driver memory is O(checkpoint window), not
+        # O(crawl) — the 10^10-URL north rule's design point.  The URL-seen
+        # set lives in the partition actors (Bloom + corpus buffers) and on
+        # disk (corpus parquet); the driver holds no per-URL state.
+        self.visit_rows: list[tuple] = []
         self.salt: dict[str, int] = {}      # host → partition overrides
         self.stats = CrawlStats()
-        self._flushed_visits = 0
+        self._visits_flushed_rows = 0       # rows already in visits parquet
 
     def walk_stack_dump(self) -> "pa.Table":
         """Dump remaining walker stacks (ref: trwalkers.pas:984-996 — the
@@ -529,7 +541,6 @@ class CrawlEngine:
                     self.visit_rows.append((now, wid, url, hosts[i], action, False))
                     if is_new:
                         self.stats.outputs += 1
-                        self.output_urls.add(url)
                 elif verdict == "wait":
                     self.stats.waits += 1
                 else:
@@ -550,12 +561,44 @@ class CrawlEngine:
     # -- fixtures ----------------------------------------------------------
 
     def visit_order(self) -> list[tuple[int, str, str, str]]:
-        """(seq, url, host, action) ordered by (round, walker_id)."""
-        rows = sorted(self.visit_rows, key=lambda r: (r[0], r[1]))
+        """(seq, url, host, action) ordered by (round, walker_id).
+
+        Reconstructed from the flushed visits parquet plus the in-memory
+        unflushed tail — the driver never holds the whole log."""
+        rows = self._flushed_visit_rows() + self.visit_rows
+        rows.sort(key=lambda r: (r[0], r[1]))
         return [(i + 1, r[2], r[3], r[4]) for i, r in enumerate(rows)]
 
+    def _flushed_visit_rows(self) -> list[tuple]:
+        if not self.out_dir:
+            return []
+        vd = os.path.join(self.out_dir, "visits")
+        if not os.path.isdir(vd):
+            return []
+        rows: list[tuple] = []
+        for f in sorted(os.listdir(vd)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(vd, f))
+            rows.extend(
+                zip(*(t[c].to_pylist() for c in
+                      ("round", "walker_id", "url", "host", "action", "cached")))
+            )
+        return rows
+
     def url_seen(self) -> set[str]:
-        return set(self.output_urls) | self._persisted_seen()
+        """The Bloom-accepted output set = persisted corpus ∪ actor buffers.
+
+        Derived, not driver-held: the authoritative first-wins state is the
+        sharded Bloom; every accepted URL has exactly one corpus row, either
+        already flushed to parquet or still buffered in its partition actor
+        (or drained to ``_corpus_local`` by ``collect_corpus``)."""
+        seen = self._persisted_seen()
+        if self.parts:
+            for urls in ray.get([p.buffered_urls.remote() for p in self.parts]):
+                seen.update(urls)
+        seen.update(r["url"] for r in getattr(self, "_corpus_local", []))
+        return seen
 
     def collect_corpus(self) -> list[dict]:
         """Drain corpus rows buffered in the partition actors (accumulates
@@ -621,8 +664,8 @@ class CrawlEngine:
         cd = os.path.join(self.out_dir, "corpus")
         os.makedirs(vd, exist_ok=True)
         os.makedirs(cd, exist_ok=True)
-        if len(self.visit_rows) > self._flushed_visits:
-            rows = self.visit_rows[self._flushed_visits :]
+        if self.visit_rows:
+            rows = self.visit_rows
             t = pa.table(
                 {
                     "round": pa.array([r[0] for r in rows], pa.int64()),
@@ -633,8 +676,15 @@ class CrawlEngine:
                     "cached": pa.array([r[5] for r in rows], pa.bool_()),
                 }
             )
-            pq.write_table(t, os.path.join(vd, f"visits-r{self.round:08d}.parquet"))
-            self._flushed_visits = len(self.visit_rows)
+            # tmp + os.replace like the corpus path: a crash mid-write never
+            # leaves a torn parquet file behind
+            path = os.path.join(
+                vd, f"visits-r{self.round:08d}-{self._visits_flushed_rows:010d}.parquet"
+            )
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            self._visits_flushed_rows += len(rows)
+            self.visit_rows = []  # truncate: driver memory stays O(window)
         ray.get([p.flush_corpus.remote(self.out_dir, self.round) for p in self.parts])
 
     @classmethod
@@ -649,6 +699,11 @@ class CrawlEngine:
         ck = os.path.join(ckroot, rounds[-1])
         with open(os.path.join(ck, "meta.json")) as f:
             meta = json.load(f)
+        # Remove output files from rounds BEYOND the restored checkpoint
+        # (a crash between a later flush and its COMMIT leaves orphans that
+        # would otherwise double-count after the resumed run re-produces
+        # them under different flush boundaries).
+        cls._remove_orphan_outputs(out_dir, meta["round"])
         eng = cls(
             graph,
             n_walkers=meta["n_walkers"],
@@ -668,4 +723,41 @@ class CrawlEngine:
         eng.steps = meta["steps"]
         eng.stats.outputs = meta["outputs"]
         eng.salt = dict(meta.get("salt", {}))
+        eng._visits_flushed_rows = eng._count_flushed_visits()
         return eng
+
+    @staticmethod
+    def _remove_orphan_outputs(out_dir: str, upto_round: int) -> None:
+        import re as _re
+
+        rx = _re.compile(r"-r(\d{8})")
+        vd = os.path.join(out_dir, "visits")
+        if os.path.isdir(vd):
+            for f in os.listdir(vd):
+                m = rx.search(f)
+                if f.endswith((".parquet", ".tmp")) and (
+                    f.endswith(".tmp") or (m and int(m.group(1)) > upto_round)
+                ):
+                    os.remove(os.path.join(vd, f))
+        cd = os.path.join(out_dir, "corpus")
+        if os.path.isdir(cd):
+            for part in os.listdir(cd):
+                pd_ = os.path.join(cd, part)
+                if not os.path.isdir(pd_):
+                    continue
+                for f in os.listdir(pd_):
+                    m = rx.search(f)
+                    if f.endswith((".parquet", ".tmp")) and (
+                        f.endswith(".tmp") or (m and int(m.group(1)) > upto_round)
+                    ):
+                        os.remove(os.path.join(pd_, f))
+
+    def _count_flushed_visits(self) -> int:
+        vd = os.path.join(self.out_dir, "visits") if self.out_dir else None
+        if not vd or not os.path.isdir(vd):
+            return 0
+        n = 0
+        for f in os.listdir(vd):
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(vd, f)).num_rows
+        return n

@@ -6,8 +6,10 @@ trtenderapplication.pas:340-632; pair generation trshinglehelpers.pas:
 ``groupby(shingle) → C(n,2) pairs → groupby(pair).count() → filter ≥ t``.
 
 Semantics kept from the reference:
-- shingle groups larger than ``max_redundancy`` (default 200) are skipped
-  (the hot-shingle skew cap, trshinglehelpers.pas:436-437);
+- shingle groups of ``max_redundancy`` (default 200) or more docs are
+  skipped — the reference requires strictly ``Length(AShinglePacks) <
+  FMaximalRedundancy`` (the hot-shingle skew cap,
+  trshinglehelpers.pas:436-437), so a group of exactly 200 emits nothing;
 - each pair is ordered smaller-document-first, "smaller" = (doc_size,
   doc_id) lexicographic (trshinglehelpers.pas:445-452);
 - pairs sharing ≥ ``pair_threshold`` (default 5) shingles blacklist the
@@ -37,10 +39,13 @@ def gram_shingles(
     text_col: str = "text",
     size_col: str | None = "n_chars",
     n: int = 5,
+    size_from_grams: bool = False,
 ) -> ray.data.Dataset:
     """Explode documents into DISTINCT space-joined token n-gram rows.
 
     Output schema: (doc_id, shingle: string, doc_size: int64).
+    ``size_from_grams=True`` sets doc_size to the DISTINCT-gram count (the
+    Jaccard set size) so downstream pair math needs no extra sizes shuffle.
     """
 
     def explode(t: pa.Table) -> pa.Table:
@@ -48,11 +53,15 @@ def gram_shingles(
         texts = t[text_col].to_pylist()
         id_vals = t[id_col].to_pylist()
         size_vals = (
-            t[size_col].to_pylist() if size_col else [len(s or "") for s in texts]
+            t[size_col].to_pylist()
+            if (size_col and not size_from_grams)
+            else [len(s or "") for s in texts]
         )
         for did, s, sz in zip(id_vals, texts, size_vals):
             toks = LATIN_TOKEN_RE.findall((s or "").lower())
             seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if size_from_grams:
+                sz = len(seen)
             for g in seen:
                 ids.append(did)
                 grams.append(g)
@@ -109,11 +118,15 @@ def shingle_pairs(
     max_redundancy: int = 200,
     order_by_size: bool = True,
     n_buckets: int = 64,
+    carry_sizes: bool = False,
 ) -> ray.data.Dataset:
     """Phase 2: per-shingle C(n,2) pair generation, smaller doc first.
 
     ``order_by_size=True`` orders pairs by (doc_size, doc_id) per the
     reference; ``False`` orders by doc_id alone (the Jaccard variant).
+    ``carry_sizes=True`` adds (size_small, size_big) columns so consumers
+    that need per-doc set sizes (Jaccard union math) get them through the
+    pair groupby instead of a driver-broadcast size dict.
 
     Implementation: a bucketed hash self-join, NOT per-group UDF calls —
     shingles hash into ``n_buckets`` coarse partitions (the only shuffle),
@@ -133,12 +146,19 @@ def shingle_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         counts = g["shingle"].value_counts()
-        ok = counts[(counts >= 2) & (counts <= max_redundancy)].index
+        # strict < per the reference (trshinglehelpers.pas:436-437)
+        ok = counts[(counts >= 2) & (counts < max_redundancy)].index
+        id_dtype = g["doc_id"].dtype
         g = g[g["shingle"].isin(ok)][["shingle", "doc_id", "doc_size"]]
         if g.empty:
-            return pd.DataFrame(
-                {"id_small": pd.Series([], dtype="int64"), "id_big": pd.Series([], dtype="int64")}
-            )
+            cols = {
+                "id_small": pd.Series([], dtype=id_dtype),
+                "id_big": pd.Series([], dtype=id_dtype),
+            }
+            if carry_sizes:
+                cols["size_small"] = pd.Series([], dtype="int64")
+                cols["size_big"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
         m = g.merge(g, on="shingle", suffixes=("_x", "_y"))
         if order_by_size:
             keep = (m["doc_size_x"] < m["doc_size_y"]) | (
@@ -147,7 +167,11 @@ def shingle_pairs(
         else:
             keep = m["doc_id_x"] < m["doc_id_y"]
         m = m[keep]
-        return pd.DataFrame({"id_small": m["doc_id_x"].to_numpy(), "id_big": m["doc_id_y"].to_numpy()})
+        cols = {"id_small": m["doc_id_x"].to_numpy(), "id_big": m["doc_id_y"].to_numpy()}
+        if carry_sizes:
+            cols["size_small"] = m["doc_size_x"].to_numpy()
+            cols["size_big"] = m["doc_size_y"].to_numpy()
+        return pd.DataFrame(cols)
 
     return (
         shingles.map_batches(add_bucket, batch_format="pyarrow")

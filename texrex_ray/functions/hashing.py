@@ -33,9 +33,33 @@ def permutation_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def hash64(strings: list[str] | pl.Series, seed: int = 0) -> np.ndarray:
-    """Stable vectorized 64-bit hash of strings (polars xxhash)."""
+    """Fast vectorized 64-bit hash of strings (polars xxhash).
+
+    Deterministic across processes/machines for a FIXED polars version, but
+    polars does not guarantee hash stability across library upgrades — use
+    only for transient, in-run keying (shuffle bucketing, LSH band keys).
+    Anything persisted or used for partition routing that must survive a
+    resume uses ``stable_hash64`` / the Rabin fingerprints instead.
+    """
     s = strings if isinstance(strings, pl.Series) else pl.Series(strings, dtype=pl.Utf8)
     return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def stable_hash64(strings: list[str], seed: int = 0) -> np.ndarray:
+    """Version-stable 64-bit hash (blake2b, like ScalingBloom's bit hashing).
+
+    Used for host → frontier-partition routing: a checkpoint resumed after a
+    library upgrade must keep every host pinned to the same partition, or
+    politeness state is orphaned and Bloom first-wins segments are missed.
+    Per-item C-call cost (~1 µs) is fine for the per-round host lists; do
+    not use it for per-gram hashing.
+    """
+    salt = int(seed).to_bytes(8, "little")
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        d = hashlib.blake2b(s.encode("utf-8"), digest_size=8, salt=salt).digest()
+        out[i] = int.from_bytes(d, "little")
+    return out
 
 
 def ngrams(tokens: list[str], n: int = 5, pad_to: int = 9) -> list[str]:

@@ -211,15 +211,19 @@ def q05_lang_agg(sf_dir: str):
     """,
 )
 def q06_customer_nation_join(sf_dir: str):
-    """Broadcast hash join: tiny nation table shipped once via ray.put."""
+    """Broadcast hash join: tiny nation table shipped once via ray.put;
+    per-batch lookup is a vectorized searchsorted over the sorted keys."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    nation = nation.sort_values("n_nationkey")
+    lookup_ref = ray.put(
+        (nation["n_nationkey"].to_numpy(np.int64), nation["n_name"].to_numpy())
+    )
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     def attach(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k) for k in t["c_nationkey"].to_pylist()]
-        return t.append_column("n_name", pa.array(names, pa.string()))
+        keys, names = ray.get(lookup_ref)
+        idx = np.searchsorted(keys, t["c_nationkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("n_name", pa.array(names[idx], pa.string()))
 
     out = (
         ds.map_batches(attach, batch_format="pyarrow")
@@ -242,16 +246,18 @@ def q06_customer_nation_join(sf_dir: str):
     """,
 )
 def q07_orders_anti_join(sf_dir: str):
-    """Broadcast anti-join (tecl blacklist mode, trteclapplication.pas:248-368)."""
+    """Broadcast anti-join (tecl blacklist mode, trteclapplication.pas:248-368).
+    Membership test is Arrow ``pc.is_in`` against the broadcast value set —
+    a hash probe in C, not a Python loop."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    black = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    black_ref = ray.put(black)
+    black = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+    black_ref = ray.put(pa.array(black.unique()))
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     def anti(t: pa.Table) -> pa.Table:
         b = ray.get(black_ref)
-        mask = [k not in b for k in t["o_custkey"].to_pylist()]
-        return t.filter(pa.array(mask)).select(["o_orderkey"])
+        mask = pc.is_in(t["o_custkey"], value_set=b)
+        return t.filter(pc.invert(mask)).select(["o_orderkey"])
 
     return ds.map_batches(anti, batch_format="pyarrow")
 
@@ -267,16 +273,16 @@ def q07_orders_anti_join(sf_dir: str):
     """,
 )
 def q08_orders_semi_join(sf_dir: str):
-    """Broadcast semi-join (tecl --white mode)."""
+    """Broadcast semi-join (tecl --white mode), vectorized via pc.is_in."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    white = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    white_ref = ray.put(white)
+    white = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+    white_ref = ray.put(pa.array(white.unique()))
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     def semi(t: pa.Table) -> pa.Table:
         w = ray.get(white_ref)
-        mask = [k in w for k in t["o_custkey"].to_pylist()]
-        return t.filter(pa.array(mask)).select(["o_orderkey"])
+        mask = pc.is_in(t["o_custkey"], value_set=w)
+        return t.filter(mask).select(["o_orderkey"])
 
     return ds.map_batches(semi, batch_format="pyarrow")
 
@@ -374,7 +380,7 @@ _TENDER_SQL = (
     "WITH "
     + _GRAMS_CTE.format(m=4, m1=3)
     + """,
-    grp AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 200),
+    grp AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 199),
     pairs AS (SELECT a.doc_id AS id_small, b.doc_id AS id_big, COUNT(*) AS n_shared
               FROM grams a JOIN grams b USING (g) JOIN grp USING (g)
               WHERE (a.n_chars < b.n_chars OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
@@ -415,13 +421,12 @@ def q12_near_dup_survivors(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     sh = gram_shingles(ds, n=5)
     pairs = count_pairs(shingle_pairs(sh, max_redundancy=200), pair_threshold=5)
-    black = set(blacklist(pairs).to_pandas()["id_small"])
-    black_ref = ray.put(black)
+    black_ref = ray.put(pa.array(blacklist(pairs).to_pandas()["id_small"].unique()))
 
     def anti(t: pa.Table) -> pa.Table:
         b = ray.get(black_ref)
-        mask = [i not in b for i in t["doc_id"].to_pylist()]
-        return t.filter(pa.array(mask)).select(["doc_id"])
+        mask = pc.is_in(t["doc_id"], value_set=b)
+        return t.filter(pc.invert(mask)).select(["doc_id"])
 
     return ds.map_batches(anti, batch_format="pyarrow")
 
@@ -457,38 +462,39 @@ _JACCARD_SQL = (
 @query("q14_ngram_jaccard", sql=_JACCARD_SQL)
 def q14_ngram_jaccard(sf_dir: str):
     """n-gram Jaccard near-dup pairs (3-gram sets, J ≥ 0.5) with integer-exact
-    threshold arithmetic (2·|∩| ≥ |∪|), no float compare."""
-    from ray.data.aggregate import Count as _Count
+    threshold arithmetic (2·|∩| ≥ |∪|), no float compare.
 
+    The per-doc gram-set sizes ride ON the shingle rows (size_from_grams)
+    and reduce through the pair groupby (Max of a per-pair constant), so no
+    corpus-sized size dict is ever broadcast from the driver."""
     from texrex_ray.dedup.tender import gram_shingles, shingle_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    sh = gram_shingles(ds, n=3)
-    sizes = sh.groupby("doc_id").count().to_pandas()
-    size_map = dict(zip(sizes["doc_id"], sizes["count()"]))
-    size_ref = ray.put(size_map)
+    sh = gram_shingles(ds, n=3, size_from_grams=True)
     pairs = (
-        shingle_pairs(sh, max_redundancy=10**9, order_by_size=False)
+        shingle_pairs(sh, max_redundancy=10**9, order_by_size=False, carry_sizes=True)
         .groupby(["id_small", "id_big"])
-        .aggregate(_Count(alias_name="n_inter"))
+        .aggregate(
+            Count(alias_name="n_inter"),
+            Max("size_small", alias_name="sz_a"),
+            Max("size_big", alias_name="sz_b"),
+        )
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        sm = ray.get(size_ref)
-        ia = t["id_small"].to_pylist()
-        ib = t["id_big"].to_pylist()
-        ni = t["n_inter"].to_pylist()
-        nu = [sm[a] + sm[b] - i for a, b, i in zip(ia, ib, ni)]
-        keep = [2 * i >= u for i, u in zip(ni, nu)]
+        ni = pc.cast(t["n_inter"], pa.int64())
+        nu = pc.cast(
+            pc.subtract(pc.add(t["sz_a"], t["sz_b"]), t["n_inter"]), pa.int64()
+        )
         out = pa.table(
             {
-                "id_a": pa.array(ia, pa.int64()),
-                "id_b": pa.array(ib, pa.int64()),
-                "n_inter": pa.array(ni, pa.int64()),
-                "n_union": pa.array(nu, pa.int64()),
+                "id_a": pc.cast(t["id_small"], pa.int64()),
+                "id_b": pc.cast(t["id_big"], pa.int64()),
+                "n_inter": ni,
+                "n_union": nu,
             }
         )
-        return out.filter(pa.array(keep))
+        return out.filter(pc.greater_equal(pc.multiply(ni, pa.scalar(2, pa.int64())), nu))
 
     return pairs.map_batches(finish, batch_format="pyarrow")
 
