@@ -96,10 +96,12 @@ def test_minhash_lsh_finds_true_pairs():
         {"doc_id": 5, "text": "unique snowflake paragraph about nothing at all in particular"},
     ]
     ds = ray.data.from_items(docs)
-    pairs = minhash_lsh_pairs(ds, k=96, bands=24, n=3, jaccard_threshold=0.5)
+    pairs = minhash_lsh_pairs(ds, k=96, bands=24, n=3, jaccard_threshold=0.5).to_pandas()
     got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
     assert (1, 2) in got and (3, 4) in got
     assert all(5 not in p for p in got)
+    # exact verification: every emitted pair satisfies 2·|∩| ≥ |∪|
+    assert (2 * pairs["n_inter"] >= pairs["n_union"]).all()
 
 
 def test_simhash_near_vs_far():
@@ -116,10 +118,55 @@ def test_simhash_near_vs_far():
             {"doc_id": 3, "text": far},
         ]
     )
-    pairs = simhash_pairs(ds, max_hamming=12)
+    pairs = simhash_pairs(ds, max_hamming=12).to_pandas()
     got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_candidate_generation_complete():
+    """Block-LSH with max_hamming+1 blocks must find EVERY pair within the
+    radius (pigeonhole) — brute force over the signature table agrees."""
+    import itertools
+
+    from texrex_ray.dedup.lsh import popcount64, simhash_pairs
+    from texrex_ray.functions.hashing import simhash64
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    df = ds.to_pandas()
+    toks = [LATIN_TOKEN_RE.findall(s.lower()) for s in df["text"]]
+    grams = [
+        [" ".join(tk[i : i + 3]) for i in range(max(0, len(tk) - 2))] for tk in toks
+    ]
+    sig = simhash64(grams)
+    ids = df["doc_id"].to_numpy()
+    want = set()
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        d = int(popcount64(np.array([sig[i] ^ sig[j]], dtype=np.uint64))[0])
+        if d <= 12:
+            a, b = sorted((ids[i], ids[j]))
+            want.add((a, b, d))
+    got_df = simhash_pairs(ds, max_hamming=12, shingle_n=3).to_pandas()
+    got = {(r.id_a, r.id_b, r.hamming) for r in got_df.itertuples()}
+    assert got == want
+
+
+def test_dedup_ops_accept_string_ids():
+    """The crawl corpus uses 32-hex md5 string doc ids — the dedup suite
+    must compose with it (no forced int casts)."""
+    from texrex_ray.dedup.lsh import minhash_lsh_pairs, simhash_pairs
+
+    docs = [
+        {"doc_id": "aa" * 16, "text": "alpha beta gamma delta epsilon zeta " * 8},
+        {"doc_id": "bb" * 16, "text": "alpha beta gamma delta epsilon zeta " * 8 + "tail"},
+        {"doc_id": "cc" * 16, "text": "other totally unrelated words entirely " * 8},
+    ]
+    ds = ray.data.from_items(docs)
+    mh = minhash_lsh_pairs(ds, k=96, bands=48, n=3).to_pandas()
+    assert ("aa" * 16, "bb" * 16) in {(r.id_a, r.id_b) for r in mh.itertuples()}
+    sh = simhash_pairs(ds, max_hamming=12).to_pandas()
+    assert ("aa" * 16, "bb" * 16) in {(r.id_a, r.id_b) for r in sh.itertuples()}
 
 
 def test_knn_bruteforce_matches_numpy():

@@ -133,45 +133,84 @@ def lsh_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
-    """Approximate top-k: random-hyperplane buckets, search within bucket.
+    """Approximate top-k: random-hyperplane buckets, multi-probe search.
 
-    Vectors hash to a ``n_planes``-bit sign bucket; each query searches its
-    own bucket plus all buckets at Hamming distance 1 (multi-probe).  The
-    bucket groupby is the only shuffle.  Returns (query_id, neighbor_id,
-    rank); recall measured against ``knn_bruteforce`` in tests.
+    Vectors hash to an ``n_planes``-bit sign bucket; each query probes its
+    own bucket plus all buckets at Hamming distance 1.  The probe plan
+    (query matrix + per-query allowed-bucket table — tiny) is broadcast
+    once, and the corpus streams through ONE ``map_batches`` pass: each
+    batch buckets its vectors, computes sims only against the queries
+    whose probe set covers them, and emits per-batch partial top-k rows.
+    A final per-query groupby reduces the partials.  No shuffle of the
+    corpus, no driver materialization — the scale path the brute-force
+    KNN falls back from.  Returns (query_id, neighbor_id, rank); recall
+    measured against ``knn_bruteforce`` in tests.
     """
     rng = np.random.default_rng(seed)
     # dim taken from the first row
     dim = len(ds.take(1)[0][vec_col])
     planes = rng.standard_normal((dim, n_planes))
-    planes_ref = ray.put(planes)
     qset = set(query_ids)
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
+    def grab_queries(t: pa.Table) -> pa.Table:
+        mask = [i in qset for i in t[id_col].to_pylist()]
+        return t.filter(pa.array(mask)).select([id_col, vec_col])
+
+    qdf = ds.map_batches(grab_queries, batch_format="pyarrow").to_pandas()
+    qids = qdf[id_col].to_numpy()
+    qmat = _unit(np.asarray(list(qdf[vec_col]), dtype=np.float64))
+    qbits = (qmat @ planes) > 0
+    qbuckets = (qbits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+    # per-query allowed-bucket membership table (n_queries, 2**n_planes)
+    probe = np.zeros((len(qids), 1 << n_planes), dtype=bool)
+    for qi, b in enumerate(qbuckets):
+        probe[qi, b] = True
+        for bit in range(n_planes):
+            probe[qi, b ^ (1 << bit)] = True
+    plan_ref = ray.put((qids, qmat, planes, probe))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qmat_, planes_, probe_ = ray.get(plan_ref)
+        ids = np.asarray(t[id_col].to_pylist())
         m = _unit(_matrix(t, vec_col))
-        bits = (m @ pl) > 0
-        bucket = (bits * (1 << np.arange(pl.shape[1]))).sum(axis=1).astype(np.int64)
+        bucket = (((m @ planes_) > 0) * (1 << np.arange(planes_.shape[1]))).sum(
+            axis=1
+        ).astype(np.int64)
+        # rows probed by at least one query
+        any_probed = probe_.any(axis=0)[bucket]
+        ids, m, bucket = ids[any_probed], m[any_probed], bucket[any_probed]
+        out_q, out_n, out_s = [], [], []
+        if len(ids):
+            sims = m @ qmat_.T  # (batch', n_queries)
+            kk = min(k + 1, len(ids))
+            for qi in range(len(qids_)):
+                col = np.where(probe_[qi][bucket], sims[:, qi], -np.inf)
+                top = (
+                    np.argpartition(-col, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+                )
+                for j in top:
+                    if np.isfinite(col[j]):
+                        out_q.append(qids_[qi])
+                        out_n.append(ids[j])
+                        out_s.append(col[j])
         return pa.table(
             {
-                "vec_id": t[id_col],
-                "bucket": pa.array(bucket),
-                "embedding": t[vec_col],
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
             }
         )
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow").to_pandas()
-    by_bucket: dict[int, pd.DataFrame] = dict(tuple(bucketed.groupby("bucket")))
-    rows = []
-    qrows = bucketed[bucketed["vec_id"].isin(qset)]
-    for r in qrows.itertuples():
-        probe = [r.bucket] + [r.bucket ^ (1 << b) for b in range(n_planes)]
-        cand = pd.concat([by_bucket[b] for b in probe if b in by_bucket])
-        cand = cand[cand["vec_id"] != r.vec_id]
-        cm = _unit(np.asarray(list(cand["embedding"]), dtype=np.float64))
-        qv = _unit(np.asarray([r.embedding], dtype=np.float64))[0]
-        sims = cm @ qv
-        order = np.lexsort((cand["vec_id"].to_numpy(), -sims))[:k]
-        for rank, j in enumerate(order, 1):
-            rows.append((r.vec_id, int(cand["vec_id"].iloc[j]), rank))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype("int64")
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)

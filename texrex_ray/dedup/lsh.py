@@ -2,9 +2,14 @@
 
 Beyond the reference's tender pipeline: banded MinHash-LSH (shingle →
 minhash → band → bucket groupby → candidate pairs → exact-Jaccard verify)
-and SimHash with block-LSH candidate generation.  Both shuffle only small
-(bucket_key, doc_id) rows; verification re-reads only candidate documents'
-shingle sets via broadcast.
+and SimHash with block-LSH candidate generation.
+
+Both are Dataset-native end to end: candidate generation is a bucket
+``groupby().map_groups`` with vectorized within-bucket pair merges (the
+pattern proven in ``dedup/tender.py``), and verification runs inside the
+pair groupby — no corpus-sized structure is ever materialized on the
+driver.  Document ids keep their native dtype (int64 test ids and the
+crawl corpus' 32-hex md5 string ids both compose).
 """
 
 from __future__ import annotations
@@ -12,19 +17,26 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+from ray.data.aggregate import Count, Max, Min
 
 from texrex_ray.functions.hashing import hash64, minhash_signatures, simhash64
 from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
 
 
-def _token_sets(texts: list[str], n: int) -> list[set[str]]:
-    out = []
-    for s in texts:
-        toks = LATIN_TOKEN_RE.findall((s or "").lower())
-        out.append({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
-    return out
+def popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR); input uint64, output int64."""
+    v = v.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    v -= (v >> np.uint64(1)) & m1
+    v = (v & m2) + ((v >> np.uint64(2)) & m2)
+    v = (v + (v >> np.uint64(4))) & m4
+    return ((v * h01) >> np.uint64(56)).astype(np.int64)
 
 
 def minhash_lsh_pairs(
@@ -33,22 +45,29 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 96,
-    bands: int = 24,
+    bands: int = 48,
     n: int = 5,
     jaccard_threshold: float = 0.5,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Near-dup pairs via banded LSH, verified with exact n-gram Jaccard.
 
-    k/bands rows per band; two docs become candidates when any band hashes
-    identically.  Candidates are verified exactly (gram-set Jaccard ≥
-    threshold) so the output has no false positives; recall is the standard
-    LSH S-curve at (bands, rows).  Returns (id_a, id_b, jaccard_pct).
+    k/bands rows per band; a doc becomes a candidate when any band hashes
+    identically with any other doc.  All pairs among candidate documents
+    are then verified EXACTLY with the distributed tender pair machinery
+    (shingle self-join restricted to candidate docs, set sizes carried
+    through the pair groupby), so the output has no false positives and
+    integer-exact threshold arithmetic (2·|∩| ≥ |∪| for J ≥ 0.5).
 
-    Partitioning: the bucket groupby shuffles only (band, band_hash, id)
-    rows.  Verification broadcasts the candidate ids' gram sets — valid
-    while the candidate set is small relative to the corpus (dedup regime);
-    a pair-join variant replaces it when candidates explode.
+    Returns a Dataset (id_a, id_b, n_inter, n_union).
+
+    Recall: with the default rows-per-band = 2 (k=96, bands=48) a true
+    pair at J = 0.5 is missed with probability (1 − 0.25)^48 ≈ 1e-6; the
+    only driver-side state is the candidate id list (small in the dedup
+    regime), broadcast once for the corpus-scan filter — the tecl
+    broadcast-small-side pattern, not a per-candidate gram map.
     """
+    from texrex_ray.dedup.tender import gram_shingles, shingle_pairs
+
     rows_per_band = k // bands
     assert rows_per_band * bands == k
 
@@ -56,7 +75,6 @@ def minhash_lsh_pairs(
         texts = t[text_col].to_pylist()
         toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in texts]
         sig = minhash_signatures(toks, k=k, n=n)
-        # hash each band's row-slice to one uint64 bucket key
         ids, band_ids, band_hash = [], [], []
         id_vals = t[id_col].to_pylist()
         for b in range(bands):
@@ -67,7 +85,7 @@ def minhash_lsh_pairs(
             band_hash.extend(keys.tolist())
         return pa.table(
             {
-                "doc_id": pa.array(ids),
+                "doc_id": pa.array(ids, t[id_col].type),
                 "band": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(np.array(band_hash, dtype=np.uint64)),
             }
@@ -77,63 +95,75 @@ def minhash_lsh_pairs(
         b = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return t.append_column("bucket", pa.array((b % np.uint64(64)).astype(np.int64)))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized within the coarse bucket: one self-merge over the full
-        # (band, band_hash) key, hot buckets (>200 docs) capped like tender
+    def bucket_ids(g: pd.DataFrame) -> pd.DataFrame:
+        """Distinct doc ids that share a (band, band_hash) with another doc."""
         counts = g.groupby(["band", "band_hash"])["doc_id"].transform("size")
-        g = g[(counts >= 2) & (counts <= 200)]
-        if g.empty:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
-        m = g.merge(g, on=["band", "band_hash"], suffixes=("_x", "_y"))
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame(
-            {"id_a": m["doc_id_x"].to_numpy(), "id_b": m["doc_id_y"].to_numpy()}
-        ).drop_duplicates()
+        hit = g.loc[(counts >= 2), "doc_id"].drop_duplicates()
+        return pd.DataFrame({"doc_id": hit.to_numpy()})
 
-    cand = (
+    cand_ids_ds = (
         ds.map_batches(band_rows, batch_format="pyarrow")
         .map_batches(coarse, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_ids, batch_format="pandas")
     )
-    cand_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
-    if cand_df.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_pct": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard_pct": "int64"}
+    # candidate id list: the SMALL side (dedup regime) — broadcast once
+    cand_ids = cand_ids_ds.to_pandas()["doc_id"].unique()
+    if len(cand_ids) < 2:
+        # empty result with the input's id dtype
+        sample = pa.array([ds.take(1)[0][id_col]]).slice(0, 0)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": sample,
+                    "id_b": sample,
+                    "n_inter": pa.array([], pa.int64()),
+                    "n_union": pa.array([], pa.int64()),
+                }
+            )
         )
+    cand_ref = ray.put(pa.array(cand_ids))
 
-    # exact verification of the (small) candidate set
-    need = set(cand_df["id_a"]) | set(cand_df["id_b"])
-    need_ref = ray.put(need)
+    def only_candidates(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=ray.get(cand_ref))
+        return t.filter(mask)
 
-    def collect_sets(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = [i in wanted for i in t[id_col].to_pylist()]
-        t = t.filter(pa.array(mask))
-        sets = _token_sets(t[text_col].to_pylist(), n)
-        return pa.table(
-            {
-                "doc_id": t[id_col],
-                "grams": pa.array([sorted(s) for s in sets], pa.list_(pa.string())),
-            }
-        )
-
-    gram_df = ds.map_batches(collect_sets, batch_format="pyarrow").to_pandas()
-    gram_map = {r.doc_id: set(r.grams) for r in gram_df.itertuples()}
-    keep_a, keep_b, jpct = [], [], []
-    for r in cand_df.itertuples():
-        sa, sb = gram_map.get(r.id_a, set()), gram_map.get(r.id_b, set())
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= jaccard_threshold:
-            keep_a.append(r.id_a)
-            keep_b.append(r.id_b)
-            jpct.append(int(round(j * 100)))
-    return pd.DataFrame({"id_a": keep_a, "id_b": keep_b, "jaccard_pct": jpct}).astype(
-        {"id_a": "int64", "id_b": "int64", "jaccard_pct": "int64"}
+    sh = gram_shingles(
+        ds.map_batches(only_candidates, batch_format="pyarrow"),
+        id_col=id_col,
+        text_col=text_col,
+        size_col=None,
+        n=n,
+        size_from_grams=True,
     )
+    pairs = (
+        shingle_pairs(sh, max_redundancy=10**9, order_by_size=False, carry_sizes=True)
+        .groupby(["id_small", "id_big"])
+        .aggregate(
+            Count(alias_name="n_inter"),
+            Max("size_small", alias_name="sz_a"),
+            Max("size_big", alias_name="sz_b"),
+        )
+    )
+    # integer-exact threshold: J >= t  ⇔  i * denom >= t_num * union
+    t_num, t_den = (
+        int(round(jaccard_threshold * 1000)),
+        1000,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        ni = pc.cast(t["n_inter"], pa.int64())
+        nu = pc.cast(pc.subtract(pc.add(t["sz_a"], t["sz_b"]), ni), pa.int64())
+        out = pa.table(
+            {"id_a": t["id_small"], "id_b": t["id_big"], "n_inter": ni, "n_union": nu}
+        )
+        keep = pc.greater_equal(
+            pc.multiply(ni, pa.scalar(t_den, pa.int64())),
+            pc.multiply(nu, pa.scalar(t_num, pa.int64())),
+        )
+        return out.filter(keep)
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_pairs(
@@ -143,16 +173,28 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 12,
     shingle_n: int = 3,
-) -> pd.DataFrame:
+    max_bucket: int = 100_000,
+) -> ray.data.Dataset:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
     Signatures are computed over token ``shingle_n``-grams (word-order
-    sensitive — a bag-of-words simhash confuses documents that merely share
-    vocabulary).  Candidate generation via 4×16-bit block LSH (two
-    signatures within Hamming ≤ 3 must agree on ≥1 of 4 blocks; wider radii
-    raise the block count); candidates verified exactly.
-    Returns (id_a, id_b, hamming).
+    sensitive — a bag-of-words simhash confuses documents that merely
+    share vocabulary).  Candidate generation uses ``max_hamming + 1``
+    disjoint bit blocks: two signatures within Hamming ≤ d differ in at
+    most d blocks, so with d+1 blocks at least one block matches exactly
+    (pigeonhole) — candidate generation is COMPLETE for the advertised
+    radius, fixing the 4-block scheme that only guaranteed d ≤ 3.  Wider
+    radii mean narrower blocks (64 // (d+1) bits) and thus coarser
+    buckets; at corpus scale prefer d ≤ 7 (8-bit blocks).  Exact Hamming
+    verification runs vectorized inside each bucket group; everything is
+    a Dataset — nothing corpus-sized touches the driver.
+
+    Returns a Dataset (id_a, id_b, hamming).
     """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    assert width >= 1, "max_hamming must be < 64"
+    wmask = np.uint64((1 << width) - 1)
 
     def sig_rows(t: pa.Table) -> pa.Table:
         toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in t[text_col].to_pylist()]
@@ -163,31 +205,50 @@ def simhash_pairs(
         sh = simhash64(grams)
         return pa.table({"doc_id": t[id_col], "simhash": pa.array(sh)})
 
-    df = ds.map_batches(sig_rows, batch_format="pyarrow").to_pandas()
-    sig = df["simhash"].to_numpy(dtype=np.uint64)
-    ids = df["doc_id"].to_numpy()
-    # block LSH: bucket by each 16-bit block
-    cand: set[tuple[int, int]] = set()
-    for blk in range(4):
-        keys = (sig >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
-        buckets: dict[int, list[int]] = {}
-        for i, kv in enumerate(keys.tolist()):
-            buckets.setdefault(kv, []).append(i)
-        for members in buckets.values():
-            if len(members) < 2 or len(members) > 500:
-                continue
-            for x in range(len(members)):
-                for y in range(x + 1, len(members)):
-                    i, j = members[x], members[y]
-                    pa_, pb_ = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                    cand.add((int(pa_), int(pb_), i, j))
-    out_a, out_b, ham = [], [], []
-    for ia, ib, i, j in cand:
-        d = bin(int(sig[i]) ^ int(sig[j])).count("1")
-        if d <= max_hamming:
-            out_a.append(ia)
-            out_b.append(ib)
-            ham.append(d)
-    return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": ham}).astype(
-        {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+    def block_rows(t: pa.Table) -> pa.Table:
+        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = []
+        for blk in range(n_blocks):
+            val = (sig >> np.uint64(width * blk)) & wmask
+            key = (np.int64(blk) << np.int64(width)) | val.astype(np.int64)
+            parts.append(
+                pa.table(
+                    {"bkey": pa.array(key), "doc_id": t["doc_id"], "simhash": t["simhash"]}
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = g["doc_id"].dtype
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=id_dtype),
+                "id_b": pd.Series([], dtype=id_dtype),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        g = g.drop_duplicates("doc_id")
+        m = len(g)
+        if m < 2 or m > max_bucket:
+            return empty
+        sig = g["simhash"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy()
+        i, j = np.triu_indices(m, k=1)
+        d = popcount64(sig[i] ^ sig[j])
+        keep = d <= max_hamming
+        if not keep.any():
+            return empty
+        a, b = ids[i[keep]], ids[j[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2, "hamming": d[keep]})
+
+    pairs = (
+        ds.map_batches(sig_rows, batch_format="pyarrow")
+        .map_batches(block_rows, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
+    # a pair can surface from several blocks: reduce to one row
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -542,23 +542,66 @@ def q16_embed_nn(sf_dir: str):
     return nearest_neighbors(ds)
 
 
-@query("q17_minhash_lsh")
+@query("q17_minhash_lsh", sql=_JACCARD_SQL)
 def q17_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup pairs (banded buckets → candidates → exact
-    Jaccard ≥ 0.5 verify); rows-only, validated against q14 in tests."""
+    """MinHash+LSH near-dup pairs (banded buckets → candidate docs →
+    distributed exact Jaccard ≥ 0.5 verify).  With rows-per-band = 2 the
+    candidate recall at J = 0.5 is 1 − (1 − 0.25)^48 ≈ 1 − 1e-6, so the
+    verified output equals the exact all-pairs Jaccard join — the oracle
+    SQL is the same brute-force join as q14."""
     from texrex_ray.dedup.lsh import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, k=96, bands=24, n=3, jaccard_threshold=0.5)
+    out = minhash_lsh_pairs(ds, k=96, bands=48, n=3, jaccard_threshold=0.5)
+
+    def to_int64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "n_inter": t["n_inter"],
+                "n_union": t["n_union"],
+            }
+        )
+
+    return out.map_batches(to_int64, batch_format="pyarrow")
 
 
-@query("q18_simhash_dups")
+_SIMHASH_FIX = "/root/repo/tests/fixtures/oracle/simhash_sig_sf0.01.parquet"
+
+
+@query(
+    "q18_simhash_dups",
+    sql=f"""
+    WITH s AS (SELECT * FROM read_parquet('{_SIMHASH_FIX}'))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    """,
+)
 def q18_simhash_dups(sf_dir: str):
-    """SimHash near-dup pairs (Hamming ≤ 12 via 16-bit block LSH); rows-only."""
+    """SimHash near-dup pairs, Hamming ≤ 12 with COMPLETE candidate
+    generation (13 disjoint bit blocks; pigeonhole guarantees a block
+    match within the radius).  Oracle: a committed signature fixture
+    (tools/gen_oracle_fixtures.py, sf0.01) over which DuckDB does the
+    brute-force O(n²) Hamming join — independently verifying that the
+    block-LSH candidate generation misses nothing."""
     from texrex_ray.dedup.lsh import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=12)
+    out = simhash_pairs(ds, max_hamming=12)
+
+    def to_int64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "hamming": pc.cast(t["hamming"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(to_int64, batch_format="pyarrow")
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -587,11 +630,17 @@ def q20_image_pipeline(sf_dir: str):
     return df.sort_values("image_id").reset_index(drop=True)
 
 
-@query("q21_crawl_visits")
+@query(
+    "q21_crawl_visits",
+    sql="SELECT seq, url, host, action FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/crawl_visits_sf0.01.parquet')",
+)
 def q21_crawl_visits(sf_dir: str):
     """ClaraX crawl on the synthetic web graph (single walker, oracle-
-    faithful): visit-order table (seq, url, host, action).  Rows-only —
-    validated against the sequential oracle in tests."""
+    faithful): visit-order table (seq, url, host, action).  Oracle: the
+    INDEPENDENT sequential ClaraX reimplementation (crawl/oracle.py)
+    produced the committed expected-visits fixture — the engine must
+    reproduce its visit order exactly (the north-rule fidelity gate)."""
     from texrex_ray.crawl.engine import CrawlEngine
     from texrex_ray.crawl.policy import CrawlConfig
     from texrex_ray.sources.webgraph import make_webgraph
