@@ -1,0 +1,81 @@
+"""Charset breadth goldens (ref: trcharsetconverter.pas:93-147): declared
+charsets convert exactly; undeclared content is sniffed on the first 32 KiB
+(ISO-8859-2 / Shift-JIS / Windows-1251 round-trip through the WARC →
+raw-docs charset stage); ISO-8859-1 always upgrades to Windows-1252."""
+
+import ray.data
+
+from texrex_ray.crawl.fetcher import decode_content, detect_charset
+
+PL = "Zażółć gęślą jaźń, pchnąć w tę łódź jeża lub ośm skrzyń fig. " * 40
+JP = "日本語のテキストです。漢字とひらがなとカタカナを含みます。" * 40
+RU = "Съешь же ещё этих мягких французских булок, да выпей чаю. " * 40
+
+
+def test_declared_charsets_decode_exactly():
+    for text, enc, want_name in (
+        (PL, "iso-8859-2", "iso8859-2"),
+        (JP, "shift_jis", "shift_jis"),
+        (RU, "windows-1251", "cp1251"),
+        ("héllo wörld", "utf-8", "utf-8"),
+    ):
+        raw = text.encode(enc)
+        got, name = decode_content(raw, enc)
+        assert got == text
+        assert name == want_name
+
+
+def test_latin1_upgrades_to_cp1252():
+    # 0x93/0x94 are curly quotes in cp1252, control chars in ISO-8859-1
+    raw = b"\x93quoted\x94"
+    got, name = decode_content(raw, "iso-8859-1")
+    assert got == "“quoted”"
+    assert name == "windows-1252"
+
+
+def test_sniff_undeclared():
+    # Cyrillic and CJK detect to an exact-compatible codec; Latin-2 text
+    # can detect to a Latin-family cousin (same ambiguity class as ICU) —
+    # assert the family, and exact round-trips where detection is unique.
+    assert detect_charset(JP.encode("shift_jis")) in ("shift-jis", "shift_jis", "cp932")
+    assert detect_charset(RU.encode("windows-1251")) in ("cp1251", "windows-1251")
+    assert detect_charset(PL.encode("iso-8859-2")).startswith("iso8859-")
+    assert detect_charset("plain utf-8 ascii text".encode()) == "utf-8"
+    text, name = decode_content(RU.encode("windows-1251"), "")
+    assert text == RU and name == "cp1251"
+    # a declared-but-unknown charset name falls back to sniffing too
+    text2, _ = decode_content(RU.encode("windows-1251"), "x-bogus-charset")
+    assert text2 == RU
+    # CJK sniff round-trips exactly (cp932 ⊇ shift-jis for this text)
+    text3, _ = decode_content(JP.encode("shift_jis"), "")
+    assert text3 == JP
+
+
+def test_warc_roundtrip_through_raw_docs():
+    """The q27 path: multi-charset WARC records decode to their original
+    text after the charset stage."""
+    import os
+    import tempfile
+
+    from texrex_ray.pipelines.raw_docs import charset_and_strip
+    from texrex_ray.sources.warc import make_warc_bytes, read_warc
+
+    recs = [
+        {"url": "http://pl.example/x", "ip": "10.0.0.1", "charset": "iso-8859-2",
+         "body": f"<html><body><p>{PL}</p></body></html>".encode("iso-8859-2")},
+        {"url": "http://jp.example/x", "ip": "10.0.0.1", "charset": "shift_jis",
+         "body": f"<html><body><p>{JP}</p></body></html>".encode("shift_jis")},
+        {"url": "http://ru.example/x", "ip": "10.0.0.1", "charset": "",
+         "body": f"<html><body><p>{RU}</p></body></html>".encode("windows-1251")},
+    ]
+    d = tempfile.mkdtemp(prefix="texrex_charset_")
+    with open(os.path.join(d, "f.warc"), "wb") as f:
+        f.write(make_warc_bytes(recs))
+    ds = read_warc(os.path.join(d, "f.warc"), min_doc_size=0)
+    out = ds.map_batches(charset_and_strip, batch_format="pyarrow").to_pandas()
+    by_url = {r["url"]: r for _, r in out.iterrows()}
+    texts = {u: " ".join(dv["text"] for dv in by_url[u]["divs"]) for u in by_url}
+    assert PL.strip() in texts["http://pl.example/x"] + " "
+    assert JP.strip() in texts["http://jp.example/x"] + " "
+    assert RU.strip() in texts["http://ru.example/x"] + " "
+    assert by_url["http://ru.example/x"]["charset"] == "cp1251"

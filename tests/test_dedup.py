@@ -84,6 +84,28 @@ def test_tender_on_documents_matches_bruteforce():
     assert got_set == want
 
 
+def test_auto_buckets_scale_with_input():
+    from texrex_ray.dedup.tender import auto_buckets
+
+    assert auto_buckets(None) == 64
+    assert auto_buckets(10_000) == 64  # floor
+    assert auto_buckets(250_000 * 512) == 512  # ∝ rows
+    assert auto_buckets(10**12) == 1 << 16  # ceiling
+
+
+def test_pairs_independent_of_bucket_count():
+    """Same-shingle rows always co-bucket, so the pair set must be identical
+    under any n_buckets — the invariant that makes auto-sizing safe."""
+    from texrex_ray.dedup.tender import count_pairs, shingle_pairs
+
+    sh = _shingle_table()
+    outs = []
+    for nb in (1, 7, 64, 1024):
+        p = count_pairs(shingle_pairs(sh, n_buckets=nb), 5).to_pandas()
+        outs.append({(r.id_small, r.id_big, r.n_shared) for r in p.itertuples()})
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
 def test_minhash_lsh_finds_true_pairs():
     from texrex_ray.dedup.lsh import minhash_lsh_pairs
 

@@ -8,18 +8,78 @@ result carries everything the walker (links) and the corpus (divs, title)
 need — mirroring ClaraX processing its page inline (ref :700-771).
 
 Charset handling mirrors the CharsetConverter (ref:
-trcharsetconverter.pas:93-147): declared meta charset wins; undeclared
-content is sniffed by strict-UTF-8 validity with a Windows-1252 fallback
-(the reference's ISO-8859-1→Windows-1252 override, ref :121-129).
+trcharsetconverter.pas:93-147): a declared charset wins when it names a
+known codec; otherwise the first 32 KiB are sniffed (the reference's ICU
+detection window, ref :96-113 — here ``charset_normalizer``, pure Python,
+with a strict-UTF-8 fast path); ISO-8859-1 is always upgraded to
+Windows-1252 (ref :121-129, the web-reality override).
 """
 
 from __future__ import annotations
 
+import codecs
 from dataclasses import dataclass, field
 
 from texrex_ray.crawl.policy import CrawlConfig
 from texrex_ray.functions.striphtml import strip_html
 from texrex_ray.functions.urlkit import scope_links
+
+DETECT_WINDOW = 32 * 1024  # ref: trcharsetconverter.pas:96-113
+
+# ISO-8859-1 → Windows-1252 override (ref: trcharsetconverter.pas:121-129)
+_LATIN1_ALIASES = {
+    "iso-8859-1", "iso8859-1", "latin-1", "latin1", "l1",
+    "windows-1252", "cp1252", "ansi",
+}
+
+
+def _codec_for(declared: str) -> str | None:
+    """Python codec for a declared charset name, or None if unusable."""
+    cs = (declared or "").strip().lower().replace("_", "-")
+    if not cs:
+        return None
+    if cs in _LATIN1_ALIASES:
+        return "cp1252"
+    try:
+        codecs.lookup(cs)
+        return cs
+    except LookupError:
+        return None
+
+
+def detect_charset(head: bytes) -> str:
+    """Sniff an encoding from the leading bytes (≤ DETECT_WINDOW).
+
+    Strict UTF-8 validity first (covers the vast majority and is cheap),
+    then charset_normalizer for the long tail (Shift-JIS, KOI8, ISO-8859-x,
+    Windows-125x, …), with the ISO-8859-1→Windows-1252 override applied to
+    the detector's answer too."""
+    if head.startswith(codecs.BOM_UTF8):
+        return "utf-8-sig"
+    if head.startswith((codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE)):
+        return "utf-16"
+    try:
+        head.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    try:
+        from charset_normalizer import from_bytes
+
+        best = from_bytes(head).best()
+        if best is not None:
+            cs = best.encoding.lower().replace("_", "-")
+            return "cp1252" if cs in _LATIN1_ALIASES else cs
+    except ImportError:  # pragma: no cover — lib is present in this env
+        pass
+    return "cp1252"
+
+
+def charset_name(codec: str) -> str:
+    """Canonical output name (q27 charset column): python codec name with
+    the web-facing spellings for the two most common cases."""
+    name = codecs.lookup(codec).name
+    return {"cp1252": "windows-1252", "utf-8-sig": "utf-8"}.get(name, name)
 
 
 @dataclass
@@ -37,15 +97,14 @@ class FetchResult:
 
 
 def decode_content(content: bytes, declared: str) -> tuple[str, str]:
-    """(text, charset) per the charset-converter rules."""
-    cs = (declared or "").lower()
-    if cs in ("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"):
-        return content.decode("cp1252", errors="replace"), "windows-1252"
-    if cs in ("utf-8", "utf8"):
-        return content.decode("utf-8", errors="replace"), "utf-8"
+    """(text, charset) per the charset-converter rules: declared charset
+    (if it names a known codec) > 32 KiB sniff > cp1252 fallback."""
+    codec = _codec_for(declared)
+    if codec is None:
+        codec = detect_charset(content[:DETECT_WINDOW])
     try:
-        return content.decode("utf-8"), "utf-8"
-    except UnicodeDecodeError:
+        return content.decode(codec, errors="replace"), charset_name(codec)
+    except LookupError:  # defensive: detector returned an unknown name
         return content.decode("cp1252", errors="replace"), "windows-1252"
 
 

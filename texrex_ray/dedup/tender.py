@@ -84,22 +84,40 @@ def minhash_shingles(
     size_col: str | None = "n_chars",
     k: int = 100,
     n: int = 5,
+    scheme: str = "rabin",
 ) -> ray.data.Dataset:
     """Explode documents into k minhash rows (the reference's shingle file).
 
-    Output schema: (doc_id, shingle: uint64, doc_size: int64) — 100 rows per
+    Output schema: (doc_id, shingle: uint64, doc_size: int64) — k rows per
     document, exactly the writer layout of trwritetools.pas:419-441 minus
     the fixed-width text encoding.
+
+    ``scheme="rabin"`` (default) is the reference-faithful fingerprint:
+    Rabin64 under the first k polynomials of the ported trpoly64 table over
+    UPPER-cased space-padded 5-grams (trshingler.pas:97-150) — values are
+    interchangeable with reference-produced shingle files, and documents
+    with fewer than n tokens emit NO rows (the reference skips them).
+    ``scheme="fast"`` is the xxhash+affine-permutation construction (same
+    minhash family, cheaper, NOT value-compatible).
     """
 
     def explode(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
         toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in texts]
-        sig = minhash_signatures(toks, k=k, n=n)
         id_vals = t[id_col].to_pylist()
         size_vals = (
             t[size_col].to_pylist() if size_col else [len(s or "") for s in texts]
         )
+        if scheme == "rabin":
+            from texrex_ray.functions.rabin import rabin_minhash_signatures
+
+            sig, has_fp = rabin_minhash_signatures(toks, k=k, n=n)
+            keep = np.flatnonzero(has_fp)
+            sig = sig[keep]
+            id_vals = [id_vals[i] for i in keep]
+            size_vals = [size_vals[i] for i in keep]
+        else:
+            sig = minhash_signatures(toks, k=k, n=n)
         ids = [d for d in id_vals for _ in range(k)]
         sizes = [s for s in size_vals for _ in range(k)]
         return pa.table(
@@ -113,12 +131,31 @@ def minhash_shingles(
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def auto_buckets(
+    expected_rows: int | None,
+    target_bucket_rows: int = 250_000,
+    lo: int = 64,
+    hi: int = 1 << 16,
+) -> int:
+    """Bucket count ∝ input size so one bucket ≈ one in-memory group.
+
+    A FIXED bucket count makes each bucket ~corpus/N — terabytes at the
+    100 TB design point.  Scaling buckets with the shingle row count keeps
+    every ``map_groups`` group near ``target_bucket_rows`` rows regardless
+    of corpus size (the shuffle fan-out grows instead, which Ray handles).
+    """
+    if not expected_rows:
+        return lo
+    return max(lo, min(hi, int(np.ceil(expected_rows / target_bucket_rows))))
+
+
 def shingle_pairs(
     shingles: ray.data.Dataset,
     max_redundancy: int = 200,
     order_by_size: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     carry_sizes: bool = False,
+    expected_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Phase 2: per-shingle C(n,2) pair generation, smaller doc first.
 
@@ -134,7 +171,14 @@ def shingle_pairs(
     pandas self-merge.  The ``max_redundancy`` cap (ref:
     trshinglehelpers.pas:436-437) drops hot shingles before the merge, so
     skewed shingles cannot blow up a bucket.
+
+    ``n_buckets=None`` sizes the bucket count from ``expected_rows`` (pass
+    n_docs × k for minhash shingles) via ``auto_buckets`` so per-bucket
+    memory stays flat as the corpus grows; pair membership is independent
+    of the bucket count (same-shingle rows always co-bucket), tested.
     """
+    if n_buckets is None:
+        n_buckets = auto_buckets(expected_rows)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         col = t["shingle"]
@@ -213,9 +257,17 @@ def tender(
     id_col: str = "doc_id",
     text_col: str = "text",
     size_col: str | None = "n_chars",
+    scheme: str = "rabin",
 ) -> ray.data.Dataset:
     """Full tender: documents → near-dup pairs (id_small, id_big, n_shared)."""
     mk = minhash_shingles if use_minhash else gram_shingles
-    kw = {"k": k, "n": n} if use_minhash else {"n": n}
+    kw = {"k": k, "n": n, "scheme": scheme} if use_minhash else {"n": n}
     sh = mk(ds, id_col=id_col, text_col=text_col, size_col=size_col, **kw)
-    return count_pairs(shingle_pairs(sh, max_redundancy), pair_threshold)
+    try:
+        n_docs = ds.count()  # metadata-only on parquet reads
+    except Exception:  # noqa: BLE001 — sizing hint only
+        n_docs = None
+    expected = n_docs * (k if use_minhash else 256) if n_docs else None
+    return count_pairs(
+        shingle_pairs(sh, max_redundancy, expected_rows=expected), pair_threshold
+    )

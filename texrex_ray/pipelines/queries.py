@@ -431,15 +431,23 @@ def q12_near_dup_survivors(sf_dir: str):
     return ds.map_batches(anti, batch_format="pyarrow")
 
 
-@query("q13_minhash_tender")
+@query(
+    "q13_minhash_tender",
+    sql="SELECT id_small, id_big, n_shared FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/minhash_tender_sf0.01.parquet')",
+)
 def q13_minhash_tender(sf_dir: str):
-    """The reference's actual tender scheme: 100 minhashes/doc as the shingle
-    table, pair counting on minhash collisions (rows-only: the hash family
-    is not SQL-expressible).  ref: trshingler.pas + trtenderapplication.pas."""
+    """The reference's actual tender scheme: 100 Rabin64 minhashes/doc over
+    the ported trpoly64 table as the shingle table, pair counting on
+    minhash collisions.  ref: trshingler.pas + trtenderapplication.pas.
+    Oracle: committed fixture from an independent naive pair-counter over
+    the same signatures (tools/gen_oracle_fixtures.py); the hash values
+    themselves are pinned against a literal transcription of the reference
+    algorithm in tests/test_rabin.py."""
     from texrex_ray.dedup.tender import tender
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    pairs = tender(ds, use_minhash=True, k=100, pair_threshold=5)
+    pairs = tender(ds, use_minhash=True, k=100, pair_threshold=5, scheme="rabin")
     df = pairs.to_pandas()
     return df.astype({"id_small": "int64", "id_big": "int64", "n_shared": "int64"})
 
@@ -654,11 +662,16 @@ def q21_crawl_visits(sf_dir: str):
     return pd.DataFrame(rows, columns=["seq", "url", "host", "action"])
 
 
-@query("q24_text_assessment")
+@query(
+    "q24_text_assessment",
+    sql="SELECT doc_id, pred_lang, badness_bp FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/text_assessment_sf0.01.parquet')",
+)
 def q24_text_assessment(sf_dir: str):
     """TextAssessmentMulti over documents: predicted language (argmin
-    badness over profiles) + badness in basis points (rows-only: the
-    profile math is not SQL-expressible)."""
+    badness over profiles) + badness in basis points.  Oracle: committed
+    fixture from a scalar per-doc recomputation (cleanse → normalize →
+    tokenize → assess) that bypasses the Dataset pipeline composition."""
     from texrex_ray.pipelines.clean_documents import clean_documents
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -800,40 +813,112 @@ def q30_distinct_event_types(sf_dir: str):
     return pd.DataFrame({"event_type": sorted(vals)})
 
 
-@query("q31_hydra")
+_LM_SQL = f"""
+    lm AS (SELECT token, CAST(n AS BIGINT) AS n FROM (
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({TOKEN_SQL}) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)),
+    tot AS (SELECT CAST(SUM(n) + COUNT(*) + 1 AS BIGINT) AS t FROM lm)
+"""
+
+_HYDRA_PAT = r"(\w+)- (\w+)"
+
+_HYDRA_SQL = (
+    "WITH "
+    + _LM_SQL
+    + r""",
+    dirty AS (SELECT doc_id,
+              regexp_replace(text, '\b(\w{3})(\w{3,})\b', '\1- \2', 'g') AS d
+              FROM documents),
+    spans AS (SELECT doc_id, unnest(regexp_extract_all(d, '(\w+)- (\w+)')) AS sp
+              FROM dirty),
+    parts AS (SELECT doc_id,
+                     lower(regexp_extract(sp, '(\w+)- (\w+)', 1)) AS l,
+                     lower(regexp_extract(sp, '(\w+)- (\w+)', 2)) AS r
+              FROM spans),
+    scored AS (SELECT p.doc_id,
+        (COALESCE(cl.n, 0) + 1) * (COALESCE(cr.n, 0) + 1) AS pp,
+        COALESCE(cm.n, 0) AS cm_n, COALESCE(ch.n, 0) AS ch_n,
+        (SELECT t FROM tot) AS t
+        FROM parts p
+        LEFT JOIN lm cl ON cl.token = p.l
+        LEFT JOIN lm cr ON cr.token = p.r
+        LEFT JOIN lm cm ON cm.token = p.l || p.r
+        LEFT JOIN lm ch ON ch.token = p.l || '-' || p.r),
+    reps AS (SELECT doc_id, COUNT(*) AS n FROM scored
+             WHERE ((cm_n + 1) * t >= pp AND cm_n >= ch_n)
+                OR ((ch_n + 1) * t >= pp)
+             GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_repairs
+    FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
+"""
+)
+
+
+@query("q31_hydra", sql=_HYDRA_SQL)
 def q31_hydra(sf_dir: str):
     """hydra de-hyphenation (ref: trhydraapplication.pas:400-568): seeded
-    hyphen injection into documents text, then LM-driven repair; returns
-    per-doc repair counts (rows-only)."""
+    hyphen injection into every ≥6-char word, then LM-driven repair.
+    Returns per-doc counts of non-LEAVE decisions; the integer-exact
+    decision arithmetic makes the DuckDB oracle reproduce it bit-for-bit
+    (the LM is the corpus top-20 token table, computable in SQL)."""
     import re as _re
 
-    from texrex_ray.stages.postproc import UnigramLM, dehyphenate
+    from texrex_ray.stages.postproc import HYPH_RE, UnigramLM, dehyphenate, hydra_decision
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     toks = q02_top_tokens(sf_dir)  # corpus top tokens as the unigram LM
     lm = UnigramLM(dict(zip(toks["token"], toks["n"])))
     lm_ref = ray.put(lm)
+    dirt = _re.compile(r"\b(\w{3})(\w{3,})\b")
 
     def repair(t: pa.Table) -> pa.Table:
         lm_ = ray.get(lm_ref)
         ids, n_rep = [], []
         for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = s or ""
-            # deterministic dirt: hyphen-split the first 3 words of ≥6 chars
-            dirty = _re.sub(r"\b(\w{3})(\w{3,})\b", r"\1- \2", s, count=3)
-            fixed = dehyphenate(dirty, lm_)
+            dirty = dirt.sub(r"\1- \2", s or "")
+            dehyphenate(dirty, lm_)  # the operator under test
+            n = sum(
+                1
+                for m in HYPH_RE.finditer(dirty)
+                if hydra_decision(lm_, m.group(1), m.group(2)) != "leavealone"
+            )
             ids.append(i)
-            n_rep.append(sum(1 for a, b in zip(dirty.split(), fixed.split()) if a != b))
+            n_rep.append(n)
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_repairs": pa.array(n_rep, pa.int64())})
 
     return ds.map_batches(repair, batch_format="pyarrow")
 
 
-@query("q32_rofl")
+_ROFL_SQL = (
+    "WITH "
+    + _LM_SQL
+    + r""",
+    dirty AS (SELECT doc_id, regexp_replace(text, '(\w+) (\w+)', '\1.\2', 'g') AS d
+              FROM documents),
+    spans AS (SELECT doc_id,
+              unnest(regexp_extract_all(d, '([a-zA-Z]{2,})[!?:.]+([a-zA-Z]{2,})')) AS sp
+              FROM dirty),
+    parts AS (SELECT doc_id,
+                     lower(regexp_extract(sp, '([a-zA-Z]{2,})[!?:.]+([a-zA-Z]{2,})', 1)) AS a,
+                     lower(regexp_extract(sp, '([a-zA-Z]{2,})[!?:.]+([a-zA-Z]{2,})', 2)) AS b
+              FROM spans),
+    q AS (SELECT doc_id, COUNT(*) AS nq FROM parts
+          WHERE a IN (SELECT token FROM lm) AND b IN (SELECT token FROM lm)
+          GROUP BY doc_id)
+    SELECT d.doc_id, CAST(LEAST(COALESCE(q.nq, 0), 10) AS BIGINT) AS n_splits
+    FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id
+"""
+)
+
+
+@query("q32_rofl", sql=_ROFL_SQL)
 def q32_rofl(sf_dir: str):
     """rofl run-together fixing (ref: trroflapplication.pas:380-493):
-    seeded '.'-gluing of token pairs, then word-list-driven splits;
-    per-doc split counts (rows-only)."""
+    seeded '.'-gluing of every adjacent token pair, then word-list-driven
+    splits (word list = corpus top-20 tokens, limit 10).  Returns per-doc
+    applied-split counts; the oracle reproduces the candidate regex and
+    word-list gate in SQL."""
     import re as _re
 
     from texrex_ray.stages.postproc import fix_runtogether
@@ -842,16 +927,16 @@ def q32_rofl(sf_dir: str):
     toks = q02_top_tokens(sf_dir)
     words = set(toks["token"])
     words_ref = ray.put(words)
+    dirt = _re.compile(r"(\w+) (\w+)")
 
     def fix(t: pa.Table) -> pa.Table:
         w = ray.get(words_ref)
         ids, n_sp = [], []
         for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = s or ""
-            dirty = _re.sub(r"(\w+) (\w+)", r"\1.\2", s, count=3)
-            fixed = fix_runtogether(dirty, w, limit=10)
+            dirty = dirt.sub(r"\1.\2", s or "")
+            _, n = fix_runtogether(dirty, w, limit=10, with_count=True)
             ids.append(i)
-            n_sp.append(fixed.count(". "))
+            n_sp.append(n)
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_splits": pa.array(n_sp, pa.int64())})
 
     return ds.map_batches(fix, batch_format="pyarrow")
@@ -886,12 +971,17 @@ def q33_xml_writer(sf_dir: str):
     return df[["doc_id", "xml_chars"]].sort_values("doc_id").reset_index(drop=True)
 
 
-@query("q34_priority_crawl")
+@query(
+    "q34_priority_crawl",
+    sql="SELECT round, url, host FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/priority_crawl_sf0.01.parquet')",
+)
 def q34_priority_crawl(sf_dir: str):
     """Degree-biased priority-frontier crawl (the north-star's priority
     scheduler): per-partition heaps keyed by host in-degree, global top-B
-    selection per round, politeness/robots gated; rows-only (validated for
-    partition-count determinism + degree bias in tests)."""
+    selection per round, politeness/robots gated.  Oracle: committed
+    expected-visits fixture (determinism across partition counts + degree
+    bias are separately asserted in tests)."""
     from texrex_ray.crawl.priority import PriorityCrawlEngine
     from texrex_ray.sources.webgraph import make_webgraph
 
@@ -904,10 +994,17 @@ def q34_priority_crawl(sf_dir: str):
     return pd.DataFrame(rows, columns=["round", "url", "host"])
 
 
-@query("q19_lsh_ann")
+@query(
+    "q19_lsh_ann",
+    sql="SELECT query_id, neighbor_id, rank FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/lsh_ann_sf0.01.parquet')",
+)
 def q19_lsh_ann(sf_dir: str):
-    """Approximate NN via random-hyperplane LSH buckets (scale path of q15);
-    rows-only, recall vs brute force asserted in tests."""
+    """Approximate NN via random-hyperplane LSH buckets (scale path of
+    q15).  Oracle: committed fixture from an independent numpy
+    reimplementation of the same probe plan (bucket → multi-probe →
+    brute-force within probed buckets); recall vs exact KNN asserted in
+    tests."""
     from texrex_ray.dedup.embed import lsh_ann
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

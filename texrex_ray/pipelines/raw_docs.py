@@ -174,9 +174,20 @@ class DocAssessor:
         return batch.set_column(batch.schema.get_field_index("valid"), "valid", v)
 
 
-def shingle_stage(batch: pa.Table, k: int = 100) -> pa.Table:
+def shingle_stage(batch: pa.Table, k: int = 100, scheme: str = "rabin") -> pa.Table:
+    """Document fingerprint column (ref: trshingler.pas:97-150).
+
+    Default is the reference-faithful Rabin64 minhash over the ported
+    trpoly64 table — values interchangeable with reference shingle files;
+    docs without enough tokens keep the all-ones no-fingerprint marker.
+    """
     toks = batch["tokens"].to_pylist()
-    sig = minhash_signatures(toks, k=k)
+    if scheme == "rabin":
+        from texrex_ray.functions.rabin import rabin_minhash_signatures
+
+        sig, _ = rabin_minhash_signatures(toks, k=k)
+    else:
+        sig = minhash_signatures(toks, k=k)
     col = pa.FixedSizeListArray.from_arrays(pa.array(sig.reshape(-1)), k)
     return batch.append_column("fingerprint", col)
 

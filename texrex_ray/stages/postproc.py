@@ -34,21 +34,29 @@ class UnigramLM:
     """Add-one-smoothed unigram model (ref: trhydraapplication.pas:146-207)."""
 
     def __init__(self, freqs: dict[str, int]):
-        self.freqs = freqs
-        self.total = sum(freqs.values()) + len(freqs) + 1
+        self.freqs = {k.lower(): int(v) for k, v in freqs.items()}
+        self.total = sum(self.freqs.values()) + len(self.freqs) + 1
+
+    def count(self, w: str) -> int:
+        return self.freqs.get(w.lower(), 0)
 
     def p(self, w: str) -> float:
-        return (self.freqs.get(w.lower(), 0) + 1) / self.total
+        return (self.count(w) + 1) / self.total
 
 
 def hydra_decision(lm: UnigramLM, left: str, right: str) -> str:
-    p_parts = lm.p(left) * lm.p(right)
-    p_merged = lm.p(left + right)
-    p_hyphen = lm.p(left + "-" + right)
-    best = max(p_parts, p_merged, p_hyphen)
-    if best == p_merged:
+    """Most probable of parts / merged / hyphenated, merged-first on ties.
+
+    The probability comparisons are cross-multiplied into INTEGER
+    arithmetic (p_merged ≥ p_parts ⇔ (c_m+1)·T ≥ (c_l+1)·(c_r+1)), so the
+    decision is exact and reproducible by an integer SQL oracle — no float
+    rounding at the tie boundaries."""
+    cl, cr = lm.count(left), lm.count(right)
+    cm, ch = lm.count(left + right), lm.count(left + "-" + right)
+    pp = (cl + 1) * (cr + 1)
+    if (cm + 1) * lm.total >= pp and cm >= ch:
         return MERGE
-    if best == p_hyphen:
+    if (ch + 1) * lm.total >= pp:
         return CONCATENATE
     return LEAVE
 
@@ -86,7 +94,8 @@ def fix_runtogether(
     prefix_ignore: set[str] = frozenset(),
     suffix_ignore: set[str] = frozenset(),
     limit: int = 3,
-) -> str:
+    with_count: bool = False,
+) -> str | tuple[str, int]:
     # pre-wash phpBB emoticons so ":lol:" doesn't trigger a split
     protected = {}
 
@@ -116,7 +125,7 @@ def fix_runtogether(
     line = ROFL_RE.sub(repl, line)
     for key, val in protected.items():
         line = line.replace(key, val)
-    return line
+    return (line, n) if with_count else line
 
 
 def rofl_stage(

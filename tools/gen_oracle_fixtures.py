@@ -73,10 +73,145 @@ def gen_crawl_visits() -> None:
     print("crawl_visits_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_minhash_tender() -> None:
+    """Expected q13 pairs via NAIVE pair counting (dict of shingle→docs,
+    strict <200 cap, C(n,2) smaller-first by (n_chars, doc_id), count ≥5)
+    — independent of the distributed bucketed-self-join machinery.  The
+    Rabin hash itself is pinned by tests/test_rabin.py's scalar
+    transcription goldens."""
+    from collections import Counter, defaultdict
+
+    from texrex_ray.functions.rabin import rabin_minhash_signatures
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    df = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).to_pandas()
+    toks = [LATIN_TOKEN_RE.findall(s.lower()) for s in df["text"]]
+    sig, has_fp = rabin_minhash_signatures(toks, k=100, n=5)
+    by_sh = defaultdict(list)
+    for i, (did, sz) in enumerate(zip(df["doc_id"], df["n_chars"])):
+        if not has_fp[i]:
+            continue
+        for v in sig[i]:
+            by_sh[int(v)].append((int(sz), int(did)))
+    cnt: Counter = Counter()
+    for docs in by_sh.values():
+        if len(docs) < 2 or len(docs) >= 200:
+            continue
+        docs = sorted(docs)
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                cnt[(docs[x][1], docs[y][1])] += 1
+    rows = sorted((a, b, n) for (a, b), n in cnt.items() if n >= 5)
+    t = pa.table(
+        {
+            "id_small": pa.array([r[0] for r in rows], pa.int64()),
+            "id_big": pa.array([r[1] for r in rows], pa.int64()),
+            "n_shared": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "minhash_tender_sf0.01.parquet"))
+    print("minhash_tender_sf0.01.parquet:", t.num_rows, "rows")
+
+
+def gen_text_assessment() -> None:
+    """Expected q24 (pred_lang, badness_bp) by SCALAR per-doc recomputation
+    (cleanse → normalize → nfc → tokenize → rel-freqs → assess_multi),
+    bypassing the Dataset pipeline composition entirely."""
+    from texrex_ray.functions.assess import LanguageProfile, assess_multi
+    from texrex_ray.functions.cleanse import cleanse_full
+    from texrex_ray.functions.normalize import nfc, normalize_text
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE, rel_freqs, type_counts
+    from texrex_ray.sources.profiles import default_profiles
+
+    profs = [LanguageProfile.parse(n, t) for n, t in default_profiles()]
+    df = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ids, langs, bps = [], [], []
+    for did, text in zip(df["doc_id"], df["text"]):
+        s = nfc(normalize_text(cleanse_full(text or "")[0]))
+        toks = LATIN_TOKEN_RE.findall(s)
+        lang, b = assess_multi(rel_freqs(type_counts(toks)), profs)
+        ids.append(int(did))
+        langs.append(lang)
+        bps.append(int(np.round(b * 10_000)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "pred_lang": pa.array(langs, pa.string()),
+            "badness_bp": pa.array(bps, pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "text_assessment_sf0.01.parquet"))
+    print("text_assessment_sf0.01.parquet:", t.num_rows, "rows")
+
+
+def gen_lsh_ann() -> None:
+    """Expected q19 via an INDEPENDENT numpy reimplementation of the probe
+    plan (same seed/planes): bucket all vectors, per query brute-force the
+    probed buckets, top-10 by (sim desc, id asc)."""
+    df = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    ids = df["vec_id"].to_numpy(np.int64)
+    m = np.asarray(list(df["embedding"]), dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((m.shape[1], 4))
+    bucket = (((m @ planes) > 0) * (1 << np.arange(4))).sum(axis=1)
+    rows = []
+    for q in range(8):
+        qi = int(np.flatnonzero(ids == q)[0])
+        probe = {int(bucket[qi])} | {int(bucket[qi]) ^ (1 << b) for b in range(4)}
+        cand = np.flatnonzero(np.isin(bucket, list(probe)) & (ids != q))
+        sims = m[cand] @ m[qi]
+        order = np.lexsort((ids[cand], -sims))[:10]
+        for rank, j in enumerate(order, 1):
+            rows.append((q, int(ids[cand[j]]), rank))
+    t = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "lsh_ann_sf0.01.parquet"))
+    print("lsh_ann_sf0.01.parquet:", t.num_rows, "rows")
+
+
+def gen_priority_crawl() -> None:
+    """Expected q34 visit table (regression pin: the priority engine has no
+    independent sequential oracle; determinism across partition counts is
+    asserted in tests)."""
+    import ray
+
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    eng = PriorityCrawlEngine(g, n_partitions=4, budget_per_round=16)
+    eng.run(max_fetches=120)
+    rows = eng.visit_order()
+    eng.shutdown()
+    t = pa.table(
+        {
+            "round": pa.array([r[0] for r in rows], pa.int64()),
+            "url": pa.array([r[1] for r in rows], pa.string()),
+            "host": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "priority_crawl_sf0.01.parquet"))
+    print("priority_crawl_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_simhash_signatures()
     gen_crawl_visits()
+    gen_minhash_tender()
+    gen_text_assessment()
+    gen_lsh_ann()
+    gen_priority_crawl()
 
 
 if __name__ == "__main__":
