@@ -12,12 +12,18 @@ per div (``:619-699``; FANN 37→18→1 sigmoid-symmetric per
 boilerplate, then kill whole documents below non-boilerplate div/char
 count+proportion thresholds (``:290-335``).
 
-The shipped FANN weights are data we do not copy; ``synthetic_weights``
-builds a deterministic stand-in net whose sign structure encodes the
-classic boilerplate heuristics (high markup ratio, short text, many
-anchors → boilerplate).  The tenet trainer is offline tooling out of
-engine scope (SURVEY.md §2.6); real weights would load from the same JSON
-shape.
+The reference's FANN weight files are data we do not copy; the shipped
+``data/boilerplate_weights.json`` is TRAINED here by the tenet-equivalent
+iRPROP− trainer (``stages/boilertrain.py`` via
+``tools/train_boilerplate.py``) on synthetic labeled paragraphs
+(nav/footer/copyright/menu boilerplate vs sentence content) over the same
+37 features, holding >0.9/0.9 precision/recall on a held-out seed
+(asserted in tests).  ``synthetic_weights`` remains as the dependency-free
+fallback stand-in.
+
+Doc-kill thresholds default to the reference's shipped configuration
+(data/texrex.ini:126-130: Threshold 0.55, MinDivsBelowThreshold 1,
+MinCharsBelowThreshold 500, MinCharProportion 0.25, MinDivProportion 0.1).
 
 Actor-pool stage: weights load once per actor in ``__init__``.
 """
@@ -25,6 +31,7 @@ Actor-pool stage: weights load once per actor in ``__init__``.
 from __future__ import annotations
 
 import json
+import os
 import re
 
 import numpy as np
@@ -33,6 +40,16 @@ from texrex_ray.functions.striphtml import DivInfo
 
 N_FEATURES = 37
 _SENT_RE = re.compile(r"[.!?]+")
+TRAINED_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "boilerplate_weights.json",
+)
+
+
+def trained_weights() -> dict:
+    """The shipped iRPROP−-trained net (tools/train_boilerplate.py)."""
+    with open(TRAINED_WEIGHTS_PATH) as f:
+        return json.load(f)
 
 
 def div_features(infos: list[DivInfo], doctype: str = "") -> np.ndarray:
@@ -153,31 +170,42 @@ class Deboilerplater:
     def __init__(
         self,
         weights_json: str | None = None,
-        threshold: float = 0.5,
-        min_good_divs: int = 2,
-        min_good_chars: int = 100,
-        min_good_prop: float = 0.1,
+        threshold: float = 0.55,
+        min_good_divs: int = 1,
+        min_good_chars: int = 500,
+        min_char_prop: float = 0.25,
+        min_div_prop: float = 0.1,
     ):
-        weights = json.loads(weights_json) if weights_json else synthetic_weights()
+        if weights_json:
+            weights = json.loads(weights_json)
+        else:
+            try:
+                weights = trained_weights()
+            except OSError:
+                weights = synthetic_weights()
         self.net = MLP(weights)
         self.threshold = threshold
         self.min_good_divs = min_good_divs
         self.min_good_chars = min_good_chars
-        self.min_good_prop = min_good_prop
+        self.min_char_prop = min_char_prop
+        self.min_div_prop = min_div_prop
 
     def score_doc(self, infos: list[DivInfo], doctype: str = "") -> tuple[np.ndarray, bool]:
-        """(per-div scores, doc_valid)."""
+        """(per-div scores, doc_valid) — kill logic per
+        trdeboilerplater.pas:290-335 (DecideThreshs)."""
         feats = div_features(infos, doctype)
         if len(infos) == 0:
             return np.zeros(0), False
         scores = self.net.score(feats)
         good = scores <= self.threshold
+        n_good = int(good.sum())
         good_chars = sum(len(d.text) for d, g in zip(infos, good) if g)
         total_chars = max(1, sum(len(d.text) for d in infos))
         doc_valid = (
-            int(good.sum()) >= self.min_good_divs
+            n_good >= self.min_good_divs
             and good_chars >= self.min_good_chars
-            and good_chars / total_chars >= self.min_good_prop
+            and good_chars / total_chars >= self.min_char_prop
+            and n_good / len(infos) >= self.min_div_prop
         )
         return scores, doc_valid
 
