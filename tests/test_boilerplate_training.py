@@ -38,10 +38,10 @@ def test_doc_kill_thresholds():
         boiler_only = [dv for dv, y in zip(divs, labels) if y == 1]
         content_heavy = [dv for dv, y in zip(divs, labels) if y == 0] * 4
         if boiler_only:
-            _, ok = d.score_doc(boiler_only, doctype)
+            _, ok, _ = d.score_doc(boiler_only, doctype)
             killed += not ok
         if sum(len(dv.text) for dv in content_heavy) >= 600:
-            _, ok = d.score_doc(content_heavy, doctype)
+            _, ok, _ = d.score_doc(content_heavy, doctype)
             survived += ok
     assert killed >= 35  # pure boilerplate rarely survives
     assert survived >= 30  # content-heavy docs rarely die

@@ -124,6 +124,38 @@ def test_driver_memory_bounded(graph, tmp_path):
     shutil.rmtree(d + "2", ignore_errors=True)
 
 
+def test_host_scope_and_jitter_config(graph):
+    """HostScopeRegex confines the crawl; AddRandomWaitUpTo spreads fetches
+    without breaking layout determinism (ref: trwalkers.pas:630-644,774-823)."""
+    cfg = CrawlConfig(host_scope_regex=r"\.tld0$", random_jump_probability=0.0)
+    eng = CrawlEngine(graph, n_walkers=2, n_partitions=2, seed=42, config=cfg)
+    eng.run(max_steps=60, max_rounds=400)
+    hosts = {h for _, _, h, _ in eng.visit_order() if h}
+    # every non-seed host reached via links is inside the scope; seeds may
+    # be off-scope (the reference also fetches seeds unconditionally)
+    followed = [h for _, _, h, a in eng.visit_order() if a == "step"]
+    assert followed and all(h.endswith(".tld0") for h in followed), hosts
+
+    runs = []
+    for n_parts in (2, 8):
+        cfg_j = CrawlConfig(add_random_wait_up_to=3)
+        e = CrawlEngine(graph, n_walkers=4, n_partitions=n_parts, seed=42, config=cfg_j)
+        e.run(max_steps=80, max_rounds=400)
+        runs.append(e.visit_order())
+        assert sum(e.stats.partition_metrics[p].get("jitter_waits", 0)
+                   for p in e.stats.partition_metrics) > 0
+    assert runs[0] == runs[1]  # jitter is (url, round)-deterministic
+
+
+def test_block_file_regex(graph):
+    cfg = CrawlConfig(block_file_regex=r"/p[0-3]$")
+    eng = CrawlEngine(graph, n_walkers=2, n_partitions=2, seed=42, config=cfg)
+    eng.run(max_steps=60, max_rounds=300)
+    followed = [u for _, u, _, a in eng.visit_order() if a == "step"]
+    assert followed and not any(u.rstrip("/").endswith(("p0", "p1", "p2", "p3"))
+                                for u in followed)
+
+
 def test_walker_snapshot_roundtrip():
     cfg = CrawlConfig()
     w = Walker(3, ["http://a.com/", "http://b.com/"], 42, cfg)

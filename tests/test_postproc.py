@@ -25,9 +25,24 @@ def _lm():
 
 def test_hydra_decision_branches():
     lm = _lm()
-    assert hydra_decision(lm, "auto", "bahn") == MERGE
-    assert hydra_decision(lm, "well", "known") == CONCATENATE
-    assert hydra_decision(lm, "red", "car") == LEAVE
+    # prefix carries its hyphen, as in the reference's raw-token lookup
+    assert hydra_decision(lm, "auto-", "bahn") == MERGE
+    assert hydra_decision(lm, "well-", "known") == CONCATENATE
+    assert hydra_decision(lm, "red-", "car") == LEAVE
+
+
+def test_hydra_german_nn_compound_rule():
+    """ref: trhydraapplication.pas:474-481 — capitalized unknown pairs
+    concatenate under --german even when the LM knows nothing."""
+    lm = UnigramLM({})
+    assert hydra_decision(lm, "Donau-", "Dampfschiff", german=True) == CONCATENATE
+    assert hydra_decision(lm, "Donau-", "Dampfschiff", german=False) == LEAVE
+    # lowercase pairs don't trigger the rule
+    assert hydra_decision(lm, "donau-", "dampfschiff", german=True) == LEAVE
+    assert (
+        dehyphenate("die Donau- Dampfschiff fahrt", lm, german=True)
+        == "die Donau-Dampfschiff fahrt"
+    )
 
 
 def test_hydra_rewrites_line():
@@ -76,8 +91,21 @@ def test_writers_projections():
     xml = doc_to_xml(row)
     assert 'url="http://a.com/x"' in xml
     assert "&amp; &lt;world&gt;" in xml
-    assert '<dup idx="1" of="0"/>' in xml
+    assert '<dup idx="1" of="0"></dup>' in xml
     assert xml.count("<div") == 1  # invalid div not emitted
+    # doc-level aggregates (ref: trwritetools.pas:112-124): two valid divs,
+    # both score 0.2 <= 0.55 → non-boiler; 15 chars each
+    assert 'bdc="b"' in xml  # round(1.234/2)+97 = 'b'
+    assert 'bdv="1.234"' in xml
+    assert 'nbc="30" nbcprop="1"' in xml
+    assert 'nbd="2" nbdprop="1"' in xml
+    assert 'avgbpc="0.2" avgbpd="0.2"' in xml
+    # div class chars: bpc = chr(round(0.2*10)+97) = 'c'
+    assert 'bpc="c" bpv="0.2"' in xml
+    # metrics emission (AWriteDivMetrics)
+    row["divs"][0]["metrics"] = [0.5, 1.25]
+    xml_m = doc_to_xml(row, write_metrics=True)
+    assert '<metrics value="0.5 1.25" />' in xml_m
 
     batch = pa.table(
         {

@@ -134,20 +134,24 @@ def test_boilerplate_scorer_separates():
         "They continue for a while and look like prose.", open_tags=1,
     )
     boiler = DivInfo(text="home | nav", open_tags=12, close_tags=12, anchors=8)
-    scores, _ = d.score_doc([content, boiler, content], doctype="html")
+    scores, _, _ = d.score_doc([content, boiler, content], doctype="html")
     assert scores[1] > scores[0]
 
 
 def test_geolocator_binary_search():
     from texrex_ray.stages.geolocate import Geolocator, synthetic_geo_blocks
 
-    starts, ends, countries = synthetic_geo_blocks(n_blocks=8, seed=1)
-    g = Geolocator(starts, ends, countries)
+    starts, ends, locations = synthetic_geo_blocks(n_blocks=8, seed=1)
+    g = Geolocator(starts, ends, locations)
     inside = g.lookup_ints(np.array([int(starts[3]) + 1], dtype=np.uint64))
-    assert inside == [countries[3]]
+    assert inside == [locations[3]]
+    assert inside[0][0].startswith("C") and inside[0][2].startswith("city")
     if int(starts[0]) > 1:
         outside = g.lookup_ints(np.array([int(starts[0]) - 1], dtype=np.uint64))
-        assert outside == [""]
+        assert outside == [("", "", "")]
+    # legacy bare-country lists still resolve (empty region/city)
+    g2 = Geolocator(starts, ends, ["X"] * 8)
+    assert g2.lookup_ints(np.array([int(starts[0]) + 1], dtype=np.uint64)) == [("X", "", "")]
 
 
 def test_read_lines_gzip(tmp_path):

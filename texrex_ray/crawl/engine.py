@@ -232,6 +232,18 @@ class FrontierPartActor:
                 self.metrics["waits"] += 1
                 out.append((wid, "wait", None, False))
                 continue
+            if self.cfg.add_random_wait_up_to > 0:
+                # extra politeness jitter (ref: AddRandomWaitUpTo at
+                # trwalkers.pas:630-644) — deterministic per (url, round) so
+                # decisions are identical under any physical layout
+                extra = int(
+                    stable_hash64([f"{url}|{now}"], seed=13)[0]
+                    % np.uint64(self.cfg.add_random_wait_up_to + 1)
+                )
+                if extra > 0:
+                    self.metrics["jitter_waits"] += 1
+                    out.append((wid, "wait", None, False))
+                    continue
             self.pm.retrieved(url, now)
             self.metrics["gated_fetches"] += 1
             self.host_fetches[host] += 1

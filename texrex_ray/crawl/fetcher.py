@@ -20,9 +20,22 @@ from __future__ import annotations
 import codecs
 from dataclasses import dataclass, field
 
+from functools import lru_cache
+
 from texrex_ray.crawl.policy import CrawlConfig
 from texrex_ray.functions.striphtml import strip_html
-from texrex_ray.functions.urlkit import scope_links
+from texrex_ray.functions.urlkit import DEFAULT_BLOCK_FILE_RE, scope_links
+
+
+@lru_cache(maxsize=32)
+def _compile_pattern(pattern: str):
+    import re
+
+    return re.compile(pattern)
+
+
+def _compiled(pattern: str | None):
+    return _compile_pattern(pattern) if pattern else None
 
 DETECT_WINDOW = 32 * 1024  # ref: trcharsetconverter.pas:96-113
 
@@ -153,6 +166,8 @@ def fetch_parse(pages: dict, url: str, cfg: CrawlConfig) -> FetchResult:
         use_same_host=cfg.use_same_host_links,
         use_same_virtual_host=cfg.use_same_virtual_host_links,
         use_external=cfg.use_external_links,
+        host_scope_re=_compiled(cfg.host_scope_regex),
+        block_file_re=_compiled(cfg.block_file_regex) or DEFAULT_BLOCK_FILE_RE,
     )
     return FetchResult(
         url=requested,

@@ -40,6 +40,17 @@ class CrawlConfig:
     use_same_host_links: bool = True
     use_same_virtual_host_links: bool = True
     use_external_links: bool = True
+    # link scoping filters (ref: trwalkers.pas:774-823 HostScopeRegex /
+    # BlockFileRegex): hosts must match host_scope_regex (when set); URLs
+    # matching block_file_regex are dropped (None → the built-in binary-
+    # extension default).
+    host_scope_regex: str | None = None
+    block_file_regex: str | None = None
+    # extra politeness jitter (ref: trpoliteness AddRandomWaitUpTo, used at
+    # trwalkers.pas:630-644): an allowed fetch is deferred by a
+    # deterministic pseudo-random 0..N extra rounds.  0 disables (the
+    # oracle-fidelity configuration).
+    add_random_wait_up_to: int = 0
 
 
 @dataclass

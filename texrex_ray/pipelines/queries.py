@@ -622,12 +622,17 @@ def _sf_of(sf_dir: str) -> float:
         return 0.01
 
 
-@query("q20_image_pipeline")
+@query(
+    "q20_image_pipeline",
+    sql="SELECT image_id, phash, ok, fmt, w, h FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/image_pipeline_sf0.01.parquet')",
+)
 def q20_image_pipeline(sf_dir: str):
     """Graft payload: image+caption cleaning pipeline (caption cleanse →
     decode/verify → features → phash dedup) over the deterministic
-    synthetic images fixture, scaled by sf.  Rows-only (fixture is not a
-    driver view)."""
+    synthetic images fixture, scaled by sf.  Oracle: committed expected
+    output (regression pin; the PSNR≥40 decode invariant is separately
+    asserted in tests)."""
     from texrex_ray.pipelines.caption import fixture_path, image_caption_pipeline
 
     n = {0.001: 100, 0.01: 300, 0.1: 1000}.get(_sf_of(sf_dir), 300)
@@ -719,7 +724,11 @@ def q26_range_join(sf_dir: str):
     return df[["band", "n", "sum_qty_c"]]
 
 
-@query("q27_raw_docs_pipeline")
+@query(
+    "q27_raw_docs_pipeline",
+    sql="SELECT url, charset, n_divs, pred_lang, country, region, city, valid FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/raw_docs_sf0.01.parquet')",
+)
 def q27_raw_docs_pipeline(sf_dir: str):
     """Full texrex worker chain over WARC records (charset → strip →
     filter → meta → secondpass → deboilerplate → normalize → div-dedup →
@@ -743,11 +752,15 @@ def q27_raw_docs_pipeline(sf_dir: str):
     with open(os.path.join(d, "fixture.warc"), "wb") as f:
         f.write(make_warc_bytes(recs))
     ds = read_warc(os.path.join(d, "fixture.warc"), min_doc_size=0)
-    out = raw_docs_pipeline(ds, minhash_k=16, drop_invalid=False)
+    out = raw_docs_pipeline(
+        ds, minhash_k=16, drop_invalid=False,
+        boiler_opts={"min_good_chars": 100},  # fixture pages are small
+        filter_opts={"size_threshold": 100},
+    )
     df = out.to_pandas()
     df["n_divs"] = df["divs"].map(len)
     return (
-        df[["url", "charset", "n_divs", "pred_lang", "country", "valid"]]
+        df[["url", "charset", "n_divs", "pred_lang", "country", "region", "city", "valid"]]
         .sort_values("url")
         .reset_index(drop=True)
     )
@@ -837,17 +850,16 @@ _HYDRA_SQL = (
                      lower(regexp_extract(sp, '(\w+)- (\w+)', 2)) AS r
               FROM spans),
     scored AS (SELECT p.doc_id,
-        (COALESCE(cl.n, 0) + 1) * (COALESCE(cr.n, 0) + 1) AS pp,
-        COALESCE(cm.n, 0) AS cm_n, COALESCE(ch.n, 0) AS ch_n,
-        (SELECT t FROM tot) AS t
+        COALESCE(cs.n, 0) AS cs_n, COALESCE(cm.n, 0) AS cm_n
         FROM parts p
-        LEFT JOIN lm cl ON cl.token = p.l
-        LEFT JOIN lm cr ON cr.token = p.r
-        LEFT JOIN lm cm ON cm.token = p.l || p.r
-        LEFT JOIN lm ch ON ch.token = p.l || '-' || p.r),
+        LEFT JOIN lm cs ON cs.token = p.r
+        LEFT JOIN lm cm ON cm.token = p.l || p.r),
+    -- reference decision (strict count comparisons): the prefix token
+    -- ("tab-") and the hyphenated concat ("tab-levalue") can never be LM
+    -- unigrams ([a-z]+ only), so their counts are 0 and the only possible
+    -- rewrite is MERGE, which fires iff c_merger > c_suffix and > 0.
     reps AS (SELECT doc_id, COUNT(*) AS n FROM scored
-             WHERE ((cm_n + 1) * t >= pp AND cm_n >= ch_n)
-                OR ((ch_n + 1) * t >= pp)
+             WHERE cm_n > cs_n AND cm_n > 0
              GROUP BY doc_id)
     SELECT d.doc_id, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_repairs
     FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
@@ -858,13 +870,14 @@ _HYDRA_SQL = (
 @query("q31_hydra", sql=_HYDRA_SQL)
 def q31_hydra(sf_dir: str):
     """hydra de-hyphenation (ref: trhydraapplication.pas:400-568): seeded
-    hyphen injection into every ≥6-char word, then LM-driven repair.
-    Returns per-doc counts of non-LEAVE decisions; the integer-exact
-    decision arithmetic makes the DuckDB oracle reproduce it bit-for-bit
-    (the LM is the corpus top-20 token table, computable in SQL)."""
+    hyphen injection into every ≥6-char word, then the reference's
+    token-pair repair scan.  Returns per-doc rewrite counts; the strict
+    integer count comparisons make the DuckDB oracle reproduce the
+    decisions bit-for-bit (the LM is the corpus top-20 token table,
+    computable in SQL)."""
     import re as _re
 
-    from texrex_ray.stages.postproc import HYPH_RE, UnigramLM, dehyphenate, hydra_decision
+    from texrex_ray.stages.postproc import UnigramLM, dehyphenate
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     toks = q02_top_tokens(sf_dir)  # corpus top tokens as the unigram LM
@@ -877,12 +890,7 @@ def q31_hydra(sf_dir: str):
         ids, n_rep = [], []
         for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             dirty = dirt.sub(r"\1- \2", s or "")
-            dehyphenate(dirty, lm_)  # the operator under test
-            n = sum(
-                1
-                for m in HYPH_RE.finditer(dirty)
-                if hydra_decision(lm_, m.group(1), m.group(2)) != "leavealone"
-            )
+            _, n = dehyphenate(dirty, lm_, with_count=True)
             ids.append(i)
             n_rep.append(n)
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_repairs": pa.array(n_rep, pa.int64())})
@@ -942,10 +950,17 @@ def q32_rofl(sf_dir: str):
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
-@query("q33_xml_writer")
+@query(
+    "q33_xml_writer",
+    sql="SELECT doc_id, xml FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/xml_writer_sf0.01.parquet')",
+)
 def q33_xml_writer(sf_dir: str):
     """XML corpus writer over the raw-docs pipeline output (ref:
-    trwritetools.pas:81-271); returns (doc_id, xml length) rows-only."""
+    trwritetools.pas:81-271) with the full doc-level boilerplate/badness
+    aggregates (bdc bdv nbc nbcprop nbd nbdprop avgbpc avgbpd) and div
+    class chars; valid docs only, like the reference writer.  Returns
+    (doc_id, xml)."""
     from texrex_ray.pipelines.raw_docs import raw_docs_pipeline
     from texrex_ray.sources.warc import make_warc_bytes, read_warc
     from texrex_ray.sources.webgraph import make_webgraph
@@ -963,12 +978,13 @@ def q33_xml_writer(sf_dir: str):
     with open(os.path.join(d, "f.warc"), "wb") as f:
         f.write(make_warc_bytes(recs))
     ds = read_warc(os.path.join(d, "f.warc"), min_doc_size=0)
-    out = raw_docs_pipeline(ds, minhash_k=16, drop_invalid=False).map_batches(
-        xml_format, batch_format="pyarrow"
-    )
+    out = raw_docs_pipeline(
+        ds, minhash_k=16, drop_invalid=False,
+        boiler_opts={"min_good_chars": 100},  # fixture pages are small
+        filter_opts={"size_threshold": 100},
+    ).map_batches(xml_format, batch_format="pyarrow")
     df = out.to_pandas()
-    df["xml_chars"] = df["xml"].str.len()
-    return df[["doc_id", "xml_chars"]].sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "xml"]].sort_values("doc_id").reset_index(drop=True)
 
 
 @query(
@@ -992,6 +1008,51 @@ def q34_priority_crawl(sf_dir: str):
     rows = eng.visit_order()
     eng.shutdown()
     return pd.DataFrame(rows, columns=["round", "url", "host"])
+
+
+_GEO_BLOCKS = "/root/repo/tests/fixtures/oracle/geo_blocks.parquet"
+
+
+@query(
+    "q35_geolocate",
+    sql=f"""
+    WITH b AS (SELECT * FROM read_parquet('{_GEO_BLOCKS}')),
+    d AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS ip FROM documents)
+    SELECT d.doc_id,
+           COALESCE(b.country, '') AS country,
+           COALESCE(b.region, '') AS region,
+           COALESCE(b.city, '') AS city
+    FROM d LEFT JOIN b ON d.ip >= b.ip_from AND d.ip <= b.ip_to
+    """,
+)
+def q35_geolocate(sf_dir: str):
+    """Geolocation range join (ref: trgeolocator.pas:116-173): deterministic
+    per-doc IPs (Knuth-hash of doc_id mod 2³²) looked up in the broadcast
+    block table via one vectorized searchsorted per batch; resolves
+    (country, region, city).  The oracle does the identical range join
+    declaratively over the committed blocks parquet."""
+    from texrex_ray.stages.geolocate import Geolocator, synthetic_geo_blocks
+
+    starts, ends, locations = synthetic_geo_blocks(n_blocks=64, seed=42)
+    geo_ref = ray.put((starts, ends, locations))
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def locate(t: pa.Table) -> pa.Table:
+        s_, e_, loc_ = ray.get(geo_ref)
+        g = Geolocator(s_, e_, loc_)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ips = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        locs = g.lookup_ints(ips)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "country": pa.array([l[0] for l in locs], pa.string()),
+                "region": pa.array([l[1] for l in locs], pa.string()),
+                "city": pa.array([l[2] for l in locs], pa.string()),
+            }
+        )
+
+    return ds.map_batches(locate, batch_format="pyarrow")
 
 
 @query(

@@ -113,7 +113,9 @@ def meta_stage(batch: pa.Table) -> pa.Table:
 
 def secondpass_divs(batch: pa.Table) -> pa.Table:
     """Entity decode + junk blanking per div (ref: trsecondpass.pas:233-282);
-    empty divs invalidated."""
+    empty divs invalidated.  Meta fields are cleansed the same way (ref:
+    trsecondpass.pas:217-229 Metarator: entity decode → cleanse → trim →
+    multi-space collapse), including the title."""
     divs_col = batch["divs"].to_pylist()
     out = []
     for divs in divs_col:
@@ -125,7 +127,14 @@ def secondpass_divs(batch: pa.Table) -> pa.Table:
                  "cleansed": n_tag + n_email + n_uri + n_hash}
             )
         out.append(new)
-    return batch.set_column(batch.schema.get_field_index("divs"), "divs", pa.array(out))
+    batch = batch.set_column(batch.schema.get_field_index("divs"), "divs", pa.array(out))
+    meta_cols = [c for c in batch.column_names if c.startswith("meta_") or c == "title"]
+    for c in meta_cols:
+        vals = [cleanse_full(v or "")[0].strip() for v in batch[c].to_pylist()]
+        batch = batch.set_column(
+            batch.schema.get_field_index(c), c, pa.array(vals, pa.string())
+        )
+    return batch
 
 
 def normalize_divs(batch: pa.Table) -> pa.Table:
@@ -198,24 +207,35 @@ def raw_docs_pipeline(
     minhash_k: int = 100,
     batch_size: int = 512,
     boiler_concurrency: int | tuple[int, int] | None = None,
+    boiler_opts: dict | None = None,
+    filter_opts: dict | None = None,
     geo_blocks=None,
     drop_invalid: bool = True,
 ) -> ray.data.Dataset:
+    """``boiler_opts`` / ``filter_opts`` override the deboilerplater and
+    SimpleDocumentFilter kill thresholds (the reference exposes the same
+    knobs via INI, data/texrex.ini:107-130) — e.g. small-page fixture
+    corpora need lower ``min_good_chars`` / ``size_threshold`` than the
+    web-scale defaults of 500 / 1000."""
     kw = dict(batch_format="pyarrow", batch_size=batch_size)
+    bo = boiler_opts or {}
+    fo = filter_opts or {}
     ds = ds.map_batches(charset_and_strip, **kw)
-    ds = ds.map_batches(simple_document_filter, **kw)
+    ds = ds.map_batches(lambda b: simple_document_filter(b, **fo), **kw)
     ds = ds.map_batches(meta_stage, **kw)
     ds = ds.map_batches(secondpass_divs, **kw)
     if boiler_concurrency is None:
-        ds = ds.map_batches(Deboilerplater(), **kw)
+        ds = ds.map_batches(Deboilerplater(**bo), **kw)
     else:
-        ds = ds.map_batches(Deboilerplater, concurrency=boiler_concurrency, **kw)
+        ds = ds.map_batches(
+            Deboilerplater, fn_constructor_kwargs=bo, concurrency=boiler_concurrency, **kw
+        )
     ds = ds.map_batches(normalize_divs, **kw)
     ds = ds.map_batches(lambda b: div_dedup(b), **kw)
     ds = ds.map_batches(DocAssessor(), **kw)
     ds = ds.map_batches(lambda b: shingle_stage(b, k=minhash_k), **kw)
-    starts, ends, countries = geo_blocks if geo_blocks else synthetic_geo_blocks()
-    ds = ds.map_batches(Geolocator(starts, ends, countries), **kw)
+    starts, ends, locations = geo_blocks if geo_blocks else synthetic_geo_blocks()
+    ds = ds.map_batches(Geolocator(starts, ends, locations), **kw)
     ds = ds.map_batches(lambda b: b.drop_columns(["tokens", "head"]), **kw)
     if drop_invalid:
         ds = ds.map_batches(lambda b: b.filter(b["valid"]), **kw)

@@ -40,7 +40,7 @@ def cowinterleave(
     ann_df = annotations.to_pandas()
     ann_cols = [c for c in ann_df.columns if c != on]
     lookup_ref = ray.put(
-        {r[on]: tuple(r[c] for c in ann_cols) for _, r in ann_df.iterrows()}
+        dict(zip(ann_df[on], zip(*(ann_df[c] for c in ann_cols))))
     )
 
     def attach(t: pa.Table) -> pa.Table:

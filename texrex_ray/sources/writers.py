@@ -28,17 +28,73 @@ from texrex_ray.functions.hashing import doc_id_for_url
 from texrex_ray.functions.tokenize import type_counts
 
 
-def doc_to_xml(row: dict) -> str:
-    """One document's corpus-XML (ref: trwritetools.pas:81-271)."""
+def _g6(x: float) -> str:
+    """FloatToStrF(…, ffGeneral, 6, 4) equivalent: 6 significant digits."""
+    return f"{float(x):.6g}"
+
+
+def badness_to_bdc(badness: float) -> str:
+    """Badness class char (ref: trutilities.pas:965-968)."""
+    return chr(round(badness / 2) + 97)
+
+
+def boiler_to_bpc(score: float) -> str:
+    """Boilerplate class char (ref: trutilities.pas:971-976)."""
+    return "a" if score <= 0 else chr(round(score * 10) + 97)
+
+
+def doc_boiler_aggregates(divs: list[dict], threshold: float = 0.55) -> dict:
+    """The <doc> boilerplate aggregates (ref: trdeboilerplater.pas:619-699
+    DecideMlp statistics): counts/chars split at the MLP threshold, plus
+    score averages weighted by div (avgbpd) and by character (avgbpc)."""
+    bd = nbd = bc = nbc = 0
+    sum_s = 0.0
+    sum_sc = 0.0
+    for d in divs:
+        if not d.get("valid", True):
+            continue
+        s = float(d.get("boiler_score", 0.0) or 0.0)
+        sz = len(d.get("text", "") or "")
+        if s > threshold:
+            bd += 1
+            bc += sz
+        else:
+            nbd += 1
+            nbc += sz
+        sum_s += s
+        sum_sc += s * sz
+    n_valid = bd + nbd
+    valid_chars = bc + nbc
+    return {
+        "nbc": nbc,
+        "nbcprop": nbc / valid_chars if valid_chars else -1.0,
+        "nbd": nbd,
+        "nbdprop": nbd / n_valid if n_valid else -1.0,
+        "avgbpc": sum_sc / valid_chars if valid_chars else 0.0,
+        "avgbpd": sum_s / n_valid if n_valid else 0.0,
+    }
+
+
+def doc_to_xml(row: dict, write_metrics: bool = False) -> str:
+    """One document's corpus-XML (ref: trwritetools.pas:81-271): the
+    ``<doc>`` tag carries the badness class (bdc/bdv) and boilerplate
+    aggregates (nbc nbcprop nbd nbdprop avgbpc avgbpd), each ``<div>``
+    its bpc class char + bpv score; duplicates become ``<dup idx of>``
+    backreferences; ``write_metrics`` adds the per-div 37-float
+    ``<metrics/>`` element (AWriteDivMetrics)."""
     doc_id = row.get("doc_id") or doc_id_for_url(row.get("url", ""))
     divs = row.get("divs") or []
-    badness = row.get("badness", 0.0) or 0.0
+    badness = float(row.get("badness", 0.0) or 0.0)
+    agg = doc_boiler_aggregates(divs)
     parts = [
         f"<doc url={quoteattr(row.get('url', ''))} id={quoteattr(str(doc_id))}"
         f" ip={quoteattr(row.get('ip', '') or '')}"
         f" sourcecharset={quoteattr(row.get('charset', '') or '')}"
         f" sourcedoctype={quoteattr(row.get('doctype', '') or '')}"
-        f" badness={quoteattr(f'{badness:.3f}')}"
+        f' bdc="{badness_to_bdc(badness)}" bdv="{_g6(badness)}"'
+        f' nbc="{agg["nbc"]}" nbcprop="{_g6(agg["nbcprop"])}"'
+        f' nbd="{agg["nbd"]}" nbdprop="{_g6(agg["nbdprop"])}"'
+        f' avgbpc="{_g6(agg["avgbpc"])}" avgbpd="{_g6(agg["avgbpd"])}"'
         ">"
     ]
     metas = {
@@ -53,26 +109,33 @@ def doc_to_xml(row: dict) -> str:
             continue
         dup_of = d.get("dup_of", -1)
         if dup_of is not None and dup_of >= 0:
-            parts.append(f'<dup idx="{i}" of="{dup_of}"/>')
+            parts.append(f'<dup idx="{i}" of="{dup_of}"></dup>')
             continue
-        bpc = d.get("boiler_score", 0.0) or 0.0
-        parts.append(
-            f'<div idx="{i}" bpc="{bpc:.3f}" bpv="{int(d.get("boilerplate", False))}">'
-            f"{escape(d.get('text', ''))}</div>"
-        )
+        s = float(d.get("boiler_score", 0.0) or 0.0)
+        open_tag = f'<div idx="{i}" bpc="{boiler_to_bpc(s)}" bpv="{_g6(s)}">'
+        metrics = ""
+        if write_metrics and d.get("metrics"):
+            vals = " ".join(f"{float(m):.7g}" for m in d["metrics"])
+            metrics = f'<metrics value="{vals}" />'
+        parts.append(f"{open_tag}{metrics}{escape(d.get('text', ''))}</div>")
     parts.append("</doc>")
     return "\n".join(parts)
 
 
-def xml_format(batch: pa.Table) -> pa.Table:
+def xml_format(batch: pa.Table, write_metrics: bool = False) -> pa.Table:
+    """Valid documents only, like the reference writer (which Exits on
+    ``not ADocument.Valid``)."""
     rows = batch.to_pylist()
+    rows = [r for r in rows if r.get("valid", True)]
     return pa.table(
         {
             "doc_id": pa.array(
                 [r.get("doc_id") or doc_id_for_url(r.get("url", "")) for r in rows],
                 pa.string(),
             ),
-            "xml": pa.array([doc_to_xml(r) for r in rows], pa.string()),
+            "xml": pa.array(
+                [doc_to_xml(r, write_metrics=write_metrics) for r in rows], pa.string()
+            ),
         }
     )
 

@@ -175,6 +175,7 @@ class Deboilerplater:
         min_good_chars: int = 500,
         min_char_prop: float = 0.25,
         min_div_prop: float = 0.1,
+        store_metrics: bool = False,
     ):
         if weights_json:
             weights = json.loads(weights_json)
@@ -189,13 +190,16 @@ class Deboilerplater:
         self.min_good_chars = min_good_chars
         self.min_char_prop = min_char_prop
         self.min_div_prop = min_div_prop
+        self.store_metrics = store_metrics
 
-    def score_doc(self, infos: list[DivInfo], doctype: str = "") -> tuple[np.ndarray, bool]:
-        """(per-div scores, doc_valid) — kill logic per
+    def score_doc(
+        self, infos: list[DivInfo], doctype: str = ""
+    ) -> tuple[np.ndarray, bool, np.ndarray]:
+        """(per-div scores, doc_valid, feature matrix) — kill logic per
         trdeboilerplater.pas:290-335 (DecideThreshs)."""
         feats = div_features(infos, doctype)
         if len(infos) == 0:
-            return np.zeros(0), False
+            return np.zeros(0), False, feats
         scores = self.net.score(feats)
         good = scores <= self.threshold
         n_good = int(good.sum())
@@ -207,7 +211,7 @@ class Deboilerplater:
             and good_chars / total_chars >= self.min_char_prop
             and n_good / len(infos) >= self.min_div_prop
         )
-        return scores, doc_valid
+        return scores, doc_valid, feats
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -228,12 +232,18 @@ class Deboilerplater:
                 )
                 for d in (divs or [])
             ]
-            scores, ok = self.score_doc(infos, dt or "")
+            scores, ok, feats = self.score_doc(infos, dt or "")
             valids.append(ok)
+            extra = (
+                [{"metrics": [float(x) for x in feats[i]]} for i in range(len(scores))]
+                if self.store_metrics
+                else [{}] * len(scores)
+            )
             new_divs.append(
                 [
-                    {**d, "boiler_score": float(s), "boilerplate": bool(s > self.threshold)}
-                    for d, s in zip(divs or [], scores)
+                    {**d, "boiler_score": float(s),
+                     "boilerplate": bool(s > self.threshold), **e}
+                    for d, s, e in zip(divs or [], scores, extra)
                 ]
             )
         batch = batch.set_column(

@@ -38,13 +38,18 @@ _CTA = ["read more", "click here", "subscribe now", "buy now", "learn more",
 
 
 def _content_div(rng: np.random.Generator, pos_hint: float) -> tuple[DivInfo, int]:
-    n_sent = 2 + int(rng.integers(0, 5))
-    sents = []
-    for _ in range(n_sent):
-        words = rng.choice(_CONTENT_WORDS, size=8 + int(rng.integers(0, 14)))
-        sents.append(" ".join(words).capitalize() + ".")
-    text = " ".join(sents)
-    anchors = int(rng.random() < 0.2)  # the occasional inline link
+    anchors = int(rng.random() < 0.25)  # the occasional inline link
+    if rng.random() < 0.4:
+        # unpunctuated prose (forum posts, scraped fragments): still content
+        words = rng.choice(_CONTENT_WORDS, size=12 + int(rng.integers(0, 28)))
+        text = " ".join(words)
+    else:
+        n_sent = 2 + int(rng.integers(0, 5))
+        sents = []
+        for _ in range(n_sent):
+            words = rng.choice(_CONTENT_WORDS, size=8 + int(rng.integers(0, 14)))
+            sents.append(" ".join(words).capitalize() + ".")
+        text = " ".join(sents)
     return (
         DivInfo(text=text, open_tags=anchors, close_tags=anchors,
                 anchors=anchors, container=1, skipped=0),

@@ -1,12 +1,18 @@
 """Post-processing tools: hydra (de-hyphenation) and rofl (run-together
 sentence fixing).
 
-hydra semantics (ref: trhydraapplication.pas:400-568): for a token pair
-``xxx- yyy`` compare unigram probabilities (add-one smoothed, from a
-``freq\\tword`` model, ref :146-207) of three candidates — keep the parts
-(``xxx``/``yyy`` separate), the merged form (``xxxyyy``), or the
-concatenated hyphen form (``xxx-yyy``) — and rewrite to the most probable;
-non-destructive mode wraps replacements in ``<normalized from="...">``.
+hydra semantics (ref: trhydraapplication.pas:400-568): scan token pairs;
+when the left token matches ``^[-\\p{L}]{2,}-$`` and the right
+``^([-\\p{L}]{2,})(\\P{L}|)$``, compare unigram probabilities (add-one
+smoothed, ref :146-207) of the prefix (hyphen included), the suffix, the
+concatenated form (hyphen kept: ``unter-werfen``) and the merged form
+(hyphen dropped: ``unterwerfen``); rewrite to concat/merge only when it
+STRICTLY beats all alternatives; otherwise the optional German NN-compound
+rule (``^[upper][lower]+-$`` + ``^[upper][lower]+$`` → concatenate, ref
+:474-481) applies; non-destructive mode wraps replacements in
+``<normalized from="...">``.  All probability comparisons share the same
+denominator, so they reduce to exact integer count comparisons
+(reproducible by the SQL oracle).
 
 rofl semantics (ref: trroflapplication.pas:380-493): candidate regex
 ``(L{2,})([!?:.]+)(L{2,})`` — split into two sentences iff both sides are
@@ -23,7 +29,13 @@ import re
 
 import pyarrow as pa
 
+_L = "A-Za-zÀ-ÖØ-öø-ʸḀ-ỿ"  # the tokenizer's Latin letter ranges
 HYPH_RE = re.compile(r"(\w+)- (\w+)", re.UNICODE)
+# candidate patterns (ref: trhydraapplication.pas:136-139)
+CAND_LEFT_RE = re.compile(rf"^[-{_L}]{{2,}}-$")
+CAND_RIGHT_RE = re.compile(rf"^([-{_L}]{{2,}})([^{_L}]|)$")
+GERMAN_LEFT_RE = re.compile(r"^[A-ZÀ-Þ][a-zß-ÿ]+-$")
+GERMAN_RIGHT_RE = re.compile(r"^[A-ZÀ-Þ][a-zß-ÿ]+$")
 ROFL_RE = re.compile(r"([^\W\d_]{2,})([!?:.]+)([^\W\d_]{2,})", re.UNICODE)
 EMOTICON_RE = re.compile(r":[a-z_]+:")
 
@@ -44,43 +56,75 @@ class UnigramLM:
         return (self.count(w) + 1) / self.total
 
 
-def hydra_decision(lm: UnigramLM, left: str, right: str) -> str:
-    """Most probable of parts / merged / hyphenated, merged-first on ties.
+def hydra_decision(
+    lm: UnigramLM, prefix: str, suffix: str, german: bool = False
+) -> str:
+    """Decision for a candidate pair (ref: trhydraapplication.pas:444-481).
 
-    The probability comparisons are cross-multiplied into INTEGER
-    arithmetic (p_merged ≥ p_parts ⇔ (c_m+1)·T ≥ (c_l+1)·(c_r+1)), so the
-    decision is exact and reproducible by an integer SQL oracle — no float
-    rounding at the tie boundaries."""
-    cl, cr = lm.count(left), lm.count(right)
-    cm, ch = lm.count(left + right), lm.count(left + "-" + right)
-    pp = (cl + 1) * (cr + 1)
-    if (cm + 1) * lm.total >= pp and cm >= ch:
+    ``prefix`` carries its trailing hyphen (the reference looks up the raw
+    token).  Since all four probabilities share the LM total as
+    denominator, the strict > comparisons reduce to exact integer count
+    comparisons — no float arithmetic, SQL-reproducible."""
+    concat = prefix + suffix          # unter-werfen (hyphen kept)
+    merger = prefix[:-1] + suffix     # unterwerfen
+    cp, cs = lm.count(prefix), lm.count(suffix)
+    cc, cm = lm.count(concat), lm.count(merger)
+    if cc > cp and cc > cs and cc > cm:
+        return CONCATENATE
+    if cm > cp and cm > cs and cm > cc:
         return MERGE
-    if (ch + 1) * lm.total >= pp:
+    if german and GERMAN_LEFT_RE.match(prefix) and GERMAN_RIGHT_RE.match(suffix):
         return CONCATENATE
     return LEAVE
 
 
-def dehyphenate(line: str, lm: UnigramLM, non_destructive: bool = False) -> str:
-    def repl(m: re.Match) -> str:
-        left, right = m.group(1), m.group(2)
-        d = hydra_decision(lm, left, right)
-        if d == MERGE:
-            new = left + right
-        elif d == CONCATENATE:
-            new = left + "-" + right
-        else:
-            return m.group(0)
-        if non_destructive:
-            return f'<normalized from="{m.group(0)}">{new}</normalized>'
-        return new
+def dehyphenate(
+    line: str,
+    lm: UnigramLM,
+    non_destructive: bool = False,
+    german: bool = False,
+    with_count: bool = False,
+) -> str | tuple[str, int]:
+    """Token-pair scan per the reference's DoHydra loop: a rewrite consumes
+    BOTH tokens (i += 2); a leave/non-candidate advances one so the right
+    token may start the next candidate."""
+    toks = line.split(" ")
+    out: list[str] = []
+    n_rewrites = 0
+    i = 0
+    while i < len(toks):
+        if i == len(toks) - 1:
+            out.append(toks[i])
+            break
+        m_r = CAND_RIGHT_RE.match(toks[i + 1]) if CAND_LEFT_RE.match(toks[i]) else None
+        if m_r:
+            prefix, suffix, after = toks[i], m_r.group(1), m_r.group(2)
+            d = hydra_decision(lm, prefix, suffix, german=german)
+            if d != LEAVE:
+                new = (prefix + suffix if d == CONCATENATE else prefix[:-1] + suffix) + after
+                orig = f"{prefix} {suffix}{after}"
+                out.append(
+                    f'<normalized from="{orig}">{new}</normalized>'
+                    if non_destructive
+                    else new
+                )
+                n_rewrites += 1
+                i += 2
+                continue
+        out.append(toks[i])
+        i += 1
+    joined = " ".join(out)
+    return (joined, n_rewrites) if with_count else joined
 
-    return HYPH_RE.sub(repl, line)
 
-
-def hydra_stage(lm: UnigramLM, col: str = "text", non_destructive: bool = False):
+def hydra_stage(
+    lm: UnigramLM, col: str = "text", non_destructive: bool = False, german: bool = False
+):
     def fn(batch: pa.Table) -> pa.Table:
-        texts = [dehyphenate(s or "", lm, non_destructive) for s in batch[col].to_pylist()]
+        texts = [
+            dehyphenate(s or "", lm, non_destructive, german=german)
+            for s in batch[col].to_pylist()
+        ]
         return batch.set_column(
             batch.schema.get_field_index(col), col, pa.array(texts, pa.string())
         )

@@ -204,8 +204,57 @@ def gen_priority_crawl() -> None:
     print("priority_crawl_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_geo_blocks() -> None:
+    """The synthetic GeoLite-style block table (sf-independent) so the
+    DuckDB oracle can perform the same IP range join declaratively."""
+    from texrex_ray.stages.geolocate import synthetic_geo_blocks
+
+    starts, ends, locations = synthetic_geo_blocks(n_blocks=64, seed=42)
+    t = pa.table(
+        {
+            "ip_from": pa.array(starts.astype(np.int64)),
+            "ip_to": pa.array(ends.astype(np.int64)),
+            "country": pa.array([l[0] for l in locations], pa.string()),
+            "region": pa.array([l[1] for l in locations], pa.string()),
+            "city": pa.array([l[2] for l in locations], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "geo_blocks.parquet"))
+    print("geo_blocks.parquet:", t.num_rows, "rows")
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+
+def gen_pipeline_pins() -> None:
+    """Expected q20/q27/q33 outputs (regression pins: full-pipeline
+    compositions with no independent reimplementation; per-stage semantics
+    are separately unit-tested)."""
+    from texrex_ray.pipelines.queries import QUERIES
+
+    _ray()
+    for qname, fname in (
+        ("q20_image_pipeline", "image_pipeline_sf0.01.parquet"),
+        ("q27_raw_docs_pipeline", "raw_docs_sf0.01.parquet"),
+        ("q33_xml_writer", "xml_writer_sf0.01.parquet"),
+    ):
+        df = QUERIES[qname](SF_DIR)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        pq.write_table(t, os.path.join(OUT, fname))
+        print(f"{fname}:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
+    gen_geo_blocks()
+    gen_pipeline_pins()
     gen_simhash_signatures()
     gen_crawl_visits()
     gen_minhash_tender()
