@@ -21,17 +21,31 @@ from texrex_ray.stages.images import ImageDecoder, ImageFeatures
 
 
 def fixture_path(n: int, seed: int = 42, root: str = "/tmp/texrex_ray_fixtures") -> str:
-    """Write (once) and return the deterministic images fixture parquet."""
+    """Write (once) and return the deterministic images fixture dir.
+
+    The payload table lands twice: a plain ``images.parquet`` (DuckDB
+    oracle input) and an ``images_table/`` written through
+    ``lance_io.write_images`` — Lance when the package is available, the
+    schema-identical Parquet fallback here (north rule: the pipeline runs
+    over Lance tables of image+caption pairs)."""
+    from texrex_ray.sources.lance_io import write_images
+
     d = os.path.join(root, f"images_n{n}_s{seed}")
     imgs_p = os.path.join(d, "images.parquet")
     exp_p = os.path.join(d, "images_expected.parquet")
-    if not (os.path.exists(imgs_p) and os.path.exists(exp_p)):
+    tbl_d = os.path.join(d, "images_table")
+    if not (
+        os.path.exists(imgs_p)
+        and os.path.exists(exp_p)
+        and os.path.exists(os.path.join(tbl_d, "_FORMAT"))
+    ):
         os.makedirs(d, exist_ok=True)
         images, expected = make_images(n=n, seed=seed)
         pq.write_table(images, imgs_p + ".tmp")
         pq.write_table(expected, exp_p + ".tmp")
         os.replace(imgs_p + ".tmp", imgs_p)
         os.replace(exp_p + ".tmp", exp_p)
+        write_images(images, tbl_d)
     return d
 
 

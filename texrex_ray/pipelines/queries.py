@@ -634,10 +634,11 @@ def q20_image_pipeline(sf_dir: str):
     output (regression pin; the PSNR≥40 decode invariant is separately
     asserted in tests)."""
     from texrex_ray.pipelines.caption import fixture_path, image_caption_pipeline
+    from texrex_ray.sources.lance_io import read_images
 
     n = {0.001: 100, 0.01: 300, 0.1: 1000}.get(_sf_of(sf_dir), 300)
     d = fixture_path(n=n, seed=42)
-    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    ds = read_images(f"{d}/images_table")
     out = image_caption_pipeline(ds, batch_size=64)
     df = out.to_pandas()[["image_id", "phash", "ok", "fmt", "w", "h"]]
     return df.sort_values("image_id").reset_index(drop=True)
