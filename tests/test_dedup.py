@@ -222,3 +222,37 @@ def test_lsh_ann_recall():
         a = set(approx.loc[approx["query_id"] == q, "neighbor_id"])
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.5  # 4 planes + multi-probe 1 on 500 vecs
+
+
+def test_ivf_ann_exact_at_full_probe():
+    from texrex_ray.dedup.embed import ivf_ann, knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = knn_bruteforce(ds, query_ids=[0, 3, 7], k=10)
+    ivf = ivf_ann(ds, query_ids=[0, 3, 7], k=10, nlist=8, nprobe=8)
+    pd.testing.assert_frame_equal(
+        ivf.reset_index(drop=True), exact.reset_index(drop=True)
+    )
+
+
+def test_ivf_ann_recall_at_partial_probe():
+    from texrex_ray.dedup.embed import ivf_ann, knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = knn_bruteforce(ds, query_ids=list(range(8)), k=10)
+    approx = ivf_ann(ds, query_ids=list(range(8)), k=10, nlist=8, nprobe=3)
+    recalls = []
+    for q in range(8):
+        e = set(exact.loc[exact["query_id"] == q, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == q, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.6  # 3/8 cells probed
+
+
+def test_ivf_centroids_deterministic():
+    from texrex_ray.dedup.embed import train_centroids
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    c1 = train_centroids(ds, nlist=4, iters=5)
+    c2 = train_centroids(ds.repartition(7), nlist=4, iters=5)
+    np.testing.assert_allclose(c1, c2)

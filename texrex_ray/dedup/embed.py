@@ -128,6 +128,123 @@ def nearest_neighbors(
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def train_centroids(
+    ds: ray.data.Dataset,
+    *,
+    nlist: int,
+    iters: int = 10,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means centroids (unit-sphere) from a hashed sample.
+
+    Training data is the rows with ``stable(id) % sample_mod == 0`` — a
+    deterministic, layout-independent sample whose size the caller bounds
+    (at 100 TB pick ``sample_mod`` so ~1e6 vectors land on the driver; the
+    corpus itself never does).  Init is the ``nlist`` sampled vectors with
+    the smallest ids (reproducible without RNG), then ``iters`` Lloyd
+    rounds of cosine k-means (normalize → argmax-dot → mean → normalize).
+    Empty clusters keep their previous centroid.
+    """
+
+    def grab_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        mask = (ids % sample_mod) == 0 if sample_mod > 1 else np.ones(len(ids), bool)
+        return t.filter(pa.array(mask)).select([id_col, vec_col])
+
+    df = ds.map_batches(grab_sample, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(id_col).reset_index(drop=True)
+    x = _unit(np.asarray(list(df[vec_col]), dtype=np.float64))
+    if len(x) < nlist:
+        raise ValueError(f"sample of {len(x)} rows cannot seed {nlist} centroids")
+    cent = x[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return _unit(cent)
+
+
+def ivf_ann(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF approximate top-k: coarse k-means cells, per-query probe lists.
+
+    The inverted-file structure is implicit — no index build pass or
+    shuffle: centroids (nlist × dim, tiny) broadcast via ``ray.put``; each
+    corpus batch assigns its vectors to cells with one matmul-argmax and
+    computes sims only for the queries whose ``nprobe`` nearest cells
+    include that cell, emitting per-batch partial top-k.  Driver reduce as
+    in ``knn_bruteforce``.  With ``nprobe == nlist`` every cell is probed
+    and the result is EXACTLY the brute-force top-k (the q36 oracle);
+    recall at nprobe < nlist is measured in tests.
+    """
+    cent = train_centroids(
+        ds, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    qset = set(query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        mask = np.fromiter((i in qset for i in ids), bool, len(ids))
+        return t.filter(pa.array(mask)).select([id_col, vec_col])
+
+    qdf = ds.map_batches(grab_queries, batch_format="pyarrow").to_pandas()
+    qids = qdf[id_col].to_numpy()
+    qmat = _unit(np.asarray(list(qdf[vec_col]), dtype=np.float64))
+    # probe table: (n_queries, nlist) bool — the nprobe nearest cells
+    qsims = qmat @ cent.T
+    order = np.argsort(-qsims, axis=1)[:, :nprobe]
+    probe = np.zeros((len(qids), nlist), dtype=bool)
+    probe[np.arange(len(qids))[:, None], order] = True
+    plan_ref = ray.put((qids, qmat, cent, probe))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qmat_, cent_, probe_ = ray.get(plan_ref)
+        ids = np.asarray(t[id_col].to_pylist())
+        m = _unit(_matrix(t, vec_col))
+        cell = np.argmax(m @ cent_.T, axis=1)
+        any_probed = probe_.any(axis=0)[cell]
+        ids, m, cell = ids[any_probed], m[any_probed], cell[any_probed]
+        out_q, out_n, out_s = [], [], []
+        if len(ids):
+            sims = m @ qmat_.T
+            kk = min(k + 1, len(ids))
+            for qi in range(len(qids_)):
+                col = np.where(probe_[qi][cell], sims[:, qi], -np.inf)
+                top = (
+                    np.argpartition(-col, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+                )
+                for j in top:
+                    if np.isfinite(col[j]):
+                        out_q.append(qids_[qi])
+                        out_n.append(ids[j])
+                        out_s.append(col[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    return _reduce_topk(partials, k)
+
+
 def lsh_ann(
     ds: ray.data.Dataset,
     query_ids: list[int],

@@ -1071,3 +1071,85 @@ def q19_lsh_ann(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return lsh_ann(ds, query_ids=list(range(8)), k=10, n_planes=4)
+
+
+@query(
+    "q36_ivf_ann",
+    sql="""
+    WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),
+    s AS (SELECT q.qid, e.vec_id nid,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) sim
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+    SELECT qid AS query_id, nid AS neighbor_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+    FROM s QUALIFY rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def q36_ivf_ann(sf_dir: str):
+    """IVF approximate NN (k-means cells + probe lists), run at
+    nprobe == nlist where IVF is provably exact — the oracle is therefore
+    the same brute-force SQL as q15.  Recall at nprobe < nlist (the real
+    scale configuration) is measured separately in tests/test_dedup.py."""
+    from texrex_ray.dedup.embed import ivf_ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_ann(ds, query_ids=list(range(8)), k=10, nlist=8, nprobe=8)
+
+
+def _av_n(sf_dir: str) -> tuple[int, int]:
+    sf = _sf_of(sf_dir)
+    return (
+        {0.001: 40, 0.01: 150, 0.1: 600}.get(sf, 150),
+        {0.001: 30, 0.01: 100, 0.1: 400}.get(sf, 100),
+    )
+
+
+@query(
+    "q37_audio_features",
+    sql="SELECT audio_id, ok, duration_ms, rms_c, zcr_bp, peak_hz, centroid_hz FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/audio_features_sf0.01.parquet')",
+)
+def q37_audio_features(sf_dir: str):
+    """Audio payload chain: synthetic-container decode (actor pool) →
+    time-domain stats → spectral features.  Oracle: committed fixture
+    computed scalar-wise from the REGENERATED raw PCM (never touching the
+    container encode/decode or the stage classes), so it independently
+    verifies both the codec round-trip and the Dataset composition."""
+    from texrex_ray.sources.av import fixture_path as av_fixture
+    from texrex_ray.stages.av import AudioDecoder, AudioFeatures
+
+    n_aud, _ = _av_n(sf_dir)
+    d = av_fixture(n=n_aud, seed=42)
+    ds = ray.data.read_parquet(f"{d}/audio.parquet")
+    out = (
+        ds.map_batches(AudioDecoder(), batch_format="pyarrow", batch_size=64)
+        .map_batches(AudioFeatures(), batch_format="pyarrow", batch_size=64)
+        .select_columns(
+            ["audio_id", "ok", "duration_ms", "rms_c", "zcr_bp", "peak_hz", "centroid_hz"]
+        )
+    )
+    return out.to_pandas().sort_values("audio_id").reset_index(drop=True)
+
+
+@query(
+    "q38_video_frames",
+    sql="SELECT video_id, frame_idx, mean_lum_c, is_key FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/video_frames_sf0.01.parquet')",
+)
+def q38_video_frames(sf_dir: str):
+    """Video frame-sampling (every 2nd frame → one row per frame, the
+    flat_map shape) + per-frame luminance.  Oracle: committed fixture from
+    regenerated frames, sampled and reduced scalar-wise without the
+    container or the stage class."""
+    from texrex_ray.sources.av import fixture_path as av_fixture
+    from texrex_ray.stages.av import VideoFrameSampler
+
+    _, n_vid = _av_n(sf_dir)
+    d = av_fixture(n=n_vid, seed=42)
+    ds = ray.data.read_parquet(f"{d}/video.parquet")
+    out = ds.map_batches(VideoFrameSampler(step=2), batch_format="pyarrow", batch_size=32)
+    return (
+        out.to_pandas()
+        .sort_values(["video_id", "frame_idx"])
+        .reset_index(drop=True)
+    )

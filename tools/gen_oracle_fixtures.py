@@ -251,6 +251,69 @@ def gen_pipeline_pins() -> None:
         print(f"{fname}:", t.num_rows, "rows")
 
 
+def gen_av_features() -> None:
+    """Expected q37/q38 outputs, computed scalar-wise from REGENERATED
+    PCM/frames — independent of the synthetic containers (encode/decode)
+    and of the stage classes in stages/av.py.  Only the generator
+    primitives (_synth_pcm / frame construction) and the published output
+    formulas are shared."""
+    import pandas as pd
+
+    from texrex_ray.sources.av import AUDIO_QUANT, _synth_pcm
+
+    # ---- audio (q37): n=150, seed=42 — must mirror queries._av_n(sf0.01)
+    rows = []
+    for i in range(150):
+        rng = np.random.default_rng(42 * 1_000_003 + i)
+        sr = int(rng.choice([8000, 16000]))
+        dur = float(rng.uniform(0.2, 1.0))
+        pcm = _synth_pcm(rng, int(sr * dur), sr)
+        fmt = "ogg" if i % 3 == 0 else "wav"
+        q = AUDIO_QUANT[fmt]
+        if q > 1:  # what the lossy codec stores, per its published contract
+            pcm = (np.round(pcm.astype(np.int32) / q) * q).clip(-32768, 32767).astype(np.int16)
+        x = pcm.astype(np.float64)
+        zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        spec = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr)
+        rows.append(
+            {
+                "audio_id": f"aud{i:08d}",
+                "ok": True,
+                "duration_ms": int(round(len(pcm) * 1000.0 / sr)),
+                "rms_c": int(round(float(np.sqrt(np.mean(x * x))) * 100)),
+                "zcr_bp": int(round(zc * 10_000.0 / max(1, len(pcm) - 1))),
+                "peak_hz": int(round(freqs[int(np.argmax(spec))])),
+                "centroid_hz": int(round(float((freqs * spec).sum() / spec.sum()))),
+            }
+        )
+    t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    pq.write_table(t, os.path.join(OUT, "audio_features_sf0.01.parquet"))
+    print("audio_features_sf0.01.parquet:", t.num_rows, "rows")
+
+    # ---- video (q38): n=100, seed=42, sample step 2
+    rows = []
+    for i in range(100):
+        rng = np.random.default_rng(42 * 2_000_003 + i)
+        w = h = 16
+        nf = int(rng.integers(4, 13))
+        _fps = int(rng.choice([10, 24]))
+        base = rng.integers(0, 96, size=(h, w, 3), dtype=np.uint8)
+        for f in range(0, nf, 2):
+            frame = np.clip(np.roll(base, f, axis=1).astype(np.int32) + f * 9, 0, 255)
+            rows.append(
+                {
+                    "video_id": f"vid{i:08d}",
+                    "frame_idx": f,
+                    "mean_lum_c": int(round(frame.astype(np.float64).mean() * 100)),
+                    "is_key": f == 0,
+                }
+            )
+    t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    pq.write_table(t, os.path.join(OUT, "video_frames_sf0.01.parquet"))
+    print("video_frames_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_geo_blocks()
@@ -261,6 +324,7 @@ def main() -> None:
     gen_text_assessment()
     gen_lsh_ann()
     gen_priority_crawl()
+    gen_av_features()
 
 
 if __name__ == "__main__":
