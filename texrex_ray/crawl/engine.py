@@ -117,6 +117,33 @@ class WalkerShardActor:
     def alive(self) -> int:
         return sum(0 if w.exhausted else 1 for w in self.walkers.values())
 
+    # -- texcomm control verbs (ref: trtexrex.pas:548-798) ----------------
+
+    def add_walkers(self, seeds_by_walker: dict[int, list[str]], seed: int) -> int:
+        """Runtime walker addition (texcomm thread-add analogue): new
+        walkers join this shard and start proposing next round."""
+        for wid, seeds in seeds_by_walker.items():
+            self.walkers[wid] = Walker(wid, seeds, seed, self.cfg)
+        return len(self.walkers)
+
+    def remove_walkers(self, walker_ids: list[int]) -> int:
+        """Runtime walker removal (thread-remove): the walker is marked
+        exhausted — it stops proposing but its history stays snapshotable."""
+        n = 0
+        for wid in walker_ids:
+            w = self.walkers.get(wid)
+            if w is not None and not w.exhausted:
+                w.exhausted = True
+                w.pending = None
+                n += 1
+        return n
+
+    def reconfigure(self, changes: dict) -> None:
+        """Apply config updates to future decisions (texcomm queue-resize
+        analogue: e.g. max_links_per_step, max_cache, jump probability)."""
+        for k, v in changes.items():
+            setattr(self.cfg, k, v)
+
     def snapshot(self) -> bytes:
         return pickle.dumps({wid: w.snapshot() for wid, w in self.walkers.items()})
 
@@ -295,6 +322,22 @@ class FrontierPartActor:
     def get_metrics(self) -> dict:
         return dict(self.metrics)
 
+    def peek_corpus(self, n: int = 1) -> list[dict]:
+        """Last n BUFFERED (not yet flushed) processed docs — the texcomm
+        `peek` verb (ref: trtexrex.pas:739-763).  Text clipped to 400 chars
+        so peeking never ships a full document to the driver."""
+        out = []
+        for r in self.corpus_buf[-n:]:
+            r = dict(r)
+            r["text"] = (r.get("text") or "")[:400]
+            r.pop("links", None)
+            out.append(r)
+        return out
+
+    def reconfigure(self, changes: dict) -> None:
+        for k, v in changes.items():
+            setattr(self.cfg, k, v)
+
     def snapshot(self) -> bytes:
         return pickle.dumps(
             {
@@ -421,6 +464,80 @@ class CrawlEngine:
         for k in keys:
             cols[k] = pa.array([int(m.get(k, 0)) for m in ms], pa.int64())
         return pa.table(cols)
+
+    # -- texcomm control surface (ref: src/programs/texcomm.pas, server
+    # side trtexrex.pas:548-798: dashboard / thread add+remove / queue
+    # resize / peek).  The IPC socket becomes plain method calls on the
+    # driver-held engine; a remote client would wrap these in a named Ray
+    # actor, the transport texcomm's INET socket maps to.
+
+    def control_status(self) -> dict:
+        """One dashboard snapshot: progress counters + per-partition and
+        walker liveness (texcomm's periodic status line)."""
+        alive = sum(ray.get([s.alive.remote() for s in self.shards]))
+        ms = ray.get([p.get_metrics.remote() for p in self.parts])
+        totals: Counter = Counter()
+        for m in ms:
+            totals.update(m)
+        return {
+            "round": self.round,
+            "steps": self.steps,
+            "walkers_alive": alive,
+            "n_partitions": self.n_partitions,
+            "n_walker_shards": self.n_walker_shards,
+            "outputs": int(totals.get("outputs", 0)),
+            "gated_fetches": int(totals.get("gated_fetches", 0)),
+            "waits": int(totals.get("waits", 0)),
+            "disallowed": int(totals.get("disallowed", 0)),
+            "salted_hosts": len(self.salt),
+        }
+
+    def peek(self, n: int = 1) -> list[dict]:
+        """Most recent processed documents (clipped), newest last."""
+        rows: list[dict] = []
+        for part_rows in ray.get([p.peek_corpus.remote(n) for p in self.parts]):
+            rows.extend(part_rows)
+        rows.sort(key=lambda r: (r.get("round", 0), r.get("url", "")))
+        return rows[-n:]
+
+    def add_walkers(self, seeds_per_walker: list[list[str]]) -> list[int]:
+        """Spawn len(seeds_per_walker) new walkers at runtime, round-robin
+        across existing shards; returns their walker ids."""
+        new_ids = list(range(self.n_walkers, self.n_walkers + len(seeds_per_walker)))
+        by_shard: dict[int, dict[int, list[str]]] = {}
+        for wid, seeds in zip(new_ids, seeds_per_walker):
+            by_shard.setdefault(wid % self.n_walker_shards, {})[wid] = list(seeds)
+        ray.get(
+            [
+                self.shards[s].add_walkers.remote(m, self.seed)
+                for s, m in by_shard.items()
+            ]
+        )
+        self.n_walkers += len(new_ids)
+        return new_ids
+
+    def remove_walkers(self, walker_ids: list[int]) -> int:
+        """Stop the given walkers after their current round."""
+        by_shard: dict[int, list[int]] = {}
+        for wid in walker_ids:
+            by_shard.setdefault(wid % self.n_walker_shards, []).append(wid)
+        return sum(
+            ray.get(
+                [self.shards[s].remove_walkers.remote(ids) for s, ids in by_shard.items()]
+            )
+        )
+
+    def reconfigure(self, **changes) -> None:
+        """Broadcast config updates to every actor and the driver copy.
+        Affects future decisions only (no retroactive state rewrite), like
+        texcomm's live queue-resize."""
+        for k, v in changes.items():
+            if not hasattr(self.cfg, k):
+                raise AttributeError(f"unknown CrawlConfig field: {k}")
+            setattr(self.cfg, k, v)
+        ray.get(
+            [a.reconfigure.remote(changes) for a in list(self.shards) + list(self.parts)]
+        )
 
     def shutdown(self) -> None:
         """Kill the engine's actors, releasing their CPU reservations.
