@@ -121,8 +121,12 @@ def run_bench() -> dict:
     docs_full = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     )
+    n_docs_t = docs_full.count()  # metadata-only on parquet
     sh = minhash_shingles(docs_full, k=100)
-    pairs = count_pairs(shingle_pairs(sh, max_redundancy=200), pair_threshold=5)
+    pairs = count_pairs(
+        shingle_pairs(sh, max_redundancy=200, expected_rows=n_docs_t * 100),
+        pair_threshold=5,
+    )
     extras["tender_pairs"] = pairs.count()
     times["tender"] = time.perf_counter() - t0
 

@@ -94,12 +94,28 @@ class WalkerShardActor:
             out.append((wid, url, action, w.cached_links(url) is not None))
         return out
 
-    def resolve(self, results: list[tuple[int, str, list[str] | None]]) -> None:
-        """results: (walker_id, verdict, links) — verdict ∈ ok|fail|wait|cache."""
-        for wid, verdict, links in results:
+    def resolve(
+        self,
+        results: list[tuple[int, str]],
+        link_payloads: list[list[tuple[int, list[str]]]] | None = None,
+    ) -> None:
+        """results: (walker_id, verdict) — verdict ∈ ok|fail|wait|cache.
+
+        Link lists for "ok" verdicts arrive via ``link_payloads`` — the
+        per-shard outputs of ``gate_fetch``, shipped actor→actor through
+        the object store so the driver never serializes a link list."""
+        lmap: dict[int, list[str]] = {}
+        for payload in link_payloads or []:
+            if isinstance(payload, ray.ObjectRef):
+                # refs nested in a list are not auto-resolved; fetch from
+                # the LOCAL object store (plasma), not through the driver
+                payload = ray.get(payload)
+            for wid, links in payload:
+                lmap[wid] = links
+        for wid, verdict in results:
             w = self.walkers[wid]
             if verdict == "ok":
-                w.deliver(True, links)
+                w.deliver(True, lmap.get(wid))
             elif verdict == "cache":
                 w.deliver(True, w.cached_links(w.pending[0]))
             elif verdict == "fail":
@@ -107,11 +123,13 @@ class WalkerShardActor:
             # "wait": leave pending
 
     def resolve_and_propose(
-        self, results: list[tuple[int, str, list[str] | None]]
+        self,
+        results: list[tuple[int, str]],
+        link_payloads: list[list[tuple[int, list[str]]]] | None = None,
     ) -> list[tuple[int, str, str, bool]]:
         """Fused resolve + next-round propose: one barrier per shard per
         round instead of two."""
-        self.resolve(results)
+        self.resolve(results, link_payloads)
         return self.propose_all()
 
     def alive(self) -> int:
@@ -239,12 +257,21 @@ class FrontierPartActor:
             seg.count = seg.capacity
         self.bloom.segments = base.segments + self.bloom.segments
 
-    def gate_fetch(self, items: list[tuple[int, str, str]], now: int
-                   ) -> list[tuple[int, str, list[str] | None, bool]]:
-        """Per (walker_id, url, action), in walker-id order:
-        → (walker_id, verdict ok|fail|wait, links, is_new_output)."""
+    def gate_fetch(self, items: list[tuple[int, str, str]], now: int,
+                   n_shards: int = 1):
+        """Per (walker_id, url, action), in walker-id order: gate through
+        politeness + robots, fetch, Bloom-dedup, buffer corpus rows.
+
+        Returns ``1 + n_shards`` values (call with
+        ``.options(num_returns=1 + n_shards)``): a meta list
+        ``(walker_id, verdict ok|fail|wait, is_new_output)`` for the
+        driver, then per-walker-shard link payloads
+        ``[(walker_id, links)]`` that flow directly to the shard actors
+        through the object store — link lists are ~95% of the result bytes
+        and the driver never needs them."""
         t0 = time.perf_counter()
-        out = []
+        meta: list[tuple[int, str, bool]] = []
+        shard_links: list[list[tuple[int, list[str]]]] = [[] for _ in range(n_shards)]
         for wid, url, action in sorted(items):
             host = host_of(url)
             if self.pm.needs_robots(host, now):
@@ -253,11 +280,11 @@ class FrontierPartActor:
             w = self.pm.seconds_until_retrieval(url, now)
             if w < 0:
                 self.metrics["disallowed"] += 1
-                out.append((wid, "fail", None, False))
+                meta.append((wid, "fail", False))
                 continue
             if w > 0:
                 self.metrics["waits"] += 1
-                out.append((wid, "wait", None, False))
+                meta.append((wid, "wait", False))
                 continue
             if self.cfg.add_random_wait_up_to > 0:
                 # extra politeness jitter (ref: AddRandomWaitUpTo at
@@ -269,7 +296,7 @@ class FrontierPartActor:
                 )
                 if extra > 0:
                     self.metrics["jitter_waits"] += 1
-                    out.append((wid, "wait", None, False))
+                    meta.append((wid, "wait", False))
                     continue
             self.pm.retrieved(url, now)
             self.metrics["gated_fetches"] += 1
@@ -277,7 +304,7 @@ class FrontierPartActor:
             fr = fetch_parse(self.pages, url, self.cfg)
             if not fr.ok:
                 self.metrics["failed_fetches"] += 1
-                out.append((wid, "fail", None, False))
+                meta.append((wid, "fail", False))
                 continue
             is_new = bool(self.bloom.add_if_new([url])[0])
             if is_new:
@@ -292,10 +319,13 @@ class FrontierPartActor:
                         "raw_len": fr.raw_len,
                     }
                 )
-            out.append((wid, "ok", fr.links, is_new))
+            meta.append((wid, "ok", is_new))
+            shard_links[wid % n_shards].append((wid, fr.links))
         self.metrics["gate_ms"] += int((time.perf_counter() - t0) * 1000)
         self.metrics["gate_calls"] += 1
-        return out
+        if n_shards == 1:
+            return meta, shard_links[0]
+        return (meta, *shard_links)
 
     def flush_corpus(self, out_dir: str, upto_round: int) -> int:
         """Write buffered corpus rows to a per-partition parquet file."""
@@ -637,7 +667,7 @@ class CrawlEngine:
                 self.stats.cache_hits += 1
                 self.visit_rows.append((now, wid, url, host_of(url), action, True))
                 cache_acks.setdefault(wid % self.n_walker_shards, []).append(
-                    (wid, "cache", None)
+                    (wid, "cache")
                 )
         pending = [(wid, url, action) for wid, url, action, c in proposals if not c]
         if not pending:
@@ -651,18 +681,26 @@ class CrawlEngine:
         by_part: dict[int, list[int]] = {}
         for i, p in enumerate(parts.tolist()):
             by_part.setdefault(p, []).append(i)
-        # ONE actor call per partition: gate + fetch + bloom + corpus buffer
+        # ONE actor call per partition: gate + fetch + bloom + corpus
+        # buffer.  The call returns 1 meta object (small, driver-bound) +
+        # one link payload PER WALKER SHARD: the driver ray.gets only the
+        # metas, and passes the link-payload refs straight into the shard
+        # actors — link lists (~95% of result bytes) move object-store →
+        # shard without ever being serialized through the driver.
+        S = self.n_walker_shards
         part_ids = list(by_part)
-        res_all = ray.get(
-            [
-                self.parts[p].gate_fetch.remote([pending[i] for i in by_part[p]], now)
-                for p in part_ids
-            ]
-        )
+        meta_refs, link_refs = [], []
+        for p in part_ids:
+            refs = self.parts[p].gate_fetch.options(num_returns=1 + S).remote(
+                [pending[i] for i in by_part[p]], now, S
+            )
+            meta_refs.append(refs[0])
+            link_refs.append(refs[1:])
+        res_all = ray.get(meta_refs)
         by_wid = {wid: (i, url, action) for i, (wid, url, action) in enumerate(pending)}
-        by_shard: dict[int, list[tuple[int, str, list[str] | None]]] = {}
+        by_shard: dict[int, list[tuple[int, str]]] = {}
         for p, res in zip(part_ids, res_all):
-            for wid, verdict, links, is_new in res:
+            for wid, verdict, is_new in res:
                 i, url, action = by_wid[wid]
                 if verdict == "ok":
                     self.steps += 1
@@ -674,16 +712,15 @@ class CrawlEngine:
                     self.stats.waits += 1
                 else:
                     self.stats.failed += 1
-                by_shard.setdefault(wid % self.n_walker_shards, []).append(
-                    (wid, verdict, links)
-                )
+                by_shard.setdefault(wid % S, []).append((wid, verdict))
         # fused resolve + next-round propose: one barrier per round; every
         # shard gets a call (cache acks included; idle shards still propose)
         next_futs = [
             self.shards[s].resolve_and_propose.remote(
-                cache_acks.get(s, []) + by_shard.get(s, [])
+                cache_acks.get(s, []) + by_shard.get(s, []),
+                [link_refs[j][s] for j in range(len(part_ids))],
             )
-            for s in range(self.n_walker_shards)
+            for s in range(S)
         ]
         return next_futs, True
 

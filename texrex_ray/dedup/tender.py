@@ -179,6 +179,14 @@ def shingle_pairs(
     """
     if n_buckets is None:
         n_buckets = auto_buckets(expected_rows)
+    # Coalesce before the exchange: the sort shuffle's fixed cost grows
+    # with map-blocks × reduce-slices, and the upstream minhash stage runs
+    # wide (one block per read split) for CPU parallelism.  ~50k rows per
+    # shuffle block keeps the exchange overhead-free at small scale and
+    # harmless at large scale (blocks are already bigger than this).
+    shuffle_blocks = (
+        max(8, min(256, int(np.ceil(expected_rows / 50_000)))) if expected_rows else 16
+    )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         col = t["shingle"]
@@ -219,20 +227,43 @@ def shingle_pairs(
 
     return (
         shingles.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(shuffle_blocks)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
 
 def count_pairs(
-    pairs: ray.data.Dataset, pair_threshold: int = 5
+    pairs: ray.data.Dataset,
+    pair_threshold: int = 5,
+    expected_pairs: int | None = None,
 ) -> ray.data.Dataset:
-    """Phase 3: count identical pairs, keep those sharing ≥ threshold."""
-    counted = pairs.groupby(["id_small", "id_big"]).aggregate(
-        Count(alias_name="n_shared")
-    )
-    return counted.filter(
-        expr=f"n_shared >= {int(pair_threshold)}"
+    """Phase 3: count identical pairs, keep those sharing ≥ threshold.
+
+    Exchange choice: the pair stream is orders of magnitude smaller than
+    the shingle stream (only co-bucketed near-duplicates emit rows), so by
+    default the count runs as ONE combine task over the coalesced pairs —
+    no second sort shuffle (measured 5× faster at sf0.1, identical rows).
+    When the caller expects a pair volume beyond a single block
+    (``expected_pairs`` > ~5M — the 100 TB path), the count falls back to
+    the keyed ``groupby`` exchange.
+    """
+    if expected_pairs is not None and expected_pairs > 5_000_000:
+        counted = pairs.groupby(["id_small", "id_big"]).aggregate(
+            Count(alias_name="n_shared")
+        )
+        return counted.filter(expr=f"n_shared >= {int(pair_threshold)}")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["id_small", "id_big"], sort=False)
+            .size()
+            .reset_index(name="n_shared")
+        )
+        return c[c["n_shared"] >= int(pair_threshold)]
+
+    return pairs.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None
     )
 
 

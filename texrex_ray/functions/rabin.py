@@ -103,39 +103,56 @@ def _tables(k: int) -> np.ndarray:
     return t
 
 
+@lru_cache(maxsize=4)
+def _tables_flat(k: int) -> np.ndarray:
+    """(8, k*256) poly-major layout: row ``j*256 + byte`` for column j.
+
+    Each column's 256-entry sub-table is 2 KiB — L1-resident across the
+    whole slab, where the byte-major (8, 256, k) layout misses cache on
+    every gather (measured ~1.5× end-to-end on this host)."""
+    t = _tables(k)
+    return np.ascontiguousarray(t.transpose(0, 2, 1)).reshape(8, k * 256)
+
+
 def rabin_hash_many(grams: list[bytes], k: int, slab_rows: int = 2048) -> np.ndarray:
     """(n_grams, k) Rabin64 hashes under the first k reference polynomials.
 
     One zero-padded byte matrix per slab; per 8-byte block the table fold
-    is a fancy-index gather per byte position — all bounded, reused-size
+    is one flat ``np.take`` per byte position from the poly-major tables,
+    with the state bytes read zero-copy via a uint8 view (little-endian
+    byte p of w IS ``(w >> 8p) & 0xFF``) — all bounded, reused-size
     allocations (this host punishes large fresh pages).
     """
-    t = _tables(k)
+    t_flat = _tables_flat(k)
     n = len(grams)
     out = np.empty((n, k), dtype=np.uint64)
-    kcols = np.arange(k)[None, :]
+    row_off = (np.arange(k) << 8).astype(np.intp)[None, :]
     for s0 in range(0, n, slab_rows):
         chunk = grams[s0 : s0 + slab_rows]
+        m = len(chunk)
         maxlen = max((len(g) for g in chunk), default=0)
         L = ((maxlen + 7) // 8) * 8
         if L == 0:
-            out[s0 : s0 + len(chunk)] = 0
+            out[s0 : s0 + m] = 0
             continue
-        buf = np.zeros((len(chunk), L), dtype=np.uint8)
+        buf = np.zeros((m, L), dtype=np.uint8)
         for i, g in enumerate(chunk):
             if g:
                 buf[i, L - len(g) :] = np.frombuffer(g, dtype=np.uint8)
         blocks = buf.view(">u8").astype(np.uint64)  # (m, L//8) big-endian words
-        w = np.zeros((len(chunk), k), dtype=np.uint64)
+        w = np.zeros((m, k), dtype=np.uint64)
+        idx = np.empty((m, k), dtype=np.intp)
         for b in range(L // 8):
             if b > 0:
-                acc = t[0][(w & U64(0xFF)).astype(np.intp), kcols]
+                wb = w.view(np.uint8).reshape(m, k, 8)
+                np.add(wb[:, :, 0], row_off, out=idx)
+                acc = np.take(t_flat[0], idx)
                 for p in range(1, 8):
-                    byte = ((w >> U64(8 * p)) & U64(0xFF)).astype(np.intp)
-                    acc ^= t[p][byte, kcols]
+                    np.add(wb[:, :, p], row_off, out=idx)
+                    acc ^= np.take(t_flat[p], idx)
                 w = acc
             w ^= blocks[:, b][:, None]
-        out[s0 : s0 + len(chunk)] = w
+        out[s0 : s0 + m] = w
     return out
 
 
