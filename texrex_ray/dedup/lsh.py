@@ -104,6 +104,10 @@ def minhash_lsh_pairs(
     cand_ids_ds = (
         ds.map_batches(band_rows, batch_format="pyarrow")
         .map_batches(coarse, batch_format="pyarrow")
+        # coalesce before the exchange: band rows are narrow (3 cols), and
+        # the sort shuffle's fixed cost scales with block count (see
+        # tender.shingle_pairs)
+        .repartition(16)
         .groupby("bucket")
         .map_groups(bucket_ids, batch_format="pandas")
     )
@@ -247,8 +251,21 @@ def simhash_pairs(
     pairs = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
         .map_batches(block_rows, batch_format="pyarrow")
+        .repartition(16)  # coalesce narrow block rows before the exchange
         .groupby("bkey")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # a pair can surface from several blocks: reduce to one row
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+    # a pair can surface from several blocks: reduce to one row.  The pair
+    # stream is result-sized (near-dups only), so one combine task beats a
+    # second sort shuffle; a corpus expecting >~5M raw pair rows would use
+    # groupby(["id_a","id_b"]).aggregate(Min) here (see tender.count_pairs).
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["id_a", "id_b"], sort=False, as_index=False)["hamming"]
+            .min()
+        )
+
+    return pairs.repartition(1).map_batches(
+        dedup_pairs, batch_format="pandas", batch_size=None
+    )
