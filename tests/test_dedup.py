@@ -256,3 +256,30 @@ def test_ivf_centroids_deterministic():
     c1 = train_centroids(ds, nlist=4, iters=5)
     c2 = train_centroids(ds.repartition(7), nlist=4, iters=5)
     np.testing.assert_allclose(c1, c2)
+
+
+def test_dup_clusters_components(ray_session):
+    from texrex_ray.dedup.clusters import dup_clusters
+
+    # two components: a chain 1-2-3-4 (diameter 3) and an island 9-10
+    pairs = ray.data.from_items(
+        [
+            {"id_a": 2, "id_b": 1},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 3, "id_b": 4},
+            {"id_a": 10, "id_b": 9},
+        ]
+    )
+    got = dup_clusters(pairs)
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 10: 9}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_dup_clusters_string_ids(ray_session):
+    from texrex_ray.dedup.clusters import dup_clusters
+
+    pairs = ray.data.from_items(
+        [{"id_a": "b", "id_b": "c"}, {"id_a": "a", "id_b": "c"}]
+    )
+    got = dup_clusters(pairs)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == {"a": "a", "b": "a", "c": "a"}

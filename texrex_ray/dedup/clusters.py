@@ -1,0 +1,75 @@
+"""Duplicate clusters: connected components over near-dup pair edges.
+
+The pair detectors (tender / LSH / SimHash / Jaccard) emit EDGES; dedup
+policies usually want CLUSTERS ("keep one representative per component").
+This computes per-node component labels by iterative min-label
+propagation — the standard scalable CC construction (label = min doc_id
+reachable), converging in ≤ diameter iterations.
+
+Shape: the edge stream is scanned distributed (``map_batches`` emits
+per-batch partial minima), while the label table itself is RESULT-sized
+(only documents that appear in a near-dup pair — the dedup regime's
+small side, same assumption as the LSH candidate set) and is broadcast
+per iteration via ``ray.put``.  A corpus whose pair graph exceeds driver
+memory would swap the broadcast for a keyed per-iteration exchange
+(groupby-join); the edge-scan side is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def dup_clusters(
+    pairs: ray.data.Dataset,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> pd.DataFrame:
+    """(doc_id, cluster_id) for every document in a pair; cluster_id =
+    the smallest doc_id in its connected component."""
+    edges_ds = pairs.select_columns([id_a, id_b])
+
+    # labels: node -> current component label (result-sized)
+    nodes_df = edges_ds.to_pandas()
+    if nodes_df.empty:
+        return pd.DataFrame({"doc_id": [], "cluster_id": []})
+    a = nodes_df[id_a].to_numpy()
+    b = nodes_df[id_b].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = pd.Series(nodes, index=nodes)
+
+    for _ in range(max_iters):
+        lab_ref = ray.put(labels)
+
+        def propagate(t: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            ea = np.asarray(t[id_a].to_pylist())
+            eb = np.asarray(t[id_b].to_pylist())
+            la = lab.loc[ea].to_numpy()
+            lb = lab.loc[eb].to_numpy()
+            m = np.minimum(la, lb)
+            # per-batch partial minima for both endpoints
+            part = pd.DataFrame(
+                {"node": np.concatenate([ea, eb]), "cand": np.concatenate([m, m])}
+            )
+            part = part.groupby("node", sort=False)["cand"].min().reset_index()
+            return pa.Table.from_pandas(part, preserve_index=False)
+
+        partials = edges_ds.map_batches(propagate, batch_format="pyarrow").to_pandas()
+        cand = partials.groupby("node")["cand"].min()
+        new_labels = labels.copy()
+        new_labels.loc[cand.index] = np.minimum(
+            new_labels.loc[cand.index].to_numpy(), cand.to_numpy()
+        )
+        if new_labels.equals(labels):
+            break
+        labels = new_labels
+
+    out = pd.DataFrame({"doc_id": labels.index, "cluster_id": labels.to_numpy()})
+    return out.sort_values("doc_id").reset_index(drop=True)

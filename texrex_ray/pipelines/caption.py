@@ -79,9 +79,34 @@ def image_caption_pipeline(
             ds = ds.map_batches(ImageFeatures, concurrency=decoder_concurrency, **kw)
     if dedup:
         import pandas as pd
+        import pyarrow.compute as pc
+        import ray
 
-        def first(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values("image_id").head(1)
+        # keep-first per phash WITHOUT shuffling the wide rows (bytes stay
+        # put): winners are decided on a projected (phash, image_id)
+        # stream — two narrow columns — then the wide stream is filtered
+        # by a broadcast winner-id set (the tecl broadcast-semi-join
+        # pattern).  At small/bench scale the winner decision is one
+        # combine task; beyond ~1e8 uniques decide winners with
+        # groupby("phash") on the projection and shard the filter —
+        # either way the image bytes never enter an all-to-all.
+        def first_ids(g: pd.DataFrame) -> pd.DataFrame:
+            w = (
+                g.sort_values(["phash", "image_id"])
+                .drop_duplicates("phash", keep="first")
+            )
+            return w[["image_id"]].reset_index(drop=True)
 
-        ds = ds.groupby("phash").map_groups(first, batch_format="pandas")
+        winners = (
+            ds.select_columns(["phash", "image_id"])
+            .repartition(1)
+            .map_batches(first_ids, batch_format="pandas", batch_size=None)
+            .to_pandas()["image_id"]
+        )
+        win_ref = ray.put(pa.array(winners))
+
+        def keep_winners(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["image_id"], value_set=ray.get(win_ref)))
+
+        ds = ds.map_batches(keep_winners, **kw)
     return ds

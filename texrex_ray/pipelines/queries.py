@@ -1153,3 +1153,95 @@ def q38_video_frames(sf_dir: str):
         .sort_values(["video_id", "frame_idx"])
         .reset_index(drop=True)
     )
+
+
+_CS_PL = "Zażółć gęślą jaźń, pchnąć w tę łódź jeża lub ośm skrzyń fig. "
+_CS_JP = "日本語のテキストです。漢字とひらがなとカタカナを含みます。"
+_CS_RU = "Съешь же ещё этих мягких французских булок, да выпей чаю. "
+
+
+@query(
+    "q25_charset_convert",
+    sql=f"""
+    SELECT * FROM (VALUES
+      ('http://cs.example/jp-declared',   'shift_jis',    repeat('{_CS_JP}', 40)),
+      ('http://cs.example/latin1-upgrade','windows-1252', '“quoted”'),
+      ('http://cs.example/pl-declared',   'iso8859-2',    repeat('{_CS_PL}', 40)),
+      ('http://cs.example/ru-declared',   'cp1251',       repeat('{_CS_RU}', 40)),
+      ('http://cs.example/ru-misdeclared','cp1251',       repeat('{_CS_RU}', 40)),
+      ('http://cs.example/ru-sniffed',    'cp1251',       repeat('{_CS_RU}', 40)),
+      ('http://cs.example/utf8-declared', 'utf-8',        'héllo wörld')
+    ) AS t(url, charset, text) ORDER BY url
+    """,
+)
+def q25_charset_convert(sf_dir: str):
+    """CharsetConverter breadth (ref: trcharsetconverter.pas:93-147):
+    declared charset > 32 KiB sniff > cp1252 fallback, with the
+    ISO-8859-1 → Windows-1252 upgrade.  The oracle is a hand-written
+    VALUES table — fully independent of the decode code path; every
+    behavior it pins is also unit-tested in tests/test_charset.py."""
+    from texrex_ray.crawl.fetcher import decode_content
+
+    recs = [
+        ("http://cs.example/pl-declared", "iso-8859-2", (_CS_PL * 40).encode("iso-8859-2")),
+        ("http://cs.example/jp-declared", "shift_jis", (_CS_JP * 40).encode("shift_jis")),
+        ("http://cs.example/ru-declared", "windows-1251", (_CS_RU * 40).encode("windows-1251")),
+        ("http://cs.example/ru-sniffed", "", (_CS_RU * 40).encode("windows-1251")),
+        ("http://cs.example/ru-misdeclared", "x-bogus-charset", (_CS_RU * 40).encode("windows-1251")),
+        ("http://cs.example/utf8-declared", "utf-8", "héllo wörld".encode()),
+        ("http://cs.example/latin1-upgrade", "iso-8859-1", b"\x93quoted\x94"),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in recs], pa.string()),
+            "declared": pa.array([r[1] for r in recs], pa.string()),
+            "raw": pa.array([r[2] for r in recs], pa.binary()),
+        }
+    )
+
+    def convert(b: pa.Table) -> pa.Table:
+        texts, names = [], []
+        for raw, dec in zip(b["raw"].to_pylist(), b["declared"].to_pylist()):
+            text, name = decode_content(raw, dec)
+            texts.append(text)
+            names.append(name)
+        return pa.table(
+            {
+                "url": b["url"],
+                "charset": pa.array(names, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    out = ray.data.from_arrow(t).map_batches(convert, batch_format="pyarrow")
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+@query(
+    "q39_dup_clusters",
+    sql="WITH RECURSIVE pairs AS (" + _JACCARD_SQL + """),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q39_dup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS from the q14 Jaccard pair edges: connected
+    components by iterative min-label propagation (distributed edge scan,
+    result-sized label broadcast).  Oracle: DuckDB recursive-CTE
+    transitive closure over the identical edge set — an independent
+    algorithm (BFS closure vs label propagation)."""
+    from texrex_ray.dedup.clusters import dup_clusters
+
+    pairs = QUERIES["q14_ngram_jaccard"](sf_dir)
+    df = dup_clusters(pairs)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["cluster_id"] = df["cluster_id"].astype("int64")
+    return df
