@@ -24,7 +24,7 @@ from texrex_ray.functions.cleanse import cleanse_full
 from texrex_ray.functions.hashing import (
     md5_hex,
     minhash_signatures,
-    rolling_fingerprint,
+    rolling_fingerprints,
     simhash64,
 )
 from texrex_ray.functions.normalize import nfc, normalize_text, utf8_size
@@ -122,16 +122,64 @@ class Assessor:
     def __init__(self, profiles: list[tuple[str, str]], threshold: float = 5.0):
         self.profiles = [LanguageProfile.parse(n, t) for n, t in profiles]
         self.threshold = threshold
+        # vectorized layout, built once per actor: the union vocabulary of
+        # all profile words plus per-profile (vocab-aligned) mean/sd/limit
+        # arrays — scoring a batch becomes a (docs × vocab) matrix of
+        # log-relative frequencies against P broadcast parameter rows.
+        self.vocab = sorted({w for p in self.profiles for w in p.words})
+        self.vindex = {w: i for i, w in enumerate(self.vocab)}
+        V = len(self.vocab)
+        P = len(self.profiles)
+        self.p_mask = np.zeros((P, V), dtype=bool)        # word in profile?
+        self.p_mean = np.zeros((P, V))
+        self.p_sd = np.ones((P, V))
+        self.p_limit = np.zeros((P, V))
+        self.p_size = np.ones(P)
+        for pi, prof in enumerate(self.profiles):
+            self.p_size[pi] = max(1, len(prof.words))
+            for w, (mean, sd, limit) in prof.words.items():
+                vi = self.vindex[w]
+                self.p_mask[pi, vi] = True
+                self.p_mean[pi, vi] = mean
+                # sd <= 0 ⇒ the scalar path scores dev = 0 for PRESENT
+                # words; encode that as mean = -inf (dev := -inf → clip 0)
+                self.p_sd[pi, vi] = sd if sd > 0 else 1.0
+                if sd <= 0:
+                    self.p_mean[pi, vi] = -np.inf
+                self.p_limit[pi, vi] = limit
+        self.p_names = [p.name for p in self.profiles]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks_col = batch.column("tokens").to_pylist()
-        langs: list[str] = []
-        bad = np.zeros(len(toks_col), dtype=np.float64)
+        n = len(toks_col)
+        V = len(self.vocab)
+        counts = np.zeros((n, V), dtype=np.float64)
+        totals = np.zeros(n, dtype=np.float64)
+        vindex = self.vindex
         for i, toks in enumerate(toks_col):
-            rf = rel_freqs(type_counts(toks))
-            lang, b = assess_multi(rf, self.profiles)
-            langs.append(lang)
-            bad[i] = b
+            tc_ = type_counts(toks)
+            totals[i] = sum(tc_.values())
+            for w, c in tc_.items():
+                vi = vindex.get(w)
+                if vi is not None:
+                    counts[i, vi] = c
+        # log10 relative frequency where present; scoring per profile:
+        # present → clamp((mean - logrf)/sd, 0, limit); absent → limit
+        # (identical math to functions.assess.badness, batched)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logrf = np.log10(counts / np.maximum(totals, 1.0)[:, None])
+        present = counts > 0
+        bad_all = np.empty((len(self.profiles), n))
+        for pi in range(len(self.profiles)):
+            dev = (self.p_mean[pi][None, :] - np.where(present, logrf, 0.0)) / self.p_sd[pi][None, :]
+            contrib = np.clip(dev, 0.0, None)
+            contrib = np.minimum(contrib, self.p_limit[pi][None, :])
+            contrib = np.where(present, contrib, self.p_limit[pi][None, :])
+            contrib = np.where(self.p_mask[pi][None, :], contrib, 0.0)
+            bad_all[pi] = contrib.sum(axis=1) / self.p_size[pi]
+        best = np.argmin(bad_all, axis=0)
+        bad = bad_all[best, np.arange(n)]
+        langs = [self.p_names[b] if np.isfinite(bad[i]) else "unknown" for i, b in enumerate(best)]
         batch = batch.append_column("pred_lang", pa.array(langs, pa.string()))
         batch = batch.append_column("badness", pa.array(bad))
         ok = pc.less_equal(batch.column("badness"), pa.scalar(self.threshold))
@@ -152,7 +200,7 @@ def fingerprints(batch: pa.Table, k: int = 100, ngram: int = 5) -> pa.Table:
     texts = batch.column("text").to_pylist()
     toks = batch.column("tokens").to_pylist()
     md5s = [md5_hex(s or "") for s in texts]
-    roll = np.array([rolling_fingerprint(s or "") for s in texts], dtype=np.uint64)
+    roll = rolling_fingerprints([s or "" for s in texts])
     sig = minhash_signatures(toks, k=k, n=ngram)
     sh = simhash64(toks)
     minhash_col = pa.FixedSizeListArray.from_arrays(pa.array(sig.reshape(-1)), k)
