@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from texrex_ray.functions.assess import LanguageProfile, assess_multi
+from texrex_ray.functions.assess import LanguageProfile
 from texrex_ray.functions.cleanse import cleanse_full
 from texrex_ray.functions.hashing import (
     md5_hex,
@@ -28,7 +28,7 @@ from texrex_ray.functions.hashing import (
     simhash64,
 )
 from texrex_ray.functions.normalize import nfc, normalize_text, utf8_size
-from texrex_ray.functions.tokenize import LATIN_TOKEN_RE, rel_freqs, type_counts
+from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
 
 # A small English-ish stopword set used by the quality scorer; fixed so the
 # DuckDB oracle can embed the identical list.
@@ -86,19 +86,28 @@ def quality(batch: pa.Table) -> pa.Table:
     trsimpledocumentfilter.pas:81-89) generalizes here to a ``valid`` flag
     from utf8_size and token-count thresholds.
     """
-    toks_col = batch.column("tokens").to_pylist()
-    texts = batch.column("text").to_pylist()
-    stop = set(STOPWORDS)
-    n = len(texts)
-    stop_ratio = np.zeros(n, dtype=np.float64)
-    mean_len = np.zeros(n, dtype=np.float64)
-    alpha_ratio = np.zeros(n, dtype=np.float64)
-    for i, (toks, text) in enumerate(zip(toks_col, texts)):
-        if toks:
-            stop_ratio[i] = sum(1 for t in toks if t.lower() in stop) / len(toks)
-            tot = sum(len(t) for t in toks)
-            mean_len[i] = tot / len(toks)
-            alpha_ratio[i] = tot / max(1, len(text))
+    # fully vectorized: Arrow kernels over the flattened token list, then
+    # per-doc sums via bincount on repeated doc ids (reduceat-free — this
+    # host punishes reduceat on large arrays)
+    lt = batch.column("tokens").combine_chunks()
+    n = len(batch)
+    counts = pc.list_value_length(lt).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lt)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    is_stop = pc.is_in(
+        pc.utf8_lower(flat), value_set=pa.array(sorted(STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    ids = np.repeat(np.arange(n), counts)
+    tot_len = np.bincount(ids, weights=tok_len, minlength=n)
+    n_stop = np.bincount(ids, weights=is_stop.astype(np.float64), minlength=n)
+    denom = np.maximum(counts, 1).astype(np.float64)
+    nonempty = counts > 0
+    stop_ratio = np.where(nonempty, n_stop / denom, 0.0)
+    mean_len = np.where(nonempty, tot_len / denom, 0.0)
+    text_len = (
+        pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    alpha_ratio = np.where(nonempty, tot_len / np.maximum(1.0, text_len), 0.0)
     batch = (
         batch.append_column("stop_ratio", pa.array(stop_ratio))
         .append_column("mean_token_len", pa.array(mean_len))
@@ -150,19 +159,28 @@ class Assessor:
         self.p_names = [p.name for p in self.profiles]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks_col = batch.column("tokens").to_pylist()
-        n = len(toks_col)
+        n = len(batch)
         V = len(self.vocab)
-        counts = np.zeros((n, V), dtype=np.float64)
-        totals = np.zeros(n, dtype=np.float64)
-        vindex = self.vindex
-        for i, toks in enumerate(toks_col):
-            tc_ = type_counts(toks)
-            totals[i] = sum(tc_.values())
-            for w, c in tc_.items():
-                vi = vindex.get(w)
-                if vi is not None:
-                    counts[i, vi] = c
+        # counts matrix without touching Python rows: uppercase the
+        # flattened token stream, map each token to its vocab slot
+        # (index_in), and bincount (doc, slot) pairs
+        lt = batch.column("tokens").combine_chunks()
+        per_doc = pc.list_value_length(lt).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_up = pc.utf8_upper(pc.list_flatten(lt))
+        vidx = (
+            pc.index_in(flat_up, value_set=pa.array(self.vocab))
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = np.repeat(np.arange(n), per_doc)
+        sel = vidx >= 0
+        counts = (
+            np.bincount(ids[sel] * V + vidx[sel], minlength=n * V)
+            .reshape(n, V)
+            .astype(np.float64)
+        )
+        totals = per_doc.astype(np.float64)
         # log10 relative frequency where present; scoring per profile:
         # present → clamp((mean - logrf)/sd, 0, limit); absent → limit
         # (identical math to functions.assess.badness, batched)
