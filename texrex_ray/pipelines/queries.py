@@ -1245,3 +1245,98 @@ def q39_dup_clusters(sf_dir: str):
     df["doc_id"] = df["doc_id"].astype("int64")
     df["cluster_id"] = df["cluster_id"].astype("int64")
     return df
+
+
+@query(
+    "q40_sliding_window",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                      value
+               FROM events),
+    hop AS (SELECT event_type, h - 3600 * k AS window_start, value
+            FROM e, UNNEST([0, 1, 2]) AS t(k))
+    SELECT event_type, window_start, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_c
+    FROM hop GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q40_sliding_window(sf_dir: str):
+    """Sliding (hopping) window: size 3 h, step 1 h, per event type — the
+    streaming-window custom op of the brief.  Each event expands to its
+    size/step covering windows inside ``map_batches`` (vectorized
+    repeat), then one partial-agg groupby — the same shape a streaming
+    engine's hop-window operator lowers to."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        h = pc.divide(pc.cast(win, pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        h_np = h.to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        n = len(h_np)
+        starts = np.concatenate([h_np, h_np - 3600, h_np - 7200])
+        return pa.table(
+            {
+                "event_type": pa.array(np.tile(et, 3), pa.string()),
+                "window_start": pa.array(starts, pa.int64()),
+                "value": pa.array(np.tile(val, 3), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    df = out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    df["sum_value_c"] = df["sum_value"].map(_cents).astype("int64")
+    return df[["event_type", "window_start", "n_events", "sum_value_c"]]
+
+
+@query(
+    "q41_group_topk",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c, rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3 ORDER BY o_custkey, rk
+    """,
+)
+def q41_group_topk(sf_dir: str):
+    """Per-group top-k (top-3 orders by price per customer): per-batch
+    partial top-3 (combiner) shrinks the exchange to ≤ 3 rows per
+    (customer, block), then a keyed groupby finishes — the distributed
+    grouped-top-k pattern."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", sort=False).head(3), preserve_index=False
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        ).groupby("o_custkey", sort=False).head(3)
+        g = g.reset_index(drop=True)
+        g["rk"] = g.groupby("o_custkey").cumcount() + 1
+        g["price_c"] = (g["o_totalprice"] * 100).round().astype("int64")
+        return g[["o_custkey", "o_orderkey", "price_c", "rk"]]
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("o_custkey")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(["o_custkey", "rk"]).reset_index(drop=True)
