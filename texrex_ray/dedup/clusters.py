@@ -33,7 +33,10 @@ def dup_clusters(
 ) -> pd.DataFrame:
     """(doc_id, cluster_id) for every document in a pair; cluster_id =
     the smallest doc_id in its connected component."""
-    edges_ds = pairs.select_columns([id_a, id_b])
+    # materialize the (narrow) edge list once — the input lineage may be a
+    # whole pair-detection pipeline, which must not re-execute per
+    # propagation iteration
+    edges_ds = pairs.select_columns([id_a, id_b]).materialize()
 
     # labels: node -> current component label (result-sized)
     nodes_df = edges_ds.to_pandas()
