@@ -13,10 +13,26 @@ reference at /root/reference) on top of ``ray.data.Dataset``:
   scaling-Bloom URL-seen set) as a partitioned frontier engine whose
   single-walker projection reproduces the reference's visit order;
 - training-data operators beyond the reference: MinHash-LSH / SimHash /
-  n-gram-Jaccard / embedding-cosine dedup, brute-force + LSH ANN search,
-  language ID, quality scoring, token counting, document fingerprinting;
-- an image+caption payload path (synthetic codec; decode / resize /
-  feature-extract as actor-pool stages) per the driver input_hint.
+  n-gram-Jaccard / embedding-cosine dedup, duplicate-cluster connected
+  components, brute-force + LSH-ANN + IVF-ANN search, language ID,
+  quality scoring, token counting, document fingerprinting, sliding /
+  tumbling / session windows, grouped top-k;
+- multimodal payload paths per the driver input_hint: image+caption
+  (Lance-gated tables, synthetic codec, PSNR≥40), audio (SNR≥40) and
+  video frame-sampling — decode / feature-extract as actor-pool stages;
+- a texcomm-style control surface on the crawl engine (status, peek,
+  walker add/remove, live reconfigure).
+
+Quick start (Ray already initialised)::
+
+    import ray.data
+    from texrex_ray.pipelines.clean_documents import clean_documents
+    from texrex_ray.dedup.tender import tender
+    from texrex_ray.crawl.engine import CrawlEngine
+
+    docs = ray.data.read_parquet("documents.parquet")
+    cleaned = clean_documents(docs, minhash_k=64)     # lazy Dataset
+    near_dups = tender(docs)                          # (id_small, id_big, n_shared)
 
 Nothing in this package calls ``ray.init``/``ray.shutdown``; sessions are
 owned by bench.py, CLI entry points and the pytest fixture.
