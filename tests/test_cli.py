@@ -1,0 +1,46 @@
+"""CLI verbs (python -m texrex_ray …) mirror the reference programs."""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run(*args):
+    out = subprocess.run(
+        [sys.executable, "-m", "texrex_ray", *args],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def test_cli_texrex_tender_tecl_roundtrip(tmp_path):
+    clean = _run("texrex", SF, str(tmp_path / "clean"))
+    assert clean["rows"] == 500
+
+    pairs = _run("tender", SF, str(tmp_path / "pairs"))
+    assert pairs["pairs"] >= 20
+
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(str(tmp_path / "pairs" / "*.parquet"))]
+    )
+    bl = pa.table({"doc_id": t["id_small"].combine_chunks().unique()})
+    blp = str(tmp_path / "blacklist.parquet")
+    pq.write_table(bl, blp)
+
+    surv = _run("tecl", SF, blp, str(tmp_path / "survivors"))
+    assert surv["rows"] == 500 - bl.num_rows
+
+
+def test_cli_clarax_writes_resumable_output(tmp_path):
+    out = str(tmp_path / "crawl")
+    r = _run("clarax", out, "--steps", "150", "--walkers", "4", "--hosts", "10")
+    assert r["steps"] >= 150
+    assert os.path.isdir(os.path.join(out, "corpus"))
+    assert glob.glob(os.path.join(out, "ckpt", "*", "COMMIT"))
