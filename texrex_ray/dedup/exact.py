@@ -62,3 +62,70 @@ def exact_dedup(
         return g.sort_values(id_col).head(1)
 
     return hashed.groupby("text_md5").map_groups(first, batch_format="pandas")
+
+
+def bloom_dedup_hashes(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    n_shards: int = 4,
+    error_rate: float = 1e-6,
+) -> "pd.DataFrame":
+    """Streaming first-wins dedup via a sharded Bloom actor pool — the
+    reference DuplicateDetector's exact semantics (one global scaling
+    Bloom, first document wins; ref: trduplicatedetector.pas:114-122)
+    distributed by hash-sharding the filter.
+
+    Each ``map_batches`` task hashes its rows, routes each content hash to
+    its shard actor (``stable_hash(md5) % n_shards`` — the same key always
+    hits the same actor, so first-wins races never span actors), and
+    emits the rows the shard accepted.  Because duplicates are exact, the
+    accepted HASH SET equals the distinct-hash set regardless of arrival
+    order — which is what makes this streaming op oracle-checkable
+    (q22).  Returns the sorted accepted ``text_md5`` frame; actors are
+    created with ``num_cpus=0`` (state holders, ~no compute) and killed
+    on completion.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from texrex_ray.functions.hashing import md5_hex, stable_hash64
+    from texrex_ray.state.bloom import ScalingBloom
+
+    @ray.remote(num_cpus=0)
+    class BloomShard:
+        def __init__(self, error_rate: float):
+            self.bloom = ScalingBloom(error_rate=error_rate)
+
+        def add_if_new(self, hashes: list[str]) -> list[bool]:
+            return [bool(x) for x in self.bloom.add_if_new(hashes)]
+
+    shards = [BloomShard.remote(error_rate) for _ in range(n_shards)]
+
+    def dedup(t: pa.Table) -> pa.Table:
+        md5s = [md5_hex(s or "") for s in t[text_col].to_pylist()]
+        part = (stable_hash64(md5s, seed=11) % np.uint64(n_shards)).astype(np.int64)
+        accepted = np.zeros(len(md5s), dtype=bool)
+        futs, idxs = [], []
+        for s in range(n_shards):
+            ix = np.nonzero(part == s)[0]
+            if len(ix):
+                futs.append(shards[s].add_if_new.remote([md5s[i] for i in ix]))
+                idxs.append(ix)
+        for ix, res in zip(idxs, ray.get(futs)):
+            accepted[ix] = res
+        keep = pa.array(accepted)
+        return pa.table({"text_md5": pa.array(md5s, pa.string())}).filter(keep)
+
+    try:
+        out = (
+            ds.map_batches(dedup, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("text_md5")
+            .reset_index(drop=True)
+        )
+    finally:
+        for a in shards:
+            ray.kill(a)
+    return out

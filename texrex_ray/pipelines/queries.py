@@ -1340,3 +1340,48 @@ def q41_group_topk(sf_dir: str):
         .map_groups(final_topk, batch_format="pandas")
     )
     return out.to_pandas().sort_values(["o_custkey", "rk"]).reset_index(drop=True)
+
+
+@query(
+    "q22_bloom_dedup",
+    sql="SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY 1",
+)
+def q22_bloom_dedup(sf_dir: str):
+    """Streaming first-wins exact dedup through the sharded scaling-Bloom
+    actor pool (ref: trduplicatedetector.pas:114-122).  The accepted hash
+    set equals the distinct content-hash set for exact duplicates, which
+    the SQL oracle verifies — also an end-to-end false-positive check on
+    the Bloom at this corpus size."""
+    from texrex_ray.dedup.exact import bloom_dedup_hashes
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bloom_dedup_hashes(ds, n_shards=4)
+
+
+@query(
+    "q42_props_extract",
+    sql="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q42_props_extract(sf_dir: str):
+    """Semi-structured ETL: extract a field from the JSON-ish `props`
+    string with the VECTORIZED Arrow regex kernel (pc.extract_regex — no
+    Python row loop), then a partial-agg groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["sum_k"] = df["sum_k"].astype("int64")
+    return df[["event_type", "n", "sum_k"]]
