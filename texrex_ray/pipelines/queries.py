@@ -1385,3 +1385,67 @@ def q42_props_extract(sf_dir: str):
     df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
     df["sum_k"] = df["sum_k"].astype("int64")
     return df[["event_type", "n", "sum_k"]]
+
+
+@query(
+    "q43_asof_join",
+    sql="""
+    WITH rates AS (
+        SELECT date_trunc('hour', ts) AS rts,
+               CAST(ROUND(AVG(value) * 100) AS BIGINT) AS rate_c
+        FROM events
+        WHERE (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600) % 6 = 0
+        GROUP BY 1)
+    SELECT e.event_id,
+           CAST(epoch(r.rts) AS BIGINT) AS rate_window,
+           r.rate_c
+    FROM events e ASOF JOIN rates r ON e.ts >= r.rts
+    ORDER BY e.event_id
+    """,
+)
+def q43_asof_join(sf_dir: str):
+    """As-of join (a custom operator Ray Data lacks): each event joins the
+    most recent sparse 6-hourly "rate" checkpoint at or before its
+    timestamp.  The small side (the checkpoint table) is aggregated with
+    one groupby, broadcast sorted via ``ray.put``, and each batch resolves
+    its matches with one ``np.searchsorted`` — the temporal analogue of
+    the q26 interval lookup; the big side never shuffles.  Oracle:
+    DuckDB's native ASOF JOIN."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def hour_bucket(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        h = pc.divide(pc.cast(win, pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        keep = pc.equal(
+            pc.subtract(h, pc.multiply(pc.divide(h, 21600), pa.scalar(21600, pa.int64()))), 0
+        )
+        return pa.table({"h": h, "value": t["value"]}).filter(keep)
+
+    rates = (
+        ds.map_batches(hour_bucket, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("value", alias_name="sv"), Count(alias_name="nv"))
+        .to_pandas()
+        .sort_values("h")
+    )
+    r_ts = rates["h"].to_numpy()
+    # half-up (values are positive) to match DuckDB ROUND, not numpy banker's
+    r_c = np.floor(rates["sv"] / rates["nv"] * 100 + 0.5).astype("int64").to_numpy()
+    ref = ray.put((r_ts, r_c))
+
+    def asof(t: pa.Table) -> pa.Table:
+        ts_, c_ = ray.get(ref)
+        ets = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        e = ets.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ts_, e, side="right") - 1
+        ok = idx >= 0
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "rate_window": pa.array(np.where(ok, ts_[np.maximum(idx, 0)], 0), pa.int64()),
+                "rate_c": pa.array(np.where(ok, c_[np.maximum(idx, 0)], 0), pa.int64()),
+            }
+        ).filter(pa.array(ok))
+
+    out = ds.map_batches(asof, batch_format="pyarrow")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
