@@ -309,16 +309,21 @@ class FrontierPartActor:
             is_new = bool(self.bloom.add_if_new([url])[0])
             if is_new:
                 self.metrics["outputs"] += 1
-                self.corpus_buf.append(
-                    {
-                        "url": url, "final_url": fr.final_url, "host": host,
-                        "status": fr.status, "charset": fr.charset,
-                        "title": fr.title, "text": "\n".join(fr.divs),
-                        "n_divs": len(fr.divs), "links": fr.links,
-                        "round": now, "walker_id": wid, "action": action,
-                        "raw_len": fr.raw_len,
-                    }
-                )
+                row = {
+                    "url": url, "final_url": fr.final_url, "host": host,
+                    "status": fr.status, "charset": fr.charset,
+                    "title": fr.title, "text": "\n".join(fr.divs),
+                    "n_divs": len(fr.divs), "links": fr.links,
+                    "round": now, "walker_id": wid, "action": action,
+                    "raw_len": fr.raw_len,
+                }
+                if self.cfg.collect_images:
+                    # image+caption harvest channel (parallel list columns;
+                    # resolved absolute srcs, document order preserved so
+                    # downstream first-wins dedup is position-deterministic)
+                    row["img_srcs"] = [s for s, _ in fr.images]
+                    row["img_caps"] = [c for _, c in fr.images]
+                self.corpus_buf.append(row)
             meta.append((wid, "ok", is_new))
             shard_links[wid % n_shards].append((wid, fr.links))
         self.metrics["gate_ms"] += int((time.perf_counter() - t0) * 1000)
@@ -334,7 +339,16 @@ class FrontierPartActor:
         d = os.path.join(out_dir, "corpus", f"part={self.part_id:04d}")
         os.makedirs(d, exist_ok=True)
         rows = self.corpus_buf
-        t = pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]})
+        # pin list-column types: a partition whose rows all have empty lists
+        # would otherwise infer list<null> and break cross-file unification
+        ltypes = {
+            "links": pa.list_(pa.string()),
+            "img_srcs": pa.list_(pa.string()),
+            "img_caps": pa.list_(pa.string()),
+        }
+        t = pa.table(
+            {k: pa.array([r[k] for r in rows], type=ltypes.get(k)) for k in rows[0]}
+        )
         path = os.path.join(d, f"corpus-r{upto_round:08d}.parquet")
         pq.write_table(t, path + ".tmp")
         os.replace(path + ".tmp", path)

@@ -107,6 +107,7 @@ class FetchResult:
     links: list[str] = field(default_factory=list)
     raw_len: int = 0
     redirect_from: str = ""
+    images: list[tuple[str, str]] = field(default_factory=list)  # (src, caption)
 
 
 def decode_content(content: bytes, declared: str) -> tuple[str, str]:
@@ -158,8 +159,8 @@ def fetch_parse(pages: dict, url: str, cfg: CrawlConfig) -> FetchResult:
     text, charset = decode_content(content, charset_decl)
     sr = strip_html(text)
     if sr.meta_charset and sr.meta_charset != charset:
-        text2, charset = decode_content(content, sr.meta_charset)
-        sr = strip_html(text2)
+        text, charset = decode_content(content, sr.meta_charset)
+        sr = strip_html(text)
     links = scope_links(
         url,
         sr.links,
@@ -169,6 +170,15 @@ def fetch_parse(pages: dict, url: str, cfg: CrawlConfig) -> FetchResult:
         host_scope_re=_compiled(cfg.host_scope_regex),
         block_file_re=_compiled(cfg.block_file_regex) or DEFAULT_BLOCK_FILE_RE,
     )
+    images: list[tuple[str, str]] = []
+    if cfg.collect_images:
+        from texrex_ray.functions.striphtml import extract_images
+        from texrex_ray.functions.urlkit import resolve_link
+
+        for src, caption in extract_images(text):
+            absu = resolve_link(url, src)
+            if absu:
+                images.append((absu, caption))
     return FetchResult(
         url=requested,
         ok=True,
@@ -180,4 +190,5 @@ def fetch_parse(pages: dict, url: str, cfg: CrawlConfig) -> FetchResult:
         links=links,
         raw_len=len(content),
         redirect_from=redirect_from,
+        images=images,
     )

@@ -51,6 +51,10 @@ class CrawlConfig:
     # deterministic pseudo-random 0..N extra rounds.  0 disables (the
     # oracle-fidelity configuration).
     add_random_wait_up_to: int = 0
+    # harvest <img>/<figcaption> (src, caption) pairs from fetched pages into
+    # the corpus (the graft's image+caption payload channel); off for the
+    # oracle-fidelity configuration (it never affects the walk itself).
+    collect_images: bool = False
 
 
 @dataclass

@@ -62,6 +62,54 @@ class StripResult:
     doctype: str = ""
 
 
+IMG_TAG_RE = re.compile(r"<img\b[^>]*>", re.IGNORECASE)
+SRC_ATTR_RE = re.compile(r"""src\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+ALT_ATTR_RE = re.compile(r"""alt\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+FIGURE_RE = re.compile(r"<figure\b[^>]*>(.*?)</figure>", re.IGNORECASE | re.DOTALL)
+FIGCAP_RE = re.compile(r"<figcaption\b[^>]*>(.*?)</figcaption>", re.IGNORECASE | re.DOTALL)
+
+
+def _attr(m_tag: str, attr_re: re.Pattern) -> str:
+    m = attr_re.search(m_tag)
+    if not m:
+        return ""
+    return (m.group(1) or m.group(2) or m.group(3) or "").strip()
+
+
+def extract_images(raw: str) -> list[tuple[str, str]]:
+    """(src, caption) pairs in document order — the image+caption harvest.
+
+    Caption precedence: a non-empty ``alt`` attribute wins; an ``<img>``
+    inside a ``<figure>`` falls back to its ``<figcaption>`` text
+    (tags stripped, whitespace collapsed).  A separate additive pass so
+    ``strip_html``'s div/link semantics (pinned by crawl fixtures) are
+    untouched."""
+    figures: list[tuple[int, int, str]] = []
+    for fm in FIGURE_RE.finditer(raw):
+        cap_m = FIGCAP_RE.search(fm.group(1))
+        figcap = (
+            WS_RE.sub(" ", TAG_TOKEN_RE.sub("", cap_m.group(1))).strip()
+            if cap_m
+            else ""
+        )
+        figures.append((fm.start(), fm.end(), figcap))
+    out: list[tuple[str, str]] = []
+    for im in IMG_TAG_RE.finditer(raw):
+        tag = im.group(0)
+        src = _attr(tag, SRC_ATTR_RE)
+        if not src or len(src) > MAX_LINK_LEN:
+            continue
+        caption = _attr(tag, ALT_ATTR_RE)
+        if not caption:
+            p = im.start()
+            for s, e, figcap in figures:
+                if s <= p < e:
+                    caption = figcap
+                    break
+        out.append((src, caption))
+    return out
+
+
 def strip_html(raw: str) -> StripResult:
     res = StripResult()
     m = DOCTYPE_RE.search(raw[:512])

@@ -1449,3 +1449,56 @@ def q43_asof_join(sf_dir: str):
 
     out = ds.map_batches(asof, batch_format="pyarrow")
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+@query(
+    "q44_image_harvest",
+    sql="SELECT image_id, w, h, fmt, caption, phash, n_bytes FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/image_harvest_sf0.01.parquet')",
+)
+def q44_image_harvest(sf_dir: str):
+    """Crawl→image harvest bridge (the graft's A+B integration): crawl the
+    with_images fixture graph (single walker, oracle-faithful), read the
+    corpus parquet, explode ``<img>``+caption refs, first-wins dedup per
+    src in visit order, actor-fetch container bytes + header dims + pixel
+    phash (pipelines/harvest.py).  Oracle: the committed fixture produced
+    by the SEQUENTIAL clarax_walk replay (tools/gen_oracle_fixtures.py::
+    gen_image_harvest) — no engine, no Dataset machinery."""
+    import shutil
+    import tempfile
+
+    from texrex_ray.crawl.engine import CrawlEngine
+    from texrex_ray.crawl.policy import CrawlConfig
+    from texrex_ray.pipelines.harvest import harvest_images
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    steps = {0.001: 60, 0.01: 150, 0.1: 400}.get(_sf_of(sf_dir), 150)
+    g = make_webgraph(
+        n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42, with_images=True
+    )
+    cfg = CrawlConfig(collect_images=True)
+    td = tempfile.mkdtemp(prefix="q44_", dir="/tmp")
+    try:
+        eng = CrawlEngine(g, n_walkers=1, n_partitions=4, seed=42, config=cfg, out_dir=td)
+        eng.run(max_steps=steps)
+        eng.shutdown()
+        corpus = ray.data.read_parquet(f"{td}/corpus")
+        harvested = harvest_images(corpus, g.images)
+
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "w": t["w"],
+                    "h": t["h"],
+                    "fmt": t["fmt"],
+                    "caption": t["caption"],
+                    "phash": t["phash"],
+                    "n_bytes": pc.binary_length(t["bytes"]).cast(pa.int64()),
+                }
+            )
+
+        df = harvested.map_batches(project, batch_format="pyarrow").to_pandas()
+        return df.sort_values("image_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

@@ -204,6 +204,62 @@ def gen_priority_crawl() -> None:
     print("priority_crawl_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_image_harvest() -> None:
+    """Expected q44 harvest table via the SEQUENTIAL oracle walk: replay
+    clarax_walk (crawl/oracle.py) on the with_images fixture graph, re-fetch
+    each corpus output URL scalar-wise, take the FIRST reference per src in
+    visit/document order, and compute dims/fmt/phash from the stored
+    container bytes — no distributed engine, no Dataset pipeline, no
+    groupby/bucket machinery.  Shares only fetch_parse/extract_images and
+    the codec primitives, each pinned by its own unit tests."""
+    import hashlib
+
+    from texrex_ray.crawl.fetcher import fetch_parse, plain_pages
+    from texrex_ray.crawl.oracle import clarax_walk
+    from texrex_ray.crawl.policy import CrawlConfig
+    from texrex_ray.functions.hashing import doc_id_for_url
+    from texrex_ray.sources.images import MAGIC, decode_image
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    g = make_webgraph(
+        n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42, with_images=True
+    )
+    cfg = CrawlConfig(collect_images=True)
+    res = clarax_walk(g, max_steps=150, seed=42, config=cfg)
+    pages = plain_pages(g)
+    first: dict[str, str] = {}  # src -> winning caption (first in visit order)
+    for url in res.outputs:
+        for src, caption in fetch_parse(pages, url, cfg).images:
+            if src not in first:
+                first[src] = caption
+    fmt_of = {v: k for k, v in MAGIC.items()}
+    rows = []
+    for src, caption in first.items():
+        raw = g.images.get(src)
+        if raw is None:
+            continue
+        d = hashlib.blake2b(decode_image(raw).tobytes(), digest_size=8).digest()
+        rows.append(
+            {
+                "image_id": doc_id_for_url(src),
+                "w": int.from_bytes(raw[4:8], "big"),
+                "h": int.from_bytes(raw[8:12], "big"),
+                "fmt": fmt_of.get(raw[:4], "unknown"),
+                "caption": caption,
+                "phash": int.from_bytes(d, "big", signed=True),
+                "n_bytes": len(raw),
+            }
+        )
+    rows.sort(key=lambda r: r["image_id"])
+    import pandas as pd
+
+    t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("w"), "w", t["w"].cast(pa.int32()))
+    t = t.set_column(t.schema.get_field_index("h"), "h", t["h"].cast(pa.int32()))
+    pq.write_table(t, os.path.join(OUT, "image_harvest_sf0.01.parquet"))
+    print("image_harvest_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def gen_geo_blocks() -> None:
     """The synthetic GeoLite-style block table (sf-independent) so the
     DuckDB oracle can perform the same IP range join declaratively."""
@@ -325,6 +381,7 @@ def main() -> None:
     gen_lsh_ann()
     gen_priority_crawl()
     gen_av_features()
+    gen_image_harvest()
 
 
 if __name__ == "__main__":
