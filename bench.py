@@ -48,6 +48,7 @@ def run_bench() -> dict:
     from texrex_ray.dedup.tender import count_pairs, minhash_shingles, shingle_pairs
     from texrex_ray.pipelines.caption import fixture_path, image_caption_pipeline
     from texrex_ray.pipelines.clean_documents import clean_documents
+    from texrex_ray.pipelines.harvest import harvest_images, harvest_to_table
     from texrex_ray.sources.webgraph import make_webgraph
 
     out_root = "/tmp/texrex_ray_bench"
@@ -66,10 +67,21 @@ def run_bench() -> dict:
     # time.  Everything in this block is deterministic and tiny.
     t0 = time.perf_counter()
     img_dir = fixture_path(n=1000, seed=42)
-    _wg = make_webgraph(n_hosts=20, pages_per_host_base=5, n_seeds=8, seed=1)
-    _we = CrawlEngine(_wg, n_walkers=8, n_partitions=2, n_walker_shards=2, seed=1)
+    _wg = make_webgraph(
+        n_hosts=20, pages_per_host_base=5, n_seeds=8, seed=1, with_images=True
+    )
+    _we = CrawlEngine(
+        _wg, n_walkers=8, n_partitions=2, n_walker_shards=2, seed=1,
+        config=CrawlConfig(collect_images=True), out_dir=f"{out_root}/warm_crawl",
+    )
     _we.run(max_steps=60)
     _we.shutdown()
+    harvest_to_table(
+        harvest_images(
+            ray.data.read_parquet(f"{out_root}/warm_crawl/corpus"), _wg.images
+        ),
+        f"{out_root}/warm_harvest",
+    )
     _docs_warm = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     ).limit(400)
@@ -88,14 +100,15 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     graph = make_webgraph(
         n_hosts=1200, pages_per_host_base=6, n_seeds=512, seed=42,
-        max_pages_per_host=60,
+        max_pages_per_host=60, with_images=True,
     )
     extras["webgraph_gen_sec"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     n_parts = max(2, num_cpus // 4)
     eng = CrawlEngine(
         graph, n_walkers=512, n_partitions=n_parts, n_walker_shards=n_parts,
-        seed=42, config=CrawlConfig(), out_dir=f"{out_root}/crawl",
+        seed=42, config=CrawlConfig(collect_images=True),
+        out_dir=f"{out_root}/crawl",
     )
     stats = eng.run(max_steps=8000)
     eng.checkpoint()
@@ -103,6 +116,25 @@ def run_bench() -> dict:
     times["crawl"] = time.perf_counter() - t0
     extras["crawl_urls_per_sec"] = round(stats.urls_per_sec, 1)
     extras["crawl_steps"] = stats.steps
+
+    # ---- harvest: corpus → canonical image+caption table (the A+B bridge:
+    # explode <img>+caption refs, first-wins dedup per src in visit order,
+    # actor-pool fetch from the broadcast image store, Lance-gated write) --
+    t0 = time.perf_counter()
+    corpus_ds = ray.data.read_parquet(f"{out_root}/crawl/corpus")
+    harvested = harvest_images(
+        corpus_ds, ray.put(graph.images),
+        n_buckets=n_parts, expected_rows=stats.outputs * 2,
+        concurrency=(1, max(2, num_cpus // 2)), batch_size=512,
+    )
+    harvest_fmt = harvest_to_table(harvested, f"{out_root}/images_harvest")
+    times["harvest"] = time.perf_counter() - t0
+    from texrex_ray.sources.lance_io import read_images as _read_images
+
+    n_harvest = _read_images(f"{out_root}/images_harvest").count()
+    extras["harvest_rows"] = n_harvest
+    extras["harvest_fmt"] = harvest_fmt
+    extras["harvest_rows_per_sec"] = round(n_harvest / times["harvest"], 1)
 
     # ---- clean: the texrex chain over crawled corpus + replicated docs ----
     # Volume scaling = the SAME parquet listed repl× (each listing is an
@@ -178,7 +210,7 @@ def run_bench() -> dict:
     total = sum(times.values())
     urls_and_rows = stats.steps + n_clean
     result = {
-        "metric": "texrex_ray headline pipelines (crawl+clean+tender+knn+images)",
+        "metric": "texrex_ray headline pipelines (crawl+harvest+clean+tender+knn+images)",
         "value": round(total, 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},

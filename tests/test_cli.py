@@ -44,3 +44,47 @@ def test_cli_clarax_writes_resumable_output(tmp_path):
     assert r["steps"] >= 150
     assert os.path.isdir(os.path.join(out, "corpus"))
     assert glob.glob(os.path.join(out, "ckpt", "*", "COMMIT"))
+
+
+def test_cli_harvest_writes_image_table(tmp_path):
+    out = str(tmp_path / "h")
+    r = _run(
+        "harvest", out, "--steps", "120", "--walkers", "4", "--hosts", "10"
+    )
+    assert r["steps"] >= 120
+    assert r["images"] > 0
+    assert os.path.isdir(os.path.join(out, "crawl", "corpus"))
+    imgs = glob.glob(os.path.join(out, "images", "*.parquet")) + glob.glob(
+        os.path.join(out, "images", "_versions")
+    )
+    assert imgs  # lance dataset dir or parquet fallback
+    if r["format"] == "parquet":
+        t = pa.concat_tables(
+            [pq.read_table(f) for f in glob.glob(os.path.join(out, "images", "*.parquet"))]
+        )
+        assert t.num_rows == r["images"]
+        assert set(
+            ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        ) <= set(t.column_names)
+
+
+def test_cli_cowtools_and_tenet(tmp_path):
+    split = _run("cowsplit", SF, str(tmp_path / "split"), "--docs-per-file", "100")
+    assert split["rows"] == 500
+    assert len(glob.glob(str(tmp_path / "split" / "*.parquet"))) >= 4
+
+    ann = pa.table(
+        {"doc_id": pa.array(range(500), pa.int64()),
+         "tag": pa.array([f"t{i%3}" for i in range(500)])}
+    )
+    annp = str(tmp_path / "ann.parquet")
+    pq.write_table(ann, annp)
+    inter = _run("cowinterleave", SF, annp, str(tmp_path / "inter"))
+    assert inter["rows"] == 500
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(str(tmp_path / "inter" / "*.parquet"))]
+    )
+    assert "ann_tag" in t.column_names
+
+    w = _run("tenet", str(tmp_path / "w.json"), "--n-docs", "200", "--epochs", "120")
+    assert w["precision"] > 0.8 and w["recall"] > 0.8

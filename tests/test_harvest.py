@@ -57,14 +57,14 @@ def test_webgraph_images_leave_walk_untouched():
     assert r0.url_seen == r1.url_seen
 
 
-def _run_harvest(tmpdir, n_partitions, n_buckets):
+def _run_harvest(tmpdir, n_partitions, n_buckets, expected_rows=None):
     from texrex_ray.crawl.engine import CrawlEngine
     from texrex_ray.pipelines.harvest import harvest_images
 
     g = make_webgraph(
         n_hosts=8, pages_per_host_base=8, n_seeds=6, seed=11, with_images=True
     )
-    d = os.path.join(tmpdir, f"c{n_partitions}_{n_buckets}")
+    d = os.path.join(tmpdir, f"c{n_partitions}_{n_buckets}_{expected_rows}")
     eng = CrawlEngine(
         g,
         n_walkers=1,
@@ -76,7 +76,9 @@ def _run_harvest(tmpdir, n_partitions, n_buckets):
     eng.run(max_steps=90)
     eng.shutdown()
     corpus = ray.data.read_parquet(os.path.join(d, "corpus"))
-    out = harvest_images(corpus, g.images, n_buckets=n_buckets)
+    out = harvest_images(
+        corpus, g.images, n_buckets=n_buckets, expected_rows=expected_rows
+    )
     df = out.to_pandas().sort_values("image_id").reset_index(drop=True)
     return g, df
 
@@ -86,8 +88,8 @@ def test_harvest_layout_invariance_and_phash(tmp_path):
     assert len(base) > 10
     assert base.image_id.is_unique
     cols = ["image_id", "w", "h", "fmt", "caption", "phash"]
-    for n_parts, n_buckets in ((4, None), (2, 5)):
-        _, other = _run_harvest(str(tmp_path), n_parts, n_buckets)
+    for n_parts, n_buckets, exp in ((4, None, None), (2, 5, None), (2, 5, 120_000)):
+        _, other = _run_harvest(str(tmp_path), n_parts, n_buckets, exp)
         assert other[cols].equals(base[cols])
     # phash matches the images-table convention over the same container
     from texrex_ray.sources.images import decode_image, phash_of
@@ -109,7 +111,7 @@ def test_harvest_first_wins_caption(tmp_path):
     import pyarrow.parquet as pq_
 
     g, df = _run_harvest(str(tmp_path), 2, None)
-    d = os.path.join(str(tmp_path), "c2_None", "corpus")
+    d = os.path.join(str(tmp_path), "c2_None_None", "corpus")
     rows = []
     for part in sorted(os.listdir(d)):
         for f in sorted(os.listdir(os.path.join(d, part))):

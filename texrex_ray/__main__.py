@@ -7,10 +7,14 @@ can run the same jobs::
 
     python -m texrex_ray texrex  IN.parquet OUT_DIR [--minhash-k 64]
     python -m texrex_ray clarax  OUT_DIR [--steps 2000] [--walkers 64]
+    python -m texrex_ray harvest OUT_DIR [--steps 2000] [--walkers 64]
     python -m texrex_ray tender  IN.parquet OUT_DIR [--threshold 5]
     python -m texrex_ray tecl    IN.parquet BLACKLIST.parquet OUT_DIR
     python -m texrex_ray hydra   IN.parquet OUT_DIR [--column text]
     python -m texrex_ray rofl    IN.parquet OUT_DIR [--column text]
+    python -m texrex_ray cowsplit IN.parquet OUT_DIR [--docs-per-file N]
+    python -m texrex_ray cowinterleave IN.parquet ANN.parquet OUT_DIR
+    python -m texrex_ray tenet   WEIGHTS.json [--n-docs 600]
 
 This is the ONE module (besides bench.py and the test fixture) that may
 own a Ray session: it initialises Ray if and only if no session exists.
@@ -70,6 +74,46 @@ def cmd_clarax(args) -> dict:
     return {
         "steps": stats.steps, "outputs": stats.outputs,
         "urls_per_sec": round(stats.urls_per_sec, 1), "out": args.out,
+    }
+
+
+def cmd_harvest(args) -> dict:
+    """Crawl with the image+caption channel on and materialize the
+    canonical image table (the graft's A+B bridge; no reference analogue —
+    ClaraX fetches pages only).  OUT_DIR/crawl holds the corpus +
+    checkpoints, OUT_DIR/images the Lance-gated image table."""
+    ray = _ray()
+    import os
+
+    import ray.data
+
+    from texrex_ray.crawl.engine import CrawlEngine
+    from texrex_ray.crawl.policy import CrawlConfig
+    from texrex_ray.pipelines.harvest import harvest_images, harvest_to_table
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    g = make_webgraph(
+        n_hosts=args.hosts, pages_per_host_base=8, n_seeds=args.walkers,
+        seed=args.seed, with_images=True,
+    )
+    crawl_dir = os.path.join(args.out, "crawl")
+    eng = CrawlEngine(
+        g, n_walkers=args.walkers, n_partitions=args.partitions, seed=args.seed,
+        config=CrawlConfig(collect_images=True), out_dir=crawl_dir,
+    )
+    stats = eng.run(max_steps=args.steps, checkpoint_every=args.checkpoint_every)
+    eng.shutdown()
+    corpus = ray.data.read_parquet(os.path.join(crawl_dir, "corpus"))
+    harvested = harvest_images(
+        corpus, g.images,
+        n_buckets=args.partitions, expected_rows=stats.outputs * 2,
+    )
+    fmt = harvest_to_table(harvested, os.path.join(args.out, "images"))
+    n = read_images(os.path.join(args.out, "images")).count()
+    return {
+        "steps": stats.steps, "outputs": stats.outputs, "images": n,
+        "format": fmt, "out": args.out,
     }
 
 
@@ -179,6 +223,59 @@ def cmd_rofl(args) -> dict:
     return {"rows": ds.count(), "out": args.out}
 
 
+def cmd_cowsplit(args) -> dict:
+    """Split a corpus into ~N-document files at document boundaries
+    (ref program: cowsplit)."""
+    ray = _ray()
+    import ray.data
+
+    from texrex_ray.sources.cowtools import cowsplit
+
+    ds = ray.data.read_parquet(args.input)
+    cowsplit(ds, args.out, args.docs_per_file)
+    return {"rows": ds.count(), "out": args.out}
+
+
+def cmd_cowinterleave(args) -> dict:
+    """Attach annotation columns to corpus rows by doc id
+    (ref program: cowinterleave)."""
+    ray = _ray()
+    import ray.data
+
+    from texrex_ray.sources.cowtools import cowinterleave
+
+    corpus = ray.data.read_parquet(args.input)
+    ann = ray.data.read_parquet(args.annotations)
+    out = cowinterleave(corpus, ann, on=args.id_col)
+    out.write_parquet(args.out)
+    return {"rows": out.count(), "out": args.out}
+
+
+def cmd_tenet(args) -> dict:
+    """Train the deboilerplater MLP on synthetic labeled divs and write
+    the weight file the Deboilerplater stage loads (ref program: tenet)."""
+    import json as _json
+
+    from texrex_ray.stages.boilertrain import (
+        evaluate,
+        features_and_labels,
+        make_labeled_docs,
+        train_rprop,
+    )
+
+    train = make_labeled_docs(n_docs=args.n_docs, seed=7)
+    x, y = features_and_labels(train)
+    weights = train_rprop(x, y, hidden=18, epochs=args.epochs, seed=args.seed)
+    holdout = make_labeled_docs(n_docs=max(100, args.n_docs // 3), seed=1234)
+    p, r = evaluate(weights, holdout, threshold=0.55)
+    with open(args.out, "w") as f:
+        _json.dump({"precision_holdout": p, "recall_holdout": r, **weights}, f)
+    return {
+        "precision": round(p, 3), "recall": round(r, 3),
+        "n_train_divs": len(x), "out": args.out,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="texrex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -198,6 +295,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--checkpoint-every", type=int, default=None)
     s.set_defaults(fn=cmd_clarax)
 
+    s = sub.add_parser(
+        "harvest", help="crawl + image/caption harvest into an image table"
+    )
+    s.add_argument("out")
+    s.add_argument("--steps", type=int, default=2000)
+    s.add_argument("--walkers", type=int, default=64)
+    s.add_argument("--hosts", type=int, default=200)
+    s.add_argument("--partitions", type=int, default=4)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--checkpoint-every", type=int, default=None)
+    s.set_defaults(fn=cmd_harvest)
+
     s = sub.add_parser("tender", help="near-duplicate pair detection")
     s.add_argument("input"); s.add_argument("out")
     s.add_argument("--threshold", type=int, default=5)
@@ -208,6 +317,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("input"); s.add_argument("blacklist"); s.add_argument("out")
     s.add_argument("--id-col", default="doc_id")
     s.set_defaults(fn=cmd_tecl)
+
+    s = sub.add_parser("cowsplit", help="split corpus into ~N-doc files")
+    s.add_argument("input"); s.add_argument("out")
+    s.add_argument("--docs-per-file", type=int, default=10_000)
+    s.set_defaults(fn=cmd_cowsplit)
+
+    s = sub.add_parser("cowinterleave", help="attach annotations by doc id")
+    s.add_argument("input"); s.add_argument("annotations"); s.add_argument("out")
+    s.add_argument("--id-col", default="doc_id")
+    s.set_defaults(fn=cmd_cowinterleave)
+
+    s = sub.add_parser("tenet", help="train deboilerplater MLP weights")
+    s.add_argument("out")
+    s.add_argument("--n-docs", type=int, default=600)
+    s.add_argument("--epochs", type=int, default=300)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_tenet)
 
     for name, fn in (("hydra", cmd_hydra), ("rofl", cmd_rofl)):
         s = sub.add_parser(name, help=f"{name} post-processing")
