@@ -1451,19 +1451,10 @@ def q43_asof_join(sf_dir: str):
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
-@query(
-    "q44_image_harvest",
-    sql="SELECT image_id, w, h, fmt, caption, phash, n_bytes FROM "
-    "read_parquet('/root/repo/tests/fixtures/oracle/image_harvest_sf0.01.parquet')",
-)
-def q44_image_harvest(sf_dir: str):
-    """Crawl→image harvest bridge (the graft's A+B integration): crawl the
-    with_images fixture graph (single walker, oracle-faithful), read the
-    corpus parquet, explode ``<img>``+caption refs, first-wins dedup per
-    src in visit order, actor-fetch container bytes + header dims + pixel
-    phash (pipelines/harvest.py).  Oracle: the committed fixture produced
-    by the SEQUENTIAL clarax_walk replay (tools/gen_oracle_fixtures.py::
-    gen_image_harvest) — no engine, no Dataset machinery."""
+def _crawl_and_harvest(sf_dir: str):
+    """Shared q44/q45 front half: oracle-faithful single-walker crawl of
+    the with_images fixture graph → corpus parquet → harvested Dataset
+    (canonical image+caption columns, lazily fetched)."""
     import shutil
     import tempfile
 
@@ -1483,7 +1474,25 @@ def q44_image_harvest(sf_dir: str):
         eng.run(max_steps=steps)
         eng.shutdown()
         corpus = ray.data.read_parquet(f"{td}/corpus")
-        harvested = harvest_images(corpus, g.images)
+        yield harvest_images(corpus, g.images)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+@query(
+    "q44_image_harvest",
+    sql="SELECT image_id, w, h, fmt, caption, phash, n_bytes FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/image_harvest_sf0.01.parquet')",
+)
+def q44_image_harvest(sf_dir: str):
+    """Crawl→image harvest bridge (the graft's A+B integration): crawl the
+    with_images fixture graph (single walker, oracle-faithful), read the
+    corpus parquet, explode ``<img>``+caption refs, first-wins dedup per
+    src in visit order, actor-fetch container bytes + header dims + pixel
+    phash (pipelines/harvest.py).  Oracle: the committed fixture produced
+    by the SEQUENTIAL clarax_walk replay (tools/gen_oracle_fixtures.py::
+    gen_image_harvest) — no engine, no Dataset machinery."""
+    for harvested in _crawl_and_harvest(sf_dir):
 
         def project(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -1500,5 +1509,41 @@ def q44_image_harvest(sf_dir: str):
 
         df = harvested.map_batches(project, batch_format="pyarrow").to_pandas()
         return df.sort_values("image_id").reset_index(drop=True)
-    finally:
-        shutil.rmtree(td, ignore_errors=True)
+
+
+@query(
+    "q45_harvest_caption_pipeline",
+    sql="SELECT image_id, caption, n_tags, n_uris, ok, mean_lum_c, phash FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/harvest_pipeline_sf0.01.parquet')",
+)
+def q45_harvest_caption_pipeline(sf_dir: str):
+    """The full A+B chain: the harvested image+caption table (q44) pushed
+    through the flagship caption-cleaning pipeline — SecondPass entity/tag
+    wash of the HTML-borne caption dirt, normalizer+NFC, actor-pool decode
+    + stats, keep-first phash dedup (pipelines/caption.py).  Oracle: the
+    sequential harvest rows recomputed scalar-wise through the same
+    published formulas (gen_harvest_pipeline), no Dataset composition."""
+    from texrex_ray.pipelines.caption import image_caption_pipeline
+
+    for harvested in _crawl_and_harvest(sf_dir):
+        canonical = harvested.select_columns(
+            ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        )
+        out = image_caption_pipeline(canonical, batch_size=64, with_features=False)
+
+        def project(t: pa.Table) -> pa.Table:
+            lum_c = pc.round(pc.multiply(t["mean_lum"], pa.scalar(100.0)))
+            return pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "caption": t["caption"],
+                    "n_tags": pc.cast(t["n_tags"], pa.int64()),
+                    "n_uris": pc.cast(t["n_uris"], pa.int64()),
+                    "ok": t["ok"],
+                    "mean_lum_c": pc.cast(lum_c, pa.int64()),
+                    "phash": t["phash"],
+                }
+            )
+
+        df = out.map_batches(project, batch_format="pyarrow").to_pandas()
+        return df.sort_values("image_id").reset_index(drop=True)

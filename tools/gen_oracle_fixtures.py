@@ -204,14 +204,15 @@ def gen_priority_crawl() -> None:
     print("priority_crawl_sf0.01.parquet:", t.num_rows, "rows")
 
 
-def gen_image_harvest() -> None:
-    """Expected q44 harvest table via the SEQUENTIAL oracle walk: replay
-    clarax_walk (crawl/oracle.py) on the with_images fixture graph, re-fetch
-    each corpus output URL scalar-wise, take the FIRST reference per src in
-    visit/document order, and compute dims/fmt/phash from the stored
-    container bytes — no distributed engine, no Dataset pipeline, no
-    groupby/bucket machinery.  Shares only fetch_parse/extract_images and
-    the codec primitives, each pinned by its own unit tests."""
+def _sequential_harvest() -> tuple[list[dict], dict[str, bytes]]:
+    """The SEQUENTIAL harvest oracle: replay clarax_walk (crawl/oracle.py)
+    on the with_images fixture graph, re-fetch each corpus output URL
+    scalar-wise, take the FIRST reference per src in visit/document order,
+    and compute dims/fmt/phash from the stored container bytes — no
+    distributed engine, no Dataset pipeline, no groupby/bucket machinery.
+    Shares only fetch_parse/extract_images and the codec primitives, each
+    pinned by its own unit tests.  Returns (rows sorted by image_id,
+    src→bytes store)."""
     import hashlib
 
     from texrex_ray.crawl.fetcher import fetch_parse, plain_pages
@@ -248,16 +249,64 @@ def gen_image_harvest() -> None:
                 "caption": caption,
                 "phash": int.from_bytes(d, "big", signed=True),
                 "n_bytes": len(raw),
+                "_src": src,
             }
         )
     rows.sort(key=lambda r: r["image_id"])
+    return rows, g.images
+
+
+def gen_image_harvest() -> None:
+    """Expected q44 harvest table (see _sequential_harvest)."""
     import pandas as pd
 
-    t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    rows, _store = _sequential_harvest()
+    df = pd.DataFrame(rows).drop(columns=["_src"])
+    t = pa.Table.from_pandas(df, preserve_index=False)
     t = t.set_column(t.schema.get_field_index("w"), "w", t["w"].cast(pa.int32()))
     t = t.set_column(t.schema.get_field_index("h"), "h", t["h"].cast(pa.int32()))
     pq.write_table(t, os.path.join(OUT, "image_harvest_sf0.01.parquet"))
     print("image_harvest_sf0.01.parquet:", t.num_rows, "rows")
+
+
+def gen_harvest_pipeline() -> None:
+    """Expected q45: the sequential harvest rows pushed scalar-wise through
+    the caption-cleanse formulas (cleanse_full → normalize → nfc), the
+    decoder stats (mean luminance, float32 like the stage), and keep-first
+    phash dedup by (phash, image_id) — bypassing the Dataset pipeline
+    composition entirely (the gen_text_assessment approach)."""
+    import pandas as pd
+
+    from texrex_ray.functions.cleanse import cleanse_full
+    from texrex_ray.functions.normalize import nfc, normalize_text
+    from texrex_ray.sources.images import decode_image
+
+    rows, store = _sequential_harvest()
+    out_rows = []
+    for r in rows:
+        cleaned, n_tags, _n_emails, n_uris, _n_hash = cleanse_full(r["caption"] or "")
+        cap = nfc(normalize_text(cleaned))
+        px = decode_image(store[r["_src"]])
+        ok = px.shape == (r["h"], r["w"], 3)
+        lum = px.astype(np.float32).mean(axis=2)
+        out_rows.append(
+            {
+                "image_id": r["image_id"],
+                "caption": cap,
+                "n_tags": int(n_tags),
+                "n_uris": int(n_uris),
+                "ok": bool(ok),
+                "mean_lum_c": int(round(float(lum.mean()) * 100)),
+                "phash": r["phash"],
+            }
+        )
+    # keep-first per phash, winner = smallest image_id (pipeline contract)
+    df = pd.DataFrame(out_rows).sort_values(["phash", "image_id"])
+    df = df.drop_duplicates("phash", keep="first")
+    df = df.sort_values("image_id").reset_index(drop=True)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    pq.write_table(t, os.path.join(OUT, "harvest_pipeline_sf0.01.parquet"))
+    print("harvest_pipeline_sf0.01.parquet:", t.num_rows, "rows")
 
 
 def gen_geo_blocks() -> None:
@@ -382,6 +431,7 @@ def main() -> None:
     gen_priority_crawl()
     gen_av_features()
     gen_image_harvest()
+    gen_harvest_pipeline()
 
 
 if __name__ == "__main__":
