@@ -39,3 +39,42 @@ owned by bench.py, CLI entry points and the pytest fixture.
 """
 
 __version__ = "0.1.0"
+
+
+def _filter_known_cosmetic_ray_warnings() -> None:
+    """Drop exactly two known-benign Ray Data log lines, nothing else.
+
+    - "Failed to hash the schemas (for deduplication)": pa.Schema with
+      key-value metadata is unhashable (metadata dict), and the driver's
+      testdata parquet carries ``pandas`` metadata — Ray's schema-dedup
+      fast path then warns on EVERY block concat and falls through to the
+      correct slow path (ray/data/_internal/arrow_ops/transform_pyarrow.py).
+    - "Operator produced a RefBundle with a different schema": all-to-all
+      ops emit schema-less empty bundles even for trivial groupbys (
+      reproduced with a 100-row from_items groupby); harmless.
+
+    Installed at package import so worker processes (which import this
+    package when deserializing our stage callables) filter too.  A
+    message-substring filter, NOT a logger-level change — any other
+    warning from these modules still surfaces.
+    """
+    import logging
+
+    class _Drop(logging.Filter):
+        _noise = (
+            "Failed to hash the schemas (for deduplication)",
+            "Operator produced a RefBundle with a different schema",
+        )
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not any(s in msg for s in self._noise)
+
+    for name in (
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+        "ray.data._internal.execution.streaming_executor_state",
+    ):
+        logging.getLogger(name).addFilter(_Drop())
+
+
+_filter_known_cosmetic_ray_warnings()
