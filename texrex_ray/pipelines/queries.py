@@ -1547,3 +1547,141 @@ def q45_harvest_caption_pipeline(sf_dir: str):
 
         df = out.map_batches(project, batch_format="pyarrow").to_pandas()
         return df.sort_values("image_id").reset_index(drop=True)
+
+
+@query(
+    "q46_length_quantiles",
+    sql="""
+    SELECT lang,
+           quantile_disc(n_chars, 0.5)  AS p50,
+           quantile_disc(n_chars, 0.9)  AS p90,
+           quantile_disc(n_chars, 0.99) AS p99
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q46_length_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles WITHOUT a global sort.
+
+    A sort-based quantile is an all-to-all shuffle of every row; this is
+    the counting form: per-batch (lang, n_chars) value-count histograms
+    (pyarrow ``group_by`` — zero-copy, vectorized) → one small
+    ``groupby().Sum`` over (group, value) pairs → cumulative-count
+    quantile pick on the result-sized histogram.  The shuffle moves one
+    row per DISTINCT (lang, n_chars) pair, bounded by the value domain,
+    not the corpus: at 100 TB the histogram of an int-valued feature is
+    still KB-scale.  Quantile convention matches DuckDB ``quantile_disc``
+    (value at 0-based index ceil(q*n)-1, verified empirically across
+    sizes/integral q*n edges).
+    """
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_chars": g["n_chars"],
+                "pn": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # result-sized: one row per distinct (lang, value)
+    )
+    rows = []
+    for lang, grp in hist.groupby("lang"):
+        grp = grp.sort_values("n_chars")
+        vals = grp["n_chars"].to_numpy()
+        cum = grp["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        picks = {}
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = min(n, max(1, math.ceil(q * n)))
+            picks[name] = int(vals[np.searchsorted(cum, rank)])
+        rows.append({"lang": lang, **picks})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)[
+        ["lang", "p50", "p90", "p99"]
+    ]
+
+
+@query(
+    "q47_hash_split",
+    sql="""
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM (SELECT doc_id, n_chars,
+                 md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+          FROM documents)
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q47_hash_split(sf_dir: str):
+    """Deterministic train/val/test split by content-stable hash (80/10/10).
+
+    The split of every row is a pure function of its id — md5 of the
+    decimal id string, lower 8 digest bytes little-endian (exactly
+    DuckDB's ``md5_number_lower``), mod 100 — so membership is stable
+    across runs, layouts and cluster sizes, and any shard can be
+    re-derived independently (the property a 100 TB training pipeline
+    needs: no global sample state, no coordination).  Embarrassingly
+    parallel: no shuffle of the corpus, only per-batch partial
+    (split, count, sums) rows into a 3-key groupby.  ``sum_ids`` makes
+    the oracle sensitive to exact membership, not just split sizes.
+    md5 has no Arrow kernel so the digest is a per-row call; it is ~50 ns
+    on a 6-char key and amortizes to noise next to any text stage.
+    """
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        buckets = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = np.where(buckets < 80, "train", np.where(buckets < 90, "val", "test"))
+        chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        out: dict[str, list] = {"split": [], "pn": [], "pchars": [], "pids": []}
+        for s in ("train", "val", "test"):
+            m = split == s
+            if m.any():
+                out["split"].append(s)
+                out["pn"].append(int(m.sum()))
+                out["pchars"].append(int(chars[m].sum()))
+                out["pids"].append(int(ids[m].sum()))
+        return pa.table(
+            {
+                "split": pa.array(out["split"], pa.string()),
+                "pn": pa.array(out["pn"], pa.int64()),
+                "pchars": pa.array(out["pchars"], pa.int64()),
+                "pids": pa.array(out["pids"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("pn", alias_name="n_docs"),
+            Sum("pchars", alias_name="sum_chars"),
+            Sum("pids", alias_name="sum_ids"),
+        )
+    )
+    return out.to_pandas().sort_values("split").reset_index(drop=True)[
+        ["split", "n_docs", "sum_chars", "sum_ids"]
+    ]
