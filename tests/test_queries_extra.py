@@ -47,6 +47,39 @@ def test_quantile_convention_edge_cases():
             assert xs[rank - 1] == want, (n, q)
 
 
+def test_hll_registers_mergeable():
+    """Register vectors are a mergeable sketch: regs(A ∪ B) == max(regs(A), regs(B))
+    — the property that lets per-batch partials combine via groupby().Max."""
+    from texrex_ray.pipelines.queries import hll_estimate, hll_registers
+
+    items = [f"item-{i * 37}" for i in range(5000)]
+    whole = hll_registers(items)
+    merged = np.maximum.reduce(
+        [hll_registers(items[i::7]) for i in range(7)]  # overlapping? no: exact partition
+    )
+    assert (whole == merged).all()
+    est = hll_estimate(whole)
+    assert abs(est - 5000) / 5000 < 0.10  # ~3.2% standard error at m=1024
+
+
+def test_hll_query_accuracy_and_exact_side(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q48_hll_distinct"](SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute(
+        "SELECT event_type, COUNT(DISTINCT value) AS n_exact FROM events"
+        " GROUP BY event_type ORDER BY event_type"
+    ).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_exact"].tolist() == want["n_exact"].tolist()
+    rel = (got["n_hll"] - got["n_exact"]).abs() / got["n_exact"]
+    assert (rel < 0.15).all()
+
+
 def test_hash_split_membership_and_sizes(ray_session):
     from texrex_ray.pipelines.queries import QUERIES
 

@@ -1685,3 +1685,121 @@ def q47_hash_split(sf_dir: str):
     return out.to_pandas().sort_values("split").reset_index(drop=True)[
         ["split", "n_docs", "sum_chars", "sum_ids"]
     ]
+
+
+HLL_P = 10  # 2^10 = 1024 registers; standard error 1.04/sqrt(m) ≈ 3.2%
+
+
+def hll_registers(tokens: list[str]) -> np.ndarray:
+    """HyperLogLog register vector (m=2**HLL_P) for a set of strings.
+
+    idx = top ``p`` bits of the stable 64-bit hash; rho = 1-based position
+    of the leftmost 1 in the remaining 64-p bits (0 register = empty).
+    float64 log2 is exact here because the rho stream is < 2^53.
+    """
+    from texrex_ray.functions.hashing import stable_hash64
+
+    m = 1 << HLL_P
+    regs = np.zeros(m, dtype=np.int64)
+    if not tokens:
+        return regs
+    h = stable_hash64(tokens, seed=0)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rem = (h & np.uint64((1 << (64 - HLL_P)) - 1)).astype(np.uint64)
+    width = 64 - HLL_P
+    rho = np.full(len(rem), width + 1, dtype=np.int64)
+    nz = rem > 0
+    rho[nz] = width - np.floor(np.log2(rem[nz].astype(np.float64))).astype(np.int64)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    correction (Flajolet et al. 2007, the standard published formulas)."""
+    import math
+
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.sum(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return int(round(e))
+
+
+@query(
+    "q48_hll_distinct",
+    sql="""
+    SELECT e.event_type, e.n_exact, f.n_hll
+    FROM (
+        SELECT event_type, COUNT(DISTINCT value) AS n_exact
+        FROM events
+        GROUP BY event_type
+    ) e
+    JOIN read_parquet('/root/repo/tests/fixtures/oracle/hll_values_sf0.01.parquet') f
+      USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def q48_hll_distinct(sf_dir: str):
+    """Distinct values per event_type, exact AND as a mergeable HLL sketch.
+
+    The sketch is the 100 TB path: each batch emits its (group, register,
+    rho) partials — ≤ groups × 1024 rows regardless of input size — and
+    register merge is an associative ``groupby().Max``, so cardinality
+    estimation never shuffles values.  The exact side (needed by the
+    oracle, and the small-scale cross-check) shuffles one row per distinct
+    (group, value) pair — cardinality-sized, not corpus-sized.  Values are
+    hashed via their ``repr`` (injective on floats, identical in both
+    implementations).  Oracle: exact via live DuckDB COUNT(DISTINCT)
+    joined to the committed fixture produced by a SEQUENTIAL pure-Python
+    scalar recompute of the estimate (tools/gen_oracle_fixtures.py::
+    gen_hll_values — no numpy, no Dataset machinery).
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial_regs(t: pa.Table) -> pa.Table:
+        types_out, regs_out, rho_out = [], [], []
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "value": t["value"].to_pylist()}
+        )
+        for etype, grp in df.groupby("event_type"):
+            vals = [repr(float(v)) for v in np.unique(grp["value"].to_numpy())]
+            regs = hll_registers(vals)
+            nz = np.nonzero(regs)[0]
+            types_out.extend([etype] * len(nz))
+            regs_out.extend(nz.tolist())
+            rho_out.extend(regs[nz].tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(types_out, pa.string()),
+                "reg": pa.array(regs_out, pa.int64()),
+                "rho": pa.array(rho_out, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial_regs, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rho", alias_name="rho_max"))
+        .to_pandas()  # result-sized: ≤ groups × 1024 rows
+    )
+
+    exact = (
+        ds.groupby(["event_type", "value"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_exact"))
+        .to_pandas()
+    )
+
+    rows = []
+    for etype, grp in merged.groupby("event_type"):
+        regs = np.zeros(1 << HLL_P, dtype=np.int64)
+        regs[grp["reg"].to_numpy()] = grp["rho_max"].to_numpy()
+        rows.append({"event_type": etype, "n_hll": hll_estimate(regs)})
+    out = pd.merge(exact, pd.DataFrame(rows), on="event_type")
+    return out.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "n_exact", "n_hll"]
+    ]

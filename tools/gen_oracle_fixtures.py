@@ -419,6 +419,49 @@ def gen_av_features() -> None:
     print("video_frames_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_hll_values() -> None:
+    """(event_type, n_hll) over sf0.01 events — the deterministic
+    HyperLogLog estimate recomputed SEQUENTIALLY in pure-Python scalar
+    arithmetic (no numpy, no Dataset machinery): same blake2b hash of
+    ``repr(value)``, same register/rho extraction, same published
+    Flajolet formulas as pipelines/queries.py::q48 — but register merge
+    is a plain list loop, so the fixture is an independent
+    implementation of the sketch."""
+    import hashlib
+    import math
+
+    df = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    p = 10
+    m = 1 << p
+    width = 64 - p
+    salt = (0).to_bytes(8, "little")
+    rows = []
+    for etype in sorted(df["event_type"].unique()):
+        vals = {repr(float(v)) for v in df.loc[df["event_type"] == etype, "value"]}
+        regs = [0] * m
+        for s in vals:
+            h = int.from_bytes(
+                hashlib.blake2b(s.encode("utf-8"), digest_size=8, salt=salt).digest(),
+                "little",
+            )
+            idx = h >> width
+            rem = h & ((1 << width) - 1)
+            rho = width + 1 if rem == 0 else width - rem.bit_length() + 1
+            regs[idx] = max(regs[idx], rho)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / sum(2.0 ** (-r) for r in regs)
+        zeros = regs.count(0)
+        if e <= 2.5 * m and zeros:
+            e = m * math.log(m / zeros)
+        rows.append({"event_type": etype, "n_hll": int(round(e)), "n_true": len(vals)})
+    import pandas as pd
+
+    t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    pq.write_table(t, os.path.join(OUT, "hll_values_sf0.01.parquet"))
+    print("hll_values_sf0.01.parquet:", t.num_rows, "rows:",
+          [(r["event_type"], r["n_hll"], r["n_true"]) for r in rows])
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_geo_blocks()
@@ -432,6 +475,7 @@ def main() -> None:
     gen_av_features()
     gen_image_harvest()
     gen_harvest_pipeline()
+    gen_hll_values()
 
 
 if __name__ == "__main__":
