@@ -275,6 +275,19 @@ def test_dup_clusters_components(ray_session):
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
 
 
+def test_dup_clusters_long_chain(ray_session):
+    """A dup chain far longer than max_iters converges via pointer jumping
+    (per-edge propagation alone would need diameter=299 rounds)."""
+    from texrex_ray.dedup.clusters import dup_clusters
+
+    pairs = ray.data.from_items(
+        [{"id_a": i, "id_b": i + 1} for i in range(300)]
+    ).repartition(8)
+    got = dup_clusters(pairs, max_iters=50)
+    assert (got["cluster_id"] == 0).all()
+    assert len(got) == 301
+
+
 def test_dup_clusters_string_ids(ray_session):
     from texrex_ray.dedup.clusters import dup_clusters
 
