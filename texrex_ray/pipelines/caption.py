@@ -68,15 +68,6 @@ def image_caption_pipeline(
     dedup: bool = True,
 ) -> ray.data.Dataset:
     kw = dict(batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(caption_clean_stage, **kw)
-    if decoder_concurrency is None:
-        ds = ds.map_batches(ImageDecoder(), **kw)
-        if with_features:
-            ds = ds.map_batches(ImageFeatures(), **kw)
-    else:
-        ds = ds.map_batches(ImageDecoder, concurrency=decoder_concurrency, **kw)
-        if with_features:
-            ds = ds.map_batches(ImageFeatures, concurrency=decoder_concurrency, **kw)
     if dedup:
         import pandas as pd
         import pyarrow.compute as pc
@@ -84,11 +75,15 @@ def image_caption_pipeline(
 
         # keep-first per phash WITHOUT shuffling the wide rows (bytes stay
         # put): winners are decided on a projected (phash, image_id)
-        # stream — two narrow columns — then the wide stream is filtered
-        # by a broadcast winner-id set (the tecl broadcast-semi-join
-        # pattern).  At small/bench scale the winner decision is one
-        # combine task; beyond ~1e8 uniques decide winners with
-        # groupby("phash") on the projection and shard the filter —
+        # stream — two narrow columns of the INPUT (phash and image_id are
+        # input columns, untouched by every later stage) — then the wide
+        # stream is filtered by a broadcast winner-id set (the tecl
+        # broadcast-semi-join pattern) BEFORE the decode stages, so loser
+        # rows are never decoded and the expensive chain executes exactly
+        # once (a post-decode winner pass would re-execute the lazy decode
+        # lineage a second time).  At small/bench scale the winner
+        # decision is one combine task; beyond ~1e8 uniques decide winners
+        # with groupby("phash") on the projection and shard the filter —
         # either way the image bytes never enter an all-to-all.
         def first_ids(g: pd.DataFrame) -> pd.DataFrame:
             w = (
@@ -109,4 +104,13 @@ def image_caption_pipeline(
             return t.filter(pc.is_in(t["image_id"], value_set=ray.get(win_ref)))
 
         ds = ds.map_batches(keep_winners, **kw)
+    ds = ds.map_batches(caption_clean_stage, **kw)
+    if decoder_concurrency is None:
+        ds = ds.map_batches(ImageDecoder(), **kw)
+        if with_features:
+            ds = ds.map_batches(ImageFeatures(), **kw)
+    else:
+        ds = ds.map_batches(ImageDecoder, concurrency=decoder_concurrency, **kw)
+        if with_features:
+            ds = ds.map_batches(ImageFeatures, concurrency=decoder_concurrency, **kw)
     return ds
