@@ -89,7 +89,23 @@ def test_checkpoint_resume_identical(graph, tmp_path):
     e1 = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg, out_dir=d)
     e1.run(max_steps=100, checkpoint_every=10, max_rounds=30)
     assert e1.steps < 100
-    e1.checkpoint()
+    ck = e1.checkpoint()
+    # lineage manifest: every partition's persisted corpus files accounted
+    # for, and the union matches what is actually on disk
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(ck, "lineage.json")) as f:
+        lineage = _json.load(f)
+    assert len(lineage["partitions"]) == 4
+    for p in lineage["partitions"]:
+        pdir = _os.path.join(d, "corpus", f"part={p['part_id']:04d}")
+        on_disk = sorted(
+            fn for fn in (_os.listdir(pdir) if _os.path.isdir(pdir) else [])
+            if fn.endswith(".parquet")
+        )
+        assert p["corpus_files"] == on_disk
+        assert p["state_bytes"] > 0
     e2 = CrawlEngine.resume(graph, d)
     e2.run(max_steps=100)
     resumed_visits = e2.visit_order()

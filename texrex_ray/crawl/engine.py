@@ -820,6 +820,7 @@ class CrawlEngine:
         self._flush_outputs()
         shard_blobs = ray.get([s.snapshot.remote() for s in self.shards])
         part_blobs = ray.get([p.snapshot.remote() for p in self.parts])
+        part_metrics = ray.get([p.get_metrics.remote() for p in self.parts])
         for i, b in enumerate(shard_blobs):
             with open(os.path.join(ck, f"shard-{i}.pkl"), "wb") as f:
                 f.write(b)
@@ -834,6 +835,39 @@ class CrawlEngine:
         }
         with open(os.path.join(ck, "meta.json"), "w") as f:
             json.dump(meta, f)
+        # lineage manifest: which output files each partition owns as of
+        # this checkpoint, plus its live metrics and state-blob sizes —
+        # the audit trail that lets a resumed run (or an operator) account
+        # for every persisted row per partition without opening the blobs
+        # (north-rule: per-partition checkpoints carry frontier snapshots,
+        # bloom segments, and lineage/metrics).
+        def _files(d: str) -> list[str]:
+            try:
+                return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            except FileNotFoundError:
+                return []
+
+        lineage = {
+            "round": self.round,
+            "visits_files": _files(os.path.join(self.out_dir, "visits")),
+            "partitions": [
+                {
+                    "part_id": i,
+                    "metrics": dict(part_metrics[i]),
+                    "corpus_files": _files(
+                        os.path.join(self.out_dir, "corpus", f"part={i:04d}")
+                    ),
+                    "state_bytes": len(part_blobs[i]),
+                }
+                for i in range(self.n_partitions)
+            ],
+            "shards": [
+                {"shard_id": i, "state_bytes": len(b)}
+                for i, b in enumerate(shard_blobs)
+            ],
+        }
+        with open(os.path.join(ck, "lineage.json"), "w") as f:
+            json.dump(lineage, f)
         with open(os.path.join(ck, "COMMIT"), "w") as f:
             f.write("ok")
         return ck
