@@ -41,14 +41,23 @@ def _ray():
 
 def cmd_texrex(args) -> dict:
     """Cleaning chain over a parquet corpus with a `text` column
-    (ref program: src/programs/texrex.pas)."""
+    (ref program: src/programs/texrex.pas).  ``--config FILE.ini``
+    composes the chain from an INI file exactly like the reference's
+    texrex.ini (stage list + per-stage sections, validated
+    Achieves/Presupposes ordering — pipelines/configchain.py)."""
     ray = _ray()
     import ray.data
 
-    from texrex_ray.pipelines.clean_documents import clean_documents
-
     ds = ray.data.read_parquet(args.input)
-    out = clean_documents(ds, minhash_k=args.minhash_k)
+    if args.config:
+        from texrex_ray.pipelines.configchain import chain_from_ini
+
+        with open(args.config) as f:
+            out = chain_from_ini(ds, f.read())
+    else:
+        from texrex_ray.pipelines.clean_documents import clean_documents
+
+        out = clean_documents(ds, minhash_k=args.minhash_k)
     out.write_parquet(args.out)
     return {"rows": out.count(), "out": args.out}
 
@@ -283,6 +292,8 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("texrex", help="cleaning chain over a parquet corpus")
     s.add_argument("input"); s.add_argument("out")
     s.add_argument("--minhash-k", type=int, default=64)
+    s.add_argument("--config", default=None,
+                   help="INI chain config (reference texrex.ini equivalent)")
     s.set_defaults(fn=cmd_texrex)
 
     s = sub.add_parser("clarax", help="random-walk crawl (synthetic web)")
