@@ -1687,6 +1687,73 @@ def q47_hash_split(sf_dir: str):
     ]
 
 
+@query(
+    "q49_grouped_moments",
+    sql="""
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(FLOOR(100.0 * (s / n) + 0.5) AS BIGINT) AS mean_c,
+           CAST(FLOOR(100.0 * (ss / n - (s / n) * (s / n)) + 0.5) AS BIGINT) AS var_c
+    FROM (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS ss
+        FROM lineitem GROUP BY l_returnflag
+    )
+    ORDER BY l_returnflag
+    """,
+)
+def q49_grouped_moments(sf_dir: str):
+    """Grouped mean/variance in ONE pass via exact integer moments.
+
+    The naive distributed variance (mean pass + squared-deviation pass)
+    reads the corpus twice; the moments form carries per-batch partial
+    (n, Σx, Σx²) — three int64 cells per group — through a single
+    groupby-sum and finishes with scalar float math on the result-sized
+    frame.  Because the quantities are integral, the partial sums are
+    EXACT integers on both sides, so the final float expression is
+    evaluated on bit-identical inputs with the same op order and IEEE
+    semantics as the oracle; rounding uses floor(x*100 + 0.5) on both
+    sides (half-away vs banker's round can differ at exact .5).
+    """
+    import math
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial_moments(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_returnflag": t["l_returnflag"].to_pylist(), "pq": q, "pqq": q * q}
+        )
+        g = df.groupby("l_returnflag", sort=False).agg(
+            pn=("pq", "size"), ps=("pq", "sum"), pss=("pqq", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial_moments, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("pn", alias_name="n_rows"),
+            Sum("ps", alias_name="s"),
+            Sum("pss", alias_name="ss"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    n = agg["n_rows"].astype(np.float64)
+    s = agg["s"].astype(np.float64)
+    ss = agg["ss"].astype(np.float64)
+    agg["mean_c"] = [int(math.floor(100.0 * (si / ni) + 0.5)) for si, ni in zip(s, n)]
+    agg["var_c"] = [
+        int(math.floor(100.0 * (ssi / ni - (si / ni) * (si / ni)) + 0.5))
+        for ssi, ni, si in zip(ss, n, s)
+    ]
+    return agg[["l_returnflag", "n_rows", "mean_c", "var_c"]]
+
+
 HLL_P = 10  # 2^10 = 1024 registers; standard error 1.04/sqrt(m) ≈ 3.2%
 
 
