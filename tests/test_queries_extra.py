@@ -104,3 +104,130 @@ def test_hash_split_membership_and_sizes(ray_session):
     assert got["n_docs"].sum() == len(ids)  # a partition, not a sample
     # 80/10/10 within binomial noise on 500 docs
     assert 0.70 < got.loc["train", "n_docs"] / len(ids) < 0.90
+
+
+def _docs_as_dir(tmp_path, n_files, interleave=False):
+    """sf0.001 documents re-laid-out as a parquet DIRECTORY of n_files
+    pieces (→ n_files Ray blocks).  interleave=True round-robins ids
+    across files, violating the disjoint-id-range assumption."""
+    import pyarrow.parquet as pqw
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    n = t.num_rows
+    for i in range(n_files):
+        part = t.take(list(range(i, n, n_files))) if interleave else t.slice(
+            i * n // n_files, (i + 1) * n // n_files - i * n // n_files
+        )
+        pqw.write_table(part, d / f"part-{i}.parquet")
+    return str(tmp_path)
+
+
+def test_prefix_pack_matches_serial_recompute(ray_session):
+    from texrex_ray.pipelines.queries import PACK_BUDGET, QUERIES
+
+    got = QUERIES["q50_prefix_pack"](SF)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    df = t.to_pandas().sort_values("doc_id")
+    before = df["n_chars"].cumsum() - df["n_chars"]
+    df["shard"] = before // PACK_BUDGET
+    want = (
+        df.groupby("shard")
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"), sum_ids=("doc_id", "sum"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_like=True
+    )
+
+
+def test_prefix_pack_layout_invariant(ray_session, tmp_path):
+    """Same answer over 1 block and over a 7-file range-partitioned layout
+    (the 100 TB shape: one summary row per piece, offsets composed on the
+    driver)."""
+    from texrex_ray.pipelines.queries import QUERIES
+
+    single = QUERIES["q50_prefix_pack"](SF)
+    multi = QUERIES["q50_prefix_pack"](_docs_as_dir(tmp_path, 7))
+    pd.testing.assert_frame_equal(single, multi)
+
+
+def test_prefix_pack_rejects_overlapping_ranges(ray_session, tmp_path):
+    """Interleaved id ranges violate the documented partitioning
+    assumption and must fail loudly, not misassign shards."""
+    import pytest
+
+    from texrex_ray.pipelines.queries import QUERIES
+
+    with pytest.raises((ValueError, Exception)):
+        QUERIES["q50_prefix_pack"](_docs_as_dir(tmp_path, 3, interleave=True))
+
+
+def test_tfidf_matches_serial_recompute(ray_session):
+    import re
+    from collections import Counter
+
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q51_tfidf_top_term"](SF)
+    tok_re = re.compile(r"[a-z]+")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    df_count: Counter = Counter()
+    tfs = {}
+    for did, s in zip(t["doc_id"], t["text"]):
+        tf = Counter(tok_re.findall((s or "").lower()))
+        tfs[did] = tf
+        df_count.update(tf.keys())
+    rows = []
+    for did in sorted(tfs):
+        tf = tfs[did]
+        if not tf:
+            continue
+        best = min(
+            ((-(n * 1_000_000 // df_count[tok]), tok) for tok, n in tf.items())
+        )
+        rows.append({"doc_id": did, "token": best[1], "score_c": -best[0]})
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_group_sample_layout_invariant_and_uniform(ray_session, tmp_path):
+    """Bottom-k-by-hash: winners are a set property of the group, so the
+    sample is identical across physical layouts; per-group size is
+    min(k, group size)."""
+    from texrex_ray.pipelines.queries import SAMPLE_K, QUERIES
+
+    single = QUERIES["q52_group_sample"](SF)
+    multi = QUERIES["q52_group_sample"](_docs_as_dir(tmp_path, 5))
+    pd.testing.assert_frame_equal(single, multi)
+    langs = pq.read_table(f"{SF}/documents.parquet", columns=["lang"])["lang"].to_pandas()
+    sizes = langs.value_counts()
+    got_sizes = single.groupby("lang")["doc_id"].size()
+    for lang, n in sizes.items():
+        assert got_sizes.get(lang, 0) == min(SAMPLE_K, n)
+
+
+def test_star_join_matches_pandas(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q53_star_join"](SF)
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    n = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    r = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    j = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    want = (
+        j.groupby(["r_name", "n_name"])
+        .agg(n_orders=("o_orderkey", "size"), rev=("o_totalprice", "sum"))
+        .reset_index()
+        .sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)
+    )
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    assert got[["r_name", "n_name"]].values.tolist() == want[["r_name", "n_name"]].values.tolist()
+    assert np.allclose(got["revenue_c"], (want["rev"] * 100).round(), atol=1)

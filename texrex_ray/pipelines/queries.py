@@ -1870,3 +1870,343 @@ def q48_hll_distinct(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)[
         ["event_type", "n_exact", "n_hll"]
     ]
+
+
+PACK_BUDGET = 20_000  # chars per shard; sf0.01 → 8 shards, sf0.1 → 75
+
+
+@query(
+    "q50_prefix_pack",
+    sql=f"""
+    WITH c AS (
+        SELECT doc_id, n_chars,
+               CAST(COALESCE(SUM(n_chars) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS before
+        FROM documents
+    )
+    SELECT before // {PACK_BUDGET} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM c GROUP BY shard ORDER BY shard
+    """,
+)
+def q50_prefix_pack(sf_dir: str):
+    """Sequence packing via a distributed prefix sum (order-aware scan).
+
+    The training-data op: lay documents out in a stable global order
+    (doc_id) and cut the stream into fixed-budget shards — every doc goes
+    to shard ``floor(chars_before_it / budget)``, the deterministic
+    chunking a tokenize-and-pack loader needs.  A running total is the
+    textbook "needs a serial scan" op; the distributed form is the
+    two-phase scan:
+
+    1. per-block summaries ``(lo_id, hi_id, n_docs, sum_chars)`` — one
+       row per block, so the driver sees block-count-sized data (at
+       100 TB: one row per parquet piece), never rows;
+    2. driver sorts summaries by ``lo``, checks the id ranges are
+       disjoint (the id-range-partitioned-input assumption, asserted,
+       which id-sorted parquet layouts satisfy), and prefix-sums them
+       into per-block exclusive offsets — broadcast back via ``ray.put``;
+    3. a second pass over the same lazy Dataset adds the block offset to
+       the within-block exclusive cumsum (vectorized, block-local) and
+       emits per-shard partials into a shard-keyed groupby-sum.
+
+    Each pass is embarrassingly parallel; the only serial state is the
+    block-summary prefix (KB-scale).  Both map passes use
+    ``batch_size=None`` so batch == block and pass 2 re-derives exactly
+    the pass-1 blocks (same file, same deterministic read plan); the
+    offset lookup re-asserts (n, sum) per block so any layout drift fails
+    loudly instead of misassigning shards.  ``sum_ids`` makes the oracle
+    membership-exact per shard.  Oracle: the same chunking as a SQL
+    window function (which DuckDB evaluates with a serial scan — the
+    luxury the 100 TB side doesn't have).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ch = t["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array([int(ids[0])], pa.int64()),
+                "hi": pa.array([int(ids[-1])], pa.int64()),
+                "n": pa.array([len(ids)], pa.int64()),
+                "s": pa.array([int(ch.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("lo")
+        .reset_index(drop=True)
+    )
+    if (parts["lo"].to_numpy()[1:] <= parts["hi"].to_numpy()[:-1]).any():
+        raise ValueError("q50: input blocks have overlapping doc_id ranges")
+    csum = parts["s"].cumsum()
+    offsets = {
+        int(lo): (int(off), int(n), int(s))
+        for lo, off, n, s in zip(
+            parts["lo"], csum - parts["s"], parts["n"], parts["s"]
+        )
+    }
+    ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off, n, s = table[int(ids[0])]
+        if n != len(ids) or s != int(ch.sum()) or (np.diff(ids) <= 0).any():
+            raise ValueError("q50: pass-2 block does not match its pass-1 summary")
+        before = off + np.cumsum(ch) - ch
+        shard = before // PACK_BUDGET
+        df = pd.DataFrame({"shard": shard, "ch": ch, "id": ids})
+        g = df.groupby("shard", sort=False).agg(
+            pn=("ch", "size"), pchars=("ch", "sum"), pids=("id", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .aggregate(
+            Sum("pn", alias_name="n_docs"),
+            Sum("pchars", alias_name="sum_chars"),
+            Sum("pids", alias_name="sum_ids"),
+        )
+    )
+    return out.to_pandas().sort_values("shard").reset_index(drop=True)[
+        ["shard", "n_docs", "sum_chars", "sum_ids"]
+    ]
+
+
+@query(
+    "q51_tfidf_top_term",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKEN_SQL}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), ranked AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score_c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * 1000000 // df.df DESC, tf.token ASC
+               ) AS rn
+        FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, score_c FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q51_tfidf_top_term(sf_dir: str):
+    """Most characteristic term per document by TF-IDF (rational idf).
+
+    Corpus statistics op: document frequency is computed with the q02
+    combiner shape — per-batch DISTINCT tokens per doc → (token, partial
+    df) rows → one token-keyed groupby-sum — so the shuffle moves
+    vocabulary-sized partials, never token occurrences.  The df table is
+    then broadcast ONCE via ``ray.put`` (the small-side-lookup pattern;
+    natural-language vocabulary is sublinear in corpus size — for an
+    open-ended key domain swap in the bucketed hash join of
+    dedup/tender.py) and each doc resolves its top term locally in one
+    vectorized pass — the per-doc step never shuffles.
+
+    Scoring uses the RATIONAL idf ``tf * 1e6 // df`` (exact int64 on both
+    sides) instead of ``tf·ln(N/df)``: the ranking inside a document is
+    identical whenever df ranks identically, and integer floor-division
+    is bit-reproducible across DuckDB/numpy/Python where libm ``ln``
+    differs by ULPs at rounding boundaries.  Ties break lexicographically.
+    Reference analogue: the per-doc top-N token profile of the token
+    writer (trwritetools.pas:281-300) weighted by corpus rarity.
+    """
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(_TOKEN_RE.findall((s or "").lower())))
+        toks = list(c.keys())
+        return pa.table(
+            {"token": toks, "pdf": pa.array([c[k] for k in toks], pa.int64())}
+        )
+
+    df_tab = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+    )
+    ref = ray.put(dict(zip(df_tab["token"], df_tab["df"].astype(int))))
+
+    def top_term(t: pa.Table) -> pa.Table:
+        dfm = ray.get(ref)
+        ids_out, toks_out, scores_out = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tf = Counter(_TOKEN_RE.findall((s or "").lower()))
+            if not tf:
+                continue
+            best_tok, best_score = None, -1
+            for tok, n in tf.items():
+                sc = n * 1_000_000 // dfm[tok]
+                if sc > best_score or (sc == best_score and tok < best_tok):
+                    best_tok, best_score = tok, sc
+            ids_out.append(did)
+            toks_out.append(best_tok)
+            scores_out.append(best_score)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "token": pa.array(toks_out, pa.string()),
+                "score_c": pa.array(scores_out, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(top_term, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_K = 5
+
+
+@query(
+    "q52_group_sample",
+    sql=f"""
+    WITH r AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id FROM r WHERE rn <= {SAMPLE_K} ORDER BY lang, doc_id
+    """,
+)
+def q52_group_sample(sf_dir: str):
+    """Deterministic uniform k-per-group sample without a shuffle
+    (bottom-k-by-hash, a.k.a. the bottom-k sketch).
+
+    Sampling a 100 TB corpus with ``random_shuffle().limit(k)`` is an
+    all-to-all exchange; ordering every group by a content-stable hash
+    and keeping the k smallest is a uniform sample that needs none: the
+    bottom-k of a union is the bottom-k of the parts' bottom-k's, so each
+    batch emits at most ``k × groups`` candidate rows (combiner), and one
+    result-sized combine task picks the winners.  Same md5 membership
+    function as q47 (DuckDB ``md5_number_lower``), so the sample is
+    reproducible across runs, layouts and engines; doc_id breaks hash
+    ties.  The bottom-k hash values double as a per-group min-hash sketch
+    (set-similarity estimation for free).  One combine task suffices for
+    ≤ ~5M candidate rows; beyond that, swap the ``repartition(1)`` for a
+    lang-keyed groupby — documented fallback, same winners.
+    """
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.sort_values(["lang", "hk", "doc_id"], kind="mergesort")
+        return w.groupby("lang", sort=False).head(SAMPLE_K)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hk = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pylist(), "doc_id": ids, "hk": hk}
+        )
+        return pa.Table.from_pandas(bottom_k(df), preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return bottom_k(df).drop(columns=["hk"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
+    return out.to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+@query(
+    "q53_star_join",
+    sql="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS revenue_c
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def q53_star_join(sf_dir: str):
+    """Star join: one fact table, a chain of broadcast dimensions.
+
+    The warehouse staple Ray Data has no join operator for: orders (fact)
+    resolved against customer → nation → region.  The three dimension
+    tables are PRE-JOINED ON THE DRIVER into one custkey → (region,
+    nation) lookup — dims are small by definition (at TPC-H scale:
+    customer is 1.5M rows/SF vs 15M orders and 60M lineitem) — broadcast
+    once via ``ray.put``, and the fact table streams through a single
+    ``map_batches`` that emits pre-aggregated (region, nation) partials.
+    The fact side never shuffles; the final groupby moves ≤ |nations| rows
+    per block.  A dim too big to broadcast drops to the bucketed hash join
+    (q06 pattern).  Lookup is vectorized: factorized custkey → ``np.take``
+    into dense dim arrays, pandas groupby for the partials.
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    # dense arrays indexed by custkey (contiguous in the generator; the
+    # dict fallback below keeps correctness if they ever are not)
+    keys = dim["c_custkey"].to_numpy()
+    lut = {int(k): i for i, k in enumerate(keys)}
+    ref = ray.put((lut, dim["r_name"].to_numpy(), dim["n_name"].to_numpy()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut_, rn, nn = ray.get(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.fromiter((lut_[int(k)] for k in ck), dtype=np.int64, count=len(ck))
+        df = pd.DataFrame(
+            {
+                "r_name": rn[idx],
+                "n_name": nn[idx],
+                "price": t["o_totalprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["r_name", "n_name"], sort=False).agg(
+            pn=("price", "size"), ps=("price", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("pn", alias_name="n_orders"), Sum("ps", alias_name="rev"))
+        .to_pandas()
+        .sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)
+    )
+    out["revenue_c"] = out["rev"].map(_cents).astype("int64")
+    return out[["r_name", "n_name", "n_orders", "revenue_c"]]
