@@ -2210,3 +2210,114 @@ def q53_star_join(sf_dir: str):
     )
     out["revenue_c"] = out["rev"].map(_cents).astype("int64")
     return out[["r_name", "n_name", "n_orders", "revenue_c"]]
+
+
+# --------------------------------------------------------------------------
+# General distributed joins (ops/join.py) — the reusable operators behind
+# the inline patterns of q06/q07/q08/q53
+# --------------------------------------------------------------------------
+
+@query(
+    "q54_bigbig_join",
+    sql="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+               AS revenue_c
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q54_bigbig_join(sf_dir: str):
+    """Big-big equi-join via the bucketed shuffle join (ops/join.py).
+
+    orders ⋈ lineitem on orderkey — NEITHER side fits a broadcast at the
+    100 TB design point, so both hash-bucket on the key and meet in
+    per-bucket pandas merges (one shuffle total).  Revenue is then
+    pre-aggregated per batch before the tiny priority groupby.
+    """
+    from texrex_ray.ops import shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    n = orders.count() + items.count()
+    joined = shuffle_join(
+        orders, items, "o_orderkey", right_on="l_orderkey", how="inner",
+        expected_rows=n,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("o_orderpriority", sort=False).agg(
+            pn=("rev", "size"), ps=("rev", "sum")
+        )
+        return g.reset_index()
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("pn", alias_name="n_items"), Sum("ps", alias_name="rev"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["revenue_c"] = out["rev"].map(_cents).astype("int64")
+    return out[["o_orderpriority", "n_items", "revenue_c"]]
+
+
+@query(
+    "q55_order_count_dist",
+    sql="""
+    SELECT c_orders AS n_orders, COUNT(*) AS n_custs
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_orders
+    ORDER BY n_orders
+    """,
+)
+def q55_order_count_dist(sf_dir: str):
+    """TPC-H-Q13-style distribution: customers by how many orders they made.
+
+    Exercises the LEFT outer path of ``shuffle_join`` — customers with no
+    orders must survive with a NULL orderkey and count as zero.  The
+    per-customer count then folds into a tiny histogram groupby.
+    """
+    from texrex_ray.ops import shuffle_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = shuffle_join(
+        cust, orders, "c_custkey", right_on="o_custkey", how="left",
+        expected_rows=cust.count() + orders.count(),
+    )
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("c_custkey", sort=False)["o_orderkey"]
+            .count()  # counts non-null only — zero for orderless customers
+            .reset_index(name="pc")
+        )
+        return g
+
+    # c_custkey rows co-bucket in the join, so per-bucket counts are
+    # already exact; the groupby below only merges bucket partials that
+    # were split across output blocks of the same bucket (same key never
+    # spans buckets — partials sum correctly regardless).
+    out = (
+        joined.map_batches(per_cust, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("pc", alias_name="c_orders"))
+        .groupby("c_orders")
+        .aggregate(Count(alias_name="n_custs"))
+        .to_pandas()
+        .sort_values("c_orders")
+        .reset_index(drop=True)
+    )
+    out = out.rename(columns={"c_orders": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["n_orders", "n_custs"]]
