@@ -134,3 +134,30 @@ def test_right_on_rename(ray_session):
     assert canon(got) == canon(exp)
     bc = broadcast_join(lds, right, "custkey", right_on="ck", how="inner").to_pandas()
     assert canon(bc) == canon(exp)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hot_key_salting(ray_session, how):
+    """A hot key spread over salted sub-buckets joins identically."""
+    rng = np.random.default_rng(3)
+    n = 300
+    lk = rng.integers(0, 20, n)
+    lk[: n // 2] = 7  # half the probe side hits one key
+    left = pd.DataFrame({"k": lk, "v": rng.normal(size=n)})
+    rk = rng.integers(0, 25, 60)
+    rk[:10] = 7
+    right = pd.DataFrame({"k": rk, "w": rng.integers(0, 9, 60)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    plain = shuffle_join(lds, rds, "k", how=how, n_buckets=5).to_pandas()
+    salted = shuffle_join(
+        lds, rds, "k", how=how, n_buckets=5, hot_keys=[7], skew_salt=4
+    ).to_pandas()
+    assert canon(salted) == canon(plain)
+
+
+def test_hot_key_salting_rejects_outer(ray_session):
+    lds = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]}))
+    rds = ray.data.from_pandas(pd.DataFrame({"k": [1], "w": [2.0]}))
+    with pytest.raises(ValueError):
+        shuffle_join(lds, rds, "k", how="outer", hot_keys=[1])

@@ -197,6 +197,8 @@ def shuffle_join(
     suffix: str = "_r",
     n_buckets: int | None = None,
     expected_rows: int | None = None,
+    hot_keys=None,
+    skew_salt: int = 8,
 ) -> ray.data.Dataset:
     """Bucketed hash join of two Datasets (the big-big plan).
 
@@ -204,9 +206,20 @@ def shuffle_join(
     union, ``groupby(bucket).map_groups`` merges each bucket with a single
     vectorized pandas merge.  Memory per task is one bucket's rows —
     bounded by ``auto_buckets`` scaling, not by corpus size.
+
+    Skew: a pathologically hot key would pile its whole left side into one
+    bucket.  Pass the hot values as ``hot_keys`` (scalars, or tuples for
+    multi-column keys) and their left rows spread over ``skew_salt``
+    sub-buckets while their right rows replicate into all of them — every
+    pair still meets exactly once, the hot bucket shrinks ×skew_salt.
+    Cold keys are untouched (sub-bucket 0).  Only inner/left/semi/anti
+    support salting: replicating the right side would duplicate the
+    unmatched rows a right/outer join must emit once.
     """
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if hot_keys is not None and how in ("right", "outer"):
+        raise ValueError("hot_keys salting supports inner/left/semi/anti only")
     on, right_on = _as_list(on), _as_list(right_on if right_on is not None else on)
     l_dtypes = _schema_dtypes(left)
     r_dtypes_raw = _schema_dtypes(right)
@@ -230,6 +243,19 @@ def shuffle_join(
         max(8, min(256, int(np.ceil(expected_rows / 50_000)))) if expected_rows else 16
     )
 
+    hot_set = None
+    if hot_keys is not None:
+        hot_set = {k if isinstance(k, tuple) else (k,) for k in hot_keys}
+
+    def _hot_mask(df: pd.DataFrame) -> np.ndarray:
+        if len(on) == 1:
+            return df[on[0]].isin({k[0] for k in hot_set}).to_numpy()
+        return (
+            pd.Series(list(zip(*(df[c] for c in on))), index=df.index)
+            .isin(hot_set)
+            .to_numpy()
+        )
+
     def widen(side: int, rename: dict[str, str] | None):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             if rename:
@@ -242,8 +268,26 @@ def shuffle_join(
                     else pd.Series(_na_for(col_dtype[c]), index=df.index, dtype=col_dtype[c])
                 )
             out[_SIDE] = np.int8(side)
-            out[_BUCKET] = (_row_hash(out, on) % np.uint64(n_buckets)).astype(np.int64)
-            return out
+            base = (_row_hash(out, on) % np.uint64(n_buckets)).astype(np.int64)
+            if hot_set is None:
+                out[_BUCKET] = base
+                return out
+            hot = _hot_mask(out)
+            if side == 0:
+                # probe side: spread hot rows round-robin over sub-buckets
+                salt = np.arange(len(out), dtype=np.int64) % skew_salt
+                salt[~hot] = 0
+                out[_BUCKET] = base * skew_salt + salt
+                return out
+            # build side: cold rows to sub-bucket 0, hot rows to ALL
+            out[_BUCKET] = base * skew_salt
+            cold = out[~hot]
+            hot_rows = out[hot]
+            reps = [
+                hot_rows.assign(**{_BUCKET: hot_rows[_BUCKET] + s})
+                for s in range(skew_salt)
+            ]
+            return pd.concat([cold, *reps], ignore_index=True)
 
         return fn
 
