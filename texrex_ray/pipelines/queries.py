@@ -2304,20 +2304,26 @@ def q55_order_count_dist(sf_dir: str):
         )
         return g
 
-    # c_custkey rows co-bucket in the join, so per-bucket counts are
-    # already exact; the groupby below only merges bucket partials that
-    # were split across output blocks of the same bucket (same key never
-    # spans buckets — partials sum correctly regardless).
+    # The partial stream is ≈ |customers| rows (each custkey co-buckets in
+    # the join, so partials only split across a bucket's output batches).
+    # Two keyed sort-shuffles over that tiny stream cost seconds of fixed
+    # exchange overhead (measured 9.3 s → 2 s at sf0.1), so the finish is
+    # ONE combine task — the count_pairs trade.  Beyond ~5M customers,
+    # swap the repartition(1) for groupby("c_custkey").aggregate(Sum) +
+    # groupby("c_orders").count(): same rows, keyed exchange.
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby("c_custkey", sort=False)["pc"].sum()
+        hist = per.value_counts().sort_index()
+        return pd.DataFrame(
+            {"n_orders": hist.index.astype("int64"), "n_custs": hist.to_numpy()}
+        )
+
     out = (
         joined.map_batches(per_cust, batch_format="pandas")
-        .groupby("c_custkey")
-        .aggregate(Sum("pc", alias_name="c_orders"))
-        .groupby("c_orders")
-        .aggregate(Count(alias_name="n_custs"))
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
         .to_pandas()
-        .sort_values("c_orders")
+        .sort_values("n_orders")
         .reset_index(drop=True)
     )
-    out = out.rename(columns={"c_orders": "n_orders"})
-    out["n_orders"] = out["n_orders"].astype("int64")
     return out[["n_orders", "n_custs"]]
