@@ -78,3 +78,36 @@ def test_resumable_write_skips_committed(tmp_path):
     assert len(calls) == 1  # only the broken shard was re-processed
     total = read_committed(out).count()
     assert total == 4 * 500
+
+
+def test_write_partitioned_by_key_resumes(ray_session, tmp_path):
+    """Key-partitioned sink: committed partitions are pruned before the
+    shuffle on re-run, and readers see exactly the input rows once."""
+    import os
+
+    from texrex_ray.state.resume import (
+        read_committed_parts,
+        write_partitioned_by_key,
+    )
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    out = str(tmp_path / "bykey")
+    r1 = write_partitioned_by_key(ds, out, "doc_id", n_partitions=8)
+    assert len(r1["written"]) == 8 and not r1["skipped"]
+    assert read_committed_parts(out).count() == 500
+
+    # simulate two crashed partitions
+    for p in ("part=0001", "part=0004"):
+        os.remove(os.path.join(out, p, "_COMMIT"))
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d, "data.parquet"))
+        for d in os.listdir(out)
+        if os.path.exists(os.path.join(out, d, "_COMMIT"))
+    }
+    r2 = write_partitioned_by_key(ds, out, "doc_id", n_partitions=8)
+    assert sorted(r2["written"]) == ["part=0001", "part=0004"]
+    assert len(r2["skipped"]) == 6
+    for d, t in mtimes.items():  # committed partitions were not rewritten
+        assert os.path.getmtime(os.path.join(out, d, "data.parquet")) == t
+    got = read_committed_parts(out).to_pandas()
+    assert len(got) == 500 and got["doc_id"].is_unique

@@ -161,3 +161,49 @@ def test_hot_key_salting_rejects_outer(ray_session):
     rds = ray.data.from_pandas(pd.DataFrame({"k": [1], "w": [2.0]}))
     with pytest.raises(ValueError):
         shuffle_join(lds, rds, "k", how="outer", hot_keys=[1])
+
+
+def test_shuffle_join_scale_dataset_native(ray_session):
+    """300k-row join where no corpus-sized data ever lands on the driver.
+
+    Inputs are built block-parallel via ray.data.range; the only driver
+    materialization is the final aggregate (one row).  Row count checks
+    the closed form: each of 50k keys appears 4× left and 2× right →
+    4·2·50k matches.  auto_buckets sizing (expected_rows) is exercised
+    instead of an explicit n_buckets.
+    """
+    from texrex_ray.ops import shuffle_join
+
+    n_keys = 50_000
+    left = ray.data.range(4 * n_keys).map_batches(
+        lambda b: {"k": b["id"] % n_keys, "v": b["id"]}, batch_format="numpy"
+    )
+    right = ray.data.range(2 * n_keys).map_batches(
+        lambda b: {"k": b["id"] % n_keys, "w": b["id"] * 3}, batch_format="numpy"
+    )
+    joined = shuffle_join(
+        left, right, "k", how="inner", expected_rows=6 * n_keys
+    )
+    assert joined.count() == 8 * n_keys
+
+
+@pytest.mark.parametrize("how", ["inner", "semi"])
+def test_bloom_prefilter_exact(ray_session, how):
+    """Pre-shuffle Bloom filtering never changes the join result."""
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 10_000, 500), "v": rng.normal(size=500)})
+    right = pd.DataFrame({"k": rng.integers(0, 10_000, 40), "w": np.arange(40)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    plain = shuffle_join(lds, rds, "k", how=how, n_buckets=5).to_pandas()
+    filt = shuffle_join(
+        lds, rds, "k", how=how, n_buckets=5, bloom_prefilter=True
+    ).to_pandas()
+    assert canon(filt) == canon(plain)
+
+
+def test_bloom_prefilter_rejects_outer_paths(ray_session):
+    lds = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]}))
+    rds = ray.data.from_pandas(pd.DataFrame({"k": [1], "w": [2.0]}))
+    with pytest.raises(ValueError):
+        shuffle_join(lds, rds, "k", how="left", bloom_prefilter=True)

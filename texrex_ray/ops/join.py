@@ -106,6 +106,27 @@ def _row_hash(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
     return pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
 
 
+def _keys_str(df: pd.DataFrame, cols: list[str]) -> list[str]:
+    """One canonical string per key row (must agree across both sides)."""
+    if len(cols) == 1:
+        return [str(v) for v in df[cols[0]]]
+    return ["|".join(str(v) for v in t) for t in zip(*(df[c] for c in cols))]
+
+
+_BLOOM_CACHE: dict[str, object] = {}
+
+
+def _cached_bloom(snap_ref):
+    """Restore a broadcast Bloom snapshot once per worker process."""
+    key = snap_ref.hex()
+    b = _BLOOM_CACHE.get(key)
+    if b is None:
+        from texrex_ray.state.bloom import ScalingBloom
+
+        b = _BLOOM_CACHE[key] = ScalingBloom.restore(ray.get(snap_ref))
+    return b
+
+
 def _finalize_arrow(df: pd.DataFrame) -> pa.Table:
     """Convert the pandas group output to an Arrow block explicitly.
 
@@ -199,6 +220,8 @@ def shuffle_join(
     expected_rows: int | None = None,
     hot_keys=None,
     skew_salt: int = 8,
+    bloom_prefilter: bool = False,
+    bloom_fpr: float = 0.01,
 ) -> ray.data.Dataset:
     """Bucketed hash join of two Datasets (the big-big plan).
 
@@ -215,11 +238,18 @@ def shuffle_join(
     Cold keys are untouched (sub-bucket 0).  Only inner/left/semi/anti
     support salting: replicating the right side would duplicate the
     unmatched rows a right/outer join must emit once.
+
+    ``bloom_prefilter=True`` (inner/semi) builds a Bloom filter over the
+    build side's keys and drops non-matching probe rows before the
+    shuffle — exact results (false positives merely probe and miss), with
+    exchange volume ∝ match set for selective joins.
     """
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if hot_keys is not None and how in ("right", "outer"):
         raise ValueError("hot_keys salting supports inner/left/semi/anti only")
+    if bloom_prefilter and how not in ("inner", "semi"):
+        raise ValueError("bloom_prefilter supports inner/semi only")
     on, right_on = _as_list(on), _as_list(right_on if right_on is not None else on)
     l_dtypes = _schema_dtypes(left)
     r_dtypes_raw = _schema_dtypes(right)
@@ -242,6 +272,33 @@ def shuffle_join(
     shuffle_blocks = (
         max(8, min(256, int(np.ceil(expected_rows / 50_000)))) if expected_rows else 16
     )
+
+    if bloom_prefilter:
+        # Build a compact membership filter over the build side's keys and
+        # drop probe rows that cannot match BEFORE the shuffle — for a
+        # selective join the exchange volume collapses to ~the match set
+        # (+ fpr).  False positives only cost a futile merge probe, so the
+        # result is exact.  The Bloom streams through the driver once in
+        # O(filter) memory; beyond ~10⁹ build keys, partition the join
+        # first and build per-partition filters instead.
+        from texrex_ray.state.bloom import ScalingBloom
+
+        bloom = ScalingBloom(
+            initial_capacity=max(
+                100_000, (expected_rows or 0) // 2
+            ),
+            error_rate=bloom_fpr,
+        )
+        for bdf in right.select_columns(right_on).iter_batches(
+            batch_format="pandas", batch_size=65536
+        ):
+            bloom.add_if_new(_keys_str(bdf, right_on))
+        snap_ref = ray.put(bloom.snapshot())
+
+        def bloom_flt(df: pd.DataFrame) -> pd.DataFrame:
+            return df[_cached_bloom(snap_ref).contains_many(_keys_str(df, on))]
+
+        left = left.map_batches(bloom_flt, batch_format="pandas")
 
     hot_set = None
     if hot_keys is not None:
