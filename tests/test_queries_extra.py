@@ -231,3 +231,35 @@ def test_star_join_matches_pandas(ray_session):
     assert got["n_orders"].tolist() == want["n_orders"].tolist()
     assert got[["r_name", "n_name"]].values.tolist() == want[["r_name", "n_name"]].values.tolist()
     assert np.allclose(got["revenue_c"], (want["rev"] * 100).round(), atol=1)
+
+
+def test_cms_never_underestimates_and_merges():
+    """Count-min guarantees: estimate ≥ true count; partials merge by +."""
+    from texrex_ray.pipelines.queries import cms_estimate, cms_partial
+
+    rng = np.random.default_rng(13)
+    keys = [str(k) for k in rng.integers(0, 200, 5000)]
+    whole = cms_partial(keys)
+    halves = cms_partial(keys[:2500]) + cms_partial(keys[2500:])
+    assert (whole == halves).all()  # mergeable: order/split irrelevant
+    import collections
+
+    true = collections.Counter(keys)
+    uniq = sorted(true)
+    est = cms_estimate(whole, uniq)
+    assert all(e >= true[k] for e, k in zip(est, uniq))
+    # width 2048 over 200 keys: estimates should be near-exact here
+    assert sum(e == true[k] for e, k in zip(est, uniq)) >= len(uniq) * 0.95
+
+
+def test_heavy_hitters_exact_vs_duckdb(ray_session):
+    from texrex_ray.pipelines.queries import HH_THRESHOLD, QUERIES
+
+    got = QUERIES["q56_heavy_hitters"](SF)
+    want = duckdb.sql(
+        f"""SELECT user_id, COUNT(*) AS n_events
+            FROM '{SF}/events.parquet' GROUP BY user_id
+            HAVING COUNT(*) >= {HH_THRESHOLD} ORDER BY user_id"""
+    ).df()
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()

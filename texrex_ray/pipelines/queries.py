@@ -2327,3 +2327,116 @@ def q55_order_count_dist(sf_dir: str):
         .reset_index(drop=True)
     )
     return out[["n_orders", "n_custs"]]
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch → exact-verified heavy hitters
+# --------------------------------------------------------------------------
+
+CMS_D, CMS_W, HH_THRESHOLD = 4, 2048, 80
+
+
+def cms_partial(keys: list[str]) -> np.ndarray:
+    """One batch's count-min partial: a (d, w) int64 matrix (mergeable by +).
+
+    Rows use double hashing h1 + i·h2 from one blake2b digest per key —
+    the standard pairwise-independent family (Kirsch & Mitzenmacher), the
+    same trick the Bloom segments use.
+    """
+    import hashlib
+
+    m = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for k in keys:
+        d = hashlib.blake2b(k.encode(), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        for i in range(CMS_D):
+            m[i, (h1 + i * h2) % CMS_W] += 1
+    return m
+
+
+def cms_estimate(m: np.ndarray, keys: list[str]) -> np.ndarray:
+    """Point estimates (≥ true count, w.h.p. close) for each key."""
+    import hashlib
+
+    out = np.empty(len(keys), dtype=np.int64)
+    for j, k in enumerate(keys):
+        d = hashlib.blake2b(k.encode(), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        out[j] = min(m[i, (h1 + i * h2) % CMS_W] for i in range(CMS_D))
+    return out
+
+
+@query(
+    "q56_heavy_hitters",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= {HH_THRESHOLD}
+    ORDER BY user_id
+    """,
+)
+def q56_heavy_hitters(sf_dir: str):
+    """Users with ≥ {threshold} events: sketch-guided, exactly verified.
+
+    The 100 TB shape: a full keyed groupby over every user is an
+    all-to-all shuffle of the whole stream, but heavy hitters only need
+    counts for a tiny candidate set.  Pass 1 folds each batch into a
+    (4×2048) count-min partial — fixed-size, mergeable by addition, so
+    the driver reduces n_blocks small matrices, never rows.  Pass 2
+    probes each batch's DISTINCT users against the broadcast sketch;
+    since CMS never underestimates, the emitted candidates are a strict
+    superset of the true heavy hitters.  Pass 3 counts ONLY candidate
+    rows (`pc.is_in` prefilter, combiner partials, one result-sized
+    combine) and applies the threshold exactly — sketch error cannot
+    reach the output, it only costs a few extra verified candidates.
+    """
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def sketch_block(t: pa.Table) -> pa.Table:
+        m = cms_partial([str(u) for u in t["user_id"].to_pylist()])
+        return pa.table({"cms": pa.array([m.reshape(-1)])})
+
+    cms = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for b in (
+        ds.map_batches(sketch_block, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=256)
+    ):
+        cms += np.sum(np.asarray(b["cms"].to_pylist(), dtype=np.int64), axis=0)
+    cms_ref = ray.put(cms.reshape(CMS_D, CMS_W))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        users = pc.unique(t["user_id"])
+        est = cms_estimate(ray.get(cms_ref), [str(u) for u in users.to_pylist()])
+        return pa.table({"user_id": users.filter(pa.array(est >= HH_THRESHOLD))})
+
+    cand_df = ds.map_batches(candidates, batch_format="pyarrow").to_pandas()
+    cand_ref = ray.put(pa.array(cand_df["user_id"].unique()))  # candidate-set-sized
+
+    def count_cand(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_in(t["user_id"], value_set=ray.get(cand_ref)))
+        vc = pc.value_counts(keep["user_id"])
+        return pa.table(
+            {
+                "user_id": vc.field("values"),
+                "pn": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)["pn"].sum().reset_index(name="n_events")
+        return g[g["n_events"] >= HH_THRESHOLD]
+
+    out = (
+        ds.map_batches(count_cand, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["user_id", "n_events"]]
