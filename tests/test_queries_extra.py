@@ -263,3 +263,28 @@ def test_heavy_hitters_exact_vs_duckdb(ray_session):
     ).df()
     assert got["user_id"].tolist() == want["user_id"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
+
+
+def test_phash_fixture_fresh_and_lsh_complete(ray_session):
+    """Committed (image_id, phash) oracle fixture matches live generation,
+    and hamming_pairs finds the full brute-force Hamming ball."""
+    import itertools
+
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.pipelines.queries import QUERIES
+
+    d = fixture_path(n=300, seed=42)
+    live = pq.read_table(f"{d}/images.parquet", columns=["image_id", "phash"])
+    committed = pq.read_table(
+        "/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet"
+    )
+    assert live.equals(committed)
+
+    got = QUERIES["q57_phash_near_dups"](SF)
+    ph = dict(zip(live["image_id"].to_pylist(), live["phash"].to_pylist()))
+    brute = sorted(
+        (a, b, bin((pa_ ^ pb) & ((1 << 64) - 1)).count("1"))
+        for (a, pa_), (b, pb) in itertools.combinations(sorted(ph.items()), 2)
+        if bin((pa_ ^ pb) & ((1 << 64) - 1)).count("1") <= 6
+    )
+    assert list(map(tuple, got.values.tolist())) == brute

@@ -183,13 +183,47 @@ def simhash_pairs(
 
     Signatures are computed over token ``shingle_n``-grams (word-order
     sensitive — a bag-of-words simhash confuses documents that merely
-    share vocabulary).  Candidate generation uses ``max_hamming + 1``
-    disjoint bit blocks: two signatures within Hamming ≤ d differ in at
-    most d blocks, so with d+1 blocks at least one block matches exactly
-    (pigeonhole) — candidate generation is COMPLETE for the advertised
-    radius, fixing the 4-block scheme that only guaranteed d ≤ 3.  Wider
-    radii mean narrower blocks (64 // (d+1) bits) and thus coarser
-    buckets; at corpus scale prefer d ≤ 7 (8-bit blocks).  Exact Hamming
+    share vocabulary), then ``hamming_pairs`` does the distributed
+    radius search.  Returns a Dataset (id_a, id_b, hamming).
+    """
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in t[text_col].to_pylist()]
+        grams = [
+            [" ".join(tk[i : i + shingle_n]) for i in range(max(0, len(tk) - shingle_n + 1))]
+            for tk in toks
+        ]
+        sh = simhash64(grams)
+        return pa.table({"doc_id": t[id_col], "simhash": pa.array(sh)})
+
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
+    return hamming_pairs(
+        sigs,
+        id_col="doc_id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 12,
+    max_bucket: int = 100_000,
+) -> ray.data.Dataset:
+    """All pairs with Hamming(sig) ≤ max_hamming over ANY precomputed
+    64-bit signature column (SimHash, image pHash, audio fingerprints).
+
+    Candidate generation uses ``max_hamming + 1`` disjoint bit blocks:
+    two signatures within Hamming ≤ d differ in at most d blocks, so with
+    d+1 blocks at least one block matches exactly (pigeonhole) —
+    candidate generation is COMPLETE for the advertised radius, fixing
+    the 4-block scheme that only guaranteed d ≤ 3.  Wider radii mean
+    narrower blocks (64 // (d+1) bits) and thus coarser buckets; at
+    corpus scale prefer d ≤ 7 (8-bit blocks).  Exact Hamming
     verification runs vectorized inside each bucket group; everything is
     a Dataset — nothing corpus-sized touches the driver.
 
@@ -200,14 +234,13 @@ def simhash_pairs(
     assert width >= 1, "max_hamming must be < 64"
     wmask = np.uint64((1 << width) - 1)
 
-    def sig_rows(t: pa.Table) -> pa.Table:
-        toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in t[text_col].to_pylist()]
-        grams = [
-            [" ".join(tk[i : i + shingle_n]) for i in range(max(0, len(tk) - shingle_n + 1))]
-            for tk in toks
-        ]
-        sh = simhash64(grams)
-        return pa.table({"doc_id": t[id_col], "simhash": pa.array(sh)})
+    if id_col != "doc_id" or sig_col != "simhash":
+        ds = ds.map_batches(
+            lambda t: t.select([id_col, sig_col]).rename_columns(
+                ["doc_id", "simhash"]
+            ),
+            batch_format="pyarrow",
+        )
 
     def block_rows(t: pa.Table) -> pa.Table:
         sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -249,8 +282,7 @@ def simhash_pairs(
         return pd.DataFrame({"id_a": a2, "id_b": b2, "hamming": d[keep]})
 
     pairs = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
-        .map_batches(block_rows, batch_format="pyarrow")
+        ds.map_batches(block_rows, batch_format="pyarrow")
         .repartition(16)  # coalesce narrow block rows before the exchange
         .groupby("bkey")
         .map_groups(bucket_pairs, batch_format="pandas")

@@ -2440,3 +2440,45 @@ def q56_heavy_hitters(sf_dir: str):
     out["user_id"] = out["user_id"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out[["user_id", "n_events"]]
+
+
+@query(
+    "q57_phash_near_dups",
+    sql="""
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM read_parquet('/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet') a
+    JOIN read_parquet('/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet') b
+      ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    ORDER BY id_a, id_b
+    """,
+)
+def q57_phash_near_dups(sf_dir: str):
+    """Image near-duplicates by perceptual-hash Hamming radius (payload op).
+
+    The input-hint table carries a 64-bit pixel pHash per image; visually
+    near-identical images (re-encodes, small crops) land within a small
+    Hamming ball.  ``hamming_pairs`` — the same pigeonhole block-LSH that
+    powers text SimHash — runs the radius search distributed: 7 bit-block
+    bucket keys per signature, exact popcount verification inside each
+    bucket, nothing corpus-sized on the driver.  Oracle: brute-force O(n²)
+    bit_count self-join in DuckDB over the committed (image_id, phash)
+    fixture of the same deterministic image table, proving the LSH
+    candidate generation is COMPLETE at d ≤ 6.
+    """
+    from texrex_ray.dedup.lsh import hamming_pairs
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)  # the committed-oracle table's params
+    ds = read_images(f"{d}/images_table")
+
+    out = (
+        hamming_pairs(ds, id_col="image_id", sig_col="phash", max_hamming=6)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    out["hamming"] = out["hamming"].astype("int64")
+    return out[["id_a", "id_b", "hamming"]]

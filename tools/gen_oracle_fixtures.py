@@ -461,6 +461,17 @@ def gen_hll_values() -> None:
     print("hll_values_sf0.01.parquet:", t.num_rows, "rows:",
           [(r["event_type"], r["n_hll"], r["n_true"]) for r in rows])
 
+def gen_images_phash() -> None:
+    """(image_id, phash) of the deterministic n=300/seed=42 images fixture
+    — the q57 oracle self-joins this in SQL with bit_count(xor(...)) to
+    brute-force the exact Hamming ball our block-LSH must reproduce."""
+    from texrex_ray.pipelines.caption import fixture_path
+
+    d = fixture_path(n=300, seed=42)
+    t = pq.read_table(os.path.join(d, "images.parquet"), columns=["image_id", "phash"])
+    pq.write_table(t, os.path.join(OUT, "images_phash_n300_s42.parquet"))
+
+
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
@@ -476,6 +487,7 @@ def main() -> None:
     gen_image_harvest()
     gen_harvest_pipeline()
     gen_hll_values()
+    gen_images_phash()
 
 
 if __name__ == "__main__":
