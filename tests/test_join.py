@@ -207,3 +207,20 @@ def test_bloom_prefilter_rejects_outer_paths(ray_session):
     rds = ray.data.from_pandas(pd.DataFrame({"k": [1], "w": [2.0]}))
     with pytest.raises(ValueError):
         shuffle_join(lds, rds, "k", how="left", bloom_prefilter=True)
+
+
+def test_join_planner_agrees_across_plans(ray_session, frames):
+    from texrex_ray.ops import join
+
+    left, right = frames
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    auto = join(lds, rds, "k", how="inner").to_pandas()          # small → broadcast
+    forced = join(lds, rds, "k", how="inner", plan="shuffle", n_buckets=5).to_pandas()
+    inmem = join(lds, right, "k", how="inner").to_pandas()       # DataFrame right
+    assert canon(auto) == canon(forced) == canon(inmem)
+    # outer can't broadcast: auto must pick the shuffle path and still work
+    outer = join(lds, rds, "k", how="outer", n_buckets=5).to_pandas()
+    assert canon(outer) == canon(expected(left, right, "outer"))
+    with pytest.raises(ValueError):
+        join(lds, rds, "k", how="outer", plan="broadcast")

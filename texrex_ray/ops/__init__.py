@@ -3,6 +3,6 @@
 ``join`` — distributed equi-joins (broadcast + bucketed shuffle).
 """
 
-from texrex_ray.ops.join import broadcast_join, shuffle_join
+from texrex_ray.ops.join import broadcast_join, join, shuffle_join
 
-__all__ = ["broadcast_join", "shuffle_join"]
+__all__ = ["broadcast_join", "join", "shuffle_join"]

@@ -394,3 +394,66 @@ def shuffle_join(
         .map_groups(merge_bucket, batch_format="pandas")
         .map_batches(_finalize_arrow, batch_format="pandas")
     )
+
+
+def join(
+    left: ray.data.Dataset,
+    right,
+    on: str | list[str],
+    *,
+    how: str = "inner",
+    right_on: str | list[str] | None = None,
+    suffix: str = "_r",
+    broadcast_threshold_rows: int = 2_000_000,
+    plan: str = "auto",
+    **shuffle_kwargs,
+) -> ray.data.Dataset:
+    """Plan-selecting join: broadcast when the build side is small, else
+    the bucketed shuffle.
+
+    ``right`` may be an in-memory pandas DataFrame / Arrow Table (always
+    broadcast when ``how`` allows it) or a Dataset, in which case its row
+    count decides: ≤ ``broadcast_threshold_rows`` and a broadcast-capable
+    ``how`` (inner/left/semi/anti) → collect + broadcast (the build side
+    moves once, the probe side never shuffles); otherwise the shuffle
+    join.  ``plan`` forces "broadcast" or "shuffle" explicitly.
+
+    ``right.count()`` is metadata-only for parquet reads; on a derived
+    Dataset it executes the upstream pipeline — pass ``plan="shuffle"``
+    (or a materialized right side) when that cost is unacceptable.
+    """
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown plan={plan!r}")
+    in_memory = isinstance(right, (pd.DataFrame, pa.Table))
+    can_broadcast = how in ("inner", "left", "semi", "anti")
+    if plan == "broadcast" and not can_broadcast:
+        raise ValueError(f"broadcast plan cannot express how={how!r}")
+
+    if in_memory:
+        if can_broadcast and plan != "shuffle":
+            return broadcast_join(
+                left, right, on, how=how, right_on=right_on, suffix=suffix
+            )
+        tbl = right if isinstance(right, pa.Table) else pa.Table.from_pandas(
+            right, preserve_index=False
+        )
+        right = ray.data.from_arrow(tbl)
+        return shuffle_join(
+            left, right, on, how=how, right_on=right_on, suffix=suffix,
+            **shuffle_kwargs,
+        )
+
+    if plan == "broadcast" or (
+        plan == "auto"
+        and can_broadcast
+        and right.count() <= broadcast_threshold_rows
+    ):
+        keep = _as_list(right_on if right_on is not None else on)
+        proj = keep if how in ("semi", "anti") else None
+        collected = (right.select_columns(proj) if proj else right).to_pandas()
+        return broadcast_join(
+            left, collected, on, how=how, right_on=right_on, suffix=suffix
+        )
+    return shuffle_join(
+        left, right, on, how=how, right_on=right_on, suffix=suffix, **shuffle_kwargs
+    )

@@ -2482,3 +2482,77 @@ def q57_phash_near_dups(sf_dir: str):
     )
     out["hamming"] = out["hamming"].astype("int64")
     return out[["id_a", "id_b", "hamming"]]
+
+
+@query(
+    "q58_quality_floor",
+    sql="""
+    WITH th AS (
+        SELECT lang, quantile_disc(n_chars, 0.5) AS med
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang, COUNT(*) AS n_kept,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_kept_chars
+    FROM documents d JOIN th ON d.lang = th.lang
+    WHERE d.n_chars >= th.med
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q58_quality_floor(sf_dir: str):
+    """Per-group quantile-threshold pruning — the training-data staple
+    "drop everything below the per-language median quality".
+
+    Two phases, neither corpus-shuffling: (1) the counting-histogram
+    quantile of q46 yields each language's median in one domain-sized
+    exchange; (2) the thresholds (one row per language — broadcast via
+    ``ray.put``) gate a vectorized filter pass whose survivors fold into
+    per-batch count/min partials.  The corpus streams through the filter
+    once; only histogram rows and partials ever shuffle.  Same
+    ``quantile_disc`` convention as q46 (rank ceil(q·n), 0-based −1).
+    """
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_chars": g["n_chars"],
+                "pn": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # domain-sized
+    )
+    med = {}
+    for lang, grp in hist.groupby("lang"):
+        grp = grp.sort_values("n_chars")
+        cum = grp["n"].to_numpy().cumsum()
+        rank = min(int(cum[-1]), max(1, math.ceil(0.5 * cum[-1])))
+        med[lang] = int(grp["n_chars"].to_numpy()[np.searchsorted(cum, rank)])
+    med_ref = ray.put(med)
+
+    def keep_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        th = df["lang"].map(ray.get(med_ref))
+        kept = df[df["n_chars"] >= th]
+        g = kept.groupby("lang", sort=False)["n_chars"].agg(["size", "min"])
+        return g.reset_index().rename(columns={"size": "pk", "min": "pm"})
+
+    out = (
+        ds.map_batches(keep_and_count, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("pk", alias_name="n_kept"), Min("pm", alias_name="min_kept_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["min_kept_chars"] = out["min_kept_chars"].astype("int64")
+    return out[["lang", "n_kept", "min_kept_chars"]]
