@@ -224,3 +224,41 @@ def test_join_planner_agrees_across_plans(ray_session, frames):
     assert canon(outer) == canon(expected(left, right, "outer"))
     with pytest.raises(ValueError):
         join(lds, rds, "k", how="outer", plan="broadcast")
+
+
+def test_range_join_matches_manual(ray_session):
+    from texrex_ray.ops import range_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"v": rng.uniform(-5, 120, 400), "tag": np.arange(400)})
+    iv = pd.DataFrame({"lo": [0.0, 10.0, 25.0], "band": ["a", "b", "c"]})
+    lds = ray.data.from_pandas(left).repartition(3)
+    got = range_join(lds, iv, "v", attach=["band"], keep="all").to_pandas()
+    lo = iv["lo"].to_numpy()
+    idx = np.searchsorted(lo, left["v"].to_numpy(), side="right") - 1
+    want = [iv["band"].iloc[i] if i >= 0 else None for i in idx]
+    got = got.sort_values("tag").reset_index(drop=True)
+    assert [x if pd.notna(x) else None for x in got["band"]] == want
+    matched = range_join(lds, iv, "v", attach=["band"], keep="matched").to_pandas()
+    assert len(matched) == sum(i >= 0 for i in idx)
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    from texrex_ray.ops import asof_join
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({"t": np.sort(rng.integers(0, 1000, 300)), "eid": np.arange(300)})
+    right = pd.DataFrame(
+        {"t": np.sort(rng.choice(np.arange(0, 1000, 7), 40, replace=False)), "rate": rng.normal(size=40)}
+    )
+    lds = ray.data.from_pandas(left).repartition(4)
+    got = (
+        asof_join(lds, right, "t", attach=["rate"], keep="all")
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(left.sort_values("t"), right, on="t").sort_values("eid").reset_index(drop=True)
+    a, b = got["rate"].to_numpy(), want["rate"].to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert (both_nan | (np.abs(a - b) < 1e-12)).all()

@@ -701,22 +701,15 @@ def q24_text_assessment(sf_dir: str):
 def q26_range_join(sf_dir: str):
     """Range join against a broadcast interval table — the geolocator's
     IP-interval binary-search lookup pattern (ref: trgeolocator.pas:131-171)
-    demonstrated on lineitem quantity bands via np.searchsorted."""
-    bands = [("tiny", 0.0, 10.0), ("small", 10.0, 25.0), ("large", 25.0, 100.0)]
-    los = np.array([b[1] for b in bands])
-    names = [b[0] for b in bands]
-    bands_ref = ray.put((los, names))
+    demonstrated on lineitem quantity bands via ``ops.range_join``."""
+    from texrex_ray.ops import range_join
+
+    bands = pd.DataFrame(
+        {"lo": [0.0, 10.0, 25.0], "band": ["tiny", "small", "large"]}
+    )
     ds = _read(sf_dir, "lineitem", ["l_quantity"])
-
-    def classify(t: pa.Table) -> pa.Table:
-        los_, names_ = ray.get(bands_ref)
-        q = t["l_quantity"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(los_, q, side="right") - 1
-        band = [names_[i] for i in idx]
-        return pa.table({"band": pa.array(band, pa.string()), "l_quantity": t["l_quantity"]})
-
     out = (
-        ds.map_batches(classify, batch_format="pyarrow")
+        range_join(ds, bands, "l_quantity", attach=["band"])
         .groupby("band")
         .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
     )
@@ -1428,26 +1421,28 @@ def q43_asof_join(sf_dir: str):
         .to_pandas()
         .sort_values("h")
     )
-    r_ts = rates["h"].to_numpy()
     # half-up (values are positive) to match DuckDB ROUND, not numpy banker's
-    r_c = np.floor(rates["sv"] / rates["nv"] * 100 + 0.5).astype("int64").to_numpy()
-    ref = ray.put((r_ts, r_c))
+    ckpts = pd.DataFrame(
+        {
+            "rate_window": rates["h"].to_numpy(),
+            "rate_c": np.floor(rates["sv"] / rates["nv"] * 100 + 0.5).astype("int64"),
+        }
+    )
 
-    def asof(t: pa.Table) -> pa.Table:
-        ts_, c_ = ray.get(ref)
-        ets = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
-        e = ets.to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ts_, e, side="right") - 1
-        ok = idx >= 0
-        return pa.table(
-            {
-                "event_id": t["event_id"],
-                "rate_window": pa.array(np.where(ok, ts_[np.maximum(idx, 0)], 0), pa.int64()),
-                "rate_c": pa.array(np.where(ok, c_[np.maximum(idx, 0)], 0), pa.int64()),
-            }
-        ).filter(pa.array(ok))
+    def epoch_secs(t: pa.Table) -> pa.Table:
+        es = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"event_id": t["event_id"], "es": es})
 
-    out = ds.map_batches(asof, batch_format="pyarrow")
+    from texrex_ray.ops import asof_join
+
+    out = asof_join(
+        ds.map_batches(epoch_secs, batch_format="pyarrow"),
+        ckpts,
+        "es",
+        right_on="rate_window",
+        attach=["rate_window", "rate_c"],
+        keep="matched",
+    ).drop_columns(["es"])
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
