@@ -288,3 +288,31 @@ def test_phash_fixture_fresh_and_lsh_complete(ray_session):
         if bin((pa_ ^ pb) & ((1 << 64) - 1)).count("1") <= 6
     )
     assert list(map(tuple, got.values.tolist())) == brute
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    """q59 at sf0.001 vs a literal string-set recompute (no hashing):
+    hash64 membership must introduce zero collisions at this scale."""
+    import re
+
+    from texrex_ray.pipelines.queries import DECON_N, QUERIES
+
+    got = QUERIES["q59_decontaminate"](SF)
+    tok = re.compile(r"[a-z]+")
+    docs = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bench = set()
+    for s in docs["text"].head(10):
+        t = tok.findall((s or "").lower())
+        bench.update(" ".join(t[i : i + DECON_N]) for i in range(len(t) - DECON_N + 1))
+    want = []
+    for doc_id, s in zip(docs["doc_id"], docs["text"]):
+        t = tok.findall((s or "").lower())
+        n = sum(" ".join(t[i : i + DECON_N]) in bench for i in range(len(t) - DECON_N + 1))
+        if n:
+            want.append((doc_id, n))
+    assert list(map(tuple, got.values.tolist())) == sorted(want)

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -2551,3 +2552,79 @@ def q58_quality_floor(sf_dir: str):
     out["n_kept"] = out["n_kept"].astype("int64")
     out["min_kept_chars"] = out["min_kept_chars"].astype("int64")
     return out[["lang", "n_kept", "min_kept_chars"]]
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: test-set n-gram overlap detection
+# --------------------------------------------------------------------------
+
+DECON_N = 5  # token n-gram width, the common decontamination window
+
+
+def _bench_grams(sf_dir: str) -> set[str]:
+    """The deterministic 'benchmark' set: every 5-gram of the 10
+    lexicographically-first documents (simulating a held-out eval set
+    whose content must not leak into training data)."""
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = t.to_pandas().sort_values("doc_id").head(10)
+    grams: set[str] = set()
+    for s in df["text"]:
+        toks = LATIN_TOKEN_RE.findall((s or "").lower())
+        grams.update(
+            " ".join(toks[i : i + DECON_N]) for i in range(len(toks) - DECON_N + 1)
+        )
+    return grams
+
+
+@query(
+    "q59_decontaminate",
+    sql="""
+    SELECT doc_id, n_hits FROM
+    read_parquet('/root/repo/tests/fixtures/oracle/decontam_sf0.01.parquet')
+    ORDER BY doc_id
+    """,
+)
+def q59_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with the held-out benchmark set.
+
+    The benchmark's grams are hashed to a sorted uint64 array — a few KB
+    per thousand benchmark docs — broadcast once; each training batch
+    tokenizes, hashes its rolling 5-grams with the same function, and
+    membership is one vectorized ``np.isin`` against the sorted array.
+    Output is (doc_id, n_hits) for contaminated docs only — result-sized,
+    no shuffle at all (the per-doc counts are computed where the doc is).
+    Self-hits (benchmark docs flagging themselves) are expected and kept:
+    a decontamination pass removes eval overlap wherever it appears.
+    Oracle: committed fixture from an INDEPENDENT sequential recompute
+    (tools/gen_oracle_fixtures.py::gen_decontam — pure-Python string
+    sets, no hashing, no Dataset machinery).
+    """
+    from texrex_ray.functions.hashing import hash64
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    grams = sorted(_bench_grams(sf_dir))
+    gram_hashes = np.sort(hash64(grams))
+    ref = ray.put(gram_hashes)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        ids, hits = [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = LATIN_TOKEN_RE.findall((s or "").lower())
+            if len(toks) < DECON_N:
+                continue
+            g = [" ".join(toks[i : i + DECON_N]) for i in range(len(toks) - DECON_N + 1)]
+            n = int(np.isin(hash64(g), bench, assume_unique=False).sum())
+            if n:
+                ids.append(doc_id)
+                hits.append(n)
+        return pa.table(
+            {"doc_id": pa.array(ids, t["doc_id"].type), "n_hits": pa.array(hits, pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -473,6 +473,34 @@ def gen_images_phash() -> None:
 
 
 
+def gen_decontam() -> None:
+    """Expected q59 output by a sequential pure-Python recompute: literal
+    string 5-gram sets (no hashing, no Dataset machinery) — catches any
+    hash-collision or tokenization drift in the distributed path."""
+    import re
+
+    tok = re.compile(r"[a-z]+")
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    N = 5
+    bench = set()
+    for s in t["text"].head(10):
+        toks = tok.findall((s or "").lower())
+        for i in range(len(toks) - N + 1):
+            bench.add(" ".join(toks[i:i + N]))
+    ids, hits = [], []
+    for doc_id, s in zip(t["doc_id"], t["text"]):
+        toks = tok.findall((s or "").lower())
+        n = sum(" ".join(toks[i:i + N]) in bench for i in range(len(toks) - N + 1))
+        if n:
+            ids.append(doc_id)
+            hits.append(n)
+    out = pa.table({"doc_id": pa.array(ids),
+                    "n_hits": pa.array(hits, pa.int64())})
+    pq.write_table(out, os.path.join(OUT, "decontam_sf0.01.parquet"))
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_geo_blocks()
@@ -488,6 +516,7 @@ def main() -> None:
     gen_harvest_pipeline()
     gen_hll_values()
     gen_images_phash()
+    gen_decontam()
 
 
 if __name__ == "__main__":
