@@ -2628,3 +2628,82 @@ def q59_decontaminate(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted corpus mixture (data-mixture sampling)
+# --------------------------------------------------------------------------
+
+# per-source keep rates (percent), deterministic and visible to BOTH the
+# Ray side (dict) and the SQL oracle (VALUES list) from this one literal
+MIX_PCT = {f"src{i}": 5 + 4 * i for i in range(20)}
+_MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in sorted(MIX_PCT.items()))
+
+
+@query(
+    "q60_corpus_mixture",
+    sql=f"""
+    WITH w(source, pct) AS (VALUES {_MIX_VALUES}),
+    d AS (
+        SELECT source, doc_id,
+               md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+        FROM documents
+    )
+    SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS sum_ids
+    FROM d JOIN w USING (source)
+    WHERE d.b < w.pct
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q60_corpus_mixture(sf_dir: str):
+    """Weighted data mixture: sample each source at its own rate,
+    deterministically — how a training corpus blends domains (web 80 %,
+    forums 30 %, …) WITHOUT sample state or coordination.
+
+    Membership is a pure row function: the q47 content-stable hash
+    (md5_number_lower % 100) compared to the source's broadcast rate —
+    stable across runs, layouts and cluster sizes, re-derivable per
+    shard, and composable with the q47 split (independent hash uses
+    would need distinct salts; documented, not needed here).
+    Embarrassingly parallel: filter + per-batch (source, count, sum_ids)
+    partials into a source-sized groupby; ``sum_ids`` pins exact
+    membership in the oracle, not just rates.
+    """
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    pct_ref = ray.put(MIX_PCT)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pcts = ray.get(pct_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        src = t["source"].to_pylist()
+        th = np.fromiter((pcts.get(s, 0) for s in src), dtype=np.int64, count=len(src))
+        keep = b < th
+        df = pd.DataFrame({"source": np.asarray(src, dtype=object)[keep], "i": ids[keep]})
+        g = df.groupby("source", sort=False)["i"].agg(["size", "sum"])
+        return pa.Table.from_pandas(
+            g.reset_index().rename(columns={"size": "pk", "sum": "ps"}),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("pk", alias_name="n_kept"), Sum("ps", alias_name="sum_ids"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["sum_ids"] = out["sum_ids"].astype("int64")
+    return out[["source", "n_kept", "sum_ids"]]
