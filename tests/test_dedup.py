@@ -296,3 +296,18 @@ def test_dup_clusters_string_ids(ray_session):
     )
     got = dup_clusters(pairs)
     assert dict(zip(got["doc_id"], got["cluster_id"])) == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_dup_clusters_plans_agree(ray_session):
+    """Driver-numpy plan ≡ distributed per-iteration plan on the same graph."""
+    import pandas as pd
+
+    from texrex_ray.dedup.clusters import dup_clusters
+
+    edges = pd.DataFrame(
+        {"id_a": [1, 2, 5, 9, 20, 21], "id_b": [2, 3, 6, 10, 21, 22]}
+    )
+    ds = ray.data.from_pandas(edges).repartition(3)
+    fast = dup_clusters(ds)
+    slow = dup_clusters(ds, driver_edge_limit=0)  # force the distributed loop
+    assert fast.values.tolist() == slow.values.tolist()

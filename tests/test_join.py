@@ -262,3 +262,43 @@ def test_asof_join_matches_merge_asof(ray_session):
     a, b = got["rate"].to_numpy(), want["rate"].to_numpy()
     both_nan = np.isnan(a) & np.isnan(b)
     assert (both_nan | (np.abs(a - b) < 1e-12)).all()
+
+
+def test_bucketed_groupby_matches_native(ray_session):
+    """Exactness of the coarse-bucket aggregate vs Ray's native aggregate."""
+    from ray.data.aggregate import Count, Max
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 500, 4000),
+            "b": rng.integers(0, 7, 4000),
+            "v": rng.integers(0, 1000, 4000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    native = (
+        ds.groupby(["a", "b"])
+        .aggregate(Count(alias_name="n"), Max("v", alias_name="mx"))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    bucketed = (
+        bucketed_groupby(
+            ds,
+            ["a", "b"],
+            lambda g: g.groupby(["a", "b"], sort=False)
+            .agg(n=("v", "size"), mx=("v", "max"))
+            .reset_index(),
+            n_buckets=13,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert native[["a", "b", "n", "mx"]].astype("int64").equals(
+        bucketed[["a", "b", "n", "mx"]].astype("int64")
+    )

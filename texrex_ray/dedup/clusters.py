@@ -30,9 +30,19 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    driver_edge_limit: int = 5_000_000,
 ) -> pd.DataFrame:
     """(doc_id, cluster_id) for every document in a pair; cluster_id =
-    the smallest doc_id in its connected component."""
+    the smallest doc_id in its connected component.
+
+    Plan switch: the pair graph is result-sized (near-dups only), so up
+    to ``driver_edge_limit`` edges the whole CC runs as vectorized numpy
+    on the driver — one Dataset execution total.  The distributed
+    per-iteration edge scan below it is the documented huge-graph path;
+    it costs a full (cheap, materialized) Dataset pass PER ITERATION,
+    which measured 483 s at sf0.1 against 2 s for the driver plan —
+    fixed per-execution overhead, not data volume.
+    """
     # materialize the (narrow) edge list once — the input lineage may be a
     # whole pair-detection pipeline, which must not re-execute per
     # propagation iteration
@@ -46,6 +56,31 @@ def dup_clusters(
     b = nodes_df[id_b].to_numpy()
     nodes = np.unique(np.concatenate([a, b]))
     labels = pd.Series(nodes, index=nodes)
+
+    if len(nodes_df) <= driver_edge_limit:
+        # driver plan: scatter-min label propagation + pointer jumping,
+        # all numpy on the (result-sized) edge arrays
+        idx_of = pd.Series(np.arange(len(nodes)), index=nodes)
+        ea = idx_of.loc[a].to_numpy()
+        eb = idx_of.loc[b].to_numpy()
+        lab = np.arange(len(nodes), dtype=np.int64)  # label = node index
+        for _ in range(max_iters):
+            m = np.minimum(lab[ea], lab[eb])
+            new = lab.copy()
+            np.minimum.at(new, ea, m)
+            np.minimum.at(new, eb, m)
+            while True:  # pointer jumping: O(log diameter) overall
+                hopped = np.minimum(new, new[new])
+                if (hopped == new).all():
+                    break
+                new = hopped
+            if (new == lab).all():
+                break
+            lab = new
+        else:
+            raise RuntimeError(f"dup_clusters did not converge in {max_iters} iterations")
+        out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[lab]})
+        return out.sort_values("doc_id").reset_index(drop=True)
 
     for _ in range(max_iters):
         lab_ref = ray.put(labels)
