@@ -140,14 +140,29 @@ def minhash_lsh_pairs(
         n=n,
         size_from_grams=True,
     )
-    pairs = (
-        shingle_pairs(sh, max_redundancy=10**9, order_by_size=False, carry_sizes=True)
-        .groupby(["id_small", "id_big"])
-        .aggregate(
-            Count(alias_name="n_inter"),
-            Max("size_small", alias_name="sz_a"),
-            Max("size_big", alias_name="sz_b"),
+    # nearly every pair row is its own group — Ray's native aggregate pays
+    # per-group Python overhead there (q17 measured 215 s at sf0.1); the
+    # coarse-bucket pandas combine is exact and seconds (see
+    # ops/aggregate.py and BENCH/BASELINE.md)
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    pairs = bucketed_groupby(
+        shingle_pairs(
+            sh,
+            max_redundancy=10**9,
+            order_by_size=False,
+            carry_sizes=True,
+            expected_rows=len(cand_ids) * 60,
+        ),
+        ["id_small", "id_big"],
+        lambda g: g.groupby(["id_small", "id_big"], sort=False)
+        .agg(
+            n_inter=("size_small", "size"),
+            sz_a=("size_small", "max"),
+            sz_b=("size_big", "max"),
         )
+        .reset_index(),
+        expected_rows=len(cand_ids) * 250,
     )
     # integer-exact threshold: J >= t  ⇔  i * denom >= t_num * union
     t_num, t_den = (
