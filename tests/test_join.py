@@ -302,3 +302,63 @@ def test_bucketed_groupby_matches_native(ray_session):
     assert native[["a", "b", "n", "mx"]].astype("int64").equals(
         bucketed[["a", "b", "n", "mx"]].astype("int64")
     )
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    from texrex_ray.ops import grouped_topk
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 40, 600),
+            "v": rng.normal(size=600).round(6),
+            "id": np.arange(600),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        grouped_topk(ds, "g", "v", 3, ascending=False, tiebreak="id")
+        .to_pandas()
+        .sort_values(["g", "rk"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g", sort=False)
+        .head(3)
+        .sort_values(["g"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+    assert (got.groupby("g")["rk"].apply(lambda s: s.tolist() == list(range(1, len(s) + 1)))).all()
+
+
+def test_hop_window_covers_each_event(ray_session):
+    from texrex_ray.ops import hop_window
+
+    ts = pd.to_datetime([1000, 4800, 7300], unit="s")
+    df = pd.DataFrame({"ts": ts, "x": [1, 2, 3]})
+    ds = ray.data.from_pandas(df)
+    out = hop_window(ds, "ts", size_s=3600 * 3, step_s=3600).to_pandas()
+    assert len(out) == 9  # 3 windows per event
+    for _, row in out.iterrows():
+        es = row["ts"].timestamp()
+        assert row["window_start"] <= es < row["window_start"] + 3 * 3600
+        assert row["window_start"] % 3600 == 0
+
+
+def test_session_count_matches_manual(ray_session):
+    from texrex_ray.ops import session_count
+
+    rows = []
+    for u, times in {"a": [0, 100, 4000, 4100], "b": [0, 2000, 3900]}.items():
+        rows += [{"u": u, "ts": pd.Timestamp(t, unit="s"), "i": i} for i, t in enumerate(times)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+    got = (
+        session_count(ds, "u", "ts", gap_s=1800, tiebreak="i")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert got["n_sessions"].tolist() == [2, 3]  # a: gap at 4000; b: every gap > 1800
+    assert got["n_events"].tolist() == [4, 3]

@@ -344,27 +344,21 @@ def q09_events_window(sf_dir: str):
     """,
 )
 def q10_user_sessions(sf_dir: str):
-    """Session windows (30-min gap) per user: groupby(user).map_groups.
+    """Session windows (30-min gap) per user via ``ops.session_count`` —
+    a coarse-bucket combine vectorized across every user in the bucket.
 
-    Partitioning assumption: one user's events fit one group (holds at any
-    realistic user cardinality; hot users would be salted by day).
+    Partitioning assumption: one user's events fit one bucket group
+    (holds at any realistic user cardinality; hot users would be salted
+    by day).
     """
+    from texrex_ray.ops.window import session_count
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds()
-        new_sess = (gap.isna() | (gap > 1800)).astype("int64")
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_sess.sum())],
-                "n_events": [len(g)],
-            }
-        )
-
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    out = session_count(ds, "user_id", "ts", gap_s=1800, tiebreak="event_id")
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    df["n_sessions"] = df["n_sessions"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["user_id", "n_sessions", "n_events"]]
 
 
 # --------------------------------------------------------------------------
@@ -1275,24 +1269,11 @@ def q40_sliding_window(sf_dir: str):
     engine's hop-window operator lowers to."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def expand(t: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(t["ts"], unit="hour")
-        h = pc.divide(pc.cast(win, pa.int64()), pa.scalar(1_000_000, pa.int64()))
-        h_np = h.to_numpy(zero_copy_only=False)
-        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
-        val = t["value"].to_numpy(zero_copy_only=False)
-        n = len(h_np)
-        starts = np.concatenate([h_np, h_np - 3600, h_np - 7200])
-        return pa.table(
-            {
-                "event_type": pa.array(np.tile(et, 3), pa.string()),
-                "window_start": pa.array(starts, pa.int64()),
-                "value": pa.array(np.tile(val, 3), pa.float64()),
-            }
-        )
+    from texrex_ray.ops.window import hop_window
 
     out = (
-        ds.map_batches(expand, batch_format="pyarrow")
+        hop_window(ds, "ts", size_s=3 * 3600, step_s=3600)
+        .drop_columns(["ts"])
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
@@ -1318,38 +1299,16 @@ def q41_group_topk(sf_dir: str):
     partial top-3 (combiner) shrinks the exchange to ≤ 3 rows per
     (customer, block), then a keyed groupby finishes — the distributed
     grouped-top-k pattern."""
+    from texrex_ray.ops.topk import grouped_topk
+
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-
-    def partial_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(
-            ["o_custkey", "o_totalprice", "o_orderkey"],
-            ascending=[True, False, True],
-        )
-        return pa.Table.from_pandas(
-            df.groupby("o_custkey", sort=False).head(3), preserve_index=False
-        )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
-        ).groupby("o_custkey", sort=False).head(3)
-        g = g.reset_index(drop=True)
-        g["rk"] = g.groupby("o_custkey").cumcount() + 1
-        g["price_c"] = (g["o_totalprice"] * 100).round().astype("int64")
-        return g[["o_custkey", "o_orderkey", "price_c", "rk"]]
-
-    # final_topk already handles many customers per frame, so run it per
-    # coarse key bucket (ops/aggregate.py) — per-customer map_groups pays
-    # ~0.4 ms × |customers| of per-group overhead (6.7 s → 1.6 s at sf0.1)
-    from texrex_ray.ops.aggregate import bucketed_groupby
-
-    out = bucketed_groupby(
-        ds.map_batches(partial_topk, batch_format="pyarrow"),
-        "o_custkey",
-        final_topk,
+    out = grouped_topk(
+        ds, "o_custkey", "o_totalprice", 3, ascending=False, tiebreak="o_orderkey"
     )
-    return out.to_pandas().sort_values(["o_custkey", "rk"]).reset_index(drop=True)
+    df = out.to_pandas().sort_values(["o_custkey", "rk"]).reset_index(drop=True)
+    df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
+    df["rk"] = df["rk"].astype("int64")
+    return df[["o_custkey", "o_orderkey", "price_c", "rk"]]
 
 
 @query(
