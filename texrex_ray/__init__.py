@@ -21,7 +21,12 @@ reference at /root/reference) on top of ``ray.data.Dataset``:
   (Lance-gated tables, synthetic codec, PSNR≥40), audio (SNR≥40) and
   video frame-sampling — decode / feature-extract as actor-pool stages;
 - a texcomm-style control surface on the crawl engine (status, peek,
-  walker add/remove, live reconfigure).
+  walker add/remove, live reconfigure);
+- dataset-level relational operators Ray Data lacks (``texrex_ray.ops``):
+  broadcast + bucketed-shuffle equi-joins (all six types, hot-key
+  salting, Bloom prefilter, plan-selecting ``join()``), range/as-of
+  joins, high-cardinality ``bucketed_groupby``, grouped top-k, hop and
+  session windows.
 
 Quick start (Ray already initialised)::
 
