@@ -311,3 +311,39 @@ def test_dup_clusters_plans_agree(ray_session):
     fast = dup_clusters(ds)
     slow = dup_clusters(ds, driver_edge_limit=0)  # force the distributed loop
     assert fast.values.tolist() == slow.values.tolist()
+
+
+def test_segment_dedup_keep_first(ray_session):
+    from texrex_ray.dedup.segments import segment_dedup_counts
+
+    # doc 1: "a b c d e f"  -> segs ["a b c", "d e f"]
+    # doc 2: "a b c x y z"  -> ["a b c" dup of doc1, "x y z"]
+    # doc 3: "d e f a b c z" -> ["d e f" dup, "a b c" dup], trailing "z" dropped
+    # doc 4: "q"            -> no full segment, omitted from output
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "a b c d e f"},
+            {"doc_id": 2, "text": "a b c x y z"},
+            {"doc_id": 3, "text": "d e f a b c z"},
+            {"doc_id": 4, "text": "q"},
+        ]
+    )
+    out = (
+        segment_dedup_counts(ds, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_segs"].tolist() == [2, 2, 2]
+    assert out["n_kept"].tolist() == [2, 1, 0]
+
+
+def test_segment_dedup_within_doc_first_position_wins(ray_session):
+    from texrex_ray.dedup.segments import segment_dedup_counts
+
+    # the same segment twice inside one doc: only the first position kept
+    ds = ray.data.from_items([{"doc_id": 7, "text": "a b c a b c"}])
+    out = segment_dedup_counts(ds, n=3).to_pandas()
+    assert out["n_segs"].tolist() == [2]
+    assert out["n_kept"].tolist() == [1]

@@ -117,3 +117,55 @@ def test_urlkit():
         ["/y", "http://b.com/z", "img.png", "mailto:a@b.c", "/y", "ftp://c.com/f"],
     )
     assert links == ["http://a.com/y", "http://b.com/z"]
+
+
+def test_redact_pii():
+    import pyarrow as pa
+
+    from texrex_ray.functions.pii import redact_pii
+
+    t = pa.table(
+        {
+            "text": [
+                "mail bob.smith+x@sub.example.co.uk now",
+                "call +1 (555) 123-4567 or 555 987-6543",
+                "host 192.168.0.1 and 10.0.0.255",
+                "an email a@b.io from 1.2.3.4 phone 555-1234",
+                None,
+                "clean text with no pii at all",
+            ]
+        }
+    )
+    out = redact_pii(t, "text")
+    texts = out["text"].to_pylist()
+    assert texts[0] == "mail <EMAIL> now"
+    assert texts[1] == "call <PHONE> or <PHONE>"
+    assert texts[2] == "host <IP> and <IP>"
+    assert texts[3] == "an email <EMAIL> from <IP> phone <PHONE>"
+    assert texts[4] is None and texts[5] == "clean text with no pii at all"
+    assert out["n_email"].to_pylist() == [1, 0, 0, 1, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 2, 0, 1, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 0, 2, 1, 0, 0]
+
+
+def test_repetition_stats():
+    import pyarrow as pa
+
+    from texrex_ray.functions.repetition import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b a b a b",          # 6 toks, all dup mass, top bigram "a b" x3
+                "u v w x y z",          # no repetition at all
+                "one two two three",    # dup mass 2 ("two" x2), bigrams unique
+            ],
+        }
+    )
+    out = repetition_stats(t)
+    assert out["n_toks"].to_pylist() == [6, 6, 4]
+    assert out["n_dup_toks"].to_pylist() == [6, 0, 2]
+    assert out["top2_cnt"].to_pylist() == [3, 1, 1]
+    # doc1: dup 6*2 > 6 -> drop; doc2 keep; doc3: 2*2 <= 4 and 1*5 > 3 -> drop
+    assert out["keep"].to_pylist() == [0, 1, 0]

@@ -2682,3 +2682,180 @@ def q60_corpus_mixture(sf_dir: str):
     out["n_kept"] = out["n_kept"].astype("int64")
     out["sum_ids"] = out["sum_ids"].astype("int64")
     return out[["source", "n_kept", "sum_ids"]]
+
+
+# --------------------------------------------------------------------------
+# PII redaction (corpus-release scrub; q31/q32-style deterministic dirt)
+# --------------------------------------------------------------------------
+
+# The synthetic documents carry no PII, so — like q31's hyphen dirt — the
+# query seeds deterministic PII from doc_id (email on id%3, phone on id%4,
+# IPv4 on id%5) identically on both sides, then runs the real operator.
+_PII_DIRT_SQL = """
+    SELECT doc_id, text
+      || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id || '@mail'
+              || (doc_id % 7) || '.example.com' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || printf('%04d', doc_id % 10000)
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) || '.'
+              || ((doc_id // 256) % 256) || '.' || (doc_id % 250) ELSE '' END AS d
+    FROM documents
+"""
+
+
+def _pii_dirt(i: int) -> str:
+    out = ""
+    if i % 3 == 0:
+        out += f" reach user{i}@mail{i % 7}.example.com"
+    if i % 4 == 0:
+        out += f" call 555-{i % 10000:04d}"
+    if i % 5 == 0:
+        out += f" from 10.{i % 256}.{(i // 256) % 256}.{i % 250}"
+    return out
+
+
+def _pii_sql() -> str:
+    from texrex_ray.functions.pii import PII_PATTERNS
+
+    sql = f"WITH dirty AS ({_PII_DIRT_SQL})"
+    prev = "dirty"
+    cols = []
+    for idx, (name, pat, repl) in enumerate(PII_PATTERNS):
+        cols.append(f"n_{name}")
+        sql += (
+            f", s{idx} AS (SELECT doc_id, {', '.join(cols[:-1]) + ', ' if cols[:-1] else ''}"
+            f"len(regexp_extract_all(d, '{pat}')) AS n_{name}, "
+            f"regexp_replace(d, '{pat}', '{repl}', 'g') AS d FROM {prev})"
+        )
+        prev = f"s{idx}"
+    sql += (
+        f" SELECT doc_id, {', '.join(cols)}, CAST(LENGTH(d) AS BIGINT) AS red_len "
+        f"FROM {prev} ORDER BY doc_id"
+    )
+    return sql
+
+
+@query("q61_pii_redact", sql=_pii_sql())
+def q61_pii_redact(sf_dir: str):
+    """PII scrub for corpus release: replace e-mails / phones / IPv4s with
+    typed placeholders, report per-doc counts + redacted length.
+
+    The operator (``functions/pii.py::redact_pii``) is pure RE2 via
+    pyarrow.compute — vectorized, stateless, shuffle-free; the oracle
+    shares the exact pattern strings because DuckDB's regexp functions
+    are RE2 too (counts taken on the progressively redacted string in
+    the same fixed order).
+    """
+    from texrex_ray.functions.pii import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        dirty = [
+            (s or "") + _pii_dirt(i) for i, s in zip(ids, t["text"].to_pylist())
+        ]
+        t = t.set_column(
+            t.schema.get_field_index("text"), "text", pa.array(dirty, pa.string())
+        )
+        t = redact_pii(t, "text")
+        red_len = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        return t.drop_columns(["text"]).append_column("red_len", red_len)
+
+    out = ds.map_batches(run, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Cross-document segment dedup (CCNet-style keep-first)
+# --------------------------------------------------------------------------
+
+@query(
+    "q62_segment_dedup",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents),
+    segs AS (
+        SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS seg,
+               string_agg(tok, ' ' ORDER BY i) AS s, COUNT(*) AS k
+        FROM toks GROUP BY doc_id, (i - 1) // 3),
+    full_segs AS (SELECT * FROM segs WHERE k = 3),
+    winners AS (
+        SELECT s, MIN(doc_id * 1048576 + seg) AS w FROM full_segs GROUP BY s),
+    kept AS (
+        SELECT f.doc_id, COUNT(*) AS n_kept
+        FROM full_segs f JOIN winners w
+          ON f.s = w.s AND f.doc_id * 1048576 + f.seg = w.w
+        GROUP BY f.doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM full_segs GROUP BY doc_id)
+    SELECT t.doc_id, t.n_segs, COALESCE(k.n_kept, 0) AS n_kept
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q62_segment_dedup(sf_dir: str):
+    """Segment-level exact dedup across the corpus: per doc, how many
+    3-token segments it holds and how many survive global keep-first
+    (minimal (doc_id, position) occurrence wins).
+
+    One coarse-bucket shuffle on segment text + a result-sized count
+    merge — no join, no driver materialization of segment data
+    (``dedup/segments.py::segment_dedup_counts``).
+    """
+    from texrex_ray.dedup.segments import segment_dedup_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = segment_dedup_counts(ds, n=3, expected_rows=n_docs * 20).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_segs", "n_kept"]
+    ]
+
+
+# --------------------------------------------------------------------------
+# Repetition quality filters (Gopher-style)
+# --------------------------------------------------------------------------
+
+@query(
+    "q63_repetition_filter",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents),
+    tc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+    dup AS (
+        SELECT doc_id, CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup_toks
+        FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+    bg AS (
+        SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        FROM toks),
+    top2 AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2_cnt
+        FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg WHERE b IS NOT NULL
+              GROUP BY doc_id, b)
+        GROUP BY doc_id),
+    j AS (
+        SELECT t.doc_id, t.n_toks, d.n_dup_toks, COALESCE(p.top2_cnt, 0) AS top2_cnt
+        FROM tc t JOIN dup d USING (doc_id) LEFT JOIN top2 p USING (doc_id))
+    SELECT doc_id, n_toks, n_dup_toks, top2_cnt,
+           CAST(n_dup_toks * 2 <= n_toks
+                AND top2_cnt * 5 <= GREATEST(n_toks - 1, 0) AS BIGINT) AS keep
+    FROM j ORDER BY doc_id
+    """,
+)
+def q63_repetition_filter(sf_dir: str):
+    """Gopher-style repetition gate: per-doc duplicate-token mass and top
+    adjacent-bigram count, with the keep decision in exact integer
+    arithmetic.  Embarrassingly parallel — one vectorized ``map_batches``
+    pass (``functions/repetition.py``), no shuffle."""
+    from texrex_ray.functions.repetition import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(repetition_stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
