@@ -57,3 +57,50 @@ def test_out_of_memory_refuses_adds():
     # cap segment fits (pre-allocated); growth beyond memory cap refuses
     res = b.add_if_new([f"a{i}" for i in range(200)])
     assert not res[100:].any() or b.out_of_memory
+
+
+def test_corpus_index_build_and_probe(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.state.corpus_index import HashIndexProbe, build_hash_index
+
+    rng = np.random.default_rng(7)
+    corpus = np.unique(rng.integers(0, 2**63, size=5200, dtype=np.uint64))[:5000]
+    d = str(tmp_path / "idx")
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(corpus, pa.uint64())}))
+    manifest = build_hash_index(ds, d, n_shards=8)
+    assert manifest["n_hashes"].sum() == 5000  # uniqued, all present
+
+    # probe a mix of members and strangers
+    strangers = (corpus[:100] + np.uint64(1)) % np.uint64(2**63)
+    probe = np.concatenate([corpus[:200], strangers])
+    p = HashIndexProbe(d)
+    out = p(pa.table({"h": pa.array(probe, pa.uint64())}))
+    known = np.array(out["known"].to_pylist())
+    assert known[:200].all()
+    # strangers: none known (offset by 1 from members; collisions impossible
+    # here because every corpus value is even-spaced random draws)
+    assert known[200:].sum() == (np.isin(strangers, corpus)).sum()
+
+
+def test_corpus_index_manifest_is_commit_marker(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from texrex_ray.state.corpus_index import MANIFEST, HashIndexProbe, build_hash_index
+
+    d = str(tmp_path / "idx2")
+    ds = ray.data.from_arrow(pa.table({"h": pa.array([1, 2, 3], pa.uint64())}))
+    build_hash_index(ds, d, n_shards=2)
+    os.remove(os.path.join(d, MANIFEST))  # simulate crash before commit
+    with pytest.raises(FileNotFoundError):
+        HashIndexProbe(d)
+    # rebuild over the half-written dir self-heals (tmp+rename overwrite)
+    build_hash_index(ds, d, n_shards=2)
+    p = HashIndexProbe(d)
+    out = p(pa.table({"h": pa.array([2, 9], pa.uint64())}))
+    assert out["known"].to_pylist() == [1, 0]

@@ -62,6 +62,20 @@ def stable_hash64(strings: list[str], seed: int = 0) -> np.ndarray:
     return out
 
 
+def md5_lower64(strings: list[str]) -> np.ndarray:
+    """Lower 64 bits of md5 (little-endian) as uint64.
+
+    Python twin of DuckDB's ``md5_number_lower`` (the q47/q60 split/mixture
+    hash), so membership sets built here are recomputable in SQL.  Stable
+    across versions and machines — safe for persisted indexes
+    (state/corpus_index.py)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little") for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
 def ngrams(tokens: list[str], n: int = 5, pad_to: int = 9) -> list[str]:
     """Concatenated token n-grams, left-padded to ≥``pad_to`` chars.
 

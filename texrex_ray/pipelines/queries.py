@@ -2859,3 +2859,181 @@ def q63_repetition_filter(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(repetition_stats, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Canonical-representative selection per duplicate cluster
+# --------------------------------------------------------------------------
+
+@query(
+    "q64_cluster_canonical",
+    sql="WITH RECURSIVE pairs AS (" + _JACCARD_SQL + """),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY node),
+    m AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+          FROM clusters c JOIN documents d USING (doc_id))
+    SELECT cluster_id, COUNT(*) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN doc_id END)  AS canonical_id,
+           MAX(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars
+    FROM m GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def q64_cluster_canonical(sf_dir: str):
+    """Complete the near-dup story: per duplicate cluster (q39's connected
+    components), elect the CANONICAL survivor by quality — longest doc,
+    ties to the smaller id — instead of naive keep-first.
+
+    Scale shape: the cluster labels are result-sized (only docs that
+    appear in a dup pair); they broadcast once via ``ray.put`` and the
+    documents table is FILTERED where it lives (`pc.is_in`, no shuffle)
+    to fetch member quality; the grouped argmax runs on the result-sized
+    member table."""
+    from texrex_ray.dedup.clusters import dup_clusters
+
+    pairs = QUERIES["q14_ngram_jaccard"](sf_dir)
+    labels = dup_clusters(pairs)
+    lab = dict(zip((int(d) for d in labels["doc_id"]), (int(c) for c in labels["cluster_id"])))
+    lab_ref = ray.put(lab)
+    member_ids = pa.array(sorted(lab), pa.int64())
+
+    def members(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=member_ids))
+        lab_ = ray.get(lab_ref)
+        cl = pa.array([lab_[int(i)] for i in t["doc_id"].to_pylist()], pa.int64())
+        return t.append_column("cluster_id", cl)
+
+    m = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(members, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = m.sort_values(["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True])
+    top = m.groupby("cluster_id", sort=True).first().reset_index()
+    cnt = m.groupby("cluster_id", sort=True).size().rename("n_members").reset_index()
+    out = cnt.merge(top, on="cluster_id")
+    out = out.rename(columns={"doc_id": "canonical_id", "n_chars": "canonical_chars"})
+    for c in ("cluster_id", "n_members", "canonical_id", "canonical_chars"):
+        out[c] = out[c].astype("int64")
+    return out[["cluster_id", "n_members", "canonical_id", "canonical_chars"]]
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a persisted corpus index
+# --------------------------------------------------------------------------
+
+@query(
+    "q65_incremental_dedup",
+    sql="""
+    WITH b AS (SELECT doc_id, text,
+                      md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS bk
+               FROM documents),
+    toks AS (SELECT doc_id, bk, unnest(string_split(text, ' ')) AS tok,
+                    generate_subscripts(string_split(text, ' '), 1) AS i
+             FROM b),
+    segs AS (SELECT doc_id, bk, string_agg(tok, ' ' ORDER BY i) AS s, COUNT(*) AS k
+             FROM toks GROUP BY doc_id, bk, (i - 1) // 3),
+    fs AS (SELECT * FROM segs WHERE k = 3),
+    old AS (SELECT DISTINCT s FROM fs WHERE bk < 80),
+    new AS (SELECT doc_id, s FROM fs WHERE bk >= 80)
+    SELECT n.doc_id, COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN o.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+    FROM new n LEFT JOIN old o ON n.s = o.s
+    GROUP BY n.doc_id ORDER BY n.doc_id
+    """,
+)
+def q65_incremental_dedup(sf_dir: str):
+    """Continuous-ingest dedup: flag today's shard against YESTERDAY'S
+    corpus without re-shuffling the historical data.
+
+    The q47 doc_id hash splits documents 80/20 into "existing corpus" /
+    "new shard".  The existing side's 3-token-segment hashes build a
+    persisted, hash-partitioned sorted index ONCE
+    (``state/corpus_index.py::build_hash_index`` — only 8-byte hashes
+    shuffle); the new side probes it with an actor-pool stage that
+    lazily caches shards (zero shuffle on the probe path).  Output:
+    per new doc, total segments and how many already exist in the
+    corpus.  64-bit md5 segment hashing is collision-free at any
+    realistic corpus size relative to the oracle's exact string join.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from texrex_ray.dedup.segments import SEG_SHIFT, segment_rows
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.state.corpus_index import HashIndexProbe, build_hash_index
+
+    def bucket_filter(lo: int, hi: int):
+        def f(t: pa.Table) -> pa.Table:
+            b = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
+                    for i in t["doc_id"].to_pylist()
+                ),
+                dtype=np.int64,
+                count=len(t),
+            )
+            return t.filter(pa.array((b >= lo) & (b < hi)))
+
+        return f
+
+    def hash_segs(t: pa.Table) -> pa.Table:
+        h = md5_lower64(t["s"].to_pylist())
+        return pa.table({"h": pa.array(h, pa.uint64()), "key": t["key"]})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="texrex_cindex_")
+    try:
+        old_segs = segment_rows(
+            docs.map_batches(bucket_filter(0, 80), batch_format="pyarrow"), n=3
+        ).map_batches(hash_segs, batch_format="pyarrow")
+        build_hash_index(old_segs, index_dir, hash_col="h", n_shards=16)
+
+        new_segs = segment_rows(
+            docs.map_batches(bucket_filter(80, 100), batch_format="pyarrow"), n=3
+        ).map_batches(hash_segs, batch_format="pyarrow")
+        probed = new_segs.map_batches(
+            HashIndexProbe,
+            fn_constructor_kwargs={"index_dir": index_dir, "hash_col": "h"},
+            concurrency=4,
+            batch_format="pyarrow",
+        )
+
+        def to_doc(t: pa.Table) -> pa.Table:
+            doc = np.asarray(t["key"].to_numpy(zero_copy_only=False)) >> SEG_SHIFT
+            df = pd.DataFrame(
+                {"doc_id": doc, "known": t["known"].to_numpy(zero_copy_only=False)}
+            )
+            g = df.groupby("doc_id", sort=False)["known"].agg(["size", "sum"])
+            return pa.Table.from_pandas(
+                g.reset_index().rename(columns={"size": "n_segs", "sum": "n_known"}),
+                preserve_index=False,
+            )
+
+        def sum_doc(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("doc_id", sort=False)[["n_segs", "n_known"]].sum().reset_index()
+
+        out = (
+            bucketed_groupby(
+                probed.map_batches(to_doc, batch_format="pyarrow"), "doc_id", sum_doc
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in ("doc_id", "n_segs", "n_known"):
+            out[c] = out[c].astype("int64")
+        return out[["doc_id", "n_segs", "n_known"]]
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)

@@ -1,0 +1,130 @@
+"""Persistent corpus hash index → incremental dedup against an EXISTING corpus.
+
+The continuous-ingest problem at 100 TB: yesterday's corpus is already
+deduped and sitting in cold storage; today's crawl shard must be checked
+against it WITHOUT re-shuffling yesterday's data (an anti-join would
+re-exchange the whole historical corpus on every increment).
+
+Build once, probe forever:
+
+- ``build_hash_index`` shuffles ONLY the 8-byte content hashes (not the
+  documents) into ``n_shards`` hash-partitioned, sorted, uniqued parquet
+  shards + an atomic manifest.  One groupby over uint64s; per-task
+  memory is ``index_size / n_shards``.
+- ``HashIndexProbe`` is an actor-pool ``map_batches`` stage: each actor
+  lazily loads (and caches across batches) only the shards its batches
+  touch, and membership is a vectorized ``searchsorted`` per shard
+  slice.  Zero shuffle on the probe side — new data is flagged where it
+  lands.
+
+For indexes larger than a node's memory, pre-partition the probe input
+by ``h % n_shards`` (the same key) so each actor touches one shard; at
+the sizes this sandbox tests, per-actor lazy caching is the right
+default and the partitioned variant is the documented scale path.
+
+The reference's DuplicateDetector (trduplicatedetector.pas) holds its
+fingerprint memory in-process and forgets it between runs; this module
+is the distributed, persistent replacement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+MANIFEST = "_MANIFEST.json"
+
+
+def build_hash_index(
+    ds: ray.data.Dataset, index_dir: str, hash_col: str = "h", n_shards: int = 64
+) -> pd.DataFrame:
+    """Write a sorted, uniqued, hash-partitioned membership index.
+
+    ``ds`` needs one uint64-compatible column ``hash_col``.  Returns the
+    manifest (shard, n_hashes).  Shard files land via tmp+rename and the
+    manifest is written LAST, so a crashed build is invisible to probes.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = np.asarray(t[hash_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return pa.table(
+            {"h": pa.array(h, pa.uint64()),
+             "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64))}
+        )
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        shard = int(df["shard"].iloc[0])
+        h = np.unique(df["h"].to_numpy().astype(np.uint64))
+        path = os.path.join(index_dir, f"shard_{shard:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"h": pa.array(h, pa.uint64())}), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "n_hashes": [len(h)]})
+
+    manifest = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    meta = {"n_shards": n_shards, "shards": manifest.to_dict("records")}
+    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+    return manifest
+
+
+class HashIndexProbe:
+    """Actor-pool stage: append ``flag_col`` (1 = hash present in index).
+
+    Construct via ``map_batches(HashIndexProbe, fn_constructor_kwargs=...,
+    concurrency=N)``; shards load lazily per actor and stay cached.
+    """
+
+    def __init__(self, index_dir: str, hash_col: str = "h", flag_col: str = "known"):
+        with open(os.path.join(index_dir, MANIFEST)) as f:
+            meta = json.load(f)
+        self.index_dir = index_dir
+        self.n_shards = int(meta["n_shards"])
+        self.have = {int(s["shard"]) for s in meta["shards"]}
+        self.hash_col = hash_col
+        self.flag_col = flag_col
+        self.cache: dict[int, np.ndarray] = {}
+
+    def _shard(self, s: int) -> np.ndarray:
+        arr = self.cache.get(s)
+        if arr is None:
+            if s in self.have:
+                arr = (
+                    pq.read_table(os.path.join(self.index_dir, f"shard_{s:05d}.parquet"))
+                    .column("h")
+                    .to_numpy()
+                    .astype(np.uint64)
+                )
+            else:
+                arr = np.empty(0, np.uint64)
+            self.cache[s] = arr
+        return arr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch[self.hash_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        shard = (h % np.uint64(self.n_shards)).astype(np.int64)
+        known = np.zeros(len(h), dtype=np.int64)
+        for s in np.unique(shard):
+            arr = self._shard(int(s))
+            m = shard == s
+            if len(arr):
+                v = h[m]
+                idx = np.searchsorted(arr, v).clip(max=len(arr) - 1)
+                known[m] = (arr[idx] == v).astype(np.int64)
+        return batch.append_column(self.flag_col, pa.array(known))
