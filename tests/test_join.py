@@ -362,3 +362,29 @@ def test_session_count_matches_manual(ray_session):
     )
     assert got["n_sessions"].tolist() == [2, 3]  # a: gap at 4000; b: every gap > 1800
     assert got["n_events"].tolist() == [4, 3]
+
+
+def test_deterministic_shuffle_is_stable_permutation(ray_session):
+    import numpy as np
+    import ray.data
+
+    from texrex_ray.ops import deterministic_shuffle
+
+    rows = [{"doc_id": i, "v": i * 2} for i in range(300)]
+    a = deterministic_shuffle(ray.data.from_items(rows, override_num_blocks=3)).to_pandas()
+    b = deterministic_shuffle(ray.data.from_items(rows, override_num_blocks=11)).to_pandas()
+
+    # exact permutation: every position 0..n-1 once
+    assert sorted(a["pos"].tolist()) == list(range(300))
+    # layout-invariant: same order regardless of input blocking
+    av = a.sort_values("pos")["doc_id"].tolist()
+    bv = b.sort_values("pos")["doc_id"].tolist()
+    assert av == bv
+    # actually shuffled, and other columns ride along
+    assert av != list(range(300))
+    assert (a["v"] == a["doc_id"] * 2).all()
+    # a different salt is a different permutation
+    c = deterministic_shuffle(
+        ray.data.from_items(rows, override_num_blocks=3), salt="epoch1"
+    ).to_pandas()
+    assert c.sort_values("pos")["doc_id"].tolist() != av

@@ -5,11 +5,13 @@
 ``aggregate`` — high-cardinality grouped aggregation (bucketed combine).
 ``topk`` — distributed grouped top-k (two-level combiner).
 ``window`` — hop windows + gap-based session windows.
+``shuffle`` — deterministic global training-order shuffle with positions.
 """
 
 from texrex_ray.ops.aggregate import bucketed_groupby
 from texrex_ray.ops.interval import asof_join, range_join
 from texrex_ray.ops.join import broadcast_join, join, shuffle_join
+from texrex_ray.ops.shuffle import deterministic_shuffle
 from texrex_ray.ops.topk import grouped_topk
 from texrex_ray.ops.window import hop_window, session_count
 
@@ -17,6 +19,7 @@ __all__ = [
     "asof_join",
     "broadcast_join",
     "bucketed_groupby",
+    "deterministic_shuffle",
     "grouped_topk",
     "hop_window",
     "join",

@@ -1,0 +1,105 @@
+"""Deterministic global training-order shuffle with exact positions.
+
+Training wants the corpus in a reproducible pseudo-random order — the
+same order on every run, every cluster size, every resume — plus a
+global position per row (for curriculum windows, epoch boundaries,
+"start from sample 3.1e9").  ``random_shuffle()`` gives neither.
+
+The order key is content-stable: ``md5_lower64(str(id) + ':' + salt)``
+(DuckDB-recomputable via ``md5_number_lower``), so the permutation is a
+pure function of ids and salt.  One ``Dataset.sort`` on the key is the
+unavoidable all-to-all (a global shuffle IS an exchange); positions are
+then assigned WITHOUT a serial scan by the q50 two-phase trick:
+
+1. the sorted dataset is materialized (its blocks are the shuffle
+   output — at 100 TB this is the pass that writes the training order);
+2. per-block summaries (key-lo, key-hi, n) — block-count-sized, never
+   row-sized — are prefix-summed on the driver into per-block offsets;
+3. a second block-local pass adds offset + within-block index.
+
+Both passes run over the SAME materialized blocks, and pass 2
+re-asserts each block's summary, so any block drift fails loudly
+instead of silently renumbering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from texrex_ray.functions.hashing import md5_lower64
+
+KEY = "__shuffle_key"
+
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    pos_col: str = "pos",
+) -> ray.data.Dataset:
+    """Return ``ds`` in stable pseudo-random order with a global ``pos_col``.
+
+    The result is materialized (the sort output is the deliverable);
+    rows keep all input columns, plus int64 positions 0..n-1.
+    """
+
+    def add_key(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)  # metadata dicts break sort-reduce schema hashing
+        k = md5_lower64([f"{i}:{salt}" for i in t[id_col].to_pylist()])
+        return t.append_column(KEY, pa.array(k, pa.uint64()))
+
+    s = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .sort([KEY, id_col])
+        .materialize()
+    )
+
+    def summary(t: pa.Table) -> pa.Table:
+        k = t[KEY].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.uint64()), "hi": pa.array([], pa.uint64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(k[0])], pa.uint64()),
+                "hi": pa.array([int(k[-1])], pa.uint64()),
+                "n": pa.array([len(k)], pa.int64()),
+            }
+        )
+
+    parts = (
+        s.map_batches(summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("lo")
+        .reset_index(drop=True)
+    )
+    if len(parts) > 1 and (
+        parts["lo"].to_numpy()[1:] < parts["hi"].to_numpy()[:-1]
+    ).any():
+        raise ValueError("deterministic_shuffle: sorted blocks overlap in key range")
+    csum = parts["n"].cumsum()
+    offsets = {
+        int(lo): (int(off), int(n))
+        for lo, off, n in zip(parts["lo"], csum - parts["n"], parts["n"])
+    }
+    ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t[KEY].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return t.drop_columns([KEY]).append_column(
+                pos_col, pa.array([], pa.int64())
+            )
+        table = ray.get(ref)
+        off, n = table[int(k[0])]
+        if n != len(k) or (np.diff(k.astype(np.uint64)) < 0).any():
+            raise ValueError("deterministic_shuffle: pass-2 block drifted from summary")
+        pos = off + np.arange(len(k), dtype=np.int64)
+        return t.drop_columns([KEY]).append_column(pos_col, pa.array(pos))
+
+    return s.map_batches(assign, batch_format="pyarrow", batch_size=None)

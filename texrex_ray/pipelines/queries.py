@@ -3037,3 +3037,45 @@ def q65_incremental_dedup(sf_dir: str):
         return out[["doc_id", "n_segs", "n_known"]]
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Deterministic global training-order shuffle
+# --------------------------------------------------------------------------
+
+@query(
+    "q66_training_order",
+    sql="""
+    WITH k AS (SELECT doc_id,
+                      md5_number_lower(CAST(doc_id AS VARCHAR) || ':epoch0') AS key
+               FROM documents),
+    p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS pos FROM k)
+    SELECT pos, doc_id FROM p WHERE pos % 97 = 0 ORDER BY pos
+    """,
+)
+def q66_training_order(sf_dir: str):
+    """Reproducible global training order: content-stable pseudo-random
+    permutation + exact global positions, at any cluster size.
+
+    ``ops/shuffle.py::deterministic_shuffle`` — ONE key sort (the
+    unavoidable exchange), then block-summary prefix offsets (q50's
+    two-phase scan) instead of any serial numbering.  The oracle
+    recomputes the identical permutation with ROW_NUMBER over the same
+    md5 key; every 97th position is emitted so the check pins the whole
+    order, not just counts."""
+    from texrex_ray.ops.shuffle import deterministic_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = (
+        deterministic_shuffle(ds, id_col="doc_id", salt="epoch0")
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(t["pos"].to_numpy(zero_copy_only=False) % 97 == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    return out[["pos", "doc_id"]]
