@@ -316,3 +316,66 @@ def test_decontaminate_matches_bruteforce(ray_session):
         if n:
             want.append((doc_id, n))
     assert list(map(tuple, got.values.tolist())) == sorted(want)
+
+
+def test_incremental_neardup_matches_band_tuple_recompute(ray_session):
+    """q67 at sf0.001 vs a sequential band-TUPLE set recompute: the
+    persisted index + md5 band encoding must agree exactly with plain
+    tuple equality (no collisions, no lost bands)."""
+    import hashlib
+
+    from texrex_ray.functions.rabin import rabin_minhash_signatures
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q67_incremental_neardup"](SF)
+
+    df = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bk = [
+        int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
+        for i in df["doc_id"]
+    ]
+    toks = [LATIN_TOKEN_RE.findall(s.lower()) for s in df["text"]]
+    k, bands = 32, 8
+    r = k // bands
+    sig, has_fp = rabin_minhash_signatures(toks, k=k, n=5)
+    old = set()
+    for i, (b_, ok) in enumerate(zip(bk, has_fp)):
+        if b_ < 80 and ok:
+            for b in range(bands):
+                old.add((b, tuple(sig[i, b * r : (b + 1) * r])))
+    want = []
+    for i, (b_, ok) in enumerate(zip(bk, has_fp)):
+        if b_ >= 80 and ok:
+            n = sum((b, tuple(sig[i, b * r : (b + 1) * r])) in old for b in range(bands))
+            if n:
+                want.append((int(df["doc_id"].iloc[i]), n))
+    assert list(map(tuple, got[["doc_id", "n_hits"]].values.tolist())) == sorted(want)
+
+
+def test_neardup_index_flags_planted_near_copy(ray_session, tmp_path):
+    """A new doc that is a near-copy of an indexed doc collides in all
+    bands; an unrelated doc collides in none."""
+    import ray.data
+
+    from texrex_ray.dedup.incremental import build_neardup_index, neardup_candidates
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon") * 3
+    old = ray.data.from_items([{"doc_id": 1, "text": base}])
+    d = str(tmp_path / "nd")
+    build_neardup_index(old, d)
+    new = ray.data.from_items(
+        [
+            {"doc_id": 10, "text": base},  # exact copy: all 8 bands hit
+            {"doc_id": 11, "text": "totally different words here " * 20},
+        ]
+    )
+    out = neardup_candidates(new, d).to_pandas()
+    assert out["doc_id"].tolist() == [10]
+    assert out["n_hits"].tolist() == [8]

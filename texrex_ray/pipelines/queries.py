@@ -3006,7 +3006,7 @@ def q65_incremental_dedup(sf_dir: str):
         probed = new_segs.map_batches(
             HashIndexProbe,
             fn_constructor_kwargs={"index_dir": index_dir, "hash_col": "h"},
-            concurrency=4,
+            concurrency=(1, 4),
             batch_format="pyarrow",
         )
 
@@ -3079,3 +3079,63 @@ def q66_training_order(sf_dir: str):
         .reset_index(drop=True)
     )
     return out[["pos", "doc_id"]]
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup against the persisted LSH band index
+# --------------------------------------------------------------------------
+
+@query(
+    "q67_incremental_neardup",
+    sql="SELECT doc_id, n_hits FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/incremental_neardup_sf0.01.parquet') "
+    "ORDER BY doc_id",
+)
+def q67_incremental_neardup(sf_dir: str):
+    """Near-dup candidates for a NEW shard against the historical corpus,
+    without touching the historical documents: the old side's Rabin64
+    minhash BAND hashes are persisted once in the hash-partitioned index
+    (``dedup/incremental.py``), the new side probes with the actor-pool
+    stage.  Oracle: committed fixture from a sequential band-tuple set
+    recompute (tuple equality — independent of the index, the band-hash
+    encoding, and all Dataset machinery)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from texrex_ray.dedup.incremental import build_neardup_index, neardup_candidates
+
+    def bucket_filter(lo: int, hi: int):
+        def f(t: pa.Table) -> pa.Table:
+            b = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
+                    for i in t["doc_id"].to_pylist()
+                ),
+                dtype=np.int64,
+                count=len(t),
+            )
+            return t.filter(pa.array((b >= lo) & (b < hi)))
+
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="texrex_ndidx_")
+    try:
+        build_neardup_index(
+            docs.map_batches(bucket_filter(0, 80), batch_format="pyarrow"), index_dir
+        )
+        out = (
+            neardup_candidates(
+                docs.map_batches(bucket_filter(80, 100), batch_format="pyarrow"),
+                index_dir,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in ("doc_id", "n_hits"):
+            out[c] = out[c].astype("int64")
+        return out[["doc_id", "n_hits"]]
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)

@@ -501,6 +501,44 @@ def gen_decontam() -> None:
     pq.write_table(out, os.path.join(OUT, "decontam_sf0.01.parquet"))
 
 
+def gen_incremental_neardup() -> None:
+    """Expected q67 candidates via SEQUENTIAL band-tuple set membership —
+    tuple equality, no band-hash encoding, no index, no Dataset machinery.
+    The Rabin signatures themselves are pinned by tests/test_rabin.py."""
+    import hashlib
+
+    from texrex_ray.functions.rabin import rabin_minhash_signatures
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    df = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    bk = [
+        int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
+        for i in df["doc_id"]
+    ]
+    toks = [LATIN_TOKEN_RE.findall(s.lower()) for s in df["text"]]
+    k, bands = 32, 8
+    r = k // bands
+    sig, has_fp = rabin_minhash_signatures(toks, k=k, n=5)
+    old_bands = set()
+    for i, (b_, ok) in enumerate(zip(bk, has_fp)):
+        if b_ < 80 and ok:
+            for b in range(bands):
+                old_bands.add((b, tuple(sig[i, b * r : (b + 1) * r])))
+    ids, hits = [], []
+    for i, (b_, ok) in enumerate(zip(bk, has_fp)):
+        if b_ >= 80 and ok:
+            n_hits = sum(
+                (b, tuple(sig[i, b * r : (b + 1) * r])) in old_bands
+                for b in range(bands)
+            )
+            if n_hits:
+                ids.append(int(df["doc_id"].iloc[i]))
+                hits.append(n_hits)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "n_hits": pa.array(hits, pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "incremental_neardup_sf0.01.parquet"))
+    print("incremental_neardup_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_geo_blocks()
@@ -516,6 +554,7 @@ def main() -> None:
     gen_harvest_pipeline()
     gen_hll_values()
     gen_images_phash()
+    gen_incremental_neardup()
     gen_decontam()
 
 
