@@ -3139,3 +3139,112 @@ def q67_incremental_neardup(sf_dir: str):
         return out[["doc_id", "n_hits"]]
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Flagship corpus-release pipeline: quality gate → near-dup drop → mixture
+# --------------------------------------------------------------------------
+
+@query(
+    "q68_release_pipeline",
+    sql="WITH pairs AS (" + _JACCARD_SQL + f"""),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents),
+    tc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+    dup AS (
+        SELECT doc_id, CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup
+        FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+    bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
+           FROM toks),
+    top2 AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS t2
+             FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg WHERE b IS NOT NULL
+                   GROUP BY doc_id, b) GROUP BY doc_id),
+    rep AS (
+        SELECT t.doc_id, t.n_toks
+        FROM tc t JOIN dup d USING (doc_id) LEFT JOIN top2 p USING (doc_id)
+        WHERE d.n_dup * 2 <= t.n_toks
+          AND COALESCE(p.t2, 0) * 5 <= GREATEST(t.n_toks - 1, 0)),
+    w(source, pct) AS (VALUES {_MIX_VALUES}),
+    kept AS (
+        SELECT d.source, d.doc_id, r.n_toks
+        FROM documents d
+        JOIN rep r ON r.doc_id = d.doc_id
+        JOIN w ON w.source = d.source
+        WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 100 < w.pct
+          AND d.doc_id NOT IN (SELECT doc_id FROM dropped))
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def q68_release_pipeline(sf_dir: str):
+    """The whole corpus-release pass in ONE streaming sweep over the
+    documents: Gopher repetition gate (q63) → near-dup victim drop (q14
+    pairs, id_b side) → per-source mixture sampling (q60 rates) →
+    per-source release stats.
+
+    Everything row-local fuses into a single ``map_batches`` stage
+    (repetition stats, mixture hash, broadcast drop-set membership via
+    ``pc.is_in``); the only exchanges are the q14 pair computation
+    (result-sized drop list) and a source-cardinality groupby of
+    partials.  ``sum_ids``/``sum_toks`` pin exact membership."""
+    import hashlib
+
+    from texrex_ray.functions.repetition import repetition_stats
+
+    pairs = QUERIES["q14_ngram_jaccard"](sf_dir)
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    drop = pa.array(sorted({int(b) for b in pairs["id_b"]}), pa.int64())
+    drop_ref = ray.put(drop)
+    pct_ref = ray.put(MIX_PCT)
+
+    def stage(t: pa.Table) -> pa.Table:
+        r = repetition_stats(t)  # row-aligned with t
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = r["keep"].to_numpy(zero_copy_only=False).astype(bool)
+        n_toks = r["n_toks"].to_numpy(zero_copy_only=False)
+        not_dropped = ~pc.is_in(t["doc_id"], value_set=ray.get(drop_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        b = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        pcts = ray.get(pct_ref)
+        src = t["source"].to_pylist()
+        th = np.fromiter((pcts.get(s, 0) for s in src), dtype=np.int64, count=len(src))
+        m = keep & not_dropped & (b < th)
+        df = pd.DataFrame(
+            {"source": np.asarray(src, dtype=object)[m], "i": ids[m], "nt": n_toks[m]}
+        )
+        g = df.groupby("source", sort=False).agg(
+            pk=("i", "size"), ps=("i", "sum"), pt=("nt", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("pk", alias_name="n_kept"),
+            Sum("ps", alias_name="sum_ids"),
+            Sum("pt", alias_name="sum_toks"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ("n_kept", "sum_ids", "sum_toks"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n_kept", "sum_ids", "sum_toks"]]
