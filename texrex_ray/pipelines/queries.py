@@ -3248,3 +3248,62 @@ def q68_release_pipeline(sf_dir: str):
     for c in ("n_kept", "sum_ids", "sum_toks"):
         out[c] = out[c].astype("int64")
     return out[["source", "n_kept", "sum_ids", "sum_toks"]]
+
+
+# --------------------------------------------------------------------------
+# Vector aggregate: per-label embedding centroids
+# --------------------------------------------------------------------------
+
+@query(
+    "q69_embed_centroids",
+    sql="""
+    WITH x AS (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c
+    FROM x GROUP BY label, dim ORDER BY label, dim
+    """,
+)
+def q69_embed_centroids(sf_dir: str):
+    """Per-label embedding centroid (the k-means/IVF seeding primitive) as
+    an exact distributed vector aggregate: each element is scaled to an
+    int BEFORE summation (floor(v·1e6 + 0.5)), so partial sums commute
+    bit-exactly across any batch order — no float-reduction drift between
+    engines.  Per batch: zero-copy flatten of the Arrow list column,
+    one vectorized pandas label-groupby over the (n, d) int matrix; the
+    exchange is label × dim partial rows (KB-scale), never vectors."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // len(t)
+        vi = np.floor(flat.astype(np.float64).reshape(len(t), d) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame(vi).groupby(lab).sum()
+        cnt = pd.Series(lab).value_counts().sort_index()
+        rows = {
+            "label": np.repeat(g.index.to_numpy(), d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(g)),
+            "pn": np.repeat(cnt.to_numpy().astype(np.int64), d),
+            "ps": g.to_numpy().reshape(-1),
+        }
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("pn", alias_name="n_vecs"), Sum("ps", alias_name="sum_c"))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    for c in ("label", "dim", "n_vecs", "sum_c"):
+        out[c] = out[c].astype("int64")
+    return out[["label", "dim", "n_vecs", "sum_c"]]
