@@ -118,7 +118,14 @@ def neardup_candidates(
         )
         g = df.groupby(id_col, sort=False)["known"].sum().reset_index(name="n_hits")
         g = g[g["n_hits"] > 0]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit schema: an all-miss batch must not degrade string ids (or
+        # an empty frame) to a null-typed column
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].tolist(), t.schema.field(id_col).type),
+                "n_hits": pa.array(g["n_hits"].to_numpy(dtype=np.int64)),
+            }
+        )
 
     # band rows of one doc can straddle batches only if a doc's bands split
     # across blocks — they never do (band_hash_rows emits per input batch),

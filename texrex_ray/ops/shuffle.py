@@ -78,15 +78,22 @@ def deterministic_shuffle(
         .sort_values("lo")
         .reset_index(drop=True)
     )
+    # <= : equal keys straddling a block boundary (duplicate ids) would make
+    # the per-block offset lookup ambiguous — refuse loudly.
     if len(parts) > 1 and (
-        parts["lo"].to_numpy()[1:] < parts["hi"].to_numpy()[:-1]
+        parts["lo"].to_numpy()[1:] <= parts["hi"].to_numpy()[:-1]
     ).any():
-        raise ValueError("deterministic_shuffle: sorted blocks overlap in key range")
+        raise ValueError(
+            "deterministic_shuffle: sorted blocks overlap in key range "
+            "(duplicate ids in id_col?)"
+        )
     csum = parts["n"].cumsum()
     offsets = {
         int(lo): (int(off), int(n))
         for lo, off, n in zip(parts["lo"], csum - parts["n"], parts["n"])
     }
+    if len(offsets) != len(parts):
+        raise ValueError("deterministic_shuffle: blocks share a first sort key")
     ref = ray.put(offsets)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -97,7 +104,8 @@ def deterministic_shuffle(
             )
         table = ray.get(ref)
         off, n = table[int(k[0])]
-        if n != len(k) or (np.diff(k.astype(np.uint64)) < 0).any():
+        # elementwise compare, not np.diff: uint64 diff wraps and is never < 0
+        if n != len(k) or (k[1:] < k[:-1]).any():
             raise ValueError("deterministic_shuffle: pass-2 block drifted from summary")
         pos = off + np.arange(len(k), dtype=np.int64)
         return t.drop_columns([KEY]).append_column(pos_col, pa.array(pos))

@@ -2645,22 +2645,13 @@ def q60_corpus_mixture(sf_dir: str):
     partials into a source-sized groupby; ``sum_ids`` pins exact
     membership in the oracle, not just rates.
     """
-    import hashlib
-
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     pct_ref = ray.put(MIX_PCT)
 
     def partial(t: pa.Table) -> pa.Table:
         pcts = ray.get(pct_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        b = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
-                for i in ids
-            ),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        b = _doc_bucket(ids)
         src = t["source"].to_pylist()
         th = np.fromiter((pcts.get(s, 0) for s in src), dtype=np.int64, count=len(src))
         keep = b < th
@@ -2682,6 +2673,24 @@ def q60_corpus_mixture(sf_dir: str):
     out["n_kept"] = out["n_kept"].astype("int64")
     out["sum_ids"] = out["sum_ids"].astype("int64")
     return out[["source", "n_kept", "sum_ids"]]
+
+
+def _doc_bucket(ids) -> np.ndarray:
+    """``md5_number_lower(CAST(doc_id AS VARCHAR)) % 100`` — the shared
+    content-stable split/mixture hash (q47/q60/q65/q67/q68)."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    return (md5_lower64([str(int(i)) for i in ids]) % np.uint64(100)).astype(np.int64)
+
+
+def _doc_bucket_filter(lo: int, hi: int):
+    """map_batches filter: keep docs whose split bucket is in [lo, hi)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        b = _doc_bucket(t["doc_id"].to_pylist())
+        return t.filter(pa.array((b >= lo) & (b < hi)))
+
+    return f
 
 
 # --------------------------------------------------------------------------
@@ -2965,7 +2974,6 @@ def q65_incremental_dedup(sf_dir: str):
     corpus.  64-bit md5 segment hashing is collision-free at any
     realistic corpus size relative to the oracle's exact string join.
     """
-    import hashlib
     import shutil
     import tempfile
 
@@ -2973,20 +2981,6 @@ def q65_incremental_dedup(sf_dir: str):
     from texrex_ray.functions.hashing import md5_lower64
     from texrex_ray.ops.aggregate import bucketed_groupby
     from texrex_ray.state.corpus_index import HashIndexProbe, build_hash_index
-
-    def bucket_filter(lo: int, hi: int):
-        def f(t: pa.Table) -> pa.Table:
-            b = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
-                    for i in t["doc_id"].to_pylist()
-                ),
-                dtype=np.int64,
-                count=len(t),
-            )
-            return t.filter(pa.array((b >= lo) & (b < hi)))
-
-        return f
 
     def hash_segs(t: pa.Table) -> pa.Table:
         h = md5_lower64(t["s"].to_pylist())
@@ -2996,12 +2990,12 @@ def q65_incremental_dedup(sf_dir: str):
     index_dir = tempfile.mkdtemp(prefix="texrex_cindex_")
     try:
         old_segs = segment_rows(
-            docs.map_batches(bucket_filter(0, 80), batch_format="pyarrow"), n=3
+            docs.map_batches(_doc_bucket_filter(0, 80), batch_format="pyarrow"), n=3
         ).map_batches(hash_segs, batch_format="pyarrow")
         build_hash_index(old_segs, index_dir, hash_col="h", n_shards=16)
 
         new_segs = segment_rows(
-            docs.map_batches(bucket_filter(80, 100), batch_format="pyarrow"), n=3
+            docs.map_batches(_doc_bucket_filter(80, 100), batch_format="pyarrow"), n=3
         ).map_batches(hash_segs, batch_format="pyarrow")
         probed = new_segs.map_batches(
             HashIndexProbe,
@@ -3099,35 +3093,20 @@ def q67_incremental_neardup(sf_dir: str):
     stage.  Oracle: committed fixture from a sequential band-tuple set
     recompute (tuple equality — independent of the index, the band-hash
     encoding, and all Dataset machinery)."""
-    import hashlib
     import shutil
     import tempfile
 
     from texrex_ray.dedup.incremental import build_neardup_index, neardup_candidates
 
-    def bucket_filter(lo: int, hi: int):
-        def f(t: pa.Table) -> pa.Table:
-            b = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
-                    for i in t["doc_id"].to_pylist()
-                ),
-                dtype=np.int64,
-                count=len(t),
-            )
-            return t.filter(pa.array((b >= lo) & (b < hi)))
-
-        return f
-
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     index_dir = tempfile.mkdtemp(prefix="texrex_ndidx_")
     try:
         build_neardup_index(
-            docs.map_batches(bucket_filter(0, 80), batch_format="pyarrow"), index_dir
+            docs.map_batches(_doc_bucket_filter(0, 80), batch_format="pyarrow"), index_dir
         )
         out = (
             neardup_candidates(
-                docs.map_batches(bucket_filter(80, 100), batch_format="pyarrow"),
+                docs.map_batches(_doc_bucket_filter(80, 100), batch_format="pyarrow"),
                 index_dir,
             )
             .to_pandas()
@@ -3193,8 +3172,6 @@ def q68_release_pipeline(sf_dir: str):
     ``pc.is_in``); the only exchanges are the q14 pair computation
     (result-sized drop list) and a source-cardinality groupby of
     partials.  ``sum_ids``/``sum_toks`` pin exact membership."""
-    import hashlib
-
     from texrex_ray.functions.repetition import repetition_stats
 
     pairs = QUERIES["q14_ngram_jaccard"](sf_dir)
@@ -3212,14 +3189,7 @@ def q68_release_pipeline(sf_dir: str):
         not_dropped = ~pc.is_in(t["doc_id"], value_set=ray.get(drop_ref)).to_numpy(
             zero_copy_only=False
         )
-        b = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100
-                for i in ids
-            ),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        b = _doc_bucket(ids)
         pcts = ray.get(pct_ref)
         src = t["source"].to_pylist()
         th = np.fromiter((pcts.get(s, 0) for s in src), dtype=np.int64, count=len(src))
@@ -3229,8 +3199,17 @@ def q68_release_pipeline(sf_dir: str):
         )
         g = df.groupby("source", sort=False).agg(
             pk=("i", "size"), ps=("i", "sum"), pt=("nt", "sum")
+        ).reset_index()
+        # explicit schema: an all-filtered batch must not emit a null-typed
+        # source column (schema-divergent blocks downstream)
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "pk": pa.array(g["pk"].to_numpy(dtype=np.int64)),
+                "ps": pa.array(g["ps"].to_numpy(dtype=np.int64)),
+                "pt": pa.array(g["pt"].to_numpy(dtype=np.int64)),
+            }
         )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     out = (
@@ -3277,11 +3256,20 @@ def q69_embed_centroids(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+                 "pn": pa.array([], pa.int64()), "ps": pa.array([], pa.int64())}
+            )
         col = t["embedding"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError("q69: null embeddings are not supported")
         flat = col.flatten().to_numpy(zero_copy_only=False)
         d = len(flat) // len(t)
+        if d * len(t) != len(flat):
+            raise ValueError("q69: ragged embedding lengths within a batch")
         vi = np.floor(flat.astype(np.float64).reshape(len(t), d) * 1e6 + 0.5).astype(
             np.int64
         )
