@@ -97,3 +97,41 @@ def test_ip_roundtrip(a, b, c, d):
 @given(st.text(alphabet=string.ascii_lowercase + ".-", min_size=1, max_size=20))
 def test_host_of_never_raises(h):
     host_of(f"http://{h}/path")
+
+
+@settings(max_examples=60, deadline=None)
+@given(text_st)
+def test_pii_redaction_idempotent_and_clean(s):
+    import pyarrow as pa
+
+    from texrex_ray.functions.pii import PII_PATTERNS, redact_pii
+
+    once = redact_pii(pa.table({"text": [s]}), "text")
+    txt = once["text"].to_pylist()[0]
+    # a second pass finds nothing: placeholders contain no PII shapes
+    twice = redact_pii(pa.table({"text": [txt]}), "text")
+    for name, _, _ in PII_PATTERNS:
+        assert twice[f"n_{name}"].to_pylist() == [0]
+    assert twice["text"].to_pylist() == [txt]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(token_st, min_size=1, max_size=8))
+def test_repetition_stats_bounds(docs):
+    import pyarrow as pa
+
+    from texrex_ray.functions.repetition import repetition_stats
+
+    texts = [" ".join(d) for d in docs]
+    out = repetition_stats(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    n = out["n_toks"].to_pylist()
+    dup = out["n_dup_toks"].to_pylist()
+    top = out["top2_cnt"].to_pylist()
+    for i in range(len(texts)):
+        toks = texts[i].split(" ")
+        assert n[i] == len(toks)
+        assert 0 <= dup[i] <= n[i]
+        assert dup[i] != 1  # duplicate mass is never exactly one instance
+        assert 0 <= top[i] <= max(n[i] - 1, 0)
