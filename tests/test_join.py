@@ -388,3 +388,30 @@ def test_deterministic_shuffle_is_stable_permutation(ray_session):
         ray.data.from_items(rows, override_num_blocks=3), salt="epoch1"
     ).to_pandas()
     assert c.sort_values("pos")["doc_id"].tolist() != av
+
+
+def test_pagerank_int_analytic_chain(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.ops.graph import pagerank_int
+
+    # a -> b only. Hand-computed 3 exact-integer iterations:
+    # r1(a)=150000, r1(b)=1000000; r2(b)=277500; r3(b)=277500.
+    edges = ray.data.from_arrow(
+        pa.table({"src": ["http://a/"], "dst": ["http://b/"]})
+    )
+    out = pagerank_int(edges, iters=3).set_index("page")["rank"]
+    assert out["http://a/"] == 150000
+    assert out["http://b/"] == 277500
+
+
+def test_pagerank_edges_fixture_fresh(ray_session):
+    import pyarrow.parquet as pq
+
+    from texrex_ray.sources.webgraph import link_edges, make_webgraph
+
+    t = pq.read_table("tests/fixtures/oracle/pagerank_edges.parquet")
+    g = make_webgraph(n_hosts=40, pages_per_host_base=12, n_seeds=8, seed=7)
+    e = link_edges(g)
+    assert list(zip(t["src"].to_pylist(), t["dst"].to_pylist())) == e

@@ -6,9 +6,11 @@
 ``topk`` — distributed grouped top-k (two-level combiner).
 ``window`` — hop windows + gap-based session windows.
 ``shuffle`` — deterministic global training-order shuffle with positions.
+``graph`` — integer-exact PageRank over an edge Dataset.
 """
 
 from texrex_ray.ops.aggregate import bucketed_groupby
+from texrex_ray.ops.graph import pagerank_int
 from texrex_ray.ops.interval import asof_join, range_join
 from texrex_ray.ops.join import broadcast_join, join, shuffle_join
 from texrex_ray.ops.shuffle import deterministic_shuffle
@@ -23,6 +25,7 @@ __all__ = [
     "grouped_topk",
     "hop_window",
     "join",
+    "pagerank_int",
     "range_join",
     "session_count",
     "shuffle_join",

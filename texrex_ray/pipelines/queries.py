@@ -3295,3 +3295,60 @@ def q69_embed_centroids(sf_dir: str):
     for c in ("label", "dim", "n_vecs", "sum_c"):
         out[c] = out[c].astype("int64")
     return out[["label", "dim", "n_vecs", "sum_c"]]
+
+
+# --------------------------------------------------------------------------
+# PageRank over the crawl link graph
+# --------------------------------------------------------------------------
+
+_PAGERANK_SQL = """WITH e AS (SELECT src, dst FROM read_parquet('/root/repo/tests/fixtures/oracle/pagerank_edges.parquet')),
+    nodes AS (SELECT src AS p FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT p, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    r1 AS (SELECT n.p, CAST(150000 + (850 * COALESCE(SUM(r0.r // dg.d), 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n
+           LEFT JOIN e ON e.dst = n.p
+           LEFT JOIN deg dg ON dg.src = e.src
+           LEFT JOIN r0 ON r0.p = e.src
+           GROUP BY n.p),
+    r2 AS (SELECT n.p, CAST(150000 + (850 * COALESCE(SUM(r1.r // dg.d), 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n
+           LEFT JOIN e ON e.dst = n.p
+           LEFT JOIN deg dg ON dg.src = e.src
+           LEFT JOIN r1 ON r1.p = e.src
+           GROUP BY n.p),
+    r3 AS (SELECT n.p, CAST(150000 + (850 * COALESCE(SUM(r2.r // dg.d), 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n
+           LEFT JOIN e ON e.dst = n.p
+           LEFT JOIN deg dg ON dg.src = e.src
+           LEFT JOIN r2 ON r2.p = e.src
+           GROUP BY n.p),
+    final AS (SELECT p AS page, r AS pr FROM r3)
+    SELECT page, pr FROM final ORDER BY pr DESC, page LIMIT 20"""
+
+
+@query("q70_pagerank", sql=_PAGERANK_SQL)
+def q70_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the crawler's scoped link graph
+    (``ops/graph.py::pagerank_int``, 3 iterations, damping 0.85): the
+    recrawl/seed-scoring primitive a production frontier feeds on.
+    Edges stream through ``map_batches``; each iteration broadcasts the
+    node-sized rank table once.  Oracle: DuckDB runs the SAME iterations
+    itself from the committed edge-list fixture (SQL joins vs broadcast
+    dicts — independent implementations, bit-identical scaled-int
+    algebra).  Output: top 20 pages by final rank."""
+    from texrex_ray.ops.graph import pagerank_int
+    from texrex_ray.sources.webgraph import link_edges, make_webgraph
+
+    g = make_webgraph(n_hosts=40, pages_per_host_base=12, n_seeds=8, seed=7)
+    e = link_edges(g)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in e], pa.string()),
+                "dst": pa.array([b for _, b in e], pa.string()),
+            }
+        )
+    ).repartition(8)
+    out = pagerank_int(edges, iters=3).rename(columns={"rank": "pr"})
+    return out.head(20).reset_index(drop=True)[["page", "pr"]]

@@ -284,3 +284,21 @@ def make_webgraph(
         pages=pages, robots=robots, seeds=seeds, hosts=hosts, seed=seed,
         images=image_store,
     )
+
+
+def link_edges(g: WebGraph) -> list[tuple[str, str]]:
+    """(src, dst) edge list of the graph as the CRAWLER sees it: per-page
+    out-links resolved/scoped with the same ``scope_links`` the walk uses
+    (relative hrefs absolutized, per-page dedup, file links dropped).
+    Deterministic given the graph — the PageRank fixture and q70 both
+    derive their edges here."""
+    from texrex_ray.functions.urlkit import scope_links
+
+    edges: list[tuple[str, str]] = []
+    for url in sorted(g.pages):
+        p = g.pages[url]
+        if p.status != 200:
+            continue
+        for t in scope_links(url, p.out_links):
+            edges.append((url, t))
+    return edges

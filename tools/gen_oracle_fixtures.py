@@ -501,6 +501,25 @@ def gen_decontam() -> None:
     pq.write_table(out, os.path.join(OUT, "decontam_sf0.01.parquet"))
 
 
+def gen_pagerank_edges() -> None:
+    """q70's edge-list fixture: the deterministic webgraph's scoped link
+    edges.  The SQL oracle runs the PageRank ITERATIONS itself from these
+    edges — an independent implementation path (SQL joins vs broadcast
+    dicts); only the graph topology is committed."""
+    from texrex_ray.sources.webgraph import link_edges, make_webgraph
+
+    g = make_webgraph(n_hosts=40, pages_per_host_base=12, n_seeds=8, seed=7)
+    e = link_edges(g)
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in e], pa.string()),
+            "dst": pa.array([b for _, b in e], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "pagerank_edges.parquet"))
+    print("pagerank_edges.parquet:", t.num_rows, "edges")
+
+
 def gen_incremental_neardup() -> None:
     """Expected q67 candidates via SEQUENTIAL band-tuple set membership —
     tuple equality, no band-hash encoding, no index, no Dataset machinery.
@@ -554,6 +573,7 @@ def main() -> None:
     gen_harvest_pipeline()
     gen_hll_values()
     gen_images_phash()
+    gen_pagerank_edges()
     gen_incremental_neardup()
     gen_decontam()
 
