@@ -3352,3 +3352,82 @@ def q70_pagerank(sf_dir: str):
     ).repartition(8)
     out = pagerank_int(edges, iters=3).rename(columns={"rank": "pr"})
     return out.head(20).reset_index(drop=True)[["page", "pr"]]
+
+
+# --------------------------------------------------------------------------
+# Temperature-weighted corpus mixture (data-derived rates)
+# --------------------------------------------------------------------------
+
+@query(
+    "q71_temperature_mixture",
+    sql="""
+    WITH sz AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000)) AS BIGINT) AS w
+          FROM sz),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS s FROM w),
+    th AS (SELECT source, n, LEAST(1000, (w * 500 * s) // tw) AS t FROM w, tot),
+    k AS (SELECT d.source, d.doc_id FROM documents d JOIN th ON th.source = d.source
+          WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000 < th.t),
+    agg AS (SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM k GROUP BY source)
+    SELECT th.source, th.n AS n_total, CAST(th.t AS BIGINT) AS rate_pm,
+           COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.sum_ids, 0) AS sum_ids
+    FROM th LEFT JOIN agg a ON a.source = th.source
+    ORDER BY th.source
+    """,
+)
+def q71_temperature_mixture(sf_dir: str):
+    """Temperature-weighted mixture with rates DERIVED FROM THE DATA
+    (p_s ∝ √n_s — the multilingual up-sampling rule at τ=2), unlike
+    q60's fixed table.  Two-phase plan: a source-sized count groupby →
+    the driver turns sizes into per-mille thresholds (√ via IEEE sqrt,
+    identical in numpy and DuckDB, then pure integer algebra) → one
+    broadcast → stateless membership filter + partial aggregation.
+    ``sum_ids`` pins exact membership."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    sz = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n = sz["n"].to_numpy(dtype=np.int64)
+    w = np.floor(np.sqrt(n.astype(np.float64) * 1e6)).astype(np.int64)
+    t = np.minimum(1000, (w * 500 * len(sz)) // w.sum()).astype(np.int64)
+    plan = dict(zip(sz["source"], t))
+    plan_ref = ray.put(plan)
+
+    def partial(tb: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        ids = tb["doc_id"].to_numpy(zero_copy_only=False)
+        from texrex_ray.functions.hashing import md5_lower64
+
+        b = (md5_lower64([str(int(i)) for i in ids]) % np.uint64(1000)).astype(np.int64)
+        src = tb["source"].to_pylist()
+        th = np.fromiter((pl[s] for s in src), dtype=np.int64, count=len(src))
+        m = b < th
+        df = pd.DataFrame({"source": np.asarray(src, dtype=object)[m], "i": ids[m]})
+        g = df.groupby("source", sort=False)["i"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "pk": pa.array(g["size"].to_numpy(dtype=np.int64)),
+                "ps": pa.array(g["sum"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    kept = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("pk", alias_name="n_kept"), Sum("ps", alias_name="sum_ids"))
+        .to_pandas()
+    )
+    out = sz.rename(columns={"n": "n_total"})
+    out["rate_pm"] = t
+    out = out.merge(kept, on="source", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    out["sum_ids"] = out["sum_ids"].fillna(0).astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    return out[["source", "n_total", "rate_pm", "n_kept", "sum_ids"]]
