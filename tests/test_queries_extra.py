@@ -266,19 +266,22 @@ def test_heavy_hitters_exact_vs_duckdb(ray_session):
 
 
 def test_phash_fixture_fresh_and_lsh_complete(ray_session):
-    """Committed (image_id, phash) oracle fixture matches live generation,
-    and hamming_pairs finds the full brute-force Hamming ball."""
+    """Committed (image_id, phash, w, h) oracle fixture matches live
+    generation, and hamming_pairs finds the full brute-force Hamming ball."""
     import itertools
 
     from texrex_ray.pipelines.caption import fixture_path
     from texrex_ray.pipelines.queries import QUERIES
 
     d = fixture_path(n=300, seed=42)
-    live = pq.read_table(f"{d}/images.parquet", columns=["image_id", "phash"])
+    live = pq.read_table(
+        f"{d}/images.parquet", columns=["image_id", "phash", "w", "h"]
+    )
     committed = pq.read_table(
         "/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet"
     )
     assert live.equals(committed)
+    live = live.select(["image_id", "phash"])
 
     got = QUERIES["q57_phash_near_dups"](SF)
     ph = dict(zip(live["image_id"].to_pylist(), live["phash"].to_pylist()))

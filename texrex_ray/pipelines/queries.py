@@ -3431,3 +3431,75 @@ def q71_temperature_mixture(sf_dir: str):
     out["sum_ids"] = out["sum_ids"].fillna(0).astype("int64")
     out["n_total"] = out["n_total"].astype("int64")
     return out[["source", "n_total", "rate_pm", "n_kept", "sum_ids"]]
+
+# --------------------------------------------------------------------------
+# Canonical image per pHash near-dup cluster (payload-side q64)
+# --------------------------------------------------------------------------
+
+@query(
+    "q72_image_canonical",
+    sql="""
+    WITH RECURSIVE p AS (
+        SELECT image_id, phash, w, h FROM
+        read_parquet('/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet')),
+    pairs AS (SELECT a.image_id AS ia, b.image_id AS ib
+              FROM p a JOIN p b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs
+              UNION ALL SELECT ib, ia FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node),
+    clusters AS (SELECT node AS image_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY node),
+    m AS (SELECT c.cluster_id, c.image_id, CAST(p.w * p.h AS BIGINT) AS px,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY p.w * p.h DESC, c.image_id ASC) AS rk
+          FROM clusters c JOIN p ON p.image_id = c.image_id)
+    SELECT cluster_id, COUNT(*) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN image_id END) AS canonical_id,
+           MAX(CASE WHEN rk = 1 THEN px END)       AS canonical_px
+    FROM m GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def q72_image_canonical(sf_dir: str):
+    """Payload-side canonical election: cluster near-identical images
+    (pHash Hamming ≤ 6 via the block-LSH radius search), then keep the
+    highest-resolution member per cluster (ties to smaller id) — how an
+    image corpus keeps ONE best copy of each re-encoded/rescaled
+    original.  Labels are result-sized; the image table is filtered
+    where it lives (`pc.is_in`) — pixels never shuffle.  Oracle:
+    brute-force O(n²) bit_count pairs + recursive-CTE closure +
+    ROW_NUMBER argmax, all in SQL over the committed fixture."""
+    from texrex_ray.dedup.clusters import dup_clusters
+    from texrex_ray.dedup.lsh import hamming_pairs
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table")
+    pairs = hamming_pairs(ds, id_col="image_id", sig_col="phash", max_hamming=6)
+    labels = dup_clusters(pairs)
+    lab = dict(zip(labels["doc_id"], labels["cluster_id"]))
+    lab_ref = ray.put(lab)
+    member_ids = pa.array(sorted(lab), pa.string())
+
+    def members(t: pa.Table) -> pa.Table:
+        t = t.select(["image_id", "w", "h"])
+        t = t.filter(pc.is_in(t["image_id"], value_set=member_ids))
+        lab_ = ray.get(lab_ref)
+        cl = pa.array([lab_[i] for i in t["image_id"].to_pylist()], pa.string())
+        return t.append_column("cluster_id", cl)
+
+    m = ds.map_batches(members, batch_format="pyarrow").to_pandas()
+    m["px"] = (m["w"].astype("int64") * m["h"].astype("int64")).astype("int64")
+    m = m.sort_values(["cluster_id", "px", "image_id"], ascending=[True, False, True])
+    top = m.groupby("cluster_id", sort=True).first().reset_index()
+    cnt = m.groupby("cluster_id", sort=True).size().rename("n_members").reset_index()
+    out = cnt.merge(top[["cluster_id", "image_id", "px"]], on="cluster_id")
+    out = out.rename(columns={"image_id": "canonical_id", "px": "canonical_px"})
+    out["n_members"] = out["n_members"].astype("int64")
+    out["canonical_px"] = out["canonical_px"].astype("int64")
+    return out[["cluster_id", "n_members", "canonical_id", "canonical_px"]]

@@ -468,7 +468,9 @@ def gen_images_phash() -> None:
     from texrex_ray.pipelines.caption import fixture_path
 
     d = fixture_path(n=300, seed=42)
-    t = pq.read_table(os.path.join(d, "images.parquet"), columns=["image_id", "phash"])
+    t = pq.read_table(
+        os.path.join(d, "images.parquet"), columns=["image_id", "phash", "w", "h"]
+    )
     pq.write_table(t, os.path.join(OUT, "images_phash_n300_s42.parquet"))
 
 
