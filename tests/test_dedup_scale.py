@@ -74,3 +74,58 @@ def test_ann_paths_agree_at_10x(ray_session):
         a = set(coarse.loc[coarse["query_id"] == q, "neighbor_id"])
         rec2.append(len(e & a) / len(e))
     assert np.mean(rec2) >= np.mean(rec)  # more coverage → recall monotone
+
+
+def test_segment_dedup_10x_layout_invariant_and_conserving(ray_session):
+    """Cross-doc segment dedup at 10×: kept-count total equals the number
+    of DISTINCT segments (each distinct segment has exactly one winner),
+    and the result is independent of physical block layout."""
+    from texrex_ray.dedup.segments import segment_dedup_counts, segment_rows
+
+    a = (
+        segment_dedup_counts(_docs(), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        segment_dedup_counts(_docs().repartition(13), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.values.tolist() == b.values.tolist()
+    n_distinct = segment_rows(_docs(), n=3).to_pandas()["s"].nunique()
+    assert a["n_kept"].sum() == n_distinct
+    assert (a["n_kept"] <= a["n_segs"]).all()
+
+
+def test_corpus_index_10x_probe_agrees_with_broadcast_set(ray_session, tmp_path):
+    """Build the index from 5k docs' segment hashes, probe the same rows
+    through the Dataset-native actor stage: every hash must flag known."""
+    import pyarrow as pa
+
+    from texrex_ray.dedup.segments import segment_rows
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.state.corpus_index import HashIndexProbe, build_hash_index
+
+    def hash_segs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": pa.array(md5_lower64(t["s"].to_pylist()), pa.uint64())}
+        )
+
+    segs = segment_rows(_docs(), n=3).map_batches(hash_segs, batch_format="pyarrow")
+    d = str(tmp_path / "cidx")
+    manifest = build_hash_index(segs, d, n_shards=16)
+    assert manifest["n_hashes"].sum() > 1000
+
+    flagged = (
+        segs.map_batches(
+            HashIndexProbe,
+            fn_constructor_kwargs={"index_dir": d},
+            concurrency=(1, 2),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    assert (flagged["known"] == 1).all()
