@@ -411,7 +411,7 @@ def test_pagerank_edges_fixture_fresh(ray_session):
 
     from texrex_ray.sources.webgraph import link_edges, make_webgraph
 
-    t = pq.read_table("tests/fixtures/oracle/pagerank_edges.parquet")
+    t = pq.read_table("/root/repo/tests/fixtures/oracle/pagerank_edges.parquet")
     g = make_webgraph(n_hosts=40, pages_per_host_base=12, n_seeds=8, seed=7)
     e = link_edges(g)
     assert list(zip(t["src"].to_pylist(), t["dst"].to_pylist())) == e

@@ -43,6 +43,11 @@ def pagerank_int(
     dst: str = "dst",
 ) -> pd.DataFrame:
     """(page, rank) for every node, after ``iters`` exact-integer steps."""
+    # pin the edge list: the input lineage (e.g. crawl -> link extraction)
+    # must not re-execute on every iteration pass (same reason as
+    # dedup/clusters.py), and a nondeterministic lineage would otherwise
+    # let the degree table and contribution passes see different edges
+    edges = edges.materialize()
 
     def deg_partial(t: pa.Table) -> pa.Table:
         s = pd.Series(t[src].to_pylist()).value_counts()

@@ -2675,12 +2675,13 @@ def q60_corpus_mixture(sf_dir: str):
     return out[["source", "n_kept", "sum_ids"]]
 
 
-def _doc_bucket(ids) -> np.ndarray:
-    """``md5_number_lower(CAST(doc_id AS VARCHAR)) % 100`` — the shared
-    content-stable split/mixture hash (q47/q60/q65/q67/q68)."""
+def _doc_bucket(ids, mod: int = 100) -> np.ndarray:
+    """``md5_number_lower(CAST(doc_id AS VARCHAR)) % mod`` — the shared
+    content-stable split/mixture hash (q47/q60/q65/q67/q68; q71 at
+    per-mille resolution)."""
     from texrex_ray.functions.hashing import md5_lower64
 
-    return (md5_lower64([str(int(i)) for i in ids]) % np.uint64(100)).astype(np.int64)
+    return (md5_lower64([str(int(i)) for i in ids]) % np.uint64(mod)).astype(np.int64)
 
 
 def _doc_bucket_filter(lo: int, hi: int):
@@ -3402,9 +3403,7 @@ def q71_temperature_mixture(sf_dir: str):
     def partial(tb: pa.Table) -> pa.Table:
         pl = ray.get(plan_ref)
         ids = tb["doc_id"].to_numpy(zero_copy_only=False)
-        from texrex_ray.functions.hashing import md5_lower64
-
-        b = (md5_lower64([str(int(i)) for i in ids]) % np.uint64(1000)).astype(np.int64)
+        b = _doc_bucket(ids, mod=1000)
         src = tb["source"].to_pylist()
         th = np.fromiter((pl[s] for s in src), dtype=np.int64, count=len(src))
         m = b < th
@@ -3479,7 +3478,8 @@ def q72_image_canonical(sf_dir: str):
     from texrex_ray.sources.lance_io import read_images
 
     d = fixture_path(n=300, seed=42)
-    ds = read_images(f"{d}/images_table")
+    # prune at the read: neither pass needs the pixel payload bytes
+    ds = read_images(f"{d}/images_table", columns=["image_id", "phash", "w", "h"])
     pairs = hamming_pairs(ds, id_col="image_id", sig_col="phash", max_hamming=6)
     labels = dup_clusters(pairs)
     lab = dict(zip(labels["doc_id"], labels["cluster_id"]))
