@@ -232,3 +232,37 @@ def test_priority_engine_politeness(graph):
         gaps = [b - a for a, b in zip(rounds, rounds[1:])]
         assert all(g >= delay for g in gaps), (host, delay, rounds)
     eng.shutdown()
+
+
+def test_rank_priority_crawl_deterministic_and_rank_sensitive(ray_session):
+    """Host-score bias: schedule is partition-count invariant and actually
+    differs from the unbiased degree-only schedule."""
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    # a deliberately skewed static bias: host 0 boosted far above any degree
+    hosts = sorted({p.host for p in g.pages.values()})
+    scores = {hosts[-1]: 10_000_000}
+
+    def run(n_parts):
+        # budget < host count so the global selection actually chooses
+        eng = PriorityCrawlEngine(
+            g, n_partitions=n_parts, budget_per_round=4, host_scores=scores
+        )
+        eng.run(max_fetches=60)
+        rows = eng.visit_order()
+        eng.shutdown()
+        return rows
+
+    a, b = run(2), run(4)
+    assert a == b  # physical layout never changes the schedule
+
+    eng = PriorityCrawlEngine(g, n_partitions=4, budget_per_round=4)
+    eng.run(max_fetches=60)
+    plain = eng.visit_order()
+    eng.shutdown()
+    assert a != plain  # the bias changed the schedule
+    # the boosted host is overrepresented early relative to the plain run
+    early = lambda rows: sum(1 for _, _, h in rows[:30] if h == hosts[-1])
+    assert early(a) >= early(plain)

@@ -57,11 +57,21 @@ class PriorityStats:
 
 @ray.remote
 class PriorityFrontierActor:
-    def __init__(self, part_id: int, robots_map: dict, pages: dict, cfg: CrawlConfig):
+    def __init__(
+        self,
+        part_id: int,
+        robots_map: dict,
+        pages: dict,
+        cfg: CrawlConfig,
+        host_scores: dict | None = None,
+    ):
         self.part_id = part_id
         self.cfg = cfg
         self.robots_map = robots_map
         self.pages = pages
+        # static external priority bias per host (e.g. PageRank from a prior
+        # crawl); added to the live in-degree so rank dominates when large
+        self.host_bias = host_scores or {}
         self.pm = PolitenessManager(
             min_politeness=cfg.min_politeness,
             robots_refresh_interval=cfg.robots_refresh_interval,
@@ -90,8 +100,10 @@ class PriorityFrontierActor:
         fresh = self.seen.add_if_new(urls)
         for (url, rnd), new in zip(links, fresh):
             if new:
+                h = host_of(url)
                 heapq.heappush(
-                    self.heap, (-self.host_degree[host_of(url)], rnd, url)
+                    self.heap,
+                    (-(self.host_bias.get(h, 0) + self.host_degree[h]), rnd, url),
                 )
                 added += 1
         self.metrics["enqueued"] += added
@@ -173,6 +185,7 @@ class PriorityCrawlEngine:
         n_partitions: int = 4,
         budget_per_round: int = 64,
         config: CrawlConfig | None = None,
+        host_scores: dict | None = None,
     ):
         self.graph = graph
         self.cfg = config or CrawlConfig()
@@ -180,7 +193,9 @@ class PriorityCrawlEngine:
         self.budget = budget_per_round
         pages_ref = ray.put(plain_pages(graph))
         self.parts = [
-            PriorityFrontierActor.remote(p, graph.robots, pages_ref, self.cfg)
+            PriorityFrontierActor.remote(
+                p, graph.robots, pages_ref, self.cfg, host_scores
+            )
             for p in range(n_partitions)
         ]
         self.round = 0

@@ -3503,3 +3503,55 @@ def q72_image_canonical(sf_dir: str):
     out["n_members"] = out["n_members"].astype("int64")
     out["canonical_px"] = out["canonical_px"].astype("int64")
     return out[["cluster_id", "n_members", "canonical_id", "canonical_px"]]
+
+# --------------------------------------------------------------------------
+# PageRank-informed priority crawl (rank feeds the next crawl's frontier)
+# --------------------------------------------------------------------------
+
+@query(
+    "q73_rank_priority_crawl",
+    sql="SELECT round, url, host FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/rank_priority_crawl_sf0.01.parquet')",
+)
+def q73_rank_priority_crawl(sf_dir: str):
+    """The production crawl loop closed: PageRank from the discovered link
+    graph (q70's operator) becomes the HOST PRIORITY of the next crawl —
+    frontier heaps key on rank-score + live in-degree instead of degree
+    alone.  Same engine, same politeness/robots gates; the bias is a
+    static broadcast dict resident in each frontier actor.  Oracle:
+    committed expected-visits fixture (regression pin like q34;
+    partition-count determinism and the rank-changes-the-schedule fact
+    are asserted in tests)."""
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+    from texrex_ray.functions.urlkit import host_of
+    from texrex_ray.ops.graph import pagerank_int
+    from texrex_ray.sources.webgraph import link_edges, make_webgraph
+
+    fetches = {0.001: 50, 0.01: 120, 0.1: 300}.get(_sf_of(sf_dir), 120)
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    e = link_edges(g)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in e], pa.string()),
+                "dst": pa.array([b for _, b in e], pa.string()),
+            }
+        )
+    )
+    pr = pagerank_int(edges, iters=3)
+    scores: dict[str, int] = {}
+    for page, r in zip(pr["page"], pr["rank"]):
+        h = host_of(page)
+        scores[h] = scores.get(h, 0) + int(r)
+    scores = {h: v // 1000 for h, v in scores.items()}
+
+    # budget BELOW the host count: the global top-B selection must actually
+    # choose, so the rank bias shapes the schedule (at budget >= hosts the
+    # politeness gate admits everyone and priority is moot)
+    eng = PriorityCrawlEngine(
+        g, n_partitions=4, budget_per_round=4, host_scores=scores
+    )
+    eng.run(max_fetches=fetches)
+    rows = eng.visit_order()
+    eng.shutdown()
+    return pd.DataFrame(rows, columns=["round", "url", "host"])

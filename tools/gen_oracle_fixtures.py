@@ -503,6 +503,53 @@ def gen_decontam() -> None:
     pq.write_table(out, os.path.join(OUT, "decontam_sf0.01.parquet"))
 
 
+def gen_rank_priority_crawl() -> None:
+    """Expected q73 visit table: the priority crawl re-keyed by PageRank
+    host scores from the graph's own link structure (regression pin, like
+    q34; cross-partition determinism is asserted in tests)."""
+    import ray
+
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+    from texrex_ray.functions.urlkit import host_of
+    from texrex_ray.ops.graph import pagerank_int
+    from texrex_ray.sources.webgraph import link_edges, make_webgraph
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    e = link_edges(g)
+    import ray.data as rd
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([a for a, _ in e], pa.string()),
+                  "dst": pa.array([b for _, b in e], pa.string())})
+    )
+    pr = pagerank_int(edges, iters=3)
+    scores: dict = {}
+    for page, r in zip(pr["page"], pr["rank"]):
+        h = host_of(page)
+        scores[h] = scores.get(h, 0) + int(r)
+    scores = {h: v // 1000 for h, v in scores.items()}
+    # budget BELOW the host count: the global top-B selection must actually
+    # choose, so the rank bias shapes the schedule (at budget >= hosts the
+    # politeness gate admits everyone and priority is moot)
+    eng = PriorityCrawlEngine(
+        g, n_partitions=4, budget_per_round=4, host_scores=scores
+    )
+    eng.run(max_fetches=120)
+    rows = eng.visit_order()
+    eng.shutdown()
+    t = pa.table(
+        {
+            "round": pa.array([r[0] for r in rows], pa.int64()),
+            "url": pa.array([r[1] for r in rows], pa.string()),
+            "host": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "rank_priority_crawl_sf0.01.parquet"))
+    print("rank_priority_crawl_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def gen_pagerank_edges() -> None:
     """q70's edge-list fixture: the deterministic webgraph's scoped link
     edges.  The SQL oracle runs the PageRank ITERATIONS itself from these
@@ -575,6 +622,7 @@ def main() -> None:
     gen_harvest_pipeline()
     gen_hll_values()
     gen_images_phash()
+    gen_rank_priority_crawl()
     gen_pagerank_edges()
     gen_incremental_neardup()
     gen_decontam()
