@@ -3555,3 +3555,74 @@ def q73_rank_priority_crawl(sf_dir: str):
     rows = eng.visit_order()
     eng.shutdown()
     return pd.DataFrame(rows, columns=["round", "url", "host"])
+
+# --------------------------------------------------------------------------
+# Corpus datasheet: wide per-source stats in one pass
+# --------------------------------------------------------------------------
+
+@query(
+    "q74_corpus_card",
+    sql="""
+    WITH t AS (
+        SELECT source, lang, n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_toks
+        FROM documents)
+    SELECT source,
+           COUNT(*)                        AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)    AS sum_chars,
+           CAST(SUM(n_toks) AS BIGINT)     AS sum_toks,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(n_chars) AS BIGINT)    AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT)    AS max_chars
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def q74_corpus_card(sf_dir: str):
+    """The dataset datasheet in ONE streaming pass: per source — doc and
+    token volume, language diversity, length extremes.  Every metric is
+    a commutative integer partial (count/sum/min/max + a per-batch lang
+    SET union whose distinct-count finishes on source-sized data), so the
+    exchange is source-cardinality rows regardless of corpus size."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pylist()
+        n_toks = np.fromiter(
+            ((s or "").count(" ") + 1 for s in txt), dtype=np.int64, count=len(txt)
+        )
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "lang": t["lang"].to_pylist(),
+                "ch": t["n_chars"].to_numpy(zero_copy_only=False),
+                "tk": n_toks,
+            }
+        )
+        g = df.groupby("source", sort=False).agg(
+            pn=("ch", "size"), pch=("ch", "sum"), ptk=("tk", "sum"),
+            pmin=("ch", "min"), pmax=("ch", "max"),
+            plangs=("lang", lambda s: ",".join(sorted(set(s)))),
+        ).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "pn": pa.array(g["pn"].to_numpy(dtype=np.int64)),
+                "pch": pa.array(g["pch"].to_numpy(dtype=np.int64)),
+                "ptk": pa.array(g["ptk"].to_numpy(dtype=np.int64)),
+                "pmin": pa.array(g["pmin"].to_numpy(dtype=np.int64)),
+                "pmax": pa.array(g["pmax"].to_numpy(dtype=np.int64)),
+                "plangs": pa.array(g["plangs"].tolist(), pa.string()),
+            }
+        )
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = df.groupby("source", sort=True).agg(
+        n_docs=("pn", "sum"), sum_chars=("pch", "sum"), sum_toks=("ptk", "sum"),
+        min_chars=("pmin", "min"), max_chars=("pmax", "max"),
+        langs=("plangs", lambda s: set(",".join(s).split(","))),
+    ).reset_index()
+    out["n_langs"] = out["langs"].map(len).astype("int64")
+    for c in ("n_docs", "sum_chars", "sum_toks", "min_chars", "max_chars"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n_docs", "sum_chars", "sum_toks", "n_langs",
+                "min_chars", "max_chars"]]
