@@ -26,7 +26,12 @@ reference at /root/reference) on top of ``ray.data.Dataset``:
   broadcast + bucketed-shuffle equi-joins (all six types, hot-key
   salting, Bloom prefilter, plan-selecting ``join()``), range/as-of
   joins, high-cardinality ``bucketed_groupby``, grouped top-k, hop and
-  session windows.
+  session windows, deterministic global training-order shuffle with
+  exact positions, integer-exact PageRank;
+- corpus-release operators: PII scrub, Gopher repetition gates,
+  cross-document segment dedup, canonical survivor election, and a
+  persisted corpus hash index for incremental (near-)dedup of new
+  shards against the historical corpus without reshuffling it.
 
 Quick start (Ray already initialised)::
 
