@@ -3626,3 +3626,61 @@ def q74_corpus_card(sf_dir: str):
         out[c] = out[c].astype("int64")
     return out[["source", "n_docs", "sum_chars", "sum_toks", "n_langs",
                 "min_chars", "max_chars"]]
+
+# --------------------------------------------------------------------------
+# Funnel detection: users who click before purchasing
+# --------------------------------------------------------------------------
+
+@query(
+    "q75_funnel",
+    sql="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(MIN(ts) FILTER (WHERE event_type = 'click'))    AS first_click,
+               epoch_us(MAX(ts) FILTER (WHERE event_type = 'purchase')) AS last_purchase
+        FROM events GROUP BY user_id)
+    SELECT user_id, first_click, last_purchase
+    FROM g
+    WHERE first_click IS NOT NULL AND last_purchase IS NOT NULL
+      AND first_click < last_purchase
+    ORDER BY user_id
+    """,
+)
+def q75_funnel(sf_dir: str):
+    """Conversion-funnel detection: users whose first 'click' precedes
+    their last 'purchase' — the existence-of-ordered-pair pattern reduces
+    to two commutative per-user extrema (min click ts, max purchase ts),
+    so per-batch partials + ONE user-keyed groupby solve it with no
+    session assembly and no ordering requirement on the input."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "et": t["event_type"].to_pylist(),
+                "e": t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            }
+        )
+        a = df[df["et"] == "click"].groupby("user_id")["e"].min()
+        b = df[df["et"] == "purchase"].groupby("user_id")["e"].max()
+        out = pd.DataFrame({"pa_": a, "pb": b}).reset_index()
+        # sentinel encoding for the groupby merge (Min/Max ignore them)
+        out["pa_"] = out["pa_"].fillna(2**62).astype("int64")
+        out["pb"] = out["pb"].fillna(-(2**62)).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("pa_", alias_name="first_click"), Max("pb", alias_name="last_purchase"))
+        .to_pandas()
+    )
+    out = out[
+        (out["first_click"] < 2**62)
+        & (out["last_purchase"] > -(2**62))
+        & (out["first_click"] < out["last_purchase"])
+    ].sort_values("user_id").reset_index(drop=True)
+    for c in ("user_id", "first_click", "last_purchase"):
+        out[c] = out[c].astype("int64")
+    return out[["user_id", "first_click", "last_purchase"]]
