@@ -3684,3 +3684,83 @@ def q75_funnel(sf_dir: str):
     for c in ("user_id", "first_click", "last_purchase"):
         out[c] = out[c].astype("int64")
     return out[["user_id", "first_click", "last_purchase"]]
+
+# --------------------------------------------------------------------------
+# Vocabulary attribution: which source first contributes each token type
+# --------------------------------------------------------------------------
+
+@query(
+    "q76_vocab_attribution",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    w AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+    j AS (SELECT w.tok, d.source FROM w JOIN documents d ON d.doc_id = w.fd)
+    SELECT source, COUNT(*) AS n_new_tokens
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def q76_vocab_attribution(sf_dir: str):
+    """Vocabulary growth attribution: each distinct token type is credited
+    to the source of its FIRST document (min doc_id) — which data source
+    actually adds new vocabulary vs repeating the old.  The exchange is
+    one ``bucketed_groupby`` on token text (vocab-cardinality keys —
+    Ray's native per-group reduce would pay per-type overhead); the
+    winner's source rides on the token rows, so no join back."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        toks, ids, srcs = [], [], []
+        for i, src_, s in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist()
+        ):
+            parts = (s or "").split(" ")
+            toks.extend(parts)
+            ids.extend([i] * len(parts))
+            srcs.extend([src_] * len(parts))
+        return pa.table(
+            {
+                "tok": pa.array(toks, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+
+    def first_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["tok", "doc_id"])
+            .groupby("tok", sort=False)
+            .first()
+            .reset_index()[["tok", "source"]]
+        )
+
+    winners = bucketed_groupby(
+        ds.map_batches(tok_rows, batch_format="pyarrow"),
+        "tok",
+        first_doc,
+        expected_rows=n_docs * 60,
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pd.Series(t["source"].to_pylist()).value_counts()
+        return pa.table(
+            {
+                "source": pa.array(g.index.tolist(), pa.string()),
+                "pn": pa.array(g.to_numpy().astype(np.int64)),
+            }
+        )
+
+    out = (
+        winners.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("pn", alias_name="n_new_tokens"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["n_new_tokens"] = out["n_new_tokens"].astype("int64")
+    return out[["source", "n_new_tokens"]]
