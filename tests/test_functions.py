@@ -169,3 +169,26 @@ def test_repetition_stats():
     assert out["top2_cnt"].to_pylist() == [3, 1, 1]
     # doc1: dup 6*2 > 6 -> drop; doc2 keep; doc3: 2*2 <= 4 and 1*5 > 3 -> drop
     assert out["keep"].to_pylist() == [0, 1, 0]
+
+
+def test_canonical_urls():
+    from texrex_ray.functions.urlkit import canonical_urls
+
+    got = canonical_urls(
+        [
+            "HTTP://WWW.Host3.COM:80/p1?utm_source=s&id=5&utm_campaign=c#sec",
+            "http://a.com/p?utm_x=1",          # non-utm_ prefix params survive? no: utm_x IS utm_
+            "https://B.com:80/q?id=2&utm_y=3#f",
+            "http://c.com/r#only",
+            "http://d.com/s?keep=1&id=2",
+            None,
+        ]
+    ).tolist()
+    assert got == [
+        "http://www.host3.com/p1?id=5",
+        "http://a.com/p",
+        "https://b.com/q?id=2",
+        "http://c.com/r",
+        "http://d.com/s?keep=1&id=2",
+        "",
+    ]

@@ -125,3 +125,35 @@ def ip_to_int(ip: str) -> int:
     if not all(0 <= x <= 255 for x in (a, b, c, d)):
         return 0
     return (a << 24) | (b << 16) | (c << 8) | d
+
+
+# --- URL canonicalization (frontier dedup) ---------------------------------
+# Ordered RE2-safe rewrite chain applied to the part AFTER the scheme://host
+# prefix; the prefix itself is lowercased and stripped of an explicit :80.
+# The SAME pattern strings drive both the vectorized pandas path here and
+# the DuckDB oracle (generated in pipelines/queries.py), so canonical forms
+# are bit-identical across engines.  Order matters: fragment first, then
+# tracking params (mid-list, list-head, lone), then empty-query cleanup.
+URL_HEAD_RE = r"^[A-Za-z]+://[^/?#]*"
+URL_CANON_TAIL_STEPS: tuple[tuple[str, str], ...] = (
+    (r"#.*$", ""),                 # drop fragment
+    (r"&utm_[^&]*", ""),           # tracking param after another param
+    (r"\?utm_[^&]*&", "?"),        # tracking param at list head
+    (r"\?utm_[^&]*$", ""),         # tracking param alone
+    (r"\?$", ""),                  # empty query leftover
+)
+
+
+def canonical_urls(urls) -> "pd.Series":
+    """Vectorized canonical form: lowercase scheme://host, drop :80,
+    strip fragments and utm_* tracking params (pandas str ops; the regex
+    subset used is identical under Python re and RE2)."""
+    import pandas as pd
+
+    s = pd.Series(urls, dtype="object").fillna("")
+    head = s.str.extract(f"({URL_HEAD_RE})", expand=False).fillna("")
+    tail = s.str.slice(start=0).str.replace(URL_HEAD_RE, "", regex=True)
+    head = head.str.lower().str.replace(r":80$", "", regex=True)
+    for pat, repl in URL_CANON_TAIL_STEPS:
+        tail = tail.str.replace(pat, repl, regex=True)
+    return head + tail

@@ -3764,3 +3764,75 @@ def q76_vocab_attribution(sf_dir: str):
     )
     out["n_new_tokens"] = out["n_new_tokens"].astype("int64")
     return out[["source", "n_new_tokens"]]
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (frontier normalization)
+# --------------------------------------------------------------------------
+
+_URL_DIRT_SQL = """
+    SELECT doc_id,
+           'HTTP://WWW.Host' || (doc_id % 5) || '.COM:80/p' || (doc_id % 3)
+           || '?utm_source=s' || (doc_id % 4) || '&id=' || (doc_id % 7)
+           || '&utm_campaign=c#sec' || (doc_id % 6) AS u
+    FROM documents
+"""
+
+
+def _url_dirt(i: int) -> str:
+    return (
+        f"HTTP://WWW.Host{i % 5}.COM:80/p{i % 3}"
+        f"?utm_source=s{i % 4}&id={i % 7}&utm_campaign=c#sec{i % 6}"
+    )
+
+
+def _url_canon_sql() -> str:
+    from texrex_ray.functions.urlkit import URL_CANON_TAIL_STEPS, URL_HEAD_RE
+
+    head = f"regexp_replace(lower(regexp_extract(u, '{URL_HEAD_RE}')), ':80$', '')"
+    tail = f"regexp_replace(u, '{URL_HEAD_RE}', '')"
+    for pat, repl in URL_CANON_TAIL_STEPS:
+        # DuckDB single-quoted strings pass backslashes through verbatim
+        tail = f"regexp_replace({tail}, '{pat}', '{repl}', 'g')"
+    return (
+        f"WITH dirty AS ({_URL_DIRT_SQL}), "
+        f"c AS (SELECT doc_id, {head} || {tail} AS canon FROM dirty) "
+        "SELECT canon, COUNT(*) AS n_docs, MIN(doc_id) AS first_id "
+        "FROM c GROUP BY canon ORDER BY canon"
+    )
+
+
+@query("q77_url_canonical_dedup", sql=_url_canon_sql())
+def q77_url_canonical_dedup(sf_dir: str):
+    """Frontier URL normalization + dedup: lowercase scheme/host, strip
+    :80, fragments and utm_* tracking params (the rewrite chain shared
+    verbatim with the oracle's RE2), then first-wins per canonical form.
+    Vectorized pandas str ops per batch; the exchange is one
+    canonical-cardinality groupby."""
+    from texrex_ray.functions.urlkit import canonical_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        canon = canonical_urls([_url_dirt(int(i)) for i in ids])
+        df = pd.DataFrame({"canon": canon, "i": np.asarray(ids, dtype=np.int64)})
+        g = df.groupby("canon", sort=False)["i"].agg(["size", "min"]).reset_index()
+        return pa.table(
+            {
+                "canon": pa.array(g["canon"].tolist(), pa.string()),
+                "pn": pa.array(g["size"].to_numpy(dtype=np.int64)),
+                "pm": pa.array(g["min"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("canon")
+        .aggregate(Sum("pn", alias_name="n_docs"), Min("pm", alias_name="first_id"))
+        .to_pandas()
+        .sort_values("canon")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["first_id"] = out["first_id"].astype("int64")
+    return out[["canon", "n_docs", "first_id"]]
