@@ -3836,3 +3836,93 @@ def q77_url_canonical_dedup(sf_dir: str):
     out["n_docs"] = out["n_docs"].astype("int64")
     out["first_id"] = out["first_id"].astype("int64")
     return out[["canon", "n_docs", "first_id"]]
+
+# --------------------------------------------------------------------------
+# Similarity-clustered storage order (sort by SimHash, adjacent distance)
+# --------------------------------------------------------------------------
+
+_SIMHASH_FIX2 = "/root/repo/tests/fixtures/oracle/simhash_sig_sf0.01.parquet"
+
+
+@query(
+    "q78_storage_order",
+    sql=f"""
+    WITH s AS (SELECT doc_id, simhash FROM read_parquet('{_SIMHASH_FIX2}')),
+    a AS (SELECT bit_count(xor(simhash,
+              lag(simhash) OVER (ORDER BY simhash, doc_id))) AS d FROM s),
+    b AS (SELECT bit_count(xor(simhash,
+              lag(simhash) OVER (ORDER BY doc_id))) AS d FROM s)
+    SELECT CAST((SELECT SUM(d) FROM a) AS BIGINT) AS sorted_total,
+           CAST((SELECT SUM(d) FROM b) AS BIGINT) AS idorder_total
+    """,
+)
+def q78_storage_order(sf_dir: str):
+    """Similarity-clustered layout: writing docs in SimHash order places
+    near-duplicates adjacently (better column compression, better dedup
+    locality).  The evidence is the total adjacent Hamming distance in
+    signature order vs id order — computed scale-correctly: after the
+    sort, each block contributes a LOCAL pair sum plus its boundary
+    signatures (q50-style block summaries); the driver only chains the
+    block boundaries.  Signed-int64 sig ordering matches the SQL BIGINT
+    sort."""
+    from texrex_ray.dedup.lsh import popcount64
+    from texrex_ray.functions.hashing import simhash64
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in t["text"].to_pylist()]
+        # 3-gram shingles — identical preprocessing to the committed sig
+        # fixture (tools/gen_oracle_fixtures.py::gen_simhash_signatures)
+        grams = [
+            [" ".join(tk[i : i + 3]) for i in range(max(0, len(tk) - 2))]
+            for tk in toks
+        ]
+        sig = simhash64(grams).view(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "sig": pa.array(sig, pa.int64())}
+        )
+
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    def adjacent_total(sorted_ds, keys) -> int:
+        s = sorted_ds.sort(keys).materialize()
+
+        def summary(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"lo": pa.array([], pa.int64()),
+                                 "first": pa.array([], pa.int64()),
+                                 "last": pa.array([], pa.int64()),
+                                 "local": pa.array([], pa.int64())})
+            v = t["sig"].to_numpy(zero_copy_only=False)
+            k = t[keys[0]].to_numpy(zero_copy_only=False)
+            local = int(
+                popcount64((v[1:].view(np.uint64) ^ v[:-1].view(np.uint64))).sum()
+            ) if len(v) > 1 else 0
+            return pa.table(
+                {"lo": pa.array([int(k[0])], pa.int64()),
+                 "first": pa.array([int(v[0])], pa.int64()),
+                 "last": pa.array([int(v[-1])], pa.int64()),
+                 "local": pa.array([local], pa.int64())}
+            )
+
+        parts = (
+            s.map_batches(summary, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+            .sort_values("lo")
+            .reset_index(drop=True)
+        )
+        total = int(parts["local"].sum())
+        for i in range(1, len(parts)):
+            x = (int(parts["last"].iloc[i - 1]) ^ int(parts["first"].iloc[i])) & (
+                (1 << 64) - 1
+            )
+            total += bin(x).count("1")
+        return total
+
+    sorted_total = adjacent_total(sigs, ["sig", "doc_id"])
+    idorder_total = adjacent_total(sigs, ["doc_id"])
+    return pd.DataFrame(
+        {"sorted_total": [sorted_total], "idorder_total": [idorder_total]}
+    ).astype("int64")
