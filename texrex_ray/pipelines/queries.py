@@ -3926,3 +3926,70 @@ def q78_storage_order(sf_dir: str):
     return pd.DataFrame(
         {"sorted_total": [sorted_total], "idorder_total": [idorder_total]}
     ).astype("int64")
+
+# --------------------------------------------------------------------------
+# Cross-modal alignment moments: caption length vs image resolution
+# --------------------------------------------------------------------------
+
+@query(
+    "q79_caption_alignment",
+    sql="""
+    SELECT fmt, COUNT(*) AS n_imgs,
+           CAST(SUM(LENGTH(caption)) AS BIGINT)           AS s_cap,
+           CAST(SUM(w * h) AS BIGINT)                     AS s_px,
+           CAST(SUM(LENGTH(caption) * w * h) AS BIGINT)   AS s_cappx
+    FROM read_parquet('/root/repo/tests/fixtures/oracle/image_harvest_sf0.01.parquet')
+    GROUP BY fmt ORDER BY fmt
+    """,
+)
+def q79_caption_alignment(sf_dir: str):
+    """Cross-modal dataset statistics over the harvested image+caption
+    table (the graft cell's A+B payload): per container format, the
+    exact integer moments (n, Σ|caption|, Σ pixels, Σ |caption|·pixels)
+    from which caption-length/resolution correlation — the alignment
+    filter signal — follows.  Same single-pass partial-moment shape as
+    q49; the exchange is fmt-cardinality rows."""
+    harvested = QUERIES["q44_image_harvest"](sf_dir)
+    if not isinstance(harvested, pd.DataFrame):
+        harvested = harvested.to_pandas()
+    ds = ray.data.from_pandas(harvested[["fmt", "caption", "w", "h"]])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "fmt": t["fmt"].to_pylist(),
+                "cap": pd.Series(t["caption"].to_pylist()).str.len().to_numpy(np.int64),
+                "px": (
+                    t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    * t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+        df["cappx"] = df["cap"] * df["px"]
+        g = df.groupby("fmt", sort=False).agg(
+            pn=("cap", "size"), pc=("cap", "sum"), pp=("px", "sum"), px2=("cappx", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "fmt": pa.array(g["fmt"].tolist(), pa.string()),
+                "pn": pa.array(g["pn"].to_numpy(dtype=np.int64)),
+                "pc": pa.array(g["pc"].to_numpy(dtype=np.int64)),
+                "pp": pa.array(g["pp"].to_numpy(dtype=np.int64)),
+                "px2": pa.array(g["px2"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("pn", alias_name="n_imgs"), Sum("pc", alias_name="s_cap"),
+            Sum("pp", alias_name="s_px"), Sum("px2", alias_name="s_cappx"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_imgs", "s_cap", "s_px", "s_cappx"):
+        out[c] = out[c].astype("int64")
+    return out[["fmt", "n_imgs", "s_cap", "s_px", "s_cappx"]]
