@@ -88,3 +88,15 @@ def test_cli_cowtools_and_tenet(tmp_path):
 
     w = _run("tenet", str(tmp_path / "w.json"), "--n-docs", "200", "--epochs", "120")
     assert w["precision"] > 0.8 and w["recall"] > 0.8
+
+
+def test_cli_release_scrubs_and_filters(tmp_path):
+    r = _run("release", SF, str(tmp_path / "rel"))
+    assert r["rows_in"] == 500
+    assert 0 < r["rows_out"] <= 500
+    assert r["pii_redactions"] == 0  # synthetic docs carry no PII
+    files = glob.glob(str(tmp_path / "rel" / "*.parquet"))
+    assert files
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    assert {"n_email", "n_phone", "n_ip"} <= set(t.column_names)
+    assert t.num_rows == r["rows_out"]

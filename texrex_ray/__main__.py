@@ -285,6 +285,53 @@ def cmd_tenet(args) -> dict:
     }
 
 
+def cmd_release(args) -> dict:
+    """Corpus-release pass: PII scrub + Gopher repetition gate +
+    mostly-duplicated-document drop (segment keep-first), writing a
+    release-ready parquet corpus plus a summary.  The per-doc work is
+    one fused map_batches sweep; the segment dedup contributes the only
+    corpus-wide exchange."""
+    ray = _ray()
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from texrex_ray.dedup.segments import segment_dedup_counts
+    from texrex_ray.functions.pii import redact_pii
+    from texrex_ray.functions.repetition import repetition_stats
+
+    ds = ray.data.read_parquet(args.input)
+    rows_in = ds.count()
+
+    seg = segment_dedup_counts(ds, n=args.segment_n).to_pandas()
+    dup_ids = seg.loc[seg["n_kept"] * 2 < seg["n_segs"], "doc_id"]
+    drop_ref = ray.put(_pa.array(sorted(int(i) for i in dup_ids), _pa.int64()))
+
+    def stage(t: _pa.Table) -> _pa.Table:
+        t = redact_pii(t, "text")
+        r = repetition_stats(t)
+        keep = r["keep"].to_numpy(zero_copy_only=False).astype(bool)
+        not_dup = ~_pc.is_in(t["doc_id"], value_set=ray.get(drop_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(_pa.array(keep & not_dup))
+
+    out = ds.map_batches(stage, batch_format="pyarrow")
+    out.write_parquet(args.out)
+
+    released = ray.data.read_parquet(
+        args.out, columns=["n_email", "n_phone", "n_ip"]
+    ).to_pandas()
+    return {
+        "rows_in": int(rows_in),
+        "rows_out": int(len(released)),
+        "dropped_dup": int(len(dup_ids)),
+        "pii_redactions": int(released.to_numpy().sum()),
+        "out": args.out,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="texrex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -295,6 +342,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--config", default=None,
                    help="INI chain config (reference texrex.ini equivalent)")
     s.set_defaults(fn=cmd_texrex)
+
+    s = sub.add_parser(
+        "release",
+        help="corpus-release pass: PII scrub + repetition gate + dup drop",
+    )
+    s.add_argument("input"); s.add_argument("out")
+    s.add_argument("--segment-n", type=int, default=3)
+    s.set_defaults(fn=cmd_release)
 
     s = sub.add_parser("clarax", help="random-walk crawl (synthetic web)")
     s.add_argument("out")
