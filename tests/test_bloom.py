@@ -104,3 +104,32 @@ def test_corpus_index_manifest_is_commit_marker(ray_session, tmp_path):
     p = HashIndexProbe(d)
     out = p(pa.table({"h": pa.array([2, 9], pa.uint64())}))
     assert out["known"].to_pylist() == [1, 0]
+
+
+def test_corpus_index_incremental_update(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.state.corpus_index import (
+        HashIndexProbe,
+        build_hash_index,
+        update_hash_index,
+    )
+
+    rng = np.random.default_rng(11)
+    a = np.unique(rng.integers(0, 2**63, size=3000, dtype=np.uint64))
+    b = np.unique(rng.integers(2**63, 2**64 - 1, size=2000, dtype=np.uint64))
+    d = str(tmp_path / "idx")
+    build_hash_index(ray.data.from_arrow(pa.table({"h": pa.array(a, pa.uint64())})), d, n_shards=8)
+    m = update_hash_index(ray.data.from_arrow(pa.table({"h": pa.array(b, pa.uint64())})), d)
+    assert m["n_hashes"].sum() == len(a) + len(b)  # disjoint ranges: pure union
+
+    p = HashIndexProbe(d)
+    both = np.concatenate([a[:50], b[:50]])
+    out = p(pa.table({"h": pa.array(both, pa.uint64())}))
+    assert all(out["known"].to_pylist())
+    # idempotent: re-applying the same update changes nothing
+    m2 = update_hash_index(
+        ray.data.from_arrow(pa.table({"h": pa.array(b, pa.uint64())})), d
+    )
+    assert m2["n_hashes"].sum() == len(a) + len(b)

@@ -128,3 +128,63 @@ class HashIndexProbe:
                 idx = np.searchsorted(arr, v).clip(max=len(arr) - 1)
                 known[m] = (arr[idx] == v).astype(np.int64)
         return batch.append_column(self.flag_col, pa.array(known))
+
+
+def update_hash_index(
+    ds: ray.data.Dataset, index_dir: str, hash_col: str = "h"
+) -> pd.DataFrame:
+    """Merge a new shard's hashes INTO an existing index (no rebuild).
+
+    The ingest loop's final step: probe → keep novel docs → append them
+    to the corpus → ``update_hash_index`` with their hashes.  Each
+    affected index shard is read, unioned, sorted and atomically
+    replaced inside the same ``groupby(shard)`` task layout as the
+    build; the manifest is rewritten LAST with updated counts.  The
+    update is idempotent (a union), so a crash mid-update is repaired by
+    re-running it; a probe racing a crashed update can at worst miss
+    hashes of shards the OLD manifest did not list — never a false
+    positive.
+    """
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        meta = json.load(f)
+    n_shards = int(meta["n_shards"])
+    counts = {int(s["shard"]): int(s["n_hashes"]) for s in meta["shards"]}
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = np.asarray(t[hash_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return pa.table(
+            {"h": pa.array(h, pa.uint64()),
+             "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64))}
+        )
+
+    def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        shard = int(df["shard"].iloc[0])
+        new = df["h"].to_numpy().astype(np.uint64)
+        path = os.path.join(index_dir, f"shard_{shard:05d}.parquet")
+        if os.path.exists(path):
+            old = pq.read_table(path).column("h").to_numpy().astype(np.uint64)
+            h = np.union1d(old, new)
+        else:
+            h = np.unique(new)
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"h": pa.array(h, pa.uint64())}), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "n_hashes": [len(h)]})
+
+    updated = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    for _, row in updated.iterrows():
+        counts[int(row["shard"])] = int(row["n_hashes"])
+    manifest = pd.DataFrame(
+        sorted(counts.items()), columns=["shard", "n_hashes"]
+    )
+    meta = {"n_shards": n_shards, "shards": manifest.to_dict("records")}
+    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+    return manifest
