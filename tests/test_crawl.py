@@ -241,7 +241,7 @@ def test_rank_priority_crawl_deterministic_and_rank_sensitive(ray_session):
     from texrex_ray.sources.webgraph import make_webgraph
 
     g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
-    # a deliberately skewed static bias: host 0 boosted far above any degree
+    # a deliberately skewed static bias: the lexically last host boosted far above any degree
     hosts = sorted({p.host for p in g.pages.values()})
     scores = {hosts[-1]: 10_000_000}
 

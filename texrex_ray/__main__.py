@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -301,6 +302,14 @@ def cmd_release(args) -> dict:
     from texrex_ray.functions.pii import redact_pii
     from texrex_ray.functions.repetition import repetition_stats
 
+    import glob as _glob
+    import sys as _sys
+
+    if _glob.glob(os.path.join(args.out, "*.parquet")):
+        print(f"release: output dir {args.out} already contains parquet; "
+              "refusing to mix runs", file=_sys.stderr)
+        raise SystemExit(2)
+
     ds = ray.data.read_parquet(args.input)
     rows_in = ds.count()
 
@@ -320,14 +329,23 @@ def cmd_release(args) -> dict:
     out = ds.map_batches(stage, batch_format="pyarrow")
     out.write_parquet(args.out)
 
-    released = ray.data.read_parquet(
-        args.out, columns=["n_email", "n_phone", "n_ip"]
-    ).to_pandas()
+    # redaction total over the WHOLE input (dropped docs were scrubbed too)
+    def pii_partial(t: _pa.Table) -> _pa.Table:
+        r = redact_pii(t, "text")
+        n = sum(
+            int(_pc.sum(r[c]).as_py() or 0) for c in ("n_email", "n_phone", "n_ip")
+        )
+        return _pa.table({"n": _pa.array([n], _pa.int64())})
+
+    total_pii = int(
+        ds.map_batches(pii_partial, batch_format="pyarrow").to_pandas()["n"].sum()
+    )
+    rows_out = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
     return {
         "rows_in": int(rows_in),
-        "rows_out": int(len(released)),
+        "rows_out": int(rows_out),
         "dropped_dup": int(len(dup_ids)),
-        "pii_redactions": int(released.to_numpy().sum()),
+        "pii_redactions": total_pii,
         "out": args.out,
     }
 

@@ -152,7 +152,7 @@ def canonical_urls(urls) -> "pd.Series":
 
     s = pd.Series(urls, dtype="object").fillna("")
     head = s.str.extract(f"({URL_HEAD_RE})", expand=False).fillna("")
-    tail = s.str.slice(start=0).str.replace(URL_HEAD_RE, "", regex=True)
+    tail = s.str.replace(URL_HEAD_RE, "", regex=True)
     head = head.str.lower().str.replace(r":80$", "", regex=True)
     for pat, repl in URL_CANON_TAIL_STEPS:
         tail = tail.str.replace(pat, repl, regex=True)

@@ -3587,8 +3587,11 @@ def q74_corpus_card(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         txt = t["text"].to_pylist()
+        # NULL text: SQL's SUM skips the NULL n_toks — adding 0 is identical
         n_toks = np.fromiter(
-            ((s or "").count(" ") + 1 for s in txt), dtype=np.int64, count=len(txt)
+            (0 if s is None else s.count(" ") + 1 for s in txt),
+            dtype=np.int64,
+            count=len(txt),
         )
         df = pd.DataFrame(
             {
@@ -3718,7 +3721,9 @@ def q76_vocab_attribution(sf_dir: str):
         for i, src_, s in zip(
             t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist()
         ):
-            parts = (s or "").split(" ")
+            if s is None:  # SQL unnest(string_split(NULL)) emits no rows
+                continue
+            parts = s.split(" ")
             toks.extend(parts)
             ids.extend([i] * len(parts))
             srcs.extend([src_] * len(parts))
@@ -3841,13 +3846,10 @@ def q77_url_canonical_dedup(sf_dir: str):
 # Similarity-clustered storage order (sort by SimHash, adjacent distance)
 # --------------------------------------------------------------------------
 
-_SIMHASH_FIX2 = "/root/repo/tests/fixtures/oracle/simhash_sig_sf0.01.parquet"
-
-
 @query(
     "q78_storage_order",
     sql=f"""
-    WITH s AS (SELECT doc_id, simhash FROM read_parquet('{_SIMHASH_FIX2}')),
+    WITH s AS (SELECT doc_id, simhash FROM read_parquet('{_SIMHASH_FIX}')),
     a AS (SELECT bit_count(xor(simhash,
               lag(simhash) OVER (ORDER BY simhash, doc_id))) AS d FROM s),
     b AS (SELECT bit_count(xor(simhash,
@@ -3892,25 +3894,30 @@ def q78_storage_order(sf_dir: str):
         def summary(t: pa.Table) -> pa.Table:
             if len(t) == 0:
                 return pa.table({"lo": pa.array([], pa.int64()),
+                                 "lo_id": pa.array([], pa.int64()),
                                  "first": pa.array([], pa.int64()),
                                  "last": pa.array([], pa.int64()),
                                  "local": pa.array([], pa.int64())})
             v = t["sig"].to_numpy(zero_copy_only=False)
             k = t[keys[0]].to_numpy(zero_copy_only=False)
+            i0 = t["doc_id"].to_numpy(zero_copy_only=False)
             local = int(
                 popcount64((v[1:].view(np.uint64) ^ v[:-1].view(np.uint64))).sum()
             ) if len(v) > 1 else 0
             return pa.table(
                 {"lo": pa.array([int(k[0])], pa.int64()),
+                 "lo_id": pa.array([int(i0[0])], pa.int64()),
                  "first": pa.array([int(v[0])], pa.int64()),
                  "last": pa.array([int(v[-1])], pa.int64()),
                  "local": pa.array([local], pa.int64())}
             )
 
+        # sort by (first sort key, first doc_id): ties in the sig key can
+        # straddle blocks, and doc_id (unique) pins the global block order
         parts = (
             s.map_batches(summary, batch_format="pyarrow", batch_size=None)
             .to_pandas()
-            .sort_values("lo")
+            .sort_values(["lo", "lo_id"])
             .reset_index(drop=True)
         )
         total = int(parts["local"].sum())
@@ -3958,7 +3965,10 @@ def q79_caption_alignment(sf_dir: str):
         df = pd.DataFrame(
             {
                 "fmt": t["fmt"].to_pylist(),
-                "cap": pd.Series(t["caption"].to_pylist()).str.len().to_numpy(np.int64),
+                "cap": pd.Series(t["caption"].to_pylist())
+                .str.len()
+                .fillna(0)  # NULL caption: SQL SUM skips it, == adding 0
+                .to_numpy(np.int64),
                 "px": (
                     t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
                     * t["h"].to_numpy(zero_copy_only=False).astype(np.int64)

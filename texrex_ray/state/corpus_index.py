@@ -41,6 +41,36 @@ import ray.data
 MANIFEST = "_MANIFEST.json"
 
 
+def _shard_rows(hash_col: str, n_shards: int):
+    """map_batches fn: (h uint64, shard = h % n_shards) — the ONE routing
+    key shared by build and update (diverging keys would silently route
+    updated hashes to different shards than the build)."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = np.asarray(t[hash_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return pa.table(
+            {"h": pa.array(h, pa.uint64()),
+             "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64))}
+        )
+
+    return add_shard
+
+
+def _write_shard_file(index_dir: str, shard: int, h: np.ndarray) -> None:
+    path = os.path.join(index_dir, f"shard_{shard:05d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"h": pa.array(h, pa.uint64())}), tmp)
+    os.replace(tmp, path)
+
+
+def _write_manifest(index_dir: str, n_shards: int, manifest: pd.DataFrame) -> None:
+    meta = {"n_shards": n_shards, "shards": manifest.to_dict("records")}
+    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+
+
 def build_hash_index(
     ds: ray.data.Dataset, index_dir: str, hash_col: str = "h", n_shards: int = 64
 ) -> pd.DataFrame:
@@ -52,35 +82,21 @@ def build_hash_index(
     """
     os.makedirs(index_dir, exist_ok=True)
 
-    def add_shard(t: pa.Table) -> pa.Table:
-        h = np.asarray(t[hash_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
-        return pa.table(
-            {"h": pa.array(h, pa.uint64()),
-             "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64))}
-        )
-
     def write_shard(df: pd.DataFrame) -> pd.DataFrame:
         shard = int(df["shard"].iloc[0])
         h = np.unique(df["h"].to_numpy().astype(np.uint64))
-        path = os.path.join(index_dir, f"shard_{shard:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(pa.table({"h": pa.array(h, pa.uint64())}), tmp)
-        os.replace(tmp, path)
+        _write_shard_file(index_dir, shard, h)
         return pd.DataFrame({"shard": [shard], "n_hashes": [len(h)]})
 
     manifest = (
-        ds.map_batches(add_shard, batch_format="pyarrow")
+        ds.map_batches(_shard_rows(hash_col, n_shards), batch_format="pyarrow")
         .groupby("shard")
         .map_groups(write_shard, batch_format="pandas")
         .to_pandas()
         .sort_values("shard")
         .reset_index(drop=True)
     )
-    meta = {"n_shards": n_shards, "shards": manifest.to_dict("records")}
-    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+    _write_manifest(index_dir, n_shards, manifest)
     return manifest
 
 
@@ -150,13 +166,6 @@ def update_hash_index(
     n_shards = int(meta["n_shards"])
     counts = {int(s["shard"]): int(s["n_hashes"]) for s in meta["shards"]}
 
-    def add_shard(t: pa.Table) -> pa.Table:
-        h = np.asarray(t[hash_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
-        return pa.table(
-            {"h": pa.array(h, pa.uint64()),
-             "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64))}
-        )
-
     def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
         shard = int(df["shard"].iloc[0])
         new = df["h"].to_numpy().astype(np.uint64)
@@ -166,13 +175,11 @@ def update_hash_index(
             h = np.union1d(old, new)
         else:
             h = np.unique(new)
-        tmp = path + ".tmp"
-        pq.write_table(pa.table({"h": pa.array(h, pa.uint64())}), tmp)
-        os.replace(tmp, path)
+        _write_shard_file(index_dir, shard, h)
         return pd.DataFrame({"shard": [shard], "n_hashes": [len(h)]})
 
     updated = (
-        ds.map_batches(add_shard, batch_format="pyarrow")
+        ds.map_batches(_shard_rows(hash_col, n_shards), batch_format="pyarrow")
         .groupby("shard")
         .map_groups(merge_shard, batch_format="pandas")
         .to_pandas()
@@ -182,9 +189,5 @@ def update_hash_index(
     manifest = pd.DataFrame(
         sorted(counts.items()), columns=["shard", "n_hashes"]
     )
-    meta = {"n_shards": n_shards, "shards": manifest.to_dict("records")}
-    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+    _write_manifest(index_dir, n_shards, manifest)
     return manifest
