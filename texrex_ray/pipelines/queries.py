@@ -4003,3 +4003,81 @@ def q79_caption_alignment(sf_dir: str):
     for c in ("n_imgs", "s_cap", "s_px", "s_cappx"):
         out[c] = out[c].astype("int64")
     return out[["fmt", "n_imgs", "s_cap", "s_px", "s_cappx"]]
+
+# --------------------------------------------------------------------------
+# Signed random projection (cosine-LSH) codes for embeddings
+# --------------------------------------------------------------------------
+
+@query(
+    "q80_srp_codes",
+    sql="""
+    WITH bits AS (SELECT unnest(range(0, 16)) AS i),
+    dims AS (SELECT unnest(range(1, 65)) AS j),
+    r AS (SELECT i, j,
+                 CASE WHEN md5_number_lower(i || ':' || j) % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM bits, dims),
+    x AS (SELECT vec_id,
+                 CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi,
+                 dim
+          FROM (SELECT vec_id, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings)),
+    si AS (SELECT x.vec_id, r.i, SUM(x.vi * r.s) AS s
+           FROM x JOIN r ON r.j = x.dim GROUP BY 1, 2)
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                AS BIGINT) AS code
+    FROM si GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q80_srp_codes(sf_dir: str):
+    """Signed-random-projection LSH for cosine similarity (Charikar 2002):
+    each embedding gets a 16-bit code whose bits are the signs of dot
+    products with ±1 random hyperplanes — near-parallel vectors collide
+    in Hamming space, making the codes a drop-in signature column for
+    ``hamming_pairs``.  Determinism is total: the hyperplane signs come
+    from ``md5_lower64(bit:dim)`` and the elements are scaled to int64
+    BEFORE the dot product (q69's trick), so the sign decisions are
+    exact-integer and bit-identical to the SQL oracle's join-and-sum.
+    One zero-copy map_batches pass; no shuffle at all."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    BITS, D = 16, 64
+    keys = [f"{i}:{j}" for i in range(BITS) for j in range(1, D + 1)]
+    # (D, BITS): +1 where md5(bit:dim) is even, -1 where odd — the SQL CASE
+    R = (1 - 2 * (md5_lower64(keys) % np.uint64(2)).astype(np.int64)).reshape(
+        BITS, D
+    ).T
+    r_ref = ray.put(R)
+
+    def codes(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "code": pa.array([], pa.int64())}
+            )
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        vi = np.floor(flat.astype(np.float64).reshape(len(t), D) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        s = vi @ ray.get(r_ref)  # (n, BITS) exact int64 dot products
+        bits = (s > 0).astype(np.int64)
+        code = (bits << np.arange(BITS, dtype=np.int64)).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "code": pa.array(code, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(codes, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return out[["vec_id", "code"]]
