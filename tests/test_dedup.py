@@ -347,3 +347,33 @@ def test_segment_dedup_within_doc_first_position_wins(ray_session):
     out = segment_dedup_counts(ds, n=3).to_pandas()
     assert out["n_segs"].tolist() == [2]
     assert out["n_kept"].tolist() == [1]
+
+
+def test_srp_codes_cluster_near_parallel_vectors(ray_session, tmp_path):
+    """SRP codes from q80's construction put near-parallel vectors within
+    a small Hamming distance and anti-parallel ones far apart."""
+    import pyarrow.parquet as pq_
+
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64).astype(np.float32)
+    rows = {
+        "vec_id": [1, 2, 3],
+        "embedding": [
+            base.tolist(),
+            (base + rng.normal(scale=0.01, size=64).astype(np.float32)).tolist(),
+            (-base).tolist(),
+        ],
+        "label": [0, 0, 0],
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(
+        __import__("pyarrow").table(rows), str(d / "embeddings.parquet")
+    )
+    out = QUERIES["q80_srp_codes"](str(d)).set_index("vec_id")["code"]
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(out[1], out[2]) <= 2       # near-parallel: almost same code
+    assert ham(out[1], out[3]) >= 14      # anti-parallel: almost all bits flip
