@@ -4081,3 +4081,49 @@ def q80_srp_codes(sf_dir: str):
         .reset_index(drop=True)
     )
     return out[["vec_id", "code"]]
+
+# --------------------------------------------------------------------------
+# Windowed distinct users (sliding window × exact distinct-count)
+# --------------------------------------------------------------------------
+
+@query(
+    "q81_window_distinct",
+    sql="""
+    WITH e AS (SELECT user_id,
+                      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+               FROM events),
+    hop AS (SELECT user_id, h - 3600 * k AS window_start
+            FROM e, UNNEST([0, 1, 2]) AS t(k))
+    SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM hop GROUP BY window_start ORDER BY window_start
+    """,
+)
+def q81_window_distinct(sf_dir: str):
+    """Sliding-window distinct users: the hop-window expand
+    (``ops/window.py``) composed with an exact distributed distinct —
+    one ``bucketed_groupby`` on window_start where a vectorized
+    ``nunique`` finishes each window.  The streaming-analytics staple
+    (3-hour windows advancing hourly), with the window fan-out factor
+    independent of data volume."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.ops.window import hop_window
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    hopped = hop_window(ds, "ts", size_s=3 * 3600, step_s=3600).select_columns(
+        ["window_start", "user_id"]
+    )
+
+    def nun(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("window_start")["user_id"].nunique().reset_index(name="n_users")
+        )
+
+    out = (
+        bucketed_groupby(hopped, "window_start", nun)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    out["window_start"] = out["window_start"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["window_start", "n_users"]]
