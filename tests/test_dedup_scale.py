@@ -129,3 +129,108 @@ def test_corpus_index_10x_probe_agrees_with_broadcast_set(ray_session, tmp_path)
         .to_pandas()
     )
     assert (flagged["known"] == 1).all()
+
+
+def _brute_hamming_pairs(sigs: np.ndarray, max_hamming: int) -> set:
+    """Ground truth: all (i, j, d) with i < j and popcount(xor) ≤ radius."""
+    from texrex_ray.dedup.lsh import popcount64
+
+    m = len(sigs)
+    i, j = np.triu_indices(m, k=1)
+    d = popcount64(sigs[i] ^ sigs[j])
+    keep = d <= max_hamming
+    return set(zip(i[keep].tolist(), j[keep].tolist(), d[keep].tolist()))
+
+
+def _sig_ds(sigs: np.ndarray):
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(sigs), dtype=np.int64)),
+                "simhash": pa.array(sigs),
+            }
+        )
+    )
+
+
+def test_hamming_pairs_finds_pair_inside_oversized_bucket(ray_session):
+    """A true pair planted in a top-level bucket far larger than max_bucket
+    must survive the recursive split (the round-2 code silently returned
+    empty for such buckets)."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+
+    rng = np.random.default_rng(7)
+    n = 300
+    sigs = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    # force everyone into ONE top-level bucket: block 0 of the d=4 scheme
+    # covers bits 0..12 — zero them for all docs
+    sigs &= ~np.uint64(0x1FFF)
+    # plant a true pair at Hamming 3 (bits far from the shared block)
+    sigs[137] = sigs[42] ^ (
+        (np.uint64(1) << np.uint64(50))
+        | (np.uint64(1) << np.uint64(55))
+        | (np.uint64(1) << np.uint64(60))
+    )
+    want = _brute_hamming_pairs(sigs, 4)
+    assert (42, 137, 3) in want
+
+    got = hamming_pairs(_sig_ds(sigs), max_hamming=4, max_bucket=32).to_pandas()
+    got_set = set(zip(got["id_a"].tolist(), got["id_b"].tolist(), got["hamming"].tolist()))
+    assert got_set == want
+
+
+def test_hamming_pairs_identical_cluster_terminates_output_sized(ray_session):
+    """An all-identical-signature cluster larger than max_bucket cannot be
+    split on any bit; the recursion must terminate and emit all C(m,2)
+    genuine pairs (output-sized work) instead of looping or dropping."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+
+    m = 120
+    sigs = np.full(m, np.uint64(0xDEADBEEFCAFEF00D))
+    got = hamming_pairs(_sig_ds(sigs), max_hamming=4, max_bucket=16).to_pandas()
+    assert len(got) == m * (m - 1) // 2
+    assert (got["hamming"] == 0).all()
+
+
+def test_hamming_pairs_groupby_combine_matches_single(ray_session):
+    """The keyed-groupby pair-dedup fallback (the >5M-pairs path) must be
+    row-identical to the single-combine default."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 2**64, size=60, dtype=np.uint64)
+    # add near-dups of the first 20
+    flips = (np.uint64(1) << rng.integers(0, 64, size=20).astype(np.uint64))
+    sigs = np.concatenate([base, base[:20] ^ flips])
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["hamming"]))
+
+    single = hamming_pairs(_sig_ds(sigs), max_hamming=6, combine="single").to_pandas()
+    grouped = hamming_pairs(_sig_ds(sigs), max_hamming=6, combine="groupby").to_pandas()
+    assert key(single) == key(grouped)
+    assert key(single) == sorted(_brute_hamming_pairs(sigs, 6))
+
+
+def test_hamming_pairs_invariant_to_max_bucket(ray_session):
+    """max_bucket is a work-shaping knob, never a result knob: forcing
+    aggressive splits must not change the pair set."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+
+    rng = np.random.default_rng(13)
+    clusters = rng.integers(0, 2**64, size=12, dtype=np.uint64)
+    # 12 clusters × 25 members, each member ≤ 2 bit-flips from its center
+    sigs = []
+    for c in clusters:
+        for _ in range(25):
+            s = np.uint64(c)
+            for b in rng.integers(0, 64, size=int(rng.integers(0, 3))):
+                s ^= np.uint64(1) << np.uint64(b)
+            sigs.append(s)
+    sigs = np.array(sigs, dtype=np.uint64)
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["hamming"]))
+
+    loose = hamming_pairs(_sig_ds(sigs), max_hamming=5, max_bucket=8192).to_pandas()
+    tight = hamming_pairs(_sig_ds(sigs), max_hamming=5, max_bucket=8).to_pandas()
+    assert key(loose) == key(tight)
+    assert key(loose) == sorted(_brute_hamming_pairs(sigs, 5))

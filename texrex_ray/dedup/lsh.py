@@ -14,6 +14,8 @@ crawl corpus' 32-hex md5 string ids both compose).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -24,6 +26,8 @@ from ray.data.aggregate import Count, Max, Min
 
 from texrex_ray.functions.hashing import hash64, minhash_signatures, simhash64
 from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+_LOG = logging.getLogger("texrex_ray.dedup.lsh")
 
 
 def popcount64(v: np.ndarray) -> np.ndarray:
@@ -192,7 +196,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 12,
     shingle_n: int = 3,
-    max_bucket: int = 100_000,
+    max_bucket: int = 8192,
 ) -> ray.data.Dataset:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -221,33 +225,97 @@ def simhash_pairs(
     )
 
 
+def _gather_bits(sig: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """Pack the signature bits at ``positions`` into one small int per row."""
+    out = np.zeros(len(sig), dtype=np.int64)
+    one = np.uint64(1)
+    for i, p in enumerate(positions):
+        out |= (((sig >> np.uint64(int(p))) & one).astype(np.int64) << i)
+    return out
+
+
+def _emit_close_pairs(
+    sig: np.ndarray,
+    ids: np.ndarray,
+    max_hamming: int,
+    out: list,
+    *,
+    chunk_a: int = 512,
+    chunk_b: int = 4096,
+) -> None:
+    """Append all (id_a, id_b, hamming) with hamming ≤ radius to ``out``.
+
+    Chunked block-vs-tail sweep: memory stays ≤ chunk_a × chunk_b uint64
+    temporaries regardless of bucket size (a triu over the whole bucket
+    would allocate O(m²) index arrays — 537 MB at m = 8192)."""
+    m = len(sig)
+    for s in range(0, m, chunk_a):
+        e = min(s + chunk_a, m)
+        blk_sig, blk_ids = sig[s:e], ids[s:e]
+        # pairs (i < j) with i in [s, e) and j in [i+1, m), j chunked
+        for s2 in range(s, m, chunk_b):
+            e2 = min(s2 + chunk_b, m)
+            d = popcount64(blk_sig[:, None] ^ sig[None, s2:e2])
+            ii, jj = np.nonzero(d <= max_hamming)
+            jj_abs = jj + s2
+            keep = (s + ii) < jj_abs  # strict upper triangle in global index
+            if keep.any():
+                a, b = blk_ids[ii[keep]], ids[jj_abs[keep]]
+                swap = a > b
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.where(swap, b, a),
+                            "id_b": np.where(swap, a, b),
+                            "hamming": d[ii[keep], jj[keep]].astype(np.int64),
+                        }
+                    )
+                )
+
+
 def hamming_pairs(
     ds: ray.data.Dataset,
     *,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
     max_hamming: int = 12,
-    max_bucket: int = 100_000,
+    max_bucket: int = 8192,
+    combine: str = "auto",
+    expected_pairs: int | None = None,
 ) -> ray.data.Dataset:
     """All pairs with Hamming(sig) ≤ max_hamming over ANY precomputed
     64-bit signature column (SimHash, image pHash, audio fingerprints).
 
-    Candidate generation uses ``max_hamming + 1`` disjoint bit blocks:
-    two signatures within Hamming ≤ d differ in at most d blocks, so with
-    d+1 blocks at least one block matches exactly (pigeonhole) —
-    candidate generation is COMPLETE for the advertised radius, fixing
-    the 4-block scheme that only guaranteed d ≤ 3.  Wider radii mean
-    narrower blocks (64 // (d+1) bits) and thus coarser buckets; at
-    corpus scale prefer d ≤ 7 (8-bit blocks).  Exact Hamming
-    verification runs vectorized inside each bucket group; everything is
-    a Dataset — nothing corpus-sized touches the driver.
+    Candidate generation is a COMPLETE multi-index Hamming search
+    (pigeonhole: signatures within Hamming ≤ d agree exactly on at least
+    one of any d+1 disjoint bit blocks).  The corpus first buckets on
+    ``d+1`` top-level blocks covering all 64 bits; a bucket larger than
+    ``max_bucket`` is then RECURSIVELY split inside its group task by
+    re-applying the pigeonhole over the still-unmatched bit positions —
+    constant positions (where every member agrees) are eliminated first,
+    which both guarantees progress (every retained position splits the
+    bucket) and terminates cleanly: once fewer than d+1 unmatched
+    positions remain, every pair in the bucket is within radius by
+    construction and is emitted directly.  Nothing is ever silently
+    dropped, and no bucket pays an all-pairs scan larger than
+    ``max_bucket`` unless its members are GENUINELY mutual near-dups
+    (output-sized work; a warning with the bucket size is logged).  Each
+    split is counted and logged per group task.
+
+    Wider radii still cost more (each recursion level fans a doc into
+    d+1 sub-buckets); prefer d ≤ 15 at corpus scale.
+
+    ``combine`` picks the final pair-dedup exchange: ``"single"`` is one
+    combine task over the coalesced result-sized pair stream (default for
+    small expectations, measured 5× faster than a keyed shuffle at
+    sf0.1 — see tender.count_pairs); ``"groupby"`` is the keyed
+    ``groupby().map_groups`` exchange for pair volumes beyond one block
+    (``"auto"`` switches on ``expected_pairs`` > 5M).
 
     Returns a Dataset (id_a, id_b, hamming).
     """
+    assert 0 <= max_hamming < 64
     n_blocks = max_hamming + 1
-    width = 64 // n_blocks
-    assert width >= 1, "max_hamming must be < 64"
-    wmask = np.uint64((1 << width) - 1)
 
     if id_col != "doc_id" or sig_col != "simhash":
         ds = ds.map_batches(
@@ -257,15 +325,31 @@ def hamming_pairs(
             batch_format="pyarrow",
         )
 
+    # top-level blocks: contiguous, covering all 64 bits (widths w or w+1)
+    base_w, extra = divmod(64, n_blocks)
+    offsets, widths = [], []
+    off = 0
+    for blk in range(n_blocks):
+        w = base_w + (1 if blk < extra else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
+
     def block_rows(t: pa.Table) -> pa.Table:
         sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         parts = []
         for blk in range(n_blocks):
-            val = (sig >> np.uint64(width * blk)) & wmask
-            key = (np.int64(blk) << np.int64(width)) | val.astype(np.int64)
+            val = (sig >> np.uint64(offsets[blk])) & np.uint64((1 << widths[blk]) - 1)
+            if n_blocks >= 2:
+                # exact (blk, value) key: value < 2^33 << 2^58
+                key = (np.int64(blk) << np.int64(58)) | val.astype(np.int64)
+            else:
+                # d = 0: the single "block" is the whole signature
+                key = val.view(np.int64)
             parts.append(
                 pa.table(
-                    {"bkey": pa.array(key), "doc_id": t["doc_id"], "simhash": t["simhash"]}
+                    {"bkey": pa.array(key), "blk": pa.array(np.full(len(sig), blk, np.int8)),
+                     "doc_id": t["doc_id"], "simhash": t["simhash"]}
                 )
             )
         return pa.concat_tables(parts)
@@ -281,20 +365,119 @@ def hamming_pairs(
         )
         g = g.drop_duplicates("doc_id")
         m = len(g)
-        if m < 2 or m > max_bucket:
+        if m < 2:
             return empty
         sig = g["simhash"].to_numpy(dtype=np.uint64)
         ids = g["doc_id"].to_numpy()
-        i, j = np.triu_indices(m, k=1)
-        d = popcount64(sig[i] ^ sig[j])
-        keep = d <= max_hamming
-        if not keep.any():
+        blk = int(g["blk"].iloc[0])
+        # unmatched positions = everything outside the block this bucket
+        # was keyed on
+        positions = np.concatenate(
+            (
+                np.arange(0, offsets[blk]),
+                np.arange(offsets[blk] + widths[blk], 64),
+            )
+        )
+        out: list = []
+        n_splits = 0
+
+        def recurse(sig_: np.ndarray, ids_: np.ndarray, pos: np.ndarray) -> None:
+            nonlocal n_splits
+            m_ = len(sig_)
+            if m_ < 2:
+                return
+            if m_ > max_bucket and len(pos):
+                # eliminate positions where every member agrees (they can
+                # never split the bucket; removing them is what makes the
+                # recursion terminate on near-identical clusters)
+                varying = np.fromiter(
+                    (
+                        not (
+                            ((sig_ >> np.uint64(int(p))) & np.uint64(1))
+                            == ((sig_[0] >> np.uint64(int(p))) & np.uint64(1))
+                        ).all()
+                        for p in pos
+                    ),
+                    dtype=bool,
+                    count=len(pos),
+                )
+                pos = pos[varying]
+            if m_ <= max_bucket or len(pos) < n_blocks:
+                if m_ > max_bucket:
+                    # every pair here IS within radius (≤ len(pos) < d+1
+                    # unmatched bits): output-sized quadratic work, loudly
+                    _LOG.warning(
+                        "hamming_pairs: mutual near-dup cluster of %d docs "
+                        "(> max_bucket=%d) — emitting all C(m,2) pairs",
+                        m_,
+                        max_bucket,
+                    )
+                _emit_close_pairs(sig_, ids_, max_hamming, out)
+                return
+            # candidate split: d+1 sub-blocks over the unmatched positions
+            r = len(pos)
+            w_, e_ = divmod(r, n_blocks)
+            plans = []
+            child_work = 0
+            start = 0
+            for b in range(n_blocks):
+                bw = w_ + (1 if b < e_ else 0)
+                sub = pos[start : start + bw]
+                rest = np.concatenate((pos[:start], pos[start + bw :]))
+                start += bw
+                val = _gather_bits(sig_, sub)
+                order = np.argsort(val, kind="stable")
+                sv = val[order]
+                cuts = np.flatnonzero(sv[1:] != sv[:-1]) + 1
+                bounds = np.concatenate(([0], cuts, [m_]))
+                segs = [
+                    order[a_:b_]
+                    for a_, b_ in zip(bounds[:-1], bounds[1:])
+                    if b_ - a_ >= 2
+                ]
+                child_work += sum(len(s) * len(s) for s in segs)
+                plans.append((segs, rest))
+            # cost guard: descend only when the children's combined
+            # all-pairs bound is strictly cheaper than scanning this bucket
+            # now.  Uniformly-spread buckets shrink geometrically (ratio
+            # ~(d+1)/2^w → near-linear total); dense clusters whose split
+            # does not pay emit here — their pairs are mostly real, so the
+            # quadratic scan is output-sized work.  This bound is what
+            # prevents the exponential fan-out of blind recursion on
+            # clusters sitting just above max_bucket.
+            if child_work >= int(0.95 * m_ * m_):
+                if m_ > max_bucket:
+                    _LOG.warning(
+                        "hamming_pairs: dense bucket of %d docs resists "
+                        "splitting (child work %d ≥ %d) — all-pairs scan",
+                        m_,
+                        child_work,
+                        m_ * m_,
+                    )
+                _emit_close_pairs(sig_, ids_, max_hamming, out)
+                return
+            n_splits += 1
+            for segs, rest in plans:
+                for idx in segs:
+                    recurse(sig_[idx], ids_[idx], rest)
+
+        recurse(sig, ids, positions)
+        if n_splits:
+            _LOG.info(
+                "hamming_pairs: bucket of %d docs split %d times "
+                "(max_bucket=%d, radius=%d)",
+                m,
+                n_splits,
+                max_bucket,
+                max_hamming,
+            )
+        if not out:
             return empty
-        a, b = ids[i[keep]], ids[j[keep]]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"id_a": a2, "id_b": b2, "hamming": d[keep]})
+        df = pd.concat(out, ignore_index=True)
+        # splits re-discover the same pair along several block paths
+        return df.groupby(["id_a", "id_b"], sort=False, as_index=False)[
+            "hamming"
+        ].min()
 
     pairs = (
         ds.map_batches(block_rows, batch_format="pyarrow")
@@ -302,11 +485,23 @@ def hamming_pairs(
         .groupby("bkey")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+    pairs = pairs.select_columns(["id_a", "id_b", "hamming"])
 
-    # a pair can surface from several blocks: reduce to one row.  The pair
-    # stream is result-sized (near-dups only), so one combine task beats a
-    # second sort shuffle; a corpus expecting >~5M raw pair rows would use
-    # groupby(["id_a","id_b"]).aggregate(Min) here (see tender.count_pairs).
+    # a pair can surface from several top-level blocks: reduce to one row.
+    use_groupby = combine == "groupby" or (
+        combine == "auto" and expected_pairs is not None and expected_pairs > 5_000_000
+    )
+    if use_groupby:
+        # pair volume beyond one block: keyed exchange, same result
+        def min_hamming(gg: pd.DataFrame) -> pd.DataFrame:
+            return gg.groupby(
+                ["id_a", "id_b"], sort=False, as_index=False
+            )["hamming"].min()
+
+        return (
+            pairs.groupby("id_a").map_groups(min_hamming, batch_format="pandas")
+        )
+
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.groupby(["id_a", "id_b"], sort=False, as_index=False)["hamming"]
