@@ -415,3 +415,33 @@ def test_pagerank_edges_fixture_fresh(ray_session):
     g = make_webgraph(n_hosts=40, pages_per_host_base=12, n_seeds=8, seed=7)
     e = link_edges(g)
     assert list(zip(t["src"].to_pylist(), t["dst"].to_pylist())) == e
+
+
+def test_pagerank_shuffle_plan_matches_broadcast(ray_session):
+    """The distributed-rank-state plan (shuffle_join + bucketed_groupby per
+    iteration, nothing node-sized on the driver) must be bit-identical to
+    the broadcast plan — same integer algebra, different exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from texrex_ray.ops.graph import pagerank_int
+
+    fx = pq.read_table("/root/repo/tests/fixtures/oracle/pagerank_edges.parquet")
+    ds = ray.data.from_arrow(fx)
+    a = pagerank_int(ds, iters=3)
+    b = pagerank_int(ds, iters=3, plan="shuffle")
+    assert a.equals(b)
+
+    # 10× synthetic graph with dangling nodes and multi-edges
+    rng = np.random.default_rng(3)
+    n_nodes, n_edges = 1500, 30_000
+    srcs = [f"h{int(i)}" for i in rng.integers(0, n_nodes, n_edges)]
+    dsts = [f"h{int(i)}" for i in rng.integers(0, n_nodes + 50, n_edges)]
+    big = ray.data.from_arrow(
+        pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+    ).repartition(5)
+    a = pagerank_int(big, iters=2)
+    b = pagerank_int(big, iters=2, plan="shuffle")
+    assert a.equals(b)
