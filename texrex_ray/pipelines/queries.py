@@ -4127,3 +4127,79 @@ def q81_window_distinct(sf_dir: str):
     out["window_start"] = out["window_start"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
     return out[["window_start", "n_users"]]
+
+
+_TARC_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN replace(text, '<', '(')
+              ELSE 'HTTP/1.1 200 OK  doc:  ' || CAST(doc_id AS VARCHAR) || ' ' || chr(10)
+                   || '<html>' || text || '</html>' END AS rawtext
+  FROM documents),
+sp AS (SELECT doc_id, rawtext, strpos(rawtext, '<') AS lt FROM raw),
+rec AS (
+  SELECT doc_id,
+         CASE WHEN lt = 0 THEN NULL
+              ELSE trim(regexp_replace(substr(rawtext, 1, lt - 1), ' +', ' ', 'g'),
+                        ' ' || chr(9) || chr(10) || chr(13)) END AS header,
+         CASE WHEN lt = 0 THEN NULL ELSE substr(rawtext, lt) END AS body
+  FROM sp),
+lens AS (
+  SELECT doc_id,
+         CASE WHEN header IS NULL THEN -1 ELSE strlen(header) END AS hlen,
+         CASE WHEN header IS NULL THEN -1 ELSE strlen(body) + 1 END AS blen,
+         CASE WHEN header IS NULL THEN 9
+              ELSE 9 + strlen(header) + strlen(body) + 1 END AS rec_bytes,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM rec),
+pos AS (
+  SELECT doc_id, hlen, blen, rn // 100 AS tarc_shard,
+         COALESCE(SUM(rec_bytes) OVER (PARTITION BY rn // 100 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rstart
+  FROM lens)
+SELECT doc_id,
+       CAST(tarc_shard AS BIGINT) AS tarc_shard,
+       CAST(CASE WHEN hlen = -1 THEN -1 ELSE rstart + 9 END AS BIGINT) AS hoff,
+       CAST(hlen AS BIGINT) AS hlen,
+       CAST(CASE WHEN hlen = -1 THEN -1 ELSE rstart + 9 + hlen END AS BIGINT) AS boff,
+       CAST(blen AS BIGINT) AS blen
+FROM pos ORDER BY doc_id
+"""
+
+
+@query("q23_tarc_layout", sql=_TARC_SQL)
+def q23_tarc_layout(sf_dir: str):
+    """TARC archive layout manifest: per-doc byte offsets inside
+    doc_id-sharded raw archive files (ref: trwritetools.pas:313-369 —
+    marker, Trim(DelSpace1(header)), body + newline, per-doc
+    tarcheader/-body offset+length metas; extraction ≡
+    src/programs/arcxi.pas).  Raw text is derived deterministically from
+    ``documents.text`` (an HTTP-ish header with collapsible doubled
+    spaces + an html wrapper; every 50th doc loses its '<'s and takes
+    the reference's ``dumped`` branch with -1 offsets).  The layout is
+    the q50-style distributed prefix sum: block summaries give global
+    row numbers (driver sees one row per block), shard = rn //
+    docs_per_shard, and each shard's byte offsets are assigned in the
+    one group task that would also stream the shard file
+    (``write_tarc``).  The physical writer round-trip (arcxi(seek+read)
+    reconstructs header and body bit-for-bit, gzip-transparent) is
+    pinned by tests/test_tarc.py."""
+    from texrex_ray.sources.writers import tarc_manifest
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk_raw(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        raws = [
+            (tx or "").replace("<", "(")
+            if int(i) % 50 == 0
+            else f"HTTP/1.1 200 OK  doc:  {int(i)} \n<html>{tx or ''}</html>"
+            for i, tx in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t["doc_id"], "raw": pa.array(raws, pa.string())})
+
+    return tarc_manifest(
+        ds.map_batches(mk_raw, batch_format="pyarrow", batch_size=None),
+        docs_per_shard=100,
+    )

@@ -242,3 +242,213 @@ def arcxi_lookup(tarc_ds: ray.data.Dataset, doc_id: str) -> bytes | None:
     """Fetch one raw document by id (ref: src/programs/arcxi.pas:30-148)."""
     hit = tarc_ds.filter(expr=f"doc_id == '{doc_id}'").take(1)
     return hit[0]["body"] if hit else None
+
+
+# ---------------------------------------------------------------------------
+# TARC byte-offset archive (ref: trwritetools.pas:313-369) + arcxi extraction
+# ---------------------------------------------------------------------------
+
+TARC_MARKER = b"TARC/1.0\n"  # written before EVERY record, dumped or not
+
+
+def _pascal_trim(s: str) -> str:
+    """SysUtils.Trim: strip chars ≤ #32 from both ends."""
+    return s.strip("".join(chr(c) for c in range(33)))
+
+
+def tarc_split(raw: str) -> tuple[str | None, str | None]:
+    """The reference's header/body split (trwritetools.pas:320-357):
+    header = Trim(DelSpace1(text before the first '<')) — runs of SPACES
+    (#32 only, DelSpace1) collapse to one, then a ≤#32 trim; body = from
+    the first '<' to the end.  (None, None) when no '<' exists — the
+    reference marks such documents ``tarcfile=dumped`` with -1 offsets
+    and writes only the record marker."""
+    i = raw.find("<")
+    if i < 0:
+        return None, None
+    import re
+
+    header = _pascal_trim(re.sub(" +", " ", raw[:i]))
+    return header, raw[i:]
+
+
+def tarc_manifest(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    raw_col: str = "raw",
+    docs_per_shard: int = 100,
+    out_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Compute (and optionally WRITE) the TARC layout: per-doc byte
+    offsets inside doc_id-ordered shard files.
+
+    The reference writes one serial stream and records per-doc
+    ``tarcheaderoffset/-length`` / ``tarcbodyoffset/-length`` metas as it
+    goes (trwritetools.pas:313-369) — inherently single-writer.  The
+    Ray-native layout shards the stream by global row number (q50-style
+    block-summary prefix sum over the doc_id-sorted input: the driver
+    sees one row per block, never documents), then each shard's offsets
+    are assigned independently inside ONE ``groupby(shard)`` task — which
+    is also the task that streams the shard file to disk when
+    ``out_dir`` is given (tmp+rename, so a crashed run never leaves a
+    half-written shard visible; re-running overwrites idempotently).
+    Record layout per doc: 9-byte ``TARC/1.0\\n`` marker, then (unless
+    dumped) header bytes, body bytes, and one ``\\n`` — lengths are UTF-8
+    BYTES, offsets are real ``seek()`` positions for ``arcxi``.
+
+    Returns a Dataset (doc_id, tarc_shard, hoff, hlen, boff, blen) with
+    -1s for dumped docs, ordered within shards by doc_id.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def rec_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        raws = t[raw_col].to_pylist()
+        hlen, blen, headers, bodies = [], [], [], []
+        for r in raws:
+            h, b = tarc_split(r or "")
+            if h is None:
+                hlen.append(-1)
+                blen.append(-1)
+                headers.append("")
+                bodies.append("")
+            else:
+                hlen.append(len(h.encode("utf-8")))
+                blen.append(len(b.encode("utf-8")) + 1)  # + trailing \n
+                headers.append(h)
+                bodies.append(b)
+        cols = {
+            "doc_id": ids,
+            "hlen": pa.array(hlen, pa.int64()),
+            "blen": pa.array(blen, pa.int64()),
+        }
+        if out_dir is not None:
+            cols["header"] = pa.array(headers, pa.string())
+            cols["body"] = pa.array(bodies, pa.string())
+        return pa.table(cols)
+
+    rows = ds.map_batches(rec_rows, batch_format="pyarrow")
+
+    # global row numbers via block summaries (the q50 two-phase scan):
+    # requires doc_id-range-partitioned input, asserted loudly below
+    def block_summary(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array([int(ids[0])], pa.int64()),
+                "hi": pa.array([int(ids[-1])], pa.int64()),
+                "n": pa.array([len(ids)], pa.int64()),
+            }
+        )
+
+    parts = (
+        rows.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("lo")
+        .reset_index(drop=True)
+    )
+    if (parts["lo"].to_numpy()[1:] <= parts["hi"].to_numpy()[:-1]).any():
+        raise ValueError("tarc_manifest: blocks have overlapping doc_id ranges")
+    csum = parts["n"].cumsum()
+    offsets = {
+        int(lo): (int(off), int(n))
+        for lo, off, n in zip(parts["lo"], csum - parts["n"], parts["n"])
+    }
+    ref = ray.put(offsets)
+
+    def assign_shard(t: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        off, n = table[int(ids[0])]
+        if n != len(ids):
+            raise ValueError("tarc_manifest: pass-2 block drifted from pass 1")
+        rn = off + np.arange(len(ids), dtype=np.int64)
+        return t.append_column(
+            "tarc_shard", pa.array(rn // docs_per_shard, pa.int64())
+        )
+
+    sharded = rows.map_batches(assign_shard, batch_format="pyarrow", batch_size=None)
+
+    marker_len = len(TARC_MARKER)
+
+    def shard_layout(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        shard = int(g["tarc_shard"].iloc[0])
+        hl = g["hlen"].to_numpy()
+        bl = g["blen"].to_numpy()
+        dumped = hl < 0
+        rec = np.where(dumped, marker_len, marker_len + hl + bl)
+        start = np.cumsum(rec) - rec  # exclusive prefix: record start
+        hoff = np.where(dumped, -1, start + marker_len)
+        boff = np.where(dumped, -1, start + marker_len + np.maximum(hl, 0))
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "tarc_shard": shard,
+                "hoff": hoff.astype(np.int64),
+                "hlen": hl,
+                "boff": boff.astype(np.int64),
+                "blen": bl,
+            }
+        )
+        if out_dir is not None:
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"shard_{shard:05d}.tarc")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                for h, b, dmp in zip(g["header"], g["body"], dumped):
+                    f.write(TARC_MARKER)
+                    if not dmp:
+                        f.write(h.encode("utf-8"))
+                        f.write(b.encode("utf-8"))
+                        f.write(b"\n")
+            os.replace(tmp, path)
+            out["tarcfile"] = np.where(dumped, "dumped", path)
+        return out
+
+    return sharded.groupby("tarc_shard").map_groups(
+        shard_layout, batch_format="pandas"
+    )
+
+
+def write_tarc(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    raw_col: str = "raw",
+    docs_per_shard: int = 100,
+) -> ray.data.Dataset:
+    """Write doc_id-sharded TARC files + return the offsets manifest
+    (doc_id, tarc_shard, hoff, hlen, boff, blen, tarcfile)."""
+    return tarc_manifest(
+        ds,
+        id_col=id_col,
+        raw_col=raw_col,
+        docs_per_shard=docs_per_shard,
+        out_dir=out_dir,
+    )
+
+
+def arcxi(path: str, offset: int, length: int) -> bytes:
+    """Extract ``length`` bytes at ``offset`` — gzip-transparent, exactly
+    the reference extractor (src/programs/arcxi.pas:30-148: seek + read,
+    TGZFileStream when the file is gzipped)."""
+    if offset < 0 or length < 1:
+        raise ValueError("offset must be ≥ 0 and length ≥ 1")
+    import gzip
+
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    opener = gzip.open if magic == b"\x1f\x8b" else open
+    with opener(path, "rb") as f:
+        f.seek(offset)
+        buf = f.read(length)
+    if len(buf) != length:
+        raise ValueError(f"could not read {length} bytes at {offset} from {path}")
+    return buf
