@@ -286,6 +286,27 @@ def cmd_tenet(args) -> dict:
     }
 
 
+def cmd_fannport(args) -> dict:
+    """Convert a FANN_FLO_2.1 text net (what the reference's
+    trdeboilerplater.pas:697-699 loads via fann_create_from_file) to the
+    MLP weights JSON used everywhere else (``Deboilerplater(weights_json)``,
+    the tenet output format).  ``Deboilerplater(fann_file=...)`` does the
+    same conversion in-process."""
+    import json as _json
+
+    from texrex_ray.stages.fann import fann_to_mlp_weights, load_fann
+
+    net = load_fann(args.net_file)
+    weights = fann_to_mlp_weights(net)
+    with open(args.out, "w") as f:
+        _json.dump(weights, f)
+    return {
+        "layers": net.layer_sizes,
+        "inputs": net.n_inputs,
+        "out": args.out,
+    }
+
+
 def cmd_release(args) -> dict:
     """Corpus-release pass: PII scrub + Gopher repetition gate +
     mostly-duplicated-document drop (segment keep-first), writing a
@@ -418,6 +439,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--epochs", type=int, default=300)
     s.add_argument("--seed", type=int, default=42)
     s.set_defaults(fn=cmd_tenet)
+
+    s = sub.add_parser(
+        "fannport",
+        help="convert a reference FANN_FLO_2.1 .net file (the nets texrex "
+        "ships as data/boilerplate.*.net) to deboilerplater weights JSON",
+    )
+    s.add_argument("net_file")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_fannport)
 
     for name, fn in (("hydra", cmd_hydra), ("rofl", cmd_rofl)):
         s = sub.add_parser(name, help=f"{name} post-processing")

@@ -170,6 +170,7 @@ class Deboilerplater:
     def __init__(
         self,
         weights_json: str | None = None,
+        fann_file: str | None = None,
         threshold: float = 0.55,
         min_good_divs: int = 1,
         min_good_chars: int = 500,
@@ -177,7 +178,15 @@ class Deboilerplater:
         min_div_prop: float = 0.1,
         store_metrics: bool = False,
     ):
-        if weights_json:
+        if fann_file:
+            # classification parity with a reference deployment: load the
+            # net the reference's SetFannFile would (FANN_FLO_2.1 text,
+            # trdeboilerplater.pas:697-699); `texrex_ray fannport` converts
+            # such files to the weights-JSON every other surface accepts
+            from texrex_ray.stages.fann import fann_to_mlp_weights, load_fann
+
+            weights = fann_to_mlp_weights(load_fann(fann_file))
+        elif weights_json:
             weights = json.loads(weights_json)
         else:
             try:
