@@ -52,6 +52,7 @@ def minhash_lsh_pairs(
     bands: int = 48,
     n: int = 5,
     jaccard_threshold: float = 0.5,
+    max_candidates: int = 50_000_000,
 ) -> ray.data.Dataset:
     """Near-dup pairs via banded LSH, verified with exact n-gram Jaccard.
 
@@ -115,7 +116,23 @@ def minhash_lsh_pairs(
         .groupby("bucket")
         .map_groups(bucket_ids, batch_format="pandas")
     )
-    # candidate id list: the SMALL side (dedup regime) — broadcast once
+    # candidate id list: the SMALL side (dedup regime) — broadcast once.
+    # Guarded loudly: candidates ≈ near-dup docs, so this is result-sized
+    # by construction, but a pathological corpus (one shared band value
+    # everywhere) would otherwise stream a corpus-sized list through the
+    # driver and die obscurely.  Above the cap, raise with the fix: drop
+    # the broadcast and anti-join the corpus against cand_ids_ds instead
+    # (ops/join.py shuffle semi-join — same result, one more exchange).
+    cand_ids_ds = cand_ids_ds.materialize()  # count + collect: one execution
+    n_cand = cand_ids_ds.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"minhash_lsh_pairs: {n_cand} candidate docs exceed "
+            f"max_candidates={max_candidates}; the candidate list would "
+            "swamp the driver.  Raise max_candidates, or switch the "
+            "candidate filter to a shuffle semi-join (ops/join.py) for "
+            "this corpus."
+        )
     cand_ids = cand_ids_ds.to_pandas()["doc_id"].unique()
     if len(cand_ids) < 2:
         # empty result with the input's id dtype

@@ -29,8 +29,10 @@ is the distributed, persistent replacement.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -39,6 +41,50 @@ import pyarrow.parquet as pq
 import ray.data
 
 MANIFEST = "_MANIFEST.json"
+LOCKFILE = "_LOCK"
+
+
+@contextlib.contextmanager
+def _index_lock(index_dir: str, *, timeout_s: float = 120.0, stale_s: float = 600.0):
+    """Exclusive advisory lock for index WRITERS (O_CREAT|O_EXCL file).
+
+    Two concurrent ``update_hash_index`` runs would otherwise race on the
+    manifest read-modify-write: both read the old manifest, each writes
+    its own merge LAST, and the loser's shard counts (and, for shards
+    only one of them touched, the knowledge those shards grew) vanish
+    from the manifest — last-writer-wins data loss.  The lock serializes
+    writers; probes stay lock-free (they only read, and the manifest is
+    swapped atomically).  A lock older than ``stale_s`` is assumed
+    abandoned (crashed writer) and broken loudly.
+    """
+    path = os.path.join(index_dir, LOCKFILE)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # holder just released; retry immediately
+            if age > stale_s:
+                with contextlib.suppress(OSError):
+                    os.unlink(path)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"index lock {path} held for {age:.0f}s; another writer "
+                    "is running (or crashed within the stale window)"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(path)
 
 
 def _shard_rows(hash_col: str, n_shards: int):
@@ -159,35 +205,38 @@ def update_hash_index(
     update is idempotent (a union), so a crash mid-update is repaired by
     re-running it; a probe racing a crashed update can at worst miss
     hashes of shards the OLD manifest did not list — never a false
-    positive.
+    positive.  CONCURRENT updaters serialize on ``_index_lock`` (the
+    manifest read happens inside the lock), so no updater's shards or
+    counts are lost to a manifest race.
     """
-    with open(os.path.join(index_dir, MANIFEST)) as f:
-        meta = json.load(f)
-    n_shards = int(meta["n_shards"])
-    counts = {int(s["shard"]): int(s["n_hashes"]) for s in meta["shards"]}
+    with _index_lock(index_dir):
+        with open(os.path.join(index_dir, MANIFEST)) as f:
+            meta = json.load(f)
+        n_shards = int(meta["n_shards"])
+        counts = {int(s["shard"]): int(s["n_hashes"]) for s in meta["shards"]}
 
-    def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
-        shard = int(df["shard"].iloc[0])
-        new = df["h"].to_numpy().astype(np.uint64)
-        path = os.path.join(index_dir, f"shard_{shard:05d}.parquet")
-        if os.path.exists(path):
-            old = pq.read_table(path).column("h").to_numpy().astype(np.uint64)
-            h = np.union1d(old, new)
-        else:
-            h = np.unique(new)
-        _write_shard_file(index_dir, shard, h)
-        return pd.DataFrame({"shard": [shard], "n_hashes": [len(h)]})
+        def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+            shard = int(df["shard"].iloc[0])
+            new = df["h"].to_numpy().astype(np.uint64)
+            path = os.path.join(index_dir, f"shard_{shard:05d}.parquet")
+            if os.path.exists(path):
+                old = pq.read_table(path).column("h").to_numpy().astype(np.uint64)
+                h = np.union1d(old, new)
+            else:
+                h = np.unique(new)
+            _write_shard_file(index_dir, shard, h)
+            return pd.DataFrame({"shard": [shard], "n_hashes": [len(h)]})
 
-    updated = (
-        ds.map_batches(_shard_rows(hash_col, n_shards), batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(merge_shard, batch_format="pandas")
-        .to_pandas()
-    )
-    for _, row in updated.iterrows():
-        counts[int(row["shard"])] = int(row["n_hashes"])
-    manifest = pd.DataFrame(
-        sorted(counts.items()), columns=["shard", "n_hashes"]
-    )
-    _write_manifest(index_dir, n_shards, manifest)
-    return manifest
+        updated = (
+            ds.map_batches(_shard_rows(hash_col, n_shards), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(merge_shard, batch_format="pandas")
+            .to_pandas()
+        )
+        for _, row in updated.iterrows():
+            counts[int(row["shard"])] = int(row["n_hashes"])
+        manifest = pd.DataFrame(
+            sorted(counts.items()), columns=["shard", "n_hashes"]
+        )
+        _write_manifest(index_dir, n_shards, manifest)
+        return manifest
