@@ -445,3 +445,68 @@ def test_pagerank_shuffle_plan_matches_broadcast(ray_session):
     a = pagerank_int(big, iters=2)
     b = pagerank_int(big, iters=2, plan="shuffle")
     assert a.equals(b)
+
+
+def test_bloom_prefilter_cross_dtype_keys(ray_session):
+    """ADVICE: int64 vs float64 keys must survive the bloom prefilter —
+    the merge coerces them equal, so the filter has to as well."""
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.ops.join import shuffle_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1.0, 2.0, 99.0], pa.float64()),
+                  "lv": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "rv": pa.array([100, 200, 300], pa.int64())})
+    )
+    plain = shuffle_join(left, right, "k", how="inner").to_pandas()
+    bloomed = shuffle_join(
+        left, right, "k", how="inner", bloom_prefilter=True
+    ).to_pandas()
+    key = lambda d: sorted(zip(d["k"], d["lv"], d["rv"]))
+    assert key(bloomed) == key(plain)
+    assert len(plain) == 2
+
+
+def test_asof_and_range_attach_collisions_suffixed(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.ops.interval import asof_join, range_join
+
+    left = ray.data.from_arrow(
+        pa.table({"ts": pa.array([5, 15], pa.int64()),
+                  "rate": pa.array([0.0, 0.0], pa.float64())})
+    )
+    right = pd.DataFrame({"ts": [0, 10], "rate": [1.5, 2.5]})
+    out = asof_join(left, right, "ts").to_pandas()
+    assert list(out.columns) == ["ts", "rate", "rate_r"]
+    assert out["rate_r"].tolist() == [1.5, 2.5]
+
+    iv = pd.DataFrame({"lo": [0, 10], "rate": [7.0, 8.0]})
+    out2 = range_join(left, iv, "ts").to_pandas()
+    assert list(out2.columns) == ["ts", "rate", "rate_r"]
+    assert out2["rate_r"].tolist() == [7.0, 8.0]
+
+
+def test_hop_window_pre_epoch_floor(ray_session):
+    """ADVICE: pre-1970 timestamps must floor (not truncate) into their
+    window — -1s belongs to window_start -3600, not 0."""
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.ops.window import hop_window
+
+    t = pa.table({"ts": pa.array([-1, 0, 3599], pa.timestamp("ms"))})
+    # -1 ms -> floor to -1 s? unit conversion: -1ms // 1000 = -1s (floor)
+    out = (
+        hop_window(ray.data.from_arrow(t), "ts", size_s=3600, step_s=3600)
+        .to_pandas()
+        .sort_values("window_start")
+    )
+    assert out["window_start"].tolist() == [-3600, 0, 0]

@@ -38,6 +38,26 @@ def _small_side_df(right, sort_by: str) -> pd.DataFrame:
     return right.sort_values(sort_by).reset_index(drop=True)
 
 
+def _attach_names(
+    left: ray.data.Dataset, attach: list[str], suffix: str
+) -> dict[str, str]:
+    """Output name per attach column: suffix ANY collision with the left
+    schema (mirroring ops/join.py::_resolve_names) — an un-renamed clash
+    would append_column a silent duplicate column name."""
+    lcols = set(left.schema().names)
+    out: dict[str, str] = {}
+    for c in attach:
+        name = c + suffix if c in lcols else c
+        if name in lcols and name != c + suffix:
+            name = name + suffix
+        if name in out.values() or (name != c and name in attach):
+            raise ValueError(
+                f"attach column {c!r} still collides after suffix {suffix!r}"
+            )
+        out[c] = name
+    return out
+
+
 def range_join(
     left: ray.data.Dataset,
     intervals,
@@ -46,6 +66,7 @@ def range_join(
     lo_col: str = "lo",
     attach: list[str] | None = None,
     keep: str = "all",
+    suffix: str = "_r",
 ) -> ray.data.Dataset:
     """Attach interval attributes to each row whose ``value_col`` falls in
     [lo_i, lo_{i+1}) of the sorted, non-overlapping interval table.
@@ -54,9 +75,11 @@ def range_join(
     runs to the next lower bound, the last one to +∞) plus the ``attach``
     columns to copy onto matches.  Rows below the first bound are dropped
     (``keep="matched"``) or passed through with nulls (``keep="all"``).
+    Attach columns colliding with left columns gain ``suffix``.
     """
     iv = _small_side_df(intervals, lo_col)
     attach = attach or [c for c in iv.columns if c != lo_col]
+    out_names = _attach_names(left, attach, suffix)
     ref = ray.put((iv[lo_col].to_numpy(), {c: iv[c].to_numpy() for c in attach}))
 
     def classify(t: pa.Table) -> pa.Table:
@@ -70,7 +93,7 @@ def range_join(
             vals = pa.array(arr[safe]) if ok.all() else pa.array(
                 [arr[i] if o else None for i, o in zip(safe, ok)]
             )
-            out = out.append_column(c, vals)
+            out = out.append_column(out_names[c], vals)
         if keep == "matched" and not ok.all():
             out = out.filter(pa.array(ok))
         return out
@@ -99,7 +122,7 @@ def asof_join(
     right_on = right_on or on
     r = _small_side_df(right, right_on)
     attach = attach or [c for c in r.columns if c != right_on]
-    out_names = {c: (c + suffix if c == on else c) for c in attach}
+    out_names = _attach_names(left, attach, suffix)
     ref = ray.put((r[right_on].to_numpy(), {c: r[c].to_numpy() for c in attach}))
 
     def asof(t: pa.Table) -> pa.Table:

@@ -117,13 +117,20 @@ _BLOOM_CACHE: dict[str, object] = {}
 
 
 def _cached_bloom(snap_ref):
-    """Restore a broadcast Bloom snapshot once per worker process."""
+    """Restore a broadcast Bloom snapshot once per worker process.
+
+    Bounded to the MOST RECENT snapshot: a long-lived worker running many
+    bloom-prefiltered joins would otherwise accumulate every restored
+    filter forever.  Within one join all batches share one ref, so the
+    single-slot policy never thrashes."""
     key = snap_ref.hex()
     b = _BLOOM_CACHE.get(key)
     if b is None:
         from texrex_ray.state.bloom import ScalingBloom
 
-        b = _BLOOM_CACHE[key] = ScalingBloom.restore(ray.get(snap_ref))
+        b = ScalingBloom.restore(ray.get(snap_ref))
+        _BLOOM_CACHE.clear()
+        _BLOOM_CACHE[key] = b
     return b
 
 
@@ -289,14 +296,24 @@ def shuffle_join(
             ),
             error_rate=bloom_fpr,
         )
+        def _bloom_keys(df: pd.DataFrame, cols: list[str]) -> list[str]:
+            # cast to the join's canonical key dtype FIRST: int64 '1' and
+            # float64 '1.0' must stringify identically on both sides or
+            # matching probe rows silently vanish (the merge itself
+            # coerces; the filter must match it)
+            cast = pd.DataFrame(
+                {c2: df[c2].astype(col_dtype[c1]) for c1, c2 in zip(on, cols)}
+            )
+            return _keys_str(cast, cols)
+
         for bdf in right.select_columns(right_on).iter_batches(
             batch_format="pandas", batch_size=65536
         ):
-            bloom.add_if_new(_keys_str(bdf, right_on))
+            bloom.add_if_new(_bloom_keys(bdf, right_on))
         snap_ref = ray.put(bloom.snapshot())
 
         def bloom_flt(df: pd.DataFrame) -> pd.DataFrame:
-            return df[_cached_bloom(snap_ref).contains_many(_keys_str(df, on))]
+            return df[_cached_bloom(snap_ref).contains_many(_bloom_keys(df, on))]
 
         left = left.map_batches(bloom_flt, batch_format="pandas")
 
@@ -443,6 +460,12 @@ def join(
             **shuffle_kwargs,
         )
 
+    if plan == "auto" and can_broadcast:
+        # pin the right side before the size probe: count() on a derived
+        # Dataset executes its upstream pipeline, and the subsequent
+        # collect (or shuffle) would execute it AGAIN — materialize makes
+        # the build side run once, whichever plan wins
+        right = right.materialize()
     if plan == "broadcast" or (
         plan == "auto"
         and can_broadcast

@@ -46,9 +46,11 @@ def hop_window(
 
     def expand(t: pa.Table) -> pa.Table:
         unit = t[ts_col].type.unit  # timestamps arrive in whatever unit the block carries
-        es = pc.divide(
-            pc.cast(t[ts_col], pa.int64()), pa.scalar(_PER_S[unit], pa.int64())
-        ).to_numpy(zero_copy_only=False)
+        raw = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        # numpy // FLOORS, matching the window arithmetic below and SQL
+        # date_trunc; pc.divide truncates toward zero and would misassign
+        # pre-1970 timestamps to the window one step late
+        es = raw // _PER_S[unit]
         base = (es // step_s) * step_s
         n = len(base)
         idx = np.tile(np.arange(n), hops)
