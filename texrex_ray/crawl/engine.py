@@ -431,6 +431,7 @@ class CrawlEngine:
         seed: int = 42,
         config: CrawlConfig | None = None,
         out_dir: str | None = None,
+        transport=None,
     ):
         from texrex_ray.crawl.fetcher import plain_pages
 
@@ -441,7 +442,15 @@ class CrawlEngine:
         self.n_partitions = n_partitions
         self.n_walker_shards = n_walker_shards or min(n_walkers, 8)
         self.out_dir = out_dir
-        self.pages_ref = ray.put(plain_pages(graph))
+        # the network seam: anything with get(url) -> page tuple | None
+        # (crawl/fetcher.py Transport protocol).  Default stays the
+        # broadcast synthetic-graph dict; a real cluster passes
+        # HttpTransport() and the whole engine above this line is
+        # unchanged (politeness, robots, Bloom, ordering all pinned by
+        # the oracle-fidelity tests).
+        self.pages_ref = ray.put(
+            transport if transport is not None else plain_pages(graph)
+        )
 
         seeds_split = split_seeds(graph.seeds, n_walkers)
         shard_members: dict[int, list[int]] = {s: [] for s in range(self.n_walker_shards)}

@@ -131,11 +131,118 @@ def plain_pages(graph) -> dict[str, tuple[int, bytes, str, str | None]]:
     }
 
 
-def fetch_parse(pages: dict, url: str, cfg: CrawlConfig) -> FetchResult:
-    """One fetch through the synthetic web, following ≤3 redirects.
+# ---------------------------------------------------------------------------
+# Transport protocol: the seam between the walk engine and the network.
+#
+# ``fetch_parse`` duck-types its first argument through ONE method,
+# ``get(url) -> (status, content, declared_charset, redirect_to) | None``
+# (a plain dict satisfies it — the synthetic graph path).  A real cluster
+# swaps in ``HttpTransport`` via ``CrawlEngine(..., transport=...)`` —
+# everything above the transport (politeness, robots, Bloom URL-seen,
+# visit ordering, charset pipeline) is transport-agnostic and already
+# pinned by the oracle-fidelity tests.
+# ---------------------------------------------------------------------------
 
-    ``pages`` maps url → (status, content, charset, redirect_to) tuples
-    (see ``plain_pages``).
+
+class DictTransport:
+    """Synthetic transport over a ``plain_pages``-shaped dict (the sandbox
+    default, made explicit)."""
+
+    def __init__(self, pages: dict):
+        self.pages = pages
+
+    def get(self, url: str):
+        return self.pages.get(url)
+
+
+class HttpTransport:
+    """Real-HTTP transport (stdlib urllib; no extra deps on a cluster).
+
+    Semantics match the synthetic tuples the engine already understands
+    (ref client behavior: trwalkers.pas:609-697):
+
+    - 2xx → ``(status, body[:max_bytes], declared charset from
+      Content-Type, None)``;
+    - any 3xx with a Location → ``(301, b"", "", absolute_location)`` so
+      the WALKER follows the redirect (and counts it) exactly as it does
+      on the synthetic graph — the client itself never auto-follows;
+    - other HTTP errors → ``(code, b"", "", None)``; connection/timeout
+      failures → ``None`` (a failed fetch).
+
+    The opener is built lazily PER PROCESS so the transport pickles into
+    ``ray.put`` cleanly; ``opener_factory`` injects a fake opener for
+    no-network tests.  NOT exercised against live network in this sandbox
+    (no egress) — the dry-run tests pin the wiring, FIXTURES.md §2
+    documents the seam.
+    """
+
+    def __init__(
+        self,
+        timeout_s: float = 10.0,
+        max_bytes: int = 4 * 1024 * 1024,
+        user_agent: str = "texrex-ray/0.3 (+crawler)",
+        opener_factory=None,
+    ):
+        self.timeout_s = timeout_s
+        self.max_bytes = max_bytes
+        self.user_agent = user_agent
+        self.opener_factory = opener_factory
+        self._opener_obj = None
+
+    def _opener(self):
+        if self._opener_obj is None:
+            if self.opener_factory is not None:
+                self._opener_obj = self.opener_factory()
+            else:
+                import urllib.request
+
+                class NoRedirect(urllib.request.HTTPRedirectHandler):
+                    def redirect_request(self, *a, **k):  # surface 3xx as errors
+                        return None
+
+                self._opener_obj = urllib.request.build_opener(NoRedirect())
+        return self._opener_obj
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_opener_obj"] = None  # openers hold sockets; rebuild per process
+        return d
+
+    def get(self, url: str):
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+        try:
+            with self._opener().open(req, timeout=self.timeout_s) as resp:
+                ctype = resp.headers.get("Content-Type", "") or ""
+                charset = ""
+                for part in ctype.split(";")[1:]:
+                    k, _, v = part.strip().partition("=")
+                    if k.lower() == "charset":
+                        charset = v.strip().strip('"')
+                return (
+                    int(getattr(resp, "status", 200) or 200),
+                    resp.read(self.max_bytes),
+                    charset,
+                    None,
+                )
+        except urllib.error.HTTPError as e:
+            loc = e.headers.get("Location") if e.headers else None
+            if e.code in (301, 302, 303, 307, 308) and loc:
+                return (301, b"", "", urllib.parse.urljoin(url, loc))
+            return (int(e.code), b"", "", None)
+        except (urllib.error.URLError, TimeoutError, OSError, ValueError):
+            return None
+
+
+def fetch_parse(pages, url: str, cfg: CrawlConfig) -> FetchResult:
+    """One fetch (following ≤3 redirects) + strip + link scoping.
+
+    ``pages`` is anything with ``get(url) -> (status, content, charset,
+    redirect_to) | None`` — a ``plain_pages`` dict, ``DictTransport``, or
+    ``HttpTransport`` on a real cluster.
     """
     requested = url
     redirect_from = ""
