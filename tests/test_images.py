@@ -78,3 +78,51 @@ def test_pipeline_e2e_with_verification():
     ver = verify_against_expected(pa.Table.from_pandas(src), emap)
     assert ver["pixel_ok"].to_pandas().all()
     assert (ver["psnr"].to_pandas() >= 40).all()
+
+
+def test_pixel_parity_gate_and_loudness(ray_session):
+    """pixel_parity: identical tables pass everywhere; the 40 dB gate
+    depends on real pixel counts; one-sided rows fail loudly."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from texrex_ray.sources.images import encode_image, pixel_parity, _make_pixels
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    small = _make_pixels(rng, 32, 32)
+    big = _make_pixels(rng, 128, 128)
+
+    def tbl(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array([r[0] for r in rows], pa.string()),
+                    "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                    "caption": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    ref = tbl([("a", encode_image(small, "png"), "cap a"),
+               ("b", encode_image(big, "png"), "cap b")])
+    # same 10-byte +128 damage: fails 40 dB at 32x32, passes at 128x128
+    def damage(px):
+        enc = bytearray(encode_image(px, "png"))
+        for k in range(12, 22):
+            enc[k] = (enc[k] + 128) % 256
+        return bytes(enc)
+
+    ours = tbl([("a", damage(small), "cap a"), ("b", damage(big), "CAP B")])
+    out = pixel_parity(ours, ref).to_pandas().set_index("image_id")
+    assert out.loc["a", "psnr_ok"] == 0 and out.loc["b", "psnr_ok"] == 1
+    assert out.loc["a", "sse"] == out.loc["b", "sse"] == 163840
+    assert out.loc["a", "caption_eq"] == 1 and out.loc["b", "caption_eq"] == 0
+
+    ident = pixel_parity(ref, ref).to_pandas()
+    assert (ident["psnr_ok"] == 1).all() and (ident["sse"] == 0).all()
+
+    lonely = tbl([("a", encode_image(small, "png"), "cap a")])
+    with pytest.raises(Exception, match="only one side"):
+        pixel_parity(lonely, ref).to_pandas()

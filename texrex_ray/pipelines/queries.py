@@ -4203,3 +4203,74 @@ def q23_tarc_layout(sf_dir: str):
         ds.map_batches(mk_raw, batch_format="pyarrow", batch_size=None),
         docs_per_shard=100,
     )
+
+
+_PSNR_SQL = """
+WITH src AS (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS idn, image_id,
+         octet_length(bytes) - 12 AS n
+  FROM read_parquet('/tmp/texrex_ray_fixtures/images_n300_s42/images.parquet')),
+calc AS (
+  SELECT image_id, n,
+         CASE WHEN idn % 7 = 0 THEN 163840
+              WHEN idn % 7 = 3 THEN 1 ELSE 0 END AS sse,
+         CASE WHEN idn % 11 = 0 THEN 0 ELSE 1 END AS caption_eq
+  FROM src)
+SELECT image_id,
+       CAST(sse AS BIGINT) AS sse,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN 10000 * sse <= 65025 * n THEN 1 ELSE 0 END AS BIGINT) AS psnr_ok,
+       CAST(caption_eq AS BIGINT) AS caption_eq
+FROM calc ORDER BY image_id
+"""
+
+
+@query("q82_pixel_parity", sql=_PSNR_SQL)
+def q82_pixel_parity(sf_dir: str):
+    """The north rule's per-row invariant as a distributed operator:
+    decoded-pixel PSNR ≥ 40 dB (integer-exact SSE gate) + caption
+    equality between OUR pipeline's image table and the reference table
+    (``sources/images.py::pixel_parity`` — one id-bucketed shuffle join,
+    per-bucket decode + int64 SSE).  The "ours" side is the fixture with
+    a deterministic perturbation: every idn%7==0 image gets 10 pixel
+    bytes shifted by 128 (SSE 163840 — fails 40 dB on small images,
+    passes on 128×128 ones, so the gate depends on real pixel counts),
+    idn%7==3 gets a single ±1 byte (SSE 1, always passes), and idn%11==0
+    captions gain a trailing '!'.  The oracle predicts the SSEs in
+    closed form (|x − (x+128 mod 256)| = 128 for every byte); the Ray
+    side computes them from the actual perturbed bytes."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import pixel_parity
+    from texrex_ray.sources.lance_io import read_images
+
+    n = {0.001: 100, 0.01: 300, 0.1: 1000}.get(_sf_of(sf_dir), 300)
+    d = fixture_path(n=n, seed=42)
+    ref = read_images(f"{d}/images_table")
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        raws = t["bytes"].to_pylist()
+        caps = t["caption"].to_pylist()
+        out_b, out_c = [], []
+        for i, raw, cap in zip(ids, raws, caps):
+            idn = int(i[3:])
+            b = bytearray(raw)
+            if idn % 7 == 0:
+                for k in range(12, 22):
+                    b[k] = (b[k] + 128) % 256
+            elif idn % 7 == 3:
+                b[12] = b[12] - 1 if b[12] == 255 else b[12] + 1
+            c = cap + "!" if idn % 11 == 0 else cap
+            out_b.append(bytes(b))
+            out_c.append(c)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "bytes": pa.array(out_b, pa.binary()),
+                "caption": pa.array(out_c, pa.string()),
+            }
+        )
+
+    ours = ref.map_batches(perturb, batch_format="pyarrow")
+    out = pixel_parity(ours, ref).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)

@@ -174,3 +174,81 @@ def make_images(
         }
     )
     return images, images_expected
+
+
+def pixel_parity(
+    ours: "ray.data.Dataset",
+    reference: "ray.data.Dataset",
+    *,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+    psnr_db: int = 40,
+) -> "ray.data.Dataset":
+    """Per-row decoded-pixel PSNR + caption-equality check between two
+    image tables — the north rule's row invariant ("decoded-pixel
+    allclose, PSNR ≥ 40 dB for lossy formats, + caption equality per
+    row") as a first-class distributed operator.
+
+    Both sides join on ``id_col`` (the one bucketed shuffle; blob
+    payloads ride the exchange untouched), then each bucket decodes both
+    byte columns and computes the squared error over decoded pixels —
+    INTEGER-exact, so the PSNR gate is an integer inequality::
+
+        PSNR ≥ p  ⇔  10^(p/10) · SSE ≤ 255² · n_pixels   (p multiple of 10)
+
+    Returns (image_id, sse, n_bytes, psnr_ok, caption_eq) with int64
+    columns; ``psnr_ok`` is 1 for identical pixels too (SSE = 0).
+    Mismatched lengths or missing partner rows fail loudly — a parity
+    check that silently skips rows is not a parity check.
+    """
+    import pandas as pd
+    import ray.data  # noqa: F401  (type only)
+
+    from texrex_ray.ops.join import shuffle_join
+
+    if psnr_db % 10:
+        raise ValueError("psnr_db must be a multiple of 10 for integer-exact gating")
+    scale = 10 ** (psnr_db // 10)
+
+    joined = shuffle_join(
+        ours.select_columns([id_col, bytes_col, caption_col]),
+        reference.select_columns([id_col, bytes_col, caption_col]),
+        id_col,
+        how="outer",
+        suffix="_ref",
+    )
+
+    def compare(df: pd.DataFrame) -> pd.DataFrame:
+        ids, sses, ns, oks, caps = [], [], [], [], []
+        for _, row in df.iterrows():
+            a, b = row[bytes_col], row[f"{bytes_col}_ref"]
+            if a is None or b is None or (isinstance(a, float)) or (isinstance(b, float)):
+                raise ValueError(
+                    f"pixel_parity: {row[id_col]!r} present on only one side"
+                )
+            pa_, pb = decode_image(bytes(a)), decode_image(bytes(b))
+            if pa_.shape != pb.shape:
+                raise ValueError(
+                    f"pixel_parity: {row[id_col]!r} decoded shapes differ "
+                    f"{pa_.shape} vs {pb.shape}"
+                )
+            d = pa_.astype(np.int64) - pb.astype(np.int64)
+            sse = int((d * d).sum())
+            n = int(pa_.size)
+            ids.append(row[id_col])
+            sses.append(sse)
+            ns.append(n)
+            oks.append(int(scale * sse <= 65025 * n))
+            caps.append(int(row[caption_col] == row[f"{caption_col}_ref"]))
+        return pd.DataFrame(
+            {
+                "image_id": ids,
+                "sse": pd.array(sses, dtype="int64"),
+                "n_bytes": pd.array(ns, dtype="int64"),
+                "psnr_ok": pd.array(oks, dtype="int64"),
+                "caption_eq": pd.array(caps, dtype="int64"),
+            }
+        )
+
+    return joined.map_batches(compare, batch_format="pandas")
