@@ -89,39 +89,62 @@ def pagerank_int(
         raise ValueError(f"unknown plan={plan!r}")
 
     degs = _degrees(edges, src, dst).to_pandas()
-    deg = degs.set_index("node")["d"]  # node-sized driver state (documented)
+    deg = degs.set_index("node")["d"].sort_index()  # node-sized driver state
     nodes = deg.index.to_numpy()
-    rank = pd.Series(scale, index=nodes, dtype=np.int64)
+    n = len(nodes)
+    deg_arr = deg.to_numpy()
+
+    # integer-encode the edge list ONCE (one vectorized hash gather per
+    # batch); every iteration after this touches only int64 arrays —
+    # zero-copy from Arrow, no per-iteration string materialization.
+    # The encoded edges are narrower than the string edges, so the
+    # materialization SHRINKS the working set.
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        s = ix.get_indexer(pd.Series(t[src].to_pandas()))
+        d = ix.get_indexer(pd.Series(t[dst].to_pandas()))
+        return pa.table(
+            {"s": pa.array(s.astype(np.int64)), "d": pa.array(d.astype(np.int64))}
+        )
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+    rank_arr = np.full(n, scale, dtype=np.int64)
 
     for _ in range(iters):
-        # contribution per SOURCE node, computed once (not per edge):
-        # r[u] // deg[u] over the deg>0 nodes
-        senders = deg[deg > 0]
-        contrib_node = (rank.loc[senders.index] // senders).astype(np.int64)
-        ref = ray.put(contrib_node)
+        # contribution per SOURCE node, computed once (r // deg, dense by
+        # node code); edge batches do one fancy-index gather + bincount
+        contrib_arr = np.zeros(n, dtype=np.int64)
+        senders = deg_arr > 0
+        contrib_arr[senders] = rank_arr[senders] // deg_arr[senders]
+        ref = ray.put(contrib_arr)
 
         def contrib(t: pa.Table) -> pa.Table:
-            cn = ray.get(ref)
-            # Series.map(Series) is a vectorized hash gather — the hot
-            # edge pass has no per-row Python (round-2 VERDICT item #3)
-            c = pd.Series(t[src].to_pandas()).map(cn).to_numpy(dtype=np.int64)
-            g = pd.DataFrame({"dst": t[dst].to_pandas(), "c": c}).groupby(
-                "dst", sort=False
-            )["c"].sum()
+            ca = ray.get(ref)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            # float64 bincount of int weights is exact while a per-batch
+            # per-dst sum stays < 2^53 — at scale=1e6 that allows 1e9
+            # edges into one dst per batch, far past any block size
+            sums = np.bincount(d, weights=ca[s])
+            nz = np.flatnonzero(sums)
             return pa.table(
                 {
-                    "dst": pa.array(g.index.to_numpy(), pa.string()),
-                    "c": pa.array(g.to_numpy(), pa.int64()),
+                    "d": pa.array(nz.astype(np.int64)),
+                    "c": pa.array(sums[nz].astype(np.int64)),
                 }
             )
 
-        parts = edges.map_batches(contrib, batch_format="pyarrow").to_pandas()
-        sums = parts.groupby("dst")["c"].sum()
-        rank = pd.Series(base, index=nodes, dtype=np.int64)
-        got = sums.index.to_numpy()
-        rank.loc[got] = base + (damping_pm * sums.to_numpy()) // 1000
+        parts = enc.map_batches(contrib, batch_format="pyarrow").to_pandas()
+        total = np.zeros(n, dtype=np.int64)
+        np.add.at(total, parts["d"].to_numpy(), parts["c"].to_numpy())
+        rank_arr = np.where(
+            total > 0, base + (damping_pm * total) // 1000, np.int64(base)
+        )
 
-    return pd.DataFrame({"page": nodes, "rank": rank.to_numpy()}).sort_values(
+    return pd.DataFrame({"page": nodes, "rank": rank_arr}).sort_values(
         ["rank", "page"], ascending=[False, True]
     ).reset_index(drop=True)
 
