@@ -4274,3 +4274,233 @@ def q82_pixel_parity(sf_dir: str):
     ours = ref.map_batches(perturb, batch_format="pyarrow")
     out = pixel_parity(ours, ref).to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+_POLITENESS_SQL = """
+WITH v AS (SELECT seq, url, host
+           FROM read_parquet('/root/repo/tests/fixtures/oracle/crawl_visits_sf0.01.parquet')),
+g AS (SELECT host, url,
+             seq - lag(seq) OVER (PARTITION BY host ORDER BY seq) AS gap
+      FROM v)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COALESCE(min(gap), -1) AS BIGINT) AS min_gap
+FROM g GROUP BY host ORDER BY host
+"""
+
+
+@query("q83_politeness_audit", sql=_POLITENESS_SQL)
+def q83_politeness_audit(sf_dir: str):
+    """Crawl-log politeness audit: per-host visit cadence from the walk's
+    own visit order (the invariant a politeness gate is supposed to
+    produce — ref: host budgets at trwalkers.pas:331-363).  Runs the
+    q21 engine configuration, then a distributed grouped ordered-gap
+    pass: per host, visit count, distinct URLs, and the MINIMUM seq gap
+    between consecutive visits (-1 when a host was visited once).  The
+    audit op is a ``bucketed_groupby`` with one vectorized sort+diff per
+    bucket; the oracle recomputes it as a SQL lag window over the
+    committed oracle-walk fixture (same fixture q21 is graded on)."""
+    from texrex_ray.crawl.engine import CrawlEngine
+    from texrex_ray.crawl.policy import CrawlConfig
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    steps = {0.001: 60, 0.01: 150, 0.1: 400}.get(_sf_of(sf_dir), 150)
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    eng = CrawlEngine(g, n_walkers=1, n_partitions=4, seed=42, config=CrawlConfig())
+    eng.run(max_steps=steps)
+    rows = eng.visit_order()
+    eng.shutdown()
+    visits = ray.data.from_arrow(
+        pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "host": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "seq"])
+        gap = df.groupby("host", sort=False)["seq"].diff()
+        out = (
+            df.assign(__gap=gap)
+            .groupby("host", sort=False)
+            .agg(
+                n_visits=("seq", "size"),
+                n_urls=("url", "nunique"),
+                min_gap=("__gap", "min"),
+            )
+            .reset_index()
+        )
+        out["min_gap"] = out["min_gap"].fillna(-1).astype("int64")
+        out["n_visits"] = out["n_visits"].astype("int64")
+        out["n_urls"] = out["n_urls"].astype("int64")
+        return out
+
+    return (
+        bucketed_groupby(visits, "host", audit)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)[["host", "n_visits", "n_urls", "min_gap"]]
+    )
+
+
+_SKEW_SQL = """
+WITH b AS (SELECT md5_number_lower(CAST(l_orderkey AS VARCHAR)) % 64 AS bucket
+           FROM lineitem)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("q84_partition_skew", sql=_SKEW_SQL)
+def q84_partition_skew(sf_dir: str):
+    """Partition-skew diagnostics: the per-bucket row counts a planned
+    hash partitioning would produce (the 'partitioning / shuffle / skew
+    handled explicitly' axis needs a measuring tool before a salting
+    decision — this is it).  One streaming pass: per-batch
+    ``np.bincount`` over the stable md5 bucket of the key, then a
+    64-row groupby-sum — the driver never sees rows, only the
+    bucket histogram.  The same hash (``md5_lower64`` ≡ DuckDB
+    ``md5_number_lower``) routes the persisted corpus index and the
+    80/20 split, so this histogram predicts REAL shuffle layouts."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = [str(v) for v in t["l_orderkey"].to_pylist()]
+        b = (md5_lower64(keys) % np.uint64(n_buckets)).astype(np.int64)
+        counts = np.bincount(b, minlength=n_buckets)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "pn": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("pn", alias_name="n_rows"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out[["bucket", "n_rows"]]
+
+
+_STRATIFIED_SQL = """
+SELECT lang, doc_id,
+       CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS rk
+FROM documents
+QUALIFY rk <= 20
+ORDER BY lang, rk
+"""
+
+
+@query("q85_stratified_sample", sql=_STRATIFIED_SQL)
+def q85_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: exactly k docs per stratum
+    (language), chosen by smallest content-stable hash — the
+    train-data subsampling primitive (per-source/per-language caps)
+    that needs NO global shuffle and is reproducible across engines,
+    layouts and runs.  Ranking hash is ``md5_lower64`` (≡ DuckDB
+    ``md5_number_lower``); selection is ``grouped_topk`` — per-bucket
+    vectorized head-k, exchange bounded by k × strata."""
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.ops.topk import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = md5_lower64([str(v) for v in t["doc_id"].to_pylist()])
+        return t.append_column("h", pa.array(h, pa.uint64()))
+
+    out = (
+        grouped_topk(
+            ds.map_batches(add_hash, batch_format="pyarrow"),
+            "lang",
+            "h",
+            k=20,
+            ascending=True,
+            tiebreak="doc_id",
+        )
+        .to_pandas()
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+    out["rk"] = out["rk"].astype("int64")
+    return out[["lang", "doc_id", "rk"]]
+
+
+_USER_GROWTH_SQL = """
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT strftime(first_ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_new_users
+FROM first_seen GROUP BY day ORDER BY day
+"""
+
+
+@query("q86_user_growth", sql=_USER_GROWTH_SQL)
+def q86_user_growth(sf_dir: str):
+    """Growth-curve accounting WITHOUT a sequential scan: 'how many new
+    users appear each day' == a first-occurrence histogram — per-batch
+    (user, min ts) partials, one keyed min-combine, then a per-day
+    count.  The same two-exchange shape computes any first-seen curve
+    (new vocabulary, new hosts discovered by the crawl, new image
+    clusters) at corpus scale; nothing time-ordered is scanned
+    serially."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial_first(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_pandas(), "ts": t["ts"].to_pandas()}
+        )
+        g = df.groupby("user_id", sort=False)["ts"].min().reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "pf": pa.array(g["ts"].astype("int64").to_numpy(), pa.int64()),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(partial_first, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("pf", alias_name="first_ts"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        ts = t["first_ts"].to_numpy(zero_copy_only=False)
+        day = ts // (86_400 * 10**6) * 86_400  # us -> epoch-day start (s)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day_s": pa.array(u.astype(np.int64)),
+                "pn": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    out = (
+        firsts.map_batches(hist, batch_format="pyarrow")
+        .groupby("day_s")
+        .aggregate(Sum("pn", alias_name="n_new_users"))
+        .to_pandas()
+        .sort_values("day_s")
+        .reset_index(drop=True)
+    )
+    out["day"] = pd.to_datetime(out["day_s"], unit="s").dt.strftime("%Y-%m-%d")
+    out["n_new_users"] = out["n_new_users"].astype("int64")
+    return out[["day", "n_new_users"]]
