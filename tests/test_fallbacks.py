@@ -102,3 +102,27 @@ def test_index_lock_stale_break_and_timeout(tmp_path):
     with _index_lock(d, timeout_s=1.0, stale_s=600.0):
         assert os.path.exists(lock)
     assert not os.path.exists(lock)
+
+
+def test_ann_precombine_matches_driver_reduce(ray_session):
+    """precombine=True (the extreme-block-count distributed pre-combine)
+    must be row-identical to the driver-side reduce for all three ANN
+    entry points."""
+    import pandas as pd
+
+    from texrex_ray.dedup.embed import ivf_ann, knn_bruteforce, lsh_ann
+
+    emb = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(9)
+    q = [0, 5, 7]
+    for fn, kw in (
+        (knn_bruteforce, {}),
+        (ivf_ann, {"nlist": 4, "nprobe": 4}),
+        (lsh_ann, {"n_planes": 3}),
+    ):
+        a = fn(emb, query_ids=q, k=8, **kw)
+        b = fn(emb, query_ids=q, k=8, precombine=True, **kw)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )

@@ -48,13 +48,34 @@ def _reduce_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     small result by construction — so this reduce runs vectorized on the
     driver (one sort + grouped head) instead of paying a Sort all-to-all
     through the object store for kilobytes of data.  At extreme block
-    counts an intermediate combine (repartition + the same function in
-    map_batches) slots in front unchanged."""
+    counts, pre-combine with ``precombine_topk`` first (same function
+    inside map_batches)."""
     g = partials[partials["neighbor_id"] != partials["query_id"]]
     g = g.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
     g = g.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     g["rank"] = g.groupby("query_id").cumcount() + 1
     return g[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def precombine_topk(partials_ds: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Distributed intermediate combine for partial top-k streams: keeps
+    the best k+1 rows per query PER COALESCED BLOCK, so the driver-side
+    final reduce sees n_coalesced_blocks × n_queries × (k+1) rows no
+    matter how many map blocks produced partials (the documented
+    extreme-block-count fallback of ``_reduce_topk``, now a tested code
+    path — pass ``precombine=True`` to the ANN entry points)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        # keep k+1: the self row (excluded only at the final reduce) must
+        # not be allowed to evict a real neighbor here
+        return g.groupby("query_id", sort=False).head(k + 1).reset_index(drop=True)
+
+    return partials_ds.repartition(8).map_batches(
+        local, batch_format="pandas", batch_size=None
+    )
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -70,6 +91,7 @@ def knn_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    precombine: bool = False,
 ) -> pd.DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank), self excluded.
 
@@ -110,8 +132,10 @@ def knn_bruteforce(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    return _reduce_topk(partials, k)
+    out = ds.map_batches(partial_topk, batch_format="pyarrow")
+    if precombine:
+        out = precombine_topk(out, k)
+    return _reduce_topk(out.to_pandas(), k)
 
 
 def nearest_neighbors(
@@ -215,6 +239,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    precombine: bool = False,
 ) -> pd.DataFrame:
     """IVF approximate top-k: coarse k-means cells, per-query probe lists.
 
@@ -276,8 +301,10 @@ def ivf_ann(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    return _reduce_topk(partials, k)
+    out = ds.map_batches(partial_topk, batch_format="pyarrow")
+    if precombine:
+        out = precombine_topk(out, k)
+    return _reduce_topk(out.to_pandas(), k)
 
 
 def lsh_ann(
@@ -289,6 +316,7 @@ def lsh_ann(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    precombine: bool = False,
 ) -> pd.DataFrame:
     """Approximate top-k: random-hyperplane buckets, multi-probe search.
 
@@ -360,5 +388,7 @@ def lsh_ann(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    return _reduce_topk(partials, k)
+    out = ds.map_batches(partial_topk, batch_format="pyarrow")
+    if precombine:
+        out = precombine_topk(out, k)
+    return _reduce_topk(out.to_pandas(), k)
