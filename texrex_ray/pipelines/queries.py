@@ -4504,3 +4504,75 @@ def q86_user_growth(sf_dir: str):
     out["day"] = pd.to_datetime(out["day_s"], unit="s").dt.strftime("%Y-%m-%d")
     out["n_new_users"] = out["n_new_users"].astype("int64")
     return out[["day", "n_new_users"]]
+
+
+_SPAN_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKEN_SQL} AS ts FROM documents),
+wins AS (
+  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS w
+  FROM toks, unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS t(i)),
+firsts AS (SELECT w, min(doc_id) AS fd FROM wins GROUP BY w)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN fd < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+FROM wins JOIN firsts USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("q87_span_dedup", sql=_SPAN_DEDUP_SQL)
+def q87_span_dedup(sf_dir: str):
+    """Exact substring (token-window) dedup accounting — the Lee et al.
+    'dedup repeated spans' pipeline step at window granularity: every
+    8-token sliding window, grouped EXACTLY on its text, is a duplicate
+    instance when the same window first appears in a smaller doc_id.
+    One bucketed exchange on the window string does everything: each
+    bucket holds all instances of its windows, so first-owner and
+    per-doc instance counts are one vectorized transform; per-doc
+    partials then sum in a doc-keyed aggregate.  (At 100 TB swap the
+    window string for a 128-bit content hash to shrink the exchange —
+    64-bit would admit birthday collisions at ~10⁹ windows; the
+    grouping algebra is unchanged.)  Returns (doc_id, n_windows,
+    n_dup_windows) for every doc with ≥8 tokens."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W = 8
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_w, out_d = [], []
+        for i, s in zip(ids, t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall((s or "").lower())
+            ii = int(i)
+            for p in range(len(toks) - W + 1):
+                out_w.append(" ".join(toks[p : p + W]))
+                out_d.append(ii)
+        return pa.table(
+            {"w": pa.array(out_w, pa.string()), "doc_id": pa.array(out_d, pa.int64())}
+        )
+
+    wins = ds.map_batches(win_rows, batch_format="pyarrow")
+
+    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("w", sort=False)["doc_id"].transform("min")
+        g = g.assign(__dup=(fd < g["doc_id"]).astype("int64"))
+        out = g.groupby("doc_id", sort=False).agg(
+            pn=("__dup", "size"), pd_=("__dup", "sum")
+        )
+        return out.reset_index()
+
+    out = (
+        bucketed_groupby(wins, "w", per_window)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("pn", alias_name="n_windows"),
+            Sum("pd_", alias_name="n_dup_windows"),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["n_windows"] = out["n_windows"].astype("int64")
+    out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+    return out[["doc_id", "n_windows", "n_dup_windows"]]
