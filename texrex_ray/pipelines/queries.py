@@ -4552,7 +4552,11 @@ def q87_span_dedup(sf_dir: str):
             {"w": pa.array(out_w, pa.string()), "doc_id": pa.array(out_d, pa.int64())}
         )
 
-    wins = ds.map_batches(win_rows, batch_format="pyarrow")
+    # pin the exploded windows: the bucketed sort exchange samples AND
+    # shuffles its input, and the doc-keyed aggregate follows — lazily the
+    # explode re-executes per pass (measured 14-16 s vs 5.5 s pinned at
+    # sf0.1); the window table is narrow and spillable
+    wins = ds.map_batches(win_rows, batch_format="pyarrow").materialize()
 
     def per_window(g: pd.DataFrame) -> pd.DataFrame:
         fd = g.groupby("w", sort=False)["doc_id"].transform("min")
