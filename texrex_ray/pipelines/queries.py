@@ -4566,13 +4566,19 @@ def q87_span_dedup(sf_dir: str):
         )
         return out.reset_index()
 
+    # partials are (buckets x docs)-sized — one combine task beats a second
+    # sort exchange (which would also re-execute the bucketed stage for its
+    # sample pass; measured 18 s vs 5 s).  Beyond ~5M partial rows swap in
+    # groupby("doc_id").aggregate(Sum) (tender.count_pairs pattern).
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).agg(
+            n_windows=("pn", "sum"), n_dup_windows=("pd_", "sum")
+        )
+
     out = (
         bucketed_groupby(wins, "w", per_window)
-        .groupby("doc_id")
-        .aggregate(
-            Sum("pn", alias_name="n_windows"),
-            Sum("pd_", alias_name="n_dup_windows"),
-        )
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
