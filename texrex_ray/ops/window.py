@@ -89,3 +89,38 @@ def session_count(
         return out.reset_index()
 
     return bucketed_groupby(ds, key, combine, expected_rows=expected_rows)
+
+
+def running_totals(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    out_n: str = "cum_n",
+    out_sum: str = "cum_sum",
+    expected_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key running count + running sum in event order — the ordered
+    windowed aggregate (SQL ``ROWS UNBOUNDED PRECEDING``) Ray Data has no
+    native operator for.
+
+    Partitioning assumption (same as ``session_count``): one key's rows
+    fit one bucket group — per-user/per-host event volumes satisfy this
+    at any realistic scale, and a pathologically hot key would be
+    time-salted first with per-salt offsets chained afterwards.  Each
+    bucket runs ONE vectorized sort + grouped cumsum/cumcount across all
+    its keys; this host's cumsum pathology applies to huge flat arrays,
+    not these bucket-sized ones.  ``value_col`` must already be integer
+    (scale your floats first) so running sums are exact.
+    """
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        df[out_n] = g.cumcount() + 1
+        df[out_sum] = g[value_col].cumsum()
+        return df
+
+    return bucketed_groupby(ds, key, combine, expected_rows=expected_rows)

@@ -4586,3 +4586,117 @@ def q87_span_dedup(sf_dir: str):
     out["n_windows"] = out["n_windows"].astype("int64")
     out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
     return out[["doc_id", "n_windows", "n_dup_windows"]]
+
+
+_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS cum_n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cum_value_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+ORDER BY event_id
+"""
+
+
+@query("q88_running_totals", sql=_RUNNING_SQL)
+def q88_running_totals(sf_dir: str):
+    """Per-user running count + running value sum in event order — the
+    ordered windowed aggregate (SQL ROWS UNBOUNDED PRECEDING) via
+    ``ops/window.py::running_totals``: one bucketed exchange on the
+    user key, one vectorized sort + grouped cumsum per bucket.  Values
+    go to integer cents BEFORE accumulation so the running sums hash
+    exactly."""
+    from texrex_ray.ops.window import running_totals
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "value_c", pa.array([_cents(x) for x in v], pa.int64())
+        )
+
+    out = (
+        running_totals(
+            ds.map_batches(cents, batch_format="pyarrow"),
+            "user_id",
+            ["ts", "event_id"],
+            "value_c",
+            out_n="cum_n",
+            out_sum="cum_value_c",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["cum_n"] = out["cum_n"].astype("int64")
+    out["cum_value_c"] = out["cum_value_c"].astype("int64")
+    return out[["event_id", "user_id", "cum_n", "cum_value_c"]]
+
+
+_DIFF_M = (1 << 61) - 1
+_DIFF_SQL = f"""
+WITH tampered AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN text || ' [edited]' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 97 <> 0),
+fa AS (
+  SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 64 AS bucket,
+         count(*) AS n,
+         CAST(sum(md5_number_lower(
+                CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang
+              ) % {_DIFF_M}) % {_DIFF_M} AS BIGINT) AS cs
+  FROM documents GROUP BY bucket),
+fb AS (
+  SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 64 AS bucket,
+         count(*) AS n,
+         CAST(sum(md5_number_lower(
+                CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang
+              ) % {_DIFF_M}) % {_DIFF_M} AS BIGINT) AS cs
+  FROM tampered GROUP BY bucket)
+SELECT CAST(COALESCE(fa.bucket, fb.bucket) AS BIGINT) AS bucket,
+       CAST(COALESCE(fa.n, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(fb.n, 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(fa.cs, 0) AS BIGINT) AS checksum_a,
+       CAST(COALESCE(fb.cs, 0) AS BIGINT) AS checksum_b,
+       CAST(CASE WHEN COALESCE(fa.n,0) = COALESCE(fb.n,0)
+                  AND COALESCE(fa.cs,0) = COALESCE(fb.cs,0)
+            THEN 1 ELSE 0 END AS BIGINT) AS match
+FROM fa FULL JOIN fb ON fa.bucket = fb.bucket
+ORDER BY bucket
+"""
+
+
+@query("q89_table_diff", sql=_DIFF_SQL)
+def q89_table_diff(sf_dir: str):
+    """Distributed table diff (``ops/diff.py``): compare two corpus
+    copies WITHOUT joining or shuffling either — per key-hash bucket, a
+    row count and an order-independent modular row checksum (md5 mod
+    2⁶¹−1, exact in any engine), compared driver-side at bucket
+    granularity.  The validation tool a migration/re-run needs at
+    100 TB: a mismatch names the buckets to re-scan.  The 'b' side is
+    the corpus with deterministic tampering (every 97th doc dropped,
+    every 101st edited); the oracle recomputes both fingerprints in
+    SQL."""
+    from texrex_ray.ops.diff import table_diff
+
+    a = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def tamper(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (ids % 97) != 0
+        t = t.filter(pa.array(keep))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            (s or "") + " [edited]" if int(i) % 101 == 0 else s
+            for i, s in zip(ids, t["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(texts, pa.string()),
+             "lang": t["lang"]}
+        )
+
+    b = a.map_batches(tamper, batch_format="pyarrow")
+    out = table_diff(a, b, "doc_id", ["doc_id", "text", "lang"], n_buckets=64)
+    return out.sort_values("bucket").reset_index(drop=True)
