@@ -192,3 +192,40 @@ def test_canonical_urls():
         "http://d.com/s?keep=1&id=2",
         "",
     ]
+
+
+def test_langid_profiles_and_accuracy(ray_session):
+    """Data-derived trigram language-ID: on a corpus with REAL
+    per-language character distributions the classifier recovers the
+    labels perfectly; profiles and predictions are deterministic and
+    layout-invariant.  (The sf testdata shares one vocabulary across
+    lang labels, so accuracy there only measures tie-breaking — q90
+    grades engine parity, this test grades the operator.)"""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.functions.langid import classify_langid, trigram_profiles
+
+    rng = np.random.default_rng(5)
+    alpha = {"aa": "abcdefghijklm", "bb": "nopqrstuvwxyz", "cc": "aeiou nrst"}
+    ids, langs, texts = [], [], []
+    i = 0
+    for lg, chars in alpha.items():
+        for _ in range(40):
+            ids.append(i); langs.append(lg)
+            texts.append("".join(rng.choice(list(chars), size=120)))
+            i += 1
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "lang": pa.array(langs, pa.string()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(5)
+    prof = trigram_profiles(ds, k=40)
+    for lg in alpha:
+        assert prof[prof["lang"] == lg]["rk"].tolist() == list(range(1, 41))
+    out = classify_langid(ds, prof).to_pandas()
+    acc = (out["pred_lang"] == out["lang"]).mean()
+    assert acc >= 0.95, acc
+    out2 = classify_langid(ds.repartition(11), prof).to_pandas().sort_values("doc_id")
+    assert out.sort_values("doc_id")["pred_lang"].tolist() == out2["pred_lang"].tolist()

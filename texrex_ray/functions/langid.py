@@ -1,0 +1,110 @@
+"""Character-n-gram language identification (the classic Cavnar–Trenkle
+n-gram heuristic, data-derived).
+
+Two stages, both Dataset-native:
+
+- ``trigram_profiles``: per-language top-k character trigrams by corpus
+  frequency — one (lang, trigram)-keyed exchange of partial counts, then
+  a grouped top-k; the result is languages × k rows (tiny, broadcast).
+- ``classify_langid``: per-doc predicted language = argmax over profile
+  OVERLAP (number of DISTINCT doc trigrams present in each language's
+  profile) — one streaming pass, profiles broadcast once via ``ray.put``.
+
+Integer-exact: scores are overlap COUNTS, top-k boundary ties break on
+trigram ASC, prediction ties on language ASC — so results hash
+identically across engines (the SQL oracle recomputes both stages).
+Text is canonicalized to ``[a-z ]`` BEFORE trigramming so python/ICU
+``lower()`` edge cases cannot leak into the n-gram space.
+
+The reference's own language gate is the profile-file TextAssessment
+(trtextassessment.pas, functions/assess.py — q24); this operator is the
+data-derived variant a pipeline uses when no curated profiles exist.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_CANON_RE = re.compile(r"[^a-z ]")
+
+
+def canon_text(s: str | None) -> str:
+    return _CANON_RE.sub("", (s or "").lower())
+
+
+def _trigrams(s: str) -> list[str]:
+    return [s[i : i + 3] for i in range(len(s) - 2)]
+
+
+def trigram_profiles(
+    ds: ray.data.Dataset,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    k: int = 40,
+) -> pd.DataFrame:
+    """(lang, g, n, rk): the top-``k`` trigrams per language."""
+    from ray.data.aggregate import Sum
+
+    from texrex_ray.ops.topk import grouped_topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter[tuple[str, str]] = Counter()
+        for lang, s in zip(t[lang_col].to_pylist(), t[text_col].to_pylist()):
+            for g in _trigrams(canon_text(s)):
+                c[(lang, g)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([x[0] for x in keys], pa.string()),
+                "g": pa.array([x[1] for x in keys], pa.string()),
+                "pn": pa.array([c[x] for x in keys], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "g"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    top = grouped_topk(counts, "lang", "n", k=k, ascending=False, tiebreak="g")
+    out = top.to_pandas().sort_values(["lang", "rk"]).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["lang", "g", "n", "rk"]]
+
+
+def classify_langid(
+    ds: ray.data.Dataset,
+    profiles: pd.DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Append ``pred_lang`` (string, NULL when no profile overlaps): the
+    language whose profile shares the most DISTINCT trigrams with the
+    document, ties broken by language ASC."""
+    langs = sorted(profiles["lang"].unique())
+    prof_sets = {lg: frozenset(profiles.loc[profiles["lang"] == lg, "g"]) for lg in langs}
+    ref = ray.put((langs, prof_sets))
+
+    def classify(t: pa.Table) -> pa.Table:
+        langs_, sets_ = ray.get(ref)
+        preds: list[str | None] = []
+        for s in t[text_col].to_pylist():
+            grams = set(_trigrams(canon_text(s)))
+            best, best_sc = None, 0
+            for lg in langs_:  # ASC order: first max wins ties
+                sc = len(grams & sets_[lg])
+                if sc > best_sc:
+                    best, best_sc = lg, sc
+            preds.append(best)
+        return t.append_column("pred_lang", pa.array(preds, pa.string()))
+
+    return ds.map_batches(classify, batch_format="pyarrow")

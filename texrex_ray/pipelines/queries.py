@@ -4700,3 +4700,56 @@ def q89_table_diff(sf_dir: str):
     b = a.map_batches(tamper, batch_format="pyarrow")
     out = table_diff(a, b, "doc_id", ["doc_id", "text", "lang"], n_buckets=64)
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+_LANGID_SQL = """
+WITH chars AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s
+  FROM documents),
+tris AS (
+  SELECT doc_id, lang, substr(s, i, 3) AS g
+  FROM chars, unnest(generate_series(1, greatest(length(s) - 2, 0))) AS t(i)),
+prof AS (
+  SELECT lang, g FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rk
+    FROM tris GROUP BY lang, g)
+  WHERE rk <= 40),
+docg AS (SELECT DISTINCT doc_id, g FROM tris),
+scores AS (
+  SELECT d.doc_id, p.lang, count(*) AS sc
+  FROM docg d JOIN prof p USING (g) GROUP BY d.doc_id, p.lang),
+pred AS (
+  SELECT doc_id, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) AS rk
+  FROM scores)
+SELECT c.doc_id, p.pred_lang,
+       CAST(CASE WHEN p.pred_lang = c.lang THEN 1 ELSE 0 END AS BIGINT) AS match
+FROM chars c LEFT JOIN (SELECT doc_id, pred_lang FROM pred WHERE rk = 1) p USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+@query("q90_langid", sql=_LANGID_SQL)
+def q90_langid(sf_dir: str):
+    """Language-ID by character-trigram profiles (Cavnar–Trenkle
+    heuristic), fully data-derived: per-language top-40 trigram
+    profiles from one keyed count exchange + grouped top-k, then a
+    broadcast-profiles streaming classification by distinct-trigram
+    overlap (``functions/langid.py``).  Integer-exact scoring and
+    deterministic tie-breaks make the whole two-stage pipeline
+    SQL-recomputable.  Output: (doc_id, pred_lang, match-vs-corpus
+    label)."""
+    from texrex_ray.functions.langid import classify_langid, trigram_profiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    prof = trigram_profiles(ds, k=40)
+    out = (
+        classify_langid(ds, prof)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["match"] = (out["pred_lang"] == out["lang"]).astype("int64")
+    return out[["doc_id", "pred_lang", "match"]]
