@@ -4753,3 +4753,114 @@ def q90_langid(sf_dir: str):
     )
     out["match"] = (out["pred_lang"] == out["lang"]).astype("int64")
     return out[["doc_id", "pred_lang", "match"]]
+
+
+_INC_AGG_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q91_incremental_agg", sql=_INC_AGG_SQL)
+def q91_incremental_agg(sf_dir: str):
+    """Incremental aggregate maintenance: yesterday's per-language
+    moments (count / Σchars / Σchars²) are PERSISTED from the historical
+    80% split; today's 20% increment streams through the same partial
+    aggregation and MERGES with the stored state — mergeable partials
+    mean history is never re-scanned.  The oracle aggregates the full
+    corpus in one go: the merge path must land on exactly those
+    integers.  (The same shape maintains any commutative-monoid
+    aggregate — HLL registers, count-min rows, per-source token counts —
+    over a continuously-ingested corpus.)"""
+    import os
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "pn": 1, "ps": ch, "pq": ch * ch}
+        )
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def agg_split(lo: int, hi: int) -> pd.DataFrame:
+        ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        return (
+            ds.map_batches(_doc_bucket_filter(lo, hi), batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(
+                Sum("pn", alias_name="n_docs"),
+                Sum("ps", alias_name="sum_chars"),
+                Sum("pq", alias_name="sum_sq"),
+            )
+            .to_pandas()
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        state_path = os.path.join(d, "lang_moments.parquet")
+        # "yesterday": persist the historical aggregate
+        agg_split(0, 80).to_parquet(state_path, index=False)
+        # "today": aggregate only the increment, merge with stored state
+        state = pd.read_parquet(state_path)
+        delta = agg_split(80, 100)
+        merged = (
+            pd.concat([state, delta], ignore_index=True)
+            .groupby("lang", as_index=False)
+            .sum()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+    for c in ("n_docs", "sum_chars", "sum_sq"):
+        merged[c] = merged[c].astype("int64")
+    return merged[["lang", "n_docs", "sum_chars", "sum_sq"]]
+
+
+_VALUE_RANKS_SQL = """
+WITH v AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty_c FROM lineitem),
+h AS (SELECT qty_c, count(*) AS n FROM v GROUP BY qty_c)
+SELECT qty_c, CAST(n AS BIGINT) AS n,
+       CAST(1 + COALESCE(SUM(n) OVER (ORDER BY qty_c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rank_min
+FROM h ORDER BY qty_c
+"""
+
+
+@query("q92_value_ranks", sql=_VALUE_RANKS_SQL)
+def q92_value_ranks(sf_dir: str):
+    """Global ranks WITHOUT a global sort: the histogram-rank pattern.
+    One keyed count exchange builds the value histogram (domain-sized,
+    not row-sized); the driver prefix-sums it once and every row's
+    exact min-rank (SQL ``rank()``) is then a broadcast lookup — the
+    way percentile features are computed over 10¹⁰ rows when a
+    ``ds.sort`` would be an all-to-all of the whole corpus.  Output is
+    the ranked histogram itself (value, count, rank_min); the
+    per-row attach is a ``map_batches`` dictionary gather."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        qc = np.round(q * 100).astype(np.int64)
+        u, c = np.unique(qc, return_counts=True)
+        return pa.table(
+            {"qty_c": pa.array(u), "pn": pa.array(c.astype(np.int64))}
+        )
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qty_c")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values("qty_c")
+        .reset_index(drop=True)
+    )
+    h["n"] = h["n"].astype("int64")
+    h["rank_min"] = (h["n"].cumsum() - h["n"] + 1).astype("int64")
+    return h[["qty_c", "n", "rank_min"]]
