@@ -97,27 +97,39 @@ class WalkerShardActor:
     def resolve(
         self,
         results: list[tuple[int, str]],
-        link_payloads: list[list[tuple[int, list[str]]]] | None = None,
+        link_payloads: list | None = None,
     ) -> None:
         """results: (walker_id, verdict) — verdict ∈ ok|fail|wait|cache.
 
-        Link lists for "ok" verdicts arrive via ``link_payloads`` — the
-        per-shard outputs of ``gate_fetch``, shipped actor→actor through
-        the object store so the driver never serializes a link list."""
-        lmap: dict[int, list[str]] = {}
+        Fetch verdicts + link lists arrive via ``link_payloads`` — the
+        per-shard ``(wid, verdict, links)`` outputs of ``gate_fetch``,
+        shipped actor→actor through the object store so the driver never
+        serializes (or even waits on) them: the engine dispatches this
+        call BEFORE consuming its own meta copy, which takes the whole
+        verdict-routing hop off the round's critical path.  ``results``
+        carries only the driver-acked cache hits (invariant: cache steps
+        are recorded by the driver).  Per-walker deliveries are
+        independent (one verdict per walker per round; each walker owns
+        its RNG), so the order payloads apply in cannot affect the walk.
+        """
         for payload in link_payloads or []:
             if isinstance(payload, ray.ObjectRef):
                 # refs nested in a list are not auto-resolved; fetch from
                 # the LOCAL object store (plasma), not through the driver
                 payload = ray.get(payload)
-            for wid, links in payload:
-                lmap[wid] = links
+            for wid, verdict, links in payload:
+                w = self.walkers[wid]
+                if verdict == "ok":
+                    w.deliver(True, links)
+                elif verdict == "fail":
+                    w.deliver(False, None)
+                # "wait": leave pending
         for wid, verdict in results:
             w = self.walkers[wid]
-            if verdict == "ok":
-                w.deliver(True, lmap.get(wid))
-            elif verdict == "cache":
+            if verdict == "cache":
                 w.deliver(True, w.cached_links(w.pending[0]))
+            elif verdict == "ok":
+                w.deliver(True, None)
             elif verdict == "fail":
                 w.deliver(False, None)
             # "wait": leave pending
@@ -281,10 +293,12 @@ class FrontierPartActor:
             if w < 0:
                 self.metrics["disallowed"] += 1
                 meta.append((wid, "fail", False))
+                shard_links[wid % n_shards].append((wid, "fail", None))
                 continue
             if w > 0:
                 self.metrics["waits"] += 1
                 meta.append((wid, "wait", False))
+                shard_links[wid % n_shards].append((wid, "wait", None))
                 continue
             if self.cfg.add_random_wait_up_to > 0:
                 # extra politeness jitter (ref: AddRandomWaitUpTo at
@@ -297,6 +311,7 @@ class FrontierPartActor:
                 if extra > 0:
                     self.metrics["jitter_waits"] += 1
                     meta.append((wid, "wait", False))
+                    shard_links[wid % n_shards].append((wid, "wait", None))
                     continue
             self.pm.retrieved(url, now)
             self.metrics["gated_fetches"] += 1
@@ -305,6 +320,7 @@ class FrontierPartActor:
             if not fr.ok:
                 self.metrics["failed_fetches"] += 1
                 meta.append((wid, "fail", False))
+                shard_links[wid % n_shards].append((wid, "fail", None))
                 continue
             is_new = bool(self.bloom.add_if_new([url])[0])
             if is_new:
@@ -325,7 +341,7 @@ class FrontierPartActor:
                     row["img_caps"] = [c for _, c in fr.images]
                 self.corpus_buf.append(row)
             meta.append((wid, "ok", is_new))
-            shard_links[wid % n_shards].append((wid, fr.links))
+            shard_links[wid % n_shards].append((wid, "ok", fr.links))
         self.metrics["gate_ms"] += int((time.perf_counter() - t0) * 1000)
         self.metrics["gate_calls"] += 1
         if n_shards == 1:
@@ -719,9 +735,23 @@ class CrawlEngine:
             )
             meta_refs.append(refs[0])
             link_refs.append(refs[1:])
+        # PIPELINE: fetch verdicts ride the per-shard payload refs, so the
+        # next round's fused resolve+propose dispatches IMMEDIATELY — each
+        # shard pulls its verdicts+links straight from the object store as
+        # its partitions finish, and the driver's meta read below runs in
+        # PARALLEL with that work instead of gating it (measured: the
+        # verdict-routing hop was ~40% of round latency).  Cache acks stay
+        # driver-routed (invariant: cache steps are driver-recorded).
+        next_futs = [
+            self.shards[s].resolve_and_propose.remote(
+                cache_acks.get(s, []),
+                [link_refs[j][s] for j in range(len(part_ids))],
+            )
+            for s in range(S)
+        ]
+        # driver-side accounting (stats + visit rows), off the critical path
         res_all = ray.get(meta_refs)
         by_wid = {wid: (i, url, action) for i, (wid, url, action) in enumerate(pending)}
-        by_shard: dict[int, list[tuple[int, str]]] = {}
         for p, res in zip(part_ids, res_all):
             for wid, verdict, is_new in res:
                 i, url, action = by_wid[wid]
@@ -735,16 +765,6 @@ class CrawlEngine:
                     self.stats.waits += 1
                 else:
                     self.stats.failed += 1
-                by_shard.setdefault(wid % S, []).append((wid, verdict))
-        # fused resolve + next-round propose: one barrier per round; every
-        # shard gets a call (cache acks included; idle shards still propose)
-        next_futs = [
-            self.shards[s].resolve_and_propose.remote(
-                cache_acks.get(s, []) + by_shard.get(s, []),
-                [link_refs[j][s] for j in range(len(part_ids))],
-            )
-            for s in range(S)
-        ]
         return next_futs, True
 
     # -- fixtures ----------------------------------------------------------
