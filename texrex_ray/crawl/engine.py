@@ -125,14 +125,17 @@ class WalkerShardActor:
                     w.deliver(False, None)
                 # "wait": leave pending
         for wid, verdict in results:
+            # the driver routes ONLY cache acks here (fetch verdicts come
+            # through the payloads above); anything else would risk a
+            # double delivery, so reject it loudly
+            if verdict != "cache":
+                raise ValueError(
+                    f"resolve(): unexpected driver verdict {verdict!r} for "
+                    f"walker {wid} — fetch verdicts must ride gate_fetch's "
+                    "per-shard payloads"
+                )
             w = self.walkers[wid]
-            if verdict == "cache":
-                w.deliver(True, w.cached_links(w.pending[0]))
-            elif verdict == "ok":
-                w.deliver(True, None)
-            elif verdict == "fail":
-                w.deliver(False, None)
-            # "wait": leave pending
+            w.deliver(True, w.cached_links(w.pending[0]))
 
     def resolve_and_propose(
         self,
