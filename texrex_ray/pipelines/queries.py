@@ -4864,3 +4864,82 @@ def q92_value_ranks(sf_dir: str):
     h["n"] = h["n"].astype("int64")
     h["rank_min"] = (h["n"].cumsum() - h["n"] + 1).astype("int64")
     return h[["qty_c", "n", "rank_min"]]
+
+
+_SIMHASH_DECON_SQL = """
+WITH bench AS (
+  SELECT doc_id FROM documents
+  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 >= 95),
+sigs AS (
+  SELECT d.doc_id,
+         CAST(s.simhash AS BIGINT) AS simhash,
+         CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_bench
+  FROM documents d
+  JOIN read_parquet('/root/repo/tests/fixtures/oracle/simhash_sig_sf0.01.parquet') s
+    USING (doc_id)
+  LEFT JOIN bench b USING (doc_id)),
+pairs AS (
+  SELECT t.doc_id AS train_id, bm.doc_id AS bench_id,
+         bit_count(xor(t.simhash, bm.simhash)) AS hamming
+  FROM sigs t JOIN sigs bm
+    ON t.is_bench = 0 AND bm.is_bench = 1)
+SELECT train_id, bench_id, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 20
+ORDER BY train_id, bench_id
+"""
+
+
+@query("q93_simhash_decontaminate", sql=_SIMHASH_DECON_SQL)
+def q93_simhash_decontaminate(sf_dir: str):
+    """NEAR-dup decontamination across two corpora: which training docs
+    are within SimHash Hamming ≤ 20 of any held-out benchmark doc (the
+    hash-split 95+ bucket)?  q59 catches exact n-gram overlap; this
+    catches paraphrased/near-copied contamination.  Both sides union
+    into ONE ``hamming_pairs`` radius search (complete multi-index
+    candidate generation) with a side tag; only cross-side pairs
+    survive.  The benchmark ids offset by 10⁹ so the union keeps one id
+    space — pairs are then (train, bench) regardless of which side
+    sorted first.  Oracle joins the committed SimHash fixture (the
+    signature family is pinned by q18's fixture freshness test)."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+    from texrex_ray.functions.hashing import simhash64
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    OFF = 10**9
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in t["text"].to_pylist()]
+        grams = [
+            [" ".join(tk[i : i + 3]) for i in range(max(0, len(tk) - 2))]
+            for tk in toks
+        ]
+        sh = simhash64(grams)
+        bench = _doc_bucket(ids) >= 95
+        out_id = np.where(bench, ids + OFF, ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id.astype(np.int64)),
+                "simhash": pa.array(sh),
+            }
+        )
+
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
+    # radius 20 (21 blocks of 3 bits) — decontamination wants recall;
+    # the recursive bucket splits keep the wide radius tractable
+    pairs = hamming_pairs(sigs, max_hamming=20).to_pandas()
+    a, b = pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()
+    cross = (a >= OFF) != (b >= OFF)
+    pairs = pairs[cross].copy()
+    a, b = pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()
+    pairs["train_id"] = np.where(a >= OFF, b, a)
+    pairs["bench_id"] = np.where(a >= OFF, a - OFF, b - OFF)
+    out = (
+        pairs[["train_id", "bench_id", "hamming"]]
+        .sort_values(["train_id", "bench_id"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -221,26 +221,29 @@ def pixel_parity(
 
     def compare(df: pd.DataFrame) -> pd.DataFrame:
         ids, sses, ns, oks, caps = [], [], [], [], []
-        for _, row in df.iterrows():
-            a, b = row[bytes_col], row[f"{bytes_col}_ref"]
-            if a is None or b is None or (isinstance(a, float)) or (isinstance(b, float)):
+        it = zip(
+            df[id_col], df[bytes_col], df[f"{bytes_col}_ref"],
+            df[caption_col], df[f"{caption_col}_ref"],
+        )
+        for rid, a, b, ca, cb in it:
+            if a is None or b is None or isinstance(a, float) or isinstance(b, float):
                 raise ValueError(
-                    f"pixel_parity: {row[id_col]!r} present on only one side"
+                    f"pixel_parity: {rid!r} present on only one side"
                 )
             pa_, pb = decode_image(bytes(a)), decode_image(bytes(b))
             if pa_.shape != pb.shape:
                 raise ValueError(
-                    f"pixel_parity: {row[id_col]!r} decoded shapes differ "
+                    f"pixel_parity: {rid!r} decoded shapes differ "
                     f"{pa_.shape} vs {pb.shape}"
                 )
             d = pa_.astype(np.int64) - pb.astype(np.int64)
             sse = int((d * d).sum())
             n = int(pa_.size)
-            ids.append(row[id_col])
+            ids.append(rid)
             sses.append(sse)
             ns.append(n)
             oks.append(int(scale * sse <= 65025 * n))
-            caps.append(int(row[caption_col] == row[f"{caption_col}_ref"]))
+            caps.append(int(ca == cb))
         return pd.DataFrame(
             {
                 "image_id": ids,
