@@ -214,6 +214,7 @@ def simhash_pairs(
     max_hamming: int = 12,
     shingle_n: int = 3,
     max_bucket: int = 8192,
+    expected_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -239,6 +240,7 @@ def simhash_pairs(
         sig_col="simhash",
         max_hamming=max_hamming,
         max_bucket=max_bucket,
+        expected_rows=expected_rows,
     )
 
 
@@ -299,6 +301,7 @@ def hamming_pairs(
     max_bucket: int = 8192,
     combine: str = "auto",
     expected_pairs: int | None = None,
+    expected_rows: int | None = None,
 ) -> ray.data.Dataset:
     """All pairs with Hamming(sig) ≤ max_hamming over ANY precomputed
     64-bit signature column (SimHash, image pHash, audio fingerprints).
@@ -496,9 +499,17 @@ def hamming_pairs(
             "hamming"
         ].min()
 
+    # coalesce narrow block rows before the exchange; block count scales
+    # with the exploded volume (rows × (d+1)) like tender.shingle_pairs —
+    # a fixed 16 would bottleneck the sort at corpus scale
+    shuffle_blocks = (
+        max(8, min(256, int(np.ceil(expected_rows * n_blocks / 50_000))))
+        if expected_rows
+        else 16
+    )
     pairs = (
         ds.map_batches(block_rows, batch_format="pyarrow")
-        .repartition(16)  # coalesce narrow block rows before the exchange
+        .repartition(shuffle_blocks)
         .groupby("bkey")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
