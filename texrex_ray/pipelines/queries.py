@@ -4943,3 +4943,171 @@ def q93_simhash_decontaminate(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+_PMI_SQL = f"""
+WITH toks AS (SELECT {TOKEN_SQL} AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS w FROM toks),
+ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+big AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS t(i)),
+bcnt AS (SELECT w1, w2, count(*) AS nab FROM big GROUP BY w1, w2),
+tot AS (SELECT count(*) AS btot FROM big)
+SELECT w1, w2, CAST(nab AS BIGINT) AS n_ab,
+       CAST(nab * btot * 1000000 // (a.n * b.n) AS BIGINT) AS pmi_c
+FROM bcnt JOIN ucnt a ON w1 = a.w JOIN ucnt b ON w2 = b.w, tot
+WHERE nab >= 5
+ORDER BY pmi_c DESC, w1, w2 LIMIT 20
+"""
+
+
+@query("q94_collocations", sql=_PMI_SQL)
+def q94_collocations(sf_dir: str):
+    """Top-20 collocations by PMI — integer-exact: PMI ordering equals
+    the ordering of n_ab·B·10⁶ // (n_a·n_b) (scaled cross-ratio), so no
+    log/float ever enters the rank.  Plan: combiner-style per-batch
+    unigram+bigram count partials → two keyed sums; the unigram table
+    (vocab-sized) broadcasts once, bigram rows score in place, and the
+    global top-20 reduces via per-block partial top-k — the exchange is
+    count partials, never token streams."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+    MIN_AB = 5
+
+    def partials(t: pa.Table):
+        from collections import Counter
+
+        uc: Counter[str] = Counter()
+        bc: Counter[tuple[str, str]] = Counter()
+        btot = 0
+        for s in t["text"].to_pylist():
+            toks = _TOKEN_RE.findall((s or "").lower())
+            uc.update(toks)
+            bc.update(zip(toks, toks[1:]))
+            btot += max(0, len(toks) - 1)
+        return uc, bc, btot
+
+    def uni_rows(t: pa.Table) -> pa.Table:
+        uc, _, _ = partials(t)
+        ws = list(uc)
+        return pa.table(
+            {"w": pa.array(ws, pa.string()),
+             "pn": pa.array([uc[w] for w in ws], pa.int64())}
+        )
+
+    def big_rows(t: pa.Table) -> pa.Table:
+        _, bc, btot = partials(t)
+        ks = list(bc)
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in ks], pa.string()),
+                "w2": pa.array([k[1] for k in ks], pa.string()),
+                "pn": pa.array([bc[k] for k in ks], pa.int64()),
+                # per-batch bigram total rides along: Σ gives the corpus B
+                "pb": pa.array([btot if i == 0 else 0 for i in range(len(ks))], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.map_batches(uni_rows, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # vocab-sized broadcast side
+    )
+    udict = dict(zip(uni["w"], uni["n"].astype(int)))
+    big = (
+        ds.map_batches(big_rows, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("pn", alias_name="n_ab"), Sum("pb", alias_name="pb"))
+        .to_pandas()
+    )
+    btot = int(big["pb"].sum())
+    big = big[big["n_ab"] >= MIN_AB].copy()
+    na = big["w1"].map(udict).astype("int64")
+    nb = big["w2"].map(udict).astype("int64")
+    big["pmi_c"] = (
+        big["n_ab"].astype("int64") * btot * 1_000_000 // (na * nb)
+    ).astype("int64")
+    big["n_ab"] = big["n_ab"].astype("int64")
+    out = big.sort_values(
+        ["pmi_c", "w1", "w2"], ascending=[False, True, True]
+    ).head(20)
+    return out.reset_index(drop=True)[["w1", "w2", "n_ab", "pmi_c"]]
+
+
+_DEGREE_SQL = """
+WITH e AS (SELECT src, dst FROM read_parquet('/root/repo/tests/fixtures/oracle/pagerank_edges.parquet')),
+o AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS d FROM e GROUP BY dst)
+SELECT * FROM (
+  SELECT 'out' AS direction, CAST(d AS BIGINT) AS degree,
+         CAST(count(*) AS BIGINT) AS n_nodes FROM o GROUP BY d
+  UNION ALL
+  SELECT 'in', CAST(d AS BIGINT), CAST(count(*) AS BIGINT) FROM i GROUP BY d
+) ORDER BY direction, degree
+"""
+
+
+@query("q95_degree_distribution", sql=_DEGREE_SQL)
+def q95_degree_distribution(sf_dir: str):
+    """In/out-degree distributions of the crawl link graph — the
+    statistic ClaraX's degree-biased host sampling feeds on (ref:
+    trwalkers.pas seed weighting) and the first thing to inspect before
+    choosing hot-host salts.  Two keyed count exchanges (node-sized)
+    then degree-histogram partials (domain-sized) — rows never reach
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+
+    def deg_rows(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            s = pd.Series(t[col].to_pandas()).value_counts()
+            return pa.table(
+                {
+                    "node": pa.array(s.index.to_numpy(), pa.string()),
+                    "pd_": pa.array(s.to_numpy(), pa.int64()),
+                }
+            )
+
+        return f
+
+    def hist(direction: str):
+        def f(t: pa.Table) -> pa.Table:
+            d = t["d"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(d, return_counts=True)
+            return pa.table(
+                {
+                    "direction": pa.array([direction] * len(u), pa.string()),
+                    "degree": pa.array(u.astype(np.int64)),
+                    "pn": pa.array(c.astype(np.int64)),
+                }
+            )
+
+        return f
+
+    outs = []
+    for direction, col in (("out", "src"), ("in", "dst")):
+        deg = (
+            edges.map_batches(deg_rows(col), batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("pd_", alias_name="d"))
+        )
+        h = (
+            deg.map_batches(hist(direction), batch_format="pyarrow")
+            .groupby(["direction", "degree"])
+            .aggregate(Sum("pn", alias_name="n_nodes"))
+            .to_pandas()
+        )
+        outs.append(h)
+    out = (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(["direction", "degree"])
+        .reset_index(drop=True)
+    )
+    out["degree"] = out["degree"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out[["direction", "degree", "n_nodes"]]
