@@ -266,3 +266,30 @@ def test_rank_priority_crawl_deterministic_and_rank_sensitive(ray_session):
     # the boosted host is overrepresented early relative to the plain run
     early = lambda rows: sum(1 for _, _, h in rows[:30] if h == hosts[-1])
     assert early(a) >= early(plain)
+
+
+def test_politeness_budget_holds_in_visit_log(graph):
+    """North-rule politeness invariant, proven from the walk's own
+    output: two non-cached fetches of the same host must be at least
+    max(crawl_delay, min_politeness) ROUNDS apart, across all walkers
+    and partitions (the per-host state is pinned to one frontier
+    partition precisely so this holds under concurrency)."""
+    from collections import defaultdict
+
+    cfg = CrawlConfig(min_politeness=3)
+    eng = CrawlEngine(graph, n_walkers=8, n_partitions=4, seed=11, config=cfg)
+    eng.run(max_steps=300)
+    by_host = defaultdict(list)
+    for rnd, _wid, _url, host, _action, cached in eng.visit_rows:
+        if not cached:  # cache hits never touch the host
+            by_host[host].append(rnd)
+    eng.shutdown()
+    checked = 0
+    for host, rounds in by_host.items():
+        rounds.sort()
+        for a, b in zip(rounds, rounds[1:]):
+            assert b - a >= 3, (host, a, b)
+            checked += 1
+        # same-round double-fetch of one host is also a violation
+        assert len(set(rounds)) == len(rounds), host
+    assert checked >= 20  # the walk actually revisited hosts
