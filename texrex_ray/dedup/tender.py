@@ -293,6 +293,11 @@ def tender(
     """Full tender: documents → near-dup pairs (id_small, id_big, n_shared)."""
     mk = minhash_shingles if use_minhash else gram_shingles
     kw = {"k": k, "n": n, "scheme": scheme} if use_minhash else {"n": n}
+    # deliberately LAZY: the bucket sort exchange samples + shuffles its
+    # input, re-running the shingle explode — but recomputing Rabin
+    # fingerprints is CHEAPER than pinning the stream through the object
+    # store (A/B at sf0.1: lazy 2.96 s vs materialized 3.32 s best-of-3).
+    # Contrast q87, whose expensive window explode IS worth pinning.
     sh = mk(ds, id_col=id_col, text_col=text_col, size_col=size_col, **kw)
     try:
         n_docs = ds.count()  # metadata-only on parquet reads
