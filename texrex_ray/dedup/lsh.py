@@ -53,6 +53,7 @@ def minhash_lsh_pairs(
     n: int = 5,
     jaccard_threshold: float = 0.5,
     max_candidates: int = 50_000_000,
+    expected_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs via banded LSH, verified with exact n-gram Jaccard.
 
@@ -111,8 +112,12 @@ def minhash_lsh_pairs(
         .map_batches(coarse, batch_format="pyarrow")
         # coalesce before the exchange: band rows are narrow (3 cols), and
         # the sort shuffle's fixed cost scales with block count (see
-        # tender.shingle_pairs)
-        .repartition(16)
+        # tender.shingle_pairs); block count scales with docs × bands
+        .repartition(
+            max(8, min(256, int(np.ceil(expected_rows * bands / 50_000))))
+            if expected_rows
+            else 16
+        )
         .groupby("bucket")
         .map_groups(bucket_ids, batch_format="pandas")
     )
