@@ -4975,7 +4975,10 @@ def q94_collocations(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
     MIN_AB = 5
 
-    def partials(t: pa.Table):
+    def count_rows(t: pa.Table) -> pa.Table:
+        """ONE tokenize pass emits unigram AND bigram partials: unigrams
+        ride as (w1, w2='') rows so a single keyed exchange carries both
+        count tables."""
         from collections import Counter
 
         uc: Counter[str] = Counter()
@@ -4986,43 +4989,31 @@ def q94_collocations(sf_dir: str):
             uc.update(toks)
             bc.update(zip(toks, toks[1:]))
             btot += max(0, len(toks) - 1)
-        return uc, bc, btot
-
-    def uni_rows(t: pa.Table) -> pa.Table:
-        uc, _, _ = partials(t)
-        ws = list(uc)
-        return pa.table(
-            {"w": pa.array(ws, pa.string()),
-             "pn": pa.array([uc[w] for w in ws], pa.int64())}
-        )
-
-    def big_rows(t: pa.Table) -> pa.Table:
-        _, bc, btot = partials(t)
-        ks = list(bc)
+        w1 = [w for w in uc] + [k[0] for k in bc]
+        w2 = [""] * len(uc) + [k[1] for k in bc]
+        pn = [uc[w] for w in uc] + [bc[k] for k in bc]
+        pb = [0] * len(w1)
+        if pb:
+            pb[0] = btot  # per-batch bigram total rides along: Σ = corpus B
         return pa.table(
             {
-                "w1": pa.array([k[0] for k in ks], pa.string()),
-                "w2": pa.array([k[1] for k in ks], pa.string()),
-                "pn": pa.array([bc[k] for k in ks], pa.int64()),
-                # per-batch bigram total rides along: Σ gives the corpus B
-                "pb": pa.array([btot if i == 0 else 0 for i in range(len(ks))], pa.int64()),
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "pn": pa.array(pn, pa.int64()),
+                "pb": pa.array(pb, pa.int64()),
             }
         )
 
-    uni = (
-        ds.map_batches(uni_rows, batch_format="pyarrow")
-        .groupby("w")
-        .aggregate(Sum("pn", alias_name="n"))
-        .to_pandas()  # vocab-sized broadcast side
-    )
-    udict = dict(zip(uni["w"], uni["n"].astype(int)))
-    big = (
-        ds.map_batches(big_rows, batch_format="pyarrow")
+    counts = (
+        ds.map_batches(count_rows, batch_format="pyarrow")
         .groupby(["w1", "w2"])
         .aggregate(Sum("pn", alias_name="n_ab"), Sum("pb", alias_name="pb"))
         .to_pandas()
     )
-    btot = int(big["pb"].sum())
+    btot = int(counts["pb"].sum())
+    uni = counts[counts["w2"] == ""]
+    udict = dict(zip(uni["w1"], uni["n_ab"].astype(int)))
+    big = counts[counts["w2"] != ""].copy()
     big = big[big["n_ab"] >= MIN_AB].copy()
     na = big["w1"].map(udict).astype("int64")
     nb = big["w2"].map(udict).astype("int64")
