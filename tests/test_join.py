@@ -510,3 +510,59 @@ def test_hop_window_pre_epoch_floor(ray_session):
         .sort_values("window_start")
     )
     assert out["window_start"].tolist() == [-3600, 0, 0]
+
+
+def test_asof_join_by_matches_pandas(ray_session):
+    """Per-key as-of (big-big, bucketed) must equal a global
+    pd.merge_asof(by=...) ground truth, independent of layout."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.ops.interval import asof_join_by
+
+    rng = np.random.default_rng(9)
+    nl, nr = 3000, 1500
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, nl),
+            "ts": rng.integers(0, 100_000, nl),
+            "lid": np.arange(nl),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 50, nr),
+                "ts": rng.integers(0, 100_000, nr),
+                "rv": rng.integers(0, 10**6, nr),
+            }
+        )
+        .drop_duplicates(["k", "ts"])  # deterministic ties
+        .reset_index(drop=True)
+    )
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(7)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(3)
+    got = (
+        asof_join_by(lds, rds, on="ts", by="k")
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == want["lid"].tolist()
+    pd.testing.assert_series_equal(
+        got["rv"].astype("float64"), want["rv"].astype("float64"), check_names=False
+    )
+    # attach collision gains the suffix
+    right2 = right.rename(columns={"rv": "lid"})
+    rds2 = ray.data.from_arrow(pa.Table.from_pandas(right2, preserve_index=False))
+    got2 = asof_join_by(lds, rds2, on="ts", by="k").to_pandas()
+    assert "lid_r" in got2.columns and "lid" in got2.columns

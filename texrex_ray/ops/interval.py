@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -142,3 +143,83 @@ def asof_join(
         return out
 
     return left.map_batches(asof, batch_format="pyarrow")
+
+
+def asof_join_by(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    by: str,
+    *,
+    attach: list[str] | None = None,
+    suffix: str = "_r",
+    expected_rows: int | None = None,
+) -> ray.data.Dataset:
+    """PER-KEY backward as-of join: for each left row, the right row with
+    the greatest ``on`` ≤ the left's ``on`` WITHIN the same ``by`` key —
+    pandas ``merge_asof(by=...)`` / DuckDB ``ASOF JOIN ... AND l.k = r.k``
+    semantics, but BIG-BIG: neither side broadcasts.
+
+    This is the temporal join `asof_join` (broadcast summary side) cannot
+    express: attributing each event to the same entity's most recent
+    preceding event (last click before a purchase, config epoch per
+    host, latest checkpoint per shard).  Plan: both sides union into ONE
+    bucketed exchange on ``by`` (every key's rows co-locate), each bucket
+    runs one vectorized ``pd.merge_asof`` across all its keys.  Ties on
+    equal ``on`` within a key resolve to the LAST right row in
+    (on, input-order) — pre-dedupe the right side per (by, on) when that
+    matters for cross-engine parity.  Unmatched left rows keep nulls
+    (left-asof).  Partitioning assumption (as session_count): one key's
+    rows fit a bucket.
+    """
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    attach = attach or [
+        c for c in right.schema().names if c not in (on, by)
+    ]
+    out_names = _attach_names(left, attach, suffix)
+    lcols = list(left.schema().names)
+    l_types = dict(zip(left.schema().names, left.schema().types))
+    r_types = dict(zip(right.schema().names, right.schema().types))
+    _SIDE = "__asof_side"
+    # superset layout both sides emit (the shuffle_join pattern): left
+    # columns, then the RENAMED attach columns; the absent side's columns
+    # are typed nulls so the union has one schema
+    super_cols = lcols + [out_names[c] for c in attach]
+    col_type = {**{c: l_types[c] for c in lcols},
+                **{out_names[c]: r_types[c] for c in attach}}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in lcols}
+        for c in attach:
+            cols[out_names[c]] = pa.nulls(t.num_rows, col_type[out_names[c]])
+        cols[_SIDE] = pa.array(np.full(t.num_rows, 0, np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            if c in (by, on):
+                cols[c] = pc.cast(t[c], col_type[c])
+            else:
+                cols[c] = pa.nulls(t.num_rows, col_type[c])
+        for c in attach:
+            cols[out_names[c]] = t[c]
+        cols[_SIDE] = pa.array(np.full(t.num_rows, 1, np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    ratt = [out_names[c] for c in attach]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g[_SIDE] == 0, lcols].sort_values(on, kind="mergesort")
+        r = g.loc[g[_SIDE] == 1, [by, on] + ratt].sort_values(
+            on, kind="mergesort"
+        )
+        if len(l) == 0:
+            return pd.DataFrame(columns=super_cols)
+        return pd.merge_asof(l, r, on=on, by=by, direction="backward")
+
+    return bucketed_groupby(both, by, merge, expected_rows=expected_rows)

@@ -5102,3 +5102,75 @@ def q95_degree_distribution(sf_dir: str):
     out["degree"] = out["degree"].astype("int64")
     out["n_nodes"] = out["n_nodes"].astype("int64")
     return out[["direction", "degree", "n_nodes"]]
+
+
+_ATTRIB_SQL = """
+WITH c AS (
+  SELECT user_id, max(event_id) AS click_id, ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+p AS (SELECT event_id AS purchase_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, p.value_c,
+       CAST(COALESCE(c.click_id, -1) AS BIGINT) AS click_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.purchase_id
+"""
+
+
+@query("q96_click_attribution", sql=_ATTRIB_SQL)
+def q96_click_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase joins the SAME USER's most
+    recent click at-or-before it — the per-key as-of join
+    (``ops/interval.py::asof_join_by``: both sides co-locate in one
+    bucketed exchange on user_id, one vectorized ``merge_asof`` across
+    all keys per bucket; neither side broadcasts — the big-big temporal
+    join the broadcast asof_join cannot express).  Clicks pre-dedupe to
+    one per (user, ts) (max event_id) so equal-timestamp ties are
+    engine-independent; unmatched purchases keep click_id −1."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.ops.interval import asof_join_by
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        t = t.filter(m)
+        vals = [_cents(v) for v in t["value"].to_pylist()]
+        return pa.table(
+            {
+                "purchase_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_c": pa.array(vals, pa.int64()),
+            }
+        )
+
+    def clicks(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "click")
+        t = t.filter(m)
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "click_id": t["event_id"]}
+        )
+
+    click_ds = bucketed_groupby(
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        ["user_id", "ts"],
+        lambda g: g.groupby(["user_id", "ts"], as_index=False)["click_id"].max(),
+    )
+    out = (
+        asof_join_by(
+            ev.map_batches(purchases, batch_format="pyarrow"),
+            click_ds,
+            on="ts",
+            by="user_id",
+        )
+        .to_pandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    out["click_id"] = out["click_id"].fillna(-1).astype("int64")
+    out["value_c"] = out["value_c"].astype("int64")
+    out["purchase_id"] = out["purchase_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["purchase_id", "user_id", "value_c", "click_id"]]
