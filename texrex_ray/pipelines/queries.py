@@ -5153,11 +5153,13 @@ def q96_click_attribution(sf_dir: str):
             {"user_id": t["user_id"], "ts": t["ts"], "click_id": t["event_id"]}
         )
 
+    # pin the deduped clicks: the as-of exchange samples + shuffles its
+    # union input, which would re-run this groupby pipeline (q87 lesson)
     click_ds = bucketed_groupby(
         ev.map_batches(clicks, batch_format="pyarrow"),
         ["user_id", "ts"],
         lambda g: g.groupby(["user_id", "ts"], as_index=False)["click_id"].max(),
-    )
+    ).materialize()
     out = (
         asof_join_by(
             ev.map_batches(purchases, batch_format="pyarrow"),
