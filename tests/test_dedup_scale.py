@@ -234,3 +234,23 @@ def test_hamming_pairs_invariant_to_max_bucket(ray_session):
     tight = hamming_pairs(_sig_ds(sigs), max_hamming=5, max_bucket=8).to_pandas()
     assert key(loose) == key(tight)
     assert key(loose) == sorted(_brute_hamming_pairs(sigs, 5))
+
+
+def test_hamming_pairs_expected_rows_blocks_invariant(ray_session):
+    """The expected_rows coalesce hint (block-count scaling) is a pure
+    work-shaping knob: results identical with and without it, including
+    a hint large enough to force >16 shuffle blocks."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 2**64, size=80, dtype=np.uint64)
+    sigs = np.concatenate(
+        [base, base[:30] ^ (np.uint64(1) << rng.integers(0, 64, 30).astype(np.uint64))]
+    )
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["hamming"]))
+    a = hamming_pairs(_sig_ds(sigs), max_hamming=6).to_pandas()
+    b = hamming_pairs(
+        _sig_ds(sigs), max_hamming=6, expected_rows=5_000_000
+    ).to_pandas()
+    assert key(a) == key(b)
+    assert key(a) == sorted(_brute_hamming_pairs(sigs, 6))
