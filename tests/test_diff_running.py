@@ -78,3 +78,49 @@ def test_running_totals_matches_pandas(ray_session):
     want = want.sort_values("eid").reset_index(drop=True)
     assert got["cum_n"].tolist() == want["cum_n"].tolist()
     assert got["cum_sum"].tolist() == want["cum_sum"].tolist()
+
+
+def test_table_fingerprint_null_canonicalization(ray_session):
+    """ADVICE r3: NULLs in `cols` hash as chr(0) on the Ray side; the
+    DuckDB twin must COALESCE(col, chr(0)) or the row silently drops out
+    of the SQL checksum.  Verify the documented recipe matches exactly
+    on a NULL-bearing table, and that a NULL KEY raises loudly."""
+    import duckdb
+    import pytest
+
+    from texrex_ray.ops.diff import MOD, table_fingerprint
+
+    df = pd.DataFrame(
+        {
+            "k": np.arange(50, dtype=np.int64),
+            "v": [None if i % 7 == 0 else f"val{i}" for i in range(50)],
+        }
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    got = table_fingerprint(
+        ray.data.from_arrow(t).repartition(4), "k", ["k", "v"], n_buckets=8
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        f"""
+        SELECT CAST(md5_number_lower(CAST(k AS VARCHAR)) % 8 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(md5_number_lower(
+                      CAST(k AS VARCHAR) || '|' || COALESCE(v, chr(0))
+                    ) % {MOD}) % {MOD} AS BIGINT) AS checksum
+        FROM t GROUP BY bucket ORDER BY bucket
+        """
+    ).df()
+    assert got["bucket"].tolist() == want["bucket"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
+    assert got["checksum"].tolist() == want["checksum"].tolist()
+
+    nullkey = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "v": ["a", "b"]})
+    with pytest.raises(Exception, match="NULL"):
+        table_fingerprint(
+            ray.data.from_arrow(pa.Table.from_pandas(nullkey, preserve_index=False)),
+            "k",
+            ["k", "v"],
+            n_buckets=4,
+        )

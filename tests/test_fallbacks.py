@@ -126,3 +126,57 @@ def test_ann_precombine_matches_driver_reduce(ray_session):
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
+
+
+def test_index_lock_stale_break_is_race_safe(tmp_path, monkeypatch):
+    """ADVICE r3 (TOCTTOU): a waiter whose staleness judgment was based
+    on an EARLIER stat must not destroy a fresh lock that replaced the
+    stale one in between.  Simulated by lying about the lock's mtime for
+    the lock path only: the break renames the (actually fresh) file
+    aside, the re-stat of the renamed file exposes the lie, the lock is
+    restored, and the waiter goes back to waiting."""
+    from texrex_ray.state.corpus_index import LOCKFILE, _index_lock
+
+    d = str(tmp_path)
+    lock = os.path.join(d, LOCKFILE)
+    with open(lock, "w") as f:
+        f.write("foreign-holder")
+
+    real_getmtime = os.path.getmtime
+
+    def lying_getmtime(p):
+        if p == lock:
+            return time.time() - 10_000  # stale, per the racer's old stat
+        return real_getmtime(p)  # the renamed file re-stats honestly
+
+    monkeypatch.setattr(os.path, "getmtime", lying_getmtime)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        with _index_lock(d, timeout_s=0.5, stale_s=600.0):
+            pass
+    assert time.monotonic() - t0 < 5
+    # the fresh lock survived the attempted break, content intact
+    with open(lock) as f:
+        assert f.read() == "foreign-holder"
+    # and no grave residue is left behind
+    assert [p for p in os.listdir(d) if ".stale." in p] == []
+
+
+def test_index_lock_release_is_token_checked(tmp_path):
+    """A holder whose lockfile was replaced (mis-broken + re-acquired by
+    someone else) must NOT unlink the new owner's lock on release."""
+    from texrex_ray.state.corpus_index import LOCKFILE, _index_lock
+
+    d = str(tmp_path)
+    lock = os.path.join(d, LOCKFILE)
+    with _index_lock(d, timeout_s=1.0):
+        os.unlink(lock)
+        with open(lock, "w") as f:
+            f.write("someone-else")
+    with open(lock) as f:
+        assert f.read() == "someone-else"
+    os.unlink(lock)
+    # normal path still releases
+    with _index_lock(d, timeout_s=1.0):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)

@@ -566,3 +566,51 @@ def test_asof_join_by_matches_pandas(ray_session):
     rds2 = ray.data.from_arrow(pa.Table.from_pandas(right2, preserve_index=False))
     got2 = asof_join_by(lds, rds2, on="ts", by="k").to_pandas()
     assert "lid_r" in got2.columns and "lid" in got2.columns
+
+
+def test_bloom_prefilter_fractional_float_keys(ray_session):
+    """ADVICE r3: an int64 left key against a right side holding
+    FRACTIONAL floats (2.5) used to crash the prefilter ('cannot safely
+    cast' on Int64.astype) — the pair now stringifies through the
+    merge's own coercion target (float) and stays exact."""
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.ops.join import shuffle_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "lv": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1.0, 2.5, 3.0], pa.float64()),
+                  "rv": pa.array([100, 200, 300], pa.int64())})
+    )
+    plain = shuffle_join(left, right, "k", how="inner").to_pandas()
+    bloomed = shuffle_join(
+        left, right, "k", how="inner", bloom_prefilter=True
+    ).to_pandas()
+    key = lambda d: sorted(zip(d["k"], d["lv"], d["rv"]))
+    assert key(bloomed) == key(plain)
+    assert sorted(plain["k"]) == [1, 3]  # 2 vs 2.5 never matches
+
+
+def test_attach_names_residual_collision(ray_session):
+    """ADVICE r3: attaching 'x' when the left already has BOTH 'x' and
+    'x_r' must yield 'x_r_r', not a silent duplicate column."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from texrex_ray.ops.interval import range_join
+
+    left = ray.data.from_arrow(
+        pa.table({"ts": pa.array([5, 15], pa.int64()),
+                  "rate": pa.array([0.0, 0.0], pa.float64()),
+                  "rate_r": pa.array([9.0, 9.0], pa.float64())})
+    )
+    iv = pd.DataFrame({"lo": [0, 10], "rate": [7.0, 8.0]})
+    out = range_join(left, iv, "ts").to_pandas()
+    assert list(out.columns) == ["ts", "rate", "rate_r", "rate_r_r"]
+    assert out["rate_r_r"].tolist() == [7.0, 8.0]
+    assert out["rate_r"].tolist() == [9.0, 9.0]

@@ -16,6 +16,15 @@ AS BIGINT)``), summed mod M with a vectorized pairwise-fold that never
 overflows uint64.  Order-independence makes the checksum layout-proof;
 md5 makes it content-stable across runs and machines (the
 functions/hashing.py contract).
+
+NULL canonicalization: a NULL value in ``cols`` hashes as chr(0), so
+the DuckDB twin MUST wrap every concatenated column in
+``COALESCE(CAST(c AS VARCHAR), chr(0))`` — a bare ``||`` would
+propagate NULL and silently drop the whole row from the SQL checksum,
+fingerprinting the two engines differently (false bucket mismatches).
+The KEY column must be non-null (asserted): there is no meaningful
+bucket for a missing key, and str(None) vs SQL NULL would route it
+differently anyway.
 """
 
 from __future__ import annotations
@@ -54,11 +63,20 @@ def table_fingerprint(
 
     def partial(t: pa.Table) -> pa.Table:
         parts = [
-            pc.cast(t[c], pa.string()).to_pandas().fillna("\x00")
+            # fill NULL→chr(0) on the ARROW side: pandas fillna("\x00")
+            # routes through a numpy '<U1' scalar that TRUNCATES the NUL
+            # and silently fills '' instead (ambiguous with real empty
+            # strings, and desynced from the documented SQL recipe)
+            pc.fill_null(pc.cast(t[c], pa.string()), "\x00").to_pandas()
             for c in cols
         ]
         rows = parts[0].str.cat(parts[1:], sep="|") if len(parts) > 1 else parts[0]
         h = md5_lower64(rows.tolist())
+        if t[key_col].null_count:
+            raise ValueError(
+                f"table_fingerprint: key column {key_col!r} contains NULLs "
+                "(no bucket for a missing key; see module doc)"
+            )
         b = (md5_lower64([str(v) for v in t[key_col].to_pylist()]) % np.uint64(n_buckets)).astype(np.int64)
         out_b, out_n, out_c = [], [], []
         for bk in np.unique(b):

@@ -48,8 +48,11 @@ def _attach_names(
     lcols = set(left.schema().names)
     out: dict[str, str] = {}
     for c in attach:
-        name = c + suffix if c in lcols else c
-        if name in lcols and name != c + suffix:
+        # keep appending the suffix until the name clears the left schema
+        # AND the names already resolved — left owning both 'x' and 'x_r'
+        # while attaching 'x' must yield 'x_r_r', not a duplicate column
+        name = c
+        while name in lcols or (name != c and name in out.values()):
             name = name + suffix
         if name in out.values() or (name != c and name in attach):
             raise ValueError(

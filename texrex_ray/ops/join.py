@@ -113,6 +113,34 @@ def _keys_str(df: pd.DataFrame, cols: list[str]) -> list[str]:
     return ["|".join(str(v) for v in t) for t in zip(*(df[c] for c in cols))]
 
 
+def _merge_key_dtype(lt, rt):
+    """Canonical dtype a KEY column pair joins under, or None when the
+    families are incompatible (the merge itself would raise).
+
+    Same family → the left (merge-canonical) dtype; mixed int/float → the
+    merge's own coercion target, nullable Float64 (casting a fractional
+    float to Int64 raises 'cannot safely cast', and int '2' vs float
+    '2.0' would desync the Bloom prefilter from the merge even when it
+    doesn't)."""
+
+    def kind(t):
+        t = pd.api.types.pandas_dtype(t)
+        if pd.api.types.is_float_dtype(t):
+            return "f"
+        if pd.api.types.is_integer_dtype(t):
+            return "i"
+        if pd.api.types.is_bool_dtype(t):
+            return "b"
+        return "o"
+
+    kl, kr = kind(lt), kind(rt)
+    if kl == kr:
+        return lt
+    if {kl, kr} == {"i", "f"}:
+        return "Float64"  # nullable: an NA-bearing Int64 batch still casts
+    return None
+
+
 _BLOOM_CACHE: dict[str, object] = {}
 
 
@@ -272,7 +300,14 @@ def shuffle_join(
     right_cols = list(r_dtypes)
     # superset layout both sides emit: keys once, then each side's payload
     all_cols = left_cols + [c for c in right_cols if c not in on]
-    col_dtype = {**r_dtypes, **l_dtypes}  # key cols take the left dtype
+    col_dtype = {**r_dtypes, **l_dtypes}  # key cols take the left dtype…
+    # …unless the PAIR coerces: a mixed int/float key joins under Float64
+    # on BOTH sides (pandas-merge semantics), so the superset cast, the
+    # Bloom stringification, and the output dtype all follow the pair
+    for c1, c2 in zip(on, right_on):
+        d = _merge_key_dtype(l_dtypes[c1], r_dtypes_raw[c2])
+        if d is not None:
+            col_dtype[c1] = d
 
     if n_buckets is None:
         n_buckets = auto_buckets(expected_rows)
@@ -290,32 +325,45 @@ def shuffle_join(
         # first and build per-partition filters instead.
         from texrex_ray.state.bloom import ScalingBloom
 
+        def _bloom_keys(df: pd.DataFrame, cols: list[str]) -> list[str]:
+            # cast to the join's pair-canonical key dtype FIRST (see
+            # col_dtype above): both sides must stringify identically or
+            # matching probe rows silently vanish from the filter
+            cast = pd.DataFrame(
+                {c2: df[c2].astype(col_dtype[c1]) for c1, c2 in zip(on, cols)}
+            )
+            return _keys_str(cast, cols)
+
+        bloom_ok = True
         bloom = ScalingBloom(
             initial_capacity=max(
                 100_000, (expected_rows or 0) // 2
             ),
             error_rate=bloom_fpr,
         )
-        def _bloom_keys(df: pd.DataFrame, cols: list[str]) -> list[str]:
-            # cast to the join's canonical key dtype FIRST: int64 '1' and
-            # float64 '1.0' must stringify identically on both sides or
-            # matching probe rows silently vanish (the merge itself
-            # coerces; the filter must match it)
-            cast = pd.DataFrame(
-                {c2: df[c2].astype(col_dtype[c1]) for c1, c2 in zip(on, cols)}
-            )
-            return _keys_str(cast, cols)
+        try:
+            for bdf in right.select_columns(right_on).iter_batches(
+                batch_format="pandas", batch_size=65536
+            ):
+                bloom.add_if_new(_bloom_keys(bdf, right_on))
+        except (TypeError, ValueError):
+            # unexpected unsafe cast on the build side: a filter missing
+            # any build key would DROP matching probe rows, so disable
+            # the prefilter outright (it is an optimization, never
+            # required for correctness)
+            bloom_ok = False
 
-        for bdf in right.select_columns(right_on).iter_batches(
-            batch_format="pandas", batch_size=65536
-        ):
-            bloom.add_if_new(_bloom_keys(bdf, right_on))
-        snap_ref = ray.put(bloom.snapshot())
+        if bloom_ok:
+            snap_ref = ray.put(bloom.snapshot())
 
-        def bloom_flt(df: pd.DataFrame) -> pd.DataFrame:
-            return df[_cached_bloom(snap_ref).contains_many(_bloom_keys(df, on))]
+            def bloom_flt(df: pd.DataFrame) -> pd.DataFrame:
+                try:
+                    keys = _bloom_keys(df, on)
+                except (TypeError, ValueError):
+                    return df  # un-castable probe batch: pass through unfiltered
+                return df[_cached_bloom(snap_ref).contains_many(keys)]
 
-        left = left.map_batches(bloom_flt, batch_format="pandas")
+            left = left.map_batches(bloom_flt, batch_format="pandas")
 
     hot_set = None
     if hot_keys is not None:

@@ -4645,14 +4645,16 @@ fa AS (
   SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 64 AS bucket,
          count(*) AS n,
          CAST(sum(md5_number_lower(
-                CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang
+                CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, chr(0))
+                  || '|' || COALESCE(lang, chr(0))
               ) % {_DIFF_M}) % {_DIFF_M} AS BIGINT) AS cs
   FROM documents GROUP BY bucket),
 fb AS (
   SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 64 AS bucket,
          count(*) AS n,
          CAST(sum(md5_number_lower(
-                CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang
+                CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, chr(0))
+                  || '|' || COALESCE(lang, chr(0))
               ) % {_DIFF_M}) % {_DIFF_M} AS BIGINT) AS cs
   FROM tampered GROUP BY bucket)
 SELECT CAST(COALESCE(fa.bucket, fb.bucket) AS BIGINT) AS bucket,
@@ -4954,7 +4956,8 @@ big AS (SELECT ts[i] AS w1, ts[i+1] AS w2
 bcnt AS (SELECT w1, w2, count(*) AS nab FROM big GROUP BY w1, w2),
 tot AS (SELECT count(*) AS btot FROM big)
 SELECT w1, w2, CAST(nab AS BIGINT) AS n_ab,
-       CAST(nab * btot * 1000000 // (a.n * b.n) AS BIGINT) AS pmi_c
+       CAST(CAST(nab AS HUGEINT) * btot * 1000000
+            // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS pmi_c
 FROM bcnt JOIN ucnt a ON w1 = a.w JOIN ucnt b ON w2 = b.w, tot
 WHERE nab >= 5
 ORDER BY pmi_c DESC, w1, w2 LIMIT 20
@@ -5017,9 +5020,18 @@ def q94_collocations(sf_dir: str):
     big = big[big["n_ab"] >= MIN_AB].copy()
     na = big["w1"].map(udict).astype("int64")
     nb = big["w2"].map(udict).astype("int64")
-    big["pmi_c"] = (
-        big["n_ab"].astype("int64") * btot * 1_000_000 // (na * nb)
-    ).astype("int64")
+    # arbitrary-precision Python ints: n_ab·B·10⁶ wraps int64 silently at
+    # btot ≳ 1e7 with a frequent bigram (the oracle computes in HUGEINT);
+    # the QUOTIENT always fits int64 (≤ B·10⁶), only intermediates grow.
+    # Rows here are the ≥MIN_AB bigram table — result-scale, loop is fine.
+    big["pmi_c"] = pd.Series(
+        [
+            int(ab) * btot * 1_000_000 // (int(x) * int(y))
+            for ab, x, y in zip(big["n_ab"], na, nb)
+        ],
+        index=big.index,
+        dtype="int64",
+    )
     big["n_ab"] = big["n_ab"].astype("int64")
     out = big.sort_values(
         ["pmi_c", "w1", "w2"], ascending=[False, True, True]

@@ -59,10 +59,11 @@ def _index_lock(index_dir: str, *, timeout_s: float = 120.0, stale_s: float = 60
     """
     path = os.path.join(index_dir, LOCKFILE)
     deadline = time.monotonic() + timeout_s
+    token = f"{os.getpid()}.{time.monotonic_ns()}"
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, token.encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -71,8 +72,43 @@ def _index_lock(index_dir: str, *, timeout_s: float = 120.0, stale_s: float = 60
             except OSError:
                 continue  # holder just released; retry immediately
             if age > stale_s:
+                # Break the stale lock by renaming it aside to a unique
+                # name, then RE-STAT the renamed file.  Two waiters can
+                # both observe the same stale lock; a plain unlink would
+                # let the loser (acting on its earlier stat) unlink the
+                # winner's FRESH lock and acquire too, putting two
+                # writers inside the manifest RMW.  Rename makes the
+                # break exclusive per inode, and the post-rename stat
+                # catches the remaining hole — the observed-stale file
+                # was replaced by a fresh lock between stat and rename —
+                # in which case the fresh lock is restored via link(2)
+                # (which fails, correctly, if a third waiter claimed the
+                # path meanwhile — the token-checked release below keeps
+                # any mis-stolen holder from unlinking that claim).
+                grave = f"{path}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                try:
+                    os.rename(path, grave)
+                except OSError:
+                    time.sleep(0.05)
+                    continue  # someone else broke it (or holder released)
+                try:
+                    fresh = (time.time() - os.path.getmtime(grave)) <= stale_s
+                except OSError:
+                    fresh = False
+                if fresh:
+                    with contextlib.suppress(OSError):
+                        os.link(grave, path)
                 with contextlib.suppress(OSError):
-                    os.unlink(path)
+                    os.unlink(grave)
+                if fresh:
+                    # that lock was live after all — keep waiting (under
+                    # the same deadline as the ordinary held-lock path)
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"index lock {path} is held by a live writer"
+                        )
+                    time.sleep(0.05)
+                    continue
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -83,8 +119,15 @@ def _index_lock(index_dir: str, *, timeout_s: float = 120.0, stale_s: float = 60
     try:
         yield
     finally:
+        # release only OUR lock: if a staleness misjudgment let another
+        # waiter replace the file, unlinking it here would free a lock a
+        # live writer believes it holds (token check narrows the blast
+        # radius of every residual race above to "the stolen writer's
+        # release is a no-op")
         with contextlib.suppress(OSError):
-            os.unlink(path)
+            with open(path) as f:
+                if f.read() == token:
+                    os.unlink(path)
 
 
 def _shard_rows(hash_col: str, n_shards: int):
