@@ -254,3 +254,29 @@ def test_hamming_pairs_expected_rows_blocks_invariant(ray_session):
     ).to_pandas()
     assert key(a) == key(b)
     assert key(a) == sorted(_brute_hamming_pairs(sigs, 6))
+
+
+def test_minhash_lsh_bucket_count_scales_and_is_result_invariant(ray_session):
+    """VERDICT r3 #1: the candidate-stage coarse bucket modulus must grow
+    with docs × bands (auto_buckets), and the pair set must not depend on
+    the modulus — rows sharing a band_hash meet under ANY modulus."""
+    from texrex_ray.dedup.lsh import minhash_lsh_pairs
+    from texrex_ray.dedup.tender import auto_buckets
+
+    # the policy scales: 1e9 band rows must NOT map to 64 buckets
+    assert auto_buckets(1_000_000_000) > auto_buckets(1_000_000) >= 64
+    assert auto_buckets(None) == 64
+
+    docs = _docs()
+    n = docs.count()
+    base = minhash_lsh_pairs(docs, jaccard_threshold=0.5).to_pandas()
+    hinted = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, expected_rows=n
+    ).to_pandas()
+    # force a LARGE hint so the modulus actually diverges from 64
+    wide = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, expected_rows=30_000_000
+    ).to_pandas()
+    key = lambda d: sorted(zip(d["id_a"], d["id_b"], d["n_inter"], d["n_union"]))
+    assert key(hinted) == key(base)
+    assert key(wide) == key(base)

@@ -180,3 +180,27 @@ def test_index_lock_release_is_token_checked(tmp_path):
     with _index_lock(d, timeout_s=1.0):
         assert os.path.exists(lock)
     assert not os.path.exists(lock)
+
+
+def test_tender_forwards_expected_pairs(ray_session, monkeypatch):
+    """VERDICT r3 #2: tender() must pass a pair-volume hint down to
+    count_pairs so the >5M keyed-groupby plan is actually reachable from
+    the flagship entry point (a missing hint pinned it to the
+    single-combine count forever, corpus size notwithstanding)."""
+    import texrex_ray.dedup.tender as T
+
+    captured = {}
+    orig = T.count_pairs
+
+    def spy(pairs, pair_threshold=5, expected_pairs=None):
+        captured["ep"] = expected_pairs
+        return orig(pairs, pair_threshold)
+
+    monkeypatch.setattr(T, "count_pairs", spy)
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = docs.count()
+    out = T.tender(docs, size_col=None).to_pandas()
+    assert captured["ep"] == n * 100 // 10  # k=100 minhash default
+    assert len(out) > 0

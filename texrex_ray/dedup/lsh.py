@@ -97,9 +97,21 @@ def minhash_lsh_pairs(
             }
         )
 
+    # Candidate-stage bucket count scales with docs × bands (the row count
+    # entering the exchange): a FIXED modulus makes each map_groups group
+    # ~rows/64 — a per-task OOM at the 100 TB design point, not merely a
+    # slow stage.  Same auto_buckets policy as tender's shingle self-join.
+    # Result-invariant: rows sharing a band_hash land in one bucket under
+    # ANY modulus, and the per-bucket hit sets are deduped downstream.
+    from texrex_ray.dedup.tender import auto_buckets
+
+    n_coarse = auto_buckets(expected_rows * bands if expected_rows else None)
+
     def coarse(t: pa.Table) -> pa.Table:
         b = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column("bucket", pa.array((b % np.uint64(64)).astype(np.int64)))
+        return t.append_column(
+            "bucket", pa.array((b % np.uint64(n_coarse)).astype(np.int64))
+        )
 
     def bucket_ids(g: pd.DataFrame) -> pd.DataFrame:
         """Distinct doc ids that share a (band, band_hash) with another doc."""

@@ -304,6 +304,17 @@ def tender(
     except Exception:  # noqa: BLE001 — sizing hint only
         n_docs = None
     expected = n_docs * (k if use_minhash else 256) if n_docs else None
+    # pair-volume hint: in the dedup regime ~10% of docs sit in a dup
+    # cluster and each contributes ≤ k pair rows, so n_docs·k/10 is the
+    # right order of magnitude — small corpora keep the measured-faster
+    # single-combine count, while a corpus past ~500M docs·k actually
+    # reaches count_pairs' >5M keyed-groupby plan (which a missing hint
+    # used to make unreachable from this entry point)
+    expected_pairs = (
+        n_docs * (k if use_minhash else 256) // 10 if n_docs else None
+    )
     return count_pairs(
-        shingle_pairs(sh, max_redundancy, expected_rows=expected), pair_threshold
+        shingle_pairs(sh, max_redundancy, expected_rows=expected),
+        pair_threshold,
+        expected_pairs=expected_pairs,
     )

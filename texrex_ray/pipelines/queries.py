@@ -567,7 +567,12 @@ def q17_minhash_lsh(sf_dir: str):
     from texrex_ray.dedup.lsh import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_lsh_pairs(ds, k=96, bands=48, n=3, jaccard_threshold=0.5)
+    # row-count hint (metadata-only on parquet) sizes the candidate-stage
+    # bucket count and the pre-exchange coalesce — same policy as tender()
+    out = minhash_lsh_pairs(
+        ds, k=96, bands=48, n=3, jaccard_threshold=0.5,
+        expected_rows=ds.count(),
+    )
 
     def to_int64(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2445,8 +2450,15 @@ def q57_phash_near_dups(sf_dir: str):
     d = fixture_path(n=300, seed=42)  # the committed-oracle table's params
     ds = read_images(f"{d}/images_table")
 
+    # row/pair hints (metadata-only count): pair volume is ~linear in rows
+    # in the dedup regime, so past ~5M rows the keyed-groupby pair-dedup
+    # plan actually engages instead of the single-combine default
+    n = ds.count()
     out = (
-        hamming_pairs(ds, id_col="image_id", sig_col="phash", max_hamming=6)
+        hamming_pairs(
+            ds, id_col="image_id", sig_col="phash", max_hamming=6,
+            expected_rows=n, expected_pairs=n,
+        )
         .to_pandas()
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
@@ -3480,7 +3492,11 @@ def q72_image_canonical(sf_dir: str):
     d = fixture_path(n=300, seed=42)
     # prune at the read: neither pass needs the pixel payload bytes
     ds = read_images(f"{d}/images_table", columns=["image_id", "phash", "w", "h"])
-    pairs = hamming_pairs(ds, id_col="image_id", sig_col="phash", max_hamming=6)
+    n_img = ds.count()  # hints: pair volume ~linear in rows (dedup regime)
+    pairs = hamming_pairs(
+        ds, id_col="image_id", sig_col="phash", max_hamming=6,
+        expected_rows=n_img, expected_pairs=n_img,
+    )
     labels = dup_clusters(pairs)
     lab = dict(zip(labels["doc_id"], labels["cluster_id"]))
     lab_ref = ray.put(lab)
@@ -4929,8 +4945,13 @@ def q93_simhash_decontaminate(sf_dir: str):
 
     sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
     # radius 20 (21 blocks of 3 bits) — decontamination wants recall;
-    # the recursive bucket splits keep the wide radius tractable
-    pairs = hamming_pairs(sigs, max_hamming=20).to_pandas()
+    # the recursive bucket splits keep the wide radius tractable.
+    # hints: one sig per doc (metadata-only count); pair volume is
+    # ~linear in rows, so past ~5M docs the keyed pair-dedup engages
+    n_docs = ds.count()
+    pairs = hamming_pairs(
+        sigs, max_hamming=20, expected_rows=n_docs, expected_pairs=n_docs
+    ).to_pandas()
     a, b = pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()
     cross = (a >= OFF) != (b >= OFF)
     pairs = pairs[cross].copy()
