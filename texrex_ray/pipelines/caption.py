@@ -59,6 +59,36 @@ def caption_clean_stage(batch: pa.Table) -> pa.Table:
     return t.rename_columns([c if c != "text" else "caption" for c in t.column_names])
 
 
+_WINNER_CACHE: dict[str, object] = {}
+
+
+def _cached_winner_ids(refs_ref):
+    """Assemble the winner-id membership array once per worker process
+    from broadcast BLOCK REFS (the q16 pattern: ids stream block-by-block
+    through plasma — the driver never holds the concatenated list).
+    Single-slot cache: one dedup's filter stages share one ref."""
+    import ray
+
+    key = refs_ref.hex()
+    arr = _WINNER_CACHE.get(key)
+    if arr is None:
+        blocks = ray.get(list(ray.get(refs_ref)))
+        parts = []
+        for b in blocks:
+            if not isinstance(b, pa.Table):  # stray empty pandas block
+                if "image_id" not in getattr(b, "columns", ()):
+                    continue
+                b = pa.Table.from_pandas(b[["image_id"]], preserve_index=False)
+            col = b["image_id"]
+            parts.append(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+        arr = pa.concat_arrays(parts) if parts else pa.array([], pa.string())
+        _WINNER_CACHE.clear()
+        _WINNER_CACHE[key] = arr
+    return arr
+
+
 def image_caption_pipeline(
     ds: ray.data.Dataset,
     *,
@@ -66,7 +96,17 @@ def image_caption_pipeline(
     batch_size: int = 256,
     with_features: bool = True,
     dedup: bool = True,
+    expected_rows: int | None = None,
+    winner_plan: str = "auto",
 ) -> ray.data.Dataset:
+    """``winner_plan`` picks the phash keep-first decision plan:
+    ``"single"`` is one combine task + driver-held winner list (fastest
+    at bench scale), ``"shuffle"`` decides winners with a bucketed
+    groupby on the narrow projection and ships the winner ids as plasma
+    block refs (never concatenated on the driver) — the corpus-scale
+    path.  ``"auto"`` switches on ``expected_rows`` > 5M."""
+    if winner_plan not in ("auto", "single", "shuffle"):
+        raise ValueError(f"unknown winner_plan={winner_plan!r}")
     kw = dict(batch_format="pyarrow", batch_size=batch_size)
     if dedup:
         import pandas as pd
@@ -77,14 +117,13 @@ def image_caption_pipeline(
         # put): winners are decided on a projected (phash, image_id)
         # stream — two narrow columns of the INPUT (phash and image_id are
         # input columns, untouched by every later stage) — then the wide
-        # stream is filtered by a broadcast winner-id set (the tecl
+        # stream is filtered by a winner-id membership set (the tecl
         # broadcast-semi-join pattern) BEFORE the decode stages, so loser
         # rows are never decoded and the expensive chain executes exactly
         # once (a post-decode winner pass would re-execute the lazy decode
-        # lineage a second time).  At small/bench scale the winner
-        # decision is one combine task; beyond ~1e8 uniques decide winners
-        # with groupby("phash") on the projection and shard the filter —
-        # either way the image bytes never enter an all-to-all.
+        # lineage a second time).  Either plan below keeps the image
+        # bytes out of every all-to-all; they differ only in where the
+        # narrow winner decision happens.
         def first_ids(g: pd.DataFrame) -> pd.DataFrame:
             w = (
                 g.sort_values(["phash", "image_id"])
@@ -92,16 +131,40 @@ def image_caption_pipeline(
             )
             return w[["image_id"]].reset_index(drop=True)
 
-        winners = (
-            ds.select_columns(["phash", "image_id"])
-            .repartition(1)
-            .map_batches(first_ids, batch_format="pandas", batch_size=None)
-            .to_pandas()["image_id"]
+        proj = ds.select_columns(["phash", "image_id"])
+        use_shuffle = winner_plan == "shuffle" or (
+            winner_plan == "auto"
+            and expected_rows is not None
+            and expected_rows > 5_000_000
         )
-        win_ref = ray.put(pa.array(winners))
+        if use_shuffle:
+            # corpus-scale plan: winners per phash via the coarse-bucket
+            # exchange (exact — keep-first is a pure per-key aggregation),
+            # then the winner ids stay in the object store as block refs;
+            # each filter worker assembles the membership array lazily,
+            # once per process.  Nothing row-scaled touches the driver.
+            from texrex_ray.ops.aggregate import bucketed_groupby
 
-        def keep_winners(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["image_id"], value_set=ray.get(win_ref)))
+            winners_ds = bucketed_groupby(
+                proj, "phash", first_ids, expected_rows=expected_rows
+            ).materialize()
+            refs_ref = ray.put(winners_ds.to_arrow_refs())
+
+            def keep_winners(t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.is_in(t["image_id"], value_set=_cached_winner_ids(refs_ref))
+                )
+
+        else:
+            winners = (
+                proj.repartition(1)
+                .map_batches(first_ids, batch_format="pandas", batch_size=None)
+                .to_pandas()["image_id"]
+            )
+            win_ref = ray.put(pa.array(winners))
+
+            def keep_winners(t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(t["image_id"], value_set=ray.get(win_ref)))
 
         ds = ds.map_batches(keep_winners, **kw)
     ds = ds.map_batches(caption_clean_stage, **kw)
