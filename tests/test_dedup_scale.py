@@ -100,6 +100,51 @@ def test_segment_dedup_10x_layout_invariant_and_conserving(ray_session):
     assert (a["n_kept"] <= a["n_segs"]).all()
 
 
+def test_segment_dedup_hashed_exchange_matches_text_plan(ray_session):
+    """VERDICT r3 #4: the default hash128 exchange (20 bytes/row) must
+    emit exactly the text-keyed plan's rows."""
+    from texrex_ray.dedup.segments import segment_dedup_counts
+
+    def run(**kw):
+        return (
+            segment_dedup_counts(_docs(), n=3, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    hashed = run(key_mode="hash128")
+    text = run(key_mode="text")
+    assert hashed.values.tolist() == text.values.tolist()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key_mode"):
+        run(key_mode="bogus")
+
+
+def test_hash128_collision_guard():
+    """guard_collisions raises loudly on a same-hash/different-length
+    pair and is silent on clean input (pure function, no Ray)."""
+    import pytest
+
+    from texrex_ray.dedup.segments import guard_collisions, hash128
+
+    s = pd.Series(["aa bb cc", "dd ee ff longer", "aa bb cc"])
+    h1, h2 = hash128(s)
+    clean = pd.DataFrame(
+        {"h1": h1, "h2": h2, "slen": s.str.len().to_numpy().astype(np.int32)}
+    )
+    guard_collisions(clean, ["h1", "h2"], "slen")  # no raise
+
+    forced = clean.assign(h1=np.int64(7), h2=np.int64(7))  # all collide
+    with pytest.raises(ValueError, match="collision"):
+        guard_collisions(forced, ["h1", "h2"], "slen")
+
+    # the two independent halves really are independent functions
+    assert not np.array_equal(h1, h2)
+
+
 def test_corpus_index_10x_probe_agrees_with_broadcast_set(ray_session, tmp_path):
     """Build the index from 5k docs' segment hashes, probe the same rows
     through the Dataset-native actor stage: every hash must flag known."""

@@ -11,9 +11,14 @@ Scale shape (the only part that matters at 100 TB):
 
 - documents are exploded into fixed-width token segments where they sit
   (``map_batches``, no shuffle);
-- the ONE exchange is a ``bucketed_groupby`` on the segment text — a
-  coarse hash shuffle whose per-task memory is a bucket, not a key
-  (Ray's native per-group reduce would pay ~ms per distinct segment);
+- the ONE exchange is a ``bucketed_groupby`` on a 128-bit content hash
+  of the segment (two independent keyed siphash64 columns) — a coarse
+  hash shuffle whose per-task memory is a bucket, not a key, and whose
+  rows carry 20 bytes instead of the segment text (Ray's native
+  per-group reduce would pay ~ms per distinct segment).  The birthday
+  bound at 10^12 distinct segments is ~1.5e-15; a byte-length witness
+  travels with each row and any same-hash/different-length pair raises
+  loudly (``key_mode="text"`` keeps the exact text exchange);
 - winners (global-min occurrence key per segment) reduce to per-doc
   counts via a second, RESULT-sized bucketed sum — no join, the totals
   and kept partial rows are unioned and summed under the same key.
@@ -34,6 +39,34 @@ from texrex_ray.ops.aggregate import bucketed_groupby
 
 SEG_SHIFT = 20
 SEG_MOD = 1 << SEG_SHIFT
+
+# Two independent 16-byte siphash keys -> a 128-bit composite content
+# hash.  Exchange-only (never persisted), so cross-version stability is
+# not required — same contract as ops.join._row_hash.
+_HK1 = "texrex-seg-h1-k!"
+_HK2 = "texrex-seg-h2-k!"
+
+
+def hash128(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 128-bit content hash of a string Series (two keyed
+    siphash64 halves, viewed int64 for Arrow friendliness)."""
+    h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_HK1)
+    h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_HK2)
+    return h1.to_numpy().view(np.int64), h2.to_numpy().view(np.int64)
+
+
+def guard_collisions(g: pd.DataFrame, by: list[str], witness: str) -> None:
+    """Raise loudly when two different-length texts share a 128-bit hash.
+
+    Cheap per-bucket check: one vectorized transform("min") + compare.
+    (Same-length collisions stay covered only by the 2^-128 birthday
+    bound — the witness costs 4 bytes/row, the text would cost the
+    corpus.)"""
+    if (g.groupby(by, sort=False)[witness].transform("min") != g[witness]).any():
+        raise ValueError(
+            "128-bit content-hash collision: one hash key covers texts of "
+            "different lengths — rerun with key_mode='text'"
+        )
 
 
 def segment_rows(
@@ -67,19 +100,48 @@ def segment_dedup_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     expected_rows: int | None = None,
+    key_mode: str = "hash128",
 ) -> ray.data.Dataset:
     """Per-doc (doc_id, n_segs, n_kept): segments surviving global keep-first.
 
     A segment instance is KEPT iff it is the minimal (doc_id, position)
     occurrence of its text corpus-wide.  Docs with no full segment are
-    omitted (they carry nothing to dedup).
+    omitted (they carry nothing to dedup).  ``key_mode="hash128"``
+    (default) exchanges a 128-bit content hash + length witness instead
+    of the segment text — see the module docstring; ``"text"`` keeps the
+    exact-text exchange.
     """
+    if key_mode not in ("hash128", "text"):
+        raise ValueError(f"unknown key_mode={key_mode!r}")
     segs = segment_rows(ds, n=n, id_col=id_col, text_col=text_col)
 
-    def min_key(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("s", sort=False)["key"].min().reset_index()
+    if key_mode == "hash128":
+        # fuses into the explode task: the exchange never sees the text
+        def to_hash(df: pd.DataFrame) -> pd.DataFrame:
+            h1, h2 = hash128(df["s"])
+            return pd.DataFrame(
+                {
+                    "h1": h1,
+                    "h2": h2,
+                    "slen": df["s"].str.len().to_numpy().astype(np.int32),
+                    "key": df["key"].to_numpy(),
+                }
+            )
 
-    winners = bucketed_groupby(segs, "s", min_key, expected_rows=expected_rows)
+        segs = segs.map_batches(to_hash, batch_format="pandas")
+        gkeys = ["h1", "h2"]
+
+        def min_key(df: pd.DataFrame) -> pd.DataFrame:
+            guard_collisions(df, gkeys, "slen")
+            return df.groupby(gkeys, sort=False)["key"].min().reset_index()
+
+    else:
+        gkeys = ["s"]
+
+        def min_key(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("s", sort=False)["key"].min().reset_index()
+
+    winners = bucketed_groupby(segs, gkeys, min_key, expected_rows=expected_rows)
 
     def kept_partial(t: pa.Table) -> pa.Table:
         doc = np.asarray(t["key"].to_numpy(zero_copy_only=False)) >> SEG_SHIFT

@@ -4540,16 +4540,18 @@ GROUP BY doc_id ORDER BY doc_id
 def q87_span_dedup(sf_dir: str):
     """Exact substring (token-window) dedup accounting — the Lee et al.
     'dedup repeated spans' pipeline step at window granularity: every
-    8-token sliding window, grouped EXACTLY on its text, is a duplicate
-    instance when the same window first appears in a smaller doc_id.
-    One bucketed exchange on the window string does everything: each
-    bucket holds all instances of its windows, so first-owner and
-    per-doc instance counts are one vectorized transform; per-doc
-    partials then sum in a doc-keyed aggregate.  (At 100 TB swap the
-    window string for a 128-bit content hash to shrink the exchange —
-    64-bit would admit birthday collisions at ~10⁹ windows; the
-    grouping algebra is unchanged.)  Returns (doc_id, n_windows,
-    n_dup_windows) for every doc with ≥8 tokens."""
+    8-token sliding window, grouped EXACTLY on its content, is a
+    duplicate instance when the same window first appears in a smaller
+    doc_id.  One bucketed exchange does everything: each bucket holds
+    all instances of its windows, so first-owner and per-doc instance
+    counts are one vectorized transform; per-doc partials then sum in a
+    doc-keyed aggregate.  The exchange (and the pinned window table)
+    carries a 128-bit content hash + byte-length witness, not the window
+    text — 64-bit would admit birthday collisions at ~10⁹ windows;
+    128-bit is ~1.5e-15 at 10¹², and any same-hash/different-length
+    pair raises loudly (dedup/segments.py::guard_collisions).  Returns
+    (doc_id, n_windows, n_dup_windows) for every doc with ≥8 tokens."""
+    from texrex_ray.dedup.segments import guard_collisions, hash128
     from texrex_ray.ops.aggregate import bucketed_groupby
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -4564,18 +4566,27 @@ def q87_span_dedup(sf_dir: str):
             for p in range(len(toks) - W + 1):
                 out_w.append(" ".join(toks[p : p + W]))
                 out_d.append(ii)
+        ws = pd.Series(out_w, dtype="object")
+        h1, h2 = hash128(ws)
         return pa.table(
-            {"w": pa.array(out_w, pa.string()), "doc_id": pa.array(out_d, pa.int64())}
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "wl": pa.array(ws.str.len().to_numpy().astype(np.int32)),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
         )
 
     # pin the exploded windows: the bucketed sort exchange samples AND
     # shuffles its input, and the doc-keyed aggregate follows — lazily the
     # explode re-executes per pass (measured 14-16 s vs 5.5 s pinned at
-    # sf0.1); the window table is narrow and spillable
+    # sf0.1); hashed, the pinned table is 20 bytes/row instead of the
+    # window text (~8x corpus text)
     wins = ds.map_batches(win_rows, batch_format="pyarrow").materialize()
 
     def per_window(g: pd.DataFrame) -> pd.DataFrame:
-        fd = g.groupby("w", sort=False)["doc_id"].transform("min")
+        guard_collisions(g, ["h1", "h2"], "wl")
+        fd = g.groupby(["h1", "h2"], sort=False)["doc_id"].transform("min")
         g = g.assign(__dup=(fd < g["doc_id"]).astype("int64"))
         out = g.groupby("doc_id", sort=False).agg(
             pn=("__dup", "size"), pd_=("__dup", "sum")
@@ -4592,7 +4603,7 @@ def q87_span_dedup(sf_dir: str):
         )
 
     out = (
-        bucketed_groupby(wins, "w", per_window)
+        bucketed_groupby(wins, ["h1", "h2"], per_window, expected_rows=wins.count())
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
         .to_pandas()
