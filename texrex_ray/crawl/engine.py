@@ -35,6 +35,7 @@ import pickle
 import time
 from collections import Counter
 from dataclasses import asdict, dataclass, field
+from urllib.parse import urlsplit
 
 import numpy as np
 import pyarrow as pa
@@ -272,6 +273,22 @@ class FrontierPartActor:
             seg.count = seg.capacity
         self.bloom.segments = base.segments + self.bloom.segments
 
+    def _robots_body(self, url: str, host: str) -> str | None:
+        """robots.txt body for ``host``: the broadcast map first (synthetic
+        graphs ship all robots up front), else fetched over the live
+        transport when one is attached — the reference fetches robots over
+        HTTP on the same refresh clock (ref: trpoliteness.pas:164-285).
+        Non-200 (incl. redirect-without-follow) ⇒ no rules, like the
+        reference's missing-robots default."""
+        if host in self.robots_map:
+            return self.robots_map[host]
+        if getattr(self.pages, "fetches_robots", False):
+            sp = urlsplit(url)
+            res = self.pages.get(f"{sp.scheme}://{sp.netloc}/robots.txt")
+            if res is not None and res[0] == 200:
+                return res[1].decode("utf-8", "replace")
+        return None
+
     def gate_fetch(self, items: list[tuple[int, str, str]], now: int,
                    n_shards: int = 1):
         """Per (walker_id, url, action), in walker-id order: gate through
@@ -290,7 +307,7 @@ class FrontierPartActor:
         for wid, url, action in sorted(items):
             host = host_of(url)
             if self.pm.needs_robots(host, now):
-                self.pm.set_robots(host, self.robots_map.get(host), now)
+                self.pm.set_robots(host, self._robots_body(url, host), now)
                 self.metrics["robots_fetches"] += 1
             w = self.pm.seconds_until_retrieval(url, now)
             if w < 0:

@@ -171,10 +171,17 @@ class HttpTransport:
 
     The opener is built lazily PER PROCESS so the transport pickles into
     ``ray.put`` cleanly; ``opener_factory`` injects a fake opener for
-    no-network tests.  NOT exercised against live network in this sandbox
-    (no egress) — the dry-run tests pin the wiring, FIXTURES.md §2
-    documents the seam.
+    no-network tests.  Exercised over REAL sockets against a localhost
+    http.server in tests/test_transport.py (3xx, charsets, truncation,
+    live robots fetch + refresh, politeness gaps); no external egress
+    exists in this sandbox — FIXTURES.md §2 documents the seam.
     """
+
+    # the engine fetches /robots.txt for unknown hosts over any transport
+    # advertising this (ref: trpoliteness.pas:164-285 — live robots HTTP
+    # fetch on the politeness refresh clock); the synthetic DictTransport
+    # keeps robots in the broadcast map instead.
+    fetches_robots = True
 
     def __init__(
         self,
