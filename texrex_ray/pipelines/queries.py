@@ -5220,3 +5220,74 @@ def q96_click_attribution(sf_dir: str):
     out["purchase_id"] = out["purchase_id"].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")
     return out[["purchase_id", "user_id", "value_c", "click_id"]]
+
+
+_BOILER_FIXDIR = "/root/repo/tests/fixtures"
+
+
+@query(
+    "q97_boiler_scores",
+    sql="SELECT url, div_idx, boiler_score_c, boilerplate, doc_valid FROM "
+    f"read_parquet('{_BOILER_FIXDIR}/oracle/boiler_scores_sf0.01.parquet')",
+)
+def q97_boiler_scores(sf_dir: str):
+    """Deboilerplater oracle gate (closing the one §2.2 stage that was
+    pytest-only): the distributed actor chain — charset/strip →
+    secondpass → Deboilerplater ACTOR POOL loading the committed
+    FANN_FLO_2.1 net in __init__ — must reproduce the committed fixture
+    of raw FANN-forward per-div scores + doc-kill verdicts produced by a
+    scalar per-doc recompute through parse_fann(...).run (an independent
+    forward path; tools/gen_oracle_fixtures.py::gen_boiler_scores).
+    ref: trdeboilerplater.pas:290-335 (DecideThreshs), :619-699 (FANN)."""
+    from texrex_ray.pipelines.raw_docs import charset_and_strip, secondpass_divs
+    from texrex_ray.sources.webgraph import make_webgraph
+    from texrex_ray.stages.boilerplate import Deboilerplater
+
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, seed=42)
+    recs = [
+        {"url": u, "raw": g.pages[u].content, "charset": g.pages[u].charset or ""}
+        for u in sorted(u for u, p in g.pages.items() if p.status == 200)
+    ]
+    kw = dict(batch_format="pyarrow", batch_size=64)
+    ds = (
+        ray.data.from_items(recs, override_num_blocks=4)
+        .map_batches(charset_and_strip, **kw)
+        .map_batches(secondpass_divs, **kw)
+        .map_batches(
+            Deboilerplater,
+            fn_constructor_kwargs={
+                "fann_file": f"{_BOILER_FIXDIR}/boilerplate_37_18_1.net",
+                "min_good_chars": 100,  # fixture pages are small (q27's knob)
+            },
+            concurrency=(1, 2),
+            **kw,
+        )
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, idxs, sc, fl, dv = [], [], [], [], []
+        for u, divs, v in zip(
+            t["url"].to_pylist(), t["divs"].to_pylist(), t["valid"].to_pylist()
+        ):
+            for i, d in enumerate(divs or []):
+                urls.append(u)
+                idxs.append(i)
+                sc.append(int(np.round(d["boiler_score"] * 1_000_000)))
+                fl.append(bool(d["boilerplate"]))
+                dv.append(bool(v))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "div_idx": pa.array(idxs, pa.int64()),
+                "boiler_score_c": pa.array(sc, pa.int64()),
+                "boilerplate": pa.array(fl, pa.bool_()),
+                "doc_valid": pa.array(dv, pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, **kw)
+        .to_pandas()
+        .sort_values(["url", "div_idx"])
+        .reset_index(drop=True)
+    )

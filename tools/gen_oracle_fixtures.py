@@ -607,8 +607,101 @@ def gen_incremental_neardup() -> None:
     print("incremental_neardup_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_boiler_scores() -> None:
+    """q97: FANN-forward boilerplate scores over deterministic divs.
+
+    Writes (a) a committed deterministic 37-18-1 FANN_FLO_2.1 net
+    (tests/fixtures/boilerplate_37_18_1.net — the shape the reference's
+    SetFannFile loads, trdeboilerplater.pas:697-699) and (b) the expected
+    per-div scores by SCALAR per-doc recomputation: decode → strip →
+    cleanse per div → div_features → parse_fann(...).run (the raw FANN
+    forward, NOT the Deboilerplater/MLP path the query uses) → doc-kill
+    thresholds (trdeboilerplater.pas:290-335)."""
+    from texrex_ray.crawl.fetcher import decode_content
+    from texrex_ray.functions.cleanse import cleanse_full
+    from texrex_ray.functions.striphtml import DivInfo, strip_html
+    from texrex_ray.sources.webgraph import make_webgraph
+    from texrex_ray.stages.boilerplate import div_features
+    from texrex_ray.stages.fann import parse_fann
+
+    rng = np.random.default_rng(97)
+    n_in, n_hid = 37, 18
+    neurons = (
+        " ".join(["(0, 0, 0.0)"] * (n_in + 1))
+        + " "
+        + " ".join([f"({n_in + 1}, 5, 5.00000000000000000000e-01)"] * n_hid)
+        + " (0, 5, 0.0) "
+        + f"({n_hid + 1}, 3, 5.00000000000000000000e-01) (0, 3, 0.0)"
+    )
+    conns = []
+    for _ in range(n_hid):
+        conns += [f"({k}, {rng.normal() * 0.6:.20e})" for k in range(n_in + 1)]
+    conns += [
+        f"({n_in + 1 + k}, {rng.normal() * 0.8:.20e})" for k in range(n_hid + 1)
+    ]
+    text = (
+        "FANN_FLO_2.1\nnum_layers=3\nlearning_rate=0.700000\n"
+        "connection_rate=1.000000\nnetwork_type=0\n"
+        f"layer_sizes={n_in + 1} {n_hid + 1} 2\nscale_included=0\n"
+        f"neurons (num_inputs, activation_function, activation_steepness)={neurons}\n"
+        f"connections (connected_to_neuron, weight)={' '.join(conns)}\n"
+    )
+    net_path = os.path.join(os.path.dirname(OUT), "boilerplate_37_18_1.net")
+    with open(net_path, "w") as f:
+        f.write(text)
+    net = parse_fann(text)
+
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, seed=42)
+    urls, idxs, scores_c, flags, valids = [], [], [], [], []
+    for url in sorted(u for u, p in g.pages.items() if p.status == 200):
+        p = g.pages[url]
+        txt, cs = decode_content(p.content, p.charset or "")
+        sr = strip_html(txt)
+        if sr.meta_charset and sr.meta_charset not in (cs, ""):
+            txt, cs = decode_content(p.content, sr.meta_charset)
+            sr = strip_html(txt)
+        infos = [
+            DivInfo(
+                text=cleanse_full(d.text)[0], open_tags=d.open_tags,
+                close_tags=d.close_tags, anchors=d.anchors,
+                container=d.container, skipped=d.skipped,
+            )
+            for d in sr.div_infos
+        ]
+        feats = div_features(infos, sr.doctype)
+        sc = net.run(feats)[:, 0] if len(infos) else np.zeros(0)
+        good = sc <= 0.55
+        good_chars = sum(len(d.text) for d, gd in zip(infos, good) if gd)
+        total_chars = max(1, sum(len(d.text) for d in infos))
+        doc_valid = bool(
+            len(infos)
+            and good.sum() >= 1
+            and good_chars >= 100
+            and good_chars / total_chars >= 0.25
+            and good.sum() / len(infos) >= 0.1
+        )
+        for i, s in enumerate(sc):
+            urls.append(url)
+            idxs.append(i)
+            scores_c.append(int(np.round(s * 1_000_000)))
+            flags.append(bool(s > 0.55))
+            valids.append(doc_valid)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "div_idx": pa.array(idxs, pa.int64()),
+            "boiler_score_c": pa.array(scores_c, pa.int64()),
+            "boilerplate": pa.array(flags, pa.bool_()),
+            "doc_valid": pa.array(valids, pa.bool_()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "boiler_scores_sf0.01.parquet"))
+    print("boiler_scores_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
+    gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
     gen_simhash_signatures()
