@@ -73,6 +73,15 @@ def detect_charset(head: bytes) -> str:
         return "utf-16"
     try:
         head.decode("utf-8")
+        # ISO-2022-* is pure 7-bit, so it passes strict-UTF-8 validation
+        # (and charset_normalizer itself mis-ranks long samples — see
+        # tools/charset_audit.py); its ESC shift sequences are definitive,
+        # so decode-verify the family directly before claiming utf-8
+        if b"\x1b$" in head or b"\x1b(" in head:
+            for codec in ("iso2022_jp", "iso2022_jp_2", "iso2022_kr"):
+                dec = head.decode(codec, errors="replace")
+                if dec.count("�") <= len(dec) // 500:
+                    return codec
         return "utf-8"
     except UnicodeDecodeError:
         pass
