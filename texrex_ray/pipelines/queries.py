@@ -5291,3 +5291,238 @@ def q97_boiler_scores(sf_dir: str):
         .sort_values(["url", "div_idx"])
         .reset_index(drop=True)
     )
+
+
+_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM d)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS start_us, max(us) AS end_us
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q98_sessionization", sql=_SESSIONS_SQL)
+def q98_sessionization(sf_dir: str):
+    """Gap-based sessionization (30-min) over the event stream — the
+    user-behavior workhorse, and the shape of per-source crawl-session
+    accounting.  ONE bucketed exchange on user_id; session assignment is
+    vectorized diff+cumsum per bucket (ops/sessions.py)."""
+    from texrex_ray.ops.sessions import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = (
+        sessionize(
+            ds, order_cols=("event_id",), gap_us=1_800_000_000,
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "session_idx", "n_events", "start_us", "end_us"):
+        out[c] = out[c].astype("int64")
+    return out[["user_id", "session_idx", "n_events", "start_us", "end_us"]]
+
+
+_INVIDX_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKEN_SQL}) AS token FROM documents),
+c AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+p AS (SELECT token, doc_id, cnt,
+             row_number() OVER (PARTITION BY token ORDER BY cnt DESC, doc_id) AS rn
+      FROM c),
+heads AS (SELECT token, string_agg(doc_id || ':' || cnt, ',' ORDER BY rn) AS top_docs
+          FROM p WHERE rn <= 5 GROUP BY token),
+agg AS (SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(cnt) AS BIGINT) AS tf
+        FROM c GROUP BY token)
+SELECT a.token, a.df, a.tf, h.top_docs
+FROM agg a JOIN heads h USING (token)
+WHERE a.df >= 5 ORDER BY a.token
+"""
+
+
+@query("q99_inverted_index", sql=_INVIDX_SQL)
+def q99_inverted_index(sf_dir: str):
+    """Inverted-index build: per token, document frequency, total term
+    frequency, and the head of the posting list (top-5 docs by in-doc
+    count, doc_id tiebreak) serialized as 'doc:cnt,...'.  Per-doc term
+    counts are exact partials computed where the docs sit (one row per
+    (token, doc) — no cross-batch merge needed), then ONE bucketed
+    exchange on token builds df/tf/postings vectorized.  df >= 5 keeps
+    the output index-head-sized."""
+    from collections import Counter
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, toks, cnts = [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(_TOKEN_RE.findall((s or "").lower()))
+            ids.extend([int(i)] * len(c))
+            toks.extend(c.keys())
+            cnts.extend(c.values())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby("token", sort=False)
+            .agg(df_=("cnt", "size"), tf=("cnt", "sum"))
+            .reset_index()
+        )
+        agg = agg[agg["df_"] >= 5]
+        keep = df[df["token"].isin(agg["token"])]
+        keep = keep.sort_values(
+            ["token", "cnt", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = keep.groupby("token", sort=False).head(5)
+        posting = top["doc_id"].astype(str) + ":" + top["cnt"].astype(str)
+        tops = (
+            posting.groupby(top["token"], sort=False)
+            .agg(",".join)
+            .rename("top_docs")
+            .reset_index()
+        )
+        out = agg.merge(tops, on="token").rename(columns={"df_": "df"})
+        return out[["token", "df", "tf", "top_docs"]]
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "token",
+            combine,
+            expected_rows=n_docs * 40,
+        )
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    out["df"] = out["df"].astype("int64")
+    out["tf"] = out["tf"].astype("int64")
+    return out[["token", "df", "tf", "top_docs"]]
+
+
+_QUANTILES_SQL = """
+WITH v AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+           FROM lineitem)
+SELECT l_returnflag,
+       quantile_disc(price_c, 0.10) AS p10,
+       quantile_disc(price_c, 0.50) AS p50,
+       quantile_disc(price_c, 0.90) AS p90,
+       quantile_disc(price_c, 0.99) AS p99
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q100_grouped_quantiles", sql=_QUANTILES_SQL)
+def q100_grouped_quantiles(sf_dir: str):
+    """Distributed EXACT grouped percentiles (quality-threshold
+    calibration): batches compress to (group, value, count) partials in
+    place, ONE bucketed exchange sums and selects PERCENTILE_DISC
+    positions per group (ops/quantiles.py)."""
+    from texrex_ray.ops.quantiles import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "price_c": (df["l_extendedprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    out = (
+        grouped_exact_quantiles(
+            ds.map_batches(cents, batch_format="pandas"),
+            "l_returnflag",
+            "price_c",
+            [0.10, 0.50, 0.90, 0.99],
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    for c in ("p10", "p50", "p90", "p99"):
+        out[c] = out[c].astype("int64")
+    return out[["l_returnflag", "p10", "p50", "p90", "p99"]]
+
+
+_PACKING_SQL = f"""
+WITH n AS (SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len({TOKEN_SQL}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS tok_offset FROM n)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // 2048 AS BIGINT) AS seq_idx
+FROM c ORDER BY doc_id
+"""
+
+
+@query("q101_token_packing", sql=_PACKING_SQL)
+def q101_token_packing(sf_dir: str):
+    """Concat-then-chunk sequence packing (the GPT-style pretraining
+    layout): docs are concatenated in doc_id order within fixed shards
+    and split into 2048-token sequences; each doc reports its shard,
+    global token offset and the sequence its first token lands in.
+    Token counting happens where the docs sit; ONE bucketed exchange on
+    the shard key orders + cumsums each shard vectorized.  Bins never
+    cross shards, so the layout is embarrassingly parallel at any scale
+    (shard count is the only knob)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        ids = [int(i) for i in t["doc_id"].to_pylist()]
+        n = [len(_TOKEN_RE.findall((s or "").lower())) for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array([i % 8 for i in ids], pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        off = df.groupby("shard", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
+        return df.assign(tok_offset=off, seq_idx=off // 2048)
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(count_tokens, batch_format="pyarrow"),
+            "shard",
+            pack,
+            expected_rows=n_docs,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "shard", "n_tokens", "tok_offset", "seq_idx"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "shard", "n_tokens", "tok_offset", "seq_idx"]]
