@@ -49,10 +49,16 @@ def trigram_profiles(
     lang_col: str = "lang",
     text_col: str = "text",
     k: int = 40,
+    expected_rows: int | None = None,
 ) -> pd.DataFrame:
-    """(lang, g, n, rk): the top-``k`` trigrams per language."""
-    from ray.data.aggregate import Sum
+    """(lang, g, n, rk): the top-``k`` trigrams per language.
 
+    ``expected_rows`` sizes the partial-count exchange (≈ blocks ×
+    distinct trigrams per block); the trigram space is bounded (≤27³
+    per language after ``[a-z ]`` canonicalization) so the default
+    coarse bucket floor is safe at any corpus size.
+    """
+    from texrex_ray.ops.aggregate import bucketed_groupby
     from texrex_ray.ops.topk import grouped_topk
 
     def partial(t: pa.Table) -> pa.Table:
@@ -69,10 +75,15 @@ def trigram_profiles(
             }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "g"])
-        .aggregate(Sum("pn", alias_name="n"))
+    # bucketed_groupby, not native aggregate: ~2k (lang, g) groups pay
+    # the native per-group Python reduce (~2.9 s vs 0.7 s at sf0.1).
+    counts = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "g"],
+        lambda df: df.groupby(["lang", "g"], as_index=False)["pn"]
+        .sum()
+        .rename(columns={"pn": "n"}),
+        expected_rows=expected_rows,
     )
     top = grouped_topk(counts, "lang", "n", k=k, ascending=False, tiebreak="g")
     out = top.to_pandas().sort_values(["lang", "rk"]).reset_index(drop=True)

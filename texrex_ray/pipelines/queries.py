@@ -1822,19 +1822,44 @@ def q48_hll_distinct(sf_dir: str):
             }
         )
 
-    merged = (
-        ds.map_batches(partial_regs, batch_format="pyarrow")
-        .groupby(["event_type", "reg"])
-        .aggregate(Max("rho", alias_name="rho_max"))
-        .to_pandas()  # result-sized: ≤ groups × 1024 rows
-    )
+    from texrex_ray.ops.aggregate import bucketed_groupby
 
+    # Both merges ride bucketed_groupby: native aggregate's per-group
+    # Python overhead is ~0.1-2 ms/group (ops/aggregate.py), and these
+    # exchanges have 5k / 50k groups (measured 5.6 s + 2.3 s native vs
+    # 1.3 s + 0.9 s bucketed at sf0.1, identical rows).
+    def hll_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["event_type", "reg"], as_index=False)["rho"]
+            .max()
+            .rename(columns={"rho": "rho_max"})
+        )
+
+    merged = bucketed_groupby(
+        ds.map_batches(partial_regs, batch_format="pyarrow"),
+        ["event_type", "reg"],
+        hll_combine,
+        expected_rows=8 * (1 << HLL_P),  # few event types × m registers
+    ).to_pandas()  # result-sized: ≤ groups × 1024 rows
+
+    # Exact distinct: bucket on (event_type, value) so every distinct pair
+    # lands in exactly one bucket; counting pairs per event_type WITHIN a
+    # bucket and summing across buckets is therefore exact (deliberate
+    # cross-key combine — buckets partition the key space).
+    def exact_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop_duplicates()
+            .groupby("event_type")
+            .size()
+            .rename("_n")
+            .reset_index()
+        )
+
+    exact_parts = bucketed_groupby(
+        ds, ["event_type", "value"], exact_combine, expected_rows=ds.count()
+    ).to_pandas()  # ≤ buckets × groups rows
     exact = (
-        ds.groupby(["event_type", "value"])
-        .aggregate(Count(alias_name="_n"))
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_exact"))
-        .to_pandas()
+        exact_parts.groupby("event_type")["_n"].sum().rename("n_exact").reset_index()
     )
 
     rows = []
@@ -3902,7 +3927,10 @@ def q78_storage_order(sf_dir: str):
             {"doc_id": t["doc_id"], "sig": pa.array(sig, pa.int64())}
         )
 
-    sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
+    # Pin once: both orderings consume the same sig table; without the
+    # materialize the tokenize+simhash pass (the expensive leg) runs twice.
+    # (doc_id, sig) is 16 B/row — corpus-count-sized, safe to pin at scale.
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
 
     def adjacent_total(sorted_ds, keys) -> int:
         s = sorted_ds.sort(keys).materialize()
