@@ -47,7 +47,7 @@ from texrex_ray.crawl.policy import CrawlConfig, Walker, split_seeds
 from texrex_ray.functions.hashing import stable_hash64
 from texrex_ray.functions.urlkit import host_of
 from texrex_ray.sources.webgraph import WebGraph
-from texrex_ray.state.bloom import ScalingBloom
+from texrex_ray.state.urlseen import make_url_seen, restore_url_seen
 from texrex_ray.state.politeness import PolitenessManager
 
 
@@ -213,11 +213,7 @@ class FrontierPartActor:
             robots_refresh_interval=cfg.robots_refresh_interval,
             agent=cfg.agent,
         )
-        self.bloom = ScalingBloom(
-            initial_capacity=cfg.bloom_initial_capacity,
-            error_rate=cfg.bloom_error_rate,
-            max_memory_mb=cfg.bloom_max_memory_mb,
-        )
+        self.bloom = make_url_seen(cfg)  # bloom or cuckoo per config
         self.metrics: Counter = Counter()
         self.corpus_buf: list[dict] = []
         self.host_fetches: Counter = Counter()
@@ -266,12 +262,11 @@ class FrontierPartActor:
         at a small false-positive cost — per-host bits cannot be extracted
         from a Bloom filter.
         """
-        base = ScalingBloom.restore(pickle.loads(blob))
-        # older segments become read-only history; adds keep going to the
-        # CURRENT tail by marking imported segments full
-        for seg in base.segments:
-            seg.count = seg.capacity
-        self.bloom.segments = base.segments + self.bloom.segments
+        base = restore_url_seen(pickle.loads(blob))
+        # older segments/tables become read-only history; adds keep going
+        # to the CURRENT tail
+        base.freeze()
+        self.bloom.chain_base(base)
 
     def _robots_body(self, url: str, host: str) -> str | None:
         """robots.txt body for ``host``: the broadcast map first (synthetic
@@ -431,7 +426,7 @@ class FrontierPartActor:
     def restore(self, blob: bytes) -> None:
         snap = pickle.loads(blob)
         self.pm = PolitenessManager.restore(snap["politeness"])
-        self.bloom = ScalingBloom.restore(snap["bloom"])
+        self.bloom = restore_url_seen(snap["bloom"])
         self.metrics = Counter(snap["metrics"])
         self.corpus_buf = list(snap.get("corpus_buf", []))
 

@@ -21,7 +21,7 @@ from texrex_ray.crawl.fetcher import fetch_parse, plain_pages
 from texrex_ray.crawl.policy import CrawlConfig, Walker
 from texrex_ray.functions.urlkit import host_of
 from texrex_ray.sources.webgraph import WebGraph
-from texrex_ray.state.bloom import ScalingBloom
+from texrex_ray.state.urlseen import make_url_seen
 from texrex_ray.state.politeness import parse_robots
 
 
@@ -43,11 +43,7 @@ def clarax_walk(
     cfg = config or CrawlConfig()
     pages = plain_pages(graph)
     walker = Walker(0, graph.seeds, seed, cfg)
-    bloom = ScalingBloom(
-        initial_capacity=cfg.bloom_initial_capacity,
-        error_rate=cfg.bloom_error_rate,
-        max_memory_mb=cfg.bloom_max_memory_mb,
-    )
+    bloom = make_url_seen(cfg)
     robots_rules: dict[str, object] = {}
     last_access: dict[str, int] = {}
     visit_order: list[tuple[int, str, str, str]] = []

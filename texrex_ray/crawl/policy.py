@@ -35,6 +35,11 @@ class CrawlConfig:
     bloom_error_rate: float = 1e-6
     bloom_initial_capacity: int = 1 << 14
     bloom_max_memory_mb: int = 1024
+    # URL-seen filter implementation: "bloom" (reference-faithful scaling
+    # Bloom chain) or "cuckoo" (deletion-capable; north rule names both).
+    # Both are false-negative-free, so crawl decisions are identical
+    # wherever neither false-positives (tests prove it at fixture scale).
+    url_seen_backend: str = "bloom"
     max_cache: int = 512
     max_links_per_step: int = 256
     use_same_host_links: bool = True

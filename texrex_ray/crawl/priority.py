@@ -38,7 +38,7 @@ from texrex_ray.crawl.fetcher import fetch_parse, plain_pages
 from texrex_ray.crawl.policy import CrawlConfig
 from texrex_ray.functions.urlkit import host_of
 from texrex_ray.sources.webgraph import WebGraph
-from texrex_ray.state.bloom import ScalingBloom
+from texrex_ray.state.urlseen import make_url_seen
 from texrex_ray.state.politeness import PolitenessManager
 
 from texrex_ray.crawl.engine import partition_of
@@ -77,11 +77,7 @@ class PriorityFrontierActor:
             robots_refresh_interval=cfg.robots_refresh_interval,
             agent=cfg.agent,
         )
-        self.seen = ScalingBloom(
-            initial_capacity=cfg.bloom_initial_capacity,
-            error_rate=cfg.bloom_error_rate,
-            max_memory_mb=cfg.bloom_max_memory_mb,
-        )
+        self.seen = make_url_seen(cfg)
         self.heap: list[tuple[int, int, str]] = []  # (-degree, round, url)
         self.host_degree: Counter = Counter()
         self.metrics: Counter = Counter()

@@ -80,6 +80,7 @@ def bloom_dedup_hashes(
     text_col: str = "text",
     n_shards: int = 4,
     error_rate: float = 1e-6,
+    backend: str = "bloom",
 ) -> "pd.DataFrame":
     """Streaming first-wins dedup via a sharded Bloom actor pool — the
     reference DuplicateDetector's exact semantics (one global scaling
@@ -102,16 +103,19 @@ def bloom_dedup_hashes(
 
     from texrex_ray.functions.hashing import md5_hex, stable_hash64
     from texrex_ray.state.bloom import ScalingBloom
+    from texrex_ray.state.cuckoo import ScalingCuckoo
+
+    seen_cls = {"bloom": ScalingBloom, "cuckoo": ScalingCuckoo}[backend]
 
     @ray.remote(num_cpus=0)
-    class BloomShard:
+    class SeenShard:
         def __init__(self, error_rate: float):
-            self.bloom = ScalingBloom(error_rate=error_rate)
+            self.seen = seen_cls(error_rate=error_rate)
 
         def add_if_new(self, hashes: list[str]) -> list[bool]:
-            return [bool(x) for x in self.bloom.add_if_new(hashes)]
+            return [bool(x) for x in self.seen.add_if_new(hashes)]
 
-    shards = [BloomShard.remote(error_rate) for _ in range(n_shards)]
+    shards = [SeenShard.remote(error_rate) for _ in range(n_shards)]
 
     def dedup(t: pa.Table) -> pa.Table:
         md5s = [md5_hex(s or "") for s in t[text_col].to_pylist()]

@@ -5554,3 +5554,25 @@ def q101_token_packing(sf_dir: str):
     for c in ("doc_id", "shard", "n_tokens", "tok_offset", "seq_idx"):
         out[c] = out[c].astype("int64")
     return out[["doc_id", "shard", "n_tokens", "tok_offset", "seq_idx"]]
+
+
+# --------------------------------------------------------------------------
+# Cuckoo-filter URL-seen backend (north rule: "sharded bloom/cuckoo")
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q102_cuckoo_dedup",
+    sql="SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY 1",
+)
+def q102_cuckoo_dedup(sf_dir: str):
+    """q22's streaming first-wins exact dedup with the CUCKOO URL-seen
+    backend (``state/cuckoo.py``) behind the same sharded actor pool —
+    the oracle doubles as an end-to-end false-positive check on the
+    16-bit-fingerprint filter at this corpus size.  Unlike the Bloom
+    chain, the cuckoo filter also supports deletion (retract-and-recrawl);
+    ``tests/test_cuckoo.py`` covers that path plus engine equivalence."""
+    from texrex_ray.dedup.exact import bloom_dedup_hashes
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bloom_dedup_hashes(ds, n_shards=4, backend="cuckoo")

@@ -69,6 +69,8 @@ class _Segment:
 class ScalingBloom:
     """First-wins membership set with scaling segments."""
 
+    kind = "bloom"
+
     def __init__(
         self,
         initial_capacity: int = 100_000,
@@ -151,10 +153,21 @@ class ScalingBloom:
                 seen[np.array(chosen)] = True  # refuse adds when OOM
         return ~seen
 
+    # -- chaining (hot-shard migration; cuckoo backend has the same API) ----
+
+    def freeze(self) -> None:
+        """Mark all segments full: chained history accepts no adds."""
+        for seg in self.segments:
+            seg.count = seg.capacity
+
+    def chain_base(self, base: "ScalingBloom") -> None:
+        self.segments = base.segments + self.segments
+
     # -- snapshot / restore (checkpointing) --------------------------------
 
     def snapshot(self) -> dict:
         return {
+            "kind": self.kind,
             "error_rate": self.error_rate,
             "max_memory_bytes": self.max_memory_bytes,
             "growth": self.growth,
