@@ -76,7 +76,8 @@ def cmd_clarax(args) -> dict:
     )
     eng = CrawlEngine(
         g, n_walkers=args.walkers, n_partitions=args.partitions,
-        seed=args.seed, config=CrawlConfig(), out_dir=args.out,
+        seed=args.seed, out_dir=args.out,
+        config=CrawlConfig(url_seen_backend=args.url_seen),
     )
     stats = eng.run(max_steps=args.steps, checkpoint_every=args.checkpoint_every)
     eng.checkpoint()
@@ -398,6 +399,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--partitions", type=int, default=4)
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--checkpoint-every", type=int, default=None)
+    s.add_argument("--url-seen", choices=["bloom", "cuckoo"], default="bloom",
+                   help="URL-seen filter backend (cuckoo supports deletion)")
     s.set_defaults(fn=cmd_clarax)
 
     s = sub.add_parser(

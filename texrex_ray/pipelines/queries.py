@@ -5576,3 +5576,162 @@ def q102_cuckoo_dedup(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     return bloom_dedup_hashes(ds, n_shards=4, backend="cuckoo")
+
+
+# --------------------------------------------------------------------------
+# Edit-distance-1 near-dup join (SymSpell deletion blocking)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q103_editdist_pairs",
+    sql="""
+    WITH v AS (
+        SELECT p_name AS s, CAST(count(*) AS BIGINT) AS n
+        FROM part GROUP BY 1
+    )
+    SELECT a.s AS a, b.s AS b, a.n AS n_a, b.n AS n_b
+    FROM v a JOIN v b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+    ORDER BY a, b
+    """,
+)
+def q103_editdist_pairs(sf_dir: str):
+    """Typo-level near-dup join: distinct part names at edit distance
+    EXACTLY 1, found by SymSpell deletion-neighborhood blocking
+    (``dedup/editdist.py``) — the dedup class token/shingle overlap
+    cannot express.  Candidates block on hashed 1-deletion variants
+    (alphabet-bounded groups, hash-keyed exchange), an exact
+    threshold-1 verifier prunes (transpositions share keys but are
+    distance 2), pairs dedup on a result-sized exchange.  The oracle is
+    the quadratic ``levenshtein`` self-join — tractable at fixture
+    vocab, which is exactly why the blocking plan exists for real ones.
+    """
+    from texrex_ray.dedup.editdist import ed1_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return ed1_pairs(ds, "p_name", expected_rows=ds.count())
+
+
+# --------------------------------------------------------------------------
+# Good-Turing count-of-counts (LM frequency spectrum)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q104_count_of_counts",
+    sql=f"""
+    WITH toks AS (SELECT unnest({TOKEN_SQL}) AS token FROM documents),
+    v AS (SELECT token, count(*) AS r FROM toks GROUP BY 1)
+    SELECT CAST(r AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS n_types
+    FROM v GROUP BY r ORDER BY r
+    """,
+)
+def q104_count_of_counts(sf_dir: str):
+    """Frequency-of-frequencies spectrum (the Good–Turing / Kneser–Ney
+    estimation input): r → number of token types occurring exactly r
+    times.  Two combiner-shaped exchanges, both shrinking: token count
+    partials (vocab-sized, the q02 pattern), then per-bucket partial
+    spectra — the second exchange is distinct-r-sized (≈ O(√corpus) by
+    Zipf), so the corpus never moves."""
+    from collections import Counter
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for s in t["text"].to_pylist():
+            c.update(_TOKEN_RE.findall((s or "").lower()))
+        toks = list(c.keys())
+        return pa.table(
+            {"token": toks, "pn": pa.array([c[k] for k in toks], pa.int64())}
+        )
+
+    def spectrum(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("token", sort=False)["pn"].sum()
+        vc = r.value_counts()
+        return pd.DataFrame(
+            {"r": vc.index.to_numpy(np.int64), "pn_types": vc.to_numpy(np.int64)}
+        )
+
+    parts = bucketed_groupby(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        "token",
+        spectrum,
+        expected_rows=ds.count(),
+    ).to_pandas()  # distinct-r × buckets rows: tiny
+    out = (
+        parts.groupby("r", as_index=False)["pn_types"]
+        .sum()
+        .rename(columns={"pn_types": "n_types"})
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    for c in ("r", "n_types"):
+        out[c] = out[c].astype("int64")
+    return out[["r", "n_types"]]
+
+
+# --------------------------------------------------------------------------
+# ROLLUP aggregation (multi-level partials in one pass)
+# --------------------------------------------------------------------------
+
+_ALL = "__all__"
+
+
+@query(
+    "q105_rollup",
+    sql=f"""
+    SELECT COALESCE(source, '{_ALL}') AS source,
+           COALESCE(lang, '{_ALL}') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY ROLLUP(source, lang) ORDER BY 1, 2
+    """,
+)
+def q105_rollup(sf_dir: str):
+    """ROLLUP(source, lang) in ONE corpus pass: each batch emits partial
+    rows for all three grouping sets — (source, lang), (source, ·),
+    (·, ·) — with the '__all__' sentinel, and one groups-sized keyed
+    exchange sums them.  3× partial rows per batch beats three corpus
+    scans; the exchange is grouping-sets-sized.  (Sentinel precondition:
+    no real '__all__' source/lang values — the fixture has none; a real
+    corpus would reserve a non-value token.)"""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "lang": t["lang"].to_pylist(),
+                "ch": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        outs = []
+        for cols in (["source", "lang"], ["source"], []):
+            g = df.groupby(cols, sort=False)["ch"].agg(["size", "sum"]).reset_index() \
+                if cols else pd.DataFrame(
+                    {"size": [len(df)], "sum": [int(df["ch"].sum())]}
+                )
+            if "source" not in g:
+                g["source"] = _ALL
+            if "lang" not in g:
+                g["lang"] = _ALL
+            outs.append(g[["source", "lang", "size", "sum"]])
+        allg = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(
+            allg.rename(columns={"size": "pn", "sum": "pc"}), preserve_index=False
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("pn", alias_name="n_docs"), Sum("pc", alias_name="sum_chars"))
+        .to_pandas()  # grouping-sets-sized
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "sum_chars"):
+        merged[c] = merged[c].astype("int64")
+    return merged[["source", "lang", "n_docs", "sum_chars"]]
