@@ -392,3 +392,49 @@ def lsh_ann(
     if precombine:
         out = precombine_topk(out, k)
     return _reduce_topk(out.to_pandas(), k)
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    eps: float = 0.35,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    within each cluster, drop a vector when a LOWER-ID vector in the same
+    cluster has cosine similarity >= ``eps``; return the survivors.
+
+    The clustering is an input column (``cluster_col``) — at scale that is
+    the k-means assignment from ``train_centroids``/``ivf_ann``'s plan; k
+    is chosen so a cluster fits one task, which is SemDeDup's own premise
+    (pairwise cosine is only ever computed WITHIN a cluster).  The op is
+    then one hash exchange on the cluster key + a vectorized per-group
+    mask: normalize in float64, one gram matrix per group, keep row j iff
+    no kept-candidate i<j (by id order) reaches eps.  Anti-join semantics
+    ("exists ANY lower-id neighbor", not the greedy kept-chain) keep the
+    SQL twin non-recursive — q106's oracle is the NOT EXISTS self-join.
+
+    Reference analogue: the shingle/SimHash near-dup family of texrex
+    (trshingler.pas) lifted to embedding space.
+    """
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        x = _unit(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+        s = x @ x.T
+        # drop j when any i<j has cos >= eps (strict upper triangle test)
+        dup = (np.triu(s >= eps, k=1)).any(axis=0)
+        return g.loc[~dup, [id_col, cluster_col]]
+
+    out = (
+        ds.groupby(cluster_col)
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()  # survivor-id-sized
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    for c in (id_col, cluster_col):
+        out[c] = out[c].astype("int64")
+    return out[[id_col, cluster_col]]

@@ -5735,3 +5735,138 @@ def q105_rollup(sf_dir: str):
     for c in ("n_docs", "sum_chars"):
         merged[c] = merged[c].astype("int64")
     return merged[["source", "lang", "n_docs", "sum_chars"]]
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: within-cluster embedding-cosine dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q106_semdedup",
+    sql="""
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.label AS BIGINT) AS label
+    FROM embeddings a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings b
+        WHERE b.label = a.label AND b.vec_id < a.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35)
+    ORDER BY vec_id
+    """,
+)
+def q106_semdedup(sf_dir: str):
+    """Semantic dedup (SemDeDup): drop a vector when a lower-id vector in
+    the SAME cluster (the ``label`` assignment) is cosine-similar >= 0.35.
+    One cluster-keyed exchange + a per-group float64 gram-matrix mask —
+    pairwise cosine never crosses cluster boundaries, which is the
+    published algorithm's own scale contract.  eps sits in a verified
+    >=5e-5 gap of the pair-similarity distribution at every fixture SF,
+    so the float64 boundary is decided identically by numpy and DuckDB.
+    """
+    from texrex_ray.dedup.embed import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return semdedup(ds, eps=0.35)
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM document scoring (count-based perplexity proxy)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q107_bigram_lm_score",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {TOKEN_SQL} AS ts FROM documents),
+    big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS t(i)),
+    ucnt AS (SELECT w1 AS w, count(*) AS n FROM big GROUP BY 1),
+    bcnt AS (SELECT w1, w2, count(*) AS nab FROM big GROUP BY 1, 2)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(nab AS HUGEINT) * 1000000 // n) AS BIGINT) AS score_c
+    FROM big d
+    JOIN bcnt USING (w1, w2)
+    JOIN ucnt ON d.w1 = ucnt.w
+    GROUP BY d.doc_id ORDER BY doc_id
+    """,
+)
+def q107_bigram_lm_score(sf_dir: str):
+    """Count-based bigram-LM fluency score per document (the classic
+    KenLM-style quality signal, integer-exact): score_c = sum over the
+    doc's bigram instances of P(w2|w1) in scaled-int form
+    ``C(w1,w2) * 1e6 // C(w1 as context)``.
+
+    Shape: ONE bigram-count exchange (per-batch combiner partials →
+    bucketed_groupby — vocab²-bounded, sublinear in corpus by Zipf);
+    context counts derive from the bigram table itself (no second corpus
+    pass for unigrams); both tables broadcast once via ``ray.put`` and
+    each doc scores locally — the corpus text never shuffles.  For an
+    open-ended bigram domain that outgrows broadcast, the swap is the
+    bucketed hash join of dedup/tender.py keyed on (w1,w2) — documented,
+    not needed at natural-language vocabulary sizes.  Per-instance floor
+    division accumulated in Python ints (no int64 wrap — the q94 advice).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter[tuple[str, str]] = Counter()
+        for s in t["text"].to_pylist():
+            ts = _TOKEN_RE.findall((s or "").lower())
+            c.update(zip(ts, ts[1:]))
+        w1s, w2s, ns = [], [], []
+        for (w1, w2), n in c.items():
+            w1s.append(w1)
+            w2s.append(w2)
+            ns.append(n)
+        return pa.table(
+            {"w1": w1s, "w2": w2s, "pn": pa.array(ns, pa.int64())}
+        )
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    bcnt = bucketed_groupby(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        lambda g: g.groupby(["w1", "w2"], as_index=False)["pn"].sum(),
+        expected_rows=ds.count() * 8,
+    ).to_pandas()  # bigram-vocab-sized
+    nab = dict(zip(zip(bcnt["w1"], bcnt["w2"]), (int(v) for v in bcnt["pn"])))
+    ctx = bcnt.groupby("w1")["pn"].sum()
+    nctx = dict(zip(ctx.index, (int(v) for v in ctx.to_numpy())))
+    nab_ref, nctx_ref = ray.put(nab), ray.put(nctx)
+
+    def score(t: pa.Table) -> pa.Table:
+        big = ray.get(nab_ref)
+        uni = ray.get(nctx_ref)
+        ids, nb, sc = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ts = _TOKEN_RE.findall((s or "").lower())
+            total = 0  # Python int: exact, unbounded
+            k = 0
+            for pair in zip(ts, ts[1:]):
+                total += big[pair] * 1_000_000 // uni[pair[0]]
+                k += 1
+            ids.append(did)
+            nb.append(k)
+            sc.append(total)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "score_c": pa.array(sc, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .filter(lambda r: r["n_bigrams"] > 0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "n_bigrams", "score_c"]]
