@@ -1,0 +1,68 @@
+"""Triangle counting: oriented-wedge plan vs brute force."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from texrex_ray.ops.graph import triangle_counts
+
+
+def _brute(edges: list[tuple[str, str]]) -> pd.DataFrame:
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts: dict[str, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return pd.DataFrame(
+        sorted(counts.items()), columns=["node", "n_triangles"]
+    ).astype({"n_triangles": "int64"})
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(3)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [
+        (nodes[i], nodes[j])
+        for i in range(40)
+        for j in range(40)
+        if i != j and rng.random() < 0.08
+    ]
+    # duplicate + reversed edges must collapse to one undirected edge
+    edges += edges[:10] + [(b, a) for a, b in edges[:10]]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = triangle_counts(ds, expected_edges=len(edges))
+    want = _brute(edges)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+def test_triangle_counts_no_triangles(ray_session):
+    # a path graph has zero triangles -> stable empty frame
+    ds = ray.data.from_items(
+        [{"src": f"p{i}", "dst": f"p{i+1}"} for i in range(20)]
+    )
+    got = triangle_counts(ds, expected_edges=20)
+    assert got.empty and list(got.columns) == ["node", "n_triangles"]
+
+
+def test_triangle_counts_self_loops_ignored(ray_session):
+    ds = ray.data.from_items(
+        [
+            {"src": "a", "dst": "b"},
+            {"src": "b", "dst": "c"},
+            {"src": "c", "dst": "a"},
+            {"src": "a", "dst": "a"},  # self loop
+        ]
+    )
+    got = triangle_counts(ds, expected_edges=4)
+    assert got["n_triangles"].tolist() == [1, 1, 1]
+    assert got["node"].tolist() == ["a", "b", "c"]

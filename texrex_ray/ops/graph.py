@@ -230,3 +230,141 @@ def _pagerank_shuffle(
         .sort_values(["rank", "page"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    expected_edges: int | None = None,
+) -> pd.DataFrame:
+    """Per-node triangle counts of the UNDIRECTED simple graph under
+    ``edges`` — the clustering-structure statistic (link-farm / mutual-
+    citation detection on a crawl graph; the reference has no analogue,
+    this is frontier-scheduler instrumentation).
+
+    Degree-ordered orientation (the standard distributed-triangle
+    trick, cf. Suri & Vassilvitskii 2011 "Counting Triangles and the
+    Curse of the Last Reducer"): orient every undirected edge from the
+    endpoint of lower (degree, node) rank to the higher, so each
+    triangle is generated as exactly ONE wedge at its lowest-rank
+    corner and out-degrees — hence the per-group quadratic wedge step —
+    are bounded by O(√m) instead of the raw max degree (the hub that
+    curses the naive reducer).
+
+    Exchanges: edge dedup (edge-sized, hash-keyed), degree count
+    (node-sized), wedge↔edge intersection (wedge+edge-sized, the only
+    super-linear volume — Σ C(d_out,2) ≤ O(m^1.5) by orientation), and
+    the final per-node count (3·triangles rows).  The degree table is
+    broadcast once via ``ray.put`` for the orientation pass (node-sized
+    driver state, the pagerank plan="broadcast" contract — swap in a
+    shuffle_join on src/dst for page-scale graphs, same results).
+    """
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    # 1. canonical undirected edge set, dedup'd on a hash-keyed exchange
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[src].astype(str), df[dst].astype(str)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[lo != hi].drop_duplicates()
+
+    und = bucketed_groupby(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["a", "b"],
+        lambda g: g.drop_duplicates(["a", "b"]),
+        expected_rows=expected_edges,
+    ).materialize()  # edge-sized; consumed by BOTH the wedge and the
+    # closing branch — pinning runs the dedup exchange once (q78 pattern)
+
+    # 2. degrees (node-keyed exchange), then broadcast for orientation
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([df["a"], df["b"]]).value_counts()
+        return pd.DataFrame({"node": c.index, "pd_": c.to_numpy(np.int64)})
+
+    deg = bucketed_groupby(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        "node",
+        lambda g: g.groupby("node", as_index=False)["pd_"].sum(),
+        expected_rows=expected_edges and expected_edges * 2,
+    ).to_pandas()  # node-sized
+    deg_ref = ray.put(dict(zip(deg["node"], (int(v) for v in deg["pd_"]))))
+
+    # 3. orient lower rank -> higher rank; (degree, node) is a total order
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(deg_ref)
+        da = df["a"].map(d).to_numpy(np.int64)
+        db = df["b"].map(d).to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (df["a"] < df["b"]).to_numpy())
+        return pd.DataFrame(
+            {
+                "u": np.where(a_first, df["a"], df["b"]),
+                "v": np.where(a_first, df["b"], df["a"]),
+            }
+        )
+
+    oriented = und.map_batches(orient, batch_format="pandas")
+
+    # 4. wedges at each lowest-rank corner: per-u sorted out-neighbor pairs
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        us, xs, ys = [], [], []
+        for u, grp in g.groupby("u", sort=False):
+            nb = sorted(grp["v"].tolist())
+            for i in range(len(nb) - 1):
+                x = nb[i]
+                for y in nb[i + 1 :]:
+                    us.append(u)
+                    xs.append(x)
+                    ys.append(y)
+        # key by VALUE-canonical pair to meet the undirected edge set
+        xa, ya = np.asarray(xs, dtype=object), np.asarray(ys, dtype=object)
+        return pd.DataFrame(
+            {"a": np.minimum(xa, ya), "b": np.maximum(xa, ya), "u": us}
+        )
+
+    wedge_ds = bucketed_groupby(
+        oriented, "u", wedges, expected_rows=expected_edges
+    )
+
+    # 5. wedge ∩ edge on (a, b): tagged union, one keyed exchange
+    closing = und.map_batches(
+        lambda df: df.assign(u=pd.NA), batch_format="pandas"
+    )
+
+    def intersect(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["u"].isna()
+        ek = set(zip(g.loc[is_edge, "a"], g.loc[is_edge, "b"]))
+        w = g[~is_edge]
+        hit = [key in ek for key in zip(w["a"], w["b"])]
+        return w.loc[hit, ["u", "a", "b"]]
+
+    tris = bucketed_groupby(
+        wedge_ds.union(closing),
+        ["a", "b"],
+        intersect,
+        expected_rows=expected_edges and expected_edges * 4,
+    )
+
+    # 6. per-node counts: explode corners, one node-keyed count exchange
+    def corner_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([df["u"], df["a"], df["b"]]).value_counts()
+        return pd.DataFrame({"node": c.index, "pt": c.to_numpy(np.int64)})
+
+    out = bucketed_groupby(
+        tris.map_batches(corner_partial, batch_format="pandas"),
+        "node",
+        lambda g: g.groupby("node", as_index=False)["pt"].sum(),
+        expected_rows=expected_edges,
+    ).to_pandas()
+    if out.empty:  # zero triangles -> zero blocks -> column-less frame
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=str), "n_triangles": pd.Series(dtype="int64")}
+        )
+    out = (
+        out.rename(columns={"pt": "n_triangles"})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out[["node", "n_triangles"]]

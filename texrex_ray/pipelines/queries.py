@@ -5870,3 +5870,126 @@ def q107_bigram_lm_score(sf_dir: str):
         .reset_index(drop=True)
     )
     return out[["doc_id", "n_bigrams", "score_c"]]
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the crawl link graph
+# --------------------------------------------------------------------------
+
+_EDGE_FIXTURE = "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+
+_TRIANGLE_SQL = f"""
+WITH e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+u AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+      FROM e WHERE src <> dst),
+tri AS (SELECT x.a n1, x.b n2, y.b n3
+        FROM u x JOIN u y ON x.b = y.a JOIN u z ON z.a = x.a AND z.b = y.b),
+n AS (SELECT n1 AS node FROM tri
+      UNION ALL SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY node ORDER BY node
+"""
+
+
+@query("q108_triangle_counts", sql=_TRIANGLE_SQL)
+def q108_triangle_counts(sf_dir: str):
+    """Per-node triangle counts of the crawl link graph (link-farm /
+    mutual-citation structure).  Degree-ordered orientation bounds the
+    wedge explosion at O(m^1.5) and kills the hub-reducer curse; wedges
+    meet the edge set on ONE hash-keyed exchange (``ops/graph.py::
+    triangle_counts``).  Oracle = the cubic 3-way self-join, tractable
+    at fixture size — which is exactly why the oriented-wedge plan
+    exists for real graphs."""
+    from texrex_ray.ops.graph import triangle_counts
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return triangle_counts(edges, expected_edges=edges.count())
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS trend (integer-exact slope per group)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q109_grouped_trend",
+    sql="""
+    WITH x AS (SELECT o_orderpriority AS grp,
+                      CAST(datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)) AS HUGEINT) AS x,
+                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS HUGEINT) AS y
+               FROM orders),
+    s AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM x GROUP BY grp)
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_c
+    FROM s ORDER BY grp
+    """,
+)
+def q109_grouped_trend(sf_dir: str):
+    """Per-group OLS trend of order value over time, integer-exact:
+    slope_c = (n·Σxy − Σx·Σy)·10⁶ // (n·Σxx − Σx²) with x = epoch days,
+    y = price cents.  The distributed shape is the moments-combiner
+    (q49): each batch emits the five per-group sufficient statistics,
+    ONE groups-sized exchange sums them, the slope closes on the
+    driver over a groups-sized frame.  Sums accumulate as Python ints
+    (exact, unbounded — Σxy at 10⁹ rows × (2·10⁴ days · 10⁹ cents)
+    overflows int64, the q94 advice class)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "grp": t["o_orderpriority"].to_pylist(),
+                # timestamp[us] -> epoch days, vectorized
+                "x": (
+                    t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000
+                ),
+                "y": np.floor(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        # per-batch int64 products are safe (x ~ 1e4, y ~ 1e7, n_batch ~ 4k);
+        # the unbounded accumulation happens in object dtype below
+        g = df.groupby("grp", sort=False)
+        out = pd.DataFrame(
+            {
+                "pn": g.size(),
+                "sx": g["x"].sum(),
+                "sy": g["y"].sum(),
+                "sxy": g.apply(
+                    lambda d: sum(int(a) * int(b) for a, b in zip(d["x"], d["y"])),
+                    include_groups=False,
+                ),
+                "sxx": g["x"].apply(lambda s: sum(int(v) * int(v) for v in s)),
+            }
+        ).reset_index()
+        for c in ("sx", "sy", "sxy", "sxx"):
+            out[c] = out[c].astype(str)  # decimal strings: exact transport
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()  # groups × batches rows: tiny
+    )
+    rows = []
+    for grp, g in parts.groupby("grp"):
+        n = int(g["pn"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        num = (n * sxy - sx * sy) * 1_000_000
+        den = n * sxx - sx * sx  # > 0 unless all x equal in the group
+        # DuckDB's integer `//` truncates toward zero; Python's floors —
+        # match the SQL twin explicitly for negative slopes
+        slope_c = -((-num) // den) if num < 0 else num // den
+        rows.append({"grp": grp, "n": n, "slope_c": slope_c})
+    out = pd.DataFrame(rows).sort_values("grp").reset_index(drop=True)
+    for c in ("n", "slope_c"):
+        out[c] = out[c].astype("int64")
+    return out[["grp", "n", "slope_c"]]
