@@ -66,3 +66,67 @@ def test_triangle_counts_self_loops_ignored(ray_session):
     got = triangle_counts(ds, expected_edges=4)
     assert got["n_triangles"].tolist() == [1, 1, 1]
     assert got["node"].tolist() == ["a", "b", "c"]
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities: integer iteration vs a sequential recompute
+# --------------------------------------------------------------------------
+
+
+def _hits_brute(edges, iters=2, scale=1_000_000):
+    nodes = sorted({n for e in edges for n in e})
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    h = [scale] * n
+    a = [0] * n
+
+    def norm(raw):
+        m = max(raw) if raw else 0
+        if m <= 0:
+            return [0] * len(raw)
+        return [v * scale // m for v in raw]
+
+    for _ in range(iters):
+        raw = [0] * n
+        for s, d in edges:
+            raw[ix[d]] += h[ix[s]]
+        a = norm(raw)
+        raw = [0] * n
+        for s, d in edges:
+            raw[ix[s]] += a[ix[d]]
+        h = norm(raw)
+    return pd.DataFrame({"page": nodes, "hub_c": h, "auth_c": a}).astype(
+        {"hub_c": "int64", "auth_c": "int64"}
+    )
+
+
+def test_hits_matches_bruteforce(ray_session):
+    from texrex_ray.ops.graph import hits_int
+
+    rng = np.random.default_rng(11)
+    nodes = [f"p{i}" for i in range(30)]
+    edges = [
+        (nodes[i], nodes[j])
+        for i in range(30)
+        for j in range(30)
+        if i != j and rng.random() < 0.1
+    ]
+    edges += edges[:5]  # duplicate edges count twice (multiset semantics)
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = hits_int(ds, iters=2)
+    want = _hits_brute(edges, iters=2)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hits_pure_hub_and_authority(ray_session):
+    from texrex_ray.ops.graph import hits_int
+
+    # star: h -> a1..a3; h is the only hub, a* are pure authorities
+    ds = ray.data.from_items(
+        [{"src": "h", "dst": f"a{i}"} for i in range(3)]
+    )
+    got = hits_int(ds, iters=2).set_index("page")
+    assert got.loc["h", "hub_c"] == 1_000_000
+    assert got.loc["h", "auth_c"] == 0
+    assert (got.loc[["a0", "a1", "a2"], "auth_c"] == 1_000_000).all()
+    assert (got.loc[["a0", "a1", "a2"], "hub_c"] == 0).all()

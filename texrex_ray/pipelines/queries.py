@@ -5993,3 +5993,46 @@ def q109_grouped_trend(sf_dir: str):
     for c in ("n", "slope_c"):
         out[c] = out[c].astype("int64")
     return out[["grp", "n", "slope_c"]]
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities on the crawl link graph
+# --------------------------------------------------------------------------
+
+_HITS_SQL = f"""
+WITH e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+a1r AS (SELECT dst AS node, CAST(count(*) AS HUGEINT) * 1000000 AS v FROM e GROUP BY dst),
+a1 AS (SELECT n.node, COALESCE(a1r.v, 0) * 1000000 // (SELECT max(v) FROM a1r) AS v
+       FROM n LEFT JOIN a1r USING (node)),
+h1r AS (SELECT e.src AS node, CAST(sum(a1.v) AS HUGEINT) AS v
+        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+h1 AS (SELECT n.node, COALESCE(h1r.v, 0) * 1000000 // (SELECT max(v) FROM h1r) AS v
+       FROM n LEFT JOIN h1r USING (node)),
+a2r AS (SELECT e.dst AS node, CAST(sum(h1.v) AS HUGEINT) AS v
+        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+a2 AS (SELECT n.node, COALESCE(a2r.v, 0) * 1000000 // (SELECT max(v) FROM a2r) AS v
+       FROM n LEFT JOIN a2r USING (node)),
+h2r AS (SELECT e.src AS node, CAST(sum(a2.v) AS HUGEINT) AS v
+        FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+h2 AS (SELECT n.node, COALESCE(h2r.v, 0) * 1000000 // (SELECT max(v) FROM h2r) AS v
+       FROM n LEFT JOIN h2r USING (node))
+SELECT n.node AS page, CAST(h2.v AS BIGINT) AS hub_c, CAST(a2.v AS BIGINT) AS auth_c
+FROM n JOIN h2 USING (node) JOIN a2 USING (node)
+ORDER BY page
+"""
+
+
+@query("q110_hits", sql=_HITS_SQL)
+def q110_hits(sf_dir: str):
+    """HITS hubs & authorities over the crawl link graph (link hubs vs
+    content authorities — the score a harvest crawl prioritizing
+    image-bearing pages wants next to PageRank).  Integer-exact
+    max-normalized iteration; distribution = the pagerank broadcast
+    contract (edges int-encoded once, node-sized score vector via
+    ``ray.put``, one gather+bincount pass per half-step).  Oracle
+    unrolls the same two iterations as chained SQL CTEs."""
+    from texrex_ray.ops.graph import hits_int
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return hits_int(edges, iters=2)
