@@ -130,3 +130,83 @@ def test_hits_pure_hub_and_authority(ray_session):
     assert got.loc["h", "auth_c"] == 0
     assert (got.loc[["a0", "a1", "a2"], "auth_c"] == 1_000_000).all()
     assert (got.loc[["a0", "a1", "a2"], "hub_c"] == 0).all()
+
+
+def test_hits_shuffle_plan_matches_broadcast(ray_session):
+    """The distributed-score-state plan (shuffle_join + keyed sum per
+    half-step, only the max scalar on the driver) must be bit-identical
+    to the broadcast plan."""
+    from texrex_ray.ops.graph import hits_int
+
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 400, 5_000
+    srcs = [f"h{int(i)}" for i in rng.integers(0, n_nodes, n_edges)]
+    dsts = [f"h{int(i)}" for i in rng.integers(0, n_nodes + 30, n_edges)]
+    ds = ray.data.from_items(
+        [{"src": a, "dst": b} for a, b in zip(srcs, dsts)]
+    ).repartition(4)
+    a = hits_int(ds, iters=2)
+    b = hits_int(ds, iters=2, plan="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def _ppr_brute(edges, seeds, iters=3, scale=1_000_000, damping_pm=850):
+    nodes = sorted({n for e in edges for n in e})
+    base = scale * (1000 - damping_pm) // 1000
+    deg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    rank = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        total = {n: 0 for n in nodes}
+        contrib = {n: rank[n] // deg[n] if deg[n] else 0 for n in nodes}
+        for s, d in edges:
+            total[d] += contrib[s]
+        rank = {
+            n: (base if n in seeds else 0) + damping_pm * total[n] // 1000
+            for n in nodes
+        }
+    return (
+        pd.DataFrame({"page": nodes, "rank": [rank[n] for n in nodes]})
+        .sort_values(["rank", "page"], ascending=[False, True])
+        .reset_index(drop=True)
+        .astype({"rank": "int64"})
+    )
+
+
+def test_personalized_pagerank_matches_bruteforce_and_plans(ray_session):
+    from texrex_ray.ops.graph import pagerank_int
+
+    rng = np.random.default_rng(5)
+    nodes = [f"p{i}" for i in range(60)]
+    edges = [
+        (nodes[i], nodes[j])
+        for i in range(60)
+        for j in range(60)
+        if i != j and rng.random() < 0.06
+    ]
+    seeds = {"p0", "p7", "p13"}
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = pagerank_int(ds, iters=3, seeds=seeds)
+    want = _ppr_brute(edges, seeds, iters=3)
+    pd.testing.assert_frame_equal(got, want)
+    shuf = pagerank_int(ds, iters=3, seeds=seeds, plan="shuffle")
+    pd.testing.assert_frame_equal(shuf, want)
+    # mass flows FROM seeds: every page NOT reachable from the seed set
+    # must end at exactly 0 (the reachable side may still floor to 0 in
+    # integer arithmetic, so only the converse is an invariant)
+    reach = set(seeds)
+    frontier = set(seeds)
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    while frontier:
+        frontier = {
+            y for x in frontier for y in adj.get(x, ()) if y not in reach
+        }
+        reach |= frontier
+    by_page = want.set_index("page")["rank"]
+    unreachable = [p for p in by_page.index if p not in reach]
+    assert len(unreachable) > 0  # the fixture graph must exercise this
+    assert (by_page.loc[unreachable] == 0).all()
+    assert (by_page.loc[sorted(seeds)] > 0).all()

@@ -71,8 +71,17 @@ def pagerank_int(
     src: str = "src",
     dst: str = "dst",
     plan: str = "broadcast",
+    seeds: set[str] | frozenset[str] | None = None,
 ) -> pd.DataFrame:
-    """(page, rank) for every node, after ``iters`` exact-integer steps."""
+    """(page, rank) for every node, after ``iters`` exact-integer steps.
+
+    ``seeds`` switches on the PERSONALIZED variant (TrustRank, Gyöngyi
+    et al. 2004 — spam-resistant frontier scoring from a trusted seed
+    list): the teleport mass lands ONLY on seed nodes —
+    ``r_0(v) = scale·[v∈S]``, ``base_v = base·[v∈S]`` — so rank flows
+    outward from the seeds; pages unreachable from S stay at 0.  The
+    seed set is crawl-config-sized (a curated list), broadcast once.
+    """
     # pin the edge list: the input lineage (e.g. crawl -> link extraction)
     # must not re-execute on every iteration pass (same reason as
     # dedup/clusters.py), and a nondeterministic lineage would otherwise
@@ -83,7 +92,7 @@ def pagerank_int(
     if plan == "shuffle":
         return _pagerank_shuffle(
             edges, iters=iters, scale=scale, damping_pm=damping_pm,
-            base=base, src=src, dst=dst,
+            base=base, src=src, dst=dst, seeds=seeds,
         )
     if plan != "broadcast":
         raise ValueError(f"unknown plan={plan!r}")
@@ -111,7 +120,13 @@ def pagerank_int(
         )
 
     enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
-    rank_arr = np.full(n, scale, dtype=np.int64)
+    if seeds is None:
+        rank_arr = np.full(n, scale, dtype=np.int64)
+        base_arr = np.full(n, base, dtype=np.int64)
+    else:
+        seed_mask = np.isin(nodes, np.array(sorted(seeds), dtype=object))
+        rank_arr = np.where(seed_mask, np.int64(scale), np.int64(0))
+        base_arr = np.where(seed_mask, np.int64(base), np.int64(0))
 
     for _ in range(iters):
         # contribution per SOURCE node, computed once (r // deg, dense by
@@ -140,9 +155,7 @@ def pagerank_int(
         parts = enc.map_batches(contrib, batch_format="pyarrow").to_pandas()
         total = np.zeros(n, dtype=np.int64)
         np.add.at(total, parts["d"].to_numpy(), parts["c"].to_numpy())
-        rank_arr = np.where(
-            total > 0, base + (damping_pm * total) // 1000, np.int64(base)
-        )
+        rank_arr = base_arr + (damping_pm * total) // 1000
 
     return pd.DataFrame({"page": nodes, "rank": rank_arr}).sort_values(
         ["rank", "page"], ascending=[False, True]
@@ -158,12 +171,16 @@ def _pagerank_shuffle(
     base: int,
     src: str,
     dst: str,
+    seeds: set[str] | frozenset[str] | None = None,
 ) -> pd.DataFrame:
     """Distributed-rank-state plan: the rank table is a Dataset keyed by
     node and every iteration exchanges it with the edges via bucketed
     joins.  Per-dst sums pass through a float column in the left join
     (pandas NaN semantics); exact below 2^53 — rescale ``scale`` down for
     graphs whose inbound sums would exceed that.
+
+    ``seeds`` = personalized teleport set (config-sized, broadcast once);
+    init and base masks mirror the broadcast plan bit-for-bit.
     """
     from texrex_ray.ops.aggregate import bucketed_groupby
     from texrex_ray.ops.join import shuffle_join
@@ -171,11 +188,16 @@ def _pagerank_shuffle(
     n_edges = edges.count()
     nodes_ds = _degrees(edges, src, dst).materialize()
     n_nodes = nodes_ds.count()
+    seeds_ref = ray.put(frozenset(seeds) if seeds is not None else None)
 
     def init_rank(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "rank", pa.array(np.full(t.num_rows, scale, np.int64))
-        )
+        s = ray.get(seeds_ref)
+        if s is None:
+            r = np.full(t.num_rows, scale, np.int64)
+        else:
+            mask = np.array([v in s for v in t["node"].to_pylist()])
+            r = np.where(mask, np.int64(scale), np.int64(0))
+        return t.append_column("rank", pa.array(r))
 
     rank_ds = nodes_ds.map_batches(init_rank, batch_format="pyarrow")
 
@@ -213,12 +235,18 @@ def _pagerank_shuffle(
         )
 
         def upd(df: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(seeds_ref)
             c = df["c"].fillna(0).to_numpy(dtype=np.int64)
+            if s is None:
+                b = np.full(len(df), base, np.int64)
+            else:
+                mask = df["node"].isin(s).to_numpy()
+                b = np.where(mask, np.int64(base), np.int64(0))
             return pd.DataFrame(
                 {
                     "node": df["node"],
                     "d": df["d"].to_numpy(dtype=np.int64),
-                    "rank": base + (damping_pm * c) // 1000,
+                    "rank": b + (damping_pm * c) // 1000,
                 }
             )
 
@@ -232,14 +260,16 @@ def _pagerank_shuffle(
     )
 
 
-def _max_norm(raw: np.ndarray, scale: int) -> np.ndarray:
+def _max_norm(raw: np.ndarray, scale: int, m: int | None = None) -> np.ndarray:
     """``raw * scale // max(raw)``, exact at any magnitude.
 
     Vectorized divmod split while ``max < 2^43`` (``(raw % m) * scale``
     stays < 2^63 at scale=1e6); object-dtype Python ints above — exact,
-    node-sized driver cost.
+    node-sized driver cost.  ``m`` lets distributed callers pass the
+    GLOBAL max so per-batch normalization stays bit-identical.
     """
-    m = int(raw.max()) if len(raw) else 0
+    if m is None:
+        m = int(raw.max()) if len(raw) else 0
     if m <= 0:
         return np.zeros_like(raw)
     if m < (1 << 43):
@@ -256,6 +286,7 @@ def hits_int(
     scale: int = 1_000_000,
     src: str = "src",
     dst: str = "dst",
+    plan: str = "broadcast",
 ) -> pd.DataFrame:
     """Integer-exact HITS hubs & authorities (Kleinberg 1999) over an
     edge Dataset — the other classic link-analysis score a frontier
@@ -277,15 +308,23 @@ def hits_int(
     ``ray.put`` and edge batches do one fancy-index gather + float64
     ``bincount`` (exact while a per-batch per-node sum < 2^53, i.e.
     ~1e9 same-target edges per batch at scale=1e6).  Driver state is
-    node-sized — the ≤1e7-node regime; page-scale graphs get the
-    shuffle treatment exactly as in ``_pagerank_shuffle``.
+    node-sized — the ≤1e7-node regime; ``plan="shuffle"`` keeps the
+    score table a DATASET (bucketed join + keyed sum per half-step,
+    only the global max — one scalar — touches the driver), the
+    page-scale path, bit-identical results.
 
     The normalization multiply ``raw * scale`` is computed with a
     divmod split while ``max_raw < 2^43`` (vectorized int64-safe) and
     falls back to object-dtype Python ints above (exact, node-sized
     driver cost).
     """
+    if iters < 1:
+        raise ValueError("hits_int requires iters >= 1")
     edges = edges.materialize()  # one lineage execution for encode+iters
+    if plan == "shuffle":
+        return _hits_shuffle(edges, iters=iters, scale=scale, src=src, dst=dst)
+    if plan != "broadcast":
+        raise ValueError(f"unknown plan={plan!r}")
 
     # node universe + integer encoding, once (pagerank encode contract)
     def node_partial(t: pa.Table) -> pa.Table:
@@ -351,6 +390,107 @@ def hits_int(
             "auth_c": np.asarray(a, dtype=np.int64),
         }
     ).sort_values("page").reset_index(drop=True)
+
+
+def _hits_shuffle(
+    edges: ray.data.Dataset,
+    *,
+    iters: int,
+    scale: int,
+    src: str,
+    dst: str,
+) -> pd.DataFrame:
+    """Distributed-score-state HITS: hub/authority tables stay Datasets;
+    each half-step is one bucketed ``shuffle_join`` (edges ⋈ scores on
+    the from-side), one keyed sum, and one left join back onto the node
+    table.  Only the normalization max — a single scalar — reaches the
+    driver per half-step; the node-sized result lands once at the end.
+    Score sums cross the left join as float64 (pandas NaN semantics):
+    exact below 2^53, i.e. ~9e9 nodes at scale=1e6 — rescale down past
+    that.  Bit-identical to ``plan="broadcast"``.
+    """
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.ops.join import shuffle_join
+
+    n_edges = edges.count()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        vals = pd.unique(
+            pd.concat(
+                [pd.Series(t[src].to_pandas()), pd.Series(t[dst].to_pandas())]
+            )
+        )
+        return pa.table({"node": pa.array(vals, pa.string())})
+
+    nodes_ds = bucketed_groupby(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        "node",
+        lambda g: g.drop_duplicates("node"),
+        expected_rows=n_edges,
+    ).materialize()
+    n_nodes = nodes_ds.count()
+
+    def init_scale(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "v", pa.array(np.full(t.num_rows, scale, np.int64))
+        )
+
+    h_ds = nodes_ds.map_batches(init_scale, batch_format="pyarrow").materialize()
+
+    def norm_push(score_ds, from_col: str, to_col: str):
+        joined = shuffle_join(
+            edges.select_columns([src, dst]),
+            score_ds,
+            on=from_col,
+            right_on="node",
+            how="inner",
+            expected_rows=n_edges,
+        )
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                pd.DataFrame(
+                    {"nd": df[to_col], "c": df["v"].to_numpy(np.int64)}
+                )
+                .groupby("nd", sort=False, as_index=False)["c"]
+                .sum()
+            )
+
+        sums = bucketed_groupby(
+            joined.map_batches(part, batch_format="pandas"),
+            "nd",
+            lambda g: g.groupby("nd", as_index=False)["c"].sum(),
+            expected_rows=n_nodes,
+        ).materialize()
+        m = int(sums.max("c")) if sums.count() else 0  # ONE driver scalar
+
+        back = shuffle_join(
+            nodes_ds, sums, on="node", right_on="nd", how="left",
+            expected_rows=n_nodes,
+        )
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            raw = df["c"].fillna(0).to_numpy(dtype=np.int64)
+            v = np.asarray(_max_norm(raw, scale, m), dtype=np.int64)
+            return pd.DataFrame({"node": df["node"], "v": v})
+
+        return back.map_batches(norm, batch_format="pandas").materialize()
+
+    a_ds = None
+    for _ in range(iters):
+        a_ds = norm_push(h_ds, src, dst)  # authorities gather hub mass
+        h_ds = norm_push(a_ds, dst, src)  # hubs gather authority mass
+
+    hub = h_ds.to_pandas().rename(columns={"v": "hub_c"})  # node-sized
+    auth = a_ds.to_pandas().rename(columns={"v": "auth_c"})
+    out = hub.merge(auth, on="node").rename(columns={"node": "page"})
+    out["hub_c"] = out["hub_c"].astype("int64")
+    out["auth_c"] = out["auth_c"].astype("int64")
+    return (
+        out[["page", "hub_c", "auth_c"]]
+        .sort_values("page")
+        .reset_index(drop=True)
+    )
 
 
 def triangle_counts(

@@ -6036,3 +6036,227 @@ def q110_hits(sf_dir: str):
 
     edges = ray.data.read_parquet(_EDGE_FIXTURE)
     return hits_int(edges, iters=2)
+
+
+# --------------------------------------------------------------------------
+# TrustRank: seed-personalized PageRank for spam-resistant crawl priority
+# --------------------------------------------------------------------------
+
+_TRUST_SEEDS = (
+    "http://host0.tld0/p0",
+    "http://host1.tld1/p11",
+    "http://host5.tld2/p1",
+)
+_TRUST_SEED_SQL = ", ".join(f"'{s}'" for s in _TRUST_SEEDS)
+
+_TRUSTRANK_SQL = f"""
+WITH e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+seeds AS (SELECT unnest([{_TRUST_SEED_SQL}]) AS node),
+r0 AS (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS r
+       FROM n LEFT JOIN seeds s USING (node)),
+c1 AS (SELECT r0.node, r0.r // deg.d AS c FROM r0 JOIN deg USING (node)),
+t1 AS (SELECT e.dst AS node, sum(c1.c) AS t FROM e JOIN c1 ON e.src = c1.node GROUP BY e.dst),
+r1 AS (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+                      + 850 * COALESCE(t1.t, 0) // 1000 AS r
+       FROM n LEFT JOIN seeds s USING (node) LEFT JOIN t1 USING (node)),
+c2 AS (SELECT r1.node, r1.r // deg.d AS c FROM r1 JOIN deg USING (node)),
+t2 AS (SELECT e.dst AS node, sum(c2.c) AS t FROM e JOIN c2 ON e.src = c2.node GROUP BY e.dst),
+r2 AS (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+                      + 850 * COALESCE(t2.t, 0) // 1000 AS r
+       FROM n LEFT JOIN seeds s USING (node) LEFT JOIN t2 USING (node)),
+c3 AS (SELECT r2.node, r2.r // deg.d AS c FROM r2 JOIN deg USING (node)),
+t3 AS (SELECT e.dst AS node, sum(c3.c) AS t FROM e JOIN c3 ON e.src = c3.node GROUP BY e.dst),
+r3 AS (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+                      + 850 * COALESCE(t3.t, 0) // 1000 AS r
+       FROM n LEFT JOIN seeds s USING (node) LEFT JOIN t3 USING (node))
+SELECT node AS page, CAST(r AS BIGINT) AS rank FROM r3
+ORDER BY rank DESC, page
+"""
+
+
+@query("q111_trustrank", sql=_TRUSTRANK_SQL)
+def q111_trustrank(sf_dir: str):
+    """TrustRank (Gyöngyi et al. 2004): PageRank personalized to a
+    curated seed list — teleport mass lands only on seeds, so trust
+    flows outward along links and link-farm islands unreachable from
+    the seeds score exactly 0.  The spam-resistant priority a frontier
+    scheduler combines with raw PageRank.  Same integer algebra and
+    broadcast/shuffle plan pair as q70 (``pagerank_int(seeds=)``);
+    oracle unrolls the identical three iterations in SQL."""
+    from texrex_ray.ops.graph import pagerank_int
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return pagerank_int(edges, iters=3, seeds=set(_TRUST_SEEDS))
+
+
+# --------------------------------------------------------------------------
+# Frontier debt: discovered-but-never-expanded pages by in-degree
+# --------------------------------------------------------------------------
+
+_FRONTIER_DEBT_SQL = f"""
+WITH e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+din AS (SELECT dst AS page, count(*) AS in_degree FROM e GROUP BY dst)
+SELECT page, CAST(in_degree AS BIGINT) AS in_degree
+FROM din
+WHERE page NOT IN (SELECT DISTINCT src FROM e)
+ORDER BY in_degree DESC, page
+LIMIT 100
+"""
+
+
+@query("q112_frontier_debt", sql=_FRONTIER_DEBT_SQL)
+def q112_frontier_debt(sf_dir: str):
+    """Frontier debt: pages the crawl DISCOVERED (appear as link
+    targets) but never EXPANDED (never appear as a source), ranked by
+    in-degree — the next-round scheduling queue a budgeted crawl wants
+    first.  ONE node-keyed exchange: batches emit (node, in-degree
+    partial, expanded flag) rows; the bucketed combine sums in-degree
+    and drops any node with an expanded witness (distributed anti-join
+    without a second table scan).  Top-100 via per-block partial top-k
+    — nothing node-sized reaches the driver."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    n_edges = edges.count()
+
+    def partials(t: pa.Table) -> pa.Table:
+        dc = pd.Series(t["dst"].to_pandas()).value_counts()
+        sc = pd.unique(pd.Series(t["src"].to_pandas()))
+        return pa.table(
+            {
+                "node": pa.array(list(dc.index) + list(sc), pa.string()),
+                "din": pa.array(
+                    list(dc.to_numpy(np.int64)) + [0] * len(sc), pa.int64()
+                ),
+                "exp": pa.array(
+                    [0] * len(dc) + [1] * len(sc), pa.int64()
+                ),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("node", as_index=False).agg(
+            in_degree=("din", "sum"), expanded=("exp", "max")
+        )
+        out = agg[(agg["expanded"] == 0) & (agg["in_degree"] > 0)]
+        return out[["node", "in_degree"]].rename(columns={"node": "page"})
+
+    debt = bucketed_groupby(
+        edges.map_batches(partials, batch_format="pyarrow"),
+        "node",
+        combine,
+        expected_rows=n_edges,
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["in_degree", "page"], ascending=[False, True]
+        ).head(100)
+
+    out = (
+        debt.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["in_degree", "page"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    out["in_degree"] = out["in_degree"].astype("int64")
+    return out[["page", "in_degree"]]
+
+
+# --------------------------------------------------------------------------
+# Grouped robust stats: median / MAD / outlier gate from ONE histogram
+# --------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH v AS (SELECT l_returnflag AS grp,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS vc
+           FROM lineitem),
+med AS (SELECT grp, quantile_disc(vc, 0.5) AS med FROM v GROUP BY grp),
+d AS (SELECT v.grp, abs(v.vc - med.med) AS dev FROM v JOIN med USING (grp)),
+mad AS (SELECT grp, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY grp)
+SELECT d.grp,
+       CAST(any_value(med.med) AS BIGINT) AS median_c,
+       CAST(any_value(mad.mad) AS BIGINT) AS mad_c,
+       CAST(count(*) FILTER (d.dev > 3 * mad.mad) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM d JOIN mad USING (grp) JOIN med USING (grp)
+GROUP BY d.grp
+ORDER BY d.grp
+"""
+
+
+@query("q113_grouped_mad", sql=_MAD_SQL)
+def q113_grouped_mad(sf_dir: str):
+    """Robust per-group outlier gate: median, MAD (median absolute
+    deviation) and the |x−med| > 3·MAD outlier count — the quality-floor
+    calibration that survives heavy tails where mean/stddev break.
+
+    MAD is a pure function of the per-group VALUE HISTOGRAM, so the
+    whole thing is ONE (group, value)-count exchange (q100's combiner
+    compression): batches compress to count partials in place, the
+    bucketed combine derives median via PERCENTILE_DISC positions, folds
+    the histogram through |v−med| for the deviation histogram (no second
+    data pass), selects MAD the same way, and counts outlier mass.
+    Exchange ∝ groups × distinct values, independent of row count."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "grp": df["l_returnflag"],
+                "vc": np.round(df["l_quantity"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        return (
+            out.groupby(["grp", "vc"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+            .astype({"cnt": "int64"})
+        )
+
+    def _disc(vals: np.ndarray, cum: np.ndarray, n: int) -> int:
+        pos = max(int(np.ceil(0.5 * n)), 1)  # 1-indexed PERCENTILE_DISC
+        return int(vals[np.searchsorted(cum, pos, side="left")])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby("grp", sort=False):
+            agg = sub.groupby("vc", sort=True)["cnt"].sum()
+            vals = agg.index.to_numpy()
+            cnts = agg.to_numpy()
+            n = int(cnts.sum())
+            med = _disc(vals, cnts.cumsum(), n)
+            dev = np.abs(vals - med)
+            dagg = pd.Series(cnts).groupby(dev).sum()  # fold, don't rescan
+            mad = _disc(dagg.index.to_numpy(), dagg.to_numpy().cumsum(), n)
+            n_out = int(cnts[dev > 3 * mad].sum())
+            rows.append(
+                {
+                    "grp": g,
+                    "median_c": med,
+                    "mad_c": mad,
+                    "n_outliers": n_out,
+                    "n": n,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"), "grp", combine
+        )
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    for c in ("median_c", "mad_c", "n_outliers", "n"):
+        out[c] = out[c].astype("int64")
+    return out[["grp", "median_c", "mad_c", "n_outliers", "n"]]
