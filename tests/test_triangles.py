@@ -210,3 +210,53 @@ def test_personalized_pagerank_matches_bruteforce_and_plans(ray_session):
     assert len(unreachable) > 0  # the fixture graph must exercise this
     assert (by_page.loc[unreachable] == 0).all()
     assert (by_page.loc[sorted(seeds)] > 0).all()
+
+
+def test_bfs_depths_matches_bruteforce(ray_session):
+    from texrex_ray.ops.graph import bfs_depths
+
+    rng = np.random.default_rng(9)
+    nodes = [f"p{i}" for i in range(50)]
+    edges = [
+        (nodes[i], nodes[j])
+        for i in range(50)
+        for j in range(50)
+        if i != j and rng.random() < 0.05
+    ]
+    seeds = {"p0", "p3", "p99"}  # p99 is isolated (not in the graph)
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = bfs_depths(ds, seeds, max_depth=20)
+
+    # brute BFS
+    adj: dict[str, list] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    d = 0
+    while frontier and d < 20:
+        d += 1
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    want = (
+        pd.DataFrame(sorted(depth.items()), columns=["page", "depth"])
+        .astype({"depth": "int64"})
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # isolated seed is present at depth 0
+    assert got.set_index("page").loc["p99", "depth"] == 0
+
+
+def test_bfs_depths_max_depth_truncates(ray_session):
+    from texrex_ray.ops.graph import bfs_depths
+
+    chain = [{"src": f"c{i}", "dst": f"c{i+1}"} for i in range(10)]
+    ds = ray.data.from_items(chain)
+    got = bfs_depths(ds, {"c0"}, max_depth=3)
+    assert got["depth"].max() == 3 and len(got) == 4

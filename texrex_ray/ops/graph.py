@@ -392,6 +392,97 @@ def hits_int(
     ).sort_values("page").reset_index(drop=True)
 
 
+def bfs_depths(
+    edges: ray.data.Dataset,
+    seeds: set[str] | frozenset[str],
+    *,
+    max_depth: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """Min-hop distance from a seed set along directed edges — the
+    crawl-depth map (depth-scoped crawling, seed-proximity scoring;
+    ClaraX bounds walks by steps, a production frontier bounds them by
+    DEPTH, which needs exactly this).
+
+    Broadcast-frontier rounds (the CC / pagerank plan="broadcast"
+    contract): the node-sized depth vector lives on the driver; each
+    round broadcasts the CURRENT frontier's codes via ``ray.put`` and
+    one edge pass emits the distinct dst codes reached (per-batch
+    ``np.unique`` partials — result-bounded, never edge-sized).
+    Terminates at the first empty frontier or ``max_depth``, i.e. ≤
+    diameter rounds.  Page-scale graphs swap the broadcast for the
+    keyed-join treatment as in ``_pagerank_shuffle``; the iteration
+    algebra is identical.
+
+    Returns (page, depth) for every node reachable within
+    ``max_depth`` (seeds at depth 0 — included even if isolated),
+    sorted by page.
+    """
+    edges = edges.materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        vals = pd.unique(
+            pd.concat(
+                [pd.Series(t[src].to_pandas()), pd.Series(t[dst].to_pandas())]
+            )
+        )
+        return pa.table({"node": pa.array(vals, pa.string())})
+
+    graph_nodes = pd.unique(
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .to_pandas()["node"]
+    )
+    nodes = np.sort(
+        pd.unique(
+            np.concatenate(
+                [graph_nodes, np.array(sorted(seeds), dtype=object)]
+            )
+        )
+    )
+    n = len(nodes)
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        s = ix.get_indexer(pd.Series(t[src].to_pandas()))
+        d = ix.get_indexer(pd.Series(t[dst].to_pandas()))
+        return pa.table(
+            {"s": pa.array(s.astype(np.int64)), "d": pa.array(d.astype(np.int64))}
+        )
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+
+    depth = np.full(n, -1, dtype=np.int64)
+    depth[node_index.get_indexer(pd.Index(sorted(seeds)))] = 0
+    frontier = np.flatnonzero(depth == 0)
+
+    for round_no in range(1, max_depth + 1):
+        if len(frontier) == 0:
+            break
+        mask = np.zeros(n, dtype=bool)
+        mask[frontier] = True
+        ref = ray.put(mask)
+
+        def reached(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            return pa.table({"d": pa.array(np.unique(d[m[s]]))})
+
+        hit = enc.map_batches(reached, batch_format="pyarrow").to_pandas()
+        cand = pd.unique(hit["d"]) if len(hit) else np.array([], np.int64)
+        new = cand[depth[cand] < 0] if len(cand) else cand
+        depth[new] = round_no
+        frontier = new
+
+    keep = depth >= 0
+    return pd.DataFrame(
+        {"page": nodes[keep], "depth": depth[keep]}
+    ).sort_values("page").reset_index(drop=True)
+
+
 def _hits_shuffle(
     edges: ray.data.Dataset,
     *,

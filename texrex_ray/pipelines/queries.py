@@ -6260,3 +6260,189 @@ def q113_grouped_mad(sf_dir: str):
     for c in ("median_c", "mad_c", "n_outliers", "n"):
         out[c] = out[c].astype("int64")
     return out[["grp", "median_c", "mad_c", "n_outliers", "n"]]
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup: asymmetric subset detection (A embedded in B)
+# --------------------------------------------------------------------------
+
+_CONTAIN_SQL = (
+    "WITH "
+    # inclusive slice: t[i:i+1] = 2 tokens (q14's m=2 is its 3-grams)
+    + _GRAMS_CTE.format(m=1, m1=0)
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) sz FROM grams GROUP BY 1),
+    inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+              FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, i AS n_inter,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(i * 1000000 // least(sa.sz, sb.sz) AS BIGINT) AS cont_c
+    FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+    WHERE i * 5 >= 4 * least(sa.sz, sb.sz)
+"""
+)
+
+
+@query("q114_containment_dedup", sql=_CONTAIN_SQL)
+def q114_containment_dedup(sf_dir: str):
+    """Containment near-dup pairs: C = |∩| / min(|A|, |B|) ≥ 0.8 over
+    2-gram sets — the ASYMMETRIC complement of Jaccard (q14): a short
+    document embedded verbatim in a long one has tiny Jaccard but
+    containment ≈ 1 (wire-copy / quoted-reply / boilerplate-wrapper
+    dedup).  Threshold in integer arithmetic (5·|∩| ≥ 4·min), score as
+    scaled int.  Same exchange plan as q14: gram self-join with sizes
+    riding on the pair rows — no driver-broadcast size dict."""
+    from texrex_ray.dedup.tender import gram_shingles, shingle_pairs
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    n_docs = ds.count()
+    sh = gram_shingles(ds, n=2, size_from_grams=True)
+    raw = shingle_pairs(
+        sh, max_redundancy=10**9, order_by_size=False, carry_sizes=True,
+        expected_rows=n_docs * 60,
+    )
+    pairs = bucketed_groupby(
+        raw,
+        ["id_small", "id_big"],
+        lambda g: g.groupby(["id_small", "id_big"], sort=False)
+        .agg(
+            n_inter=("size_small", "size"),
+            sz_a=("size_small", "max"),
+            sz_b=("size_big", "max"),
+        )
+        .reset_index(),
+        expected_rows=n_docs * 250,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ni = pc.cast(t["n_inter"], pa.int64())
+        sa = pc.cast(t["sz_a"], pa.int64())
+        sb = pc.cast(t["sz_b"], pa.int64())
+        mn = pc.min_element_wise(sa, sb)
+        out = pa.table(
+            {
+                "id_a": pc.cast(t["id_small"], pa.int64()),
+                "id_b": pc.cast(t["id_big"], pa.int64()),
+                "n_inter": ni,
+                "sz_a": sa,
+                "sz_b": sb,
+                "cont_c": pc.divide(
+                    pc.multiply(ni, pa.scalar(1_000_000, pa.int64())), mn
+                ),
+            }
+        )
+        return out.filter(
+            pc.greater_equal(
+                pc.multiply(ni, pa.scalar(5, pa.int64())),
+                pc.multiply(mn, pa.scalar(4, pa.int64())),
+            )
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Crawl-depth map: BFS min-hop distance from the seed set
+# --------------------------------------------------------------------------
+
+_DEPTH_SQL = f"""
+WITH RECURSIVE e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+walk(node, d) AS (
+    SELECT unnest([{_TRUST_SEED_SQL}]) AS node, 0 AS d
+    UNION
+    SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.d < 20
+)
+SELECT node AS page, CAST(min(d) AS BIGINT) AS depth
+FROM walk GROUP BY node ORDER BY page
+"""
+
+
+@query("q115_crawl_depth", sql=_DEPTH_SQL)
+def q115_crawl_depth(sf_dir: str):
+    """Crawl-depth map: min-hop distance from the seed list along the
+    link graph — what a depth-scoped crawl gates on and what seed-
+    proximity priority feeds from.  Broadcast-frontier BFS
+    (``ops/graph.py::bfs_depths``): one edge pass per round emitting
+    result-bounded distinct-dst partials, ≤ diameter rounds.  Oracle is
+    an independent recursive CTE (UNION-distinct walk, min per node)."""
+    from texrex_ray.ops.graph import bfs_depths
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return bfs_depths(edges, set(_TRUST_SEEDS), max_depth=20)
+
+
+# --------------------------------------------------------------------------
+# Per-host fetch-budget apportionment (largest-remainder method)
+# --------------------------------------------------------------------------
+
+_BUDGET_SQL = f"""
+WITH e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+h AS (SELECT regexp_extract(dst, 'http://([^/]+)/', 1) AS host,
+             count(*) AS n FROM e GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM h),
+b AS (SELECT host, n, 10000 * n // tot AS fl, (10000 * n) % tot AS rem
+      FROM h, t),
+k AS (SELECT 10000 - sum(fl) AS extra FROM b),
+r AS (SELECT host, n, fl, rem,
+             row_number() OVER (ORDER BY rem DESC, host ASC) AS rk FROM b)
+SELECT host, CAST(n AS BIGINT) AS in_degree,
+       CAST(fl + CASE WHEN rk <= (SELECT extra FROM k) THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r ORDER BY host
+"""
+
+
+@query("q116_host_budget", sql=_BUDGET_SQL)
+def q116_host_budget(sf_dir: str):
+    """Per-host fetch-quota apportionment for the next crawl round:
+    split a global budget of 10 000 fetches across hosts proportional
+    to observed in-link demand, by the largest-remainder (Hamilton)
+    method — integer-exact, sums to the budget EXACTLY (floor quotas
+    + one extra to the largest remainders, ties by host).  The
+    politeness-budget allocator the north rule's scheduler feeds.
+    Plan: vectorized host extraction + combiner count partials → one
+    host-sized exchange → driver apportionment over the host table."""
+    BUDGET = 10_000
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = (
+            pd.Series(t["dst"].to_pandas())
+            .str.extract(r"http://([^/]+)/", expand=False)
+        )
+        c = hosts.value_counts()
+        return pa.table(
+            {
+                "host": pa.array(c.index, pa.string()),
+                "pn": pa.array(c.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # host-sized
+    )
+    n = counts["n"].astype("int64")
+    tot = int(n.sum())
+    fl = (BUDGET * n) // tot
+    rem = (BUDGET * n) % tot
+    extra = BUDGET - int(fl.sum())
+    order = (
+        pd.DataFrame({"host": counts["host"], "rem": rem})
+        .sort_values(["rem", "host"], ascending=[False, True])
+        .index[:extra]
+    )
+    quota = fl.copy()
+    quota.loc[order] += 1
+    out = pd.DataFrame(
+        {
+            "host": counts["host"],
+            "in_degree": n,
+            "quota": quota.astype("int64"),
+        }
+    ).sort_values("host").reset_index(drop=True)
+    assert int(out["quota"].sum()) == BUDGET  # apportionment invariant
+    return out
