@@ -6446,3 +6446,30 @@ def q116_host_budget(sf_dir: str):
     ).sort_values("host").reset_index(drop=True)
     assert int(out["quota"].sum()) == BUDGET  # apportionment invariant
     return out
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking dedup (gear-hash CDC, FastCDC family)
+# --------------------------------------------------------------------------
+
+@query(
+    "q117_cdc_dedup",
+    sql="SELECT source, n_chunks, n_bytes, n_dup_chunks, dup_bytes FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/cdc_stats_sf0.01.parquet') "
+    "ORDER BY source",
+)
+def q117_cdc_dedup(sf_dir: str):
+    """Storage-level dedup report via content-defined chunking: gear-hash
+    boundaries (FastCDC family, Xia et al. 2016) split documents at
+    content-determined points so shared spans dedup even when offsets
+    shift; per-source totals of duplicate chunk occurrences and bytes.
+    The 64-tap window sum is fully vectorized (pre-shifted gear tables,
+    sentinel-gap concatenation — `dedup/cdc.py`); ONE chunk-hash-keyed
+    exchange elects min-(doc_id, idx) owners, 16-byte hashes are the only
+    thing that shuffles.  Oracle: committed fixture from the INDEPENDENT
+    per-byte sequential chunker + dict first-owner scan."""
+    from texrex_ray.dedup.cdc import cdc_dedup_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    n_docs = ds.count()
+    return cdc_dedup_stats(ds, avg_bits=6, expected_chunks=n_docs * 8)

@@ -699,6 +699,64 @@ def gen_boiler_scores() -> None:
     print("boiler_scores_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_cdc_stats() -> None:
+    """Expected q117 per-source CDC dedup stats from the INDEPENDENT
+    sequential chunker (dedup/cdc.py::chunk_doc_sequential — per-byte
+    Python loop, no numpy window trick) + a dict-based first-owner scan
+    in (doc_id, chunk_idx) order."""
+    import hashlib
+
+    import pandas as pd
+
+    from texrex_ray.dedup.cdc import boundary_mask, chunk_doc_sequential
+
+    df = (
+        pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    mask = boundary_mask(6)
+    rows = []  # (doc_id, idx, hash, len, source)
+    for _, r in df.iterrows():
+        b = str(r["text"]).encode("utf-8")
+        for ci, (off, ln) in enumerate(chunk_doc_sequential(b, mask)):
+            rows.append(
+                (
+                    int(r["doc_id"]),
+                    ci,
+                    hashlib.md5(b[off : off + ln]).hexdigest(),
+                    ln,
+                    r["source"],
+                )
+            )
+    owner: dict[str, tuple[int, int]] = {}
+    for did, ci, hh, ln, _src in rows:
+        if hh not in owner or (did, ci) < owner[hh]:
+            owner[hh] = (did, ci)
+    stats: dict[str, list[int]] = {}
+    for did, ci, hh, ln, src in rows:
+        st = stats.setdefault(src, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += ln
+        if owner[hh] != (did, ci):
+            st[2] += 1
+            st[3] += ln
+    t = pa.table(
+        {
+            "source": pa.array(sorted(stats), pa.string()),
+            "n_chunks": pa.array([stats[s][0] for s in sorted(stats)], pa.int64()),
+            "n_bytes": pa.array([stats[s][1] for s in sorted(stats)], pa.int64()),
+            "n_dup_chunks": pa.array([stats[s][2] for s in sorted(stats)], pa.int64()),
+            "dup_bytes": pa.array([stats[s][3] for s in sorted(stats)], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "cdc_stats_sf0.01.parquet"))
+    print("cdc_stats_sf0.01.parquet:", t.num_rows, "rows,",
+          int(t["n_dup_chunks"].to_pandas().sum()), "dup chunks")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -719,6 +777,7 @@ def main() -> None:
     gen_pagerank_edges()
     gen_incremental_neardup()
     gen_decontam()
+    gen_cdc_stats()
 
 
 if __name__ == "__main__":
