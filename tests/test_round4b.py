@@ -1,0 +1,82 @@
+"""Round-4b operators: k-core peeling, BPE training, host-graph math."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from texrex_ray.ops.graph import core_numbers, core_numbers_sequential
+
+
+def test_core_numbers_matches_sequential(ray_session):
+    rng = np.random.default_rng(13)
+    nodes = [f"n{i}" for i in range(60)]
+    edges = [
+        (nodes[i], nodes[j])
+        for i in range(60)
+        for j in range(60)
+        if i != j and rng.random() < 0.07
+    ]
+    edges += edges[:8] + [(b, a) for a, b in edges[:8]]  # dups + reversed
+    edges.append(("n0", "n0"))  # self loop ignored
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = core_numbers(ds, expected_edges=len(edges))
+    core = core_numbers_sequential(edges)
+    want = (
+        pd.DataFrame(sorted(core.items()), columns=["node", "core"])
+        .astype({"core": "int64"})
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_core_numbers_clique_plus_tail(ray_session):
+    # K5 (core 4) with a pendant path (core 1)
+    clique = [
+        (f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)
+    ]
+    tail = [("k0", "t1"), ("t1", "t2")]
+    ds = ray.data.from_items(
+        [{"src": a, "dst": b} for a, b in clique + tail]
+    )
+    got = core_numbers(ds, expected_edges=12).set_index("node")["core"]
+    assert (got.loc[[f"k{i}" for i in range(5)]] == 4).all()
+    assert got.loc["t1"] == 1 and got.loc["t2"] == 1
+
+
+def test_bpe_train_matches_sequential(ray_session):
+    from collections import Counter
+
+    from texrex_ray.functions.bpe import _TOKEN_RE, bpe_train, bpe_train_sequential
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps while the quick fox runs",
+        "lower lowest newer newest wider widest",
+        "lower lower lower newest newest",
+    ] * 3
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(3)
+    got = bpe_train(ds, n_merges=10)
+
+    wc: Counter[str] = Counter()
+    for t in texts:
+        wc.update(_TOKEN_RE.findall(t.lower()))
+    want_rows = bpe_train_sequential(dict(wc), 10)
+    want = pd.DataFrame(
+        [
+            {"rank": i, "left": l, "right": r, "pair_count": n}
+            for i, (l, r, n) in enumerate(want_rows)
+        ]
+    ).astype({"rank": "int64", "pair_count": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    # merges compound: some later merge must consume an earlier fusion
+    fused = {l + r for l, r, _ in want_rows}
+    assert any(l in fused or r in fused for l, r, _ in want_rows[1:])
+
+
+def test_bpe_empty_corpus(ray_session):
+    from texrex_ray.functions.bpe import bpe_train
+
+    ds = ray.data.from_items([{"text": ""}, {"text": "   "}])
+    out = bpe_train(ds, n_merges=4)
+    assert out.empty
+    assert list(out.columns) == ["rank", "left", "right", "pair_count"]

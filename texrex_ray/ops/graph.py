@@ -584,6 +584,157 @@ def _hits_shuffle(
     )
 
 
+def core_numbers(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    expected_edges: int | None = None,
+) -> pd.DataFrame:
+    """Per-node k-core number of the UNDIRECTED simple graph — the
+    density-peeling statistic (link-farm cores are high-k; pages that
+    survive k-core pruning anchor the crawl's authority structure).
+
+    Matula–Beck peeling lifted to broadcast rounds: dedup to canonical
+    undirected edges (one hash-keyed exchange, triangle_counts' step),
+    integer-encode once; the driver holds the node-sized alive/degree
+    vectors and each round broadcasts the victim mask — ONE edge pass
+    returns per-node counts of edges lost to victims (``bincount``
+    partials, result-bounded).  Rounds = peeling depth (≤ degeneracy
+    levels, typically O(√m) rounds on web graphs).  Self-loops are
+    ignored; duplicate/reversed edges collapse.
+
+    Returns (node, core) sorted by node; isolated-after-dedup nodes
+    (only self-loops) get core 0.
+    """
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[src].astype(str), df[dst].astype(str)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[lo != hi].drop_duplicates()
+
+    und = bucketed_groupby(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["a", "b"],
+        lambda g: g.drop_duplicates(["a", "b"]),
+        expected_rows=expected_edges,
+    ).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        vals = pd.unique(
+            pd.concat([pd.Series(t["a"].to_pandas()), pd.Series(t["b"].to_pandas())])
+        )
+        return pa.table({"node": pa.array(vals, pa.string())})
+
+    nodes = np.sort(
+        pd.unique(
+            und.map_batches(node_partial, batch_format="pyarrow")
+            .to_pandas()["node"]
+        )
+    )
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=str), "core": pd.Series(dtype="int64")}
+        )
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        a = ix.get_indexer(pd.Series(t["a"].to_pandas()))
+        b = ix.get_indexer(pd.Series(t["b"].to_pandas()))
+        return pa.table(
+            {"ac": pa.array(a.astype(np.int64)), "bc": pa.array(b.astype(np.int64))}
+        )
+
+    enc = und.map_batches(encode, batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["ac"].to_numpy(zero_copy_only=False),
+                t["bc"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        c = np.bincount(both)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {"i": pa.array(nz.astype(np.int64)), "c": pa.array(c[nz].astype(np.int64))}
+        )
+
+    parts = enc.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, parts["i"].to_numpy(), parts["c"].to_numpy())
+
+    alive = np.ones(n, dtype=bool)
+    core = np.zeros(n, dtype=np.int64)
+    k = 0
+    while alive.any():
+        k = max(k, int(deg[alive].min()))
+        victims = alive & (deg <= k)
+        core[victims] = k
+        alive = alive & ~victims
+        if not alive.any():
+            break
+        vic_ref = ray.put(victims)
+        alive_ref = ray.put(alive)
+
+        def lost(t: pa.Table) -> pa.Table:
+            v = ray.get(vic_ref)
+            al = ray.get(alive_ref)
+            a = t["ac"].to_numpy(zero_copy_only=False)
+            b = t["bc"].to_numpy(zero_copy_only=False)
+            hits = np.concatenate([b[v[a] & al[b]], a[v[b] & al[a]]])
+            c = np.bincount(hits, minlength=0)
+            nz = np.flatnonzero(c)
+            return pa.table(
+                {
+                    "i": pa.array(nz.astype(np.int64)),
+                    "c": pa.array(c[nz].astype(np.int64)),
+                }
+            )
+
+        parts = enc.map_batches(lost, batch_format="pyarrow").to_pandas()
+        if len(parts):
+            np.subtract.at(deg, parts["i"].to_numpy(), parts["c"].to_numpy())
+
+    return pd.DataFrame({"node": nodes, "core": core}).sort_values(
+        "node"
+    ).reset_index(drop=True)
+
+
+def core_numbers_sequential(edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Independent per-edge Python twin (Matula–Beck bucket peeling) —
+    the oracle used by tests and the q119 committed fixture."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[str, int] = {}
+    k = 0
+    remaining = set(adj)
+    while remaining:
+        k = max(k, min(deg[v] for v in remaining))
+        stack = [v for v in remaining if deg[v] <= k]
+        while stack:
+            v = stack.pop()
+            if v not in remaining:
+                continue
+            core[v] = k
+            remaining.discard(v)
+            for u in adj[v]:
+                if u in remaining:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        stack.append(u)
+    return core
+
+
 def triangle_counts(
     edges: ray.data.Dataset,
     src: str = "src",

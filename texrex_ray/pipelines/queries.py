@@ -6473,3 +6473,126 @@ def q117_cdc_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     n_docs = ds.count()
     return cdc_dedup_stats(ds, avg_bits=6, expected_chunks=n_docs * 8)
+
+
+# --------------------------------------------------------------------------
+# Host-graph contraction + mirror reciprocity
+# --------------------------------------------------------------------------
+
+_HOSTGRAPH_SQL = f"""
+WITH e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+he AS (SELECT regexp_extract(src, 'http://([^/]+)/', 1) AS hs,
+              regexp_extract(dst, 'http://([^/]+)/', 1) AS hd FROM e),
+c AS (SELECT hs, hd, count(*) AS n FROM he WHERE hs <> hd GROUP BY hs, hd),
+p AS (SELECT least(hs, hd) AS a, greatest(hs, hd) AS b,
+             sum(CASE WHEN hs < hd THEN n ELSE 0 END) AS nab,
+             sum(CASE WHEN hs > hd THEN n ELSE 0 END) AS nba
+      FROM c GROUP BY 1, 2)
+SELECT a AS host_a, b AS host_b, CAST(nab AS BIGINT) AS n_ab,
+       CAST(nba AS BIGINT) AS n_ba,
+       CAST(least(nab, nba) AS BIGINT) AS n_mutual
+FROM p ORDER BY host_a, host_b
+"""
+
+
+@query("q118_host_graph", sql=_HOSTGRAPH_SQL)
+def q118_host_graph(sf_dir: str):
+    """Host-graph contraction: collapse the page link graph onto hosts
+    and measure per-host-pair link reciprocity (n_mutual = min of the
+    two directions) — the mirror-site / link-exchange-ring signal a
+    crawl scheduler uses to collapse redundant hosts.  Plan: vectorized
+    host extraction + per-batch canonical-pair partials (combiner), one
+    host-pair-sized keyed exchange; page URLs never shuffle."""
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs = (
+            pd.Series(t["src"].to_pandas())
+            .str.extract(r"http://([^/]+)/", expand=False)
+        )
+        hd = (
+            pd.Series(t["dst"].to_pandas())
+            .str.extract(r"http://([^/]+)/", expand=False)
+        )
+        df = pd.DataFrame({"hs": hs, "hd": hd})
+        df = df[df["hs"] != df["hd"]]
+        a = np.minimum(df["hs"], df["hd"])
+        b = np.maximum(df["hs"], df["hd"])
+        fwd = (df["hs"] < df["hd"]).to_numpy()
+        part = (
+            pd.DataFrame(
+                {
+                    "a": a,
+                    "b": b,
+                    "pab": np.where(fwd, 1, 0),
+                    "pba": np.where(fwd, 0, 1),
+                }
+            )
+            .groupby(["a", "b"], as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("pab", alias_name="n_ab"), Sum("pba", alias_name="n_ba"))
+        .to_pandas()  # host-pair-sized
+        .rename(columns={"a": "host_a", "b": "host_b"})
+        .sort_values(["host_a", "host_b"])
+        .reset_index(drop=True)
+    )
+    out["n_mutual"] = np.minimum(out["n_ab"], out["n_ba"])
+    for c in ("n_ab", "n_ba", "n_mutual"):
+        out[c] = out[c].astype("int64")
+    return out[["host_a", "host_b", "n_ab", "n_ba", "n_mutual"]]
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition of the crawl link graph
+# --------------------------------------------------------------------------
+
+@query(
+    "q119_core_numbers",
+    sql="SELECT node, core FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/core_numbers_sf0.01.parquet') "
+    "ORDER BY node",
+)
+def q119_core_numbers(sf_dir: str):
+    """k-core decomposition of the (undirected) crawl link graph — the
+    density-peeling statistic: link-farm cores sit at high k, pages that
+    survive pruning anchor the authority structure.  Matula–Beck peeling
+    lifted to broadcast rounds (``ops/graph.py::core_numbers``): canon
+    edge dedup exchange once, then one edge pass per peel round emitting
+    result-bounded bincount partials of degree lost to victims.  Oracle:
+    committed fixture from the INDEPENDENT per-edge sequential peeling."""
+    from texrex_ray.ops.graph import core_numbers
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return core_numbers(edges, expected_edges=edges.count())
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary training (subword tokenizer merges)
+# --------------------------------------------------------------------------
+
+@query(
+    "q120_bpe_train",
+    sql='SELECT rank, "left", "right", pair_count FROM '
+    "read_parquet('/root/repo/tests/fixtures/oracle/bpe_merges_sf0.01.parquet') "
+    "ORDER BY rank",
+)
+def q120_bpe_train(sf_dir: str):
+    """BPE tokenizer-vocabulary training (Sennrich et al. 2016): learn
+    the 12 most frequent adjacent-symbol merges over the corpus.  The
+    corpus is scanned ONCE (word-type count exchange); each merge round
+    is a pair-vocab-sized keyed sum + a one-row driver argmax + an
+    in-place merge over the vocab-sized type table
+    (``functions/bpe.py::bpe_train``).  Ties break to the
+    lexicographically smallest pair — fully deterministic.  Oracle:
+    committed fixture from the INDEPENDENT dict-based sequential
+    trainer."""
+    from texrex_ray.functions.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_train(ds, n_merges=12)

@@ -757,6 +757,54 @@ def gen_cdc_stats() -> None:
           int(t["n_dup_chunks"].to_pandas().sum()), "dup chunks")
 
 
+def gen_core_numbers() -> None:
+    """Expected q119 k-core numbers from the INDEPENDENT sequential
+    Matula-Beck bucket peeling (ops/graph.py::core_numbers_sequential
+    — per-edge Python, no Dataset machinery)."""
+    from texrex_ray.ops.graph import core_numbers_sequential
+
+    df = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet")).to_pandas()
+    core = core_numbers_sequential(list(zip(df["src"], df["dst"])))
+    nodes = sorted(core)
+    t = pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "core": pa.array([core[v] for v in nodes], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "core_numbers_sf0.01.parquet"))
+    print("core_numbers_sf0.01.parquet:", t.num_rows, "rows, max core",
+          int(t["core"].to_pandas().max()))
+
+
+def gen_bpe_merges() -> None:
+    """Expected q120 BPE merge table from the INDEPENDENT dict-based
+    sequential trainer (functions/bpe.py::bpe_train_sequential) over
+    pure-python word counts."""
+    import re
+    from collections import Counter
+
+    from texrex_ray.functions.bpe import bpe_train_sequential
+
+    df = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).to_pandas()
+    wc: Counter[str] = Counter()
+    tok = re.compile(r"[a-z]+")
+    for s_ in df["text"]:
+        wc.update(tok.findall(str(s_).lower()))
+    merges = bpe_train_sequential(dict(wc), 12)
+    t = pa.table(
+        {
+            "rank": pa.array(list(range(len(merges))), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "bpe_merges_sf0.01.parquet"))
+    print("bpe_merges_sf0.01.parquet:", t.num_rows, "merges; first",
+          merges[0] if merges else None)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -778,6 +826,8 @@ def main() -> None:
     gen_incremental_neardup()
     gen_decontam()
     gen_cdc_stats()
+    gen_core_numbers()
+    gen_bpe_merges()
 
 
 if __name__ == "__main__":
