@@ -80,3 +80,30 @@ def test_bpe_empty_corpus(ray_session):
     out = bpe_train(ds, n_merges=4)
     assert out.empty
     assert list(out.columns) == ["rank", "left", "right", "pair_count"]
+
+
+def test_hrw_minimal_disruption(ray_session):
+    """HRW guarantee: growing the shard set moves keys ONLY onto the
+    added shards — survivors never trade keys among themselves."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    keys = [f"http://h{i}.tld/p{j}" for i in range(20) for j in range(25)]
+    shards16 = [f"s{i:02d}" for i in range(16)]
+    shards20 = [f"s{i:02d}" for i in range(20)]
+
+    def owner(shards, k):
+        hs = md5_lower64([k + "|" + s for s in shards])
+        return shards[int(np.argmax(hs))]
+
+    moved_to = {
+        owner(shards20, k)
+        for k in keys
+        if owner(shards16, k) != owner(shards20, k)
+    }
+    assert moved_to  # growth must move something
+    assert moved_to <= set(shards20[16:])  # ...and only onto new shards
+    # expected move fraction ≈ 4/20
+    n_moved = sum(
+        1 for k in keys if owner(shards16, k) != owner(shards20, k)
+    )
+    assert 0.10 < n_moved / len(keys) < 0.30

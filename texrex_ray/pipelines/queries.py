@@ -6596,3 +6596,167 @@ def q120_bpe_train(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     return bpe_train(ds, n_merges=12)
+
+
+# --------------------------------------------------------------------------
+# Rendezvous-hash shard rebalance audit (frontier repartitioning)
+# --------------------------------------------------------------------------
+
+_HRW_16 = ", ".join(f"'s{i:02d}'" for i in range(16))
+_HRW_20 = ", ".join(f"'s{i:02d}'" for i in range(20))
+
+_HRW_SQL = f"""
+WITH e AS (SELECT dst FROM read_parquet('{_EDGE_FIXTURE}')),
+k AS (SELECT DISTINCT dst AS key FROM e),
+o16 AS (SELECT key, shard FROM (
+    SELECT k.key, n.shard,
+           row_number() OVER (PARTITION BY k.key
+               ORDER BY md5_number_lower(k.key || '|' || n.shard) DESC,
+                        n.shard ASC) AS rn
+    FROM k CROSS JOIN (SELECT unnest([{_HRW_16}]) AS shard) n) WHERE rn = 1),
+o20 AS (SELECT key, shard FROM (
+    SELECT k.key, n.shard,
+           row_number() OVER (PARTITION BY k.key
+               ORDER BY md5_number_lower(k.key || '|' || n.shard) DESC,
+                        n.shard ASC) AS rn
+    FROM k CROSS JOIN (SELECT unnest([{_HRW_20}]) AS shard) n) WHERE rn = 1)
+SELECT o20.shard,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN o16.shard <> o20.shard THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+FROM o20 JOIN o16 USING (key)
+GROUP BY o20.shard ORDER BY o20.shard
+"""
+
+
+@query("q121_rendezvous_rebalance", sql=_HRW_SQL)
+def q121_rendezvous_rebalance(sf_dir: str):
+    """Rendezvous-hash (HRW, Thaler & Ravishankar 1998) shard-rebalance
+    audit: route every frontier URL to argmax_{shard} md5(key|shard)
+    under 16 and under 20 shards and count what moves — HRW's minimal-
+    disruption guarantee (a key moves ONLY to a newly added shard, never
+    between survivors) is exactly what the crawl's partition-pinned
+    politeness/Bloom state needs when the actor pool resizes.  Plan: ONE
+    key-keyed exchange dedups URLs; owners are computed vectorized
+    inside the bucket combine (36 tiny md5 passes), and only per-shard
+    count partials leave it."""
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    shards16 = [f"s{i:02d}" for i in range(16)]
+    shards20 = [f"s{i:02d}" for i in range(20)]
+    edges = ray.data.read_parquet(_EDGE_FIXTURE, columns=["dst"])
+    n_edges = edges.count()
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pa.array(pd.unique(pd.Series(t["dst"].to_pandas())), pa.string())}
+        )
+
+    def owners(shards: list[str], keys: list[str]) -> np.ndarray:
+        m = np.stack(
+            [md5_lower64([k + "|" + s for k in keys]) for s in shards]
+        )  # (n_shards, n_keys); argmax returns the FIRST max — shard ASC ties
+        return np.argmax(m, axis=0)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["key"].drop_duplicates().tolist()
+        o16 = owners(shards16, keys)
+        o20 = owners(shards20, keys)
+        names20 = np.array(shards20, dtype=object)
+        moved = np.array(shards16, dtype=object)[o16] != names20[o20]
+        part = pd.DataFrame(
+            {"shard": names20[o20], "n_keys": 1, "n_moved": moved.astype(np.int64)}
+        )
+        return part.groupby("shard", as_index=False).sum()
+
+    out = (
+        bucketed_groupby(
+            edges.map_batches(distinct_partial, batch_format="pyarrow"),
+            "key",
+            combine,
+            expected_rows=n_edges,
+        )
+        .to_pandas()  # ≤ shards × buckets rows
+        .groupby("shard", as_index=False)
+        .sum()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    for c in ("n_keys", "n_moved"):
+        out[c] = out[c].astype("int64")
+    return out[["shard", "n_keys", "n_moved"]]
+
+
+# --------------------------------------------------------------------------
+# Per-document n-gram novelty (corpus-unique gram fraction)
+# --------------------------------------------------------------------------
+
+_NOVELTY_SQL = (
+    "WITH "
+    + _GRAMS_CTE.format(m=2, m1=1)
+    + """,
+    df AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    per AS (SELECT doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS n_unique
+            FROM grams JOIN df USING (g) GROUP BY doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(n_unique * 1000000 // n_grams AS BIGINT) AS novelty_c
+    FROM per ORDER BY doc_id
+"""
+)
+
+
+@query("q122_ngram_novelty", sql=_NOVELTY_SQL)
+def q122_ngram_novelty(sf_dir: str):
+    """Per-document novelty: the fraction of a doc's distinct 3-grams
+    that appear NOWHERE else in the corpus — the de-dup-adjacent quality
+    signal (template/boilerplate pages score near 0, original content
+    near 1; DoReMi/DSIR-style mixture tuning consumes exactly this).
+    Plan: distinct-gram explode (doc-local) → ONE gram-keyed exchange;
+    corpus-unique grams emit (doc_id, 1) partials INSIDE the bucket
+    combine, per-doc gram totals ride a doc-local pass — both reductions
+    are result-(docs-)sized, the corpus text never shuffles twice."""
+    from texrex_ray.dedup.tender import gram_shingles
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    n_docs = ds.count()
+    # doc_size from size_from_grams = the distinct-gram count per doc —
+    # the denominator rides on every gram row, no second corpus pass.
+    # Pinned: TWO consumers (the gram exchange + the totals projection)
+    # would otherwise re-run the explode per consumer (and the exchange
+    # samples its input, q87 lesson).
+    sh = gram_shingles(ds, n=3, size_from_grams=True).materialize()
+
+    def uniq_partial(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("shingle", sort=False)["doc_id"].agg(["size", "first"])
+        uniq = c[c["size"] == 1]
+        part = pd.DataFrame({"doc_id": uniq["first"], "pn": 1})
+        return part.groupby("doc_id", as_index=False).sum()
+
+    uniq = (
+        bucketed_groupby(sh, "shingle", uniq_partial, expected_rows=n_docs * 60)
+        .to_pandas()
+        .groupby("doc_id", as_index=False)
+        .sum()
+    )  # docs-sized (the result size)
+
+    totals = (
+        sh.map_batches(
+            lambda df: df[["doc_id", "doc_size"]].drop_duplicates("doc_id"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates("doc_id")
+    )
+    out = totals.merge(uniq, on="doc_id", how="left").fillna({"pn": 0})
+    out = out.rename(columns={"doc_size": "n_grams", "pn": "n_unique"})
+    out["novelty_c"] = (
+        out["n_unique"].astype("int64") * 1_000_000 // out["n_grams"]
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_grams", "n_unique", "novelty_c"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "n_grams", "n_unique", "novelty_c"]]
