@@ -6760,3 +6760,124 @@ def q122_ngram_novelty(sf_dir: str):
     for c in ("doc_id", "n_grams", "n_unique", "novelty_c"):
         out[c] = out[c].astype("int64")
     return out[["doc_id", "n_grams", "n_unique", "novelty_c"]]
+
+
+# --------------------------------------------------------------------------
+# Crawl-trap detection: URL-shape collapse per host
+# --------------------------------------------------------------------------
+
+_TRAP_SQL = f"""
+WITH e AS (SELECT dst FROM read_parquet('{_EDGE_FIXTURE}')),
+u AS (SELECT DISTINCT dst AS url FROM e),
+s AS (SELECT regexp_extract(url, 'http://([^/]+)/', 1) AS host,
+             regexp_replace(regexp_extract(url, 'http://[^/]+(/.*)', 1),
+                            '[0-9]+', 'N', 'g') AS shape
+      FROM u),
+per AS (SELECT host, shape, count(*) AS c FROM s GROUP BY host, shape)
+SELECT host,
+       CAST(sum(c) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_shapes,
+       CAST(max(c) AS BIGINT) AS max_shape_urls,
+       CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS trap_score_c
+FROM per GROUP BY host ORDER BY host
+"""
+
+
+@query("q123_crawl_traps", sql=_TRAP_SQL)
+def q123_crawl_traps(sf_dir: str):
+    """Crawl-trap detection: collapse every discovered URL's PATH to its
+    shape (digit runs → N) and score hosts by URLs-per-shape — calendar
+    pages, session-id mills and pagination mazes produce unbounded URLs
+    of a handful of shapes, and a budgeted crawl caps them before they
+    eat the frontier.  ONE host-keyed exchange (per-batch distinct
+    (host, shape) count partials; within-bucket URL dedup); integer
+    trap score."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE, columns=["dst"])
+    n_edges = edges.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = pd.Series(pd.unique(pd.Series(t["dst"].to_pandas())))
+        host = urls.str.extract(r"http://([^/]+)/", expand=False)
+        shape = urls.str.extract(
+            r"http://[^/]+(/.*)", expand=False
+        ).str.replace(r"[0-9]+", "N", regex=True)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"host": host, "url": urls, "shape": shape}),
+            preserve_index=False,
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("url")  # cross-batch dups land together
+        per = g.groupby(["host", "shape"], as_index=False).size()
+        out = per.groupby("host", as_index=False).agg(
+            n_urls=("size", "sum"),
+            n_shapes=("size", "size"),
+            max_shape_urls=("size", "max"),
+        )
+        out["trap_score_c"] = (
+            out["n_urls"].astype("int64") * 1_000_000 // out["n_shapes"]
+        )
+        return out
+
+    out = (
+        bucketed_groupby(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            "host",
+            combine,
+            expected_rows=n_edges,
+        )
+        .to_pandas()  # host-sized
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    for c in ("n_urls", "n_shapes", "max_shape_urls", "trap_score_c"):
+        out[c] = out[c].astype("int64")
+    return out[["host", "n_urls", "n_shapes", "max_shape_urls", "trap_score_c"]]
+
+
+# --------------------------------------------------------------------------
+# pHash Hamming distance spectrum (dedup-threshold calibration)
+# --------------------------------------------------------------------------
+
+@query(
+    "q124_phash_spectrum",
+    sql="""
+    SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM read_parquet('/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet') a
+    JOIN read_parquet('/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet') b
+      ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 16
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q124_phash_spectrum(sf_dir: str):
+    """Near-range pHash Hamming distance spectrum (d ≤ 16) over the
+    image table — the threshold-calibration curve for payload dedup: the
+    gap between the near-dup mass (re-encodes, small crops at low d) and
+    the random-pair shoulder tells you where to place q57's radius.
+    Same pigeonhole block-LSH machinery (``hamming_pairs``), one
+    distance-keyed count finish; nothing all-pairs anywhere."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table")
+    n = ds.count()
+    pairs = hamming_pairs(
+        ds, id_col="image_id", sig_col="phash", max_hamming=16,
+        expected_rows=n, expected_pairs=n * 40,
+    )
+    out = (
+        pairs.groupby("hamming")
+        .aggregate(Count(alias_name="n_pairs"))
+        .to_pandas()  # ≤ 17 rows
+        .sort_values("hamming")
+        .reset_index(drop=True)
+    )
+    for c in ("hamming", "n_pairs"):
+        out[c] = out[c].astype("int64")
+    return out[["hamming", "n_pairs"]]
