@@ -100,3 +100,24 @@ def test_cli_release_scrubs_and_filters(tmp_path):
     t = pa.concat_tables([pq.read_table(f) for f in files])
     assert {"n_email", "n_phone", "n_ip"} <= set(t.column_names)
     assert t.num_rows == r["rows_out"]
+
+
+def test_cli_bpe_cdc_graphrank(tmp_path):
+    merges = _run(
+        "bpe", SF, str(tmp_path / "merges.parquet"), "--merges", "6"
+    )
+    assert merges["merges"] == 6
+
+    cdc = _run("cdc", SF, str(tmp_path / "cdc.parquet"))
+    assert cdc["sources"] == 20 and cdc["dup_bytes"] > 0
+
+    edges = "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    pr = _run(
+        "graphrank", "kcore", edges, str(tmp_path / "core.parquet")
+    )
+    assert pr["rows"] > 2000
+    tr = _run(
+        "graphrank", "trustrank", edges, str(tmp_path / "tr.parquet"),
+        "--seed", "http://host0.tld0/p0", "--iters", "2",
+    )
+    assert tr["rows"] > 2000

@@ -15,6 +15,9 @@ can run the same jobs::
     python -m texrex_ray cowsplit IN.parquet OUT_DIR [--docs-per-file N]
     python -m texrex_ray cowinterleave IN.parquet ANN.parquet OUT_DIR
     python -m texrex_ray tenet   WEIGHTS.json [--n-docs 600]
+    python -m texrex_ray bpe     IN.parquet MERGES.parquet [--merges 16]
+    python -m texrex_ray cdc     IN.parquet STATS.parquet [--avg-bits 6]
+    python -m texrex_ray graphrank {pagerank|trustrank|hits|kcore|bfs} EDGES.parquet OUT.parquet
 
 This is the ONE module (besides bench.py and the test fixture) that may
 own a Ray session: it initialises Ray if and only if no session exists.
@@ -372,6 +375,76 @@ def cmd_release(args) -> dict:
     }
 
 
+
+
+def cmd_bpe(args) -> dict:
+    """BPE tokenizer-vocabulary training over a parquet corpus
+    (round-4 op; functions/bpe.py)."""
+    ray = _ray()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from texrex_ray.functions.bpe import bpe_train
+
+    ds = ray.data.read_parquet(args.input)
+    merges = bpe_train(ds, text_col=args.column, n_merges=args.merges)
+    pq.write_table(pa.Table.from_pandas(merges, preserve_index=False), args.out)
+    return {"merges": len(merges), "out": args.out}
+
+
+def cmd_cdc(args) -> dict:
+    """Content-defined chunking dedup report (round-4 op; dedup/cdc.py)."""
+    ray = _ray()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from texrex_ray.dedup.cdc import cdc_dedup_stats
+
+    ds = ray.data.read_parquet(args.input)
+    stats = cdc_dedup_stats(ds, avg_bits=args.avg_bits)
+    pq.write_table(pa.Table.from_pandas(stats, preserve_index=False), args.out)
+    return {
+        "sources": len(stats),
+        "dup_bytes": int(stats["dup_bytes"].sum()),
+        "out": args.out,
+    }
+
+
+def cmd_graphrank(args) -> dict:
+    """Link-graph analytics over an (src, dst) edge parquet: pagerank /
+    trustrank (seed-personalized) / hits / kcore / bfs-depth
+    (ops/graph.py)."""
+    ray = _ray()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from texrex_ray.ops.graph import bfs_depths, core_numbers, hits_int, pagerank_int
+
+    ds = ray.data.read_parquet(args.edges)
+    seeds = set(args.seed or [])
+    if args.algo == "pagerank":
+        out = pagerank_int(ds, iters=args.iters, plan=args.plan)
+    elif args.algo == "trustrank":
+        if not seeds:
+            raise SystemExit("trustrank requires --seed URL [--seed URL ...]")
+        out = pagerank_int(ds, iters=args.iters, plan=args.plan, seeds=seeds)
+    elif args.algo == "hits":
+        out = hits_int(ds, iters=args.iters, plan=args.plan)
+    elif args.algo == "kcore":
+        out = core_numbers(ds)
+    elif args.algo == "bfs":
+        if not seeds:
+            raise SystemExit("bfs requires --seed URL [--seed URL ...]")
+        out = bfs_depths(ds, seeds, max_depth=args.iters)
+    else:  # pragma: no cover - argparse choices guard
+        raise SystemExit(f"unknown algo {args.algo}")
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), args.out)
+    return {"rows": len(out), "algo": args.algo, "out": args.out}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="texrex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -463,6 +536,29 @@ def main(argv: list[str] | None = None) -> int:
         else:
             s.add_argument("--limit", type=int, default=3)
         s.set_defaults(fn=fn)
+
+
+    s = sub.add_parser("bpe", help="train BPE merges over a parquet corpus")
+    s.add_argument("input"); s.add_argument("out")
+    s.add_argument("--column", default="text")
+    s.add_argument("--merges", type=int, default=16)
+    s.set_defaults(fn=cmd_bpe)
+
+    s = sub.add_parser("cdc", help="content-defined-chunking dedup report")
+    s.add_argument("input"); s.add_argument("out")
+    s.add_argument("--avg-bits", type=int, default=6)
+    s.set_defaults(fn=cmd_cdc)
+
+    s = sub.add_parser(
+        "graphrank",
+        help="link-graph analytics over an (src,dst) edge parquet",
+    )
+    s.add_argument("algo", choices=["pagerank", "trustrank", "hits", "kcore", "bfs"])
+    s.add_argument("edges"); s.add_argument("out")
+    s.add_argument("--iters", type=int, default=3)
+    s.add_argument("--plan", default="broadcast", choices=["broadcast", "shuffle"])
+    s.add_argument("--seed", action="append", default=None)
+    s.set_defaults(fn=cmd_graphrank)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))
