@@ -6881,3 +6881,83 @@ def q124_phash_spectrum(sf_dir: str):
     for c in ("hamming", "n_pairs"):
         out[c] = out[c].astype("int64")
     return out[["hamming", "n_pairs"]]
+
+
+# --------------------------------------------------------------------------
+# Web bowtie decomposition (Broder et al. 2000) around a pivot
+# --------------------------------------------------------------------------
+
+_BOWTIE_SQL = f"""
+WITH RECURSIVE e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+fwd(node) AS (
+    SELECT '{_TRUST_SEEDS[0]}' AS node
+    UNION
+    SELECT e.dst FROM fwd f JOIN e ON e.src = f.node
+),
+bwd(node) AS (
+    SELECT '{_TRUST_SEEDS[0]}' AS node
+    UNION
+    SELECT e.src FROM bwd b JOIN e ON e.dst = b.node
+),
+cls AS (SELECT n.node,
+               CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'scc'
+                    WHEN b.node IS NOT NULL THEN 'in'
+                    WHEN f.node IS NOT NULL THEN 'out'
+                    ELSE 'other' END AS component
+        FROM n LEFT JOIN fwd f USING (node) LEFT JOIN bwd b USING (node))
+SELECT component, CAST(count(*) AS BIGINT) AS n_pages
+FROM cls GROUP BY component ORDER BY component
+"""
+
+
+@query("q125_bowtie", sql=_BOWTIE_SQL)
+def q125_bowtie(sf_dir: str):
+    """Bowtie decomposition of the crawl graph around a pivot (Broder et
+    al. 2000, "Graph structure in the Web"): SCC = pages that both reach
+    and are reached from the pivot, IN = feed into it, OUT = fed by it,
+    OTHER = tendrils/disconnected — the macro-shape a crawl strategist
+    reads before spending budget (seeds in IN reach the core; OUT-only
+    regions need fresh seeds).  Two BFS sweeps (forward on edges,
+    backward on reversed edges) through ``ops/graph.py::bfs_depths`` —
+    reachability only, depths discarded; each sweep is ≤ diameter
+    result-bounded edge passes.  Oracle: two recursive-CTE closures."""
+    from texrex_ray.ops.graph import bfs_depths
+
+    pivot = _TRUST_SEEDS[0]
+    edges = ray.data.read_parquet(_EDGE_FIXTURE).materialize()
+    fwd = set(bfs_depths(edges, {pivot}, max_depth=10**6)["page"])
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow",
+    )
+    bwd = set(bfs_depths(rev, {pivot}, max_depth=10**6)["page"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        nodes = pd.unique(
+            pd.concat(
+                [pd.Series(t["src"].to_pandas()), pd.Series(t["dst"].to_pandas())]
+            )
+        )
+        return pa.table({"node": pa.array(nodes, pa.string())})
+
+    nodes = pd.unique(
+        edges.map_batches(classify, batch_format="pyarrow").to_pandas()["node"]
+    )
+    comp = np.where(
+        np.isin(nodes, list(fwd & bwd)), "scc",
+        np.where(
+            np.isin(nodes, list(bwd)), "in",
+            np.where(np.isin(nodes, list(fwd)), "out", "other"),
+        ),
+    )
+    out = (
+        pd.DataFrame({"component": comp})
+        .groupby("component", as_index=False)
+        .size()
+        .rename(columns={"size": "n_pages"})
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out[["component", "n_pages"]]
