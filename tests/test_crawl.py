@@ -293,3 +293,44 @@ def test_politeness_budget_holds_in_visit_log(graph):
         # same-round double-fetch of one host is also a violation
         assert len(set(rounds)) == len(rounds), host
     assert checked >= 20  # the walk actually revisited hosts
+
+
+def test_checkpoint_pruning_keeps_resume_working(graph, tmp_path):
+    """prune_checkpoints bounds retention to the newest keep_last COMMITTED
+    rounds; resume from the survivor matches the unpruned run exactly."""
+    import os
+    import shutil
+
+    cfg = CrawlConfig()
+    d = str(tmp_path / "crawl")
+    e1 = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg, out_dir=d)
+    e1.run(max_steps=100, checkpoint_every=5, max_rounds=30, keep_checkpoints=2)
+    ckroot = os.path.join(d, "ckpt")
+    committed = sorted(
+        c for c in os.listdir(ckroot)
+        if os.path.exists(os.path.join(ckroot, c, "COMMIT"))
+    )
+    assert len(committed) == 2  # retention bound enforced during run()
+
+    # an uncommitted (in-flight) directory is never touched
+    stray = os.path.join(ckroot, "round=99999999")
+    os.makedirs(stray)
+    pruned = e1.prune_checkpoints(keep_last=1)
+    assert os.path.isdir(stray)
+    assert len(pruned) == 1
+    survivors = sorted(
+        c for c in os.listdir(ckroot)
+        if os.path.exists(os.path.join(ckroot, c, "COMMIT"))
+    )
+    assert survivors == [committed[-1]]
+
+    # resume from the lone survivor and finish; must equal a straight run
+    e2 = CrawlEngine.resume(graph, d)
+    e2.run(max_steps=100)
+    full = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg)
+    full.run(max_steps=100)
+    assert full.steps == e2.steps
+    resumed_visits = e2.visit_order()
+    tail = full.visit_order()[len(full.visit_order()) - len(resumed_visits):]
+    assert [v[1:] for v in resumed_visits] == [v[1:] for v in tail]
+    shutil.rmtree(d, ignore_errors=True)

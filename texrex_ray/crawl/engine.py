@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import pickle
 import time
 from collections import Counter
@@ -677,7 +678,8 @@ class CrawlEngine:
     # -- round loop --------------------------------------------------------
 
     def run(self, max_steps: int, checkpoint_every: int | None = None,
-            max_rounds: int | None = None) -> CrawlStats:
+            max_rounds: int | None = None,
+            keep_checkpoints: int | None = None) -> CrawlStats:
         t0 = time.perf_counter()
         # prime the first round's proposals (subsequent rounds get theirs
         # from the fused resolve_and_propose call)
@@ -688,6 +690,8 @@ class CrawlEngine:
             prop_futs, made_progress = self._run_round(prop_futs)
             if checkpoint_every and self.out_dir and self.round % checkpoint_every == 0:
                 self.checkpoint()
+                if keep_checkpoints:
+                    self.prune_checkpoints(keep_checkpoints)
             if not made_progress:
                 alive = sum(ray.get([s.alive.remote() for s in self.shards]))
                 if alive == 0:
@@ -915,6 +919,38 @@ class CrawlEngine:
         with open(os.path.join(ck, "COMMIT"), "w") as f:
             f.write("ok")
         return ck
+
+    def prune_checkpoints(self, keep_last: int) -> list[str]:
+        """Delete all but the newest ``keep_last`` COMMITTED checkpoints.
+
+        At frontier scale each checkpoint carries the Bloom/cuckoo
+        segments and frontier snapshots of every partition — retention
+        must be bounded or the checkpoint directory outgrows the corpus.
+        Only committed rounds are counted and only committed rounds are
+        deleted (an in-flight directory without ``COMMIT`` is never
+        touched: it belongs to a concurrent ``checkpoint()``), and the
+        COMMIT marker is removed FIRST so a crash mid-delete leaves a
+        directory that ``resume`` already ignores.  Returns the pruned
+        checkpoint paths.
+        """
+        assert self.out_dir
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ckroot = os.path.join(self.out_dir, "ckpt")
+        try:
+            committed = sorted(
+                d for d in os.listdir(ckroot)
+                if os.path.exists(os.path.join(ckroot, d, "COMMIT"))
+            )
+        except FileNotFoundError:
+            return []
+        pruned = []
+        for d in committed[:-keep_last]:
+            path = os.path.join(ckroot, d)
+            os.remove(os.path.join(path, "COMMIT"))  # invisible to resume now
+            shutil.rmtree(path, ignore_errors=True)
+            pruned.append(path)
+        return pruned
 
     def _flush_outputs(self) -> None:
         assert self.out_dir
