@@ -6961,3 +6961,180 @@ def q125_bowtie(sf_dir: str):
     )
     out["n_pages"] = out["n_pages"].astype("int64")
     return out[["component", "n_pages"]]
+
+
+# --------------------------------------------------------------------------
+# Embedding drift audit: centroid shift between two deterministic halves
+# --------------------------------------------------------------------------
+
+_DRIFT_SQL = """
+WITH x AS (SELECT label, vec_id,
+                  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                       AS BIGINT) AS ci,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings),
+cnt AS (SELECT label,
+               COUNT(*) FILTER (vec_id % 2 = 0) AS n_a,
+               COUNT(*) FILTER (vec_id % 2 = 1) AS n_b
+        FROM embeddings GROUP BY label),
+s AS (SELECT label, dim,
+             COALESCE(SUM(ci) FILTER (vec_id % 2 = 0), 0) AS sa,
+             COALESCE(SUM(ci) FILTER (vec_id % 2 = 1), 0) AS sb
+      FROM x GROUP BY label, dim),
+d AS (SELECT s.label,
+             SUM((CAST(c.n_b AS HUGEINT) * s.sa - CAST(c.n_a AS HUGEINT) * s.sb)
+                 * (CAST(c.n_b AS HUGEINT) * s.sa - CAST(c.n_a AS HUGEINT) * s.sb))
+                 AS drift
+      FROM s JOIN cnt c USING (label) GROUP BY s.label)
+SELECT CAST(d.label AS BIGINT) AS label,
+       CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+       CAST(d.drift AS VARCHAR) AS drift_sq
+FROM d JOIN cnt c USING (label) ORDER BY label
+"""
+
+
+@query("q126_embedding_drift", sql=_DRIFT_SQL)
+def q126_embedding_drift(sf_dir: str):
+    """Distribution-shift audit over the embedding table: per label, the
+    exact scaled squared distance between the centroids of two
+    deterministic halves (even/odd vec_id) — Σ_d (n_b·Σ_a v_d −
+    n_a·Σ_b v_d)², i.e. ‖μ_a − μ_b‖² × (n_a·n_b·10⁶)².  A drifting
+    ingest (new encoder, corrupted shard) shows up as an outlier label.
+    Integer-exact end to end: elements scaled to ints before summation
+    (q69's contract), per-(label, dim) int64 diffs cross the exchange,
+    the square-and-sum runs in Python ints (the value exceeds int64, so
+    it travels as a decimal string — matching the SQL's HUGEINT→VARCHAR)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+                 "half": pa.array([], pa.int64()), "pn": pa.array([], pa.int64()),
+                 "ps": pa.array([], pa.int64())}
+            )
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // len(t)
+        vi = np.floor(flat.astype(np.float64).reshape(len(t), d) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        key = lab * 2 + half
+        g = pd.DataFrame(vi).groupby(key).sum()
+        cnt = pd.Series(key).value_counts().sort_index()
+        rows = {
+            "label": np.repeat(g.index.to_numpy() // 2, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(g)),
+            "half": np.repeat(g.index.to_numpy() % 2, d),
+            "pn": np.repeat(cnt.to_numpy().astype(np.int64), d),
+            "ps": g.to_numpy().reshape(-1),
+        }
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim", "half"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
+        .to_pandas()  # labels × dims × 2 rows
+    )
+    piv = sums.pivot_table(
+        index=["label", "dim"], columns="half", values=["n", "s"],
+        fill_value=0, aggfunc="sum",
+    )
+    out_rows = []
+    for label, sub in piv.groupby(level="label"):
+        na = int(sub[("n", 0)].iloc[0]) if ("n", 0) in sub else 0
+        nb = int(sub[("n", 1)].iloc[0]) if ("n", 1) in sub else 0
+        sa = sub[("s", 0)] if ("s", 0) in sub else 0
+        sb = sub[("s", 1)] if ("s", 1) in sub else 0
+        drift = 0
+        for x, y in zip(np.asarray(sa), np.asarray(sb)):
+            diff = nb * int(x) - na * int(y)  # Python ints: no wrap
+            drift += diff * diff
+        out_rows.append(
+            {"label": int(label), "n_a": na, "n_b": nb, "drift_sq": str(drift)}
+        )
+    out = pd.DataFrame(out_rows).sort_values("label").reset_index(drop=True)
+    for c in ("label", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out[["label", "n_a", "n_b", "drift_sq"]]
+
+
+# --------------------------------------------------------------------------
+# Deterministic contrastive negative sampling (image-caption training pairs)
+# --------------------------------------------------------------------------
+
+_PHASH_FIXTURE = "/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet"
+
+_NEGATIVES_SQL = f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{_PHASH_FIXTURE}')),
+cand AS (SELECT a.image_id AS anchor_id, b.image_id AS neg_id,
+                md5_number_lower(a.image_id || '|' || b.image_id) AS h
+         FROM p a JOIN p b ON a.image_id <> b.image_id
+         WHERE bit_count(xor(a.phash, b.phash)) > 16)
+SELECT anchor_id, neg_id,
+       CAST(row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY h, neg_id) AS BIGINT) AS rnk
+FROM cand QUALIFY rnk <= 3 ORDER BY anchor_id, rnk
+"""
+
+
+@query("q127_contrastive_negatives", sql=_NEGATIVES_SQL)
+def q127_contrastive_negatives(sf_dir: str):
+    """Deterministic hard-negative assignment for contrastive
+    image-caption training (CLIP-style): for every anchor image, the 3
+    pool images with the smallest md5(anchor|candidate) that are NOT
+    visual near-dups (pHash Hamming > 16 — a near-dup as \"negative\"
+    poisons the loss).  Hash ranking makes the sample layout-invariant
+    and shard-re-derivable — no RNG state to checkpoint.  Plan: the
+    (id, phash) pool is broadcast once via ``ray.put`` (at corpus scale
+    the pool is a q52-style bottom-k hash sample, documented); anchors
+    stream through one zero-exchange ``map_batches`` doing a vectorized
+    XOR-popcount mask + per-anchor partial top-3."""
+    from texrex_ray.dedup.lsh import popcount64
+    from texrex_ray.functions.hashing import md5_lower64
+
+    pool = pq.read_table(_PHASH_FIXTURE).to_pandas()
+    pool_ref = ray.put(
+        (
+            pool["image_id"].to_numpy(dtype=object),
+            pool["phash"].to_numpy(np.int64).astype(np.uint64),
+        )
+    )
+    ds = ray.data.read_parquet(_PHASH_FIXTURE)
+
+    def negatives(t: pa.Table) -> pa.Table:
+        ids, sigs = ray.get(pool_ref)
+        out_a, out_n, out_r = [], [], []
+        for aid, asig in zip(
+            t["image_id"].to_pylist(),
+            t["phash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        ):
+            ok = (popcount64(sigs ^ asig) > 16) & (ids != aid)
+            cand = ids[ok]
+            h = md5_lower64([f"{aid}|{c}" for c in cand])
+            order = np.lexsort((cand, h))[:3]  # h asc, ties by neg_id
+            for r, j in enumerate(order, start=1):
+                out_a.append(aid)
+                out_n.append(cand[j])
+                out_r.append(r)
+        return pa.table(
+            {
+                "anchor_id": pa.array(out_a, pa.string()),
+                "neg_id": pa.array(out_n, pa.string()),
+                "rnk": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(negatives, batch_format="pyarrow")
+        .to_pandas()  # 3 rows per anchor — result-sized
+        .sort_values(["anchor_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    out["rnk"] = out["rnk"].astype("int64")
+    return out[["anchor_id", "neg_id", "rnk"]]
