@@ -107,3 +107,40 @@ def test_hrw_minimal_disruption(ray_session):
         1 for k in keys if owner(shards16, k) != owner(shards20, k)
     )
     assert 0.10 < n_moved / len(keys) < 0.30
+
+
+def test_neighborhood_function_matches_sequential(ray_session):
+    from texrex_ray.ops.graph import (
+        neighborhood_function,
+        neighborhood_function_sequential,
+    )
+
+    rng = np.random.default_rng(21)
+    nodes = [f"p{i}" for i in range(50)]
+    edges = [
+        (nodes[i], nodes[j])
+        for i in range(50)
+        for j in range(50)
+        if i != j and rng.random() < 0.05
+    ]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = neighborhood_function(ds, t_max=6)
+    want = pd.DataFrame(
+        neighborhood_function_sequential(edges, 6), columns=["t", "nf_c"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_neighborhood_function_tracks_exact_reachability(ray_session):
+    """On a directed chain the exact NF is known in closed form; the
+    64-register sketch must stay within HLL error (~13%) of it."""
+    from texrex_ray.ops.graph import neighborhood_function
+
+    N = 30
+    ds = ray.data.from_items(
+        [{"src": f"c{i:02d}", "dst": f"c{i+1:02d}"} for i in range(N - 1)]
+    )
+    got = neighborhood_function(ds, t_max=4).set_index("t")["nf_c"]
+    for t in range(5):
+        exact = sum(min(t, N - 1 - i) + 1 for i in range(N))
+        assert abs(got.loc[t] / 100 - exact) / exact < 0.15

@@ -706,6 +706,175 @@ def core_numbers(
     ).reset_index(drop=True)
 
 
+_HLL_M = 64  # registers per node counter (HyperBall b=6)
+
+
+def _hll_init(nodes: np.ndarray) -> np.ndarray:
+    """(n, 64) uint8 register matrix seeded with each node's own hash
+    (md5 low-64: deterministic, engine-independent)."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    h = md5_lower64(list(nodes))
+    regs = np.zeros((len(nodes), _HLL_M), dtype=np.uint8)
+    idx = (h & np.uint64(_HLL_M - 1)).astype(np.int64)
+    w = (h >> np.uint64(6)).astype(object)
+    rank = np.array(
+        [(58 - int(v).bit_length()) + 1 if int(v) else 59 for v in w],
+        dtype=np.uint8,
+    )
+    regs[np.arange(len(nodes)), idx] = rank
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate for one 64-register counter (with the
+    linear-counting small-range correction)."""
+    m = float(_HLL_M)
+    alpha = 0.709  # alpha_64
+    e = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        import math
+
+        e = m * math.log(m / zeros)
+    return e
+
+
+def neighborhood_function(
+    edges: ray.data.Dataset,
+    *,
+    t_max: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """Approximate neighborhood function N(t) = Σ_v |{u reachable from v
+    in ≤ t hops}| via HyperBall (Boldi & Vigna 2013; ANF, Palmer et al.
+    2002) — the effective-diameter curve of the crawl graph, computable
+    at web scale where per-node BFS is hopeless.
+
+    Each node carries a 64-register HLL counter seeded with its own
+    hash; round t replaces every counter with the register-wise MAX of
+    itself and its out-neighbors' counters — after t rounds the counter
+    sketches the t-hop forward-reachable set.  Register max-merge is
+    ORDER-INVARIANT, so the distributed result is bit-identical to a
+    sequential run (unlike mergesum sketches); the float estimate is
+    then taken once per node on the driver in sorted node order, making
+    the whole output deterministic.
+
+    Distribution contract = the pagerank broadcast shape: edges
+    int-encoded once; each round broadcasts the (n × 64)-byte register
+    matrix and edge batches emit per-src register maxima
+    (``np.maximum.at`` partials — result-bounded).  Driver state is
+    n × 64 bytes (the ≤1e7-node regime; page-scale swaps in a keyed
+    max-merge exchange, same registers).
+
+    Returns (t, nf_c) for t = 0..t_max with nf scaled ×100, plus the
+    per-t estimate stopping early once no register changes (diameter
+    reached).
+    """
+    edges = edges.materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        vals = pd.unique(
+            pd.concat(
+                [pd.Series(t[src].to_pandas()), pd.Series(t[dst].to_pandas())]
+            )
+        )
+        return pa.table({"node": pa.array(vals, pa.string())})
+
+    nodes = np.sort(
+        pd.unique(
+            edges.map_batches(node_partial, batch_format="pyarrow")
+            .to_pandas()["node"]
+        )
+    )
+    n = len(nodes)
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        s = ix.get_indexer(pd.Series(t[src].to_pandas()))
+        d = ix.get_indexer(pd.Series(t[dst].to_pandas()))
+        return pa.table(
+            {"s": pa.array(s.astype(np.int64)), "d": pa.array(d.astype(np.int64))}
+        )
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+
+    regs = _hll_init(nodes)
+
+    def nf_of(r: np.ndarray) -> int:
+        total = 0.0
+        for i in range(n):  # sorted node order: deterministic float sum
+            total += _hll_estimate(r[i])
+        return int(round(total * 100))
+
+    out = [{"t": 0, "nf_c": nf_of(regs)}]
+    for t in range(1, t_max + 1):
+        ref = ray.put(regs)
+
+        def gather(tb: pa.Table) -> pa.Table:
+            r = ray.get(ref)
+            s = tb["s"].to_numpy(zero_copy_only=False)
+            d = tb["d"].to_numpy(zero_copy_only=False)
+            # accumulate per DISTINCT src in this batch — the partial is
+            # batch-bounded, never node-bounded
+            us, inv = np.unique(s, return_inverse=True)
+            acc = np.zeros((len(us), _HLL_M), dtype=np.uint8)
+            np.maximum.at(acc, inv, r[d])  # src absorbs dst counters
+            return pa.table(
+                {
+                    "i": pa.array(us.astype(np.int64)),
+                    "regs": pa.array(list(acc), pa.list_(pa.uint8(), _HLL_M)),
+                }
+            )
+
+        parts = enc.map_batches(gather, batch_format="pyarrow").to_pandas()
+        nxt = regs.copy()
+        if len(parts):
+            ii = parts["i"].to_numpy()
+            mats = np.stack(parts["regs"].to_numpy())
+            np.maximum.at(nxt, ii, mats.astype(np.uint8))
+        if np.array_equal(nxt, regs):
+            break  # diameter reached
+        regs = nxt
+        out.append({"t": t, "nf_c": nf_of(regs)})
+
+    df = pd.DataFrame(out)
+    for c in ("t", "nf_c"):
+        df[c] = df[c].astype("int64")
+    return df[["t", "nf_c"]]
+
+
+def neighborhood_function_sequential(
+    edges: list[tuple[str, str]], t_max: int = 8
+) -> list[tuple[int, int]]:
+    """Independent per-edge Python twin (same sketch, loop-based merge)
+    — the oracle for tests and the q128 committed fixture."""
+    nodes = np.sort(pd.unique(np.array([x for e in edges for x in e], dtype=object)))
+    ix = {v: i for i, v in enumerate(nodes)}
+    regs = _hll_init(nodes)
+
+    def nf(r):
+        total = 0.0
+        for i in range(len(nodes)):
+            total += _hll_estimate(r[i])
+        return int(round(total * 100))
+
+    out = [(0, nf(regs))]
+    for t in range(1, t_max + 1):
+        nxt = regs.copy()
+        for a, b in edges:
+            ia, ib = ix[a], ix[b]
+            nxt[ia] = np.maximum(nxt[ia], regs[ib])
+        if np.array_equal(nxt, regs):
+            break
+        regs = nxt
+        out.append((t, nf(regs)))
+    return out
+
+
 def core_numbers_sequential(edges: list[tuple[str, str]]) -> dict[str, int]:
     """Independent per-edge Python twin (Matula–Beck bucket peeling) —
     the oracle used by tests and the q119 committed fixture."""

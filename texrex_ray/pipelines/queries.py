@@ -7138,3 +7138,30 @@ def q127_contrastive_negatives(sf_dir: str):
     )
     out["rnk"] = out["rnk"].astype("int64")
     return out[["anchor_id", "neg_id", "rnk"]]
+
+
+# --------------------------------------------------------------------------
+# Neighborhood function / effective diameter (HyperBall)
+# --------------------------------------------------------------------------
+
+@query(
+    "q128_neighborhood_fn",
+    sql="SELECT t, nf_c FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/neighborhood_fn_sf0.01.parquet') "
+    "ORDER BY t",
+)
+def q128_neighborhood_fn(sf_dir: str):
+    """Approximate neighborhood function N(t) of the crawl graph via
+    HyperBall (Boldi & Vigna 2013 / ANF, Palmer et al. 2002) — the
+    effective-diameter curve, computable at web scale where all-pairs
+    BFS is hopeless.  Per-node 64-register HLL counters max-merge along
+    edges each round; register max is ORDER-INVARIANT so the distributed
+    run is bit-identical to sequential, and the float estimates are
+    taken once in sorted node order (deterministic).  One broadcast +
+    one result-bounded edge pass per round, early-stop at the diameter.
+    Oracle: committed fixture from the INDEPENDENT per-edge sequential
+    twin."""
+    from texrex_ray.ops.graph import neighborhood_function
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return neighborhood_function(edges, t_max=8)

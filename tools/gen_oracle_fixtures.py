@@ -805,6 +805,23 @@ def gen_bpe_merges() -> None:
           merges[0] if merges else None)
 
 
+def gen_neighborhood_function() -> None:
+    """Expected q128 HyperBall neighborhood function from the INDEPENDENT
+    sequential per-edge register-merge twin."""
+    from texrex_ray.ops.graph import neighborhood_function_sequential
+
+    df = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet")).to_pandas()
+    rows = neighborhood_function_sequential(list(zip(df["src"], df["dst"])), 8)
+    t = pa.table(
+        {
+            "t": pa.array([r[0] for r in rows], pa.int64()),
+            "nf_c": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "neighborhood_fn_sf0.01.parquet"))
+    print("neighborhood_fn_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -828,6 +845,7 @@ def main() -> None:
     gen_cdc_stats()
     gen_core_numbers()
     gen_bpe_merges()
+    gen_neighborhood_function()
 
 
 if __name__ == "__main__":
