@@ -17,7 +17,7 @@ can run the same jobs::
     python -m texrex_ray tenet   WEIGHTS.json [--n-docs 600]
     python -m texrex_ray bpe     IN.parquet MERGES.parquet [--merges 16]
     python -m texrex_ray cdc     IN.parquet STATS.parquet [--avg-bits 6]
-    python -m texrex_ray graphrank {pagerank|trustrank|hits|kcore|bfs} EDGES.parquet OUT.parquet
+    python -m texrex_ray graphrank {pagerank|trustrank|hits|kcore|bfs|nf} EDGES.parquet OUT.parquet
 
 This is the ONE module (besides bench.py and the test fixture) that may
 own a Ray session: it initialises Ray if and only if no session exists.
@@ -421,7 +421,13 @@ def cmd_graphrank(args) -> dict:
     import pyarrow.parquet as pq
     import ray.data
 
-    from texrex_ray.ops.graph import bfs_depths, core_numbers, hits_int, pagerank_int
+    from texrex_ray.ops.graph import (
+        bfs_depths,
+        core_numbers,
+        hits_int,
+        neighborhood_function,
+        pagerank_int,
+    )
 
     ds = ray.data.read_parquet(args.edges)
     seeds = set(args.seed or [])
@@ -439,6 +445,8 @@ def cmd_graphrank(args) -> dict:
         if not seeds:
             raise SystemExit("bfs requires --seed URL [--seed URL ...]")
         out = bfs_depths(ds, seeds, max_depth=args.iters)
+    elif args.algo == "nf":
+        out = neighborhood_function(ds, t_max=args.iters)
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown algo {args.algo}")
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False), args.out)
@@ -553,7 +561,7 @@ def main(argv: list[str] | None = None) -> int:
         "graphrank",
         help="link-graph analytics over an (src,dst) edge parquet",
     )
-    s.add_argument("algo", choices=["pagerank", "trustrank", "hits", "kcore", "bfs"])
+    s.add_argument("algo", choices=["pagerank", "trustrank", "hits", "kcore", "bfs", "nf"])
     s.add_argument("edges"); s.add_argument("out")
     s.add_argument("--iters", type=int, default=3)
     s.add_argument("--plan", default="broadcast", choices=["broadcast", "shuffle"])
