@@ -260,6 +260,125 @@ def _pagerank_shuffle(
     )
 
 
+def opic_int(
+    edges: ray.data.Dataset,
+    *,
+    rounds: int = 3,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """OPIC on-line page importance (Abiteboul, Preda & Cobéna, WWW 2003)
+    — the frontier-priority signal a crawler can maintain INCREMENTALLY,
+    without waiting for PageRank convergence: each page holds ``cash``;
+    every round each page distributes its cash equally to its
+    out-neighbors (dangling pages pay a virtual root that redistributes
+    ``pot // n`` to everyone in the same round) and banks the round's
+    opening balance into ``history``.  Importance after T rounds is
+    ``history + cash`` (total cash is conserved, so importances stay
+    bounded by ``(T+1)·n·scale``).
+
+    Synchronous-rounds variant, integer-exact (``//`` floors) so the
+    distributed run is bit-identical to the SQL oracle's unrolled CTEs:
+
+        C_{t+1}(v) = Σ_{u→v} C_t(u)//deg(u)  +  (Σ_{deg(u)=0} C_t(u))//n
+        H_{t+1}(v) = H_t(v) + C_t(v),   C_0 = scale, H_0 = 0
+
+    Distribution = the pagerank_int broadcast contract: edges
+    int-encoded once (the encoded table is NARROWER than the strings),
+    one node-sized cash vector broadcast per round, each edge batch
+    does a fancy-index gather + bincount — no per-edge Python, driver
+    state strictly node-sized.  For page-scale graphs the same
+    shuffle-plan swap as ``pagerank_int(plan="shuffle")`` applies
+    (cash stays a Dataset; one bucketed join + keyed sum per round).
+    """
+    edges = edges.materialize()  # pin lineage across the round passes
+    degs = _degrees(edges, src, dst).to_pandas()
+    deg = degs.set_index("node")["d"].sort_index()
+    nodes = deg.index.to_numpy()
+    n = len(nodes)
+    deg_arr = deg.to_numpy()
+    if n == 0:
+        return pd.DataFrame({"page": [], "importance": []}).astype(
+            {"page": "object", "importance": "int64"}
+        )
+
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        s = ix.get_indexer(pd.Series(t[src].to_pandas()))
+        d = ix.get_indexer(pd.Series(t[dst].to_pandas()))
+        return pa.table(
+            {"s": pa.array(s.astype(np.int64)), "d": pa.array(d.astype(np.int64))}
+        )
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+    cash = np.full(n, scale, dtype=np.int64)
+    hist = np.zeros(n, dtype=np.int64)
+    senders = deg_arr > 0
+
+    for _ in range(rounds):
+        contrib_arr = np.zeros(n, dtype=np.int64)
+        contrib_arr[senders] = cash[senders] // deg_arr[senders]
+        pot = int(cash[~senders].sum())  # dangling cash -> virtual root
+        ref = ray.put(contrib_arr)
+
+        def paid(t: pa.Table) -> pa.Table:
+            ca = ray.get(ref)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            # exact while per-batch per-dst sums < 2^53 (see pagerank_int)
+            sums = np.bincount(d, weights=ca[s])
+            nz = np.flatnonzero(sums)
+            return pa.table(
+                {
+                    "d": pa.array(nz.astype(np.int64)),
+                    "c": pa.array(sums[nz].astype(np.int64)),
+                }
+            )
+
+        parts = enc.map_batches(paid, batch_format="pyarrow").to_pandas()
+        total = np.zeros(n, dtype=np.int64)
+        np.add.at(total, parts["d"].to_numpy(), parts["c"].to_numpy())
+        hist += cash
+        cash = total + pot // n
+
+    return (
+        pd.DataFrame({"page": nodes, "importance": hist + cash})
+        .sort_values(["importance", "page"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def opic_sequential(
+    edges: list[tuple[str, str]], *, rounds: int = 3, scale: int = 1_000_000
+) -> dict[str, int]:
+    """Independent per-edge sequential twin of ``opic_int`` (test oracle)."""
+    nodes = sorted({x for e in edges for x in e})
+    out_adj: dict[str, list[str]] = {v: [] for v in nodes}
+    for a, b in edges:
+        out_adj[a].append(b)
+    n = len(nodes)
+    cash = {v: scale for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(rounds):
+        nxt = {v: 0 for v in nodes}
+        pot = 0
+        for u in nodes:
+            if out_adj[u]:
+                share = cash[u] // len(out_adj[u])
+                for v in out_adj[u]:
+                    nxt[v] += share
+            else:
+                pot += cash[u]
+        for v in nodes:
+            hist[v] += cash[v]
+            cash[v] = nxt[v] + pot // n
+    return {v: hist[v] + cash[v] for v in nodes}
+
+
 def _max_norm(raw: np.ndarray, scale: int, m: int | None = None) -> np.ndarray:
     """``raw * scale // max(raw)``, exact at any magnitude.
 

@@ -7165,3 +7165,55 @@ def q128_neighborhood_fn(sf_dir: str):
 
     edges = ray.data.read_parquet(_EDGE_FIXTURE)
     return neighborhood_function(edges, t_max=8)
+
+
+# --------------------------------------------------------------------------
+# OPIC on-line page importance (incremental frontier priority)
+# --------------------------------------------------------------------------
+
+_OPIC_SQL = f"""
+WITH e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM n),
+c0 AS (SELECT n.node, CAST(1000000 AS BIGINT) AS c FROM n),
+p0 AS (SELECT COALESCE(sum(c), 0) AS p FROM c0 WHERE node NOT IN (SELECT node FROM deg)),
+t1 AS (SELECT e.dst AS node, sum(c0.c // deg.d) AS t
+       FROM e JOIN c0 ON e.src = c0.node JOIN deg ON e.src = deg.node GROUP BY e.dst),
+c1 AS (SELECT n.node, COALESCE(t1.t, 0) + (SELECT p FROM p0) // (SELECT n FROM nn) AS c
+       FROM n LEFT JOIN t1 USING (node)),
+p1 AS (SELECT COALESCE(sum(c), 0) AS p FROM c1 WHERE node NOT IN (SELECT node FROM deg)),
+t2 AS (SELECT e.dst AS node, sum(c1.c // deg.d) AS t
+       FROM e JOIN c1 ON e.src = c1.node JOIN deg ON e.src = deg.node GROUP BY e.dst),
+c2 AS (SELECT n.node, COALESCE(t2.t, 0) + (SELECT p FROM p1) // (SELECT n FROM nn) AS c
+       FROM n LEFT JOIN t2 USING (node)),
+p2 AS (SELECT COALESCE(sum(c), 0) AS p FROM c2 WHERE node NOT IN (SELECT node FROM deg)),
+t3 AS (SELECT e.dst AS node, sum(c2.c // deg.d) AS t
+       FROM e JOIN c2 ON e.src = c2.node JOIN deg ON e.src = deg.node GROUP BY e.dst),
+c3 AS (SELECT n.node, COALESCE(t3.t, 0) + (SELECT p FROM p2) // (SELECT n FROM nn) AS c
+       FROM n LEFT JOIN t3 USING (node))
+SELECT n.node AS page,
+       CAST(c0.c + c1.c + c2.c + c3.c AS BIGINT) AS importance
+FROM n JOIN c0 USING (node) JOIN c1 USING (node)
+       JOIN c2 USING (node) JOIN c3 USING (node)
+ORDER BY importance DESC, page
+"""
+
+
+@query("q129_opic_importance", sql=_OPIC_SQL)
+def q129_opic_importance(sf_dir: str):
+    """OPIC on-line page importance (Abiteboul et al., WWW 2003) over
+    the crawl link graph — the importance signal a frontier can keep
+    INCREMENTALLY while crawling (cash moves only when a page is
+    visited), unlike PageRank's convergence loop; ClaraX's
+    degree-biased host sampling (trwalkers.pas random-walk policy) is
+    the implicit version of exactly this priority.  Synchronous-rounds
+    integer algebra (dangling cash to a virtual root, redistributed
+    ``pot // n`` same round; importance = history + cash), distributed
+    on the pagerank broadcast contract.  Oracle unrolls the identical
+    three rounds as SQL CTEs — an independent implementation, not a
+    stored result."""
+    from texrex_ray.ops.graph import opic_int
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return opic_int(edges, rounds=3)
