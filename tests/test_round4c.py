@@ -52,3 +52,88 @@ def test_opic_cash_conservation_bound(ray_session):
     total = int(got["importance"].sum())
     assert total <= 6 * n * scale
     assert total >= 5 * n * scale  # floors lose < n per division
+
+
+# ---------------------------------------------------------------- BPE encode
+
+def test_bpe_encode_matches_sequential(ray_session):
+    from texrex_ray.functions.bpe import (
+        bpe_encode,
+        bpe_encode_sequential,
+        bpe_train_sequential,
+    )
+    from collections import Counter
+    import re
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cats sat on the mats",
+        3: "banana bandana cabana",
+        4: "aaa aaaa ab abc abcd",
+        5: "",
+    }
+    wc = Counter()
+    tok = re.compile(r"[a-z]+")
+    for s in texts.values():
+        wc.update(tok.findall(s))
+    merges = [(l, r) for l, r, _ in bpe_train_sequential(dict(wc), 8)]
+    want = bpe_encode_sequential(texts, merges)
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()]
+    )
+    got = bpe_encode(ds, merges).to_pandas().set_index("doc_id")
+    for did, (nw, ns, nd) in want.items():
+        row = got.loc[did]
+        assert (row["n_words"], row["n_subwords"], row["n_distinct_subwords"]) == (
+            nw,
+            ns,
+            nd,
+        )
+
+
+def test_bpe_encode_greedy_and_rank_order():
+    from texrex_ray.functions.bpe import _encode_word
+
+    # greedy left-to-right: "aaa" + ("a","a") -> [aa, a, </w>]
+    assert _encode_word("aaa", {("a", "a"): 0}) == ["aa", "a", "</w>"]
+    # rank priority: ("b","c") ranks better than ("a","b") -> a + bc
+    ranks = {("a", "b"): 1, ("b", "c"): 0}
+    assert _encode_word("abc", ranks) == ["a", "bc", "</w>"]
+    # compounding: ab then ab+c
+    ranks = {("a", "b"): 0, ("ab", "c"): 1}
+    assert _encode_word("abc", ranks) == ["abc", "</w>"]
+    # untouched word: chars + EOW
+    assert _encode_word("xy", {}) == ["x", "y", "</w>"]
+
+
+# ------------------------------------------------- weighted sample (q130)
+
+def test_weighted_sample_matches_direct_recompute(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from texrex_ray.pipelines.queries import QUERIES, WSAMPLE_K
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["q130_weighted_sample"](sf)
+    df = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).to_pandas()
+    df["key"] = [
+        int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+        * 1_000_000
+        // max(int(w), 1)
+        for i, w in zip(df["doc_id"], df["n_chars"])
+    ]
+    want = (
+        df.sort_values(["source", "key", "doc_id"])
+        .groupby("source", sort=False)
+        .head(WSAMPLE_K)[["source", "doc_id"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # determinism across runs
+    again = QUERIES["q130_weighted_sample"](sf)
+    pd.testing.assert_frame_equal(got, again)

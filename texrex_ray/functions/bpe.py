@@ -192,3 +192,101 @@ def bpe_train_sequential(
                     i += 1
             seqs[w] = res
     return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to ONE word, lowest-rank-first (the reference
+    BPE apply rule: at each step fuse the best-ranked pair present,
+    leftmost occurrence first via the greedy scan)."""
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        lft, rgt = best_pair
+        fused = lft + rgt
+        res, i = [], 0
+        while i < len(syms):  # greedy left-to-right for THIS pair
+            if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                res.append(fused)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+def bpe_encode_sequential(
+    texts: dict, merges: list[tuple[str, str]]
+) -> dict:
+    """Independent per-doc twin of ``bpe_encode`` (test/fixture oracle):
+    (doc_id -> (n_words, n_subwords, n_distinct_subwords))."""
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+    out = {}
+    for did, s in texts.items():
+        words = _TOKEN_RE.findall((s or "").lower())
+        subs: list[str] = []
+        for w in words:
+            subs.extend(_encode_word(w, ranks))
+        out[did] = (len(words), len(subs), len(set(subs)))
+    return out
+
+
+def bpe_encode(
+    ds: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Distributed BPE ENCODING — the serving path of ``bpe_train``:
+    tokenize every document with a learned merge table.
+
+    Returns (doc_id, n_words, n_subwords, n_distinct_subwords) — the
+    token-budget accounting a packing/mixture stage consumes (q101's
+    input at subword granularity).
+
+    Scale shape: the merge table is tokenizer-sized (30-100k rows in
+    production) and rides the closure ONCE per task; each batch encodes
+    only its DISTINCT words (Zipf: distinct ≪ occurrences) through a
+    per-call memo, then maps occurrences through the memo — no shuffle,
+    no driver state, embarrassingly parallel.  Stateful variant (merge
+    table in actor ``__init__``) is a one-line swap via
+    ``map_batches(EncoderCls, concurrency=)`` when the table is too big
+    to ride the closure.
+    """
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+    ranks_ref = ray.put(ranks)
+
+    def encode_batch(t: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        memo: dict[str, list[str]] = {}
+        ids, nw, ns, nd = [], [], [], []
+        for did, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            words = _TOKEN_RE.findall((s or "").lower())
+            subs: list[str] = []
+            for w in words:
+                enc = memo.get(w)
+                if enc is None:
+                    enc = _encode_word(w, rk)
+                    memo[w] = enc
+                subs.extend(enc)
+            ids.append(did)
+            nw.append(len(words))
+            ns.append(len(subs))
+            nd.append(len(set(subs)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_subwords": pa.array(ns, pa.int64()),
+                "n_distinct_subwords": pa.array(nd, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode_batch, batch_format="pyarrow")

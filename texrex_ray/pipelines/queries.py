@@ -7217,3 +7217,123 @@ def q129_opic_importance(sf_dir: str):
 
     edges = ray.data.read_parquet(_EDGE_FIXTURE)
     return opic_int(edges, rounds=3)
+
+
+# --------------------------------------------------------------------------
+# Weighted k-per-group sample (deterministic priority sampling)
+# --------------------------------------------------------------------------
+
+WSAMPLE_K = 5
+
+
+@query(
+    "q130_weighted_sample",
+    sql=f"""
+    WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                            * 1000000 // GREATEST(n_chars, 1),
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source, doc_id FROM r WHERE rn <= {WSAMPLE_K}
+    ORDER BY source, doc_id
+    """,
+)
+def q130_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED k-per-source sample, shuffle-free — the
+    length-biased pick a mixture builder wants (long documents carry
+    more tokens, so token-budget sampling weights by ``n_chars``).
+
+    Priority-sampling shape (Duffield et al. 2007 / Efraimidis–Spirakis
+    A-ES): rank by ``u^(1/w)``-style key, keep the bottom k per group.
+    The textbook key needs ``ln(u)`` — a float whose last ULP differs
+    across libm builds, so cross-engine exactness dies.  This variant
+    uses the integer surrogate ``key = md5_64(id)·10⁶ // w`` (Python
+    bigints here, HUGEINT in SQL — bit-identical): selection
+    probability rises monotonically with weight, the sample is
+    layout-invariant, shard-re-derivable, and any shard can verify
+    membership locally.  Documented deviation: the inclusion
+    probabilities are not the exact E-S ``w_i/Σw`` law.
+
+    Same combiner plan as q52: each batch emits ≤ k·sources candidate
+    rows, one result-sized combine picks the winners — zero shuffles
+    of the corpus at any scale.
+    """
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.sort_values(["source", "key", "doc_id"], kind="mergesort")
+        return w.groupby("source", sort=False).head(WSAMPLE_K)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        wts = t["n_chars"].to_numpy(zero_copy_only=False)
+        keys = [
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+            * 1_000_000
+            // max(int(w), 1)
+            for i, w in zip(ids, wts)
+        ]
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "doc_id": ids,
+                # Python bigints (h·10⁶ > 2^64); object dtype compares exactly
+                "key": pd.Series(keys, dtype=object),
+            }
+        )
+        return pa.Table.from_pandas(
+            bottom_k(df).assign(key=lambda d: d["key"].astype(str)),
+            preserve_index=False,
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(key=df["key"].map(int))
+        return bottom_k(df).drop(columns=["key"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE encode (the trained tokenizer's serving path)
+# --------------------------------------------------------------------------
+
+@query(
+    "q131_bpe_encode",
+    sql="SELECT doc_id, n_words, n_subwords, n_distinct_subwords FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/bpe_encode_sf0.01.parquet') "
+    "ORDER BY doc_id",
+)
+def q131_bpe_encode(sf_dir: str):
+    """Distributed BPE ENCODING — q120's trained merges applied to every
+    document (the tokenizer serving path; its n_subwords column is the
+    exact token-budget input q101's sequence packing consumes).  Merge
+    table broadcast once; each batch encodes only its DISTINCT words
+    through a per-call memo (Zipf: types ≪ tokens) then maps
+    occurrences — zero shuffle, embarrassingly parallel
+    (``functions/bpe.py::bpe_encode``).  Merges come from the
+    distributed trainer (proven ≡ sequential by q120/test); oracle is a
+    committed fixture from the INDEPENDENT per-word sequential encoder
+    driven by the sequential trainer."""
+    from texrex_ray.functions.bpe import bpe_encode, bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_df = bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=12)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    out = bpe_encode(docs, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -805,6 +805,40 @@ def gen_bpe_merges() -> None:
           merges[0] if merges else None)
 
 
+def gen_bpe_encode() -> None:
+    """Expected q131 per-doc subword accounting from the INDEPENDENT
+    per-word sequential encoder (functions/bpe.py::bpe_encode_sequential)
+    driven by the SAME sequential trainer's merges — no Dataset machinery
+    anywhere on the oracle path."""
+    import re
+    from collections import Counter
+
+    from texrex_ray.functions.bpe import bpe_encode_sequential, bpe_train_sequential
+
+    df = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    wc: Counter[str] = Counter()
+    tok = re.compile(r"[a-z]+")
+    for s_ in df["text"]:
+        wc.update(tok.findall(str(s_).lower()))
+    merges = [(l, r) for l, r, _ in bpe_train_sequential(dict(wc), 12)]
+    enc = bpe_encode_sequential(
+        dict(zip(df["doc_id"], df["text"])), merges
+    )
+    ids = sorted(enc)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array([enc[i][0] for i in ids], pa.int64()),
+            "n_subwords": pa.array([enc[i][1] for i in ids], pa.int64()),
+            "n_distinct_subwords": pa.array([enc[i][2] for i in ids], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "bpe_encode_sf0.01.parquet"))
+    print("bpe_encode_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def gen_neighborhood_function() -> None:
     """Expected q128 HyperBall neighborhood function from the INDEPENDENT
     sequential per-edge register-merge twin."""
@@ -845,6 +879,7 @@ def main() -> None:
     gen_cdc_stats()
     gen_core_numbers()
     gen_bpe_merges()
+    gen_bpe_encode()
     gen_neighborhood_function()
 
 
