@@ -137,3 +137,100 @@ def test_weighted_sample_matches_direct_recompute(ray_session):
     # determinism across runs
     again = QUERIES["q130_weighted_sample"](sf)
     pd.testing.assert_frame_equal(got, again)
+
+
+# ------------------------------------------- cross-modal dedup (q132)
+
+def _crossmodal_brute(rows, max_hamming=6, num=3, den=5):
+    """Pure-python twin: union pairs -> components -> argmax survivor."""
+    import itertools
+    import re
+
+    tok = re.compile(r"[a-z]+")
+
+    def grams(s):
+        t = tok.findall((s or "").lower())
+        return {a + " " + b for a, b in zip(t, t[1:])}
+
+    ids = [r["image_id"] for r in rows]
+    by = {r["image_id"]: r for r in rows}
+    edges = set()
+    for a, b in itertools.combinations(sorted(ids), 2):
+        ra, rb = by[a], by[b]
+        d = bin((ra["phash"] & (1 << 64) - 1) ^ (rb["phash"] & (1 << 64) - 1)).count("1")
+        ga, gb = grams(ra["caption"]), grams(rb["caption"])
+        jacc = (
+            ga and gb and den * len(ga & gb) >= num * len(ga | gb)
+        )
+        if d <= max_hamming or jacc:
+            edges.add((a, b))
+    # components by repeated relabel
+    lab = {i: i for e in edges for i in e}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(lab[a], lab[b])
+            if lab[a] != m or lab[b] != m:
+                lab[a] = lab[b] = m
+                changed = True
+    clusters = {}
+    for i, c in lab.items():
+        clusters.setdefault(c, []).append(i)
+    out = []
+    for c, members in clusters.items():
+        best = max(
+            members, key=lambda i: (by[i]["w"] * by[i]["h"], ""), default=None
+        )
+        # ties to smaller id: sort by (px desc, id asc)
+        best = sorted(members, key=lambda i: (-by[i]["w"] * by[i]["h"], i))[0]
+        out.append(
+            {
+                "cluster_id": c,
+                "n_members": len(members),
+                "canonical_id": best,
+                "canonical_px": by[best]["w"] * by[best]["h"],
+            }
+        )
+    return pd.DataFrame(sorted(out, key=lambda r: r["cluster_id"]))
+
+
+def test_crossmodal_clusters_matches_bruteforce(ray_session):
+    from texrex_ray.dedup.crossmodal import crossmodal_clusters
+
+    rows = [
+        # pixel pair (2 bits apart), different captions
+        {"image_id": "a1", "phash": 0b1111, "caption": "red fox jumps high", "w": 32, "h": 32},
+        {"image_id": "a2", "phash": 0b1100, "caption": "completely different words here", "w": 64, "h": 16},
+        # caption pair, far phash
+        {"image_id": "b1", "phash": 1 << 40, "caption": "the quick brown fox jumps over the lazy dog", "w": 16, "h": 16},
+        {"image_id": "b2", "phash": (1 << 63) - 1, "caption": "the quick brown fox jumps over the lazy cat", "w": 16, "h": 32},
+        # bridge: near b2's caption AND near a1's phash -> merges all
+        {"image_id": "c1", "phash": 0b1011, "caption": "the quick brown fox jumps over the lazy rat", "w": 48, "h": 48},
+        # isolated: 24 bits set -> Hamming >= 20 from every other phash
+        {"image_id": "z9", "phash": 0x5555555555550000, "caption": "nothing matches this text at all", "w": 128, "h": 128},
+    ]
+    ds = ray.data.from_items(rows)
+    got = crossmodal_clusters(ds, max_hamming=6, jaccard_num=3, jaccard_den=5)
+    want = _crossmodal_brute(rows)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"n_members": "int64", "canonical_px": "int64"}).reset_index(
+            drop=True
+        ),
+    )
+    # the bridge must have fused pixel- and caption-sides into one cluster
+    assert int(got["n_members"].max()) == 5
+
+
+def test_crossmodal_clusters_empty(ray_session):
+    from texrex_ray.dedup.crossmodal import crossmodal_clusters
+
+    rows = [
+        {"image_id": "x1", "phash": 0, "caption": "alpha beta gamma", "w": 1, "h": 1},
+        {"image_id": "x2", "phash": (1 << 60) - 1, "caption": "delta epsilon zeta", "w": 1, "h": 1},
+    ]
+    ds = ray.data.from_items(rows)
+    got = crossmodal_clusters(ds, max_hamming=2, jaccard_num=1, jaccard_den=1)
+    assert got.empty
+    assert list(got.columns) == ["cluster_id", "n_members", "canonical_id", "canonical_px"]

@@ -7337,3 +7337,70 @@ def q131_bpe_encode(sf_dir: str):
     merges = list(zip(merges_df["left"], merges_df["right"]))
     out = bpe_encode(docs, merges).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Cross-modal duplicate clusters (pixels ∪ captions)
+# --------------------------------------------------------------------------
+
+_HARVEST_FIX = "/root/repo/tests/fixtures/oracle/image_harvest_sf0.01.parquet"
+
+_CROSSMODAL_FIX = "/root/repo/tests/fixtures/oracle/crossmodal_images.parquet"
+
+_CROSSMODAL_SQL = f"""
+WITH RECURSIVE p AS (
+    SELECT image_id, caption, phash, w, h FROM read_parquet('{_CROSSMODAL_FIX}')),
+toks AS (SELECT image_id, regexp_extract_all(lower(caption), '[a-z]+') AS tk FROM p),
+grams AS (
+    SELECT DISTINCT image_id, tk[i] || ' ' || tk[i+1] AS g
+    FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS t(i)),
+sizes AS (SELECT image_id, count(*) AS sz FROM grams GROUP BY image_id),
+inter AS (
+    SELECT a.image_id AS ia, b.image_id AS ib, count(*) AS ni
+    FROM grams a JOIN grams b ON a.g = b.g AND a.image_id < b.image_id
+    GROUP BY a.image_id, b.image_id),
+cpairs AS (
+    SELECT ia, ib FROM inter
+    JOIN sizes sa ON sa.image_id = ia JOIN sizes sb ON sb.image_id = ib
+    WHERE 5 * ni >= 3 * (sa.sz + sb.sz - ni)),
+ppairs AS (
+    SELECT a.image_id AS ia, b.image_id AS ib
+    FROM p a JOIN p b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+allp AS (SELECT ia, ib FROM cpairs UNION SELECT ia, ib FROM ppairs),
+edges AS (SELECT ia AS a, ib AS b FROM allp UNION ALL SELECT ib, ia FROM allp),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node),
+clusters AS (SELECT node AS image_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+m AS (SELECT c.cluster_id, c.image_id, CAST(p.w * p.h AS BIGINT) AS px,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY p.w * p.h DESC, c.image_id ASC) AS rk
+      FROM clusters c JOIN p USING (image_id))
+SELECT cluster_id, COUNT(*) AS n_members,
+       MAX(CASE WHEN rk = 1 THEN image_id END) AS canonical_id,
+       MAX(CASE WHEN rk = 1 THEN px END)       AS canonical_px
+FROM m GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+@query("q132_crossmodal_dedup", sql=_CROSSMODAL_SQL)
+def q132_crossmodal_dedup(sf_dir: str):
+    """Cross-modal duplicate clusters over the harvested image+caption
+    table — the UNION of pixel near-dups (pHash Hamming ≤ 6, block-LSH)
+    and caption near-dups (2-gram Jaccard ≥ 0.6, integer threshold),
+    fused by connected components, one canonical member elected per
+    cluster (highest resolution, ties to smaller id).  Re-encoded
+    copies drift in pHash, re-captioned mirrors drift in text; a
+    single-modality dedup misses half of them
+    (``dedup/crossmodal.py``).  Both edge lists are result-sized;
+    bytes never shuffle.  Oracle: brute-force gram self-join +
+    bit_count pairs + recursive-CTE closure + ROW_NUMBER argmax."""
+    from texrex_ray.dedup.crossmodal import crossmodal_clusters
+
+    ds = ray.data.read_parquet(
+        _CROSSMODAL_FIX, columns=["image_id", "caption", "phash", "w", "h"]
+    )
+    return crossmodal_clusters(ds, max_hamming=6, jaccard_num=3, jaccard_den=5)

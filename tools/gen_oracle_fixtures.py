@@ -839,6 +839,77 @@ def gen_bpe_encode() -> None:
     print("bpe_encode_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_crossmodal() -> None:
+    """Deterministic image+caption table with PLANTED cross-modal
+    duplicates for q132: base rows get (a) pixel near-copies (phash a
+    few bit-flips away, caption rewritten), (b) caption near-copies
+    (one word swapped, phash unrelated), and (c) combined drifters.
+    The q132 oracle brute-forces pairs + closure over this table in
+    SQL, so the fixture only needs to be deterministic — all values
+    derive from md5(tag) bits, no RNG state."""
+    import hashlib
+
+    words = [
+        "river", "bridge", "forest", "sunset", "mountain", "city",
+        "aerial", "vintage", "texture", "pattern", "macro", "light",
+        "modern", "abstract", "monochrome", "portrait", "colorful",
+    ]
+
+    def h64(tag: str) -> int:
+        return int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "little")
+
+    def caption_of(tag: str, n: int = 10) -> str:
+        return " ".join(
+            words[h64(f"{tag}|w{k}") % len(words)] for k in range(n)
+        )
+
+    rows = []
+
+    def add(img_id: str, phash: int, cap: str, tag: str) -> None:
+        rows.append(
+            {
+                "image_id": img_id,
+                "phash": np.int64(np.uint64(phash & ((1 << 64) - 1)).astype(np.int64)),
+                "caption": cap,
+                "w": 16 * (1 + h64(f"{tag}|w") % 4),
+                "h": 16 * (1 + h64(f"{tag}|h") % 4),
+            }
+        )
+
+    for i in range(60):
+        tag = f"base{i}"
+        base_ph = h64(f"{tag}|ph")
+        base_cap = caption_of(tag)
+        add(f"img{i:03d}", base_ph, base_cap, tag)
+        if i % 5 == 0:
+            # pixel near-copy: flip 3 phash bits, unrelated caption
+            ph = base_ph ^ (1 << (i % 64)) ^ (1 << ((i + 17) % 64)) ^ (1 << ((i + 41) % 64))
+            add(f"img{i:03d}p", ph, caption_of(f"{tag}|other"), f"{tag}|p")
+        if i % 7 == 0:
+            # caption near-copy: swap ONE word, unrelated phash
+            toks = base_cap.split()
+            toks[3] = words[(h64(f"{tag}|swap")) % len(words)]
+            add(f"img{i:03d}c", h64(f"{tag}|ph2"), " ".join(toks), f"{tag}|c")
+        if i % 11 == 0:
+            # both drift a little: 5 phash bits + one word
+            ph = base_ph ^ sum(1 << ((i + 3 * k) % 64) for k in range(5))
+            toks = base_cap.split()
+            toks[7] = words[(h64(f"{tag}|swap2")) % len(words)]
+            add(f"img{i:03d}b", ph, " ".join(toks), f"{tag}|b")
+
+    t = pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "phash": pa.array([int(r["phash"]) for r in rows], pa.int64()),
+            "caption": pa.array([r["caption"] for r in rows], pa.string()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "crossmodal_images.parquet"))
+    print("crossmodal_images.parquet:", t.num_rows, "rows")
+
+
 def gen_neighborhood_function() -> None:
     """Expected q128 HyperBall neighborhood function from the INDEPENDENT
     sequential per-edge register-merge twin."""
