@@ -234,3 +234,83 @@ def test_crossmodal_clusters_empty(ray_session):
     got = crossmodal_clusters(ds, max_hamming=2, jaccard_num=1, jaccard_den=1)
     assert got.empty
     assert list(got.columns) == ["cluster_id", "n_members", "canonical_id", "canonical_px"]
+
+
+# --------------------------------------------- NB classifier (q133)
+
+def test_nb_classifier_matches_sequential(ray_session):
+    from texrex_ray.functions.classify import (
+        classify,
+        classify_sequential,
+        train_class_weights,
+    )
+
+    train_rows = [
+        ("en", "the cat sat on the mat with the dog"),
+        ("en", "a dog and a cat play in the park"),
+        ("de", "der hund und die katze spielen im park"),
+        ("de", "die katze sitzt auf der matte mit dem hund"),
+        ("fr", "le chat et le chien jouent dans le parc"),
+    ]
+    test_rows = [
+        (1, "the cat and the dog"),
+        (2, "der hund im park"),
+        (3, "le chat dans le parc"),
+        (4, "cat katze chat"),  # genuinely ambiguous -> tie rule decides
+        (5, ""),  # no tokens -> dropped
+    ]
+    want = classify_sequential(train_rows, test_rows)
+    tr = ray.data.from_items(
+        [{"lang": l, "text": s} for l, s in train_rows]
+    )
+    te = ray.data.from_items(
+        [{"doc_id": i, "text": s} for i, s in test_rows]
+    )
+    w, d, v = train_class_weights(tr)
+    got = classify(te, w, d).to_pandas().set_index("doc_id")
+    assert set(got.index) == set(want)
+    for did, (lab, sc) in want.items():
+        assert got.loc[did, "pred"] == lab
+        assert int(got.loc[did, "score"]) == sc
+    assert v == len({t for _, s in train_rows for t in s.split()})
+
+
+# --------------------------------------------- zone-map pruning
+
+def test_zonemap_pruned_read(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from texrex_ray.sources.zonemap import fragment_zones, pruned_read
+
+    # 8 fragments laid out by key range: file k holds keys [100k, 100k+99]
+    d = tmp_path / "frags"
+    d.mkdir()
+    for k in range(8):
+        keys = list(range(100 * k, 100 * k + 100))
+        pq.write_table(
+            pa.table({"key": pa.array(keys, pa.int64()),
+                      "payload": pa.array([f"v{v}" for v in keys])}),
+            str(d / f"part{k}.parquet"),
+        )
+
+    zones = fragment_zones(str(d), "key")
+    assert len(zones) == 8 and zones[0].vmin == 0 and zones[0].vmax == 99
+
+    ds, stats = pruned_read(str(d), column="key", lo=250, hi=449)
+    assert stats["files_total"] == 8
+    assert stats["files_kept"] == 3      # parts 2,3,4 overlap [250,449]
+    assert stats["files_pruned"] == 5
+    assert stats["rows_skipped"] == 500
+    got = sorted(r["key"] for r in ds.take_all())
+    assert got == list(range(250, 450))  # residual filter still exact
+
+    # empty window -> schema-stable empty dataset, everything pruned
+    ds0, st0 = pruned_read(str(d), column="key", lo=5000, hi=6000)
+    assert st0["files_kept"] == 0 and ds0.count() == 0
+    assert ds0.schema().names == ["key", "payload"]
+
+    # column pruning keeps the filter column internal when not requested
+    ds2, _ = pruned_read(str(d), column="key", lo=0, hi=99, columns=["payload"])
+    rows = ds2.take_all()
+    assert len(rows) == 100 and set(rows[0].keys()) == {"payload"}

@@ -7404,3 +7404,174 @@ def q132_crossmodal_dedup(sf_dir: str):
         _CROSSMODAL_FIX, columns=["image_id", "caption", "phash", "w", "h"]
     )
     return crossmodal_clusters(ds, max_hamming=6, jaccard_num=3, jaccard_den=5)
+
+
+# --------------------------------------------------------------------------
+# Count-based document classifier (multinomial-NB shape)
+# --------------------------------------------------------------------------
+
+_NB_SQL = """
+WITH split AS (
+    SELECT doc_id, text, lang,
+           md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+    FROM documents),
+train AS (SELECT * FROM split WHERE b < 80),
+test  AS (SELECT * FROM split WHERE b >= 80),
+ttok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+         FROM train),
+cnt AS (SELECT lang, tok, count(*) AS n FROM ttok GROUP BY lang, tok),
+tot AS (SELECT lang, count(*) AS t FROM ttok GROUP BY lang),
+voc AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+htok AS (SELECT doc_id, tok, count(*) AS tf FROM
+         (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM test)
+         GROUP BY doc_id, tok),
+sc AS (SELECT h.doc_id, c.lang,
+              sum(h.tf * ((COALESCE(cnt.n, 0) + 1) * 1000000
+                          // (c.t + (SELECT v FROM voc)))) AS s
+       FROM htok h CROSS JOIN tot c
+       LEFT JOIN cnt ON cnt.lang = c.lang AND cnt.tok = h.tok
+       GROUP BY h.doc_id, c.lang),
+pred AS (SELECT doc_id, lang, s,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, lang ASC) AS rk
+         FROM sc)
+SELECT doc_id, lang AS pred, CAST(s AS BIGINT) AS score
+FROM pred WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+@query("q133_nb_classifier", sql=_NB_SQL)
+def q133_nb_classifier(sf_dir: str):
+    """Distributed count-based document classifier trained AND served in
+    place (multinomial-Naive-Bayes shape; the language/quality gate a
+    corpus pipeline bootstraps from its own labels).  Train on the q47
+    md5-deterministic 80% split: per-batch token-count partials → ONE
+    (class, token)-keyed exchange (model-sized, ≪ corpus); serve the
+    20% holdout with the weight table broadcast once — zero shuffle.
+    Integer-exact log-free weights ``(C+1)·10⁶ // (T_c+V)`` make the
+    argmax bit-identical across engines (documented deviation from
+    Σ tf·log p̂; ``functions/classify.py``).  Oracle recomputes the
+    whole train+serve chain in SQL."""
+    from texrex_ray.functions.classify import classify, train_class_weights
+    from texrex_ray.functions.hashing import md5_lower64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = md5_lower64([str(i) for i in t["doc_id"].to_pylist()]) % 100
+        return t.append_column("b", pa.array(b.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    train = tagged.filter(expr="b < 80")
+    test = tagged.filter(expr="b >= 80")
+    n = tagged.count()
+    weights, defaults, _ = train_class_weights(train, expected_rows=n * 100)
+    out = classify(test, weights, defaults).to_pandas()
+    out = out.rename(columns={"pred": "pred"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Recrawl scheduling: change-rate × age priority (freshness crawl)
+# --------------------------------------------------------------------------
+
+_RECRAWL_SQL = """
+WITH f AS (
+    SELECT user_id AS page, epoch_us(ts) AS t, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+    FROM events),
+per AS (
+    SELECT page, count(*) AS n_fetches,
+           sum(CASE WHEN pv IS NOT NULL AND value <> pv THEN 1 ELSE 0 END)
+               AS n_changes,
+           max(t) AS last_t
+    FROM f GROUP BY page),
+g AS (SELECT max(last_t) AS mt FROM per)
+SELECT page,
+       CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(((SELECT mt FROM g) - last_t) // 1000000 AS BIGINT) AS age_s,
+       CAST((((SELECT mt FROM g) - last_t) // 1000000)
+            * (CASE WHEN n_fetches = 1 THEN 1000000
+                    ELSE 1000000 * n_changes // (n_fetches - 1) END + 1)
+            AS BIGINT) AS priority
+FROM per
+ORDER BY priority DESC, page
+LIMIT 100
+"""
+
+
+@query("q134_recrawl_priority", sql=_RECRAWL_SQL)
+def q134_recrawl_priority(sf_dir: str):
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina 2000
+    shape): pages that change often and haven't been fetched recently
+    come first.  The fetch history (here: the events log read as
+    page=user_id, fetch time=ts, content signature=value) yields a
+    per-page OBSERVED change rate — consecutive-fetch signature flips
+    over refetches — and ``priority = age_s · (rate_ppm + 1)`` with
+    never-refetched pages at the max-explore rate.  Integer-exact
+    throughout (epoch_us // and ppm //).
+
+    Scale shape: ordered adjacency (lag) forces ONE page-keyed
+    bucketed exchange of narrow (page, t, value) rows; each bucket
+    does a vectorized sort + grouped shift-compare; the per-page
+    result is site-table-sized, finished on the driver (global max
+    timestamp is one scalar).  Oracle: the same lag/aggregate chain
+    as a SQL window query."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    n = ds.count()
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "page": pc.cast(t["user_id"], pa.int64()),
+                "t": pc.cast(t["ts"], pa.int64()),  # timestamp[us] -> µs
+                "value": t["value"],
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+            }
+        )
+
+    def per_page(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["page", "t", "event_id"], kind="mergesort")
+        g = df.groupby("page", sort=False)
+        prev = g["value"].shift()
+        changed = prev.notna() & (df["value"] != prev)
+        out = pd.DataFrame(
+            {
+                "n_fetches": g.size(),
+                "n_changes": changed.groupby(df["page"]).sum().astype("int64"),
+                "last_t": g["t"].max(),
+            }
+        ).reset_index()
+        return out
+
+    per = bucketed_groupby(
+        ds.map_batches(project, batch_format="pyarrow"),
+        "page",
+        per_page,
+        expected_rows=n,
+    ).to_pandas()  # site-table-sized
+
+    mt = int(per["last_t"].max())
+    age_s = (mt - per["last_t"].astype("int64")) // 1_000_000
+    nf = per["n_fetches"].astype("int64")
+    nc = per["n_changes"].astype("int64")
+    rate = np.where(nf == 1, 1_000_000, 1_000_000 * nc // np.maximum(nf - 1, 1))
+    per_out = pd.DataFrame(
+        {
+            "page": per["page"].astype("int64"),
+            "n_fetches": nf,
+            "n_changes": nc,
+            "age_s": age_s.astype("int64"),
+            "priority": (age_s * (rate + 1)).astype("int64"),
+        }
+    )
+    return (
+        per_out.sort_values(["priority", "page"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
