@@ -314,3 +314,59 @@ def test_zonemap_pruned_read(ray_session, tmp_path):
     ds2, _ = pruned_read(str(d), column="key", lo=0, hi=99, columns=["payload"])
     rows = ds2.take_all()
     assert len(rows) == 100 and set(rows[0].keys()) == {"payload"}
+
+
+# -------------------------------------- heavy hitters (q135) / strat (q136)
+
+def test_topm_summary_upper_bound_and_exactness(ray_session):
+    from collections import Counter
+
+    from texrex_ray.ops.spacesaving import heavy_hitters, topm_summary
+
+    # zipf-ish stream split over many small blocks
+    rng = np.random.default_rng(5)
+    items = [f"w{int(z)}" for z in rng.zipf(1.6, 4000) if z < 60]
+    truth = Counter(items)
+    ds = ray.data.from_items([{"x": i} for i in items]).repartition(16)
+
+    def items_of(t):
+        return t["x"].to_pylist()
+
+    thr = 30
+    # m=4 over 16 blocks: residuals sum past the threshold -> the op must
+    # refuse the sketch and fall back to the exact keyed count
+    got = heavy_hitters(ds, items_of, threshold=thr, m=4)
+    want = sorted(
+        ((k, v) for k, v in truth.items() if v >= thr),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+    # m >= vocab: residuals are 0, the certified sketch path runs
+    got2 = heavy_hitters(ds, items_of, threshold=thr, m=64)
+    assert list(map(tuple, got2.itertuples(index=False))) == want
+
+    # m larger than vocab -> summary IS the exact count, resid 0
+    kept, resid = topm_summary(Counter({"a": 5, "b": 2}), m=10)
+    assert kept == [("a", 5), ("b", 2)] and resid == 0
+    # truncation keeps count-desc/item-asc ties and reports max discarded
+    kept, resid = topm_summary(Counter({"a": 5, "b": 5, "c": 4}), m=1)
+    assert kept == [("a", 5)] and resid == 5
+
+
+def test_proportional_sample_budget_exact(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES, STRAT_BUDGET
+
+    got = QUERIES["q136_proportional_sample"]("/root/testdata/sf0.001")
+    assert len(got) == STRAT_BUDGET  # Hamilton quotas sum EXACTLY
+    assert got["doc_id"].is_unique
+    # proportionality: no source exceeds its ceiling quota by > 1
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["source"]
+    ).to_pandas()
+    share = df["source"].value_counts(normalize=True)
+    took = got["source"].value_counts()
+    for s, k in took.items():
+        assert abs(k - STRAT_BUDGET * share[s]) <= 1.0

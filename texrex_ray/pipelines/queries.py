@@ -7575,3 +7575,143 @@ def q134_recrawl_priority(sf_dir: str):
         .head(100)
         .reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------------------------
+# Token heavy hitters via top-m + residual summaries (SpaceSaving family)
+# --------------------------------------------------------------------------
+
+HH_THRESHOLD = 900
+
+
+@query(
+    "q135_token_heavy_hitters",
+    sql=f"""
+    WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item
+               FROM documents)
+    SELECT item, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY item HAVING count(*) >= {HH_THRESHOLD}
+    ORDER BY n DESC, item
+    """,
+)
+def q135_token_heavy_hitters(sf_dir: str):
+    """Corpus-vocabulary heavy hitters with a MERGEABLE top-m+residual
+    summary (the deterministic SpaceSaving cousin of q56's count-min):
+    each batch folds exact local token counts into top-16 + the largest
+    discarded count, the driver reduces n_blocks·17 rows into
+    never-underestimating upper bounds (unconditional superset — no
+    N/m precondition), and an exact ``pc.is_in``-prefiltered count
+    verifies candidates.  Stop-word discovery, boilerplate-vocab
+    detection, tokenizer-pretraining floors — all read this list.
+    ``ops/spacesaving.py``; m=16 < the fixture's 31-token vocab, so
+    the truncation path truly runs.  Oracle: plain HAVING count."""
+    from texrex_ray.ops.spacesaving import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def items_of(t: pa.Table) -> list[str]:
+        out: list[str] = []
+        for s in t["text"].to_pylist():
+            out.extend(_TOKEN_RE.findall((s or "").lower()))
+        return out
+
+    return heavy_hitters(ds, items_of, threshold=HH_THRESHOLD, m=16)
+
+
+# --------------------------------------------------------------------------
+# Proportional stratified sample (Hamilton quotas × bottom-k-by-hash)
+# --------------------------------------------------------------------------
+
+STRAT_BUDGET = 40
+
+
+@query(
+    "q136_proportional_sample",
+    sql=f"""
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n) AS t FROM cnt),
+    quota AS (SELECT source, ({STRAT_BUDGET} * n) // (SELECT t FROM tot) AS q,
+                     ({STRAT_BUDGET} * n) % (SELECT t FROM tot) AS rem
+              FROM cnt),
+    base AS (SELECT sum(q) AS bq FROM quota),
+    rk AS (SELECT source, q,
+                  ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS r
+           FROM quota),
+    final AS (SELECT source,
+                     q + CASE WHEN r <= {STRAT_BUDGET} - (SELECT bq FROM base)
+                              THEN 1 ELSE 0 END AS k
+              FROM rk),
+    ranked AS (SELECT source, doc_id,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY source
+                          ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                   doc_id) AS rn
+               FROM documents)
+    SELECT r.source, r.doc_id
+    FROM ranked r JOIN final f USING (source)
+    WHERE r.rn <= f.k
+    ORDER BY source, doc_id
+    """,
+)
+def q136_proportional_sample(sf_dir: str):
+    """PROPORTIONAL stratified sample: a global budget of
+    {STRAT_BUDGET} documents split across sources by largest-remainder
+    (Hamilton) apportionment — quotas sum to the budget EXACTLY, unlike
+    per-source rounding — then filled deterministically per source by
+    bottom-k-by-md5 (q52's combiner plan with a per-source k).  The
+    eval-set builder's sampler: representation ∝ corpus share, no RNG
+    state, any shard can re-derive membership.  Two source-sized
+    exchanges (counts, winners); the corpus never shuffles.  Composes
+    q116's apportionment with q52's sampling — both already
+    oracle-proven; the SQL twin chains the same CTEs."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    counts = (
+        ds.groupby("source").count().to_pandas()
+    )  # source-cardinality
+    counts = counts.rename(columns={"count()": "n"}).sort_values("source")
+    total = int(counts["n"].sum())
+    q = (STRAT_BUDGET * counts["n"].astype("int64")) // total
+    rem = (STRAT_BUDGET * counts["n"].astype("int64")) % total
+    leftover = STRAT_BUDGET - int(q.sum())
+    order = np.lexsort((counts["source"].to_numpy(), -rem.to_numpy()))
+    bump = np.zeros(len(counts), dtype=np.int64)
+    bump[order[:leftover]] = 1
+    quotas = dict(zip(counts["source"], (q.to_numpy() + bump).astype(int)))
+    q_ref = ray.put(quotas)
+
+    def bottom_k(df: pd.DataFrame, ks: dict) -> pd.DataFrame:
+        w = df.sort_values(["source", "hk", "doc_id"], kind="mergesort")
+        return (
+            w.groupby("source", sort=False, group_keys=False)
+            .apply(lambda g: g.head(ks.get(g.name, 0)))
+            .reset_index(drop=True)
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(q_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hk = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        df = pd.DataFrame({"source": t["source"].to_pylist(), "doc_id": ids, "hk": hk})
+        return pa.Table.from_pandas(bottom_k(df, ks), preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(q_ref)
+        return bottom_k(df, ks).drop(columns=["hk"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
