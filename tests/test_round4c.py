@@ -370,3 +370,53 @@ def test_proportional_sample_budget_exact(ray_session):
     took = got["source"].value_counts()
     for s, k in took.items():
         assert abs(k - STRAT_BUDGET * share[s]) <= 1.0
+
+
+# ------------------------------------- warm-start pagerank (q137)
+
+def test_pagerank_warm_start_equals_straight_run(ray_session):
+    from texrex_ray.ops.graph import pagerank_int
+
+    rng = np.random.default_rng(23)
+    nodes = [f"p{i}" for i in range(50)]
+    edges = [
+        (nodes[i], nodes[j])
+        for i in range(50)
+        for j in range(50)
+        if i != j and rng.random() < 0.06
+    ]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+
+    straight = pagerank_int(ds, iters=5)
+    first3 = pagerank_int(ds, iters=3)
+    warm = pagerank_int(ds, iters=2, init_ranks=first3)
+    pd.testing.assert_frame_equal(warm, straight)
+
+    # Dataset prior on the shuffle plan (the checkpoint-table path;
+    # dict priors route through the same join, so one case covers both)
+    prior_ds = ray.data.from_arrow(
+        __import__("pyarrow").table(
+            {
+                "page": first3["page"].tolist(),
+                "rank": first3["rank"].tolist(),
+            }
+        )
+    )
+    warm_ds = pagerank_int(ds, iters=2, plan="shuffle", init_ranks=prior_ds)
+    pd.testing.assert_frame_equal(warm_ds, straight)
+
+
+def test_pagerank_warm_start_missing_nodes_cold_start(ray_session):
+    from texrex_ray.ops.graph import pagerank_int
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    # prior knows only 'a'; b and c must cold-start at scale
+    warm = pagerank_int(ds, iters=1, init_ranks={"a": 42})
+    # manual: contrib a=42//1, b=1000000//1, c=1000000//1
+    want = {
+        "b": 150000 + 850 * 42 // 1000,
+        "c": 150000 + 850 * 1_000_000 // 1000,
+        "a": 150000 + 850 * 1_000_000 // 1000,
+    }
+    assert dict(zip(warm["page"], warm["rank"])) == want

@@ -72,6 +72,7 @@ def pagerank_int(
     dst: str = "dst",
     plan: str = "broadcast",
     seeds: set[str] | frozenset[str] | None = None,
+    init_ranks: dict[str, int] | pd.DataFrame | ray.data.Dataset | None = None,
 ) -> pd.DataFrame:
     """(page, rank) for every node, after ``iters`` exact-integer steps.
 
@@ -81,6 +82,17 @@ def pagerank_int(
     ``r_0(v) = scale·[v∈S]``, ``base_v = base·[v∈S]`` — so rank flows
     outward from the seeds; pages unreachable from S stay at 0.  The
     seed set is crawl-config-sized (a curated list), broadcast once.
+
+    ``init_ranks`` WARM-STARTS the iteration from a prior (page, rank)
+    state — the checkpointed-rank-maintenance path between crawl
+    rounds: running k iterations then ``init_ranks=`` the result for
+    j more is bit-identical to k+j straight iterations over the same
+    graph, so rank state can persist per round instead of recomputing
+    from scratch.  Nodes absent from the prior state start at the
+    cold-start value (``scale``, seed-masked when ``seeds`` is set).
+    Accepts a dict / (page, rank) DataFrame (node-sized driver state —
+    the broadcast plan's contract) or a Dataset (checkpoint table;
+    the shuffle plan joins it in without driver materialization).
     """
     # pin the edge list: the input lineage (e.g. crawl -> link extraction)
     # must not re-execute on every iteration pass (same reason as
@@ -92,7 +104,7 @@ def pagerank_int(
     if plan == "shuffle":
         return _pagerank_shuffle(
             edges, iters=iters, scale=scale, damping_pm=damping_pm,
-            base=base, src=src, dst=dst, seeds=seeds,
+            base=base, src=src, dst=dst, seeds=seeds, init_ranks=init_ranks,
         )
     if plan != "broadcast":
         raise ValueError(f"unknown plan={plan!r}")
@@ -127,6 +139,12 @@ def pagerank_int(
         seed_mask = np.isin(nodes, np.array(sorted(seeds), dtype=object))
         rank_arr = np.where(seed_mask, np.int64(scale), np.int64(0))
         base_arr = np.where(seed_mask, np.int64(base), np.int64(0))
+    if init_ranks is not None:
+        init_map = _init_rank_map(init_ranks)
+        rank_arr = np.array(
+            [int(init_map.get(v, rank_arr[i])) for i, v in enumerate(nodes)],
+            dtype=np.int64,
+        )
 
     for _ in range(iters):
         # contribution per SOURCE node, computed once (r // deg, dense by
@@ -162,6 +180,20 @@ def pagerank_int(
     ).reset_index(drop=True)
 
 
+def _init_rank_map(init_ranks) -> dict:
+    """Normalize a warm-start state (dict / DataFrame / Dataset) to a
+    page->rank dict.  Driver-side by design: callers on the broadcast
+    plan already hold node-sized state; the shuffle plan never calls
+    this for Dataset inputs."""
+    if isinstance(init_ranks, dict):
+        return init_ranks
+    if isinstance(init_ranks, pd.DataFrame):
+        return dict(zip(init_ranks["page"], init_ranks["rank"]))
+    return dict(
+        zip(*(lambda d: (d["page"], d["rank"]))(init_ranks.to_pandas()))
+    )
+
+
 def _pagerank_shuffle(
     edges: ray.data.Dataset,
     *,
@@ -172,6 +204,7 @@ def _pagerank_shuffle(
     src: str,
     dst: str,
     seeds: set[str] | frozenset[str] | None = None,
+    init_ranks=None,
 ) -> pd.DataFrame:
     """Distributed-rank-state plan: the rank table is a Dataset keyed by
     node and every iteration exchanges it with the edges via bucketed
@@ -200,6 +233,45 @@ def _pagerank_shuffle(
         return t.append_column("rank", pa.array(r))
 
     rank_ds = nodes_ds.map_batches(init_rank, batch_format="pyarrow")
+
+    if init_ranks is not None:
+        # warm start: join the prior (page, rank) state onto the node
+        # table; nodes absent from the prior keep the cold-start value.
+        # A Dataset prior joins WITHOUT driver materialization (the
+        # checkpoint table stays distributed); small priors ship as one.
+        from texrex_ray.ops.join import shuffle_join
+
+        if isinstance(init_ranks, ray.data.Dataset):
+            prior_ds = init_ranks.select_columns(["page", "rank"])
+        else:
+            pm = _init_rank_map(init_ranks)
+            prior_ds = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "page": pa.array(list(pm.keys()), pa.string()),
+                        "rank": pa.array(
+                            [int(v) for v in pm.values()], pa.int64()
+                        ),
+                    }
+                )
+            )
+        prior_ds = prior_ds.map_batches(
+            lambda t: t.rename_columns(["node", "prio_r"]),
+            batch_format="pyarrow",
+        )
+        joined0 = shuffle_join(
+            rank_ds, prior_ds, on="node", how="left", expected_rows=n_nodes
+        )
+
+        def pick_init(df: pd.DataFrame) -> pd.DataFrame:
+            warm = df["prio_r"].to_numpy(dtype="float64")
+            cold = df["rank"].to_numpy(dtype=np.int64)
+            r = np.where(np.isnan(warm), cold, warm).astype(np.int64)
+            return pd.DataFrame({"node": df["node"], "d": df["d"], "rank": r})
+
+        rank_ds = joined0.map_batches(pick_init, batch_format="pandas")
+
+    rank_ds = rank_ds.materialize()
 
     for _ in range(iters):
         joined = shuffle_join(

@@ -7715,3 +7715,46 @@ def q136_proportional_sample(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Warm-start PageRank: checkpointed rank maintenance between crawl rounds
+# --------------------------------------------------------------------------
+
+_PR_ITER = """
+r{n} AS (SELECT n.p, CAST(150000 + (850 * COALESCE(SUM(r{p}.r // dg.d), 0)) // 1000 AS BIGINT) AS r
+       FROM nodes n
+       LEFT JOIN e ON e.dst = n.p
+       LEFT JOIN deg dg ON dg.src = e.src
+       LEFT JOIN r{p} ON r{p}.p = e.src
+       GROUP BY n.p)"""
+
+_WARM_PR_SQL = (
+    f"""WITH e AS (SELECT src, dst FROM read_parquet('{_EDGE_FIXTURE}')),
+    nodes AS (SELECT src AS p FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT p, CAST(1000000 AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_PR_ITER.format(n=i, p=i - 1) for i in range(1, 6))
+    + """
+    SELECT p AS page, r AS rank FROM r5 ORDER BY rank DESC, page"""
+)
+
+
+@query("q137_warm_start_pagerank", sql=_WARM_PR_SQL)
+def q137_warm_start_pagerank(sf_dir: str):
+    """Checkpointed rank maintenance: run 3 PageRank iterations, persist
+    the (page, rank) state, WARM-START 2 more from it — bit-identical
+    to 5 straight iterations, so a crawl can keep refining ranks
+    round over round without ever recomputing from scratch
+    (``pagerank_int(init_ranks=)``; the graph sibling of q91's
+    incremental aggregate maintenance).  Nodes unseen by the prior
+    state cold-start at ``scale``; both plans carry the prior — the
+    broadcast plan as a node-sized dict, the shuffle plan by joining
+    the checkpoint TABLE in without driver materialization.  Oracle
+    unrolls the full 5 iterations as SQL CTEs (it has no checkpoint —
+    equality proves the warm start loses nothing)."""
+    from texrex_ray.ops.graph import pagerank_int
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    first3 = pagerank_int(edges, iters=3)
+    return pagerank_int(edges, iters=2, init_ranks=first3)
