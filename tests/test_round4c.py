@@ -420,3 +420,48 @@ def test_pagerank_warm_start_missing_nodes_cold_start(ray_session):
         "a": 150000 + 850 * 1_000_000 // 1000,
     }
     assert dict(zip(warm["page"], warm["rank"])) == want
+
+
+# ------------------------------------ co-partitioned join (q138)
+
+def test_copartitioned_join_matches_pandas(ray_session, tmp_path):
+    import pytest
+
+    from texrex_ray.ops.bucket_join import copartitioned_join
+    from texrex_ray.state.resume import write_partitioned_by_key
+
+    rng = np.random.default_rng(31)
+    a = pd.DataFrame(
+        {"k": rng.integers(0, 40, 200), "va": rng.integers(0, 1000, 200)}
+    )
+    b = pd.DataFrame(
+        {"k": rng.integers(0, 50, 300), "vb": rng.integers(0, 1000, 300)}
+    )
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_partitioned_by_key(ray.data.from_pandas(a), da, "k", 8)
+    write_partitioned_by_key(ray.data.from_pandas(b), db, "k", 8)
+
+    got = (
+        copartitioned_join(da, db, "k", how="inner")
+        .to_pandas()
+        .sort_values(["k", "va", "vb"])
+        .reset_index(drop=True)
+    )
+    want = (
+        a.merge(b, on="k", how="inner")
+        .sort_values(["k", "va", "vb"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64", "va": "int64", "vb": "int64"}), want
+    )
+
+    # left join keeps unmatched left rows
+    gl = copartitioned_join(da, db, "k", how="left").to_pandas()
+    assert len(gl) == len(a.merge(b, on="k", how="left"))
+
+    # layout mismatch (different bucket counts) must raise loudly
+    dc = str(tmp_path / "c")
+    write_partitioned_by_key(ray.data.from_pandas(b), dc, "k", 4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        copartitioned_join(da, dc, "k")

@@ -7758,3 +7758,65 @@ def q137_warm_start_pagerank(sf_dir: str):
     edges = ray.data.read_parquet(_EDGE_FIXTURE)
     first3 = pagerank_int(edges, iters=3)
     return pagerank_int(edges, iters=2, init_ranks=first3)
+
+
+# --------------------------------------------------------------------------
+# Co-partitioned (bucketed) join — a join with zero shuffle
+# --------------------------------------------------------------------------
+
+@query(
+    "q138_copartitioned_join",
+    sql="""
+    SELECT c.c_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS total_c
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY custkey
+    """,
+)
+def q138_copartitioned_join(sf_dir: str):
+    """Customer⋈orders with ZERO shuffle: both tables are first laid out
+    hash-partitioned on the customer key by the resumable sink
+    (``state/resume.py::write_partitioned_by_key`` — the layout a
+    recurring pipeline persists anyway), then
+    ``ops/bucket_join.py::copartitioned_join`` merges partition pairs
+    in independent map tasks (the Hive bucketed-join pattern; layout
+    contract CHECKED via the _COMMIT markers, mismatched bucket counts
+    raise).  At 100 TB this converts the recurring big-big join into a
+    map-only pass paid once at write time.  The per-customer aggregate
+    closes inside the same partition tasks — custkey never crosses a
+    partition boundary by construction."""
+    import shutil
+    import tempfile
+
+    from texrex_ray.ops.bucket_join import copartitioned_join
+    from texrex_ray.state.resume import write_partitioned_by_key
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    root = tempfile.mkdtemp(prefix="coparty_", dir="/tmp")
+    try:
+        write_partitioned_by_key(cust, f"{root}/cust", "c_custkey", 8)
+        write_partitioned_by_key(orders, f"{root}/orders", "c_custkey", 8)
+        joined = copartitioned_join(
+            f"{root}/cust", f"{root}/orders", "c_custkey", how="inner"
+        )
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("c_custkey", as_index=False).agg(
+                n_orders=("o_totalprice", "size"),
+                total_c=("o_totalprice", lambda s: int(round(float(s.sum()) * 100))),
+            )
+            return g
+
+        out = joined.map_batches(agg, batch_format="pandas", batch_size=None).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = out.rename(columns={"c_custkey": "custkey"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_c"] = out["total_c"].astype("int64")
+    return out.sort_values("custkey").reset_index(drop=True)
