@@ -465,3 +465,50 @@ def test_copartitioned_join_matches_pandas(ray_session, tmp_path):
     write_partitioned_by_key(ray.data.from_pandas(b), dc, "k", 4)
     with pytest.raises(ValueError, match="layout mismatch"):
         copartitioned_join(da, dc, "k")
+
+
+# ---------------------------------- incremental quantiles (q139)
+
+def test_histogram_state_merge_identity(ray_session):
+    from texrex_ray.ops.quantiles import (
+        grouped_exact_quantiles,
+        histogram_state,
+        quantiles_from_states,
+    )
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": rng.integers(0, 50, 500).astype("int64"),
+            "shard": rng.integers(0, 4, 500),
+        }
+    )
+    full = ray.data.from_pandas(df[["g", "v"]])
+    # shard-by-shard states must merge to the full-corpus state
+    states = [
+        histogram_state(ray.data.from_pandas(part[["g", "v"]]), "g", "v")
+        for _, part in df.groupby("shard")
+    ]
+    merged = (
+        pd.concat(states).groupby(["g", "v"], as_index=False)["cnt"].sum()
+    )
+    direct = histogram_state(full, "g", "v")
+    pd.testing.assert_frame_equal(
+        merged.sort_values(["g", "v"]).reset_index(drop=True),
+        direct.sort_values(["g", "v"]).reset_index(drop=True),
+    )
+    # counts conserve exactly (a doubled merge would pass quantiles
+    # unchanged -- the count identity is the real incremental gate)
+    assert int(merged["cnt"].sum()) == len(df)
+
+    got = quantiles_from_states(states, "g", "v", [0.5, 0.9])
+    want = (
+        grouped_exact_quantiles(full, "g", "v", [0.5, 0.9])
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("g").reset_index(drop=True)[want.columns], want
+    )

@@ -79,3 +79,69 @@ def grouped_exact_quantiles(
         select,
         expected_rows=expected_groups,
     )
+
+
+def histogram_state(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    expected_groups: int | None = None,
+) -> pd.DataFrame:
+    """Mergeable (group, value, cnt) counting-histogram of a corpus —
+    the PERSISTABLE state behind exact quantiles: histograms add, so a
+    corpus ingested in shards keeps exact quantiles WITHOUT ever
+    re-scanning history (q91's mergeable-monoid contract, here for
+    order statistics).  Domain-sized, one keyed exchange."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.groupby([group_col, value_col], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return c.astype({"cnt": "int64"})
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col, value_col],
+        lambda g: g.groupby([group_col, value_col], as_index=False)["cnt"].sum(),
+        expected_rows=expected_groups,
+    ).to_pandas()
+
+
+def quantiles_from_states(
+    states: list[pd.DataFrame],
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+) -> pd.DataFrame:
+    """Exact PERCENTILE_DISC quantiles from merged histogram states.
+
+    ``sum(states)`` is the only work — history histograms merge with the
+    increment's by keyed addition; the discrete-quantile pick is
+    identical to ``grouped_exact_quantiles``'s finish."""
+
+    def name_of(q: float) -> str:
+        s = f"{q * 100:.10g}".replace(".", "_")
+        return f"p{s}"
+
+    merged = (
+        pd.concat(states, ignore_index=True)
+        .groupby([group_col, value_col], as_index=False)["cnt"]
+        .sum()
+    )
+    rows = []
+    for g, sub in merged.groupby(group_col, sort=True):
+        agg = sub.groupby(value_col, sort=True)["cnt"].sum()
+        vals = agg.index.to_numpy()
+        cum = agg.to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {group_col: g}
+        for q in qs:
+            pos = max(int(np.ceil(q * n)), 1)  # 1-indexed PERCENTILE_DISC
+            row[name_of(q)] = int(vals[np.searchsorted(cum, pos, side="left")])
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -7820,3 +7820,58 @@ def q138_copartitioned_join(sf_dir: str):
     out["n_orders"] = out["n_orders"].astype("int64")
     out["total_c"] = out["total_c"].astype("int64")
     return out.sort_values("custkey").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Incremental quantile maintenance (mergeable counting histograms)
+# --------------------------------------------------------------------------
+
+@query(
+    "q139_incremental_quantiles",
+    sql="""
+    SELECT event_type,
+           CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q139_incremental_quantiles(sf_dir: str):
+    """Incremental EXACT quantile maintenance: the per-group counting
+    histogram (q46/q100's exchange shape) is a mergeable monoid, so a
+    corpus ingested shard-by-shard keeps exact PERCENTILE_DISC
+    quantiles by ADDING histograms — history rows are never re-scanned
+    (the order-statistics sibling of q91's moment merge and q137's
+    rank warm start; ``ops/quantiles.py::histogram_state /
+    quantiles_from_states``).  Here the events stream splits into a
+    persisted 80% history and a 20% increment; each side builds its
+    state independently, one keyed addition merges them.  Oracle:
+    live quantile_disc over the FULL corpus — equality proves the
+    merge loses nothing."""
+    from texrex_ray.ops.quantiles import histogram_state, quantiles_from_states
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        b = pc.cast(
+            pc.subtract(
+                t["event_id"],
+                pc.multiply(pc.divide(t["event_id"], pa.scalar(10)), pa.scalar(10)),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"b": b, "event_type": t["event_type"], "v_c": v}
+        )
+
+    tagged = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    history = tagged.filter(expr="b < 8")
+    incr = tagged.filter(expr="b >= 8")
+    st_h = histogram_state(history, "event_type", "v_c")
+    st_i = histogram_state(incr, "event_type", "v_c")
+    out = quantiles_from_states([st_h, st_i], "event_type", "v_c", [0.5, 0.9])
+    out = out.rename(columns={"p50": "p50", "p90": "p90"})
+    out["p50"] = out["p50"].astype("int64")
+    out["p90"] = out["p90"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
