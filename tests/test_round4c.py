@@ -512,3 +512,54 @@ def test_histogram_state_merge_identity(ray_session):
     pd.testing.assert_frame_equal(
         got.sort_values("g").reset_index(drop=True)[want.columns], want
     )
+
+
+# ------------------------------------- local PPR push (q140)
+
+def test_ppr_push_matches_sequential(ray_session):
+    from texrex_ray.ops.graph import ppr_push_int, ppr_push_sequential
+
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [
+        (nodes[i], nodes[j])
+        for i in range(40)
+        for j in range(40)
+        if i < j and rng.random() < 0.08
+    ]
+    edges += edges[:5] + [(b, a) for a, b in edges[:5]]  # dups + reversed
+    edges += [("n0", "n0")]  # self loop dropped
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = ppr_push_int(ds, "n0", max_rounds=12)
+    want = ppr_push_sequential(edges, "n0", max_rounds=12)
+    assert {
+        r["page"]: (r["p"], r["r"]) for _, r in got.iterrows()
+    } == want
+
+
+def test_ppr_push_locality_and_mass(ray_session):
+    from texrex_ray.ops.graph import ppr_push_int
+
+    # two cliques joined by one bridge edge: mass must concentrate in
+    # the seed's clique
+    k1 = [f"a{i}" for i in range(6)]
+    k2 = [f"b{i}" for i in range(6)]
+    edges = [(x, y) for i, x in enumerate(k1) for y in k1[i + 1 :]]
+    edges += [(x, y) for i, x in enumerate(k2) for y in k2[i + 1 :]]
+    edges += [("a0", "b0")]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = ppr_push_int(ds, "a0")
+    by = dict(zip(got["page"], got["p"]))
+    mass_a = sum(v for k, v in by.items() if k.startswith("a"))
+    mass_b = sum(v for k, v in by.items() if k.startswith("b"))
+    assert mass_a > 5 * max(mass_b, 1)
+    # total mass conserved modulo floors: p + r <= scale
+    assert int(got["p"].sum() + got["r"].sum()) <= 1_000_000
+
+
+def test_ppr_push_isolated_seed(ray_session):
+    from texrex_ray.ops.graph import ppr_push_int
+
+    ds = ray.data.from_items([{"src": "x", "dst": "y"}])
+    got = ppr_push_int(ds, "lonely")
+    assert got.iloc[0].tolist() == ["lonely", 1_000_000, 0]

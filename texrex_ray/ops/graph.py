@@ -424,6 +424,179 @@ def opic_int(
     )
 
 
+def ppr_push_int(
+    edges: ray.data.Dataset,
+    seed: str,
+    *,
+    alpha_pm: int = 150,
+    eps_ppm: int = 100,
+    scale: int = 1_000_000,
+    max_rounds: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """Local-cluster personalized PageRank by SYNCHRONOUS push sweeps
+    (Andersen, Chung & Lang 2006, batched Jacobi-style): mass starts on
+    one seed page and pushes outward only where residual is large, so
+    the work — and the non-zero support — stays proportional to the
+    seed's NEIGHBORHOOD, not the graph.  The crawl use: carve the local
+    community around a known-good (or known-spam) page without ranking
+    the whole web.
+
+    Undirected semantics (edges canonicalized both ways, self-loops
+    dropped).  Integer algebra, all floors, bit-identical to the
+    sequential twin:
+
+        active u:  r(u)·10⁶ >= eps_ppm·scale·deg(u)
+        push:      p(u) += α·r(u)//1000 ;  rem = r(u) − α·r(u)//1000
+                   stay = rem//2 ;  share = (rem − stay)//deg(u)
+        r'(u) = stay (+ incoming shares);  inactive nodes keep r.
+
+    Distribution = the opic/pagerank broadcast contract: one node-sized
+    share vector per round, edge batches gather+bincount; rounds stop
+    when no node is active (≤ ``max_rounds``).  Returns non-zero
+    (page, p, r) sorted by p desc, page asc.
+    """
+    edges = edges.materialize()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].astype(str)
+        b = df[dst].astype(str)
+        keep = a != b
+        out = pd.DataFrame(
+            {
+                "u": pd.concat([a[keep], b[keep]], ignore_index=True),
+                "v": pd.concat([b[keep], a[keep]], ignore_index=True),
+            }
+        )
+        return out.drop_duplicates()
+
+    und = edges.map_batches(canon, batch_format="pandas")
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    # cross-batch duplicate edges must collapse once, globally
+    und = bucketed_groupby(
+        und, ["u", "v"], lambda g: g.drop_duplicates(["u", "v"])
+    ).materialize()
+
+    deg_df = bucketed_groupby(
+        und.map_batches(
+            lambda df: df.groupby("u", as_index=False).size(),
+            batch_format="pandas",
+        ),
+        "u",
+        lambda g: g.groupby("u", as_index=False)["size"].sum(),
+    ).to_pandas()
+    deg = deg_df.set_index("u")["size"].sort_index()
+    nodes = deg.index.to_numpy()
+    if seed not in set(nodes):
+        # isolated or unknown seed: all mass absorbs at the seed
+        return pd.DataFrame(
+            {"page": [seed], "p": [scale], "r": [0]}
+        ).astype({"p": "int64", "r": "int64"})
+    n = len(nodes)
+    deg_arr = deg.to_numpy().astype(np.int64)
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        ix = ray.get(idx_ref)
+        return pd.DataFrame(
+            {
+                "s": ix.get_indexer(df["u"]).astype(np.int64),
+                "d": ix.get_indexer(df["v"]).astype(np.int64),
+            }
+        )
+
+    enc = und.map_batches(encode, batch_format="pandas").materialize()
+    r = np.zeros(n, dtype=np.int64)
+    p = np.zeros(n, dtype=np.int64)
+    r[node_index.get_loc(seed)] = scale
+
+    for _ in range(max_rounds):
+        # int64-safe: r <= scale (mass conserved) so r·10⁶ <= 10¹²,
+        # and eps_ppm·scale·deg <= 10⁸·deg — far from 2⁶³
+        active = (r * 1_000_000) >= (eps_ppm * scale) * deg_arr
+        if not active.any():
+            break
+        push_r = np.where(active, r, 0)
+        p = p + alpha_pm * push_r // 1000
+        rem = push_r - alpha_pm * push_r // 1000
+        stay = rem // 2
+        share = np.zeros(n, dtype=np.int64)
+        share[active] = (rem[active] - stay[active]) // deg_arr[active]
+        ref = ray.put(share)
+
+        def flow(df: pd.DataFrame) -> pd.DataFrame:
+            sh = ray.get(ref)
+            s = df["s"].to_numpy()
+            d = df["d"].to_numpy()
+            sums = np.bincount(d, weights=sh[s])
+            nz = np.flatnonzero(sums)
+            return pd.DataFrame({"d": nz.astype(np.int64), "c": sums[nz].astype(np.int64)})
+
+        parts = enc.map_batches(flow, batch_format="pandas").to_pandas()
+        inc = np.zeros(n, dtype=np.int64)
+        if len(parts):
+            np.add.at(inc, parts["d"].to_numpy(), parts["c"].to_numpy())
+        r = np.where(active, stay, r) + inc
+
+    keep = (p > 0) | (r > 0)
+    out = pd.DataFrame({"page": nodes[keep], "p": p[keep], "r": r[keep]})
+    return out.sort_values(["p", "page"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+def ppr_push_sequential(
+    edges: list[tuple[str, str]],
+    seed: str,
+    *,
+    alpha_pm: int = 150,
+    eps_ppm: int = 100,
+    scale: int = 1_000_000,
+    max_rounds: int = 30,
+) -> dict[str, tuple[int, int]]:
+    """Independent per-edge sequential twin of ``ppr_push_int`` (test /
+    fixture oracle): page -> (p, r) for non-zero pages."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if seed not in adj:
+        return {seed: (scale, 0)}
+    nodes = sorted(adj)
+    r = {v: 0 for v in nodes}
+    p = {v: 0 for v in nodes}
+    r[seed] = scale
+    for _ in range(max_rounds):
+        active = [
+            u
+            for u in nodes
+            if r[u] * 1_000_000 >= eps_ppm * scale * len(adj[u])
+        ]
+        if not active:
+            break
+        inc = {v: 0 for v in nodes}
+        stays = {}
+        for u in active:
+            p[u] += alpha_pm * r[u] // 1000
+            rem = r[u] - alpha_pm * r[u] // 1000
+            stay = rem // 2
+            share = (rem - stay) // len(adj[u])
+            stays[u] = stay
+            for v in adj[u]:
+                inc[v] += share
+        for u in nodes:
+            base = stays[u] if u in stays else r[u]
+            r[u] = base + inc[u]
+    return {
+        v: (p[v], r[v]) for v in nodes if p[v] > 0 or r[v] > 0
+    }
+
+
 def opic_sequential(
     edges: list[tuple[str, str]], *, rounds: int = 3, scale: int = 1_000_000
 ) -> dict[str, int]:

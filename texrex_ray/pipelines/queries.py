@@ -7875,3 +7875,30 @@ def q139_incremental_quantiles(sf_dir: str):
     out["p50"] = out["p50"].astype("int64")
     out["p90"] = out["p90"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Local-cluster personalized PageRank (ACL push)
+# --------------------------------------------------------------------------
+
+@query(
+    "q140_ppr_push",
+    sql="SELECT page, p, r FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/ppr_push_sf0.01.parquet') "
+    "ORDER BY p DESC, page",
+)
+def q140_ppr_push(sf_dir: str):
+    """Local-cluster personalized PageRank around one seed page by
+    batched ACL push sweeps (Andersen, Chung & Lang 2006): mass pushes
+    outward only where residual is large, so work and non-zero support
+    stay proportional to the seed's NEIGHBORHOOD — carving the
+    community around a known-good (or known-spam) page without ranking
+    the whole web, the thing a crawl triage queue actually asks for.
+    Integer floors throughout; one node-sized share vector broadcast
+    per sweep, edge batches gather+bincount
+    (``ops/graph.py::ppr_push_int``).  Oracle: committed fixture from
+    the INDEPENDENT per-edge sequential twin."""
+    from texrex_ray.ops.graph import ppr_push_int
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return ppr_push_int(edges, "http://host1.tld1/p165", max_rounds=30)

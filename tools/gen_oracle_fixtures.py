@@ -910,6 +910,29 @@ def gen_crossmodal() -> None:
     print("crossmodal_images.parquet:", t.num_rows, "rows")
 
 
+def gen_ppr_push() -> None:
+    """Expected q140 local-PPR push scores from the INDEPENDENT per-edge
+    sequential twin (ops/graph.py::ppr_push_sequential) over the
+    committed pagerank edge fixture, seeded at the page q129/q70 rank
+    highest (a hub — its neighborhood is non-trivial)."""
+    from texrex_ray.ops.graph import ppr_push_sequential
+
+    df = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet")).to_pandas()
+    res = ppr_push_sequential(
+        list(zip(df["src"], df["dst"])), "http://host1.tld1/p165", max_rounds=30
+    )
+    pages = sorted(res, key=lambda v: (-res[v][0], v))
+    t = pa.table(
+        {
+            "page": pa.array(pages, pa.string()),
+            "p": pa.array([res[v][0] for v in pages], pa.int64()),
+            "r": pa.array([res[v][1] for v in pages], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "ppr_push_sf0.01.parquet"))
+    print("ppr_push_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def gen_neighborhood_function() -> None:
     """Expected q128 HyperBall neighborhood function from the INDEPENDENT
     sequential per-edge register-merge twin."""
@@ -951,6 +974,7 @@ def main() -> None:
     gen_core_numbers()
     gen_bpe_merges()
     gen_bpe_encode()
+    gen_ppr_push()
     gen_neighborhood_function()
 
 
