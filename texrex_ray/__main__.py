@@ -393,6 +393,30 @@ def cmd_bpe(args) -> dict:
     return {"merges": len(merges), "out": args.out}
 
 
+def cmd_bpeapply(args) -> dict:
+    """Encode a parquet corpus with trained BPE merges (the serving
+    path; functions/bpe.py::bpe_encode)."""
+    ray = _ray()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from texrex_ray.functions.bpe import bpe_encode
+
+    m = pq.read_table(args.merges).to_pandas().sort_values("rank")
+    merges = list(zip(m["left"], m["right"]))
+    ds = ray.data.read_parquet(args.input)
+    bpe_encode(ds, merges, id_col=args.id_col, text_col=args.column).write_parquet(
+        args.out
+    )
+    import glob
+
+    n = sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(f"{args.out}/*.parquet")
+    )
+    return {"rows": n, "merges": len(merges), "out": args.out}
+
+
 def cmd_cdc(args) -> dict:
     """Content-defined chunking dedup report (round-4 op; dedup/cdc.py)."""
     ray = _ray()
@@ -426,7 +450,9 @@ def cmd_graphrank(args) -> dict:
         core_numbers,
         hits_int,
         neighborhood_function,
+        opic_int,
         pagerank_int,
+        ppr_push_int,
     )
 
     ds = ray.data.read_parquet(args.edges)
@@ -447,6 +473,12 @@ def cmd_graphrank(args) -> dict:
         out = bfs_depths(ds, seeds, max_depth=args.iters)
     elif args.algo == "nf":
         out = neighborhood_function(ds, t_max=args.iters)
+    elif args.algo == "opic":
+        out = opic_int(ds, rounds=args.iters)
+    elif args.algo == "ppr":
+        if len(seeds) != 1:
+            raise SystemExit("ppr requires exactly one --seed URL")
+        out = ppr_push_int(ds, next(iter(seeds)), max_rounds=args.iters)
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown algo {args.algo}")
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False), args.out)
@@ -552,6 +584,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--merges", type=int, default=16)
     s.set_defaults(fn=cmd_bpe)
 
+    s = sub.add_parser("bpeapply", help="encode a corpus with trained BPE merges")
+    s.add_argument("merges"); s.add_argument("input"); s.add_argument("out")
+    s.add_argument("--column", default="text")
+    s.add_argument("--id-col", dest="id_col", default="doc_id")
+    s.set_defaults(fn=cmd_bpeapply)
+
     s = sub.add_parser("cdc", help="content-defined-chunking dedup report")
     s.add_argument("input"); s.add_argument("out")
     s.add_argument("--avg-bits", type=int, default=6)
@@ -561,7 +599,7 @@ def main(argv: list[str] | None = None) -> int:
         "graphrank",
         help="link-graph analytics over an (src,dst) edge parquet",
     )
-    s.add_argument("algo", choices=["pagerank", "trustrank", "hits", "kcore", "bfs", "nf"])
+    s.add_argument("algo", choices=["pagerank", "trustrank", "hits", "kcore", "bfs", "nf", "opic", "ppr"])
     s.add_argument("edges"); s.add_argument("out")
     s.add_argument("--iters", type=int, default=3)
     s.add_argument("--plan", default="broadcast", choices=["broadcast", "shuffle"])
