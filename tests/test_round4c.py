@@ -563,3 +563,41 @@ def test_ppr_push_isolated_seed(ray_session):
     ds = ray.data.from_items([{"src": "x", "dst": "y"}])
     got = ppr_push_int(ds, "lonely")
     assert got.iloc[0].tolist() == ["lonely", 1_000_000, 0]
+
+
+# ------------------------------------ greedy seed cover (q142)
+
+def test_greedy_seed_cover_matches_sequential(ray_session):
+    from texrex_ray.ops.graph import (
+        greedy_seed_cover,
+        greedy_seed_cover_sequential,
+    )
+
+    rng = np.random.default_rng(13)
+    edges = [
+        (f"s{int(rng.integers(0, 12))}", f"p{int(rng.integers(0, 80))}")
+        for _ in range(400)
+    ]
+    edges += edges[:20]  # multi-edges must not inflate gains
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = greedy_seed_cover(ds, k=4)
+    want = greedy_seed_cover_sequential(edges, 4)
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_greedy_seed_cover_analytic(ray_session):
+    from texrex_ray.ops.graph import greedy_seed_cover
+
+    # a covers 1-3, b covers 3-5 (overlap 3), c covers 6 only
+    edges = (
+        [("a", f"x{i}") for i in (1, 2, 3)]
+        + [("b", f"x{i}") for i in (3, 4, 5)]
+        + [("c", "x6")]
+    )
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = greedy_seed_cover(ds, k=3)
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (0, "a", 3),  # ties a/b at 3 -> smaller src
+        (1, "b", 2),  # x3 already covered
+        (2, "c", 1),
+    ]

@@ -597,6 +597,113 @@ def ppr_push_sequential(
     }
 
 
+def greedy_seed_cover(
+    edges: ray.data.Dataset,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """Greedy maximum-coverage seed selection: pick ``k`` source pages,
+    each round the one whose OUT-NEIGHBORS add the most not-yet-covered
+    pages (ties to the smaller src).  The classic (1-1/e)-approximate
+    seed-list constructor — which k entry pages reach the most of the
+    web in one hop — and the submodular-greedy pattern that generalizes
+    to influence maximization.
+
+    Distribution: k rounds; each round broadcasts the covered set
+    (bounded by the picked seeds' total out-degree, k·max_deg — seed
+    lists are small) and one edge pass emits per-src uncovered-count
+    partials (src-bounded); the driver argmax is one row.  Dedup of
+    (src, dst) multi-edges happens inside the count (nunique).
+
+    Returns (rank, seed, n_new) — n_new = pages newly covered.
+    """
+    edges = edges.materialize()
+
+    picks: list[dict] = []
+    covered: set[str] = set()
+    for rank in range(k):
+        cov_ref = ray.put(covered)
+
+        def gain_partial(df: pd.DataFrame) -> pd.DataFrame:
+            cov = ray.get(cov_ref)
+            d = df[[src, dst]].drop_duplicates()
+            d = d[~d[dst].isin(cov)]
+            if d.empty:  # an all-covered batch loses its groupby columns
+                return pd.DataFrame({"s": pd.Series([], dtype="object"),
+                                     "cands": pd.Series([], dtype="object")})
+            g = d.groupby(src, as_index=False)[dst].agg(lambda s: set(s))
+            return pd.DataFrame({"s": g[src], "cands": g[dst].map(sorted)})
+
+        # per-batch partial neighbor SETS (uncovered only), merged per src
+        # in one bucketed exchange — multi-edges and cross-batch dups
+        # collapse in the set union
+        from texrex_ray.ops.aggregate import bucketed_groupby
+
+        def merge_sets(g: pd.DataFrame) -> pd.DataFrame:
+            out = (
+                g.groupby("s")["cands"]
+                .agg(lambda lists: len({x for lst in lists for x in lst}))
+                .rename("gain")
+                .reset_index()
+            )
+            return out
+
+        gains = bucketed_groupby(
+            edges.map_batches(gain_partial, batch_format="pandas"),
+            "s",
+            merge_sets,
+        ).to_pandas()
+        gains = gains[gains["gain"] > 0]
+        if gains.empty:
+            break
+        gains = gains.sort_values(["gain", "s"], ascending=[False, True])
+        best = str(gains.iloc[0]["s"])
+
+        # fetch the winner's uncovered neighbors (one filtered edge pass)
+        best_ref = ray.put((best, covered))
+
+        def neigh(df: pd.DataFrame) -> pd.DataFrame:
+            b, cov = ray.get(best_ref)
+            d = df[df[src] == b]
+            return pd.DataFrame({"v": d[dst][~d[dst].isin(cov)].unique()})
+
+        new = set(
+            edges.map_batches(neigh, batch_format="pandas").to_pandas()["v"]
+        )
+        picks.append({"rank": rank, "seed": best, "n_new": len(new)})
+        covered |= new
+
+    out = pd.DataFrame(picks, columns=["rank", "seed", "n_new"])
+    for c in ("rank", "n_new"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def greedy_seed_cover_sequential(
+    edges: list[tuple[str, str]], k: int
+) -> list[tuple[int, str, int]]:
+    """Independent dict-based twin of ``greedy_seed_cover``."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    covered: set[str] = set()
+    out = []
+    for rank in range(k):
+        best, best_gain = None, 0
+        for s in sorted(adj):
+            gain = len(adj[s] - covered)
+            if gain > best_gain:
+                best, best_gain = s, gain
+        if best is None:
+            break
+        new = adj[best] - covered
+        out.append((rank, best, len(new)))
+        covered |= new
+    return out
+
+
 def opic_sequential(
     edges: list[tuple[str, str]], *, rounds: int = 3, scale: int = 1_000_000
 ) -> dict[str, int]:

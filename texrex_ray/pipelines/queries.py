@@ -7902,3 +7902,80 @@ def q140_ppr_push(sf_dir: str):
 
     edges = ray.data.read_parquet(_EDGE_FIXTURE)
     return ppr_push_int(edges, "http://host1.tld1/p165", max_rounds=30)
+
+
+# --------------------------------------------------------------------------
+# Banned-phrase blocklist gate (corpus-release scrub, q61's sibling)
+# --------------------------------------------------------------------------
+
+# a release blocklist is config-sized; ONE compiled RE2 alternation scans
+# each document once regardless of phrase count (shared verbatim with
+# DuckDB's RE2) — word-boundary anchored so substrings don't fire
+_BLOCKLIST = ("merge", "spill", "outer join", "slow scan")
+_BLOCK_RE = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+
+@query(
+    "q141_blocklist_gate",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BLOCK_RE}')) AS BIGINT)
+               AS n_hits,
+           CAST(len(regexp_extract_all(lower(text), '{_BLOCK_RE}')) = 0 AS BOOLEAN)
+               AS keep
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q141_blocklist_gate(sf_dir: str):
+    """Banned-phrase blocklist gate — the release-time scrub next to
+    q61's PII redaction: a config-sized phrase list compiles to ONE
+    word-boundary-anchored RE2 alternation, each document is scanned
+    once regardless of phrase count (the regex-set alternative to an
+    Aho-Corasick automaton — RE2 builds the same DFA), per-doc hit
+    count + keep verdict come out of a single vectorized
+    ``pc.count_substring_regex`` pass.  Stateless, shuffle-free; the
+    pattern string is shared VERBATIM with DuckDB's RE2 so both
+    engines run the same automaton."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        hits = pc.cast(pc.count_substring_regex(low, _BLOCK_RE), pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_hits": hits,
+                "keep": pc.equal(hits, pa.scalar(0, pa.int64())),
+            }
+        )
+
+    out = ds.map_batches(gate, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Greedy max-cover seed selection (crawl seed-list construction)
+# --------------------------------------------------------------------------
+
+@query(
+    "q142_seed_cover",
+    sql="SELECT rank, seed, n_new FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/seed_cover_sf0.01.parquet') "
+    "ORDER BY rank",
+)
+def q142_seed_cover(sf_dir: str):
+    """Crawl seed-list construction by greedy maximum coverage: pick 5
+    source pages, each round the one whose out-neighbors add the most
+    not-yet-covered pages — the classic (1-1/e)-approximate submodular
+    greedy (the influence-maximization pattern).  k rounds; each round
+    broadcasts the covered set (bounded by the picked seeds' total
+    out-degree) and ONE edge pass emits per-src uncovered-neighbor-SET
+    partials merged in a src-keyed exchange (multi-edges collapse in
+    the set union); the argmax is one driver row
+    (``ops/graph.py::greedy_seed_cover``).  Oracle: committed fixture
+    from the INDEPENDENT dict-based sequential twin."""
+    from texrex_ray.ops.graph import greedy_seed_cover
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return greedy_seed_cover(edges, k=5)

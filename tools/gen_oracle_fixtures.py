@@ -933,6 +933,24 @@ def gen_ppr_push() -> None:
     print("ppr_push_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_seed_cover() -> None:
+    """Expected q142 greedy max-cover seed picks from the INDEPENDENT
+    dict-based sequential twin over the committed edge fixture."""
+    from texrex_ray.ops.graph import greedy_seed_cover_sequential
+
+    df = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet")).to_pandas()
+    rows = greedy_seed_cover_sequential(list(zip(df["src"], df["dst"])), 5)
+    t = pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "seed": pa.array([r[1] for r in rows], pa.string()),
+            "n_new": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "seed_cover_sf0.01.parquet"))
+    print("seed_cover_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def gen_neighborhood_function() -> None:
     """Expected q128 HyperBall neighborhood function from the INDEPENDENT
     sequential per-edge register-merge twin."""
@@ -975,6 +993,7 @@ def main() -> None:
     gen_bpe_merges()
     gen_bpe_encode()
     gen_ppr_push()
+    gen_seed_cover()
     gen_neighborhood_function()
 
 
