@@ -111,3 +111,77 @@ def deterministic_shuffle(
         return t.drop_columns([KEY]).append_column(pos_col, pa.array(pos))
 
     return s.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def sorted_positions(
+    ds: ray.data.Dataset,
+    key_col: str,
+    pos_col: str = "rn",
+    base: int = 1,
+) -> ray.data.Dataset:
+    """Sort by a UNIQUE key column and attach exact global ranks.
+
+    The distributed ROW_NUMBER() OVER (ORDER BY key): one ``Dataset.sort``
+    (the unavoidable exchange), then the q50/q66 two-phase block-summary
+    prefix — per-block (first, last, n) summaries are block-count-sized,
+    the driver prefix-sums offsets, and a second block-local pass adds
+    ``offset + arange`` while re-asserting each block's summary, so block
+    drift fails loudly instead of silently renumbering.  No serial scan,
+    no row-sized driver state.
+
+    ``key_col`` must be UNIQUE (compose a tiebreaker into the key string
+    with a separator that sorts below every key character — duplicate keys
+    straddling a block boundary are detected and refused).
+    """
+    s = ds.sort(key_col).materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.string()),
+                             "hi": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        k = t[key_col]
+        return pa.table({
+            "lo": pa.array([str(k[0].as_py())]),
+            "hi": pa.array([str(k[t.num_rows - 1].as_py())]),
+            "n": pa.array([t.num_rows], pa.int64()),
+        })
+
+    parts = (
+        s.map_batches(summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("lo")
+        .reset_index(drop=True)
+    )
+    if len(parts) > 1 and (
+        parts["lo"].to_numpy()[1:] <= parts["hi"].to_numpy()[:-1]
+    ).any():
+        raise ValueError(
+            f"sorted_positions: blocks overlap in {key_col!r} range "
+            "(duplicate keys? compose a unique tiebreaker into the key)"
+        )
+    csum = parts["n"].cumsum()
+    offsets = {
+        lo: (int(off), int(n))
+        for lo, off, n in zip(parts["lo"], csum - parts["n"], parts["n"])
+    }
+    if len(offsets) != len(parts):
+        raise ValueError("sorted_positions: blocks share a first sort key")
+    ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(pos_col, pa.array([], pa.int64()))
+        keys = t[key_col].to_pylist()
+        off, n = ray.get(ref)[str(keys[0])]
+        if n != t.num_rows or any(a > b for a, b in zip(keys, keys[1:])):
+            raise ValueError("sorted_positions: pass-2 block drifted from summary")
+        if any(a == b for a, b in zip(keys, keys[1:])):
+            raise ValueError(
+                f"sorted_positions: duplicate {key_col!r} keys — ranks would be "
+                "ambiguous; compose a unique tiebreaker into the key"
+            )
+        pos = base + off + np.arange(t.num_rows, dtype=np.int64)
+        return t.append_column(pos_col, pa.array(pos))
+
+    return s.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -7581,7 +7581,7 @@ def q134_recrawl_priority(sf_dir: str):
 # Token heavy hitters via top-m + residual summaries (SpaceSaving family)
 # --------------------------------------------------------------------------
 
-HH_THRESHOLD = 900
+TOKEN_HH_THRESHOLD = 900
 
 
 @query(
@@ -7590,7 +7590,7 @@ HH_THRESHOLD = 900
     WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item
                FROM documents)
     SELECT item, CAST(count(*) AS BIGINT) AS n
-    FROM t GROUP BY item HAVING count(*) >= {HH_THRESHOLD}
+    FROM t GROUP BY item HAVING count(*) >= {TOKEN_HH_THRESHOLD}
     ORDER BY n DESC, item
     """,
 )
@@ -7615,7 +7615,7 @@ def q135_token_heavy_hitters(sf_dir: str):
             out.extend(_TOKEN_RE.findall((s or "").lower()))
         return out
 
-    return heavy_hitters(ds, items_of, threshold=HH_THRESHOLD, m=16)
+    return heavy_hitters(ds, items_of, threshold=TOKEN_HH_THRESHOLD, m=16)
 
 
 # --------------------------------------------------------------------------
@@ -7979,3 +7979,311 @@ def q142_seed_cover(sf_dir: str):
 
     edges = ray.data.read_parquet(_EDGE_FIXTURE)
     return greedy_seed_cover(edges, k=5)
+
+
+# --------------------------------------------------------------------------
+# Full-outer big-big join (the one shuffle_join plan without a q entry)
+# --------------------------------------------------------------------------
+
+@query(
+    "q143_outer_join",
+    sql="""
+    WITH l AS (SELECT o_custkey AS custkey, COUNT(*) AS n_open,
+                      CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS open_total_c
+               FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+         r AS (SELECT c_custkey AS custkey,
+                      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
+               FROM customer WHERE c_acctbal > 5000)
+    SELECT COALESCE(l.custkey, r.custkey) AS custkey,
+           COALESCE(n_open, 0) AS n_open,
+           COALESCE(open_total_c, 0) AS open_total_c,
+           COALESCE(acctbal_c, -1) AS acctbal_c
+    FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+    ORDER BY custkey
+    """,
+)
+def q143_outer_join(sf_dir: str):
+    """FULL OUTER bucketed shuffle join — the reconciliation plan
+    (ops/join.py supports how="outer"; q54 covers inner, q138 the
+    co-partitioned variant; this closes outer).  Customers holding open
+    orders vs high-balance customers: both sides have unmatched keys, and
+    an outer merge must emit each exactly once — per-bucket pandas outer
+    merges do, because every key lives in exactly one bucket.  NULL sides
+    are COALESCEd to integer sentinels on BOTH engines so the value hash
+    never compares engine NULL spellings."""
+    from texrex_ray.ops import shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    left = (
+        orders.filter(expr="o_orderstatus == 'O'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_open"), Sum("o_totalprice", alias_name="tot"))
+    )
+
+    def l_fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["o_custkey"].astype("int64"),
+                "n_open": df["n_open"].astype("int64"),
+                "open_total_c": (df["tot"] * 100).round().astype("int64"),
+            }
+        )
+
+    def r_fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_acctbal"] > 5000.0]
+        return pd.DataFrame(
+            {
+                "custkey": df["c_custkey"].astype("int64"),
+                "acctbal_c": (df["c_acctbal"] * 100).round().astype("int64"),
+            }
+        )
+
+    joined = shuffle_join(
+        left.map_batches(l_fin, batch_format="pandas"),
+        cust.map_batches(r_fin, batch_format="pandas"),
+        "custkey",
+        how="outer",
+        expected_rows=cust.count(),
+    )
+    out = joined.to_pandas()
+    out["n_open"] = out["n_open"].fillna(0).astype("int64")
+    out["open_total_c"] = out["open_total_c"].fillna(0).astype("int64")
+    out["acctbal_c"] = out["acctbal_c"].fillna(-1).astype("int64")
+    out["custkey"] = out["custkey"].astype("int64")
+    return out.sort_values("custkey").reset_index(drop=True)[
+        ["custkey", "n_open", "open_total_c", "acctbal_c"]
+    ]
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — bottom-k distinct estimation
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+@query(
+    "q144_kmv_distinct",
+    sql=f"""
+    WITH toks AS (SELECT source, regexp_extract_all(lower(text), '[a-z]+') t
+                  FROM documents),
+    g AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS tok
+          FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+    h AS (SELECT source, md5_number_lower(tok) AS hk FROM g),
+    r AS (SELECT source, hk,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk) AS rn
+          FROM h),
+    kth AS (SELECT source, hk AS hk64 FROM r WHERE rn = {KMV_K}),
+    ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM h GROUP BY 1)
+    SELECT ex.source, n_exact,
+           CAST(COALESCE({KMV_K - 1}::HUGEINT * 18446744073709551616::HUGEINT
+                         // kth.hk64::HUGEINT, n_exact) AS BIGINT) AS kmv_est
+    FROM ex LEFT JOIN kth USING (source) ORDER BY source
+    """,
+)
+def q144_kmv_distinct(sf_dir: str):
+    """KMV / theta-sketch distinct 3-gram count per source (k minimum
+    hash values; estimate (k-1)·2⁶⁴ / h₍ₖ₎, Bar-Yossef et al. 2002) next
+    to q48's HLL: KMV sketches are UNION-MERGEABLE (union of bottom-k
+    sets, re-trim to k) and, unlike HLL, support INTERSECTION estimates —
+    the cross-corpus overlap question.  Per-batch partials emit each
+    batch's distinct (source, hash) pairs; one source-keyed exchange of
+    TYPE-cardinality (never token-cardinality) rows computes the exact
+    count (the audit column) and the kth minimum.  The hash is
+    md5_lower64 ≡ DuckDB md5_number_lower, so estimates are bit-equal
+    across engines — integer division, no floats."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs, hks = [], []
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            grams = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if not grams:
+                continue
+            hk = md5_lower64(sorted(grams))
+            srcs.extend([src] * len(hk))
+            hks.append(hk)
+        hk_all = np.concatenate(hks) if hks else np.array([], np.uint64)
+        return pa.table({"source": pa.array(srcs), "hk": pa.array(hk_all, pa.uint64())})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].iloc[0]
+        hk = np.unique(g["hk"].to_numpy().astype(np.uint64))
+        n_exact = len(hk)
+        if n_exact >= KMV_K:
+            est = ((KMV_K - 1) << 64) // int(hk[KMV_K - 1])
+        else:
+            est = n_exact
+        return pd.DataFrame(
+            {"source": [src], "n_exact": [n_exact], "kmv_est": [est]}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"n_exact": "int64", "kmv_est": "int64"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood near-dup blocking (Hernández & Stolfo 1995)
+# --------------------------------------------------------------------------
+
+SNM_W = 4  # window: candidate pairs at rank distance 1..W
+_SNM_KEY_SQL = "substr(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), 1, 24)"
+
+
+@query(
+    "q145_sorted_neighborhood",
+    sql=(
+        f"""
+    WITH keyd AS (SELECT doc_id, {_SNM_KEY_SQL} AS k FROM documents),
+    r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM keyd),
+    cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                    GREATEST(a.doc_id, b.doc_id) AS id_b
+             FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_W}),
+    """
+        + _GRAMS_CTE.format(m=2, m1=1).strip()
+        + """,
+    sizes AS (SELECT doc_id, COUNT(*) sz FROM grams GROUP BY 1),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) i
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.id_a
+              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, i AS n_inter, (sa.sz + sb.sz - i) AS n_union
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 2 >= (sa.sz + sb.sz - i)
+    ORDER BY id_a, id_b
+    """
+    ),
+)
+def q145_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood near-dup blocking — the third candidate-
+    generation family next to minhash-LSH (q17) and Hamming block-LSH
+    (q57): sort the corpus ONCE by a cheap blocking key (first 24
+    letters-only chars), slide a rank window of {SNM_W}, and only
+    window pairs are verified (exact 3-gram Jaccard ≥ 1/2 in integer
+    arithmetic, q14's threshold).  Shape at 100 TB: one sort (the
+    unavoidable exchange) + the q50 two-phase rank assignment
+    (ops/shuffle.py::sorted_positions — block summaries, no serial
+    scan), then grams carry (rank, size) so the verify is ONE
+    gram-keyed bucketed exchange whose per-gram pair fan-out is bounded
+    by the window, never all-pairs.  The window crosses block
+    boundaries by construction (pairs live in the gram groups, not in
+    rank-contiguous partitions), so no overlap replication is needed."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.ops.shuffle import sorted_positions
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = [
+            re.sub(r"[^a-z]+", " ", (s or "").lower())[:24]
+            + "\x01"
+            + str(i).zfill(12)
+            for s, i in zip(t["text"].to_pylist(), t["doc_id"].to_pylist())
+        ]
+        return t.append_column("skey", pa.array(keys))
+
+    ranked = sorted_positions(
+        ds.map_batches(add_key, batch_format="pyarrow"), "skey", pos_col="rn"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        gs, rns, ids, szs = [], [], [], []
+        for txt, rn, did in zip(
+            t["text"].to_pylist(), t["rn"].to_pylist(), t["doc_id"].to_pylist()
+        ):
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            grams = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            for g in grams:
+                gs.append(g)
+                rns.append(rn)
+                ids.append(did)
+                szs.append(len(grams))
+        return pa.table(
+            {
+                "g": pa.array(gs),
+                "rn": pa.array(rns, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sz": pa.array(szs, pa.int64()),
+            }
+        )
+
+    gram_rows = ranked.map_batches(explode, batch_format="pyarrow")
+
+    def window_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in b.groupby("g", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("rn")
+            rn = grp["rn"].to_numpy()
+            ids = grp["doc_id"].to_numpy()
+            szs = grp["sz"].to_numpy()
+            hi = np.searchsorted(rn, rn + SNM_W, side="right")
+            lo = np.arange(len(rn)) + 1
+            cnt = np.maximum(hi - lo, 0)
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            ia = np.repeat(np.arange(len(rn))[keep], cnt[keep])
+            jb = np.concatenate(
+                [np.arange(l, h) for l, h in zip(lo[keep], hi[keep])]
+            )
+            a_id, b_id = ids[ia], ids[jb]
+            a_sz, b_sz = szs[ia], szs[jb]
+            a_first = a_id < b_id
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_small": np.where(a_first, a_id, b_id),
+                        "id_big": np.where(a_first, b_id, a_id),
+                        "size_small": np.where(a_first, a_sz, b_sz),
+                        "size_big": np.where(a_first, b_sz, a_sz),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_small": pd.Series([], dtype="int64"),
+                    "id_big": pd.Series([], dtype="int64"),
+                    "size_small": pd.Series([], dtype="int64"),
+                    "size_big": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    shared = bucketed_groupby(
+        gram_rows, "g", window_pairs, expected_rows=n_docs * 60
+    )
+    pairs = bucketed_groupby(
+        shared,
+        ["id_small", "id_big"],
+        lambda g: g.groupby(["id_small", "id_big"], sort=False)
+        .agg(
+            n_inter=("size_small", "size"),
+            sa=("size_small", "max"),
+            sb=("size_big", "max"),
+        )
+        .reset_index(),
+        expected_rows=n_docs * SNM_W,
+    )
+
+    out = pairs.to_pandas()
+    out["n_union"] = out["sa"] + out["sb"] - out["n_inter"]
+    out = out[out["n_inter"] * 2 >= out["n_union"]]
+    out = out.rename(columns={"id_small": "id_a", "id_big": "id_b"})
+    out = out[["id_a", "id_b", "n_inter", "n_union"]].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
