@@ -139,3 +139,108 @@ def test_sorted_neighborhood_matches_serial(ray_session):
     have = set(map(tuple, got.to_numpy()))
     assert have == want
     assert len(have) > 0
+
+
+# ------------------------------------------------------------------- q146
+
+def test_zorder_improves_locality(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q146_zorder_layout"](SF).set_index("layout")
+    # the whole point of the curve: fragment bounding boxes shrink on the
+    # non-leading dimension without blowing up the leading one
+    assert got.loc["zorder", "sum_dy"] < got.loc["id", "sum_dy"]
+    assert got.loc["zorder", "n_frag"] == got.loc["id", "n_frag"]
+
+
+def test_morton_code_interleave():
+    # spot-check the bit interleave against string weaving
+    for x, y in [(0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535), (1234, 4321)]:
+        zc = 0
+        for i in range(16):
+            zc += ((x >> i) & 1) << (2 * i)
+            zc += ((y >> i) & 1) << (2 * i + 1)
+        xb = f"{x:016b}"
+        yb = f"{y:016b}"
+        woven = "".join(a + b for a, b in zip(yb, xb))
+        assert zc == int(woven, 2)
+
+
+# ------------------------------------------------------------------- q147
+
+def test_dbscan_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import (
+        DBSCAN_DEN, DBSCAN_MINPTS, DBSCAN_NUM, DBSCAN_SCALE, QUERIES,
+    )
+
+    got = QUERIES["q147_embed_dbscan"](SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64) * DBSCAN_SCALE
+    m = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+    dot = m @ m.T
+    n2 = (m * m).sum(axis=1)
+    ok = (dot > 0) & (
+        DBSCAN_DEN**2 * dot * dot >= DBSCAN_NUM**2 * n2[:, None] * n2[None, :]
+    )
+    np.fill_diagonal(ok, False)
+    deg = ok.sum(axis=1)
+    core_idx = np.nonzero(deg >= DBSCAN_MINPTS)[0]
+    core = set(ids[core_idx])
+    # components over core-core edges (min-label to fixpoint)
+    lab = {int(ids[i]): int(ids[i]) for i in core_idx}
+    changed = True
+    while changed:
+        changed = False
+        for i in core_idx:
+            for j in core_idx:
+                if ok[i, j]:
+                    a, b = int(ids[i]), int(ids[j])
+                    mn = min(lab[a], lab[b])
+                    if lab[a] != mn or lab[b] != mn:
+                        lab[a] = lab[b] = mn
+                        changed = True
+    want = {}
+    for k, i in enumerate(ids):
+        i = int(i)
+        if i in core:
+            want[i] = (lab[i], "core")
+        else:
+            neigh = [int(ids[j]) for j in np.nonzero(ok[k])[0] if int(ids[j]) in core]
+            if neigh:
+                want[i] = (min(lab[n] for n in neigh), "border")
+            else:
+                want[i] = (-1, "noise")
+    for _, row in got.iterrows():
+        assert want[row["vec_id"]] == (row["cluster_id"], row["role"]), row["vec_id"]
+    # all three roles must occur or the parameters are degenerate
+    assert set(got["role"]) == {"core", "border", "noise"}
+
+
+# ------------------------------------------------------------------- q148
+
+def test_chi2_matches_serial(ray_session):
+    import re
+    from collections import Counter
+
+    from texrex_ray.pipelines.queries import CHI2_SCALE, QUERIES
+
+    got = QUERIES["q148_source_divergence"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt = Counter()
+    for src, txt in zip(docs["source"], docs["text"]):
+        for tok in re.findall(r"[a-z]+", (txt or "").lower()):
+            cnt[(src, tok)] += 1
+    sources = sorted({s for s, _ in cnt})
+    vocab = sorted({t for _, t in cnt})
+    ns = {s: sum(n for (a, _), n in cnt.items() if a == s) for s in sources}
+    nt = {t: sum(n for (_, b), n in cnt.items() if b == t) for t in vocab}
+    nn = sum(cnt.values())
+    for _, row in got.iterrows():
+        s = row["source"]
+        chi = 0
+        for t in vocab:
+            n = cnt.get((s, t), 0)
+            d = n * nn - ns[s] * nt[t]
+            chi += d * d * CHI2_SCALE // (ns[s] * nt[t] * nn)
+        assert chi == row["chi2_c"], s

@@ -8287,3 +8287,371 @@ def q145_sorted_neighborhood(sf_dir: str):
     out = out.rename(columns={"id_small": "id_a", "id_big": "id_b"})
     out = out[["id_a", "id_b", "n_inter", "n_union"]].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) storage clustering + zone-map quality audit
+# --------------------------------------------------------------------------
+
+ZORDER_FRAG = 64  # rows per storage fragment (zone-map granule)
+
+
+@query(
+    "q146_zorder_layout",
+    sql=f"""
+    WITH q AS (SELECT event_id, user_id AS x,
+                      CAST(ROUND(value * 100) AS BIGINT) AS y FROM events),
+    z AS (SELECT event_id, x, y,
+            SUM(((x >> i) & 1) * (1::BIGINT << (2*i))
+                + ((y >> i) & 1) * (1::BIGINT << (2*i + 1))) AS zc
+          FROM q, range(16) t(i) GROUP BY 1, 2, 3),
+    rz AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY zc, event_id) AS rn FROM z),
+    fz AS (SELECT (rn - 1) // {ZORDER_FRAG} AS frag,
+                  MAX(x) - MIN(x) AS dx, MAX(y) - MIN(y) AS dy
+           FROM rz GROUP BY 1),
+    ri AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM q),
+    fi AS (SELECT (rn - 1) // {ZORDER_FRAG} AS frag,
+                  MAX(x) - MIN(x) AS dx, MAX(y) - MIN(y) AS dy
+           FROM ri GROUP BY 1)
+    SELECT 'id' AS layout, CAST(COUNT(*) AS BIGINT) AS n_frag,
+           CAST(SUM(dx) AS BIGINT) AS sum_dx, CAST(SUM(dy) AS BIGINT) AS sum_dy
+    FROM fi
+    UNION ALL
+    SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(dx) AS BIGINT), CAST(SUM(dy) AS BIGINT) FROM fz
+    ORDER BY layout
+    """,
+)
+def q146_zorder_layout(sf_dir: str):
+    """Z-order (Morton-curve) storage clustering — the multi-dimension
+    sibling of q78's similarity order: interleaving the bits of two query
+    dimensions (user, value-cents) and sorting by the interleave packs
+    rows that are close in BOTH dimensions into the same storage
+    fragment, so zone maps (per-fragment min/max, the q133/q134 pruning
+    structure) cut 2-D range scans instead of only the leading sort key.
+    One sort (the unavoidable exchange) + sorted_positions ranks; the
+    audit compares per-{ZORDER_FRAG}-row fragment bounding boxes under
+    the z-order vs the naive id layout — fragment-count-sized exchange,
+    bit-exact integer Morton codes on both engines."""
+    from texrex_ray.ops.shuffle import sorted_positions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (
+            pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        zc = np.zeros(len(x), dtype=np.int64)
+        for i in range(16):
+            zc += ((x >> i) & 1) << (2 * i)
+            zc += ((y >> i) & 1) << (2 * i + 1)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "zkey": pa.array(
+                    [f"{z:012d}:{e:012d}" for z, e in zip(zc, eid)]
+                ),
+                "ikey": pa.array([f"{e:012d}" for e in eid]),
+            }
+        )
+
+    base = ds.map_batches(derive, batch_format="pyarrow")
+
+    def frag_stats(layout: str, key: str) -> pd.DataFrame:
+        ranked = sorted_positions(
+            base.select_columns([key, "x", "y"]), key, pos_col="rn"
+        )
+
+        def to_frag(t: pa.Table) -> pa.Table:
+            rn = t["rn"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "frag": pa.array((rn - 1) // ZORDER_FRAG, pa.int64()),
+                    "x": t["x"],
+                    "y": t["y"],
+                }
+            )
+
+        f = (
+            ranked.map_batches(to_frag, batch_format="pyarrow")
+            .groupby("frag")
+            .aggregate(
+                Min("x", alias_name="x_lo"), Max("x", alias_name="x_hi"),
+                Min("y", alias_name="y_lo"), Max("y", alias_name="y_hi"),
+            )
+            .to_pandas()
+        )
+        return pd.DataFrame(
+            {
+                "layout": [layout],
+                "n_frag": [len(f)],
+                "sum_dx": [int((f["x_hi"] - f["x_lo"]).sum())],
+                "sum_dy": [int((f["y_hi"] - f["y_lo"]).sum())],
+            }
+        )
+
+    out = pd.concat(
+        [frag_stats("id", "ikey"), frag_stats("zorder", "zkey")],
+        ignore_index=True,
+    ).astype({"n_frag": "int64", "sum_dx": "int64", "sum_dy": "int64"})
+    return out.sort_values("layout").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# DBSCAN over embeddings (eps-cosine density clustering)
+# --------------------------------------------------------------------------
+
+DBSCAN_SCALE = 1000       # embedding quantization (int64-exact dot products)
+DBSCAN_NUM, DBSCAN_DEN = 7, 20  # eps: cosine >= 7/20 = 0.35
+DBSCAN_MINPTS = 4         # core point: >= 4 eps-neighbors (excluding self)
+
+
+@query(
+    "q147_embed_dbscan",
+    sql=f"""
+    WITH RECURSIVE
+    le AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> round(x * {DBSCAN_SCALE})) v
+           FROM embeddings),
+    pe AS (SELECT a.vec_id ia, b.vec_id ib
+           FROM le a JOIN le b ON a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) > 0
+             AND {DBSCAN_DEN * DBSCAN_DEN}
+                 * CAST(list_dot_product(a.v, b.v) AS HUGEINT)
+                 * CAST(list_dot_product(a.v, b.v) AS HUGEINT)
+                 >= {DBSCAN_NUM * DBSCAN_NUM}
+                 * CAST(list_dot_product(a.v, a.v) AS HUGEINT)
+                 * CAST(list_dot_product(b.v, b.v) AS HUGEINT)),
+    edges AS (SELECT ia a, ib b FROM pe UNION ALL SELECT ib, ia FROM pe),
+    deg AS (SELECT a AS vec_id, COUNT(*) d FROM edges GROUP BY 1),
+    core AS (SELECT vec_id FROM deg WHERE d >= {DBSCAN_MINPTS}),
+    cedges AS (SELECT e.a, e.b FROM edges e
+               JOIN core x ON x.vec_id = e.a JOIN core y ON y.vec_id = e.b),
+    reach(node, r) AS (SELECT vec_id, vec_id FROM core
+                       UNION
+                       SELECT c.b, r.r FROM reach r JOIN cedges c ON c.a = r.node),
+    clab AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    border AS (SELECT e.a AS vec_id, MIN(cl.cluster_id) AS cluster_id
+               FROM edges e JOIN clab cl ON cl.vec_id = e.b
+               WHERE e.a NOT IN (SELECT vec_id FROM core) GROUP BY e.a)
+    SELECT v.vec_id,
+           CAST(COALESCE(cl.cluster_id, bo.cluster_id, -1) AS BIGINT) AS cluster_id,
+           CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+                WHEN bo.vec_id IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+    FROM embeddings v LEFT JOIN clab cl ON cl.vec_id = v.vec_id
+    LEFT JOIN border bo ON bo.vec_id = v.vec_id
+    ORDER BY v.vec_id
+    """,
+)
+def q147_embed_dbscan(sf_dir: str):
+    """DBSCAN over the embedding column — density clustering as the
+    noise-aware alternative to q69's k-means and q106's SemDeDup: dense
+    regions become clusters, isolated vectors stay 'noise' instead of
+    being forced into a nearest centroid.  Deterministic variant: border
+    points take the MIN cluster label among their core neighbors (classic
+    DBSCAN is visit-order-dependent there).  Plan: eps-pairs via the q16
+    blockwise pass (block refs stream from the object store, per-task
+    memory = batch + block); degrees and components are pair-graph-sized
+    (dedup/clusters.py's driver plan with the documented distributed
+    fallback).  Embeddings quantize to {DBSCAN_SCALE}ths so every dot
+    product is int64-exact and the eps test (cos ≥ {DBSCAN_NUM}/{DBSCAN_DEN})
+    is pure integer arithmetic on BOTH engines — no float threshold."""
+    from texrex_ray.dedup.clusters import dup_clusters
+    from texrex_ray.dedup.embed import _matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    proj = ds.materialize()
+    refs_ref = ray.put(proj.to_arrow_refs())
+
+    def quant(m: np.ndarray) -> np.ndarray:
+        s = m.astype(np.float64) * DBSCAN_SCALE
+        # DuckDB round() is half-away-from-zero; np.round is banker's
+        return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+    d2 = DBSCAN_DEN * DBSCAN_DEN
+    n2 = DBSCAN_NUM * DBSCAN_NUM
+
+    def eps_pairs(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = quant(_matrix(t, "embedding"))
+        na2 = (m * m).sum(axis=1)
+        out_a, out_b = [], []
+        for ref in ray.get(refs_ref):
+            blk = ray.get(ref)
+            if blk.num_rows == 0:
+                continue
+            bids = blk["vec_id"].to_numpy(zero_copy_only=False)
+            bm = quant(_matrix(blk, "embedding"))
+            nb2 = (bm * bm).sum(axis=1)
+            dot = m @ bm.T  # int64-exact: |dot| <= dim * SCALE^2 * max|x|^2
+            ok = (dot > 0) & (
+                d2 * dot * dot >= n2 * na2[:, None] * nb2[None, :]
+            ) & (ids[:, None] < bids[None, :])
+            ai, bj = np.nonzero(ok)
+            out_a.append(ids[ai])
+            out_b.append(bids[bj])
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    pairs = proj.map_batches(eps_pairs, batch_format="pyarrow").materialize()
+
+    # degrees: pair-graph-sized (result set of the eps join)
+    pdf = pairs.to_pandas()
+    deg = (
+        pd.concat([pdf["id_a"], pdf["id_b"]])
+        .value_counts()
+        .rename_axis("vec_id")
+        .rename("d")
+    )
+    core = set(deg[deg >= DBSCAN_MINPTS].index)
+
+    core_pairs = pdf[pdf["id_a"].isin(core) & pdf["id_b"].isin(core)]
+    if len(core_pairs):
+        clab = dup_clusters(
+            ray.data.from_pandas(core_pairs.reset_index(drop=True))
+        ).set_index("doc_id")["cluster_id"]
+    else:
+        clab = pd.Series(dtype="int64")
+    # isolated core points (no core neighbor) form singleton clusters
+    for c in core:
+        if c not in clab.index:
+            clab.loc[c] = c
+
+    # border: non-core with >= 1 core neighbor -> min core cluster label
+    mask_a = pdf["id_a"].isin(core) & ~pdf["id_b"].isin(core)
+    mask_b = pdf["id_b"].isin(core) & ~pdf["id_a"].isin(core)
+    bor = pd.concat(
+        [
+            pd.DataFrame(
+                {"vec_id": pdf.loc[mask_a, "id_b"],
+                 "cl": clab.loc[pdf.loc[mask_a, "id_a"]].to_numpy()}
+            ),
+            pd.DataFrame(
+                {"vec_id": pdf.loc[mask_b, "id_a"],
+                 "cl": clab.loc[pdf.loc[mask_b, "id_b"]].to_numpy()}
+            ),
+        ],
+        ignore_index=True,
+    )
+    border = bor.groupby("vec_id")["cl"].min() if len(bor) else pd.Series(dtype="int64")
+
+    core_ref = ray.put(clab.to_dict())
+    border_ref = ray.put(border.to_dict())
+
+    def label(t: pa.Table) -> pa.Table:
+        cm, bm = ray.get(core_ref), ray.get(border_ref)
+        ids = t["vec_id"].to_pylist()
+        cl, role = [], []
+        for i in ids:
+            if i in cm:
+                cl.append(int(cm[i])); role.append("core")
+            elif i in bm:
+                cl.append(int(bm[i])); role.append("border")
+            else:
+                cl.append(-1); role.append("noise")
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cl, pa.int64()),
+                "role": pa.array(role),
+            }
+        )
+
+    out = ds.select_columns(["vec_id"]).map_batches(label, batch_format="pyarrow")
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Per-source token-distribution divergence (chi-square audit)
+# --------------------------------------------------------------------------
+
+CHI2_SCALE = 1_000_000
+
+
+@query(
+    "q148_source_divergence",
+    sql=f"""
+    WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+                 FROM documents),
+    c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) n FROM tok GROUP BY 1, 2),
+    ms AS (SELECT source, SUM(n) ns FROM c GROUP BY 1),
+    mt AS (SELECT t, SUM(n) nt FROM c GROUP BY 1),
+    tot AS (SELECT SUM(n) nn FROM c),
+    cells AS (SELECT ms.source, ms.ns, mt.nt, COALESCE(c.n, 0) AS n
+              FROM ms CROSS JOIN mt
+              LEFT JOIN c ON c.source = ms.source AND c.t = mt.t),
+    term AS (SELECT source,
+               (CAST(n AS HUGEINT) * nn - CAST(ns AS HUGEINT) * nt)
+               * (CAST(n AS HUGEINT) * nn - CAST(ns AS HUGEINT) * nt)
+               * {CHI2_SCALE}
+               // (CAST(ns AS HUGEINT) * nt * nn) AS v
+             FROM cells, tot)
+    SELECT source, CAST(SUM(v) AS BIGINT) AS chi2_c
+    FROM term GROUP BY source ORDER BY source
+    """,
+)
+def q148_source_divergence(sf_dir: str):
+    """Which sources' token distributions diverge from the corpus —
+    the contamination/drift tripwire a mixture pipeline (q60/q71) checks
+    before re-weighting: per-source Pearson chi-square against the global
+    unigram distribution, including zero cells (a source MISSING a common
+    token is evidence too).  Exchange shape: per-batch combiner counts →
+    one (source, token) groupby of cell-cardinality rows; marginals and
+    the |sources| × |vocab| contingency finish are cell-sized, never
+    corpus-sized.  Per-cell terms floor in integer arithmetic
+    (HUGEINT / Python int) so both engines sum identical integers."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for tok in _TOKEN_RE.findall((txt or "").lower()):
+                cnt[(src, tok)] += 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks]),
+                "t": pa.array([k[1] for k in ks]),
+                "n": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    cells = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "t"],
+        lambda g: g.groupby(["source", "t"], sort=False)["n"].sum().reset_index(),
+        expected_rows=ds.count() * 4,
+    ).to_pandas()
+
+    pivot = cells.pivot_table(
+        index="source", columns="t", values="n", fill_value=0, aggfunc="sum"
+    )
+    ns = pivot.sum(axis=1)
+    nt = pivot.sum(axis=0)
+    nn = int(ns.sum())
+    out = []
+    for src in pivot.index:
+        s_ns = int(ns[src])
+        chi = 0
+        row = pivot.loc[src]
+        for tok in pivot.columns:
+            n = int(row[tok])
+            t_nt = int(nt[tok])
+            d = n * nn - s_ns * t_nt
+            chi += d * d * CHI2_SCALE // (s_ns * t_nt * nn)
+        out.append((src, chi))
+    df = pd.DataFrame(out, columns=["source", "chi2_c"]).astype({"chi2_c": "int64"})
+    return df.sort_values("source").reset_index(drop=True)
