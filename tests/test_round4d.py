@@ -244,3 +244,73 @@ def test_chi2_matches_serial(ray_session):
             d = n * nn - ns[s] * nt[t]
             chi += d * d * CHI2_SCALE // (ns[s] * nt[t] * nn)
         assert chi == row["chi2_c"], s
+
+
+# ------------------------------------------------------------------- q149
+
+def test_audio_fingerprint_recovers_twins(ray_session):
+    import ray.data as rd
+
+    from texrex_ray.dedup.lsh import hamming_pairs
+    from texrex_ray.pipelines.queries import AUDIO_FP_TWIN
+    from texrex_ray.sources.av import fixture_path
+    from texrex_ray.stages.av import AudioFingerprint
+
+    n = 40
+    d = fixture_path(n=n, seed=42)
+    sigs = rd.read_parquet(f"{d}/audio.parquet").map_batches(
+        AudioFingerprint(twin_offset=AUDIO_FP_TWIN),
+        batch_format="pyarrow",
+        batch_size=16,
+    )
+    pairs = hamming_pairs(
+        sigs, id_col="clip_id", sig_col="simhash", max_hamming=2,
+        expected_rows=2 * n,
+    ).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(n):
+        assert (i, i + AUDIO_FP_TWIN) in found, f"twin of clip {i} not recovered"
+
+
+def test_audio_fingerprint_formula_is_order_stat():
+    from texrex_ray.stages.av import audio_fingerprint
+
+    # monotone energy ramp -> all 64 bits set; flat -> none
+    up = np.concatenate([np.full(10, a, np.int16) for a in range(1, 66)])
+    assert audio_fingerprint(up) == (1 << 64) - 1
+    assert audio_fingerprint(np.full(650, 5, np.int16)) == 0
+
+
+def test_audio_fp_fixture_fresh(ray_session):
+    """Committed q149 oracle fixture matches a live recompute through the
+    stage + LSH path at the fixture's own scale (150 clips)."""
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q149_audio_fingerprint"]("/root/testdata/sf0.01")
+    want = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/audio_fp_pairs_sf0.01.parquet"
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype("int64"))
+
+
+# ------------------------------------------------------------------- q150
+
+def test_phrase_search_matches_serial(ray_session):
+    import re
+
+    from texrex_ray.pipelines.queries import PHRASE, QUERIES
+
+    got = QUERIES["q150_phrase_search"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        toks = re.findall(r"[a-z]+", (txt or "").lower())
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == PHRASE[0] and toks[i + 1] == PHRASE[1]
+        )
+        if n:
+            want[did] = n
+    assert dict(zip(got["doc_id"], got["n_phrase"])) == want
+    assert len(want) > 0

@@ -8655,3 +8655,102 @@ def q148_source_divergence(sf_dir: str):
         out.append((src, chi))
     df = pd.DataFrame(out, columns=["source", "chi2_c"]).astype({"chi2_c": "int64"})
     return df.sort_values("source").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint near-dup (energy-delta signature + Hamming radius)
+# --------------------------------------------------------------------------
+
+AUDIO_FP_TWIN = 10_000  # twin clip id = original id + this offset
+
+
+@query(
+    "q149_audio_fingerprint",
+    sql="SELECT id_a, id_b, hamming FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/audio_fp_pairs_sf0.01.parquet') "
+    "ORDER BY id_a, id_b",
+)
+def q149_audio_fingerprint(sf_dir: str):
+    """Audio near-dup detection — the audio sibling of q57's image pHash:
+    each clip decodes to PCM in an actor-pool stage and reduces to a
+    64-bit energy-delta fingerprint (stages/av.py::audio_fingerprint),
+    whose bit ORDERING survives lossy re-encoding; pairs within Hamming
+    ≤ 2 come out of the same complete pigeonhole block-LSH that serves
+    SimHash and pHash (dedup/lsh.py::hamming_pairs — signatures are the
+    only thing that shuffles, never PCM).  Each clip is planted a lossy
+    re-encode twin (id + 10000) the search must recover.  Oracle:
+    committed fixture from regenerated PCM + published formula +
+    brute-force O(n²) scan — independent of codec, stage, and LSH."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+    from texrex_ray.sources.av import fixture_path as av_fixture
+    from texrex_ray.stages.av import AudioFingerprint
+
+    n_aud, _ = _av_n(sf_dir)
+    d = av_fixture(n=n_aud, seed=42)
+    ds = ray.data.read_parquet(f"{d}/audio.parquet")
+    sigs = ds.map_batches(
+        AudioFingerprint(twin_offset=AUDIO_FP_TWIN),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    pairs = hamming_pairs(
+        sigs, id_col="clip_id", sig_col="simhash", max_hamming=2,
+        expected_rows=2 * n_aud, expected_pairs=2 * n_aud,
+    )
+    out = pairs.to_pandas().astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Phrase search (positional postings intersection)
+# --------------------------------------------------------------------------
+
+PHRASE = ("hash", "join")
+
+
+@query(
+    "q150_phrase_search",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') t
+                  FROM documents),
+    seq AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS pos
+            FROM toks)
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+    FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+    GROUP BY 1 ORDER BY n_phrase DESC, a.doc_id
+    """,
+)
+def q150_phrase_search(sf_dir: str):
+    """Phrase query ("{PHRASE[0]} {PHRASE[1]}") — the positional
+    half of retrieval that q99's inverted index (df/tf postings) cannot
+    answer: occurrences must be ADJACENT.  Positions of both terms live
+    inside each document row, so the intersection (pos+1 matching) is
+    doc-local numpy — zero exchange, the embarrassingly-parallel shape
+    positional-postings intersection compiles to when documents are the
+    partition unit.  Only matching (doc_id, count) rows leave the scan."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    w0, w1 = PHRASE
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall((s or "").lower())
+            a = np.fromiter(
+                (i for i, w in enumerate(toks) if w == w0), dtype=np.int64
+            )
+            if not len(a):
+                continue
+            b = {i for i, w in enumerate(toks) if w == w1}
+            n = int(sum(1 for i in a if i + 1 in b))
+            if n:
+                ids.append(did)
+                ns.append(n)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "n_phrase": pa.array(ns, pa.int64())}
+        )
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["n_phrase", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )

@@ -120,3 +120,63 @@ class VideoFrameSampler:
                 "is_key": pa.array(keys, pa.bool_()),
             }
         )
+
+
+def audio_fingerprint(pcm: np.ndarray) -> int:
+    """64-bit energy-delta fingerprint of mono int16 PCM (the published
+    contract, shared verbatim by the q149 oracle fixture): split the clip
+    into 65 equal index frames, E_j = sum of squared samples, bit j set
+    iff E_{j+1} > E_j.  Energy ORDERING survives mild lossy quantization
+    (the synthetic ogg's step-16 ≈ 46 dB SNR flips ≤ 2 of 64 bits on this
+    corpus), which is what makes Hamming-radius search find re-encodes."""
+    n = len(pcm)
+    F = 65
+    x = pcm.astype(np.float64)
+    bounds = [j * n // F for j in range(F + 1)]
+    e = np.array([(x[bounds[j]: bounds[j + 1]] ** 2).sum() for j in range(F)])
+    sig = 0
+    for j in range(64):
+        if e[j + 1] > e[j]:
+            sig |= 1 << j
+    return sig
+
+
+class AudioFingerprint:
+    """Actor-pool stage: decode + fingerprint → (clip_id, simhash int64).
+
+    ``twin_offset`` additionally emits, per clip, the fingerprint of a
+    synthetic lossy re-encode (ogg quantization applied to the decoded
+    PCM) under ``clip_id + twin_offset`` — the planted near-duplicates
+    the q149 radius search must recover.
+    """
+
+    def __init__(self, twin_offset: int | None = None, twin_quant: int = 16) -> None:
+        self.decode = decode_audio
+        self.twin_offset = twin_offset
+        self.twin_quant = twin_quant
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for aid, raw in zip(batch["audio_id"].to_pylist(), batch["bytes"].to_pylist()):
+            idx = int(aid[3:])  # "aud%08d"
+            try:
+                pcm, _sr = self.decode(raw)
+            except Exception:
+                continue
+            ids.append(idx)
+            sigs.append(np.int64(np.uint64(audio_fingerprint(pcm))))
+            if self.twin_offset is not None:
+                q = self.twin_quant
+                twin = (
+                    (np.round(pcm.astype(np.int32) / q) * q)
+                    .clip(-32768, 32767)
+                    .astype(np.int16)
+                )
+                ids.append(idx + self.twin_offset)
+                sigs.append(np.int64(np.uint64(audio_fingerprint(twin))))
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(sigs, pa.int64()),
+            }
+        )

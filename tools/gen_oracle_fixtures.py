@@ -968,6 +968,57 @@ def gen_neighborhood_function() -> None:
     print("neighborhood_fn_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_audio_fingerprint() -> None:
+    """Expected q149 near-dup pairs, recomputed from REGENERATED PCM with
+    the published energy-delta fingerprint formula and a brute-force
+    O(n^2) Hamming scan — independent of the container codec, the
+    AudioFingerprint stage, and the hamming_pairs block-LSH."""
+    import pandas as pd
+
+    from texrex_ray.sources.av import AUDIO_QUANT, _synth_pcm
+
+    def sig_of(pcm: np.ndarray) -> int:
+        n, F = len(pcm), 65
+        x = pcm.astype(np.float64)
+        bounds = [j * n // F for j in range(F + 1)]
+        e = [float((x[bounds[j]: bounds[j + 1]] ** 2).sum()) for j in range(F)]
+        s = 0
+        for j in range(64):
+            if e[j + 1] > e[j]:
+                s |= 1 << j
+        return s
+
+    sigs = {}
+    for i in range(150):  # mirrors queries._av_n(sf0.01)
+        rng = np.random.default_rng(42 * 1_000_003 + i)
+        sr = int(rng.choice([8000, 16000]))
+        dur = float(rng.uniform(0.2, 1.0))
+        pcm = _synth_pcm(rng, int(sr * dur), sr)
+        q = AUDIO_QUANT["ogg" if i % 3 == 0 else "wav"]
+        stored = pcm if q == 1 else (
+            np.round(pcm.astype(np.int32) / q) * q
+        ).clip(-32768, 32767).astype(np.int16)
+        twin = (np.round(stored.astype(np.int32) / 16) * 16).clip(
+            -32768, 32767
+        ).astype(np.int16)
+        sigs[i] = sig_of(stored)
+        sigs[i + 10_000] = sig_of(twin)
+
+    rows = []
+    ks = sorted(sigs)
+    for a in range(len(ks)):
+        for b in range(a + 1, len(ks)):
+            d = bin(sigs[ks[a]] ^ sigs[ks[b]]).count("1")
+            if d <= 2:
+                rows.append({"id_a": ks[a], "id_b": ks[b], "hamming": d})
+    t = pa.Table.from_pandas(
+        pd.DataFrame(rows).sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+    pq.write_table(t, os.path.join(OUT, "audio_fp_pairs_sf0.01.parquet"))
+    print("audio_fp_pairs_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -995,6 +1046,7 @@ def main() -> None:
     gen_ppr_push()
     gen_seed_cover()
     gen_neighborhood_function()
+    gen_audio_fingerprint()
 
 
 if __name__ == "__main__":
