@@ -1,0 +1,160 @@
+"""Round-4 batch E: cohort retention, grouped Gini, prefix-filtering
+set-similarity join."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------- q151
+
+def test_cohort_retention_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES, WEEK_US
+
+    got = QUERIES["q151_cohort_retention"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    wk = ev["ts"].astype("int64") // WEEK_US
+    uw = pd.DataFrame({"u": ev["user_id"], "wk": wk}).drop_duplicates()
+    cohort = uw.groupby("u")["wk"].min()
+    want = {}
+    for u, w in zip(uw["u"], uw["wk"]):
+        key = (int(cohort[u]), int(w - cohort[u]))
+        want[key] = want.get(key, 0) + 1
+    have = {
+        (int(r["cohort"]), int(r["offset_wk"])): int(r["n_users"])
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    # every user appears exactly once at offset 0 of their own cohort
+    assert sum(n for (c, o), n in have.items() if o == 0) == uw["u"].nunique()
+
+
+# ------------------------------------------------------------------- q152
+
+def _gini_direct(values: list[int]) -> int:
+    from texrex_ray.pipelines.queries import GINI_SCALE
+
+    xs = sorted(values)
+    n = len(xs)
+    s = sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    return (2 * s1 - (n + 1) * s) * GINI_SCALE // (n * s)
+
+
+def test_grouped_gini_matches_direct(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q152_grouped_gini"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cnt = ev.groupby(["event_type", "user_id"]).size()
+    for _, row in got.iterrows():
+        vals = cnt[row["event_type"]].tolist()
+        assert row["gini_ppm"] == _gini_direct(vals), row["event_type"]
+        assert row["n_users"] == len(vals)
+
+
+def test_gini_histogram_rank_fold_analytic():
+    # equal values -> perfect equality -> 0; one user owns all -> (n-1)/n
+    from texrex_ray.pipelines.queries import GINI_SCALE
+
+    assert _gini_direct([5, 5, 5, 5]) == 0
+    n = 10
+    assert _gini_direct([0] * (n - 1) + [100]) == (
+        (n - 1) * GINI_SCALE // n
+    )
+
+
+# ------------------------------------------------------------------- q153
+
+def _brute_pairs(sets: dict[int, frozenset], num: int, den: int):
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and den * inter >= num * union:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_prefix_setjoin_matches_bruteforce_sf(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q153_prefix_setjoin"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    sets = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        ws = re.findall(r"[a-z]+", (txt or "").lower())
+        sets[int(did)] = frozenset(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    want = _brute_pairs(sets, 1, 2)
+    have = {
+        (int(r["id_a"]), int(r["id_b"])): (int(r["n_inter"]), int(r["n_union"]))
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    assert len(want) > 0
+
+
+def test_prefix_setjoin_random_completeness(ray_session):
+    """Prefix filtering must drop nothing: random sets, every order mode."""
+    from texrex_ray.dedup.setjoin import prefix_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    universe = [f"e{i:03d}" for i in range(40)]
+    sets = {}
+    for rid in range(60):
+        k = int(rng.integers(3, 12))
+        sets[rid] = frozenset(rng.choice(universe, size=k, replace=False))
+    # plant guaranteed near-dups
+    sets[100] = sets[0]
+    sets[101] = frozenset(list(sets[1])[:-1]) if len(sets[1]) > 3 else sets[1]
+    rows = [{"doc_id": rid, "toks": sorted(s)} for rid, s in sets.items()]
+    want = _brute_pairs(sets, 3, 5)
+
+    for order in ("df", "hash"):
+        ds = ray.data.from_items(rows).repartition(5)
+        out = prefix_jaccard_pairs(
+            ds, id_col="doc_id", set_col="toks", threshold=(3, 5), order=order
+        )
+        have = {
+            (int(r["id_a"]), int(r["id_b"])): (int(r["n_inter"]), int(r["n_union"]))
+            for _, r in out.iterrows()
+        }
+        assert have == want, order
+
+
+def test_prefix_length_bound():
+    from texrex_ray.dedup.setjoin import prefix_length
+
+    # t=1 keeps exactly one element; t->0 keeps the whole set
+    assert prefix_length(10, 1, 1) == 1
+    assert prefix_length(10, 1, 10) == 10
+    # AllPairs bound: |x| - ceil(t|x|) + 1
+    assert prefix_length(7, 1, 2) == 7 - 4 + 1
+
+
+def test_prefix_setjoin_hot_key_guard(ray_session):
+    from texrex_ray.dedup.setjoin import prefix_jaccard_pairs
+
+    rows = [{"doc_id": i, "toks": ["shared", f"u{i}"]} for i in range(30)]
+    ds = ray.data.from_items(rows)
+    with pytest.raises(RuntimeError, match="max_group"):
+        prefix_jaccard_pairs(
+            ds, id_col="doc_id", set_col="toks", threshold=(1, 2), max_group=10
+        )
+
+
+def test_prefix_setjoin_empty_result(ray_session):
+    from texrex_ray.dedup.setjoin import prefix_jaccard_pairs
+
+    rows = [{"doc_id": i, "toks": [f"only{i}a", f"only{i}b"]} for i in range(8)]
+    ds = ray.data.from_items(rows)
+    out = prefix_jaccard_pairs(ds, id_col="doc_id", set_col="toks")
+    assert out.empty
+    assert list(out.columns) == ["id_a", "id_b", "n_inter", "n_union"]

@@ -8754,3 +8754,227 @@ def q150_phrase_search(sf_dir: str):
     return out.sort_values(["n_phrase", "doc_id"], ascending=[False, True]).reset_index(
         drop=True
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (weekly cohorts × activity offsets)
+# --------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "q151_cohort_retention",
+    sql=f"""
+    WITH w AS (SELECT user_id, CAST(epoch_us(ts) // {WEEK_US} AS BIGINT) AS wk
+               FROM events GROUP BY 1, 2),
+    c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1)
+    SELECT c.cohort, w.wk - c.cohort AS offset_wk,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM w JOIN c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q151_cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix — the growth-accounting view of any
+    event stream (and of a recrawl log: hosts first seen in week W still
+    being fetched k weeks later).  Both the cohort (a user's FIRST active
+    week) and the offsets are per-user facts, so the whole matrix needs
+    ONE user-keyed exchange: batches compress to distinct (user, week)
+    partials in place, the bucketed combine dedups, takes min-week per
+    user and emits (cohort, offset) rows — one per retained user-week —
+    and the finish is a cohort×offset-sized sum, independent of event
+    volume.  Weeks are integer epoch-microsecond floors (shared formula
+    with the oracle), so bucketing is engine-invariant."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "wk": df["ts"].astype("int64") // WEEK_US,
+            }
+        )
+        return out.drop_duplicates()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        cohort = df.groupby("user_id", sort=False)["wk"].transform("min")
+        rows = pd.DataFrame(
+            {"cohort": cohort, "offset_wk": df["wk"] - cohort}
+        )
+        return (
+            rows.groupby(["cohort", "offset_wk"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            "user_id",
+            combine,
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby(["cohort", "offset_wk"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["cohort", "offset_wk"])
+        .reset_index(drop=True)
+    )
+    for c in ("cohort", "offset_wk", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Grouped Gini concentration (histogram-exact, ppm)
+# --------------------------------------------------------------------------
+
+GINI_SCALE = 1_000_000
+
+_GINI_SQL = f"""
+WITH ucnt AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(x) OVER (PARTITION BY event_type) AS s
+      FROM ucnt)
+SELECT event_type,
+       CAST((2 * SUM(i * x) - (MAX(n) + 1) * MAX(s)) * {GINI_SCALE}
+            // (MAX(n) * MAX(s)) AS BIGINT) AS gini_ppm,
+       CAST(MAX(n) AS BIGINT) AS n_users
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q152_grouped_gini", sql=_GINI_SQL)
+def q152_grouped_gini(sf_dir: str):
+    """Per-event-type Gini coefficient of user activity — the inequality
+    gauge a mixture pipeline reads before capping dominant contributors
+    (and a crawl reads over per-host fetch counts to see frontier
+    concentration).  Gini is a pure function of the per-group VALUE
+    HISTOGRAM: with multiplicities m at ascending value v, the rank sum
+    Σ i·x_i telescopes to Σ v·(m·c_prev + m(m+1)/2), so the plan is
+    q113's: per-batch (type, user) count partials → ONE user-keyed
+    exchange to finish per-user totals and fold them into (type, value)
+    histograms → a histogram-sized finish.  Rank ties carry equal
+    values, so Σ i·x_i is tie-order-invariant and the ppm result is
+    integer-exact against the window-function oracle (numerator ≥ 0 by
+    the Chebyshev sum inequality, so floor == truncate)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .rename("x")
+            .reset_index()
+        )
+
+    def to_hist(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            df.groupby(["event_type", "user_id"], sort=False)["x"]
+            .sum()
+            .reset_index()
+        )
+        return (
+            tot.groupby(["event_type", "x"], sort=False)
+            .size()
+            .rename("m")
+            .reset_index()
+        )
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            "user_id",
+            to_hist,
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby(["event_type", "x"], as_index=False)["m"]
+        .sum()
+    )
+
+    rows = []
+    for et, sub in hist.groupby("event_type", sort=True):
+        sub = sub.sort_values("x")
+        n = s = s1 = 0
+        for v, m in zip(sub["x"], sub["m"]):
+            v, m = int(v), int(m)
+            # ranks c_prev+1 .. c_prev+m each hold value v
+            s1 += v * (m * n + m * (m + 1) // 2)
+            n += m
+            s += v * m
+        gini = (2 * s1 - (n + 1) * s) * GINI_SCALE // (n * s)
+        rows.append({"event_type": et, "gini_ppm": gini, "n_users": n})
+    out = pd.DataFrame(rows)
+    for c in ("gini_ppm", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering set-similarity self-join (AllPairs / PPJoin)
+# --------------------------------------------------------------------------
+
+_SETJOIN_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') ts
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS tok
+      FROM t, unnest(range(1, len(ts))) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS i
+          FROM g a JOIN g b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b, i AS n_inter,
+       CAST(sa.sz + sb.sz - i AS BIGINT) AS n_union
+FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+WHERE 2 * i >= (sa.sz + sb.sz - i)
+ORDER BY id_a, id_b
+"""
+
+
+@query("q153_prefix_setjoin", sql=_SETJOIN_SQL)
+def q153_prefix_setjoin(sf_dir: str):
+    """Set-similarity self-join with PREFIX FILTERING (Bayardo et al.
+    2007 / PPJoin, Xiao et al. 2008) — the candidate-bounded alternative
+    to q14's all-grams exchange: each document's distinct word-bigram
+    set exchanges only its rarest |x|−⌈t·|x|⌉+1 elements (global
+    ascending-df order), complete by the prefix-overlap theorem; the
+    exact integer threshold 2·|∩| ≥ |∪| (J ≥ 0.5) is verified on
+    result-bounded candidate sets.  dedup/setjoin.py carries the plan:
+    vocab-sized df exchange → doc-local prefix emit → element-keyed
+    bucketed exchange with loud hot-key guard → pair-keyed dedup →
+    broadcast-sets verify.  Oracle: brute-force all-pairs SQL —
+    equality proves the prefix filter dropped nothing."""
+    from texrex_ray.dedup.setjoin import prefix_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def to_sets(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = _TOKEN_RE.findall((txt or "").lower())
+            grams = sorted({f"{a} {b}" for a, b in zip(ws, ws[1:])})
+            ids.append(did)
+            toks.append(grams)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "toks": pa.array(toks, pa.list_(pa.string())),
+            }
+        )
+
+    sets = ds.map_batches(to_sets, batch_format="pyarrow")
+    return prefix_jaccard_pairs(
+        sets, id_col="doc_id", set_col="toks", threshold=(1, 2),
+        expected_rows=n_docs * 40,
+    )
