@@ -158,3 +158,115 @@ def test_prefix_setjoin_empty_result(ray_session):
     out = prefix_jaccard_pairs(ds, id_col="doc_id", set_col="toks")
     assert out.empty
     assert list(out.columns) == ["id_a", "id_b", "n_inter", "n_union"]
+
+
+# ------------------------------------------------------------------- q154
+
+def test_pq_distributed_matches_sequential_twin(ray_session):
+    from texrex_ray.dedup.pq import (
+        pq_adc_topk, pq_encode, pq_sequential, pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = {i: rng.normal(size=16).tolist() for i in range(80)}
+    rows = [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    ds = ray.data.from_items(rows).repartition(6)
+    books = pq_train(ds, m=4, ks=8, iters=4)
+    codes = pq_encode(ds, books)
+    queries = {i: np.asarray(vecs[i]) for i in range(3)}
+    got = pq_adc_topk(codes, books, queries, k=5)
+    want = pq_sequential(vecs, [0, 1, 2], m=4, ks=8, iters=4, k=5)
+    have = list(
+        zip(got["query_id"], got["neighbor_id"], got["adc_dist"], got["rank"])
+    )
+    assert [tuple(map(int, r)) for r in have] == want
+
+
+def test_pq_precombine_path_identical(ray_session):
+    from texrex_ray.dedup.pq import pq_adc_topk, pq_encode, pq_train
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"vec_id": i, "embedding": rng.normal(size=8).tolist()}
+        for i in range(60)
+    ]
+    ds = ray.data.from_items(rows).repartition(8)
+    books = pq_train(ds, m=2, ks=4, iters=3)
+    codes = pq_encode(ds, books)
+    q = {0: np.asarray(rows[0]["embedding"]), 7: np.asarray(rows[7]["embedding"])}
+    a = pq_adc_topk(codes, books, q, k=4, precombine=False)
+    b = pq_adc_topk(pq_encode(ds, books), books, q, k=4, precombine=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_fixture_fresh(ray_session):
+    """Committed q154 fixture matches the live distributed path."""
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q154_pq_adc_topk"]("/root/testdata/sf0.01")
+    want = (
+        pd.read_parquet("/root/repo/tests/fixtures/oracle/pq_adc_sf0.01.parquet")
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        want.astype("int64"),
+    )
+
+
+# ------------------------------------------------------------------- q155
+
+def test_kmv_intersection_matches_serial(ray_session):
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.pipelines.queries import KMV_K, QUERIES
+
+    got = QUERIES["q155_kmv_intersection"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    sides = {0: set(), 1: set()}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        toks = re.findall(r"[a-z]+", (txt or "").lower())
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if grams:
+            sides[int(did) % 2].update(int(h) for h in md5_lower64(sorted(grams)))
+    union = sorted(sides[0] | sides[1])
+    inter = sides[0] & sides[1]
+    if len(union) >= KMV_K:
+        theta = union[KMV_K - 1]
+        n_both = sum(1 for h in union[: KMV_K - 1] if h in inter)
+        est = (n_both << 64) // theta
+    else:
+        est = len(inter)
+    assert int(got["n_exact_inter"][0]) == len(inter)
+    assert int(got["kmv_inter_est"][0]) == est
+    # the estimate should be in the right ballpark of the exact count
+    assert est > 0 and abs(est - len(inter)) < len(inter)
+
+
+# ------------------------------------------------------------------- q156
+
+def test_event_transitions_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import PPM, QUERIES
+
+    got = QUERIES["q156_event_transitions"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    want: dict = {}
+    for _, sub in ev.groupby("user_id"):
+        ts = sub["event_type"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    totals: dict = {}
+    for (a, _), n in want.items():
+        totals[a] = totals.get(a, 0) + n
+    have = {
+        (r["from_type"], r["to_type"]): (int(r["n"]), int(r["p_ppm"]))
+        for _, r in got.iterrows()
+    }
+    assert have == {
+        k: (n, n * PPM // totals[k[0]]) for k, n in want.items()
+    }
+    # row-normalization sanity: each from-type's ppm sums to ~1e6
+    s = got.groupby("from_type")["p_ppm"].sum()
+    assert ((s > PPM - 30) & (s <= PPM)).all()

@@ -8978,3 +8978,201 @@ def q153_prefix_setjoin(sf_dir: str):
         sets, id_col="doc_id", set_col="toks", threshold=(1, 2),
         expected_rows=n_docs * 40,
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (PQ codes + ADC top-k)
+# --------------------------------------------------------------------------
+
+@query(
+    "q154_pq_adc_topk",
+    sql="SELECT query_id, neighbor_id, adc_dist, rank FROM "
+    "read_parquet('/root/repo/tests/fixtures/oracle/pq_adc_sf0.01.parquet') "
+    "ORDER BY query_id, rank",
+)
+def q154_pq_adc_topk(sf_dir: str):
+    """Product quantization (Jégou et al. 2011) — the vector-COMPRESSION
+    member of the ANN family (q15 brute, q19 SRP-LSH, q36 IVF): vectors
+    compress to m=8 one-byte codes against per-subspace codebooks, and
+    queries score codes with an Asymmetric Distance Computation table
+    (m×ks integer lookups per vector).  Training, encode, and ADC are
+    ALL integer-exact (scale ×1e6, floor-mean k-means with lowest-index
+    ties, int64 distance sums), so the committed fixture from the
+    pure-Python sequential twin (dedup/pq.py::pq_sequential) pins every
+    code and every rank — not just "close" recall.  Codebooks broadcast
+    once; encode + scoring are stateless zero-copy map_batches with
+    per-batch partial top-k; the corpus never shuffles."""
+    from texrex_ray.dedup.pq import pq_adc_topk, pq_encode, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=8, ks=16, iters=5)
+    codes = pq_encode(ds, books)
+
+    qdf = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(8))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    queries = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(qdf["vec_id"], qdf["embedding"])
+    }
+    return pq_adc_topk(codes, books, queries, k=10)
+
+
+# --------------------------------------------------------------------------
+# KMV theta-sketch cross-corpus intersection (the estimate HLL cannot give)
+# --------------------------------------------------------------------------
+
+_KMV_INTER_SQL = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') t
+              FROM documents),
+g AS (SELECT DISTINCT doc_id % 2 AS side, array_to_string(t[i:i+2], ' ') AS tok
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+h AS (SELECT DISTINCT side, md5_number_lower(tok) AS hk FROM g),
+u AS (SELECT hk, CAST(COUNT(*) AS BIGINT) AS ns FROM h GROUP BY hk),
+r AS (SELECT hk, ns, ROW_NUMBER() OVER (ORDER BY hk) AS rn FROM u),
+th AS (SELECT hk AS theta FROM r WHERE rn = {KMV_K})
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE ns = 2) AS n_exact_inter,
+       CAST(COALESCE(
+         (SELECT (SELECT COUNT(*) FROM r WHERE r.ns = 2 AND r.hk < th.theta)::HUGEINT
+                 * 18446744073709551616::HUGEINT // th.theta::HUGEINT
+          FROM th),
+         (SELECT COUNT(*) FROM u WHERE ns = 2)) AS BIGINT) AS kmv_inter_est
+"""
+
+
+@query("q155_kmv_intersection", sql=_KMV_INTER_SQL)
+def q155_kmv_intersection(sf_dir: str):
+    """Cross-corpus overlap from theta sketches — the INTERSECTION
+    estimate q144 documents as KMV's edge over HLL (q48), closed:
+    split the corpus into deterministic halves (doc parity), sketch each
+    side's distinct 3-grams, and estimate |A∩B| as
+    ``n_both_below_theta · 2⁶⁴ // θ`` with θ the {KMV_K}-th smallest
+    union hash — the same estimator family as q144's distinct count, so
+    the two compose.  Exchange: per-batch distinct (side, hash) partials
+    → ONE hash-keyed bucketed exchange whose combine emits only a
+    per-bucket bottom-{KMV_K} candidate list plus a both-sides counter
+    (the exact audit column rides the same exchange); the driver merge
+    is buckets × {KMV_K} rows.  md5_lower64 ≡ md5_number_lower keeps the
+    integers bit-equal across engines."""
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        seen: set = set()
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            side = int(did) % 2
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            if grams:
+                for hk in md5_lower64(sorted(grams)):
+                    seen.add((side, int(hk)))
+        if not seen:
+            return pa.table({"side": pa.array([], pa.int8()),
+                             "hk": pa.array([], pa.uint64())})
+        sides, hks = zip(*sorted(seen))
+        return pa.table({"side": pa.array(sides, pa.int8()),
+                         "hk": pa.array(hks, pa.uint64())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.drop_duplicates().groupby("hk")["side"].nunique()
+        hk = per.index.to_numpy().astype(np.uint64)
+        both = (per.to_numpy() == 2).astype(np.int8)
+        n_inter = int(both.sum())
+        order = np.argsort(hk)[:KMV_K]  # bucket bottom-k candidates
+        out = pd.DataFrame({
+            "hk": hk[order], "both": both[order],
+            "cnt_inter": np.zeros(len(order), np.int64),
+        })
+        if len(out):
+            out.iloc[0, out.columns.get_loc("cnt_inter")] = n_inter
+        return out
+
+    rows = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), "hk", combine,
+        expected_rows=ds.count() * 40,
+    ).to_pandas()
+
+    n_exact = int(rows["cnt_inter"].sum())
+    hk = rows["hk"].to_numpy().astype(np.uint64)
+    order = np.argsort(hk)
+    hk_sorted = hk[order]
+    both_sorted = rows["both"].to_numpy()[order]
+    if len(hk_sorted) >= KMV_K:
+        theta = int(hk_sorted[KMV_K - 1])
+        n_both_below = int(both_sorted[: KMV_K - 1].sum())
+        est = (n_both_below << 64) // theta
+    else:
+        est = n_exact
+    return pd.DataFrame(
+        {"n_exact_inter": [n_exact], "kmv_inter_est": [est]}
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov behavior model)
+# --------------------------------------------------------------------------
+
+PPM = 1_000_000
+
+_TRANS_SQL = f"""
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*)::HUGEINT * {PPM}
+            // SUM(COUNT(*)) OVER (PARTITION BY event_type)::HUGEINT
+            AS BIGINT) AS p_ppm
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q156_event_transitions", sql=_TRANS_SQL)
+def q156_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavior model under session analysis (and the
+    state-machine view of a crawl log: fetch→redirect→fetch…).
+    Successor pairs are a per-user fact, so ONE user-keyed bucketed
+    exchange suffices: each bucket sorts its users' events (ts, then
+    event_id for deterministic ties), shifts within user, and emits
+    (from, to) count partials; the finish is a |types|²-sized sum with
+    integer ppm row-normalization (HUGEINT twin) — event volume never
+    reaches the driver."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = df.groupby("user_id", sort=False)["event_type"].shift(-1)
+        keep = nxt.notna()
+        pairs = pd.DataFrame(
+            {"from_type": df["event_type"][keep], "to_type": nxt[keep]}
+        )
+        return (
+            pairs.groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    mat = (
+        bucketed_groupby(ds, "user_id", combine, expected_rows=ds.count())
+        .to_pandas()
+        .groupby(["from_type", "to_type"], as_index=False)["n"]
+        .sum()
+    )
+    tot = mat.groupby("from_type")["n"].transform("sum")
+    mat["p_ppm"] = [
+        int(n) * PPM // int(t) for n, t in zip(mat["n"], tot)
+    ]
+    for c in ("n", "p_ppm"):
+        mat[c] = mat[c].astype("int64")
+    return mat.sort_values(["from_type", "to_type"]).reset_index(drop=True)

@@ -1019,6 +1019,30 @@ def gen_audio_fingerprint() -> None:
     print("audio_fp_pairs_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_pq_topk() -> None:
+    """Expected q154 PQ/ADC top-k from the INDEPENDENT pure-Python twin
+    (dedup/pq.py::pq_sequential — dict/loop arithmetic, no numpy, no
+    Ray) over the sf0.01 embeddings; queries are vec_id < 8 like q15."""
+    from texrex_ray.dedup.pq import pq_sequential
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    vecs = {
+        int(i): list(v)
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    rows = pq_sequential(vecs, list(range(8)), m=8, ks=16, iters=5, k=10)
+    out = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            "adc_dist": pa.array([r[2] for r in rows], pa.int64()),
+            "rank": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(out, os.path.join(OUT, "pq_adc_sf0.01.parquet"))
+    print("pq_adc_sf0.01.parquet:", out.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1047,6 +1071,7 @@ def main() -> None:
     gen_seed_cover()
     gen_neighborhood_function()
     gen_audio_fingerprint()
+    gen_pq_topk()
 
 
 if __name__ == "__main__":
