@@ -270,3 +270,118 @@ def test_event_transitions_matches_serial(ray_session):
     # row-normalization sanity: each from-type's ppm sums to ~1e6
     s = got.groupby("from_type")["p_ppm"].sum()
     assert ((s > PPM - 30) & (s <= PPM)).all()
+
+
+# ------------------------------------------------------------------- q157
+
+def test_rrf_fusion_matches_serial(ray_session):
+    from texrex_ray.dedup.embed import knn_bruteforce
+    from texrex_ray.dedup.pq import pq_sequential
+    from texrex_ray.pipelines.queries import PPM, RRF_K, RRF_TOPK, QUERIES
+
+    got = QUERIES["q157_rrf_fusion"](SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {int(i): list(v) for i, v in zip(emb["vec_id"], emb["embedding"])}
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    cos = knn_bruteforce(ds, query_ids=list(range(8)), k=10)
+    adc = pq_sequential(vecs, list(range(8)), m=8, ks=16, iters=5, k=10)
+
+    scores: dict = {}
+    for _, r in cos.iterrows():
+        key = (int(r["query_id"]), int(r["neighbor_id"]))
+        scores[key] = scores.get(key, 0) + PPM // (RRF_K + int(r["rank"]))
+    for q, n, _, rank in adc:
+        scores[(q, n)] = scores.get((q, n), 0) + PPM // (RRF_K + rank)
+    want = []
+    for q in range(8):
+        items = sorted(
+            ((s, n) for (qq, n), s in scores.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )[:RRF_TOPK]
+        for rank, (s, n) in enumerate(items, start=1):
+            want.append((q, n, s, rank))
+    have = [
+        tuple(map(int, r))
+        for r in zip(got["query_id"], got["neighbor_id"],
+                     got["rrf_score"], got["rank"])
+    ]
+    assert have == want
+
+
+# ------------------------------------------------------------------- q158
+
+def test_cocitation_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import COCITE_CAP, QUERIES
+
+    got = QUERIES["q158_cocitation"](SF)
+    df = pd.read_parquet("/root/repo/tests/fixtures/oracle/pagerank_edges.parquet")
+    host = df["src"].str.extract(r"^https?://([^/]+)", expand=False)
+    d = pd.DataFrame({"h": host, "dst": df["dst"]}).drop_duplicates()
+    want: dict = {}
+    for _, sub in d.groupby("dst"):
+        hs = sorted(sub["h"].unique())
+        if not (2 <= len(hs) <= COCITE_CAP):
+            continue
+        for i, a in enumerate(hs):
+            for b in hs[i + 1:]:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    want = {k: v for k, v in want.items() if v >= 3}
+    have = {
+        (r["host_a"], r["host_b"]): int(r["n_shared"]) for _, r in got.iterrows()
+    }
+    assert have == want
+    assert len(want) > 0
+
+
+# ------------------------------------------------------------------- q159
+
+def test_lexical_hhi_matches_serial(ray_session):
+    from collections import Counter
+
+    from texrex_ray.pipelines.queries import PPM, QUERIES
+
+    got = QUERIES["q159_lexical_hhi"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per: dict = {}
+    for src, txt in zip(docs["source"], docs["text"]):
+        per.setdefault(src, Counter()).update(
+            re.findall(r"[a-z]+", (txt or "").lower())
+        )
+    for _, r in got.iterrows():
+        cnt = per[r["source"]]
+        tot = sum(cnt.values())
+        sq = sum(v * v for v in cnt.values())
+        assert int(r["hhi_ppm"]) == sq * PPM // (tot * tot)
+        assert int(r["simpson_ppm"]) == (tot * tot - sq) * PPM // (tot * tot)
+        assert int(r["n_types"]) == len(cnt)
+    # identity: hhi + simpson == PPM up to the two independent floors
+    s = got["hhi_ppm"] + got["simpson_ppm"]
+    assert ((s == PPM) | (s == PPM - 1)).all()
+
+
+# ------------------------------------------------------------------- q160
+
+def test_burstiness_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import PPM, QUERIES
+
+    got = QUERIES["q160_burstiness"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    want = {}
+    for uid, sub in ev.groupby("user_id"):
+        us = sub["ts"].astype("int64").tolist()
+        gaps = [(b - a) // 1_000_000 for a, b in zip(us, us[1:])]
+        tot = sum(gaps)
+        if not gaps or tot <= 0:
+            continue
+        sq = sum(g * g for g in gaps)
+        n = len(gaps)
+        want[int(uid)] = (n, (n * sq - tot * tot) * PPM // (tot * tot))
+    have = {
+        int(r["user_id"]): (int(r["n_gaps"]), int(r["cv2_ppm"]))
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    assert len(want) > 0

@@ -9176,3 +9176,298 @@ def q156_event_transitions(sf_dir: str):
     for c in ("n", "p_ppm"):
         mat[c] = mat[c].astype("int64")
     return mat.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings (hybrid search)
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOPK = 5
+
+_RRF_SQL = f"""
+WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.qid, e.vec_id nid,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+cosr AS (SELECT qid AS query_id, nid AS neighbor_id,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) AS r
+         FROM s QUALIFY r <= 10),
+adcr AS (SELECT query_id, neighbor_id, rank AS r FROM
+         read_parquet('/root/repo/tests/fixtures/oracle/pq_adc_sf0.01.parquet')),
+fused AS (SELECT COALESCE(c.query_id, a.query_id) AS query_id,
+                 COALESCE(c.neighbor_id, a.neighbor_id) AS neighbor_id,
+                 COALESCE(1000000 // ({RRF_K} + c.r), 0)
+                 + COALESCE(1000000 // ({RRF_K} + a.r), 0) AS rrf_score
+          FROM cosr c FULL OUTER JOIN adcr a
+          ON a.query_id = c.query_id AND a.neighbor_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+FROM fused QUALIFY rank <= {RRF_TOPK} ORDER BY query_id, rank
+"""
+
+
+@query("q157_rrf_fusion", sql=_RRF_SQL)
+def q157_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval fusion: reciprocal-rank fusion (Cormack et al.
+    2009) of the EXACT cosine top-10 (q15's brute-force path) with the
+    COMPRESSED PQ/ADC top-10 (q154's path) — the standard way a serving
+    stack combines a cheap compressed index with an exact re-scorer
+    without comparing incommensurable scores.  RRF uses ranks only
+    (score = Σ 1e6//(60+rank), integer), so float cosine never crosses
+    engines; the fusion itself is a result-sized pandas merge on the
+    driver — both rankings are k×queries rows by construction."""
+    from texrex_ray.dedup.embed import knn_bruteforce
+    from texrex_ray.dedup.pq import pq_adc_topk, pq_encode, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cos = knn_bruteforce(ds, query_ids=list(range(8)), k=10)
+
+    books = pq_train(ds, m=8, ks=16, iters=5)
+    codes = pq_encode(ds, books)
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(8))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    adc = pq_adc_topk(
+        codes, books,
+        {int(i): np.asarray(v, np.float64)
+         for i, v in zip(qdf["vec_id"], qdf["embedding"])},
+        k=10,
+    )
+
+    merged = cos[["query_id", "neighbor_id", "rank"]].merge(
+        adc[["query_id", "neighbor_id", "rank"]],
+        on=["query_id", "neighbor_id"], how="outer", suffixes=("_c", "_a"),
+    )
+
+    def _score(r) -> int:
+        s = 0
+        if pd.notna(r["rank_c"]):
+            s += PPM // (RRF_K + int(r["rank_c"]))
+        if pd.notna(r["rank_a"]):
+            s += PPM // (RRF_K + int(r["rank_a"]))
+        return s
+
+    merged["rrf_score"] = merged.apply(_score, axis=1)
+    merged = merged.sort_values(
+        ["query_id", "rrf_score", "neighbor_id"],
+        ascending=[True, False, True],
+    )
+    merged["rank"] = merged.groupby("query_id").cumcount() + 1
+    out = merged[merged["rank"] <= RRF_TOPK].reset_index(drop=True)
+    for c in ("query_id", "neighbor_id", "rrf_score", "rank"):
+        out[c] = out[c].astype("int64")
+    return out[["query_id", "neighbor_id", "rrf_score", "rank"]]
+
+
+# --------------------------------------------------------------------------
+# Co-citation host similarity (hosts sharing link targets)
+# --------------------------------------------------------------------------
+
+COCITE_CAP = 50  # dst pages cited by more hosts are skipped (tender's cap)
+
+_COCITE_SQL = f"""
+WITH e AS (SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS h, dst
+           FROM read_parquet('/root/repo/tests/fixtures/oracle/pagerank_edges.parquet')),
+d AS (SELECT DISTINCT h, dst FROM e),
+grp AS (SELECT dst FROM d GROUP BY dst
+        HAVING COUNT(*) BETWEEN 2 AND {COCITE_CAP}),
+pairs AS (SELECT a.h AS host_a, b.h AS host_b
+          FROM d a JOIN d b USING (dst) JOIN grp USING (dst)
+          WHERE a.h < b.h)
+SELECT host_a, host_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3
+ORDER BY host_a, host_b
+"""
+
+
+@query("q158_cocitation", sql=_COCITE_SQL)
+def q158_cocitation(sf_dir: str):
+    """Co-citation similarity over the crawl graph (Small 1973 lifted to
+    hosts): two hosts are related when many pages cite targets in
+    common — the inbound complement of q118's direct host-pair counts
+    and the classic related-sites signal.  Plan is tender's: distinct
+    (dst, src_host) rows → ONE dst-keyed bucketed exchange generating
+    C(n,2) host pairs only for dst groups of 2..{COCITE_CAP} (the
+    redundancy cap kills hub skew — a page cited by every host carries
+    no signal) → pair-keyed count exchange, n_shared ≥ 3.  Input is the
+    committed crawl edge fixture q70/q129 share."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    n_edges = edges.count()
+
+    def hostify(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["src"].str.extract(r"^https?://([^/]+)", expand=False)
+        return pd.DataFrame({"h": h, "dst": df["dst"]}).drop_duplicates()
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for dst, sub in g.groupby("dst", sort=False):
+            hs = np.sort(sub["h"].unique())
+            n = len(hs)
+            if n < 2 or n > COCITE_CAP:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame({"host_a": hs[ia], "host_b": hs[ib]}))
+        if not outs:
+            return pd.DataFrame({"host_a": pd.Series([], dtype=object),
+                                 "host_b": pd.Series([], dtype=object)})
+        return pd.concat(outs)
+
+    pairs = bucketed_groupby(
+        edges.map_batches(hostify, batch_format="pandas"),
+        "dst", group_pairs, expected_rows=n_edges,
+    )
+    counts = bucketed_groupby(
+        pairs, ["host_a", "host_b"],
+        lambda g: g.groupby(["host_a", "host_b"], sort=False)
+        .size().rename("n_shared").reset_index(),
+        expected_rows=n_edges * 4,
+    ).to_pandas()
+    counts = (
+        counts.groupby(["host_a", "host_b"], as_index=False)["n_shared"].sum()
+    )
+    out = counts[counts["n_shared"] >= 3].sort_values(
+        ["host_a", "host_b"]
+    ).reset_index(drop=True)
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Lexical concentration per source (Herfindahl / Simpson, rational-exact)
+# --------------------------------------------------------------------------
+
+_HHI_SQL = f"""
+WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+              FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(n * n)::HUGEINT * {PPM} // (SUM(n)::HUGEINT * SUM(n)::HUGEINT)
+            AS BIGINT) AS hhi_ppm,
+       CAST((SUM(n)::HUGEINT * SUM(n)::HUGEINT - SUM(n * n)::HUGEINT) * {PPM}
+            // (SUM(n)::HUGEINT * SUM(n)::HUGEINT) AS BIGINT) AS simpson_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+@query("q159_lexical_hhi", sql=_HHI_SQL)
+def q159_lexical_hhi(sf_dir: str):
+    """Lexical concentration per source: Herfindahl–Hirschman index
+    Σ(nᵢ/N)² and Simpson diversity 1−HHI — the RATIONAL concentration
+    measures (no logs, so integer-exact where Shannon entropy cannot
+    be) that flag template-dominated sources next to q148's χ² and
+    q152's Gini.  Per-batch (source, token) combiner counts → one
+    cell-cardinality exchange; Σn and Σn² are per-source ints, the ppm
+    finish is pure integer division (HUGEINT twin)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: Counter = Counter()
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for tok in _TOKEN_RE.findall((txt or "").lower()):
+                cnt[(src, tok)] += 1
+        ks = list(cnt.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in ks]),
+            "tok": pa.array([k[1] for k in ks]),
+            "n": pa.array([cnt[k] for k in ks], pa.int64()),
+        })
+
+    cells = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tok"],
+        lambda g: g.groupby(["source", "tok"], sort=False)["n"].sum().reset_index(),
+        expected_rows=ds.count() * 4,
+    ).to_pandas()
+
+    rows = []
+    for src, sub in cells.groupby("source", sort=True):
+        n = sub["n"].to_numpy()
+        tot = int(n.sum())
+        sq = int((n.astype(object) ** 2).sum())  # python ints, no wrap
+        hhi = sq * PPM // (tot * tot)
+        simpson = (tot * tot - sq) * PPM // (tot * tot)
+        rows.append({"source": src, "hhi_ppm": hhi,
+                     "simpson_ppm": simpson, "n_types": len(sub)})
+    out = pd.DataFrame(rows)
+    for c in ("hhi_ppm", "simpson_ppm", "n_types"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness per user (CV² of gaps, integer-exact)
+# --------------------------------------------------------------------------
+
+_BURST_SQL = f"""
+WITH g AS (SELECT user_id,
+                  (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                         ORDER BY ts, event_id)))
+                  // 1000000 AS gap_s
+           FROM events),
+a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+             SUM(gap_s::HUGEINT * gap_s::HUGEINT) AS sum_s2
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1 HAVING SUM(gap_s) > 0)
+SELECT user_id, n_gaps,
+       CAST((n_gaps::HUGEINT * sum_s2 - sum_s::HUGEINT * sum_s::HUGEINT) * {PPM}
+            // (sum_s::HUGEINT * sum_s::HUGEINT) AS BIGINT) AS cv2_ppm
+FROM a ORDER BY user_id
+"""
+
+
+@query("q160_burstiness", sql=_BURST_SQL)
+def q160_burstiness(sf_dir: str):
+    """Inter-arrival burstiness per user: CV² = Var/Mean² of the gaps
+    between consecutive events (Poisson ⇒ ≈1, bursty ⇒ ≫1) — the
+    recrawl-scheduler's dual of q134's change rate: WHEN a page's
+    updates cluster, not just how often.  ONE user-keyed exchange;
+    per-bucket vectorized sort+diff, gaps floored to whole seconds
+    (shared ``// 1e6`` with the oracle so the integers match), moments
+    accumulated as Python ints (q49's exact-moment contract) and the
+    ppm finish is n·Σd²−(Σd)² over (Σd)² — no floats anywhere."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("int64")
+        gap = us.groupby(df["user_id"], sort=False).diff() // 1_000_000
+        keep = gap.notna()
+        sub = pd.DataFrame({"user_id": df["user_id"][keep],
+                            "g": gap[keep].astype("int64")})
+        rows = []
+        for uid, s in sub.groupby("user_id", sort=False):
+            gs = [int(v) for v in s["g"]]
+            tot = sum(gs)
+            if tot <= 0:
+                continue
+            sq = sum(v * v for v in gs)
+            n = len(gs)
+            rows.append({
+                "user_id": int(uid), "n_gaps": n,
+                "cv2_ppm": (n * sq - tot * tot) * PPM // (tot * tot),
+            })
+        return pd.DataFrame(rows)
+
+    out = (
+        bucketed_groupby(ds, "user_id", combine, expected_rows=ds.count())
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "n_gaps", "cv2_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
