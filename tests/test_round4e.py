@@ -91,7 +91,9 @@ def test_prefix_setjoin_matches_bruteforce_sf(ray_session):
     sets = {}
     for did, txt in zip(docs["doc_id"], docs["text"]):
         ws = re.findall(r"[a-z]+", (txt or "").lower())
-        sets[int(did)] = frozenset(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        sets[int(did)] = frozenset(
+            f"{a} {b} {c}" for a, b, c in zip(ws, ws[1:], ws[2:])
+        )
     want = _brute_pairs(sets, 1, 2)
     have = {
         (int(r["id_a"]), int(r["id_b"])): (int(r["n_inter"]), int(r["n_union"]))
@@ -385,3 +387,30 @@ def test_burstiness_matches_serial(ray_session):
     }
     assert have == want
     assert len(want) > 0
+
+
+def test_prefix_setjoin_shuffle_verify_plan_identical(ray_session):
+    """The scale verify plan (two bucketed hash joins, no driver
+    materialization) emits exactly the broadcast plan's rows."""
+    from texrex_ray.dedup.setjoin import prefix_jaccard_pairs
+
+    rng = np.random.default_rng(23)
+    universe = [f"e{i:03d}" for i in range(30)]
+    rows = []
+    for rid in range(50):
+        k = int(rng.integers(3, 10))
+        rows.append({
+            "doc_id": rid,
+            "toks": sorted(rng.choice(universe, size=k, replace=False)),
+        })
+    rows.append({"doc_id": 500, "toks": rows[0]["toks"]})
+    ds = ray.data.from_items(rows).repartition(4)
+    a = prefix_jaccard_pairs(ds, id_col="doc_id", set_col="toks",
+                             threshold=(2, 5))
+    b = prefix_jaccard_pairs(
+        ray.data.from_items(rows).repartition(4),
+        id_col="doc_id", set_col="toks", threshold=(2, 5),
+        verify_broadcast_limit=0,
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

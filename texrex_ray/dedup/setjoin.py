@@ -24,10 +24,17 @@ Scale shape:
 - prefixes are doc-local (each row's set lives in one batch), so the
   ONLY corpus exchange is prefix rows keyed on the element — a
   ``bucketed_groupby`` whose per-task memory is a bucket, not a key.
-- candidate pairs are deduplicated through a second (pair-keyed)
-  bucketed exchange; the verify step ships only candidate-doc sets
-  (result-bounded by the prefix filter) and checks the exact integer
-  threshold ``den*|∩| >= num*|∪|`` — no float compare anywhere.
+- candidate volume is cut by the two standard PPJoin prunes before any
+  pair leaves its group (length filter + positional overlap bound, both
+  provably lossless), then pairs deduplicate through a second
+  (pair-keyed) bucketed exchange;
+- verification checks the exact integer threshold
+  ``den*|∩| >= num*|∪|`` (no float compare anywhere) under a
+  size-switched plan: candidate lists ≤ ``verify_broadcast_limit`` ship
+  the candidate-doc sets once via ``ray.put`` (the cheap path); larger
+  lists verify through two bucketed hash joins that attach each side's
+  set to the pair rows — no candidate list or set dict ever lands on
+  the driver.
 
 Loud guards: an element whose prefix group exceeds ``max_group`` raises
 (the df order makes this the hot-key signal), as does a candidate list
@@ -60,7 +67,8 @@ def prefix_jaccard_pairs(
     threshold: tuple[int, int] = (1, 2),
     order: str = "df",
     max_group: int = 100_000,
-    max_candidates: int = 5_000_000,
+    max_candidates: int = 50_000_000,
+    verify_broadcast_limit: int = 200_000,
     expected_rows: int | None = None,
 ) -> pd.DataFrame:
     """Exact Jaccard >= num/den pairs over per-row element sets.
@@ -105,7 +113,7 @@ def prefix_jaccard_pairs(
     # ---- pass 2: per-record prefix rows (doc-local sort + slice)
     def prefix_rows(t: pa.Table) -> pa.Table:
         rank = ray.get(order_ref) if order_ref is not None else None
-        els, ids, szs = [], [], []
+        els, ids, szs, poss = [], [], [], []
         for rid, toks in zip(t[id_col].to_pylist(), t[set_col].to_pylist()):
             if not toks:
                 continue
@@ -120,19 +128,26 @@ def prefix_jaccard_pairs(
                     key=lambda e: hashlib.md5(e.encode()).digest(),
                 )
             p = prefix_length(len(toks), num, den)
-            for e in srt[:p]:
+            for pos, e in enumerate(srt[:p]):
                 els.append(e)
                 ids.append(rid)
                 szs.append(len(toks))
+                poss.append(pos)
         return pa.table({
             "el": pa.array(els, pa.string()),
             "rid": pa.array(ids, pa.int64()),
             "sz": pa.array(szs, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
         })
 
     prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow")
 
-    # ---- candidate generation: pairs within each element's prefix group
+    # ---- candidate generation: pairs within each element's prefix group,
+    # pruned by the two standard PPJoin filters (both provably safe):
+    #  - length: J >= t needs den*min(|A|,|B|) >= num*max(|A|,|B|)
+    #  - position: sharing e at positions (pa, pb) bounds the overlap by
+    #    min(pa,pb) + min(|A|-pa, |B|-pb); J >= t needs
+    #    (num+den)*overlap >= num*(|A|+|B|)
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for el, sub in g.groupby("el", sort=False):
@@ -144,9 +159,22 @@ def prefix_jaccard_pairs(
                     f"prefix group for element {el!r} holds {n} records "
                     f"(> max_group={max_group}); salt or raise the cap"
                 )
-            rid = np.sort(sub["rid"].to_numpy())
+            order = np.argsort(sub["rid"].to_numpy())
+            rid = sub["rid"].to_numpy()[order]
+            sz = sub["sz"].to_numpy()[order]
+            pos = sub["pos"].to_numpy()[order]
             ia, ib = np.triu_indices(n, k=1)
-            outs.append(pd.DataFrame({"id_a": rid[ia], "id_b": rid[ib]}))
+            sa, sb = sz[ia], sz[ib]
+            lo = np.minimum(sa, sb)
+            hi = np.maximum(sa, sb)
+            keep = den * lo >= num * hi
+            ub = np.minimum(pos[ia], pos[ib]) + np.minimum(
+                sa - pos[ia], sb - pos[ib]
+            )
+            keep &= (num + den) * ub >= num * (sa + sb)
+            outs.append(
+                pd.DataFrame({"id_a": rid[ia][keep], "id_b": rid[ib][keep]})
+            )
         if not outs:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
@@ -161,51 +189,107 @@ def prefix_jaccard_pairs(
         cand, ["id_a", "id_b"], lambda g: g.drop_duplicates(),
         expected_rows=expected_rows,
     )
-    cand_df = cand.to_pandas()
-    if len(cand_df) > max_candidates:
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand > max_candidates:
         raise RuntimeError(
-            f"{len(cand_df)} candidate pairs (> max_candidates="
+            f"{n_cand} candidate pairs (> max_candidates="
             f"{max_candidates}); raise the threshold or the cap"
         )
-    if cand_df.empty:
-        return pd.DataFrame({
-            "id_a": pd.Series([], dtype="int64"),
-            "id_b": pd.Series([], dtype="int64"),
-            "n_inter": pd.Series([], dtype="int64"),
-            "n_union": pd.Series([], dtype="int64"),
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "n_inter": pd.Series([], dtype="int64"),
+        "n_union": pd.Series([], dtype="int64"),
+    })
+    if n_cand == 0:
+        return empty
+
+    if n_cand <= verify_broadcast_limit:
+        # ---- broadcast verify: ship candidate-doc sets once
+        cand_df = cand.to_pandas()
+        need = set(cand_df["id_a"]) | set(cand_df["id_b"])
+        need_arr = pa.array(sorted(need), pa.int64())
+
+        def keep_sets(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[id_col], value_set=need_arr)).select(
+                [id_col, set_col]
+            )
+
+        sets_df = ds.map_batches(keep_sets, batch_format="pyarrow").to_pandas()
+        sets_ref = ray.put({
+            int(r): frozenset(t)
+            for r, t in zip(sets_df[id_col], sets_df[set_col])
         })
 
-    # ---- verify: ship candidate-doc sets once, exact integer threshold
-    need = set(cand_df["id_a"]) | set(cand_df["id_b"])
-    need_arr = pa.array(sorted(need), pa.int64())
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            sets = ray.get(sets_ref)
+            inters, unions = [], []
+            for a, b in zip(df["id_a"], df["id_b"]):
+                sa, sb = sets[int(a)], sets[int(b)]
+                i = len(sa & sb)
+                inters.append(i)
+                unions.append(len(sa) + len(sb) - i)
+            out = df.assign(n_inter=inters, n_union=unions)
+            keep = den * out["n_inter"] >= num * out["n_union"]
+            return out[keep]
 
-    def keep_sets(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t[id_col], value_set=need_arr)).select(
-            [id_col, set_col]
+        verified = ray.data.from_pandas(cand_df).map_batches(
+            verify, batch_format="pandas"
+        )
+    else:
+        # ---- shuffle verify (the scale plan): join each side's token
+        # set onto the candidate pairs through two bucketed hash joins —
+        # no candidate list and no set dict ever lands on the driver.
+        from texrex_ray.ops.join import shuffle_join
+
+        SEP = "\x1f"  # never appears in set elements (loudly checked)
+
+        def pack(t: pa.Table) -> pa.Table:
+            packed = []
+            for toks in t[set_col].to_pylist():
+                if any(SEP in e for e in toks):
+                    raise ValueError("set element contains the pack separator")
+                packed.append(SEP.join(toks))
+            return pa.table({id_col: t[id_col], "toks": pa.array(packed)})
+
+        # list columns do not survive Ray's pandas block concat inside the
+        # join; a separator-packed string does, and unpacks per batch
+        sets_ds = ds.map_batches(pack, batch_format="pyarrow")
+        j1 = shuffle_join(
+            cand,
+            sets_ds.map_batches(
+                lambda t: t.rename_columns(["id_a", "toks_a"]),
+                batch_format="pyarrow",
+            ),
+            on="id_a", expected_rows=n_cand,
+        )
+        j2 = shuffle_join(
+            j1,
+            sets_ds.map_batches(
+                lambda t: t.rename_columns(["id_b", "toks_b"]),
+                batch_format="pyarrow",
+            ),
+            on="id_b", expected_rows=n_cand,
         )
 
-    sets_df = ds.map_batches(keep_sets, batch_format="pyarrow").to_pandas()
-    sets_ref = ray.put({
-        int(r): frozenset(t) for r, t in zip(sets_df[id_col], sets_df[set_col])
-    })
+        def verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            inters, unions = [], []
+            for ta, tb in zip(df["toks_a"], df["toks_b"]):
+                sa = set(ta.split(SEP)) if ta else set()
+                sb = set(tb.split(SEP)) if tb else set()
+                i = len(sa & sb)
+                inters.append(i)
+                unions.append(len(sa) + len(sb) - i)
+            out = df.assign(n_inter=inters, n_union=unions)
+            keep = den * out["n_inter"] >= num * out["n_union"]
+            return out.loc[keep, ["id_a", "id_b", "n_inter", "n_union"]]
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sets = ray.get(sets_ref)
-        inters, unions = [], []
-        for a, b in zip(df["id_a"], df["id_b"]):
-            sa, sb = sets[int(a)], sets[int(b)]
-            i = len(sa & sb)
-            inters.append(i)
-            unions.append(len(sa) + len(sb) - i)
-        out = df.assign(n_inter=inters, n_union=unions)
-        keep = den * out["n_inter"] >= num * out["n_union"]
-        return out[keep]
+        verified = j2.map_batches(verify_pairs, batch_format="pandas")
 
-    out = (
-        ray.data.from_pandas(cand_df)
-        .map_batches(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    out = verified.to_pandas()
+    if out.empty:
+        return empty
     for c in ("id_a", "id_b", "n_inter", "n_union"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -8928,8 +8928,8 @@ def q152_grouped_gini(sf_dir: str):
 _SETJOIN_SQL = """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') ts
            FROM documents),
-g AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS tok
-      FROM t, unnest(range(1, len(ts))) AS u(i)),
+g AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
+      FROM t, unnest(range(1, len(ts) - 1)) AS u(i)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
 inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS i
           FROM g a JOIN g b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -8945,7 +8945,7 @@ ORDER BY id_a, id_b
 def q153_prefix_setjoin(sf_dir: str):
     """Set-similarity self-join with PREFIX FILTERING (Bayardo et al.
     2007 / PPJoin, Xiao et al. 2008) — the candidate-bounded alternative
-    to q14's all-grams exchange: each document's distinct word-bigram
+    to q14's all-grams exchange: each document's distinct word-3-gram
     set exchanges only its rarest |x|−⌈t·|x|⌉+1 elements (global
     ascending-df order), complete by the prefix-overlap theorem; the
     exact integer threshold 2·|∩| ≥ |∪| (J ≥ 0.5) is verified on
@@ -8963,7 +8963,9 @@ def q153_prefix_setjoin(sf_dir: str):
         ids, toks = [], []
         for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             ws = _TOKEN_RE.findall((txt or "").lower())
-            grams = sorted({f"{a} {b}" for a, b in zip(ws, ws[1:])})
+            grams = sorted(
+                {f"{a} {b} {c}" for a, b, c in zip(ws, ws[1:], ws[2:])}
+            )
             ids.append(did)
             toks.append(grams)
         return pa.table(
