@@ -9473,3 +9473,237 @@ def q160_burstiness(sf_dir: str):
     for c in ("user_id", "n_gaps", "cv2_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Two-sample KS drift statistic per source (distribution shift, exact)
+# --------------------------------------------------------------------------
+
+_KS_SQL = f"""
+WITH h AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+vals AS (SELECT DISTINCT v FROM h),
+srcs AS (SELECT DISTINCT source FROM h),
+grid AS (SELECT s.source, va.v, COALESCE(h.c, 0) AS c
+         FROM srcs s CROSS JOIN vals va
+         LEFT JOIN h ON h.source = s.source AND h.v = va.v),
+tot AS (SELECT v, SUM(c) AS c FROM h GROUP BY v),
+ctot AS (SELECT v, SUM(c) OVER (ORDER BY v) AS ct FROM tot),
+cum AS (SELECT source, v,
+               SUM(c) OVER (PARTITION BY source ORDER BY v) AS cs
+        FROM grid),
+ns AS (SELECT source, SUM(c) AS ns FROM h GROUP BY source),
+nn AS (SELECT SUM(c) AS n FROM h)
+SELECT cum.source,
+       CAST(MAX(ABS(cs * ((SELECT n FROM nn) - ns.ns)
+                    - (ctot.ct - cs) * ns.ns)) * {PPM}
+            // (ns.ns * ((SELECT n FROM nn) - ns.ns)) AS BIGINT) AS ks_ppm,
+       CAST(ns.ns AS BIGINT) AS n_docs
+FROM cum JOIN ctot USING (v) JOIN ns ON ns.source = cum.source
+GROUP BY cum.source, ns.ns ORDER BY cum.source
+"""
+
+
+@query("q161_ks_drift", sql=_KS_SQL)
+def q161_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic per source vs the REST of
+    the corpus over document length — the nonparametric distribution-
+    shift tripwire next to q148's χ² (which sees token mix but not
+    length shape).  KS is a pure function of the per-(source, value)
+    HISTOGRAM, so the plan is ONE (source, value)-count exchange;
+    the ECDF supremum is computed on the histogram grid with cross-
+    multiplied integer numerators (cs·N_rest − c_rest·N_s — no
+    division until the final ppm), so the statistic is exact and
+    engine-invariant."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["source", "n_chars"], sort=False)
+            .size().rename("c").reset_index()
+        )
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source", "n_chars"],
+            lambda g: g.groupby(["source", "n_chars"], sort=False)["c"]
+            .sum().reset_index(),
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby(["source", "n_chars"], as_index=False)["c"].sum()
+    )
+
+    pivot = hist.pivot_table(
+        index="n_chars", columns="source", values="c", fill_value=0,
+        aggfunc="sum",
+    ).sort_index()
+    cum = pivot.cumsum()
+    ns = pivot.sum(axis=0)
+    n = int(ns.sum())
+    ct = cum.sum(axis=1)
+    rows = []
+    for src in pivot.columns:
+        n_s = int(ns[src])
+        cs = cum[src].to_numpy().astype(object)
+        rest = (ct.to_numpy().astype(object) - cs)
+        num = np.abs(cs * (n - n_s) - rest * n_s)
+        ks = int(max(num)) * PPM // (n_s * (n - n_s))
+        rows.append({"source": src, "ks_ppm": ks, "n_docs": n_s})
+    out = pd.DataFrame(rows)
+    for c in ("ks_ppm", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Exponentially-decayed activity (freshness-weighted popularity)
+# --------------------------------------------------------------------------
+
+DECAY_MAX_SHIFT = 20  # 2^-20 < 1 ppm — further decay is exactly 0
+
+_DECAY_SQL = f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+d AS (SELECT user_id,
+             {PPM} // (1::BIGINT << LEAST(((SELECT m FROM mx) - epoch_us(ts))
+                                          // {WEEK_US}, {DECAY_MAX_SHIFT})) AS w
+      FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w) AS BIGINT) AS decayed_ppm
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q162_decayed_activity", sql=_DECAY_SQL)
+def q162_decayed_activity(sf_dir: str):
+    """Freshness-weighted activity per user: each event counts
+    2^-(age in weeks) — the exponentially-decayed popularity a recrawl
+    scheduler keeps per page (recent signal dominates, old signal never
+    quite dies).  Power-of-two decay makes the weight an integer SHIFT
+    (1e6 >> age_wk, floored at 2^-{DECAY_MAX_SHIFT} ≡ 0), so the score
+    is integer-exact — no float exp anywhere.  Plan: one metadata-cheap
+    max(ts) pass broadcast as the reference instant, then per-batch
+    weight partials → one user-keyed exchange of (user, n, Σw) rows."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def batch_max(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        return pa.table({"m": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    m = int(
+        ds.map_batches(batch_max, batch_format="pyarrow")
+        .to_pandas()["m"].max()
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        age_wk = np.minimum(
+            (m - df["ts"].astype("int64")) // WEEK_US, DECAY_MAX_SHIFT
+        ).to_numpy()
+        w = PPM // (1 << age_wk.astype(np.int64))
+        return pd.DataFrame({"user_id": df["user_id"], "w": w}).groupby(
+            "user_id", sort=False
+        ).agg(n_events=("w", "size"), decayed_ppm=("w", "sum")).reset_index()
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            "user_id",
+            lambda g: g.groupby("user_id", sort=False)
+            .agg(n_events=("n_events", "sum"), decayed_ppm=("decayed_ppm", "sum"))
+            .reset_index(),
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "n_events", "decayed_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator accuracy audit (estimate vs exact Jaccard per pair)
+# --------------------------------------------------------------------------
+
+_MINHASH_AUDIT_SQL = f"""
+WITH p AS (
+{_JACCARD_SQL}
+),
+s AS (SELECT * FROM
+      read_parquet('/root/repo/tests/fixtures/oracle/minhash_sigs_sf0.01.parquet'))
+SELECT p.id_a, p.id_b,
+       CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) * {PPM} // 100
+            AS BIGINT) AS est_ppm,
+       CAST(ANY_VALUE(p.n_inter) * {PPM} // ANY_VALUE(p.n_union) AS BIGINT)
+           AS j_ppm
+FROM p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b AND sb.h_idx = sa.h_idx
+GROUP BY p.id_a, p.id_b ORDER BY p.id_a, p.id_b
+"""
+
+
+@query("q163_minhash_audit", sql=_MINHASH_AUDIT_SQL)
+def q163_minhash_audit(sf_dir: str):
+    """Sketch-accuracy audit: for every TRUE near-dup pair (q14's exact
+    Jaccard join), the MinHash match-fraction estimate (matches/k over
+    the reference Rabin64 signatures) next to the exact J — the
+    calibration table that justifies the k=100 / threshold-5 settings
+    tender runs with.  Signatures are computed ONLY for pair-involved
+    documents (a result-bounded `pc.is_in` scan — the corpus is never
+    re-hashed for an audit); both columns are integer ppm.  The SQL twin
+    recomputes the exact side live and joins the committed signature
+    fixture (hash values pinned by tests/test_rabin.py)."""
+    from texrex_ray.functions.rabin import rabin_minhash_signatures
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+
+    pairs = QUERIES["q14_ngram_jaccard"](sf_dir)
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    need = pa.array(ids, pa.int64())
+
+    def sigs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=need))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.uint64()))})
+        toks = [
+            LATIN_TOKEN_RE.findall((s or "").lower())
+            for s in t["text"].to_pylist()
+        ]
+        sig, has_fp = rabin_minhash_signatures(toks, k=100, n=5)
+        if not has_fp.all():
+            raise RuntimeError("pair document without a minhash fingerprint")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sig": pa.array([list(map(int, row)) for row in sig],
+                            pa.list_(pa.uint64())),
+        })
+
+    sdf = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sigs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sig_of = {int(i): np.asarray(v, np.uint64) for i, v in
+              zip(sdf["doc_id"], sdf["sig"])}
+
+    rows = []
+    for _, r in pairs.iterrows():
+        a, b = int(r["id_a"]), int(r["id_b"])
+        match = int((sig_of[a] == sig_of[b]).sum())
+        rows.append({
+            "id_a": a, "id_b": b, "n_match": match,
+            "est_ppm": match * PPM // 100,
+            "j_ppm": int(r["n_inter"]) * PPM // int(r["n_union"]),
+        })
+    out = pd.DataFrame(rows).astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1043,6 +1043,45 @@ def gen_pq_topk() -> None:
     print("pq_adc_sf0.01.parquet:", out.num_rows, "rows")
 
 
+def gen_minhash_sigs() -> None:
+    """q163's signature fixture: Rabin64 minhash signatures (k=100,
+    reference scheme — values pinned against the literal transcription
+    of trshingler.pas in tests/test_rabin.py) for the documents that
+    appear in q14's sf0.01 Jaccard pairs.  The PAIR list and the exact
+    Jaccard side are recomputed live by the SQL oracle; only the hash
+    values (not SQL-expressible) ride the fixture — q13's precedent."""
+    import duckdb
+
+    from texrex_ray.functions.rabin import rabin_minhash_signatures
+    from texrex_ray.functions.tokenize import LATIN_TOKEN_RE
+    from texrex_ray.pipelines.queries import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    pairs = con.execute(ORACLE["q14_ngram_jaccard"]).fetchdf()
+    ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id IN "
+        f"({','.join(map(str, ids))}) ORDER BY doc_id"
+    ).fetchdf()
+    toks = [LATIN_TOKEN_RE.findall((s or "").lower()) for s in docs["text"]]
+    sig, has_fp = rabin_minhash_signatures(toks, k=100, n=5)
+    assert has_fp.all(), "q14 pair doc without a fingerprint"
+    n, k = sig.shape
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.repeat(docs["doc_id"].to_numpy(), k), pa.int64()),
+            "h_idx": pa.array(np.tile(np.arange(k), n), pa.int64()),
+            "sig": pa.array(sig.reshape(-1), pa.uint64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "minhash_sigs_sf0.01.parquet"))
+    print("minhash_sigs_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1072,6 +1111,7 @@ def main() -> None:
     gen_neighborhood_function()
     gen_audio_fingerprint()
     gen_pq_topk()
+    gen_minhash_sigs()
 
 
 if __name__ == "__main__":
