@@ -121,3 +121,24 @@ def test_cli_bpe_cdc_graphrank(tmp_path):
         "--seed", "http://host0.tld0/p0", "--iters", "2",
     )
     assert tr["rows"] > 2000
+
+
+def test_cli_setjoin_pqann(tmp_path):
+    sj = _run("setjoin", SF, str(tmp_path / "pairs.parquet"))
+    assert sj["pairs"] > 0
+    t = pq.read_table(tmp_path / "pairs.parquet")
+    assert t.column_names == ["id_a", "id_b", "n_inter", "n_union"]
+    # threshold holds on every emitted pair
+    import numpy as np
+
+    ni = t["n_inter"].to_numpy()
+    nu = t["n_union"].to_numpy()
+    assert (2 * ni >= nu).all()
+
+    pq_res = _run(
+        "pqann", "/root/testdata/sf0.001/embeddings.parquet",
+        str(tmp_path / "topk.parquet"), "--queries", "4", "-k", "5",
+    )
+    assert pq_res["rows"] == 4 * 5
+    t = pq.read_table(tmp_path / "topk.parquet")
+    assert t.column_names == ["query_id", "neighbor_id", "adc_dist", "rank"]

@@ -120,3 +120,121 @@ def test_minhash_sigs_fixture_fresh():
         assert ok[0]
         want = sub.sort_values("h_idx")["sig"].to_numpy().astype(np.uint64)
         assert (s[0] == want).all(), did
+
+
+# ------------------------------------------------------------------- q164
+
+def test_join_estimate_audit_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES, _doc_bucket
+
+    got = QUERIES["q164_join_estimate_audit"](SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    l = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    ca = o.groupby("o_orderkey").size()
+    cb = l.groupby("l_orderkey").size()
+    ba = pd.Series(_doc_bucket(ca.index, 64), index=ca.index)
+    bb = pd.Series(_doc_bucket(cb.index, 64), index=cb.index)
+    for _, r in got.iterrows():
+        bk = int(r["bucket"])
+        a = ca[ba == bk]
+        b = cb[bb == bk]
+        actual = sum(int(a[k]) * int(b[k]) for k in a.index if k in b.index)
+        assert int(r["n_a"]) == int(a.sum())
+        assert int(r["n_b"]) == int(b.sum())
+        assert int(r["ndv_a"]) == len(a)
+        assert int(r["ndv_b"]) == len(b)
+        assert int(r["actual_rows"]) == actual
+        assert int(r["est_rows"]) == int(a.sum()) * int(b.sum()) // max(
+            len(a), len(b)
+        )
+
+
+# ------------------------------------------------------------------- q165
+
+def test_band_join_matches_bruteforce(ray_session):
+    from texrex_ray.ops.bandjoin import band_join_self
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 400, size=150)
+    rows = [{"id": i, "pc": int(v)} for i, v in enumerate(vals)]
+    ds = ray.data.from_items(rows).repartition(7)
+    for delta in (0, 7, 30):
+        got = band_join_self(
+            ds, id_col="id", value_col="pc", delta=delta
+        )
+        want = {}
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                d = abs(int(vals[i]) - int(vals[j]))
+                if d <= delta:
+                    want[(i, j)] = d
+        have = {
+            (int(r["id_a"]), int(r["id_b"])): int(r["dist"])
+            for _, r in got.iterrows()
+        }
+        assert have == want, delta
+
+
+def test_band_join_query_matches_sql_twin(ray_session):
+    from texrex_ray.pipelines.queries import BAND_DELTA_C, QUERIES
+
+    got = QUERIES["q165_band_join"](SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    pc = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    ids = o["o_orderkey"].to_numpy()
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[j] > ids[i] and abs(int(pc[i]) - int(pc[j])) <= BAND_DELTA_C:
+                a, b = int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))
+                want[(a, b)] = abs(int(pc[i]) - int(pc[j]))
+    have = {
+        (int(r["id_a"]), int(r["id_b"])): int(r["dist"])
+        for _, r in got.iterrows()
+    }
+    assert have == want
+
+
+# ------------------------------------------------------------------- q166
+
+def test_skyline_matches_bruteforce(ray_session):
+    from texrex_ray.ops.skyline import skyline2d
+
+    rng = np.random.default_rng(13)
+    rows = [
+        {"id": i, "p": int(rng.integers(0, 50)), "m": int(rng.integers(0, 50))}
+        for i in range(120)
+    ]
+    # planted exact duplicates: ties in both dims are kept on both sides
+    rows.append({"id": 500, "p": 49, "m": 0})
+    rows.append({"id": 501, "p": 49, "m": 0})
+    ds = ray.data.from_items(rows).repartition(6)
+    got = skyline2d(ds, id_col="id", max_col="p", min_col="m")
+
+    def dominated(x, y):
+        return (
+            y["p"] >= x["p"] and y["m"] <= x["m"]
+            and (y["p"] > x["p"] or y["m"] < x["m"])
+        )
+
+    want = sorted(
+        r["id"] for r in rows
+        if not any(dominated(r, y) for y in rows if y["id"] != r["id"])
+    )
+    assert got["id"].tolist() == want
+    assert {500, 501} <= set(got["id"])
+
+
+def test_skyline_layout_invariant(ray_session):
+    from texrex_ray.ops.skyline import skyline2d
+
+    rng = np.random.default_rng(17)
+    rows = [
+        {"id": i, "p": int(rng.integers(0, 30)), "m": int(rng.integers(0, 30))}
+        for i in range(80)
+    ]
+    a = skyline2d(ray.data.from_items(rows).repartition(2),
+                  id_col="id", max_col="p", min_col="m")
+    b = skyline2d(ray.data.from_items(rows).repartition(13),
+                  id_col="id", max_col="p", min_col="m")
+    pd.testing.assert_frame_equal(a, b)

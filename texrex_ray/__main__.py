@@ -18,6 +18,8 @@ can run the same jobs::
     python -m texrex_ray bpe     IN.parquet MERGES.parquet [--merges 16]
     python -m texrex_ray cdc     IN.parquet STATS.parquet [--avg-bits 6]
     python -m texrex_ray graphrank {pagerank|trustrank|hits|kcore|bfs|nf} EDGES.parquet OUT.parquet
+    python -m texrex_ray setjoin IN.parquet PAIRS.parquet [--gram 3 --num 1 --den 2]
+    python -m texrex_ray pqann   EMB.parquet TOPK.parquet [--m 8 --ks 16 -k 10]
 
 This is the ONE module (besides bench.py and the test fixture) that may
 own a Ray session: it initialises Ray if and only if no session exists.
@@ -436,6 +438,80 @@ def cmd_cdc(args) -> dict:
     }
 
 
+def cmd_setjoin(args) -> dict:
+    """Prefix-filtering set-similarity self-join over a parquet corpus
+    (round-4 op; dedup/setjoin.py — AllPairs/PPJoin)."""
+    ray = _ray()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import re as _re
+
+    import ray.data
+
+    from texrex_ray.dedup.setjoin import prefix_jaccard_pairs
+
+    tok_re = _re.compile(r"[a-z]+")
+    n = args.gram
+
+    def to_sets(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, txt in zip(
+            t[args.id_col].to_pylist(), t[args.column].to_pylist()
+        ):
+            ws = tok_re.findall((txt or "").lower())
+            grams = sorted(
+                {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+            )
+            ids.append(did)
+            toks.append(grams)
+        return pa.table({
+            "rid": pa.array(ids, pa.int64()),
+            "toks": pa.array(toks, pa.list_(pa.string())),
+        })
+
+    ds = ray.data.read_parquet(args.input).map_batches(
+        to_sets, batch_format="pyarrow"
+    )
+    pairs = prefix_jaccard_pairs(
+        ds, id_col="rid", set_col="toks",
+        threshold=(args.num, args.den),
+    )
+    pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False), args.out)
+    return {"pairs": len(pairs), "out": args.out}
+
+
+def cmd_pqann(args) -> dict:
+    """Product-quantization ANN: train codebooks, encode, ADC top-k for
+    the first Q vector ids (round-4 op; dedup/pq.py)."""
+    ray = _ray()
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from texrex_ray.dedup.pq import pq_adc_topk, pq_encode, pq_train
+
+    ds = ray.data.read_parquet(args.input)
+    books = pq_train(
+        ds, m=args.m, ks=args.ks, id_col=args.id_col, vec_col=args.column
+    )
+    codes = pq_encode(ds, books, id_col=args.id_col, vec_col=args.column)
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t[args.id_col], pa.scalar(args.queries))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = pq_adc_topk(
+        codes, books,
+        {int(i): np.asarray(v, np.float64)
+         for i, v in zip(qdf[args.id_col], qdf[args.column])},
+        k=args.k, id_col=args.id_col,
+    )
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), args.out)
+    return {"rows": len(out), "m": args.m, "ks": args.ks, "out": args.out}
+
+
 def cmd_graphrank(args) -> dict:
     """Link-graph analytics over an (src, dst) edge parquet: pagerank /
     trustrank (seed-personalized) / hits / kcore / bfs-depth
@@ -594,6 +670,29 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("input"); s.add_argument("out")
     s.add_argument("--avg-bits", type=int, default=6)
     s.set_defaults(fn=cmd_cdc)
+
+    s = sub.add_parser(
+        "setjoin", help="prefix-filtering set-similarity self-join"
+    )
+    s.add_argument("input")
+    s.add_argument("out")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--column", default="text")
+    s.add_argument("--gram", type=int, default=3)
+    s.add_argument("--num", type=int, default=1)
+    s.add_argument("--den", type=int, default=2)
+    s.set_defaults(fn=cmd_setjoin)
+
+    s = sub.add_parser("pqann", help="product-quantization ANN top-k")
+    s.add_argument("input")
+    s.add_argument("out")
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--column", default="embedding")
+    s.add_argument("--m", type=int, default=8)
+    s.add_argument("--ks", type=int, default=16)
+    s.add_argument("--queries", type=int, default=8)
+    s.add_argument("-k", type=int, default=10)
+    s.set_defaults(fn=cmd_pqann)
 
     s = sub.add_parser(
         "graphrank",

@@ -9707,3 +9707,186 @@ def q163_minhash_audit(sf_dir: str):
         })
     out = pd.DataFrame(rows).astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation audit (planner statistics vs ground truth)
+# --------------------------------------------------------------------------
+
+_JOINEST_SQL = """
+WITH bo AS (SELECT md5_number_lower(CAST(o_orderkey AS VARCHAR)) % 64 AS bucket,
+                   o_orderkey AS k FROM orders),
+bl AS (SELECT md5_number_lower(CAST(l_orderkey AS VARCHAR)) % 64 AS bucket,
+              l_orderkey AS k FROM lineitem),
+ca AS (SELECT bucket, k, CAST(COUNT(*) AS BIGINT) AS c FROM bo GROUP BY 1, 2),
+cb AS (SELECT bucket, k, CAST(COUNT(*) AS BIGINT) AS c FROM bl GROUP BY 1, 2),
+sa AS (SELECT bucket, SUM(c) AS n_a, COUNT(*) AS ndv_a FROM ca GROUP BY 1),
+sb AS (SELECT bucket, SUM(c) AS n_b, COUNT(*) AS ndv_b FROM cb GROUP BY 1),
+act AS (SELECT ca.bucket, SUM(ca.c * cb.c) AS actual_rows
+        FROM ca JOIN cb USING (bucket, k) GROUP BY 1)
+SELECT CAST(sa.bucket AS BIGINT) AS bucket,
+       CAST(sa.n_a AS BIGINT) AS n_a, CAST(sb.n_b AS BIGINT) AS n_b,
+       CAST(sa.ndv_a AS BIGINT) AS ndv_a, CAST(sb.ndv_b AS BIGINT) AS ndv_b,
+       CAST(COALESCE(act.actual_rows, 0) AS BIGINT) AS actual_rows,
+       CAST(sa.n_a * sb.n_b // GREATEST(sa.ndv_a, sb.ndv_b) AS BIGINT)
+           AS est_rows
+FROM sa JOIN sb USING (bucket) LEFT JOIN act ON act.bucket = sa.bucket
+ORDER BY bucket
+"""
+
+
+@query("q164_join_estimate_audit", sql=_JOINEST_SQL)
+def q164_join_estimate_audit(sf_dir: str):
+    """Planner-statistics audit: the textbook join-size estimate
+    |A|·|B| / max(ndv_A, ndv_B) (uniform-frequency assumption — what
+    every cost-based optimizer starts from) against the EXACT join size
+    Σ_k c_A(k)·c_B(k), per routing bucket of the shared md5 key hash —
+    the table `ops/join.py::shuffle_join`'s auto_buckets sizing implies.
+    Plan: per-batch (bucket, key) count partials from both sides → ONE
+    key-keyed exchange computing per-key c_A, c_B and folding them into
+    bucket-level (n, ndv, Σ c_A·c_B) partials → a 64-row driver finish.
+    All integers; est uses floor division on both engines."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(col: str, side: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = (
+                df.groupby(col, sort=False).size().rename("c").reset_index()
+                .rename(columns={col: "k"})
+            )
+            out["bucket"] = _doc_bucket(out["k"], 64)
+            out["side"] = side
+            return out
+        return f
+
+    both = orders.map_batches(partial("o_orderkey", "a"), batch_format="pandas").union(
+        lineitem.map_batches(partial("l_orderkey", "b"), batch_format="pandas")
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        per = (
+            g.groupby(["bucket", "k", "side"], sort=False)["c"].sum().unstack(
+                "side", fill_value=0
+            ).reset_index()
+        )
+        for s in ("a", "b"):
+            if s not in per.columns:
+                per[s] = 0
+        per["prod"] = per["a"] * per["b"]
+        return per.groupby("bucket", as_index=False).agg(
+            n_a=("a", "sum"), n_b=("b", "sum"),
+            ndv_a=("a", lambda s: int((s > 0).sum())),
+            ndv_b=("b", lambda s: int((s > 0).sum())),
+            actual_rows=("prod", "sum"),
+        )
+
+    parts = (
+        bucketed_groupby(both, "k", combine, expected_rows=lineitem.count())
+        .to_pandas()
+        .groupby("bucket", as_index=False)
+        .sum()
+    )
+    parts["est_rows"] = [
+        int(na) * int(nb) // max(int(xa), int(xb))
+        for na, nb, xa, xb in zip(
+            parts["n_a"], parts["n_b"], parts["ndv_a"], parts["ndv_b"]
+        )
+    ]
+    out = parts.sort_values("bucket").reset_index(drop=True)
+    cols = ["bucket", "n_a", "n_b", "ndv_a", "ndv_b", "actual_rows", "est_rows"]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[cols]
+
+
+# --------------------------------------------------------------------------
+# Band self-join (|price_a - price_b| <= delta)
+# --------------------------------------------------------------------------
+
+BAND_DELTA_C = 25  # cents
+
+_BAND_SQL = f"""
+WITH v AS (SELECT o_orderkey AS id,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+SELECT a.id AS id_a, b.id AS id_b, ABS(a.pc - b.pc) AS dist
+FROM v a JOIN v b ON b.id > a.id
+                 AND b.pc BETWEEN a.pc - {BAND_DELTA_C} AND a.pc + {BAND_DELTA_C}
+ORDER BY id_a, id_b
+"""
+
+
+@query("q165_band_join", sql=_BAND_SQL)
+def q165_band_join(sf_dir: str):
+    """Band self-join: order pairs within {BAND_DELTA_C} cents of each
+    other — the inequality join (price matching, near-timestamp
+    reconciliation) a hash join cannot express.  `ops/bandjoin.py`
+    buckets values at width delta so any qualifying pair spans at most
+    two ADJACENT buckets; each point exchanges to its own bucket plus a
+    ghost copy in the next, every pair meets exactly once, and the
+    per-bucket join is a sorted two-pointer window — cost ∝ band
+    occupancy, never the cross product."""
+    from texrex_ray.ops.bandjoin import band_join_self
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": df["o_orderkey"],
+            "pc": np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return band_join_self(
+        ds.map_batches(cents, batch_format="pandas"),
+        id_col="id", value_col="pc", delta=BAND_DELTA_C,
+        expected_rows=ds.count() * 2,
+    )
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier: max price, min date)
+# --------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH v AS (SELECT o_orderkey AS id,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+                  epoch_us(o_orderdate) AS date_us FROM orders)
+SELECT id, price_c, date_us FROM v o1
+WHERE NOT EXISTS (
+  SELECT 1 FROM v o2
+  WHERE o2.price_c >= o1.price_c AND o2.date_us <= o1.date_us
+    AND (o2.price_c > o1.price_c OR o2.date_us < o1.date_us))
+ORDER BY id
+"""
+
+
+@query("q166_skyline", sql=_SKYLINE_SQL)
+def q166_skyline(sf_dir: str):
+    """2-D skyline / Pareto frontier (Börzsönyi et al. 2001): the orders
+    no other order beats on BOTH price (higher) and date (earlier) —
+    multi-objective "best" selection (largest-image-smallest-bytes,
+    best-quality-shortest-doc).  `ops/skyline.py` exploits the
+    operator's own algebra: the global skyline ⊆ union of per-block
+    skylines, so blocks prune locally (vectorized sort + prefix-max)
+    and only result-sized survivors reach the driver's exact re-filter.
+    ZERO shuffle; ties in both dimensions kept on both sides (NOT
+    EXISTS semantics)."""
+    from texrex_ray.ops.skyline import skyline2d
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": df["o_orderkey"],
+            "price_c": np.round(df["o_totalprice"].to_numpy() * 100).astype(
+                np.int64
+            ),
+            "date_us": df["o_orderdate"].astype("int64"),
+        })
+
+    return skyline2d(
+        ds.map_batches(prep, batch_format="pandas"),
+        id_col="id", max_col="price_c", min_col="date_us",
+    )
