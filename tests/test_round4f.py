@@ -238,3 +238,85 @@ def test_skyline_layout_invariant(ray_session):
     b = skyline2d(ray.data.from_items(rows).repartition(13),
                   id_col="id", max_col="p", min_col="m")
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------------------- q167
+
+def test_deadline_conversion_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import CONVERT_WINDOW_US, QUERIES
+
+    got = QUERIES["q167_deadline_conversion"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev["ts"].astype("int64")
+    want = {}
+    for uid in ev["user_id"].unique():
+        sub = ev[ev["user_id"] == uid]
+        clicks = sorted(us[sub.index][sub["event_type"] == "click"])
+        buys = sorted(us[sub.index][sub["event_type"] == "purchase"])
+        if not clicks:
+            continue
+        conv = sum(
+            1 for c in clicks
+            if any(c < b <= c + CONVERT_WINDOW_US for b in buys)
+        )
+        want[int(uid)] = (len(clicks), conv)
+    have = {
+        int(r["user_id"]): (int(r["n_clicks"]), int(r["n_converted"]))
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    assert sum(c for _, c in want.values()) > 0
+
+
+# ------------------------------------------------------------------- q168
+
+def test_winsorized_mean_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q168_winsorized_mean"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    vc = np.round(li["l_quantity"].to_numpy() * 100).astype(np.int64)
+    for _, r in got.iterrows():
+        vals = np.sort(vc[(li["l_returnflag"] == r["grp"]).to_numpy()])
+        n = len(vals)
+        p10 = int(vals[max(int(np.ceil(0.1 * n)), 1) - 1])
+        p90 = int(vals[max(int(np.ceil(0.9 * n)), 1) - 1])
+        w = np.clip(vals, p10, p90)
+        assert int(r["p10_c"]) == p10 and int(r["p90_c"]) == p90
+        assert int(r["winsor_mean_c"]) == int(w.sum()) // n
+        assert int(r["n"]) == n
+
+
+# ------------------------------------------------------------------- q169
+
+def test_link_prediction_matches_bruteforce(ray_session):
+    from texrex_ray.pipelines.queries import LINKPRED_MIN_CN, PPM, QUERIES
+
+    got = QUERIES["q169_link_prediction"]("/root/testdata/sf0.001")
+    df = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    adj: dict = {}
+    for s, d in zip(df["src"], df["dst"]):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want = {}
+    nodes = sorted(adj)
+    for z, ns in adj.items():
+        ns = sorted(ns)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1:]:
+                cn, ra = want.get((u, v), (0, 0))
+                want[(u, v)] = (cn + 1, ra + PPM // len(adj[z]))
+    want = {
+        k: v for k, v in want.items()
+        if v[0] >= LINKPRED_MIN_CN and k[1] not in adj[k[0]]
+    }
+    have = {
+        (r["u"], r["v"]): (int(r["cn"]), int(r["ra_ppm"]))
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    assert len(want) > 0

@@ -9890,3 +9890,254 @@ def q166_skyline(sf_dir: str):
         ds.map_batches(prep, batch_format="pandas"),
         id_col="id", max_col="price_c", min_col="date_us",
     )
+
+
+# --------------------------------------------------------------------------
+# Deadline conversion (click -> purchase within 1 hour, per user)
+# --------------------------------------------------------------------------
+
+CONVERT_WINDOW_US = 3_600_000_000  # 1 hour
+
+_DEADLINE_SQL = f"""
+WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase')
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN EXISTS (
+            SELECT 1 FROM p WHERE p.user_id = c.user_id
+              AND p.t > c.t AND p.t <= c.t + {CONVERT_WINDOW_US})
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q167_deadline_conversion", sql=_DEADLINE_SQL)
+def q167_deadline_conversion(sf_dir: str):
+    """Deadline-window conversion: clicks followed by a purchase within
+    one hour, per user — the time-bounded funnel q75's order-only
+    extrema cannot express (and the crawl twin: fetches re-validated
+    within the freshness SLA).  Both event streams of a user meet in
+    ONE user-keyed bucketed exchange; within the bucket the deadline
+    check is a vectorized ``searchsorted`` of each click into the
+    user's sorted purchase times — no per-pair join, cost ∝ events."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, sub in df.groupby("user_id", sort=False):
+            us = sub["ts"].astype("int64")
+            clicks = np.sort(us[sub["event_type"] == "click"].to_numpy())
+            if not len(clicks):
+                continue
+            buys = np.sort(us[sub["event_type"] == "purchase"].to_numpy())
+            if len(buys):
+                lo = np.searchsorted(buys, clicks, side="right")
+                hi = np.searchsorted(
+                    buys, clicks + CONVERT_WINDOW_US, side="right"
+                )
+                conv = int((hi > lo).sum())
+            else:
+                conv = 0
+            rows.append({"user_id": int(uid), "n_clicks": len(clicks),
+                         "n_converted": conv})
+        return pd.DataFrame(rows)
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(keep, batch_format="pyarrow"),
+            "user_id", combine, expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "n_clicks", "n_converted"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Winsorized (clamped) mean per group — robust stats from the histogram
+# --------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH v AS (SELECT l_returnflag AS grp,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS vc FROM lineitem),
+q AS (SELECT grp, quantile_disc(vc, 0.1) AS p10, quantile_disc(vc, 0.9) AS p90
+      FROM v GROUP BY 1)
+SELECT v.grp, CAST(ANY_VALUE(q.p10) AS BIGINT) AS p10_c,
+       CAST(ANY_VALUE(q.p90) AS BIGINT) AS p90_c,
+       CAST(SUM(LEAST(GREATEST(v.vc, q.p10), q.p90)) // COUNT(*) AS BIGINT)
+           AS winsor_mean_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v JOIN q USING (grp) GROUP BY v.grp ORDER BY v.grp
+"""
+
+
+@query("q168_winsorized_mean", sql=_WINSOR_SQL)
+def q168_winsorized_mean(sf_dir: str):
+    """Winsorized mean per group: clamp to the in-group [p10, p90] and
+    average — the robust location estimate between q113's median/MAD
+    and the raw mean (what a quality-score aggregator uses when tails
+    are garbage but mass matters).  Like q113 it is a pure function of
+    the (group, value) HISTOGRAM: ONE count exchange; percentile bounds
+    via PERCENTILE_DISC positions, the clamped sum FOLDED from the same
+    histogram (clamped value × multiplicity — no second data pass),
+    floor-divided mean."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "grp": df["l_returnflag"],
+            "vc": np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64),
+        }).groupby(["grp", "vc"], sort=False).size().rename("cnt").reset_index()
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["grp", "vc"],
+            lambda g: g.groupby(["grp", "vc"], sort=False)["cnt"].sum()
+            .reset_index(),
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby(["grp", "vc"], as_index=False)["cnt"].sum()
+    )
+
+    def disc(vals: np.ndarray, cum: np.ndarray, n: int, q: float) -> int:
+        pos = max(int(np.ceil(q * n)), 1)
+        return int(vals[np.searchsorted(cum, pos, side="left")])
+
+    rows = []
+    for grp, sub in hist.groupby("grp", sort=True):
+        sub = sub.sort_values("vc")
+        vals = sub["vc"].to_numpy()
+        cnts = sub["cnt"].to_numpy()
+        n = int(cnts.sum())
+        cum = cnts.cumsum()
+        p10 = disc(vals, cum, n, 0.1)
+        p90 = disc(vals, cum, n, 0.9)
+        clamped = np.clip(vals, p10, p90)
+        total = int((clamped.astype(object) * cnts.astype(object)).sum())
+        rows.append({"grp": grp, "p10_c": p10, "p90_c": p90,
+                     "winsor_mean_c": total // n, "n": n})
+    out = pd.DataFrame(rows)
+    for c in ("p10_c", "p90_c", "winsor_mean_c", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("grp").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Common-neighbor link prediction over the crawl graph
+# --------------------------------------------------------------------------
+
+LINKPRED_MIN_CN = 3
+
+_LINKPRED_SQL = f"""
+WITH e AS (SELECT src, dst FROM
+           read_parquet('/root/repo/tests/fixtures/oracle/pagerank_edges.parquet')),
+und AS (SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM e WHERE src <> dst
+          UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+deg AS (SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+wedge AS (SELECT n1.a AS u, n2.a AS v, n1.b AS z
+          FROM und n1 JOIN und n2 ON n1.b = n2.b AND n1.a < n2.a),
+cand AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+                CAST(SUM({PPM} // deg.d) AS BIGINT) AS ra_ppm
+         FROM wedge JOIN deg ON deg.z = wedge.z
+         GROUP BY 1, 2 HAVING COUNT(*) >= {LINKPRED_MIN_CN})
+SELECT u, v, cn, ra_ppm FROM cand
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = cand.u AND und.b = cand.v)
+ORDER BY u, v
+"""
+
+
+@query("q169_link_prediction", sql=_LINKPRED_SQL)
+def q169_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    over the crawl graph: unlinked page pairs sharing ≥ {LINKPRED_MIN_CN}
+    neighbors, scored by common-neighbor count and the Resource-
+    Allocation index Σ_z 1/deg(z) — RA instead of Adamic–Adar's 1/log
+    deg because 1/deg is RATIONAL, so ppm scores are integer-exact.
+    Plan: undirected dedup exchange once (degrees ride it), wedges
+    generated where z's adjacency lives (per-z C(n,2), the triangle
+    kernel's shape), ONE pair-keyed exchange sums (cn, ra) partials,
+    existing edges removed by a broadcast membership filter."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    n_edges = edges.count()
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]]
+        return pd.DataFrame({
+            "a": pd.concat([df["src"], df["dst"]], ignore_index=True),
+            "b": pd.concat([df["dst"], df["src"]], ignore_index=True),
+        }).drop_duplicates()
+
+    und = bucketed_groupby(
+        edges.map_batches(undirect, batch_format="pandas"),
+        "a",
+        lambda g: g.drop_duplicates(),
+        expected_rows=n_edges * 2,
+    ).materialize()
+
+    # adjacency grouped by z = b: wedge generation where z's neighbors live
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for z, sub in g.groupby("b", sort=False):
+            ns = np.sort(sub["a"].unique())
+            n = len(ns)
+            if n < 2:
+                continue
+            d = n  # deg(z) in the undirected simple graph
+            ia, ib = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame({
+                "u": ns[ia], "v": ns[ib],
+                "cn": np.ones(len(ia), np.int64),
+                "ra": np.full(len(ia), PPM // d, np.int64),
+            }))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype=object),
+                                 "cn": pd.Series([], dtype="int64"),
+                                 "ra": pd.Series([], dtype="int64")})
+        return pd.concat(outs)
+
+    wedge_parts = bucketed_groupby(
+        und, "b", wedges, expected_rows=n_edges * 8,
+    )
+    cand = bucketed_groupby(
+        wedge_parts, ["u", "v"],
+        lambda g: g.groupby(["u", "v"], sort=False)
+        .agg(cn=("cn", "sum"), ra_ppm=("ra", "sum")).reset_index(),
+        expected_rows=n_edges * 16,
+    ).to_pandas()
+    cand = cand.groupby(["u", "v"], as_index=False).agg(
+        cn=("cn", "sum"), ra_ppm=("ra_ppm", "sum")
+    )
+    cand = cand[cand["cn"] >= LINKPRED_MIN_CN]
+
+    edge_set = set(
+        map(tuple, und.to_pandas()[["a", "b"]].itertuples(index=False))
+    )
+    keep = [
+        (u, v) not in edge_set for u, v in zip(cand["u"], cand["v"])
+    ]
+    out = cand[keep].sort_values(["u", "v"]).reset_index(drop=True)
+    for c in ("cn", "ra_ppm"):
+        out[c] = out[c].astype("int64")
+    return out[["u", "v", "cn", "ra_ppm"]]
