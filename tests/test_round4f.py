@@ -320,3 +320,142 @@ def test_link_prediction_matches_bruteforce(ray_session):
     }
     assert have == want
     assert len(want) > 0
+
+
+# ------------------------------------------------------------------- q170
+
+def test_source_cosine_matches_serial(ray_session):
+    from collections import Counter
+
+    from texrex_ray.pipelines.queries import PPM, QUERIES
+
+    got = QUERIES["q170_source_cosine"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vec: dict = {}
+    for src, txt in zip(docs["source"], docs["text"]):
+        vec.setdefault(src, Counter()).update(
+            re.findall(r"[a-z]+", (txt or "").lower())
+        )
+    for _, r in got.iterrows():
+        a, b = vec[r["s_a"]], vec[r["s_b"]]
+        d = sum(int(n) * int(b[t]) for t, n in a.items() if t in b)
+        n2a = sum(int(v) ** 2 for v in a.values())
+        n2b = sum(int(v) ** 2 for v in b.values())
+        assert int(r["cos2_ppm"]) == d * d * PPM // (n2a * n2b)
+    # squared cosine bounded by 1
+    assert (got["cos2_ppm"] <= PPM).all()
+
+
+# ------------------------------------------------------------------- q171
+
+def test_zipf_head_matches_serial(ray_session):
+    from collections import Counter
+
+    from texrex_ray.pipelines.queries import PPM, QUERIES
+
+    got = QUERIES["q171_zipf_head"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for _, r in got.iterrows():
+        cnt = Counter()
+        for txt in docs[docs["source"] == r["source"]]["text"]:
+            cnt.update(re.findall(r"[a-z]+", (txt or "").lower()))
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        head = sum(n for _, n in top)
+        tot = sum(cnt.values())
+        assert int(r["head10_ppm"]) == head * PPM // tot
+        assert int(r["n_types"]) == len(cnt)
+
+
+# ------------------------------------------------------------------- q172
+
+def test_assortativity_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import PPM, QUERIES
+
+    got = QUERIES["q172_assortativity"](SF)
+    df = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    df = df[df["src"] != df["dst"]].drop_duplicates()
+    od = df.groupby("src").size()
+    idg = df.groupby("dst").size()
+    xs = [int(od[s]) for s in df["src"]]
+    ys = [int(idg[d]) for d in df["dst"]]
+    n = len(df)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    sign = -1 if num < 0 else 1
+    assert int(got["n_edges"][0]) == n
+    assert int(got["num"][0]) == num
+    assert int(got["r2_signed_ppm"][0]) == sign * (num * num * PPM // den)
+
+
+# ------------------------------------------------------------------- q173
+
+def test_hub_robustness_fragments_synthetic(ray_session):
+    """On a graph DESIGNED to fragment (a star of cliques glued through
+    one hub), removing the hub must split components — exercises the
+    multi-component path the robust fixture graph never shows."""
+    from texrex_ray.dedup.clusters import dup_clusters
+
+    pairs = []
+    # 3 cliques of sizes 5/4/3 glued through node 0
+    base = 1
+    for size in (5, 4, 3):
+        members = list(range(base, base + size))
+        for i, u in enumerate(members):
+            for v in members[i + 1:]:
+                pairs.append((u, v))
+            pairs.append((0, u))
+        base += size
+    # remove hub 0
+    survivors = [(a, b) for a, b in pairs if a != 0 and b != 0]
+    labels = dup_clusters(
+        ray.data.from_items([{"id_a": a, "id_b": b} for a, b in survivors])
+    )
+    sizes = sorted(
+        labels.groupby("cluster_id").size().tolist(), reverse=True
+    )
+    assert sizes == [5, 4, 3]
+
+
+def test_hub_robustness_query_matches_unionfind(ray_session):
+    from texrex_ray.pipelines.queries import HUBS_REMOVED, QUERIES
+
+    got = QUERIES["q173_hub_robustness"](SF)
+    df = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    df = df[df["src"] != df["dst"]].drop_duplicates()
+    und = pd.DataFrame({
+        "a": pd.concat([df["src"], df["dst"]]),
+        "b": pd.concat([df["dst"], df["src"]]),
+    }).drop_duplicates()
+    deg = und.groupby("a").size().reset_index()
+    hubs = set(
+        deg.sort_values([0, "a"], ascending=[False, True])["a"].head(
+            HUBS_REMOVED
+        )
+    )
+    ue = und[~und["a"].isin(hubs) & ~und["b"].isin(hubs)]
+    parent = {n: n for n in set(ue["a"]) | set(ue["b"])}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ue["a"], ue["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    from collections import Counter
+
+    sizes = sorted(
+        Counter(find(n) for n in parent).values(), reverse=True
+    )[:5]
+    assert got["size"].tolist() == sizes

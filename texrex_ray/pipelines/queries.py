@@ -10141,3 +10141,299 @@ def q169_link_prediction(sf_dir: str):
     for c in ("cn", "ra_ppm"):
         out[c] = out[c].astype("int64")
     return out[["u", "v", "cn", "ra_ppm"]]
+
+
+# --------------------------------------------------------------------------
+# Source-pair unigram similarity (squared cosine, rational-exact)
+# --------------------------------------------------------------------------
+
+_SRCCOS_SQL = f"""
+WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                     AS tok FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+nrm AS (SELECT source, SUM(n * n) AS n2 FROM c GROUP BY 1),
+dot AS (SELECT a.source AS s_a, b.source AS s_b, SUM(a.n * b.n) AS d
+        FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+SELECT s_a, s_b,
+       CAST(dot.d::HUGEINT * dot.d::HUGEINT * {PPM}
+            // (na.n2::HUGEINT * nb.n2::HUGEINT) AS BIGINT) AS cos2_ppm
+FROM dot JOIN nrm na ON na.source = s_a JOIN nrm nb ON nb.source = s_b
+ORDER BY s_a, s_b
+"""
+
+
+@query("q170_source_cosine", sql=_SRCCOS_SQL)
+def q170_source_cosine(sf_dir: str):
+    """Source-pair unigram similarity matrix — the mixture-design view
+    of which sources are redundant (near-identical token profiles) vs
+    complementary.  Cosine itself needs a square root, so the SQUARED
+    cosine dot²/(‖a‖²·‖b‖²) is reported instead: fully rational, hence
+    integer-ppm exact on both engines (HUGEINT twin).  One (source,
+    token) count exchange; the |S|²-sized pair finish runs on cell
+    vectors, never documents."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: Counter = Counter()
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for tok in _TOKEN_RE.findall((txt or "").lower()):
+                cnt[(src, tok)] += 1
+        ks = list(cnt.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in ks]),
+            "tok": pa.array([k[1] for k in ks]),
+            "n": pa.array([cnt[k] for k in ks], pa.int64()),
+        })
+
+    cells = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["source", "tok"],
+            lambda g: g.groupby(["source", "tok"], sort=False)["n"].sum()
+            .reset_index(),
+            expected_rows=ds.count() * 4,
+        )
+        .to_pandas()
+        .groupby(["source", "tok"], as_index=False)["n"].sum()
+    )
+    vecs = {
+        src: dict(zip(sub["tok"], sub["n"]))
+        for src, sub in cells.groupby("source")
+    }
+    srcs = sorted(vecs)
+    n2 = {s: sum(int(v) * int(v) for v in vecs[s].values()) for s in srcs}
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            d = sum(
+                int(n) * int(vecs[sb][t])
+                for t, n in vecs[sa].items() if t in vecs[sb]
+            )
+            rows.append({
+                "s_a": sa, "s_b": sb,
+                "cos2_ppm": d * d * PPM // (n2[sa] * n2[sb]),
+            })
+    out = pd.DataFrame(rows)
+    out["cos2_ppm"] = out["cos2_ppm"].astype("int64")
+    return out.sort_values(["s_a", "s_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Zipf head coverage per source (top-10 type mass)
+# --------------------------------------------------------------------------
+
+_ZIPF_SQL = f"""
+WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                     AS tok FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+r AS (SELECT source, tok, n,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, tok)
+                 AS rk
+      FROM c)
+SELECT source,
+       CAST(SUM(n) FILTER (rk <= 10) * {PPM} // SUM(n) AS BIGINT)
+           AS head10_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+@query("q171_zipf_head", sql=_ZIPF_SQL)
+def q171_zipf_head(sf_dir: str):
+    """Zipf head coverage: the token-mass fraction the 10 most frequent
+    types carry per source — high head mass means template/boilerplate
+    text, the quick screen before q148/q159's heavier divergence tests.
+    Same ONE (source, token) exchange; per-source the finish is a
+    top-10-by-(count desc, token) pick plus integer ppm division."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: Counter = Counter()
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for tok in _TOKEN_RE.findall((txt or "").lower()):
+                cnt[(src, tok)] += 1
+        ks = list(cnt.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in ks]),
+            "tok": pa.array([k[1] for k in ks]),
+            "n": pa.array([cnt[k] for k in ks], pa.int64()),
+        })
+
+    cells = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["source", "tok"],
+            lambda g: g.groupby(["source", "tok"], sort=False)["n"].sum()
+            .reset_index(),
+            expected_rows=ds.count() * 4,
+        )
+        .to_pandas()
+        .groupby(["source", "tok"], as_index=False)["n"].sum()
+    )
+    rows = []
+    for src, sub in cells.groupby("source", sort=True):
+        sub = sub.sort_values(["n", "tok"], ascending=[False, True])
+        tot = int(sub["n"].sum())
+        head = int(sub["n"].head(10).sum())
+        rows.append({"source": src, "head10_ppm": head * PPM // tot,
+                     "n_types": len(sub)})
+    out = pd.DataFrame(rows)
+    for c in ("head10_ppm", "n_types"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the crawl graph (signed r², rational-exact)
+# --------------------------------------------------------------------------
+
+_ASSORT_SQL = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM
+           read_parquet('/root/repo/tests/fixtures/oracle/pagerank_edges.parquet')
+           WHERE src <> dst),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+idg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+xy AS (SELECT od.d AS x, idg.d AS y
+       FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x)::HUGEINT AS sx,
+             SUM(y)::HUGEINT AS sy, SUM(x*y)::HUGEINT AS sxy,
+             SUM(x*x)::HUGEINT AS sxx, SUM(y*y)::HUGEINT AS syy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+            * ((n * sxy - sx * sy) * (n * sxy - sx * sy) * {PPM}
+               // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            AS BIGINT) AS r2_signed_ppm
+FROM s
+"""
+
+
+@query("q172_assortativity", sql=_ASSORT_SQL)
+def q172_assortativity(sf_dir: str):
+    """Degree assortativity of the crawl graph (Newman 2002): do
+    high-out-degree pages link to high-in-degree pages?  Positive ⇒
+    hub-to-hub core (crawl prioritization finds it fast), negative ⇒
+    hub-and-spoke.  Pearson r over per-edge (out-deg(src), in-deg(dst))
+    needs a square root, so the SIGNED SQUARED correlation
+    sign(num)·num²/(den_x·den_y) is reported — rational, integer-ppm
+    exact (HUGEINT twin).  Plan: degree tables from two keyed count
+    exchanges, per-edge (x, y) via broadcast degree lookup, five q49
+    moment partials in Python ints."""
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]]
+        return df.drop_duplicates()
+
+    e = edges.map_batches(dedup, batch_format="pandas").to_pandas()
+    e = e.drop_duplicates()
+    od = e.groupby("src").size()
+    idg = e.groupby("dst").size()
+    x = od[e["src"]].to_numpy().astype(object)
+    y = idg[e["dst"]].to_numpy().astype(object)
+    n = len(e)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    num = n * sxy - sx * sy
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    sign = -1 if num < 0 else 1
+    r2 = sign * (num * num * PPM // den)
+    return pd.DataFrame(
+        {"n_edges": [n], "num": [num], "r2_signed_ppm": [r2]}
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Hub-removal robustness (largest components after deleting top hubs)
+# --------------------------------------------------------------------------
+
+HUBS_REMOVED = 20
+
+_ROBUST_SQL = f"""
+WITH e0 AS (SELECT DISTINCT src, dst FROM
+            read_parquet('/root/repo/tests/fixtures/oracle/pagerank_edges.parquet')
+            WHERE src <> dst),
+und AS (SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY 1),
+hubs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {HUBS_REMOVED}),
+ue AS (SELECT a, b FROM und
+       WHERE a NOT IN (SELECT node FROM hubs)
+         AND b NOT IN (SELECT node FROM hubs)),
+nodes AS (SELECT DISTINCT a AS n FROM ue),
+rec AS (
+  WITH RECURSIVE reach(n, m) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT ue.b, r.m FROM reach r JOIN ue ON ue.a = r.n
+  ) SELECT n, MIN(m) AS lbl FROM reach GROUP BY n),
+sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size FROM rec GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY size DESC, lbl) AS BIGINT) AS rank,
+       size
+FROM sizes QUALIFY rank <= 5 ORDER BY rank
+"""
+
+
+@query("q173_hub_robustness", sql=_ROBUST_SQL)
+def q173_hub_robustness(sf_dir: str):
+    """Attack-tolerance of the crawl graph (Albert, Jeong & Barabási
+    2000): delete the {HUBS_REMOVED} highest-degree pages and measure
+    the surviving component sizes — how much of the web stays reachable
+    if the hub pages go dark (the mirror question of q142's seed
+    cover).  Degrees from the undirected dedup exchange, hubs are a
+    driver top-k, components via `dedup/clusters.py::dup_clusters`
+    (min-label propagation with its documented driver/distributed plan
+    switch); pages map to a sorted integer index so min-index labels ≡
+    the oracle's min-name labels."""
+    from texrex_ray.dedup.clusters import dup_clusters
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]]
+        return pd.DataFrame({
+            "a": pd.concat([df["src"], df["dst"]], ignore_index=True),
+            "b": pd.concat([df["dst"], df["src"]], ignore_index=True),
+        }).drop_duplicates()
+
+    und = (
+        edges.map_batches(undirect, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    deg = und.groupby("a").size().sort_values(ascending=False)
+    hubs = set(
+        deg.reset_index()
+        .sort_values([0, "a"], ascending=[False, True])["a"]
+        .head(HUBS_REMOVED)
+    )
+    ue = und[~und["a"].isin(hubs) & ~und["b"].isin(hubs)]
+    nodes = np.array(sorted(set(ue["a"]) | set(ue["b"])))
+    idx = {v: i for i, v in enumerate(nodes)}
+    pairs_df = pd.DataFrame({
+        "id_a": [idx[v] for v in ue["a"]],
+        "id_b": [idx[v] for v in ue["b"]],
+    })
+    labels = dup_clusters(ray.data.from_pandas(pairs_df))
+    sizes = (
+        labels.groupby("cluster_id").size().rename("size").reset_index()
+    )
+    sizes["lbl"] = [nodes[int(i)] for i in sizes["cluster_id"]]
+    sizes = sizes.sort_values(["size", "lbl"], ascending=[False, True]).head(5)
+    sizes["rank"] = range(1, len(sizes) + 1)
+    out = sizes[["rank", "size"]].reset_index(drop=True)
+    return out.astype("int64")
