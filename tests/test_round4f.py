@@ -459,3 +459,102 @@ def test_hub_robustness_query_matches_unionfind(ray_session):
         Counter(find(n) for n in parent).values(), reverse=True
     )[:5]
     assert got["size"].tolist() == sizes
+
+
+# ------------------------------------------------------------------- q174
+
+def test_token_bucket_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import (
+        QUERIES, TB_CAP_US, TB_PERIOD_US,
+    )
+
+    got = QUERIES["q174_token_bucket"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    want = {}
+    for uid, sub in ev.groupby("user_id"):
+        ts = sub["ts"].astype("int64").tolist()
+        tok, prev, thr = TB_CAP_US, None, 0
+        for t in ts:
+            if prev is not None:
+                tok = min(tok + (t - prev), TB_CAP_US)
+            if tok >= TB_PERIOD_US:
+                tok -= TB_PERIOD_US
+            else:
+                thr += 1
+            prev = t
+        want[int(uid)] = (len(ts), thr)
+    have = {
+        int(r["user_id"]): (int(r["n_events"]), int(r["n_throttled"]))
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    assert sum(n for n, _ in want.values()) == len(ev)
+
+
+def test_token_bucket_burst_semantics():
+    # 2-token burst: 3 back-to-back events -> exactly one throttled
+    from texrex_ray.pipelines.queries import TB_CAP_US, TB_PERIOD_US
+
+    tok, thr = TB_CAP_US, 0
+    for _ in range(3):
+        if tok >= TB_PERIOD_US:
+            tok -= TB_PERIOD_US
+        else:
+            thr += 1
+    assert thr == 1
+
+
+# ------------------------------------------------------------------- q175
+
+def test_range_partition_plan_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES, RANGE_PARTS
+
+    got = QUERIES["q175_range_partition_plan"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    vc = np.sort(np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64))
+    n = len(vc)
+    bounds = [
+        int(vc[max((i * n + RANGE_PARTS - 1) // RANGE_PARTS, 1) - 1])
+        for i in range(1, RANGE_PARTS)
+    ]
+    part = np.searchsorted(np.asarray(bounds), vc, side="left")
+    want = {}
+    for p in np.unique(part):
+        m = part == p
+        want[int(p)] = (int(m.sum()), int(vc[m].min()), int(vc[m].max()))
+    have = {
+        int(r["part"]): (int(r["n_rows"]), int(r["min_c"]), int(r["max_c"]))
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    # partitions tile the table exactly
+    assert sum(v[0] for v in want.values()) == n
+    # equi-depth balance: max partition within 2x of ideal
+    assert max(v[0] for v in want.values()) <= 2 * (n // RANGE_PARTS + 1)
+
+
+# ------------------------------------------------------------------- q176
+
+def test_k_anonymity_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import KANON_K, QUERIES, WEEK_US
+
+    got = QUERIES["q176_k_anonymity"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    qi = {}
+    for uid, sub in ev.groupby("user_id"):
+        cohort = int(sub["ts"].astype("int64").min() // WEEK_US)
+        cnt = sub.groupby("event_type").size()
+        dom = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        qi[int(uid)] = (cohort, dom)
+    want = {}
+    for c in qi.values():
+        want[c] = want.get(c, 0) + 1
+    have = {
+        (int(r["cohort"]), r["dom_type"]): (int(r["n_users"]), int(r["at_risk"]))
+        for _, r in got.iterrows()
+    }
+    assert have == {k: (n, int(n < KANON_K)) for k, n in want.items()}
+    # total users conserved
+    assert sum(n for n, _ in have.values()) == len(qi)

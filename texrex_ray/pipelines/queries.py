@@ -10437,3 +10437,224 @@ def q173_hub_robustness(sf_dir: str):
     sizes["rank"] = range(1, len(sizes) + 1)
     out = sizes[["rank", "size"]].reset_index(drop=True)
     return out.astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Token-bucket rate-limiter audit (politeness recurrence per user)
+# --------------------------------------------------------------------------
+
+TB_PERIOD_US = 14_400_000_000  # one token per 4 hours
+TB_BURST = 2                 # bucket capacity in tokens
+TB_CAP_US = TB_BURST * TB_PERIOD_US
+
+_THROTTLE_SQL = f"""
+WITH RECURSIVE s AS (SELECT user_id, epoch_us(ts) AS t,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS i
+           FROM events),
+st(user_id, i, t, tok_after, thr) AS (
+  SELECT user_id, i, t,
+         CASE WHEN {TB_CAP_US} >= {TB_PERIOD_US}
+              THEN {TB_CAP_US} - {TB_PERIOD_US} ELSE {TB_CAP_US} END,
+         CASE WHEN {TB_CAP_US} >= {TB_PERIOD_US} THEN 0 ELSE 1 END
+  FROM s WHERE i = 1
+  UNION ALL
+  SELECT n.user_id, n.i, n.t,
+         CASE WHEN LEAST(p.tok_after + (n.t - p.t), {TB_CAP_US})
+                   >= {TB_PERIOD_US}
+              THEN LEAST(p.tok_after + (n.t - p.t), {TB_CAP_US})
+                   - {TB_PERIOD_US}
+              ELSE LEAST(p.tok_after + (n.t - p.t), {TB_CAP_US}) END,
+         CASE WHEN LEAST(p.tok_after + (n.t - p.t), {TB_CAP_US})
+                   >= {TB_PERIOD_US} THEN 0 ELSE 1 END
+  FROM st p JOIN s n ON n.user_id = p.user_id AND n.i = p.i + 1)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(thr) AS BIGINT) AS n_throttled
+FROM st GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q174_token_bucket", sql=_THROTTLE_SQL)
+def q174_token_bucket(sf_dir: str):
+    """Token-bucket rate-limiter audit: replay each user's event stream
+    through a bucket of {TB_BURST} tokens refilling one per 4 hours
+    and count the requests a politeness gate would throttle — the
+    state/politeness.py budget semantics as a batch audit, and a shape
+    worth having on its own: a SEQUENTIAL RECURRENCE (bucket level
+    depends on every prior event) that parallelizes perfectly by key.
+    ONE user-keyed exchange; the per-user replay is a tight integer
+    loop over that user's sorted times (microsecond arithmetic, no
+    floats), mirrored by a linear recursive CTE on the oracle side."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, sub in df.groupby("user_id", sort=False):
+            ts = sub["ts"].astype("int64").tolist()
+            tok = TB_CAP_US
+            prev = None
+            thr = 0
+            for t in ts:
+                if prev is not None:
+                    tok = min(tok + (t - prev), TB_CAP_US)
+                if tok >= TB_PERIOD_US:
+                    tok -= TB_PERIOD_US
+                else:
+                    thr += 1
+                prev = t
+            rows.append({"user_id": int(uid), "n_events": len(ts),
+                         "n_throttled": thr})
+        return pd.DataFrame(rows)
+
+    out = (
+        bucketed_groupby(ds, "user_id", combine, expected_rows=ds.count())
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "n_events", "n_throttled"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Range-partition planner (equi-depth boundaries + skew audit)
+# --------------------------------------------------------------------------
+
+RANGE_PARTS = 16
+
+_RANGEPLAN_SQL = f"""
+WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vc
+           FROM lineitem),
+r AS (SELECT vc, row_number() OVER (ORDER BY vc) AS rn FROM v),
+nn AS (SELECT COUNT(*) AS n FROM v),
+b AS (SELECT u.i,
+             (SELECT vc FROM r
+              WHERE rn = GREATEST((u.i * (SELECT n FROM nn)
+                                   + {RANGE_PARTS} - 1) // {RANGE_PARTS}, 1))
+                 AS bound
+      FROM unnest(range(1, {RANGE_PARTS})) AS u(i)),
+assign AS (SELECT vc, (SELECT COUNT(*) FROM b WHERE b.bound < v.vc) AS part
+           FROM v)
+SELECT CAST(part AS BIGINT) AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(vc) AS BIGINT) AS min_c, CAST(MAX(vc) AS BIGINT) AS max_c
+FROM assign GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q175_range_partition_plan", sql=_RANGEPLAN_SQL)
+def q175_range_partition_plan(sf_dir: str):
+    """Range-partition planner: the equi-depth boundary table a
+    distributed sort's shuffle needs (Ray's `ds.sort` samples; this
+    computes EXACT boundaries), plus the per-partition row counts and
+    bounds that audit the resulting balance.  Boundaries are
+    PERCENTILE_DISC positions on the value histogram (q100's ONE
+    count-exchange plan); assignment folds back over the same
+    histogram — rows are never rescanned.  Partition of v = number of
+    boundaries strictly below v, identical on both engines."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"vc": vc}).groupby("vc", sort=False).size()
+            .rename("cnt").reset_index()
+        )
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            "vc",
+            lambda g: g.groupby("vc", sort=False)["cnt"].sum().reset_index(),
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby("vc", as_index=False)["cnt"].sum()
+        .sort_values("vc")
+    )
+    vals = hist["vc"].to_numpy()
+    cnts = hist["cnt"].to_numpy()
+    n = int(cnts.sum())
+    cum = cnts.cumsum()
+    bounds = []
+    for i in range(1, RANGE_PARTS):
+        pos = max((i * n + RANGE_PARTS - 1) // RANGE_PARTS, 1)
+        bounds.append(int(vals[np.searchsorted(cum, pos, side="left")]))
+    barr = np.asarray(bounds, dtype=np.int64)
+    part = np.searchsorted(barr, vals, side="left")  # boundaries < v
+    # searchsorted(left) counts bounds <= v-1 i.e. bounds < v for ints
+    rows = []
+    for p in np.unique(part):
+        mask = part == p
+        rows.append({
+            "part": int(p), "n_rows": int(cnts[mask].sum()),
+            "min_c": int(vals[mask].min()), "max_c": int(vals[mask].max()),
+        })
+    return pd.DataFrame(rows).astype("int64").sort_values("part").reset_index(
+        drop=True
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity risk audit (quasi-identifier group sizes)
+# --------------------------------------------------------------------------
+
+KANON_K = 5
+
+_KANON_SQL = f"""
+WITH w AS (SELECT user_id,
+                  MIN(CAST(epoch_us(ts) // {WEEK_US} AS BIGINT)) AS cohort
+           FROM events GROUP BY 1),
+cnt AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+dom AS (SELECT user_id, event_type AS dom_type FROM cnt
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY c DESC, event_type) = 1),
+qi AS (SELECT w.user_id, w.cohort, dom.dom_type
+       FROM w JOIN dom USING (user_id))
+SELECT cohort, dom_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) < {KANON_K} AS BIGINT) AS at_risk
+FROM qi GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q176_k_anonymity", sql=_KANON_SQL)
+def q176_k_anonymity(sf_dir: str):
+    """k-anonymity risk audit over behavioral quasi-identifiers — the
+    release-time privacy gate next to q61's PII scrub: users whose
+    (first-active week, dominant event type) combination is shared by
+    fewer than {KANON_K} others are re-identifiable from "anonymized"
+    event data.  Both QI components are per-user facts, so ONE
+    user-keyed exchange derives them (min week; argmax type with the
+    deterministic count-desc/type-asc tie-break) and the finish is a
+    QI-cardinality groupby."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, sub in df.groupby("user_id", sort=False):
+            cohort = int(sub["ts"].astype("int64").min() // WEEK_US)
+            cnt = sub.groupby("event_type").size().reset_index(name="c")
+            cnt = cnt.sort_values(["c", "event_type"],
+                                  ascending=[False, True])
+            rows.append({"user_id": int(uid), "cohort": cohort,
+                         "dom_type": cnt["event_type"].iloc[0]})
+        return pd.DataFrame(rows)
+
+    qi = bucketed_groupby(
+        ds, "user_id", combine, expected_rows=ds.count()
+    ).to_pandas()
+    out = (
+        qi.groupby(["cohort", "dom_type"], as_index=False)
+        .agg(n_users=("user_id", "size"))
+    )
+    out["at_risk"] = (out["n_users"] < KANON_K).astype("int64")
+    for c in ("cohort", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort", "dom_type"]).reset_index(drop=True)
