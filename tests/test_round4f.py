@@ -558,3 +558,87 @@ def test_k_anonymity_matches_serial(ray_session):
     assert have == {k: (n, int(n < KANON_K)) for k, n in want.items()}
     # total users conserved
     assert sum(n for n, _ in have.values()) == len(qi)
+
+
+# ------------------------------------------------------------------- q177
+
+def test_periodicity_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import (
+        ACF_MAX_LAG, HOUR_US, PPM, QUERIES,
+    )
+
+    got = QUERIES["q177_periodicity"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    hr = (ev["ts"].astype("int64") // HOUR_US).to_numpy()
+    h0, h1 = int(hr.min()), int(hr.max())
+    grid = np.zeros(h1 - h0 + 1, dtype=object)
+    for h in hr:
+        grid[int(h) - h0] += 1
+    n, sx = len(grid), int(sum(grid))
+    d = [n * int(x) - sx for x in grid]
+    c0 = sum(v * v for v in d)
+    for _, r in got.iterrows():
+        k = int(r["lag"])
+        ck = sum(d[i] * d[i + k] for i in range(n - k)) if k < n else 0
+        sign = -1 if ck < 0 else 1
+        assert int(r["r_ppm"]) == sign * (abs(ck) * PPM // c0), k
+    assert len(got) == ACF_MAX_LAG
+    # |r| <= 1 by Cauchy-Schwarz
+    assert (got["r_ppm"].abs() <= PPM).all()
+
+
+# ------------------------------------------------------------------- q178
+
+def test_cusum_changepoint_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import DAY_US, QUERIES
+
+    got = QUERIES["q178_cusum_changepoint"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = (ev["ts"].astype("int64") // DAY_US).to_numpy()
+    d0, d1 = int(day.min()), int(day.max())
+    grid = [0] * (d1 - d0 + 1)
+    for d in day:
+        grid[int(d) - d0] += 1
+    n, sx = len(grid), sum(grid)
+    cs, best_v, best_i, acc = [], -1, -1, 0
+    for i, x in enumerate(grid):
+        acc += n * x - sx
+        if abs(acc) > best_v:
+            best_v, best_i = abs(acc), i
+    assert int(got["cp_day"][0]) == d0 + best_i
+    assert int(got["max_abs_cusum"][0]) == best_v
+    assert int(got["n_days"][0]) == n
+
+
+# ------------------------------------------------------------------- q179
+
+def test_bounce_rate_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import PPM, QUERIES, WEEK_US
+
+    got = QUERIES["q179_bounce_rate"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    agg: dict = {}
+    for uid, sub in ev.groupby("user_id"):
+        us = sub["ts"].astype("int64").tolist()
+        cohort = int(min(us) // WEEK_US)
+        sizes, cur = [], 1
+        for a, b in zip(us, us[1:]):
+            if b - a > 1_800_000_000:
+                sizes.append(cur)
+                cur = 1
+            else:
+                cur += 1
+        sizes.append(cur)
+        s, bnc = agg.get(cohort, (0, 0))
+        agg[cohort] = (s + len(sizes), bnc + sum(1 for x in sizes if x == 1))
+    have = {
+        int(r["cohort"]): (int(r["n_sessions"]), int(r["n_bounces"]),
+                           int(r["bounce_ppm"]))
+        for _, r in got.iterrows()
+    }
+    assert have == {
+        c: (s, b, b * PPM // s) for c, (s, b) in agg.items()
+    }
+    assert sum(b for _, b, _ in have.values()) > 0

@@ -10658,3 +10658,219 @@ def q176_k_anonymity(sf_dir: str):
     for c in ("cohort", "n_users"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["cohort", "dom_type"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Hourly autocorrelation (periodicity detection, rational-exact)
+# --------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+ACF_MAX_LAG = 24
+
+_ACF_SQL = f"""
+WITH h AS (SELECT CAST(epoch_us(ts) // {HOUR_US} AS BIGINT) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+lim AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+grid AS (SELECT g.hr, COALESCE(h.x, 0) AS x
+         FROM (SELECT unnest(range((SELECT h0 FROM lim),
+                                   (SELECT h1 FROM lim) + 1)) AS hr) g
+         LEFT JOIN h USING (hr)),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x)::HUGEINT AS sx FROM grid),
+d AS (SELECT hr, (SELECT n FROM s) * x - (SELECT sx FROM s) AS dv FROM grid),
+c0 AS (SELECT SUM(dv * dv) AS c FROM d),
+ck AS (SELECT u.k, SUM(a.dv * b.dv) AS c
+       FROM unnest(range(1, {ACF_MAX_LAG} + 1)) AS u(k)
+       JOIN d a ON TRUE JOIN d b ON b.hr = a.hr + u.k
+       GROUP BY u.k)
+SELECT CAST(k AS BIGINT) AS lag,
+       CAST(CASE WHEN ck.c < 0 THEN -1 ELSE 1 END
+            * (ABS(ck.c) * {PPM} // (SELECT c FROM c0)) AS BIGINT) AS r_ppm
+FROM ck ORDER BY lag
+"""
+
+
+@query("q177_periodicity", sql=_ACF_SQL)
+def q177_periodicity(sf_dir: str):
+    """Autocorrelation of the hourly event-count series at lags 1..24 —
+    the periodicity detector a recrawl scheduler reads to find a site's
+    active hours (daily rhythm ⇒ a peak at lag 24).  The series is the
+    COMPLETE hourly grid (missing hours count 0); deviations are
+    zero-meaned by cross-multiplication (n·x−Σx, no division), so every
+    lag correlation is a RATIONAL C_k/C_0 → signed integer ppm, exact
+    on both engines (HUGEINT twin).  Plan: one hour-keyed count
+    exchange (grid-sized, ≪ events), lag products on the driver grid."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hr = df["ts"].astype("int64") // HOUR_US
+        return pd.DataFrame({"hr": hr}).groupby("hr", sort=False).size().rename(
+            "x"
+        ).reset_index()
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            "hr",
+            lambda g: g.groupby("hr", sort=False)["x"].sum().reset_index(),
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby("hr", as_index=False)["x"].sum()
+    )
+    h0, h1 = int(hist["hr"].min()), int(hist["hr"].max())
+    grid = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    grid[hist["hr"].to_numpy() - h0] = hist["x"].to_numpy()
+    n = len(grid)
+    sx = int(grid.sum())
+    d = (n * grid.astype(object) - sx)
+    c0 = int((d * d).sum())
+    rows = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        ck = int((d[:-k] * d[k:]).sum()) if k < n else 0
+        sign = -1 if ck < 0 else 1
+        rows.append({"lag": k, "r_ppm": sign * (abs(ck) * PPM // c0)})
+    return pd.DataFrame(rows).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint (max cumulative deviation over the daily series)
+# --------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+_CUSUM_SQL = f"""
+WITH dd AS (SELECT CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+lim AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dd),
+grid AS (SELECT g.day, COALESCE(dd.x, 0) AS x
+         FROM (SELECT unnest(range((SELECT d0 FROM lim),
+                                   (SELECT d1 FROM lim) + 1)) AS day) g
+         LEFT JOIN dd USING (day)),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x)::HUGEINT AS sx FROM grid),
+cs AS (SELECT day,
+              SUM((SELECT n FROM s) * x - (SELECT sx FROM s))
+                  OVER (ORDER BY day) AS c
+       FROM grid)
+SELECT CAST(day AS BIGINT) AS cp_day, CAST(ABS(c) AS BIGINT) AS max_abs_cusum,
+       CAST((SELECT n FROM s) AS BIGINT) AS n_days
+FROM cs ORDER BY ABS(c) DESC, day LIMIT 1
+"""
+
+
+@query("q178_cusum_changepoint", sql=_CUSUM_SQL)
+def q178_cusum_changepoint(sf_dir: str):
+    """CUSUM changepoint over the daily event-count series: the day
+    where the cumulative deviation from the global mean peaks — the
+    classic level-shift detector (Page 1954) a pipeline health monitor
+    runs over ingest volume.  Deviations zero-meaned by
+    cross-multiplication (n·x−Σx), cumulative sums exact integers; the
+    argmax tie-breaks to the earliest day on both engines.  Same
+    day-keyed count exchange as q177; the finish is grid-sized."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("int64") // DAY_US
+        return pd.DataFrame({"day": day}).groupby("day", sort=False).size().rename(
+            "x"
+        ).reset_index()
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            "day",
+            lambda g: g.groupby("day", sort=False)["x"].sum().reset_index(),
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby("day", as_index=False)["x"].sum()
+    )
+    d0, d1 = int(hist["day"].min()), int(hist["day"].max())
+    grid = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    grid[hist["day"].to_numpy() - d0] = hist["x"].to_numpy()
+    n = len(grid)
+    sx = int(grid.sum())
+    dev = n * grid.astype(object) - sx
+    cs = np.cumsum(dev)
+    absc = np.abs(cs)
+    best = int(np.argmax(absc))  # first max = earliest day
+    return pd.DataFrame({
+        "cp_day": [d0 + best],
+        "max_abs_cusum": [int(absc[best])],
+        "n_days": [n],
+    }).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Bounce rate per signup cohort (sessionization composition)
+# --------------------------------------------------------------------------
+
+_BOUNCE_SQL = f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (SELECT user_id,
+                SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS sidx
+         FROM s),
+per AS (SELECT user_id, sidx, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sess GROUP BY 1, 2),
+coh AS (SELECT user_id, CAST(MIN(epoch_us(ts) // {WEEK_US}) AS BIGINT)
+               AS cohort FROM events GROUP BY 1)
+SELECT coh.cohort, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN per.n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(SUM(CASE WHEN per.n = 1 THEN 1 ELSE 0 END) * {PPM} // COUNT(*)
+            AS BIGINT) AS bounce_ppm
+FROM per JOIN coh USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q179_bounce_rate", sql=_BOUNCE_SQL)
+def q179_bounce_rate(sf_dir: str):
+    """Bounce rate per signup cohort: single-event sessions over total
+    sessions, grouped by each user's first-active week — q98's
+    sessionization composed with q151's cohorts in ONE user-keyed
+    exchange (sessions and the cohort are both per-user facts, so one
+    bucket combine derives both; the finish is cohort-sized).  Integer
+    ppm rate."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, sub in df.groupby("user_id", sort=False):
+            us = sub["ts"].astype("int64").to_numpy()
+            cohort = int(us.min() // WEEK_US)
+            new = np.ones(len(us), dtype=np.int64)
+            new[1:] = (us[1:] - us[:-1] > 1_800_000_000).astype(np.int64)
+            sidx = np.cumsum(new)
+            sizes = np.bincount(sidx)[1:]
+            rows.append({
+                "cohort": cohort,
+                "n_sessions": int((sizes > 0).sum()),
+                "n_bounces": int((sizes == 1).sum()),
+            })
+        return pd.DataFrame(rows)
+
+    per_user = bucketed_groupby(
+        ds, "user_id", combine, expected_rows=ds.count()
+    ).to_pandas()
+    out = per_user.groupby("cohort", as_index=False).agg(
+        n_sessions=("n_sessions", "sum"), n_bounces=("n_bounces", "sum")
+    )
+    out["bounce_ppm"] = [
+        int(b) * PPM // int(s) for b, s in zip(out["n_bounces"], out["n_sessions"])
+    ]
+    for c in ("cohort", "n_sessions", "n_bounces", "bounce_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cohort").reset_index(drop=True)
