@@ -52,36 +52,62 @@ def band_join_self(
         gh = pd.DataFrame({"g": g + 1, "id": df[id_col], "v": v, "ghost": 1})
         return pd.concat([own, gh], ignore_index=True)
 
+    def _window_pairs(cnt, lo):
+        """Indices for per-row windows [lo[i], lo[i]+cnt[i]) — the
+        repeat/cumsum trick, no Python loop."""
+        total = int(cnt.sum())
+        src = np.repeat(np.arange(len(cnt)), cnt)
+        dst = (np.arange(total)
+               - np.repeat(cnt.cumsum() - cnt, cnt)
+               + np.repeat(lo, cnt))
+        return src, dst
+
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # sorting by v sorts by (g, v) since g = v // width, so each
+        # key's rows form one contiguous segment — window bounds are
+        # global searchsorted results clipped to the segment, with NO
+        # per-key Python loop (distinct keys ≈ value domain / width)
         outs = []
-        for _, sub in df.groupby("g", sort=False):
-            own = sub[sub["ghost"] == 0]
-            gho = sub[sub["ghost"] == 1]
-            ov = own["v"].to_numpy()
-            oi = own["id"].to_numpy()
-            order = np.argsort(ov, kind="stable")
-            ov, oi = ov[order], oi[order]
-            # own-own: sorted window two-pointer
-            hi = np.searchsorted(ov, ov + delta, side="right")
-            for i in range(len(ov)):
-                for j in range(i + 1, hi[i]):
-                    outs.append((oi[i], oi[j], ov[j] - ov[i]))
-            # ghost-own: ghosts are the PREVIOUS bucket's points
-            if len(gho) and len(ov):
+        own = df[df["ghost"] == 0].sort_values("v", kind="mergesort")
+        gho = df[df["ghost"] == 1]
+        ov = own["v"].to_numpy()
+        oi = own["id"].to_numpy()
+        og = own["g"].to_numpy()
+        if len(ov):
+            seg_end = np.searchsorted(og, og, side="right")
+            hi = np.minimum(
+                np.searchsorted(ov, ov + delta, side="right"), seg_end
+            )
+            idx = np.arange(len(ov))
+            cnt = hi - idx - 1
+            if cnt.sum() > 0:
+                ia, jb = _window_pairs(cnt, idx + 1)
+                outs.append((oi[ia], oi[jb], ov[jb] - ov[ia]))
+            if len(gho):
                 gv = gho["v"].to_numpy()
                 gi = gho["id"].to_numpy()
-                lo = np.searchsorted(ov, gv - delta, side="left")
-                hi2 = np.searchsorted(ov, gv + delta, side="right")
-                for k in range(len(gv)):
-                    for j in range(lo[k], hi2[k]):
-                        outs.append((gi[k], oi[j], abs(int(ov[j]) - int(gv[k]))))
+                gk = gho["g"].to_numpy()  # routing key = own g to probe
+                s0 = np.searchsorted(og, gk, side="left")
+                s1 = np.searchsorted(og, gk, side="right")
+                lo = np.maximum(
+                    np.searchsorted(ov, gv - delta, side="left"), s0
+                )
+                hi2 = np.minimum(
+                    np.searchsorted(ov, gv + delta, side="right"), s1
+                )
+                cnt2 = np.maximum(hi2 - lo, 0)
+                if cnt2.sum() > 0:
+                    ka, jb2 = _window_pairs(cnt2, lo)
+                    outs.append(
+                        (gi[ka], oi[jb2], np.abs(ov[jb2] - gv[ka]))
+                    )
         if not outs:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "dist": pd.Series([], dtype="int64")})
-        a = np.array([t[0] for t in outs], dtype=np.int64)
-        b = np.array([t[1] for t in outs], dtype=np.int64)
-        d = np.array([t[2] for t in outs], dtype=np.int64)
+        a = np.concatenate([t[0] for t in outs]).astype(np.int64)
+        b = np.concatenate([t[1] for t in outs]).astype(np.int64)
+        d = np.concatenate([t[2] for t in outs]).astype(np.int64)
         lo_, hi_ = np.minimum(a, b), np.maximum(a, b)
         keep = a != b
         return pd.DataFrame(
