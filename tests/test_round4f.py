@@ -642,3 +642,114 @@ def test_bounce_rate_matches_serial(ray_session):
         c: (s, b, b * PPM // s) for c, (s, b) in agg.items()
     }
     assert sum(b for _, b, _ in have.values()) > 0
+
+
+# ------------------------------------------------------------------- q180
+
+def test_random_failure_matches_unionfind(ray_session):
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.pipelines.queries import FAIL_PCT, QUERIES
+
+    got = QUERIES["q180_random_failure"](SF)
+    df = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    df = df[df["src"] != df["dst"]].drop_duplicates()
+    und = pd.DataFrame({
+        "a": pd.concat([df["src"], df["dst"]]),
+        "b": pd.concat([df["dst"], df["src"]]),
+    }).drop_duplicates()
+    all_nodes = sorted(set(und["a"]))
+    h = md5_lower64(all_nodes) % np.uint64(100)
+    dead = {n for n, hv in zip(all_nodes, h) if int(hv) < FAIL_PCT}
+    ue = und[~und["a"].isin(dead) & ~und["b"].isin(dead)]
+    parent = {n: n for n in set(ue["a"]) | set(ue["b"])}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ue["a"], ue["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    from collections import Counter
+
+    sizes = sorted(Counter(find(n) for n in parent).values(), reverse=True)[:5]
+    assert got["size"].tolist() == sizes
+    # random failure hurts less than the targeted attack (AJB curve):
+    # the survivor giant component keeps most of the surviving nodes
+    assert sizes[0] > 0.8 * len(parent)
+
+
+# ------------------------------------------------------------------- q181
+
+def test_cohort_value_matches_serial(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES, WEEK_US
+
+    got = QUERIES["q181_cohort_value"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    wk = ev["ts"].astype("int64") // WEEK_US
+    cohort = wk.groupby(ev["user_id"]).transform("min")
+    vc = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    want: dict = {}
+    for c, w, v in zip(cohort, wk, vc):
+        key = (int(c), int(w - c))
+        s, n = want.get(key, (0, 0))
+        want[key] = (s + int(v), n + 1)
+    have = {
+        (int(r["cohort"]), int(r["offset_wk"])): (int(r["value_c"]),
+                                                  int(r["n_events"]))
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    assert sum(n for _, n in want.values()) == len(ev)
+
+
+# ------------------------------------------------------------------- q182
+
+def test_phash_format_matrix_matches_bruteforce(ray_session):
+    from texrex_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["q182_phash_format_matrix"](SF)
+    fix = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet"
+    )
+    ids = fix["image_id"].tolist()
+    ph = fix["phash"].to_numpy().astype(np.uint64)
+    fmt = dict(zip(fix["image_id"], fix["fmt"]))
+    want: dict = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = int(bin(int(ph[i]) ^ int(ph[j])).count("1"))
+            if d <= 6:
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                key = tuple(sorted((fmt[a], fmt[b])))
+                n, m = want.get(key, (0, 64))
+                want[key] = (n + 1, min(m, d))
+    have = {
+        (r["fmt_a"], r["fmt_b"]): (int(r["n_pairs"]), int(r["min_hamming"]))
+        for _, r in got.iterrows()
+    }
+    assert have == want
+    assert len(want) > 0
+
+
+def test_images_phash_fixture_fresh(ray_session):
+    """Committed (image_id, phash, w, h, fmt) fixture equals the live
+    deterministic codec fixture's metadata."""
+    from texrex_ray.pipelines.caption import fixture_path
+
+    d = fixture_path(n=300, seed=42)
+    live = pd.read_parquet(
+        f"{d}/images.parquet",
+        columns=["image_id", "phash", "w", "h", "fmt"],
+    ).sort_values("image_id").reset_index(drop=True)
+    fix = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet"
+    ).sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(live, fix)

@@ -10874,3 +10874,198 @@ def q179_bounce_rate(sf_dir: str):
     for c in ("cohort", "n_sessions", "n_bounces", "bounce_ppm"):
         out[c] = out[c].astype("int64")
     return out.sort_values("cohort").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Random-failure robustness (complement of q173's targeted attack)
+# --------------------------------------------------------------------------
+
+FAIL_PCT = 30
+
+_RANDFAIL_SQL = f"""
+WITH e0 AS (SELECT DISTINCT src, dst FROM
+            read_parquet('/root/repo/tests/fixtures/oracle/pagerank_edges.parquet')
+            WHERE src <> dst),
+und AS (SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)),
+dead AS (SELECT DISTINCT a AS node FROM und
+         WHERE md5_number_lower(a) % 100 < {FAIL_PCT}),
+ue AS (SELECT a, b FROM und
+       WHERE a NOT IN (SELECT node FROM dead)
+         AND b NOT IN (SELECT node FROM dead)),
+nodes AS (SELECT DISTINCT a AS n FROM ue),
+rec AS (
+  WITH RECURSIVE reach(n, m) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT ue.b, r.m FROM reach r JOIN ue ON ue.a = r.n
+  ) SELECT n, MIN(m) AS lbl FROM reach GROUP BY n),
+sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size FROM rec GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY size DESC, lbl) AS BIGINT) AS rank,
+       size
+FROM sizes QUALIFY rank <= 5 ORDER BY rank
+"""
+
+
+@query("q180_random_failure", sql=_RANDFAIL_SQL)
+def q180_random_failure(sf_dir: str):
+    """Error-tolerance twin of q173 (Albert–Jeong–Barabási's OTHER
+    curve): delete a deterministic {FAIL_PCT}% "random" node sample
+    (content-stable md5 bucket — the repo's split hash, so the sample
+    is layout-invariant and engine-shared) and measure surviving
+    component sizes.  Scale-free graphs survive random failure but
+    shatter under q173's targeted attack — the pair of numbers IS the
+    robustness diagnosis.  Same plan: degree exchange, broadcast kill
+    set, dup_clusters components."""
+    from texrex_ray.dedup.clusters import dup_clusters
+    from texrex_ray.functions.hashing import md5_lower64
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]]
+        return pd.DataFrame({
+            "a": pd.concat([df["src"], df["dst"]], ignore_index=True),
+            "b": pd.concat([df["dst"], df["src"]], ignore_index=True),
+        }).drop_duplicates()
+
+    und = (
+        edges.map_batches(undirect, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    all_nodes = sorted(set(und["a"]))
+    h = md5_lower64(all_nodes) % np.uint64(100)
+    dead = {n for n, hv in zip(all_nodes, h) if int(hv) < FAIL_PCT}
+    ue = und[~und["a"].isin(dead) & ~und["b"].isin(dead)]
+    nodes = np.array(sorted(set(ue["a"]) | set(ue["b"])))
+    idx = {v: i for i, v in enumerate(nodes)}
+    labels = dup_clusters(ray.data.from_pandas(pd.DataFrame({
+        "id_a": [idx[v] for v in ue["a"]],
+        "id_b": [idx[v] for v in ue["b"]],
+    })))
+    sizes = labels.groupby("cluster_id").size().rename("size").reset_index()
+    sizes["lbl"] = [nodes[int(i)] for i in sizes["cluster_id"]]
+    sizes = sizes.sort_values(["size", "lbl"], ascending=[False, True]).head(5)
+    sizes["rank"] = range(1, len(sizes) + 1)
+    return sizes[["rank", "size"]].reset_index(drop=True).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Cohort value curves (retention-weighted cumulative value)
+# --------------------------------------------------------------------------
+
+_COHORT_VALUE_SQL = f"""
+WITH c AS (SELECT user_id,
+                  MIN(CAST(epoch_us(ts) // {WEEK_US} AS BIGINT)) AS cohort
+           FROM events GROUP BY 1)
+SELECT c.cohort,
+       CAST(epoch_us(e.ts) // {WEEK_US} - c.cohort AS BIGINT) AS offset_wk,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q181_cohort_value", sql=_COHORT_VALUE_SQL)
+def q181_cohort_value(sf_dir: str):
+    """Cohort value curves — q151's retention matrix weighted by the
+    event `value` column (the LTV-by-age view; for a crawl: bytes
+    fetched by host-discovery age).  Cohort and offsets are per-user
+    facts → ONE user-keyed exchange emits (cohort, offset, Σ value
+    cents, n) partials, the finish is matrix-sized.  Each event's value
+    rounds to integer cents BEFORE summation on BOTH engines (the
+    repo-wide scaled-int contract), so partial sums commute exactly —
+    no float aggregate ever crosses an exchange."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df["ts"].astype("int64") // WEEK_US
+        cohort = wk.groupby(df["user_id"], sort=False).transform("min")
+        g = pd.DataFrame({
+            "cohort": cohort, "offset_wk": wk - cohort, "value": df["value"],
+        })
+        # exact decimal-cent partials: value is generated with 2-decimal
+        # precision, so per-event cents are integers and sums are exact
+        g["vc"] = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        return (
+            g.groupby(["cohort", "offset_wk"], sort=False)
+            .agg(value_c=("vc", "sum"), n_events=("vc", "size"))
+            .reset_index()
+        )
+
+    out = (
+        bucketed_groupby(ds, "user_id", combine, expected_rows=ds.count())
+        .to_pandas()
+        .groupby(["cohort", "offset_wk"], as_index=False)
+        .agg(value_c=("value_c", "sum"), n_events=("n_events", "sum"))
+        .sort_values(["cohort", "offset_wk"])
+        .reset_index(drop=True)
+    )
+    for c in ("cohort", "offset_wk", "value_c", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Cross-format pHash pair matrix (codec-invariance audit)
+# --------------------------------------------------------------------------
+
+_FMT_PAIRS_SQL = """
+WITH i AS (SELECT image_id, fmt, phash FROM
+           read_parquet('/root/repo/tests/fixtures/oracle/images_phash_n300_s42.parquet'))
+SELECT LEAST(a.fmt, b.fmt) AS fmt_a, GREATEST(a.fmt, b.fmt) AS fmt_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(bit_count(xor(a.phash, b.phash))) AS BIGINT) AS min_hamming
+FROM i a JOIN i b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q182_phash_format_matrix", sql=_FMT_PAIRS_SQL)
+def q182_phash_format_matrix(sf_dir: str):
+    """Codec-invariance audit of the payload dedup: q57's pHash-Hamming
+    near-dup pairs broken down by FORMAT pair — whether perceptual
+    clusters cross codec boundaries (they should, for true re-encodes)
+    or stay within one format (format-specific artifacts dominate the
+    hash).  Pairs from the same complete block-LSH as q57; the format
+    attach is a broadcast id→fmt lookup (image-table-sized metadata,
+    never pixels), finish is |fmts|²-sized."""
+    from texrex_ray.dedup.lsh import hamming_pairs
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table")
+    n = ds.count()
+    pairs = hamming_pairs(
+        ds, id_col="image_id", sig_col="phash", max_hamming=6,
+        expected_rows=n, expected_pairs=n,
+    ).to_pandas()
+
+    fmt_df = (
+        ds.map_batches(
+            lambda t: t.select(["image_id", "fmt"]), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    fmt = dict(zip(fmt_df["image_id"], fmt_df["fmt"]))
+    fa = [fmt[i] for i in pairs["id_a"]]
+    fb = [fmt[i] for i in pairs["id_b"]]
+    pairs["fmt_a"] = [min(x, y) for x, y in zip(fa, fb)]
+    pairs["fmt_b"] = [max(x, y) for x, y in zip(fa, fb)]
+    out = (
+        pairs.groupby(["fmt_a", "fmt_b"], as_index=False)
+        .agg(n_pairs=("hamming", "size"), min_hamming=("hamming", "min"))
+        .sort_values(["fmt_a", "fmt_b"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_pairs", "min_hamming"):
+        out[c] = out[c].astype("int64")
+    return out

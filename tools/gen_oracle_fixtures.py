@@ -469,7 +469,8 @@ def gen_images_phash() -> None:
 
     d = fixture_path(n=300, seed=42)
     t = pq.read_table(
-        os.path.join(d, "images.parquet"), columns=["image_id", "phash", "w", "h"]
+        os.path.join(d, "images.parquet"),
+        columns=["image_id", "phash", "w", "h", "fmt"],
     )
     pq.write_table(t, os.path.join(OUT, "images_phash_n300_s42.parquet"))
 
