@@ -11069,3 +11069,231 @@ def q182_phash_format_matrix(sf_dir: str):
     for c in ("n_pairs", "min_hamming"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Percentile-rank normalization (per-language quantile mapping)
+# --------------------------------------------------------------------------
+
+_PCTRANK_SQL = f"""
+SELECT doc_id, lang,
+       CAST((RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1) * {PPM}
+            // (COUNT(*) OVER (PARTITION BY lang) - 1) AS BIGINT) AS pct_ppm
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("q183_percentile_rank", sql=_PCTRANK_SQL)
+def q183_percentile_rank(sf_dir: str):
+    """Percentile-rank normalization: each document's length mapped to
+    its within-language percentile (SQL percent_rank semantics,
+    (rank−1)/(n−1) with min-rank ties, floored to integer ppm) — the
+    quantile mapping that makes quality thresholds comparable across
+    languages (q58 picks ONE threshold; this normalizes the whole
+    score).  rank−1 = count of strictly smaller values, a pure function
+    of the per-language VALUE HISTOGRAM: one count exchange builds the
+    histograms, they broadcast once, and every document gets its ppm
+    by a vectorized searchsorted where it sits — corpus-shaped output
+    with zero corpus shuffle."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["lang", "n_chars"], sort=False).size().rename("c")
+            .reset_index()
+        )
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["lang", "n_chars"],
+            lambda g: g.groupby(["lang", "n_chars"], sort=False)["c"].sum()
+            .reset_index(),
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby(["lang", "n_chars"], as_index=False)["c"].sum()
+    )
+    plans = {}
+    for lang, sub in hist.groupby("lang"):
+        sub = sub.sort_values("n_chars")
+        vals = sub["n_chars"].to_numpy()
+        cnts = sub["c"].to_numpy()
+        cum_below = np.concatenate([[0], cnts.cumsum()[:-1]])
+        plans[lang] = (vals, cum_below, int(cnts.sum()))
+    plans_ref = ray.put(plans)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(plans_ref)
+        out = np.empty(len(df), dtype=np.int64)
+        nc = df["n_chars"].to_numpy()
+        for lang in pd.unique(df["lang"]):
+            vals, below, n = pl[lang]
+            m = (df["lang"] == lang).to_numpy()
+            idx = np.searchsorted(vals, nc[m], side="left")
+            out[m] = below[idx] * PPM // max(n - 1, 1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "lang": df["lang"], "pct_ppm": out,
+        })
+
+    res = ds.map_batches(assign, batch_format="pandas").to_pandas()
+    for c in ("doc_id", "pct_ppm"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination map (near-dup pairs by source pair)
+# --------------------------------------------------------------------------
+
+_SRC_CONTAM_SQL = (
+    "WITH p AS (\n" + _JACCARD_SQL + "\n)\n"
+    + """
+SELECT LEAST(da.source, db.source) AS src_a,
+       GREATEST(da.source, db.source) AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p JOIN documents da ON da.doc_id = p.id_a
+       JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+@query("q184_source_contamination", sql=_SRC_CONTAM_SQL)
+def q184_source_contamination(sf_dir: str):
+    """Cross-source contamination map: q14's exact near-dup pairs
+    attributed to SOURCE pairs — which feeds copy from each other (the
+    question a mixture designer asks before deduplicating within vs
+    across sources; diagonal entries are internal duplication).
+    Composition: the result-sized pair list + a broadcast doc→source
+    lookup restricted to pair-involved docs (`pc.is_in` scan, never the
+    corpus); finish is |sources|²-bounded."""
+    pairs = QUERIES["q14_ngram_jaccard"](sf_dir)
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    need = pa.array(ids, pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=need)).select(
+            ["doc_id", "source"]
+        )
+
+    src_df = (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    src = dict(zip(src_df["doc_id"], src_df["source"]))
+    sa = [src[int(i)] for i in pairs["id_a"]]
+    sb = [src[int(i)] for i in pairs["id_b"]]
+    pairs["src_a"] = [min(x, y) for x, y in zip(sa, sb)]
+    pairs["src_b"] = [max(x, y) for x, y in zip(sa, sb)]
+    out = (
+        pairs.groupby(["src_a", "src_b"], as_index=False)
+        .agg(n_pairs=("id_a", "size"))
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Co-purchase pair mining (A-Priori over order baskets)
+# --------------------------------------------------------------------------
+
+BASKET_SUPPORT = 3
+
+_COPURCHASE_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+singles AS (SELECT l_partkey FROM b GROUP BY 1
+            HAVING COUNT(*) >= {BASKET_SUPPORT}),
+fb AS (SELECT l_orderkey, l_partkey FROM b JOIN singles USING (l_partkey)),
+p AS (SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM fb a JOIN fb b2 ON a.l_orderkey = b2.l_orderkey
+                          AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_SUPPORT})
+SELECT part_a, part_b, support FROM p ORDER BY part_a, part_b
+"""
+
+
+@query("q185_copurchase", sql=_COPURCHASE_SQL)
+def q185_copurchase(sf_dir: str):
+    """Frequent co-purchase pairs (A-Priori, Agrawal & Srikant 1994):
+    part pairs ordered together in ≥ {BASKET_SUPPORT} orders.  The
+    A-Priori downward-closure prune runs first — a part pair can only
+    be frequent if BOTH parts are (a combiner count exchange +
+    broadcast frequent-item set, which on skewed real catalogs kills
+    most of the basket volume before any pair exists).  Then ONE
+    order-keyed exchange assembles baskets (per-order C(k,2) with k =
+    basket size, never catalog²) and a pair-keyed exchange counts
+    support."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = ds.count()
+
+    def distinct_pairs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    b = bucketed_groupby(
+        ds.map_batches(distinct_pairs_partial, batch_format="pandas"),
+        ["l_orderkey", "l_partkey"],
+        lambda g: g.drop_duplicates(),
+        expected_rows=n_rows,
+    ).materialize()
+
+    # A-Priori phase 1: frequent single items
+    singles = bucketed_groupby(
+        b, "l_partkey",
+        lambda g: g.groupby("l_partkey", sort=False).size().rename("c")
+        .reset_index(),
+        expected_rows=n_rows,
+    ).to_pandas().groupby("l_partkey", as_index=False)["c"].sum()
+    freq = pa.array(
+        singles[singles["c"] >= BASKET_SUPPORT]["l_partkey"].astype("int64"),
+        pa.int64(),
+    )
+
+    def keep_freq(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["l_partkey"], value_set=freq))
+
+    # phase 2: baskets -> pairs -> support
+    def basket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("l_orderkey", sort=False):
+            parts = np.sort(sub["l_partkey"].unique())
+            k = len(parts)
+            if k < 2:
+                continue
+            ia, ib = np.triu_indices(k, k=1)
+            outs.append(pd.DataFrame({"part_a": parts[ia], "part_b": parts[ib]}))
+        if not outs:
+            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                                 "part_b": pd.Series([], dtype="int64")})
+        return pd.concat(outs)
+
+    pairs = bucketed_groupby(
+        b.map_batches(keep_freq, batch_format="pyarrow"),
+        "l_orderkey", basket_pairs, expected_rows=n_rows * 4,
+    )
+    supp = (
+        bucketed_groupby(
+            pairs, ["part_a", "part_b"],
+            lambda g: g.groupby(["part_a", "part_b"], sort=False).size()
+            .rename("support").reset_index(),
+            expected_rows=n_rows * 8,
+        )
+        .to_pandas()
+        .groupby(["part_a", "part_b"], as_index=False)["support"].sum()
+    )
+    out = supp[supp["support"] >= BASKET_SUPPORT].sort_values(
+        ["part_a", "part_b"]
+    ).reset_index(drop=True)
+    for c in ("part_a", "part_b", "support"):
+        out[c] = out[c].astype("int64")
+    return out
