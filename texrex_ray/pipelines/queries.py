@@ -11297,3 +11297,265 @@ def q185_copurchase(sf_dir: str):
     for c in ("part_a", "part_b", "support"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (user activity lifetime, right-censored)
+# --------------------------------------------------------------------------
+
+_KM_SQL = f"""
+WITH RECURSIVE
+u AS (SELECT user_id,
+             CAST(datediff('day', MIN(CAST(ts AS DATE)),
+                           MAX(CAST(ts AS DATE))) AS BIGINT) AS dur,
+             CAST(MAX(CAST(ts AS DATE)) =
+                  (SELECT MAX(CAST(ts AS DATE)) FROM events) AS INT) AS cens
+      FROM events GROUP BY 1),
+g AS (SELECT dur AS t, CAST(SUM(1 - cens) AS BIGINT) AS d_t,
+             CAST(COUNT(*) AS BIGINT) AS m_t
+      FROM u GROUP BY 1),
+e AS (SELECT t, d_t,
+             CAST((SELECT SUM(m_t) FROM g g2 WHERE g2.t >= g.t) AS BIGINT) AS n_t
+      FROM g WHERE d_t > 0),
+ord AS (SELECT t, d_t, n_t, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM e),
+rec AS (
+  SELECT rn, t, d_t, n_t,
+         CAST({PPM} * (n_t - d_t) // n_t AS BIGINT) AS s
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.t, o.d_t, o.n_t,
+         CAST(r.s * (o.n_t - o.d_t) // o.n_t AS BIGINT)
+  FROM ord o JOIN rec r ON o.rn = r.rn + 1
+)
+SELECT t AS t_days, n_t AS n_risk, d_t AS n_events, s AS surv_ppm
+FROM rec ORDER BY t_days
+"""
+
+
+@query("q186_kaplan_meier", sql=_KM_SQL)
+def q186_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) of user
+    activity lifetime with right censoring: duration = days between a
+    user's first and last event; users whose last event falls on the
+    corpus's final day are censored (still alive).  S(t) steps by the
+    exact integer recurrence s <- s*(n_t-d_t)//n_t at each uncensored
+    event time (floor at every step, mirrored by the oracle's recursive
+    CTE).  Distribution: per-user first/last is a combiner min/max
+    (ONE users-keyed exchange); the curve itself is a pure function of
+    the duration GRID — (dur, censored) counts, day-range-sized — so
+    event volume never reaches the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"], "day": d})
+
+    u = (
+        ds.map_batches(to_days, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="mn"), Max("day", alias_name="mx"))
+        .materialize()  # users-sized
+    )
+    gmax = int(u.max("mx"))
+
+    def grid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "t": (df["mx"] - df["mn"]).astype(np.int64),
+                    "cens": (df["mx"] == gmax).astype(np.int64),
+                }
+            )
+            .groupby(["t", "cens"], sort=False)
+            .size()
+            .rename("m")
+            .reset_index()
+        )
+
+    grid = (
+        u.map_batches(grid_partial, batch_format="pandas")
+        .to_pandas()  # day-grid-sized
+        .groupby(["t", "cens"], as_index=False)["m"]
+        .sum()
+    )
+    per_t = (
+        grid.assign(d=np.where(grid["cens"] == 0, grid["m"], 0))
+        .groupby("t", as_index=False)
+        .agg(d_t=("d", "sum"), m_t=("m", "sum"))
+        .sort_values("t")
+    )
+    # n_t = users with dur >= t (suffix sum over the grid)
+    suffix = per_t["m_t"][::-1].cumsum()[::-1].to_numpy()
+    s = PPM
+    rows = []
+    for t, d_t, n_t in zip(per_t["t"], per_t["d_t"], suffix):
+        if int(d_t) == 0:
+            continue
+        t, d_t, n_t = int(t), int(d_t), int(n_t)
+        s = s * (n_t - d_t) // n_t
+        rows.append((t, n_t, d_t, s))
+    return pd.DataFrame(
+        rows, columns=["t_days", "n_risk", "n_events", "surv_ppm"]
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) distribution-shift test between source pairs
+# --------------------------------------------------------------------------
+
+_MWU_SQL = """
+WITH v AS (SELECT source, n_chars FROM documents),
+s AS (SELECT DISTINCT source FROM v),
+p AS (SELECT a.source AS src_a, b.source AS src_b
+      FROM s a JOIN s b ON a.source < b.source),
+j AS (SELECT p.src_a, p.src_b, v.source, v.n_chars
+      FROM p JOIN v ON v.source IN (p.src_a, p.src_b)),
+r AS (SELECT src_a, src_b, source,
+             CAST(2 * RANK() OVER (PARTITION BY src_a, src_b ORDER BY n_chars)
+                  + COUNT(*) OVER (PARTITION BY src_a, src_b, n_chars)
+                  - 1 AS HUGEINT) AS r2
+      FROM j),
+agg AS (SELECT src_a, src_b,
+               SUM(CASE WHEN source = src_a THEN r2 ELSE 0 END) AS r2a,
+               SUM(CASE WHEN source = src_a THEN 1 ELSE 0 END)::HUGEINT AS na,
+               SUM(CASE WHEN source = src_b THEN 1 ELSE 0 END)::HUGEINT AS nb
+        FROM r GROUP BY 1, 2)
+SELECT src_a, src_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(LEAST(r2a - na * (na + 1),
+                  2 * na * nb - (r2a - na * (na + 1))) AS BIGINT) AS u2_min
+FROM agg ORDER BY 1, 2
+"""
+
+
+@query("q187_mannwhitney", sql=_MWU_SQL)
+def q187_mannwhitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test statistic between every source pair
+    over document length — the nonparametric distribution-shift check a
+    mixture designer runs before pooling feeds (q161's KS twin, but
+    tie-exact and integer).  Average ranks are half-integers, so both
+    engines carry 2x the rank sum: u2_min = min(U2_a, U2_b) with
+    U2_a = R2_a - n_a(n_a+1) and U2_a + U2_b = 2*n_a*n_b.  Like q183,
+    the statistic is a pure function of the per-source VALUE HISTOGRAMS:
+    one count exchange builds them, and all |sources|^2/2 pair
+    statistics close on the driver from histogram merges — the corpus
+    is never pairwise-replicated (the oracle replicates it; the engine
+    must not)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["source", "n_chars"], sort=False).size().rename("c")
+            .reset_index()
+        )
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source", "n_chars"],
+            lambda g: g.groupby(["source", "n_chars"], sort=False)["c"].sum()
+            .reset_index(),
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .groupby(["source", "n_chars"], as_index=False)["c"].sum()
+    )
+    hists = {
+        src: dict(zip(sub["n_chars"].astype(int), sub["c"].astype(int)))
+        for src, sub in hist.groupby("source")
+    }
+    rows = []
+    for src_a in sorted(hists):
+        for src_b in sorted(hists):
+            if src_a >= src_b:
+                continue
+            ha, hb = hists[src_a], hists[src_b]
+            na, nb = sum(ha.values()), sum(hb.values())
+            r2a = 0
+            seen = 0  # combined count of strictly-smaller values
+            for v in sorted(set(ha) | set(hb)):
+                ca, cb = ha.get(v, 0), hb.get(v, 0)
+                tie = ca + cb
+                # 2 * average rank of the tie group starting at seen+1
+                r2 = 2 * (seen + 1) + tie - 1
+                r2a += ca * r2
+                seen += tie
+            u2a = r2a - na * (na + 1)
+            rows.append((src_a, src_b, na, nb, min(u2a, 2 * na * nb - u2a)))
+    out = pd.DataFrame(
+        rows, columns=["src_a", "src_b", "n_a", "n_b", "u2_min"]
+    )
+    for c in ("n_a", "n_b", "u2_min"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution of the event-type chain (power iteration)
+# --------------------------------------------------------------------------
+
+_MARKOV_ITERS = 12
+
+
+def _markov_sql() -> str:
+    its = [
+        f"it0 AS (SELECT event_type, CAST({PPM} // (SELECT COUNT(*) FROM t)"
+        " AS BIGINT) AS pi FROM t)"
+    ]
+    for k in range(1, _MARKOV_ITERS + 1):
+        its.append(
+            f"it{k} AS (SELECT m.to_type AS event_type, "
+            f"CAST(SUM(it{k-1}.pi * m.p_ppm // {PPM}) AS BIGINT) AS pi "
+            f"FROM it{k-1} JOIN m ON m.from_type = it{k-1}.event_type "
+            "GROUP BY 1)"
+        )
+    return f"""
+WITH seq AS (SELECT user_id, event_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+             FROM events),
+m0 AS (SELECT event_type AS from_type, nxt AS to_type,
+              CAST(COUNT(*)::HUGEINT * {PPM}
+                   // SUM(COUNT(*)) OVER (PARTITION BY event_type)::HUGEINT
+                   AS BIGINT) AS p_ppm
+       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT DISTINCT event_type FROM events),
+m AS (SELECT * FROM m0
+      UNION ALL
+      SELECT event_type, event_type, {PPM} FROM t
+      WHERE event_type NOT IN (SELECT DISTINCT from_type FROM m0)),
+{", ".join(its)}
+SELECT t.event_type, COALESCE(f.pi, 0) AS pi_ppm
+FROM t LEFT JOIN it{_MARKOV_ITERS} f USING (event_type) ORDER BY 1
+"""
+
+
+@query("q188_markov_stationary", sql=_markov_sql())
+def q188_markov_stationary(sf_dir: str):
+    """Stationary distribution of q156's event-type Markov chain by
+    integer power iteration: pi <- pi P with floor-per-term ppm
+    arithmetic ({_MARKOV_ITERS} iterations, uniform start, dangling
+    types get a self-loop) — the long-run state occupancy that turns
+    the transition matrix into a behavior fingerprint (crawl twin:
+    steady-state fetch/redirect/error shares).  ONE corpus exchange
+    (q156's user-keyed successor counting) builds the |types|^2 matrix;
+    the iteration runs on the driver over that tiny matrix.  Oracle:
+    the SAME iterations unrolled as {_MARKOV_ITERS} SQL joins (the q70
+    pattern — independent implementations, bit-identical algebra)."""
+    trans = QUERIES["q156_event_transitions"](sf_dir)
+    if hasattr(trans, "to_pandas"):
+        trans = trans.to_pandas()
+    types = sorted(_read(sf_dir, "events", ["event_type"]).unique("event_type"))
+    idx = {t: i for i, t in enumerate(types)}
+    n = len(types)
+    M = np.zeros((n, n), dtype=np.int64)
+    for f, t, p in zip(trans["from_type"], trans["to_type"], trans["p_ppm"]):
+        M[idx[f], idx[t]] = int(p)
+    dangling = ~np.isin(types, trans["from_type"].unique())
+    for i in np.flatnonzero(dangling):
+        M[i, i] = PPM
+    pi = np.full(n, PPM // n, dtype=np.int64)
+    for _ in range(_MARKOV_ITERS):
+        pi = ((pi[:, None] * M) // PPM).sum(axis=0)
+    return pd.DataFrame({"event_type": types, "pi_ppm": pi.astype("int64")})
