@@ -11559,3 +11559,199 @@ def q188_markov_stationary(sf_dir: str):
     for _ in range(_MARKOV_ITERS):
         pi = ((pi[:, None] * M) // PPM).sum(axis=0)
     return pd.DataFrame({"event_type": types, "pi_ppm": pi.astype("int64")})
+
+
+# --------------------------------------------------------------------------
+# Fagin's Threshold Algorithm: certified top-k over two ranked score lists
+# --------------------------------------------------------------------------
+
+TA_K = 10
+TA_EVENT_WEIGHT = 500  # cents credited per event in the combined score
+
+
+_TA_SQL = f"""
+WITH s AS (SELECT user_id,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_c,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+SELECT user_id, v_c, n, v_c + {TA_EVENT_WEIGHT} * n AS score
+FROM s ORDER BY score DESC, user_id LIMIT {TA_K}
+"""
+
+
+@query("q189_ta_topk", sql=_TA_SQL)
+def q189_ta_topk(sf_dir: str):
+    """Fagin's Threshold Algorithm (Fagin, Lotem & Naor 2001): certified
+    top-{TA_K} users by combined score (value cents + {TA_EVENT_WEIGHT}
+    x event count) WITHOUT ranking the full population.  Two users-sized
+    score lists are sorted once (distributed sorts); the driver then
+    streams matching prefixes in chunks, and stops as soon as the k-th
+    candidate's full score strictly exceeds the threshold
+    tau = v_c(depth) + {TA_EVENT_WEIGHT}*n(depth) — every unseen user is
+    bounded by tau per list monotonicity, so at 10^9 users the scan
+    depth stays O(k)-ish while the oracle's ORDER BY ranks everyone.
+    Ties degrade gracefully to a deeper (still correct) scan."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "vc": vc})
+            .groupby("user_id", sort=False)["vc"]
+            .agg(["sum", "size"])
+            .reset_index()
+            .rename(columns={"sum": "v_c", "size": "n"})
+        )
+
+    u = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("v_c", alias_name="v_c"), Sum("n", alias_name="n"))
+        .materialize()  # users-sized
+    )
+    n_users = u.count()
+    by_v = u.sort("v_c", descending=True).materialize()
+    by_n = u.sort("n", descending=True).materialize()
+
+    cand: dict[int, tuple[int, int]] = {}
+    depth = 0
+    while True:
+        depth = min(n_users, depth + max(4 * TA_K, 64))
+        tv = by_v.take(depth)
+        tn = by_n.take(depth)
+        for r in tv + tn:
+            cand[int(r["user_id"])] = (int(r["v_c"]), int(r["n"]))
+        tau = int(tv[-1]["v_c"]) + TA_EVENT_WEIGHT * int(tn[-1]["n"])
+        best = sorted(
+            ((vc + TA_EVENT_WEIGHT * n, uid, vc, n) for uid, (vc, n) in cand.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:TA_K]
+        if depth >= n_users or (len(best) == TA_K and best[-1][0] > tau):
+            break
+    return pd.DataFrame(
+        [(uid, vc, n, sc) for sc, uid, vc, n in best],
+        columns=["user_id", "v_c", "n", "score"],
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (data-forensics screen over order values)
+# --------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * PPM) — shared literal constants on both engines
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+_BENFORD_SQL = f"""
+WITH d AS (SELECT CAST(LEFT(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1) AS BIGINT) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*)::HUGEINT * {PPM}
+                  // SUM(COUNT(*)) OVER ()::HUGEINT AS BIGINT) AS obs_ppm
+      FROM d GROUP BY 1),
+b AS (SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())})
+      AS t(digit, benford_ppm))
+SELECT b.digit, COALESCE(o.n, 0) AS n, COALESCE(o.obs_ppm, 0) AS obs_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(ABS(COALESCE(o.obs_ppm, 0) - b.benford_ppm) AS BIGINT) AS dev_ppm
+FROM b LEFT JOIN o USING (digit) ORDER BY b.digit
+"""
+
+
+@query("q190_benford", sql=_BENFORD_SQL)
+def q190_benford(sf_dir: str):
+    """Benford's-law first-digit audit over order values — the
+    data-forensics screen for fabricated or truncated numeric feeds
+    (Benford 1938; a synthetic price generator fails it in exactly the
+    way this table shows).  The expected ppm shares are shared literal
+    constants; observed shares are integer ppm of the digit histogram.
+    ONE combiner count exchange (9 partial rows per batch), digit-grid
+    finish — corpus-size-independent."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy()
+        x = np.floor(v[v >= 1]).astype(np.int64)
+        first = pd.Series(x).astype(str).str[0].astype(np.int64)
+        return first.value_counts().rename_axis("digit").rename("n").reset_index()
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()  # digit-grid-sized partials
+        .groupby("digit", as_index=False)["n"]
+        .sum()
+    )
+    total = int(cnt["n"].sum())
+    full = pd.DataFrame({"digit": list(_BENFORD_PPM)})
+    out = full.merge(cnt, on="digit", how="left").fillna({"n": 0})
+    out["n"] = out["n"].astype("int64")
+    out["obs_ppm"] = [int(n) * PPM // total if total else 0 for n in out["n"]]
+    out["benford_ppm"] = [_BENFORD_PPM[d] for d in out["digit"]]
+    out["dev_ppm"] = (out["obs_ppm"] - out["benford_ppm"]).abs()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets (completes q105's ROLLUP to the full lattice)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q191_cube",
+    sql=f"""
+    SELECT COALESCE(source, '{_ALL}') AS source,
+           COALESCE(lang, '{_ALL}') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE(source, lang) ORDER BY 1, 2
+    """,
+)
+def q191_cube(sf_dir: str):
+    """GROUP BY CUBE(source, lang): the full grouping-set lattice —
+    q105's ROLLUP plus the (·, lang) marginal — in the same ONE corpus
+    pass: each batch emits partial rows for all four grouping sets with
+    the '__all__' sentinel and one grouping-sets-sized keyed exchange
+    sums them.  4x partial rows per batch beats four corpus scans; the
+    exchange never sees the corpus."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "lang": t["lang"].to_pylist(),
+                "ch": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        outs = []
+        for cols in (["source", "lang"], ["source"], ["lang"], []):
+            g = df.groupby(cols, sort=False)["ch"].agg(["size", "sum"]).reset_index() \
+                if cols else pd.DataFrame(
+                    {"size": [len(df)], "sum": [int(df["ch"].sum())]}
+                )
+            if "source" not in g:
+                g["source"] = _ALL
+            if "lang" not in g:
+                g["lang"] = _ALL
+            outs.append(g[["source", "lang", "size", "sum"]])
+        allg = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(
+            allg.rename(columns={"size": "pn", "sum": "pc"}), preserve_index=False
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("pn", alias_name="n_docs"), Sum("pc", alias_name="sum_chars"))
+        .to_pandas()  # grouping-sets-sized
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "sum_chars"):
+        merged[c] = merged[c].astype("int64")
+    return merged[["source", "lang", "n_docs", "sum_chars"]]
