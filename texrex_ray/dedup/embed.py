@@ -438,3 +438,47 @@ def semdedup(
     for c in (id_col, cluster_col):
         out[c] = out[c].astype("int64")
     return out[[id_col, cluster_col]]
+
+
+def cross_nearest_neighbors(
+    ds_src: ray.data.Dataset,
+    ds_tgt: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Argmax-cosine neighbor of every source vector INSIDE the target
+    set: (src_id, nn_id).  Same blockwise-refs plan as
+    ``nearest_neighbors`` — the target is materialized once, only block
+    refs circulate, each source batch streams target blocks with a
+    running strict-improvement argmax (per-task memory = one batch +
+    one block).  Mutual-NN alignment composes two calls + an inner
+    merge."""
+    tgt = ds_tgt.select_columns([id_col, vec_col]).materialize()
+    refs_ref = ray.put(tgt.to_arrow_refs())
+
+    def block_nn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _unit(_matrix(t, vec_col))
+        best = np.full(len(ids), -np.inf)
+        best_id = np.zeros(len(ids), dtype=np.int64)
+        for ref in ray.get(refs_ref):
+            blk = ray.get(ref)
+            if blk.num_rows == 0:
+                continue
+            bids = blk[id_col].to_numpy(zero_copy_only=False)
+            sims = m @ _unit(_matrix(blk, vec_col)).T
+            j = np.argmax(sims, axis=1)
+            v = sims[np.arange(len(ids)), j]
+            upd = v > best
+            best[upd] = v[upd]
+            best_id[upd] = bids[j[upd]]
+        return pa.table(
+            {"src_id": pa.array(ids, pa.int64()), "nn_id": pa.array(best_id, pa.int64())}
+        )
+
+    out = ds_src.select_columns([id_col, vec_col]).map_batches(
+        block_nn, batch_format="pyarrow", batch_size=batch_size
+    )
+    return out.to_pandas().sort_values("src_id").reset_index(drop=True)

@@ -11755,3 +11755,185 @@ def q191_cube(sf_dir: str):
     for c in ("n_docs", "sum_chars"):
         merged[c] = merged[c].astype("int64")
     return merged[["source", "lang", "n_docs", "sum_chars"]]
+
+
+# --------------------------------------------------------------------------
+# Frequent event-type episodes (trigram sequential patterns per user)
+# --------------------------------------------------------------------------
+
+EPISODE_SUPPORT = 5
+
+_EPISODE_SQL = f"""
+WITH s AS (SELECT user_id, event_type AS e1,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= {EPISODE_SUPPORT}
+ORDER BY 1, 2, 3
+"""
+
+
+@query("q192_episodes", sql=_EPISODE_SQL)
+def q192_episodes(sf_dir: str):
+    """Frequent behavioral episodes: consecutive event-type TRIGRAMS per
+    user with support >= {EPISODE_SUPPORT} (the GSP/sequential-pattern
+    step above q156's bigram transitions — the unit a funnel designer
+    or crawl-loop detector actually reads).  Successor trigrams are a
+    per-user fact: ONE user-keyed bucketed exchange sorts each bucket's
+    users, double-shifts within user, and emits trigram count partials;
+    the finish is pattern-grid-sized (<= |types|^3)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"]
+        e2 = g.shift(-1)
+        e3 = g.shift(-2)
+        keep = e3.notna()
+        tri = pd.DataFrame(
+            {"e1": df["event_type"][keep], "e2": e2[keep], "e3": e3[keep]}
+        )
+        return (
+            tri.groupby(["e1", "e2", "e3"], sort=False).size().rename("n")
+            .reset_index()
+        )
+
+    out = (
+        bucketed_groupby(ds, "user_id", combine, expected_rows=ds.count())
+        .to_pandas()  # pattern-grid-sized
+        .groupby(["e1", "e2", "e3"], as_index=False)["n"]
+        .sum()
+    )
+    out = out[out["n"] >= EPISODE_SUPPORT].sort_values(["e1", "e2", "e3"])
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Exponential smoothing of the daily event series (integer Brown/Holt)
+# --------------------------------------------------------------------------
+
+_SMOOTH_SQL = f"""
+WITH RECURSIVE
+d AS (SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             AS BIGINT) AS day FROM events),
+grid AS (SELECT unnest(generate_series((SELECT MIN(day) FROM d),
+                                       (SELECT MAX(day) FROM d))) AS day),
+c AS (SELECT grid.day, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+      FROM grid LEFT JOIN (SELECT day, COUNT(*) AS n FROM d GROUP BY 1) cnt
+      USING (day)),
+ord AS (SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM c),
+rec AS (
+  SELECT rn, day, n, n AS s FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.n, (o.n + 3 * r.s) // 4
+  FROM ord o JOIN rec r ON o.rn = r.rn + 1
+)
+SELECT day, n, CAST(s AS BIGINT) AS smooth FROM rec ORDER BY day
+"""
+
+
+@query("q193_exp_smoothing", sql=_SMOOTH_SQL)
+def q193_exp_smoothing(sf_dir: str):
+    """Simple exponential smoothing (Brown 1956) of the daily event
+    series with alpha = 1/4 as the exact integer recurrence
+    s <- (x + 3s)//4 over the COMPLETE zero-filled day grid (missing
+    days smooth toward zero, which is what a traffic monitor wants) —
+    the denoised load curve recrawl/capacity planning reads instead of
+    the raw spikes q178 changepoints.  ONE day-keyed count exchange
+    builds the grid; the recurrence is inherently serial but grid-sized,
+    so it closes on the driver (oracle: the same floors in a recursive
+    CTE)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return (
+            pd.Series(d).value_counts().rename_axis("day").rename("n")
+            .reset_index()
+        )
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()  # day-grid-sized partials
+        .groupby("day", as_index=False)["n"]
+        .sum()
+    )
+    days = np.arange(int(cnt["day"].min()), int(cnt["day"].max()) + 1)
+    n = np.zeros(len(days), dtype=np.int64)
+    n[cnt["day"].to_numpy() - days[0]] = cnt["n"].to_numpy()
+    s = int(n[0])
+    smooth = [s]
+    for x in n[1:]:
+        s = (int(x) + 3 * s) // 4
+        smooth.append(s)
+    return pd.DataFrame(
+        {"day": days, "n": n, "smooth": np.array(smooth, dtype=np.int64)}
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Mutual-nearest-neighbor embedding alignment (cross-set reciprocal NN)
+# --------------------------------------------------------------------------
+
+_MUTUAL_NN_SQL = """
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+ab AS (SELECT a.vec_id AS aid, b.vec_id AS bid
+       FROM a CROSS JOIN b
+       QUALIFY row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id ASC) = 1),
+ba AS (SELECT b.vec_id AS bid, a.vec_id AS aid
+       FROM b CROSS JOIN a
+       QUALIFY row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[],
+                                           a.embedding::DOUBLE[]) DESC,
+                    a.vec_id ASC) = 1)
+SELECT ab.aid AS id_a, ab.bid AS id_b
+FROM ab JOIN ba ON ab.aid = ba.aid AND ab.bid = ba.bid
+ORDER BY id_a
+"""
+
+
+@query("q194_mutual_nn", sql=_MUTUAL_NN_SQL)
+def q194_mutual_nn(sf_dir: str):
+    """Mutual-nearest-neighbor alignment between two embedding sets
+    (even vs odd vec_ids as the deterministic split): pairs (a, b)
+    where each is the other's argmax-cosine neighbor — the reciprocal
+    filter that turns one-directional NN into high-precision anchors
+    (bitext mining / cross-snapshot entity alignment, Artetxe & Schwenk
+    2019).  Both directions run the blockwise-refs exact-NN plan
+    (``dedup/embed.py::cross_nearest_neighbors``): the target side is
+    materialized once, only block REFS circulate, per-task memory is
+    one batch + one block; the reciprocal check is an anchors-sized
+    merge."""
+    from texrex_ray.dedup.embed import cross_nearest_neighbors
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["vec_id"], 1), p)
+            return t.filter(keep)
+
+        return f
+
+    a = ds.map_batches(_parity(0), batch_format="pyarrow")
+    b = ds.map_batches(_parity(1), batch_format="pyarrow")
+    ab = cross_nearest_neighbors(a, b).rename(
+        columns={"src_id": "id_a", "nn_id": "id_b"}
+    )
+    ba = cross_nearest_neighbors(b, a).rename(
+        columns={"src_id": "id_b", "nn_id": "id_a"}
+    )
+    out = ab.merge(ba, on=["id_a", "id_b"]).sort_values("id_a")
+    return out.reset_index(drop=True).astype("int64")
