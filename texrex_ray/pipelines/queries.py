@@ -11937,3 +11937,219 @@ def q194_mutual_nn(sf_dir: str):
     )
     out = ab.merge(ba, on=["id_a", "id_b"]).sort_values("id_a")
     return out.reset_index(drop=True).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Flesch readability scoring (integer heuristic, corpus quality signal)
+# --------------------------------------------------------------------------
+
+_FLESCH_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS words,
+         CAST(GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sentences,
+         CAST(length(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+              AS syllables
+  FROM documents)
+SELECT doc_id, words, sentences, syllables,
+       CAST(206835 - 1015 * words // sentences
+                   - 84600 * syllables // words AS BIGINT) AS flesch_milli
+FROM c WHERE words > 0 ORDER BY doc_id
+"""
+
+
+@query("q195_readability", sql=_FLESCH_SQL)
+def q195_readability(sf_dir: str):
+    """Flesch reading-ease per document as an exact integer heuristic
+    (milli-points): 206.835 - 1.015 w/s - 84.6 syl/w with vowel-group
+    runs as the syllable proxy and [.!?]+ runs as sentences — the
+    readability floor a training-data quality gate applies alongside
+    q58/q63.  Pure per-row map: vectorized regex counts in ONE fused
+    Arrow pass, zero exchanges; floors ordered identically on both
+    engines (1015*w//s, 84600*syl//w)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].str.count(r"[A-Za-z]+").to_numpy().astype(np.int64)
+        s = np.maximum(
+            df["text"].str.count(r"[.!?]+").to_numpy().astype(np.int64), 1
+        )
+        syl = df["text"].str.count(r"[aeiouAEIOU]+").to_numpy().astype(np.int64)
+        keep = w > 0
+        fm = 206835 - 1015 * w[keep] // s[keep] - 84600 * syl[keep] // w[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "words": w[keep],
+                "sentences": s[keep],
+                "syllables": syl[keep],
+                "flesch_milli": fm,
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Peak session concurrency (max interval overlap via distributed scan)
+# --------------------------------------------------------------------------
+
+_PEAK_SQL = (
+    "WITH sess AS (\n" + _SESSIONS_SQL + "\n),\n"
+    + """
+b AS (SELECT start_us AS ts, 1 AS dd FROM sess
+      UNION ALL SELECT end_us, -1 FROM sess),
+p AS (SELECT ts, dd,
+             SUM(dd) OVER (ORDER BY ts, dd DESC ROWS UNBOUNDED PRECEDING) AS c
+      FROM b)
+SELECT CAST((SELECT MAX(c) FROM p) AS BIGINT) AS peak,
+       CAST((SELECT MIN(ts) FROM p WHERE c = (SELECT MAX(c) FROM p))
+            AS BIGINT) AS peak_ts_us,
+       CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions
+"""
+)
+
+
+@query("q196_peak_concurrency", sql=_PEAK_SQL)
+def q196_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions (max interval overlap) over q98's
+    30-min sessions — the capacity number a crawl scheduler or serving
+    planner actually provisions for.  Classic sweep: +1 at session
+    start, -1 at end, peak = max running sum with starts before ends at
+    equal timestamps.  Distributed shape: boundary deltas pre-aggregate
+    per TIMESTAMP (one keyed exchange), a distributed sort orders the
+    grid, and the scan runs as per-block partials (local prefix max +
+    block delta sum) composed with block offsets on the driver — the
+    prefix-scan decomposition, so no single task ever sees the whole
+    timeline."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.ops.sessions import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sess = sessionize(
+        ds, order_cols=("event_id",), gap_us=1_800_000_000,
+        expected_rows=ds.count(),
+    )
+    n_sessions = sess.count()
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [
+                pd.DataFrame({"ts": df["start_us"], "plus": 1, "minus": 0}),
+                pd.DataFrame({"ts": df["end_us"], "plus": 0, "minus": 1}),
+            ]
+        )
+        return (
+            out.groupby("ts", sort=False)[["plus", "minus"]].sum().reset_index()
+        )
+
+    grid = bucketed_groupby(
+        sess.map_batches(bounds, batch_format="pandas"),
+        "ts",
+        lambda g: g.groupby("ts", sort=False)[["plus", "minus"]].sum()
+        .reset_index(),
+        expected_rows=2 * n_sessions,
+    ).sort("ts").materialize()
+
+    @ray.remote
+    def block_scan(blk: pa.Table):
+        ts = blk["ts"].to_numpy(zero_copy_only=False)
+        plus = blk["plus"].to_numpy(zero_copy_only=False).astype(np.int64)
+        minus = blk["minus"].to_numpy(zero_copy_only=False).astype(np.int64)
+        delta = plus - minus
+        before = np.concatenate([[0], np.cumsum(delta)[:-1]])
+        c_mid = before + plus  # starts count before ends at equal ts
+        if len(c_mid) == 0:
+            return 0, None, None
+        i = int(np.argmax(c_mid))  # earliest index at the max
+        return int(delta.sum()), int(c_mid[i]), int(ts[i])
+
+    parts = ray.get([block_scan.remote(r) for r in grid.to_arrow_refs()])
+    offset, peak, peak_ts = 0, -(1 << 62), None
+    for dsum, best, bts in parts:
+        if best is not None and offset + best > peak:
+            peak, peak_ts = offset + best, bts
+        offset += dsum
+    return pd.DataFrame(
+        {"peak": [peak], "peak_ts_us": [peak_ts], "n_sessions": [n_sessions]}
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Redirect-chain resolution (pointer jumping over the link graph)
+# --------------------------------------------------------------------------
+
+_REDIRECT_FIXTURE = "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+_REDIRECT_ROUNDS = 10  # doubling rounds -> resolves chains up to 2^10 hops
+
+_REDIRECT_SQL = f"""
+WITH RECURSIVE
+e AS (SELECT src, dst FROM read_parquet('{_REDIRECT_FIXTURE}')),
+r AS (SELECT src, MIN(dst) AS tgt FROM e
+      WHERE md5_number_lower(src) % 10 < 3 GROUP BY 1),
+nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM e
+                                  UNION ALL SELECT dst FROM e)),
+walk AS (
+  SELECT n.n AS start, n.n AS cur, 0 AS hops FROM nodes n
+  UNION ALL
+  SELECT w.start, r.tgt, w.hops + 1
+  FROM walk w JOIN r ON r.src = w.cur WHERE w.hops < {2**_REDIRECT_ROUNDS}
+),
+term AS (SELECT start, cur, hops FROM walk
+         WHERE cur NOT IN (SELECT src FROM r)
+           AND hops <= {2**_REDIRECT_ROUNDS})
+SELECT n.n AS src_node,
+       COALESCE(t.cur, '<cycle>') AS final_node,
+       CAST(COALESCE(t.hops, -1) AS BIGINT) AS hops
+FROM nodes n LEFT JOIN term t ON t.start = n.n
+ORDER BY src_node
+"""
+
+
+@query("q197_redirect_resolution", sql=_REDIRECT_SQL)
+def q197_redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution over the committed link graph: nodes
+    in a deterministic md5 bucket (30%) act as redirects to their
+    smallest out-neighbor; every URL resolves to its terminal target
+    with hop count, cycles marked '<cycle>' — the canonical-URL step a
+    crawler runs before dedup (HTTP 3xx flattening).  Engine plan is
+    POINTER JUMPING: {_REDIRECT_ROUNDS} doubling rounds p <- p[p],
+    s <- s + s[p] (log chain length, each round ONE hash-partitioned
+    self-join at scale; here vectorized index gather), vs the oracle's
+    hop-at-a-time recursive CTE — independent algorithms, identical
+    results."""
+    import hashlib
+
+    ed = ray.data.read_parquet(_REDIRECT_FIXTURE).to_pandas()
+    nodes = np.sort(
+        pd.unique(pd.concat([ed["src"], ed["dst"]], ignore_index=True))
+    )
+    idx = {u: i for i, u in enumerate(nodes)}
+
+    def bucket(u: str) -> int:
+        return int.from_bytes(hashlib.md5(u.encode()).digest()[8:], "little") % 10
+
+    tgt = (
+        ed[[bucket(u) < 3 for u in ed["src"]]]
+        .groupby("src")["dst"]
+        .min()
+    )
+    # a redirect must have an out-edge; bucketed nodes without one are
+    # terminals (mirrors the oracle's r = bucketed src nodes of e)
+    is_red = np.isin(nodes, tgt.index.to_numpy())
+    p = np.arange(len(nodes), dtype=np.int64)
+    s = np.zeros(len(nodes), dtype=np.int64)
+    for u, t in tgt.items():
+        p[idx[u]] = idx[t]
+        s[idx[u]] = 1
+    for _ in range(_REDIRECT_ROUNDS):
+        s = s + s[p]
+        p = p[p]
+    resolved = ~is_red[p]
+    final = np.where(resolved, nodes[p], "<cycle>")
+    hops = np.where(resolved, s, -1)
+    return pd.DataFrame(
+        {"src_node": nodes, "final_node": final, "hops": hops.astype("int64")}
+    )
