@@ -12153,3 +12153,239 @@ def q197_redirect_resolution(sf_dir: str):
     return pd.DataFrame(
         {"src_node": nodes, "final_node": final, "hops": hops.astype("int64")}
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted-Jaccard source similarity (token multiset min/max ratio)
+# --------------------------------------------------------------------------
+
+_WJACC_SQL = f"""
+WITH c AS (SELECT source, unnest({TOKEN_SQL}) AS token FROM documents),
+cc AS (SELECT source, token, CAST(COUNT(*) AS HUGEINT) AS n FROM c GROUP BY 1, 2),
+s AS (SELECT DISTINCT source FROM documents),
+p AS (SELECT a.source AS src_a, b.source AS src_b
+      FROM s a JOIN s b ON a.source < b.source),
+u AS (SELECT p.src_a, p.src_b, cc.token
+      FROM p JOIN cc ON cc.source IN (p.src_a, p.src_b) GROUP BY 1, 2, 3),
+m AS (SELECT u.src_a, u.src_b,
+             COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb
+      FROM u LEFT JOIN cc a ON a.source = u.src_a AND a.token = u.token
+             LEFT JOIN cc b ON b.source = u.src_b AND b.token = u.token)
+SELECT src_a, src_b,
+       CAST(SUM(LEAST(na, nb)) * {PPM} // SUM(GREATEST(na, nb)) AS BIGINT)
+            AS wjacc_ppm
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q198_weighted_jaccard", sql=_WJACC_SQL)
+def q198_weighted_jaccard(sf_dir: str):
+    """Weighted Jaccard similarity sum(min)/sum(max) between every
+    source pair over token MULTISETS — the set-similarity twin of
+    q170's cosine (Jaccard punishes volume mismatch where cosine
+    forgives it; a mixture designer reads both).  Scale shape differs
+    from q170: per-pair min/max contributions are computed INSIDE
+    token-keyed buckets (each bucket pivots its tokens x sources and
+    emits pairs-sized partials), so the driver never holds a
+    vocab-sized frame — finish is |S|^2/2 rows."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for tok in _TOKEN_RE.findall((txt or "").lower()):
+                cnt[(src, tok)] += 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks]),
+                "token": pa.array([k[1] for k in ks]),
+                "c": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(
+            index="token", columns="source", values="c",
+            aggfunc="sum", fill_value=0,
+        )
+        srcs = sorted(piv.columns)
+        rows = []
+        for i, a in enumerate(srcs):
+            va = piv[a].to_numpy()
+            for b in srcs[i + 1:]:
+                vb = piv[b].to_numpy()
+                rows.append(
+                    (a, b, int(np.minimum(va, vb).sum()),
+                     int(np.maximum(va, vb).sum()))
+                )
+        return pd.DataFrame(rows, columns=["src_a", "src_b", "smin", "smax"])
+
+    parts = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "token",
+        pair_partials,
+        expected_rows=ds.count() * 64,
+    ).to_pandas()  # pairs x buckets sized
+    agg = parts.groupby(["src_a", "src_b"], as_index=False)[["smin", "smax"]].sum()
+    agg["wjacc_ppm"] = [
+        int(a) * PPM // int(b) for a, b in zip(agg["smin"], agg["smax"])
+    ]
+    out = agg[["src_a", "src_b", "wjacc_ppm"]].sort_values(["src_a", "src_b"])
+    out["wjacc_ppm"] = out["wjacc_ppm"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Churn-label generation (leakage-safe temporal split)
+# --------------------------------------------------------------------------
+
+CHURN_HORIZON_US = 7 * 86400 * 1_000_000
+
+_CHURN_SQL = f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+pre AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_past,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS value_past_c,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                    AS active_days_past
+        FROM events, mx
+        WHERE epoch_us(ts) < mx.m - {CHURN_HORIZON_US} GROUP BY 1),
+post AS (SELECT DISTINCT user_id FROM events, mx
+         WHERE epoch_us(ts) >= mx.m - {CHURN_HORIZON_US})
+SELECT pre.user_id, n_past, value_past_c, active_days_past,
+       CAST(CASE WHEN post.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS churned
+FROM pre LEFT JOIN post USING (user_id) ORDER BY 1
+"""
+
+
+@query("q199_churn_labels", sql=_CHURN_SQL)
+def q199_churn_labels(sf_dir: str):
+    """Leakage-safe churn-label generation: features strictly BEFORE
+    the temporal split T = max_ts - 7d (event count, value cents,
+    distinct active days), label = no activity at or after T — the
+    training-table builder whose one invariant is that no post-split
+    fact leaks into a feature (the split is a pure function of ts, so
+    it holds per batch by construction).  ONE user-keyed exchange
+    carries (user, day, cents, post-flag); users without pre-split
+    history produce no row (they have no features)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    t_split = pd.Timestamp(ds.max("ts")).value // 1000 - CHURN_HORIZON_US
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        vc = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        pre = us < t_split
+        f = pd.DataFrame(
+            {"user_id": df["user_id"], "day": day, "vc": vc, "pre": pre}
+        )
+        feats = (
+            f[f["pre"]]
+            .groupby("user_id")
+            .agg(
+                n_past=("vc", "size"),
+                value_past_c=("vc", "sum"),
+                active_days_past=("day", "nunique"),
+            )
+            .reset_index()
+        )
+        post = set(f[~f["pre"]]["user_id"])
+        feats["churned"] = [
+            0 if u in post else 1 for u in feats["user_id"]
+        ]
+        return feats
+
+    out = (
+        bucketed_groupby(ds, "user_id", combine, expected_rows=ds.count())
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+# --------------------------------------------------------------------------
+# SCD2 state intervals (run-length compression of per-user event types)
+# --------------------------------------------------------------------------
+
+_SCD_SQL = """
+WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT user_id, event_type, us,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS run_idx
+      FROM o),
+g AS (SELECT user_id, run_idx, event_type,
+             MIN(us) AS valid_from_us, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM r GROUP BY 1, 2, 3),
+mx AS (SELECT user_id, MAX(us) AS last_us FROM o GROUP BY 1)
+SELECT g.user_id, CAST(g.run_idx AS BIGINT) AS run_idx, g.event_type,
+       g.valid_from_us, COALESCE(
+           lead(g.valid_from_us) OVER (PARTITION BY g.user_id
+                                       ORDER BY g.run_idx),
+           mx.last_us) AS valid_to_us,
+       g.n_events
+FROM g JOIN mx USING (user_id) ORDER BY user_id, run_idx
+"""
+
+
+@query("q200_scd_intervals", sql=_SCD_SQL)
+def q200_scd_intervals(sf_dir: str):
+    """SCD-type-2 state intervals: each user's event-type sequence
+    run-length-compressed into validity intervals [valid_from_us,
+    valid_to_us) closed by the next state change (the last run closes
+    at the user's final event) — the dimension-table build every
+    warehouse ETL runs, and the crawl twin of per-host fetch-state
+    history.  A per-user fact: ONE user-keyed bucketed exchange; the
+    change-point detection, run grouping and interval closing are all
+    vectorized inside the bucket (diff + cumsum, the sessionize
+    shape)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(us=us)
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        same_type = df["event_type"].eq(df["event_type"].shift())
+        chg = (~(same_user & same_type)).astype(np.int64)
+        run = chg.cumsum()  # globally increasing; per-user re-indexed below
+        g = (
+            df.assign(run=run)
+            .groupby(["user_id", "run", "event_type"], sort=False)
+            .agg(valid_from_us=("us", "min"), n_events=("us", "size"),
+                 last_us=("us", "max"))
+            .reset_index()
+        )
+        g["run_idx"] = g.groupby("user_id", sort=False).cumcount()
+        nxt = g.groupby("user_id", sort=False)["valid_from_us"].shift(-1)
+        user_last = g.groupby("user_id", sort=False)["last_us"].transform("max")
+        g["valid_to_us"] = nxt.fillna(user_last).astype(np.int64)
+        return g[
+            ["user_id", "run_idx", "event_type", "valid_from_us",
+             "valid_to_us", "n_events"]
+        ]
+
+    out = (
+        bucketed_groupby(ds, "user_id", combine, expected_rows=ds.count())
+        .to_pandas()
+        .sort_values(["user_id", "run_idx"])
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "run_idx", "valid_from_us", "valid_to_us", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out
