@@ -12389,3 +12389,248 @@ def q200_scd_intervals(sf_dir: str):
     for c in ("user_id", "run_idx", "valid_from_us", "valid_to_us", "n_events"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner (storage maintenance: next-fit banding)
+# --------------------------------------------------------------------------
+
+COMPACT_TARGET = 16_384  # chars per output file (stand-in for bytes)
+
+_COMPACT_SQL = f"""
+WITH c AS (SELECT source, doc_id, n_chars,
+                  SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_chars
+                      AS bytes_before
+           FROM documents)
+SELECT source, CAST(bytes_before // {COMPACT_TARGET} AS BIGINT) AS batch_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q201_compaction_plan", sql=_COMPACT_SQL)
+def q201_compaction_plan(sf_dir: str):
+    """Small-file compaction planner (the OPTIMIZE/rewrite step every
+    long-lived parquet/Lance corpus needs after many incremental crawl
+    appends): within each storage partition (source), fragments ordered
+    by id are banded into output files by NEXT-FIT on cumulative size —
+    batch = floor(bytes_before / target) — a one-pass, deterministic
+    approximation of bin packing that never reorders fragments (row
+    order is lineage).  Scale shape: the group is a PARTITION'S FILE
+    MANIFEST (metadata-sized — fragment ids + sizes, never data), so
+    the per-group pandas cumsum holds even when the data itself is
+    100 TB; the exchange is one source-keyed bucketed_groupby."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        sz = df["n_chars"].to_numpy(dtype=np.int64)
+        # per-source exclusive cumsum (restart at source boundaries)
+        cum = np.cumsum(sz) - sz
+        first = (~df["source"].eq(df["source"].shift())).to_numpy()
+        base = np.where(first, cum, 0)
+        np.maximum.accumulate(base, out=base)
+        before = cum - base
+        df = df.assign(batch_idx=before // COMPACT_TARGET)
+        g = (
+            df.groupby(["source", "batch_idx"], sort=False)
+            .agg(n_files=("n_chars", "size"), bytes=("n_chars", "sum"))
+            .reset_index()
+        )
+        return g
+
+    out = (
+        bucketed_groupby(ds, "source", plan, expected_rows=ds.count())
+        .to_pandas()
+        .sort_values(["source", "batch_idx"])
+        .reset_index(drop=True)
+    )
+    for c in ("batch_idx", "n_files", "bytes"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Blocked record linkage (Fellegi-Sunter-style additive agreement scores)
+# --------------------------------------------------------------------------
+
+LINK_BAND = 64          # n_chars blocking band width
+LINK_THRESHOLD = 25     # keep pairs scoring at least this
+
+_LINKAGE_SQL = f"""
+WITH d AS (SELECT doc_id, lang, source, n_chars,
+                  substr(text, 1, 8)  AS pre8,
+                  substr(text, length(text) - 7, 8) AS suf8,
+                  n_chars // {LINK_BAND} AS band
+           FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (CASE WHEN a.pre8 = b.pre8 THEN 22 ELSE -3 END)
+           + (CASE WHEN a.suf8 = b.suf8 THEN 18 ELSE -2 END)
+           + (CASE WHEN abs(a.n_chars - b.n_chars) <= 4 THEN 7 ELSE -1 END)
+           + (CASE WHEN a.source = b.source THEN 2 ELSE 0 END) AS score
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(score AS BIGINT) AS score
+FROM p WHERE score >= {LINK_THRESHOLD} ORDER BY doc_a, doc_b
+"""
+
+
+@query("q202_record_linkage", sql=_LINKAGE_SQL)
+def q202_record_linkage(sf_dir: str):
+    """Fellegi-Sunster-style record linkage: block on (lang, length
+    band), score candidate pairs by an additive agreement pattern over
+    cheap deterministic features (8-char prefix/suffix equality, length
+    proximity, same source) with fixed integer log-weight surrogates,
+    keep pairs above threshold.  The classical ER shape: blocking keeps
+    the candidate set near-linear, the score is a pure per-pair
+    function.  Scale: ONE exchange keyed on the block id; per-group
+    work is |block|^2 bounded by the band construction (a hot block at
+    corpus scale is split by tightening the band, the documented
+    setjoin/tender remedy)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "text", "n_chars"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+                "pre8": pa.array([(s or "")[:8] for s in txt]),
+                "suf8": pa.array([(s or "")[-8:] for s in txt]),
+                "band": pc.divide(t["n_chars"], pa.scalar(LINK_BAND, pa.int64())),
+            }
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        rows = []
+        ids = g["doc_id"].to_numpy()
+        nch = g["n_chars"].to_numpy()
+        pre = g["pre8"].to_numpy()
+        suf = g["suf8"].to_numpy()
+        src = g["source"].to_numpy()
+        for bkey, idx in g.groupby(["lang", "band"], sort=False).indices.items():
+            for ii in range(len(idx)):
+                i = idx[ii]
+                for jj in range(ii + 1, len(idx)):
+                    j = idx[jj]
+                    s = (
+                        (22 if pre[i] == pre[j] else -3)
+                        + (18 if suf[i] == suf[j] else -2)
+                        + (7 if abs(int(nch[i]) - int(nch[j])) <= 4 else -1)
+                        + (2 if src[i] == src[j] else 0)
+                    )
+                    if s >= LINK_THRESHOLD:
+                        a, b = int(ids[i]), int(ids[j])
+                        rows.append((a, b, s))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "score"])
+
+    n = ds.count()
+    blocked = ds.map_batches(feats, batch_format="pyarrow")
+
+    def bkey(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["lang"], pa.string()),
+            pc.cast(t["band"], pa.string()),
+            "|",
+        )
+        return t.append_column("block", key)
+
+    out = (
+        bucketed_groupby(
+            blocked.map_batches(bkey, batch_format="pyarrow"),
+            "block",
+            block_pairs,
+            expected_rows=n,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    for c in ("doc_a", "doc_b", "score"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust slope per user (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+TS_CAP = 200  # pairwise slopes over at most this many leading events/user
+
+_THEILSEN_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                  CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+c AS (SELECT * FROM e WHERE rn <= {TS_CAP}),
+p AS (SELECT a.user_id,
+             (b.vc - a.vc) * 86400000000 // (b.us - a.us) AS s
+      FROM c a JOIN c b
+        ON a.user_id = b.user_id AND b.rn > a.rn AND b.us > a.us)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(quantile_disc(s, 0.5) AS BIGINT) AS slope_cpd
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q203_theil_sen", sql=_THEILSEN_SQL)
+def q203_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend per user: the MEDIAN of all pairwise
+    slopes (value cents per day, truncating integer division mirroring
+    DuckDB's ``//``) over the user's first {TS_CAP} events — the
+    outlier-proof alternative to q109's least-squares trend (one wild
+    value moves OLS arbitrarily, moves Theil-Sen not at all).  The cap
+    bounds per-user work at O(cap^2) with a deterministic prefix rule
+    shared by the SQL twin.  Scale: one user-keyed exchange; slopes are
+    formed by numpy broadcasting inside the group, never globally."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out_u, out_n, out_s = [], [], []
+        us_all = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vc_all = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        for uid, idx in df.groupby("user_id", sort=False).indices.items():
+            us = us_all[idx][:TS_CAP]
+            vc = vc_all[idx][:TS_CAP]
+            dt = us[None, :] - us[:, None]
+            dv = vc[None, :] - vc[:, None]
+            m = dt > 0  # upper triangle by time; equal-ts pairs excluded
+            iu = np.triu_indices(len(us), k=1)
+            keep = m[iu]
+            dts = dt[iu][keep]
+            dvs = dv[iu][keep]
+            if len(dts) == 0:
+                continue
+            # DuckDB // truncates toward zero; emulate exactly
+            mag = (np.abs(dvs) * 86_400_000_000) // dts
+            s = np.where(dvs < 0, -mag, mag)
+            s.sort()
+            out_u.append(int(uid))
+            out_n.append(len(s))
+            out_s.append(int(s[(len(s) - 1) // 2]))
+        return pd.DataFrame(
+            {"user_id": out_u, "n_pairs": out_n, "slope_cpd": out_s}
+        )
+
+    out = (
+        bucketed_groupby(ds, "user_id", combine, expected_rows=ds.count())
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "n_pairs", "slope_cpd"):
+        out[c] = out[c].astype("int64")
+    return out
