@@ -12634,3 +12634,248 @@ def q203_theil_sen(sf_dir: str):
     for c in ("user_id", "n_pairs", "slope_cpd"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill (per-user daily resample with zero-fill)
+# --------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                      AS value_c
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1),
+g AS (SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+      FROM r)
+SELECT g.user_id,
+       CAST(g.day - DATE '1970-01-01' AS BIGINT) AS day_idx,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.value_c, 0) AS value_c
+FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+ORDER BY 1, 2
+"""
+
+
+@query("q204_gap_fill", sql=_GAPFILL_SQL)
+def q204_gap_fill(sf_dir: str):
+    """Per-user daily resample with explicit zero-filled gaps between
+    the user's first and last active day — the step every downstream
+    window/trend/periodicity model needs before it can treat a series
+    as equally spaced (a missing day is a ZERO observation, not an
+    absent row; q177/q193-style models silently skew without it).
+    Scale: one user-keyed exchange of (user, day) partials; the dense
+    reindex (np.arange span + scatter) happens per user inside the
+    bucket, output is span-sized per user, never corpus-wide."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        vc = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(), "day_idx": day, "vc": vc}
+        )
+        g = (
+            df.groupby(["user_id", "day_idx"], sort=False)
+            .agg(n_events=("vc", "size"), value_c=("vc", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "day_idx"], sort=False)
+            .agg(n_events=("n_events", "sum"), value_c=("value_c", "sum"))
+            .reset_index()
+        )
+        outs = []
+        for uid, sub in g.groupby("user_id", sort=False):
+            lo, hi = int(sub["day_idx"].min()), int(sub["day_idx"].max())
+            days = np.arange(lo, hi + 1, dtype=np.int64)
+            n = np.zeros(len(days), dtype=np.int64)
+            v = np.zeros(len(days), dtype=np.int64)
+            pos = sub["day_idx"].to_numpy(dtype=np.int64) - lo
+            n[pos] = sub["n_events"].to_numpy(dtype=np.int64)
+            v[pos] = sub["value_c"].to_numpy(dtype=np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(len(days), int(uid), np.int64),
+                        "day_idx": days,
+                        "n_events": n,
+                        "value_c": v,
+                    }
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                columns=["user_id", "day_idx", "n_events", "value_c"]
+            )
+        )
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "user_id",
+            fill,
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .sort_values(["user_id", "day_idx"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Multi-pattern literal scan (blocklist/lexicon hit counting)
+# --------------------------------------------------------------------------
+
+SCAN_PATTERNS = ["batch batch", "window window", "slow scan", "hash join",
+                 "sort order", "dup"]
+
+_PATTERN_SQL = " UNION ALL ".join(
+    f"""
+SELECT source, '{p}' AS pattern,
+       CAST(SUM((length(text) - length(replace(text, '{p}', '')))
+                // {len(p)}) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN position('{p}' IN text) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+    for p in SCAN_PATTERNS
+) + " ORDER BY source, pattern"
+
+
+@query("q205_pattern_counts", sql=_PATTERN_SQL)
+def q205_pattern_counts(sf_dir: str):
+    """Multi-pattern literal scan over the corpus: per (source,
+    pattern) non-overlapping hit counts + matching-doc counts for a
+    fixed lexicon — the counting generalization of q141's boolean
+    blocklist gate (lexicon audits, contamination phrase tallies,
+    keyword dashboards).  Python's str.count IS the non-overlapping
+    greedy-left count the SQL replace() trick computes, and it runs in
+    C per (doc, pattern) — for lexicons beyond ~100 entries the same
+    stage swaps in an Aho-Corasick automaton built once per actor (the
+    q141 pattern); counts are identical, the scan becomes one pass.
+    Zero exchanges beyond a |sources|x|patterns| partial-sum table."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_pylist()
+        txts = t["text"].to_pylist()
+        agg: dict[tuple[str, str], list[int]] = {}
+        for s, x in zip(srcs, txts):
+            x = x or ""
+            for p in SCAN_PATTERNS:
+                c = x.count(p)
+                a = agg.setdefault((s, p), [0, 0])
+                a[0] += c
+                a[1] += 1 if c > 0 else 0
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks]),
+                "pattern": pa.array([k[1] for k in ks]),
+                "n_hits": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "n_docs": pa.array([agg[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "pattern"])
+        .aggregate(Sum("n_hits", alias_name="n_hits"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values(["source", "pattern"])
+        .reset_index(drop=True)
+    )
+    out["n_hits"] = out["n_hits"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Per-fragment encoding stats (RLE/dictionary encodability audit)
+# --------------------------------------------------------------------------
+
+ENC_FRAG = 4096  # rows per storage fragment
+
+_ENCSTATS_SQL = f"""
+WITH f AS (SELECT event_id // {ENC_FRAG} AS frag_id, event_type,
+                  row_number() OVER (PARTITION BY event_id // {ENC_FRAG}
+                                     ORDER BY ts, event_id) AS rn,
+                  lag(event_type) OVER (PARTITION BY event_id // {ENC_FRAG}
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT frag_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q206_encoding_stats", sql=_ENCSTATS_SQL)
+def q206_encoding_stats(sf_dir: str):
+    """Per-fragment encodability audit for the event_type column: run
+    count under the fragment's (ts, event_id) order and distinct count
+    — the two numbers that decide whether RLE / dictionary encoding
+    pays and whether a re-sort (q78/q146 layout ops) is worth the
+    write amplification.  Fragments are fixed row-ranges (event_id
+    div), so the stat is embarrassingly parallel: ONE fragment-keyed
+    exchange, runs counted by a vectorized shift-compare inside each
+    fragment, nothing global."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def add_frag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "frag_id",
+            pc.divide(t["event_id"], pa.scalar(ENC_FRAG, pa.int64())),
+        )
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["frag_id", "ts", "event_id"], kind="mergesort")
+        outs = []
+        for fid, sub in df.groupby("frag_id", sort=False):
+            et = sub["event_type"].to_numpy()
+            runs = 1 + int((et[1:] != et[:-1]).sum()) if len(et) else 0
+            outs.append(
+                (int(fid), len(et), runs, int(pd.unique(et).size))
+            )
+        return pd.DataFrame(
+            outs, columns=["frag_id", "n_rows", "n_runs", "n_distinct"]
+        )
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(add_frag, batch_format="pyarrow"),
+            "frag_id",
+            stats,
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .sort_values("frag_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
