@@ -12879,3 +12879,200 @@ def q206_encoding_stats(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Shortest-path centralities over the crawl link graph (q207, q208)
+# --------------------------------------------------------------------------
+
+_GRAPH_FIXDIR = "/root/repo/tests/fixtures"
+
+
+@query(
+    "q207_stress_centrality",
+    sql="SELECT node, stress FROM read_parquet("
+    f"'{_GRAPH_FIXDIR}/oracle/stress_centrality_sf0.01.parquet') "
+    "ORDER BY node",
+)
+def q207_stress_centrality(sf_dir: str):
+    """Stress centrality — the INTEGER cousin of betweenness (number
+    of shortest s->t paths through v, over all ordered pairs): the
+    bridge-page diagnostic a crawl operator reads next to q95's
+    degrees and q110's HITS before trusting hub sampling.  Integer
+    throughout, so the fixture compare is precision-safe where float
+    betweenness (summation-order-dependent) is not.  Ray side: per
+    source, Brandes-style vectorized level-BFS accumulation fanned out
+    over a source Dataset against the ONE broadcast CSR; node-keyed
+    groupby folds partials (ops/centrality.py).  Fixture twin: the
+    independent pair identity sigma_st(v) = sigma_sv*sigma_vt on BFS
+    matrices (tools/gen_oracle_fixtures.py::gen_stress_centrality)."""
+    from texrex_ray.ops.centrality import stress_centrality
+
+    edges = ray.data.read_parquet(
+        f"{_GRAPH_FIXDIR}/oracle/pagerank_edges.parquet"
+    ).to_pandas()
+    out = stress_centrality(edges)
+    out["stress"] = out["stress"].astype("int64")
+    return out
+
+
+@query(
+    "q208_harmonic_closeness",
+    sql="SELECT node, harmonic_ppm, n_reached, sum_dist FROM read_parquet("
+    f"'{_GRAPH_FIXDIR}/oracle/harmonic_closeness_sf0.01.parquet') "
+    "ORDER BY node",
+)
+def q208_harmonic_closeness(sf_dir: str):
+    """Harmonic closeness on out-distances: sum(PPM // d(s, v)) over
+    reached v, plus reach count and total distance — the
+    disconnection-proof closeness variant (unreached nodes contribute
+    zero instead of poisoning the mean), computed exactly in floor-div
+    integers.  Ray side: one map_batches fan-out of sources against
+    the broadcast CSR, one row per source, no fold.  Fixture twin:
+    plain deque BFS with dict distances — no shared code with the
+    vectorized level-BFS (tools/gen_oracle_fixtures.py)."""
+    from texrex_ray.ops.centrality import harmonic_centrality
+
+    edges = ray.data.read_parquet(
+        f"{_GRAPH_FIXDIR}/oracle/pagerank_edges.parquet"
+    ).to_pandas()
+    out = harmonic_centrality(edges).sort_values("node").reset_index(drop=True)
+    for c in ("harmonic_ppm", "n_reached", "sum_dist"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Consistent-hash ring placement audit (q209)
+# --------------------------------------------------------------------------
+
+RING_VNODES = 32
+
+_RING_SQL = f"""
+WITH shards AS (SELECT DISTINCT s_name FROM supplier),
+vn AS (SELECT s_name, i FROM shards CROSS JOIN range({RING_VNODES}) t(i)),
+ring AS (SELECT s_name,
+                CAST(concat('0x', substr(md5(s_name || '#'
+                     || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS pos
+         FROM vn),
+ks AS (SELECT c_name,
+              CAST(concat('0x', substr(md5(c_name), 1, 15)) AS BIGINT) AS kh
+       FROM customer),
+rm AS (SELECT MIN(s_name) AS gone FROM shards),
+m1 AS (SELECT pos AS p, 0 AS isk, s_name, NULL AS c_name FROM ring
+       UNION ALL SELECT kh, 1, NULL, c_name FROM ks),
+a1 AS (SELECT c_name, COALESCE(
+           first_value(s_name IGNORE NULLS) OVER (
+               ORDER BY p, isk DESC, s_name
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+           (SELECT s_name FROM ring ORDER BY pos, s_name LIMIT 1)) AS shard,
+           isk
+       FROM m1),
+m2 AS (SELECT pos AS p, 0 AS isk, s_name, NULL AS c_name
+       FROM ring, rm WHERE s_name <> rm.gone
+       UNION ALL SELECT kh, 1, NULL, c_name FROM ks),
+a2 AS (SELECT c_name, COALESCE(
+           first_value(s_name IGNORE NULLS) OVER (
+               ORDER BY p, isk DESC, s_name
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+           (SELECT s_name FROM ring, rm WHERE s_name <> rm.gone
+            ORDER BY pos, s_name LIMIT 1)) AS shard,
+           isk
+       FROM m2),
+c1 AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n
+       FROM a1 WHERE isk = 1 GROUP BY 1),
+c2 AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n
+       FROM a2 WHERE isk = 1 GROUP BY 1)
+SELECT s.s_name AS shard, COALESCE(c1.n, 0) AS n_keys,
+       COALESCE(c2.n, 0) AS n_keys_after
+FROM shards s
+LEFT JOIN c1 ON c1.shard = s.s_name
+LEFT JOIN c2 ON c2.shard = s.s_name
+ORDER BY 1
+"""
+
+
+@query("q209_hash_ring", sql=_RING_SQL)
+def q209_hash_ring(sf_dir: str):
+    """Consistent-hash ring placement audit ({RING_VNODES} virtual
+    nodes per shard, md5 positions): per-shard key load, and the load
+    after decommissioning one shard — the companion to q121's
+    rendezvous audit, quantifying the ring's defining property that
+    removal only REASSIGNS the departed shard's keys (every surviving
+    shard's count is non-decreasing).  Ray side: both rings broadcast
+    once (shard-count-sized), customers stream through ONE map_batches
+    doing two vectorized searchsorted lookups; partial counts fold in
+    a shard-keyed groupby.  Same plan at 10^10 keys — the ring never
+    grows with the key count."""
+    import hashlib
+
+    def h15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    shards = sorted(
+        _read(sf_dir, "supplier", ["s_name"])
+        .to_pandas()["s_name"]
+        .unique()
+        .tolist()
+    )
+    gone = min(shards)
+
+    def build_ring(names: list[str]):
+        pts = [
+            (h15(f"{s}#{i}"), s) for s in names for i in range(RING_VNODES)
+        ]
+        pts.sort()
+        return (
+            np.array([p for p, _ in pts], dtype=np.int64),
+            np.array([s for _, s in pts]),
+        )
+
+    pos1, name1 = build_ring(shards)
+    pos2, name2 = build_ring([s for s in shards if s != gone])
+    rings = ray.put((pos1, name1, pos2, name2))
+
+    def assign(t: pa.Table) -> pa.Table:
+        p1, n1, p2, n2 = ray.get(rings)
+        kh = np.array(
+            [h15(c) for c in t["c_name"].to_pylist()], dtype=np.int64
+        )
+        i1 = np.searchsorted(p1, kh, side="left") % len(p1)
+        i2 = np.searchsorted(p2, kh, side="left") % len(p2)
+        out = []
+        for names, idx in ((n1, i1), (n2, i2)):
+            s = pd.Series(names[idx]).value_counts()
+            out.append(s)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    list(out[0].index) + list(out[1].index)
+                ),
+                "which": pa.array(
+                    [0] * len(out[0]) + [1] * len(out[1]), pa.int32()
+                ),
+                "n": pa.array(
+                    list(out[0].to_numpy()) + list(out[1].to_numpy()),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "customer", ["c_name"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["shard", "which"])
+        .sum("n")
+        .to_pandas()
+    )
+    col = "sum(n)" if "sum(n)" in parts.columns else "n"
+    piv = parts.pivot_table(
+        index="shard", columns="which", values=col, fill_value=0
+    )
+    out = pd.DataFrame({"shard": shards})
+    out["n_keys"] = (
+        out["shard"].map(piv[0] if 0 in piv.columns else {}).fillna(0)
+    ).astype("int64")
+    out["n_keys_after"] = (
+        out["shard"].map(piv[1] if 1 in piv.columns else {}).fillna(0)
+    ).astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)

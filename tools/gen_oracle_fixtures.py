@@ -1083,6 +1083,45 @@ def gen_minhash_sigs() -> None:
     print("minhash_sigs_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_stress_centrality() -> None:
+    """Stress centrality of the crawl link graph by the PAIR identity
+    sigma_st(v) = sigma_sv * sigma_vt on the all-pairs BFS matrices —
+    an independent formulation from the distributed Brandes-style
+    accumulation in ops/centrality.py::stress_centrality."""
+    import pandas as pd
+    from texrex_ray.ops.centrality import stress_matrix_twin
+
+    edges = pd.read_parquet(os.path.join(OUT, "pagerank_edges.parquet"))
+    out = stress_matrix_twin(edges)
+    t = pa.table({
+        "node": pa.array(out["node"].tolist(), pa.string()),
+        "stress": pa.array(out["stress"].to_numpy(), pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "stress_centrality_sf0.01.parquet"))
+    print("stress_centrality_sf0.01.parquet:", t.num_rows, "rows, max",
+          int(out["stress"].max()))
+
+
+def gen_harmonic_closeness() -> None:
+    """Harmonic closeness via plain deque BFS (ops/centrality.py::
+    harmonic_sequential_twin) — no numpy in the walk, independent of
+    the vectorized level-synchronous BFS the distributed path uses."""
+    import pandas as pd
+    from texrex_ray.ops.centrality import harmonic_sequential_twin
+
+    edges = pd.read_parquet(os.path.join(OUT, "pagerank_edges.parquet"))
+    out = harmonic_sequential_twin(edges)
+    t = pa.table({
+        "node": pa.array(out["node"].tolist(), pa.string()),
+        "harmonic_ppm": pa.array(out["harmonic_ppm"].to_numpy(), pa.int64()),
+        "n_reached": pa.array(out["n_reached"].to_numpy(), pa.int64()),
+        "sum_dist": pa.array(out["sum_dist"].to_numpy(), pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "harmonic_closeness_sf0.01.parquet"))
+    print("harmonic_closeness_sf0.01.parquet:", t.num_rows, "rows")
+
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1113,6 +1152,8 @@ def main() -> None:
     gen_audio_fingerprint()
     gen_pq_topk()
     gen_minhash_sigs()
+    gen_stress_centrality()
+    gen_harmonic_closeness()
 
 
 if __name__ == "__main__":
