@@ -13076,3 +13076,226 @@ def q209_hash_ring(sf_dir: str):
         out["shard"].map(piv[1] if 1 in piv.columns else {}).fillna(0)
     ).astype("int64")
     return out.sort_values("shard").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (integer-exact rational arithmetic, k1=6/5, b=3/4)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "window")
+BM25_TOPK = 20
+
+# contribution(doc, t) = idf_c(t) * 44*tf*T // (20*tf*T + 6*T + 18*dl*N)
+# where idf_c = N*PPM // df — the BM25 tf-saturation term with k1=6/5,
+# b=3/4 and avgdl = T/N multiplied through so every quantity is an exact
+# integer (see docstring); HUGEINT guards the numerator product.
+_BM25_SQL = f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+             FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_all FROM dl),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE tk IN {BM25_TERMS!r} GROUP BY 1, 2),
+df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              CAST(((CAST(nn.n_docs AS HUGEINT) * 1000000 // df.df)
+                    * (44 * tf.tf * tot.t_all))
+                   // (20 * tf.tf * tot.t_all + 6 * tot.t_all
+                       + 18 * dl.dl * nn.n_docs) AS BIGINT) AS c
+       FROM tf
+       JOIN df USING (tk)
+       JOIN dl USING (doc_id)
+       CROSS JOIN tot CROSS JOIN nn)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_c
+FROM sc GROUP BY 1
+ORDER BY score_c DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@query("q210_bm25", sql=_BM25_SQL)
+def q210_bm25(sf_dir: str):
+    """BM25 top-k retrieval, integer-exact: with k1 = 6/5, b = 3/4 and
+    avgdl = T/N the saturation term tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    is the exact rational 44*tf*T / (20*tf*T + 6*T + 18*dl*N); paired
+    with the integer idf surrogate N*PPM//df, every doc score is a sum
+    of floor divisions — bit-identical on both engines where float BM25
+    depends on libm and summation order.  Scale shape: ONE corpus pass
+    emits per-doc (dl, tf_t) partials; N, T, df fold via Dataset
+    aggregates; only MATCHING docs (tf > 0 on some term) reach the
+    Python-int scorer; top-k finishes on a match-set-sized frame.
+    Numerators exceed int64 (idf ~N*PPM times 44*tf*T), so the scorer
+    uses Python ints — the q94 overflow discipline."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    terms = list(BM25_TERMS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        txts = t["text"].to_pylist()
+        toks = [_TOKEN_RE.findall((s or "").lower()) for s in txts]
+        cols = {
+            "doc_id": t["doc_id"],
+            "dl": pa.array([len(x) for x in toks], pa.int64()),
+        }
+        for q in terms:
+            cols[f"tf_{q}"] = pa.array(
+                [sum(1 for w in x if w == q) for x in toks], pa.int64()
+            )
+        return pa.table(cols)
+
+    per_doc = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("dl", alias_name="t_all"), Count(alias_name="n_docs")]
+    stats = per_doc.aggregate(*aggs)
+    t_all, n_docs = int(stats["t_all"]), int(stats["n_docs"])
+
+    def matched(t: pa.Table) -> pa.Table:
+        m = np.zeros(len(t), dtype=bool)
+        for q in terms:
+            m |= t[f"tf_{q}"].to_numpy(zero_copy_only=False) > 0
+        return t.filter(pa.array(m))
+
+    hits = per_doc.map_batches(matched, batch_format="pyarrow").to_pandas()
+    df_t = {
+        q: int((hits[f"tf_{q}"] > 0).sum()) for q in terms
+    }
+    scores = []
+    for _, r in hits.iterrows():
+        s = 0
+        dl = int(r["dl"])
+        for q in terms:
+            tf = int(r[f"tf_{q}"])
+            if tf == 0 or df_t[q] == 0:
+                continue
+            idf = n_docs * PPM // df_t[q]
+            s += (idf * (44 * tf * t_all)) // (
+                20 * tf * t_all + 6 * t_all + 18 * dl * n_docs
+            )
+        scores.append(s)
+    hits = hits.assign(score_c=scores)
+    out = (
+        hits.sort_values(["score_c", "doc_id"], ascending=[False, True])
+        .head(BM25_TOPK)[["doc_id", "score_c"]]
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score_c"] = out["score_c"].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Image patchify (ViT-style tile statistics over the payload table)
+# --------------------------------------------------------------------------
+
+@query(
+    "q211_image_patches",
+    sql="SELECT image_id, tile_row, tile_col, tile_h, tile_w, sum_r, sum_g,"
+    " sum_b, n_px FROM read_parquet("
+    f"'{_GRAPH_FIXDIR}/oracle/image_patches_n300_s42.parquet') "
+    "ORDER BY image_id, tile_row, tile_col",
+)
+def q211_image_patches(sf_dir: str):
+    """Patchify the image+caption payload table: each image flat-maps
+    into a 4x4 grid of tiles with exact integer channel sums — the
+    vision-training prep stage (ViT patches / tile statistics) done as
+    an actor-pool map_batches where DECODE NEVER LEAVES THE TASK
+    (binary in, 9 int64 columns out; the corpus's pixels are never
+    shuffled).  Floor boundaries i*dim//4 make ragged sizes split
+    deterministically.  Fixture twin: per-pixel Python-int
+    accumulation, an independent summation path
+    (tools/gen_oracle_fixtures.py::gen_image_patches)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import ImagePatcher
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes"])
+    out = (
+        ds.map_batches(
+            # pool sized below the session's CPU count so the upstream
+            # read tasks are never starved (4-CPU test sessions included)
+            ImagePatcher, concurrency=2, batch_size=32,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(["image_id", "tile_row", "tile_col"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "image_id":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Jain fairness index of per-user load (scheduler fairness audit)
+# --------------------------------------------------------------------------
+
+_JAIN_SQL = """
+WITH load AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) * SUM(x) * 1000000 // (COUNT(*) * SUM(x * x)) AS BIGINT)
+           AS jain_ppm,
+       CAST(MIN(x) AS BIGINT) AS min_load, CAST(MAX(x) AS BIGINT) AS max_load
+FROM load GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q212_jain_fairness", sql=_JAIN_SQL)
+def q212_jain_fairness(sf_dir: str):
+    """Jain fairness index (sum x)^2 / (n * sum x^2) of per-user load
+    within each event type, PPM-scaled integer — the standard scheduler
+    fairness audit (1.0 = perfectly even, 1/n = one user hogs all),
+    companion to q174's token-bucket and q84's partition-skew audits.
+    Scale: per-(type,user) counts fold combiner-style in map_batches
+    partials; the moment reduction (n, sum, sum of squares) is
+    domain-sized; nothing row-scale leaves the first exchange."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "x": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    loads = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .sum("x")
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        col = "sum(x)" if "sum(x)" in t.column_names else "x"
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "x": x})
+        g = df.groupby("event_type").agg(
+            n=("x", "size"), s1=("x", "sum"), s2=("x", lambda v: int((v**2).sum())),
+            mn=("x", "min"), mx=("x", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = (
+        loads.map_batches(moments, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type")
+        .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+             mn=("mn", "min"), mx=("mx", "max"))
+        .reset_index()
+    )
+    m["jain_ppm"] = [
+        int(a) * int(a) * PPM // (int(n) * int(b))
+        for a, n, b in zip(m["s1"], m["n"], m["s2"])
+    ]
+    out = m.rename(
+        columns={"n": "n_users", "mn": "min_load", "mx": "max_load"}
+    )[["event_type", "n_users", "jain_ppm", "min_load", "max_load"]]
+    out = out.sort_values("event_type").reset_index(drop=True)
+    for c in ("n_users", "jain_ppm", "min_load", "max_load"):
+        out[c] = out[c].astype("int64")
+    return out

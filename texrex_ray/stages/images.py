@@ -112,3 +112,61 @@ def verify_against_expected(batch: pa.Table, expected: dict, min_psnr: float = 4
     return batch.append_column("psnr", pa.array(res_psnr, pa.float64())).append_column(
         "pixel_ok", pa.array(res_ok, pa.bool_())
     )
+
+
+class ImagePatcher:
+    """Actor-pool patchify stage: flat-map each image into a GRID x GRID
+    tile table of integer channel sums (the vision-training prep step —
+    ViT-style patch statistics — expressed as a Ray Data batch stage).
+
+    Tile boundaries are floor(i * dim / GRID), so ragged sizes split
+    deterministically and every pixel lands in exactly one tile.  Decode
+    happens here (binary in, int64 stats out — pixels never leave the
+    task); batches stay small because rows carry image payloads.
+    """
+
+    GRID = 4
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self._decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, trs, tcs = [], [], []
+        tws, ths = [], []
+        sr, sg, sb, npx = [], [], [], []
+        g = self.GRID
+        for iid, raw in zip(
+            batch["image_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            px = self._decode(raw).astype(np.int64)
+            h, w, _ = px.shape
+            rb = [h * i // g for i in range(g + 1)]
+            cb = [w * i // g for i in range(g + 1)]
+            for r in range(g):
+                for c in range(g):
+                    tile = px[rb[r]:rb[r + 1], cb[c]:cb[c + 1]]
+                    ids.append(iid)
+                    trs.append(r)
+                    tcs.append(c)
+                    ths.append(rb[r + 1] - rb[r])
+                    tws.append(cb[c + 1] - cb[c])
+                    s = tile.sum(axis=(0, 1))
+                    sr.append(int(s[0]))
+                    sg.append(int(s[1]))
+                    sb.append(int(s[2]))
+                    npx.append(tile.shape[0] * tile.shape[1])
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "tile_h": pa.array(ths, pa.int64()),
+                "tile_w": pa.array(tws, pa.int64()),
+                "sum_r": pa.array(sr, pa.int64()),
+                "sum_g": pa.array(sg, pa.int64()),
+                "sum_b": pa.array(sb, pa.int64()),
+                "n_px": pa.array(npx, pa.int64()),
+            }
+        )

@@ -1122,6 +1122,49 @@ def gen_harmonic_closeness() -> None:
 
 
 
+def gen_image_patches() -> None:
+    """Per-tile channel sums of the n300/s42 images fixture via plain
+    Python-int accumulation over .tolist() rows — an independent
+    summation path from the distributed ImagePatcher's numpy axis
+    sums."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["image_id", "bytes"])
+    G = 4
+    rows = []
+    for iid, raw in zip(imgs["image_id"].to_pylist(),
+                        imgs["bytes"].to_pylist()):
+        px = decode_image(raw)
+        h, w, _ = px.shape
+        rb = [h * i // G for i in range(G + 1)]
+        cb = [w * i // G for i in range(G + 1)]
+        lst = px.tolist()  # python ints from here on
+        for r in range(G):
+            for c in range(G):
+                sr = sg = sb = n = 0
+                for y in range(rb[r], rb[r + 1]):
+                    rowpx = lst[y]
+                    for x in range(cb[c], cb[c + 1]):
+                        pr, pg, pb = rowpx[x]
+                        sr += pr; sg += pg; sb += pb; n += 1
+                rows.append((iid, r, c, rb[r + 1] - rb[r],
+                             cb[c + 1] - cb[c], sr, sg, sb, n))
+    cols = ["image_id", "tile_row", "tile_col", "tile_h", "tile_w",
+            "sum_r", "sum_g", "sum_b", "n_px"]
+    df = pd.DataFrame(rows, columns=cols)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    for c in cols[1:]:
+        t = t.set_column(t.schema.get_field_index(c), c,
+                         t[c].cast(pa.int64()))
+    pq.write_table(t, os.path.join(OUT, "image_patches_n300_s42.parquet"))
+    print("image_patches_n300_s42.parquet:", t.num_rows, "rows")
+
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1154,6 +1197,7 @@ def main() -> None:
     gen_minhash_sigs()
     gen_stress_centrality()
     gen_harmonic_closeness()
+    gen_image_patches()
 
 
 if __name__ == "__main__":
