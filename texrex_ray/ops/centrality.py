@@ -262,3 +262,62 @@ def harmonic_sequential_twin(edges: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["node", "harmonic_ppm", "n_reached", "sum_dist"]
     )
+
+
+def eccentricity(edges: pd.DataFrame) -> pd.DataFrame:
+    """Distributed out-eccentricity: per source, the max BFS distance
+    over reached nodes (0 when nothing is reached) plus the reach
+    count — the radius/diameter diagnostic that bounds crawl frontier
+    depth.  Same broadcast-CSR fan-out as harmonic_centrality."""
+    nodes, indptr, indices = build_csr(edges)
+    n = len(nodes)
+    ref = ray.put((indptr, indices))
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ip, ix = ray.get(ref)
+        ids, ecc, reach = [], [], []
+        for s in t["id"].to_numpy():
+            dist, _, _ = _bfs_sigma(ip, ix, n, int(s))
+            d = dist[dist > 0]
+            ids.append(int(s))
+            ecc.append(int(d.max()) if d.size else 0)
+            reach.append(int(d.size))
+        return pa.table(
+            {
+                "node_id": pa.array(ids, pa.int64()),
+                "ecc": pa.array(ecc, pa.int64()),
+                "n_reached": pa.array(reach, pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.range(n)
+        .map_batches(batch_fn, batch_format="pyarrow", batch_size=128)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    parts["node"] = nodes[parts["node_id"].to_numpy()]
+    return parts[["node", "ecc", "n_reached"]]
+
+
+def eccentricity_sequential_twin(edges: pd.DataFrame) -> pd.DataFrame:
+    """Eccentricity via plain deque BFS (independent of the vectorized
+    level-BFS)."""
+    nodes = sorted(set(edges["src"].tolist()) | set(edges["dst"].tolist()))
+    adj: dict[str, list[str]] = {u: [] for u in nodes}
+    for u, v in zip(edges["src"], edges["dst"]):
+        adj[u].append(v)
+    rows = []
+    for s in nodes:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        ds = [d for v, d in dist.items() if v != s]
+        rows.append((s, max(ds) if ds else 0, len(ds)))
+    return pd.DataFrame(rows, columns=["node", "ecc", "n_reached"])

@@ -13299,3 +13299,199 @@ def q212_jain_fairness(sf_dir: str):
     for c in ("n_users", "jain_ppm", "min_load", "max_load"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Decision stump: optimal misclassification split (q213)
+# --------------------------------------------------------------------------
+
+STUMP_LANG = "en"
+
+_STUMP_SQL = f"""
+WITH h AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN lang = '{STUMP_LANG}' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS pos
+           FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n) AS nt, SUM(pos) AS pt FROM h),
+c AS (SELECT v,
+             SUM(n)  OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+             SUM(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl
+      FROM h),
+cost AS (SELECT v, nl, nt - nl AS nr,
+                (nl - GREATEST(pl, nl - pl))
+              + ((nt - nl) - GREATEST(pt - pl, (nt - nl) - (pt - pl)))
+                    AS miscls
+         FROM c, tot)
+SELECT CAST(v AS BIGINT) AS threshold, CAST(miscls AS BIGINT) AS miscls,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right
+FROM cost ORDER BY miscls, threshold LIMIT 1
+"""
+
+
+@query("q213_decision_stump", sql=_STUMP_SQL)
+def q213_decision_stump(sf_dir: str):
+    """Optimal decision stump on n_chars predicting lang == 'en' by
+    MISCLASSIFICATION count (the integer-exact split criterion; Gini /
+    entropy have threshold-varying rational denominators that cannot be
+    argmin'd without pairwise cross-multiplication) — the first split
+    every tree/GBM feature-prep pipeline evaluates, and a feature-
+    usefulness audit on its own.  Scale shape: the corpus folds to a
+    (value, n, pos) counting histogram (combiner partials, q46's
+    shape); the cumulative scan + argmin runs on the histogram —
+    distinct-value-sized, never row-sized.  Tie-break: smallest
+    threshold."""
+    ds = _read(sf_dir, "documents", ["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "v": t["n_chars"].to_numpy(),
+                "pos": (
+                    np.asarray(t["lang"].to_pylist()) == STUMP_LANG
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("v").agg(n=("pos", "size"), pos=("pos", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    n = h["n"].to_numpy(dtype=np.int64)
+    pos = h["pos"].to_numpy(dtype=np.int64)
+    nt, pt = int(n.sum()), int(pos.sum())
+    nl = np.cumsum(n)
+    pl = np.cumsum(pos)
+    nr = nt - nl
+    pr = pt - pl
+    mis = (nl - np.maximum(pl, nl - pl)) + (nr - np.maximum(pr, nr - pr))
+    i = int(np.lexsort((h["v"].to_numpy(), mis))[0])
+    return pd.DataFrame(
+        {
+            "threshold": [int(h["v"].iloc[i])],
+            "miscls": [int(mis[i])],
+            "n_left": [int(nl[i])],
+            "n_right": [int(nr[i])],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Wilson lower-bound ranking (q214)
+# --------------------------------------------------------------------------
+
+WILSON_MIN_CHARS = 600
+
+# z = 2 (95.45%): LB = ((k+2)n - 2*isqrt((k(n-k)+n)*n)) / (n(n+4)),
+# with isqrt = exact integer floor sqrt on BOTH engines (the SQL side
+# Newton-corrects CAST(floor(sqrt(x))) which alone mis-rounds near
+# perfect squares).
+_WILSON_SQL = f"""
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN n_chars >= {WILSON_MIN_CHARS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM documents GROUP BY 1),
+r AS (SELECT source, n, k, (k * (n - k) + n) * n AS x,
+             CAST(floor(sqrt(CAST((k * (n - k) + n) * n AS DOUBLE)))
+                  AS BIGINT) AS s0
+      FROM s),
+i AS (SELECT source, n, k,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                  WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS isq
+      FROM r)
+SELECT source, n, k,
+       CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+       CAST(((k + 2) * n - 2 * isq) * 1000000 // (n * (n + 4)) AS BIGINT)
+           AS wilson_ppm
+FROM i ORDER BY wilson_ppm DESC, source
+"""
+
+
+@query("q214_wilson_rank", sql=_WILSON_SQL)
+def q214_wilson_rank(sf_dir: str):
+    """Rank sources by the Wilson LOWER confidence bound (z = 2) of
+    their long-document rate — the small-sample-honest ranking (a 2/2
+    source never outranks a 900/1000 source the way the naive rate
+    does).  Everything integer: with z = 2 the bound reduces to
+    ((k+2)n − 2·sqrt((k(n−k)+n)·n)) / (n(n+4)) and the sqrt is exact
+    math.isqrt, mirrored in SQL by a Newton-corrected floor(sqrt) —
+    bit-identical ranks, no libm.  Scale: per-source (n, k) partials
+    fold combiner-style; the bound is computed on the domain-sized
+    table."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "k": (
+                    t["n_chars"].to_numpy(zero_copy_only=False)
+                    >= WILSON_MIN_CHARS
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("source").agg(n=("k", "size"), k=("k", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    s = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas()
+    )
+    rows = []
+    for _, r in s.iterrows():
+        n, k = int(r["n"]), int(r["k"])
+        isq = math.isqrt((k * (n - k) + n) * n)
+        rows.append(
+            (
+                r["source"],
+                n,
+                k,
+                k * PPM // n,
+                ((k + 2) * n - 2 * isq) * PPM // (n * (n + 4)),
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["source", "n", "k", "rate_ppm", "wilson_ppm"]
+    ).sort_values(["wilson_ppm", "source"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    for c in ("n", "k", "rate_ppm", "wilson_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Graph eccentricity / diameter diagnostics (q215)
+# --------------------------------------------------------------------------
+
+@query(
+    "q215_eccentricity",
+    sql="SELECT node, ecc, n_reached FROM read_parquet("
+    f"'{_GRAPH_FIXDIR}/oracle/eccentricity_sf0.01.parquet') "
+    "ORDER BY node",
+)
+def q215_eccentricity(sf_dir: str):
+    """Out-eccentricity per node (max BFS distance over reached pages;
+    graph diameter = max over nodes) — the frontier-depth bound a crawl
+    scheduler reads before setting max-hops budgets (q115's depth
+    histogram tells where the mass is, eccentricity tells how deep the
+    tail goes).  Same broadcast-CSR BFS fan-out as q208; fixture twin
+    is the deque BFS (tools/gen_oracle_fixtures.py::gen_eccentricity)."""
+    from texrex_ray.ops.centrality import eccentricity
+
+    edges = ray.data.read_parquet(
+        f"{_GRAPH_FIXDIR}/oracle/pagerank_edges.parquet"
+    ).to_pandas()
+    out = eccentricity(edges).sort_values("node").reset_index(drop=True)
+    for c in ("ecc", "n_reached"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -1165,6 +1165,25 @@ def gen_image_patches() -> None:
 
 
 
+def gen_eccentricity() -> None:
+    """Out-eccentricity of the crawl link graph via the deque-BFS twin
+    (ops/centrality.py::eccentricity_sequential_twin)."""
+    import pandas as pd
+    from texrex_ray.ops.centrality import eccentricity_sequential_twin
+
+    edges = pd.read_parquet(os.path.join(OUT, "pagerank_edges.parquet"))
+    out = eccentricity_sequential_twin(edges)
+    t = pa.table({
+        "node": pa.array(out["node"].tolist(), pa.string()),
+        "ecc": pa.array(out["ecc"].to_numpy(), pa.int64()),
+        "n_reached": pa.array(out["n_reached"].to_numpy(), pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "eccentricity_sf0.01.parquet"))
+    print("eccentricity_sf0.01.parquet:", t.num_rows, "rows, diameter",
+          int(out["ecc"].max()))
+
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1198,6 +1217,7 @@ def main() -> None:
     gen_stress_centrality()
     gen_harmonic_closeness()
     gen_image_patches()
+    gen_eccentricity()
 
 
 if __name__ == "__main__":
