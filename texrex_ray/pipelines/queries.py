@@ -13495,3 +13495,291 @@ def q215_eccentricity(sf_dir: str):
     for c in ("ecc", "n_reached"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Embedding-space label consistency: LOO 1-NN accuracy (q216)
+# --------------------------------------------------------------------------
+
+EMB_QUANT = 1000  # fixed-point scale: round(x * 1000) -> int64
+
+_LOO_SQL = f"""
+WITH q AS (SELECT vec_id, label,
+                  list_transform(embedding,
+                                 x -> CAST(ROUND(x * {EMB_QUANT}) AS BIGINT))
+                      AS qe
+           FROM embeddings),
+d AS (SELECT a.vec_id AS i, a.label AS la, b.vec_id AS j, b.label AS lb,
+             list_sum(list_transform(list_zip(a.qe, b.qe),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+nn AS (SELECT i, la, lb,
+              row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+       FROM d)
+SELECT CAST(la AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM nn WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q216_loo_knn_accuracy", sql=_LOO_SQL)
+def q216_loo_knn_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label consistency per class — the standard
+    embedding-quality eval (does the embedding space cluster by
+    label?) run before trusting q106/q147-style semantic ops.
+    Distances are SQUARED EUCLIDEAN over fixed-point int64 vectors
+    (round(x*1000)): exact integer argmin with (distance, vec_id)
+    tie-break, immune to the float summation-order trap that makes
+    cosine argmins engine-dependent.  Scale shape: the quantized
+    matrix broadcasts once (it is the SMALL side by construction —
+    at 10^9 vectors this becomes the q16 block-streamed form); query
+    rows stream through map_batches computing block x corpus
+    distances via int64 matmul; per-label count partials fold in a
+    label-keyed groupby."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    full = ds.to_pandas()
+    ids = full["vec_id"].to_numpy(dtype=np.int64)
+    labels = full["label"].to_numpy(dtype=np.int64)
+    Q = np.round(
+        np.stack(full["embedding"].to_numpy()) * EMB_QUANT
+    ).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, labels, Q = ids[order], labels[order], Q[order]
+    ref = ray.put((ids, labels, Q))
+
+    def block(t: pa.Table) -> pa.Table:
+        cids, clabels, cq = ray.get(ref)
+        bi = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bl = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bq = np.round(
+            np.stack(t["embedding"].to_pandas().to_numpy()) * EMB_QUANT
+        ).astype(np.int64)
+        # d2 = |a|^2 + |b|^2 - 2ab, exact in int64 at this scale
+        d2 = (
+            (bq * bq).sum(axis=1)[:, None]
+            + (cq * cq).sum(axis=1)[None, :]
+            - 2 * bq @ cq.T
+        )
+        self_mask = bi[:, None] == cids[None, :]
+        d2[self_mask] = np.iinfo(np.int64).max
+        # argmin by (d2, vec_id): cids ascending, so the first minimum
+        # along axis 1 is the smallest-id tie
+        nn = d2.argmin(axis=1)
+        correct = (clabels[nn] == bl).astype(np.int64)
+        df = pd.DataFrame({"label": bl, "correct": correct})
+        g = df.groupby("label").agg(
+            n=("correct", "size"), n_correct=("correct", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(block, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("n_correct", alias_name="n_correct"))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Crawl URL/host discovery-rate curve (q217)
+# --------------------------------------------------------------------------
+
+DISC_WINDOW = 25
+
+_DISC_SQL = f"""
+WITH v AS (SELECT seq, url, host, seq // {DISC_WINDOW} AS w
+           FROM read_parquet(
+               '{_GRAPH_FIXDIR}/oracle/crawl_visits_sf0.01.parquet')),
+fu AS (SELECT seq // {DISC_WINDOW} AS w, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT url, MIN(seq) AS seq FROM v GROUP BY 1) GROUP BY 1),
+fh AS (SELECT seq // {DISC_WINDOW} AS w, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT host, MIN(seq) AS seq FROM v GROUP BY 1) GROUP BY 1),
+nv AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_visits FROM v GROUP BY 1)
+SELECT nv.w AS window_idx, nv.n_visits,
+       COALESCE(fu.c, 0) AS n_new_urls,
+       CAST(SUM(COALESCE(fu.c, 0)) OVER (ORDER BY nv.w
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_urls,
+       COALESCE(fh.c, 0) AS n_new_hosts,
+       CAST(SUM(COALESCE(fh.c, 0)) OVER (ORDER BY nv.w
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hosts
+FROM nv LEFT JOIN fu ON fu.w = nv.w LEFT JOIN fh ON fh.w = nv.w
+ORDER BY 1
+"""
+
+
+@query("q217_discovery_curve", sql=_DISC_SQL)
+def q217_discovery_curve(sf_dir: str):
+    """URL/host discovery-rate curve of the crawl: per window of
+    {DISC_WINDOW} steps, visits, first-seen URLs/hosts and their
+    cumulative counts — the frontier-saturation diagnostic (when
+    new-host discovery flatlines, the walk is recirculating and the
+    seed list or jump rate needs attention; ClaraX's random-jump knob
+    exists exactly for this).  Ray side re-runs the q21 engine (its
+    visit order is fixture-faithful by the q21 gate) and derives the
+    curve with vectorized first-occurrence marks; the SQL derives the
+    same curve INDEPENDENTLY from the committed visits fixture."""
+    from texrex_ray.crawl.engine import CrawlEngine
+    from texrex_ray.crawl.policy import CrawlConfig
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    steps = {0.001: 60, 0.01: 150, 0.1: 400}.get(_sf_of(sf_dir), 150)
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    eng = CrawlEngine(g, n_walkers=1, n_partitions=4, seed=42, config=CrawlConfig())
+    eng.run(max_steps=steps)
+    rows = eng.visit_order()
+    eng.shutdown()
+    v = pd.DataFrame(rows, columns=["seq", "url", "host", "action"])
+    v["w"] = v["seq"] // DISC_WINDOW
+    new_url = ~v["url"].duplicated()
+    new_host = ~v["host"].duplicated()
+    out = (
+        v.assign(nu=new_url.astype(np.int64), nh=new_host.astype(np.int64))
+        .groupby("w")
+        .agg(n_visits=("seq", "size"), n_new_urls=("nu", "sum"),
+             n_new_hosts=("nh", "sum"))
+        .reset_index()
+        .rename(columns={"w": "window_idx"})
+        .sort_values("window_idx")
+        .reset_index(drop=True)
+    )
+    out["cum_urls"] = out["n_new_urls"].cumsum()
+    out["cum_hosts"] = out["n_new_hosts"].cumsum()
+    out = out[
+        ["window_idx", "n_visits", "n_new_urls", "cum_urls",
+         "n_new_hosts", "cum_hosts"]
+    ]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution (q218)
+# --------------------------------------------------------------------------
+
+_UATTR_SQL = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+asg AS (SELECT c.click_id, c.ts,
+               (SELECT p.purchase_id FROM p
+                WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                ORDER BY p.ts, p.purchase_id LIMIT 1) AS purchase_id
+        FROM c),
+pos AS (SELECT purchase_id, click_id,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY ts, click_id) AS rn,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS m
+        FROM asg WHERE purchase_id IS NOT NULL)
+SELECT purchase_id, click_id,
+       CAST(CASE WHEN m = 1 THEN 1000000
+                 WHEN m = 2 THEN 500000
+                 WHEN rn = 1 OR rn = m THEN 400000
+                 WHEN rn = 2 THEN 200000 // (m - 2) + 200000 % (m - 2)
+                 ELSE 200000 // (m - 2) END AS BIGINT) AS credit_ppm
+FROM pos ORDER BY purchase_id, click_id
+"""
+
+
+@query("q218_position_attribution", sql=_UATTR_SQL)
+def q218_position_attribution(sf_dir: str):
+    """Position-based (U-shaped) multi-touch attribution: each click
+    joins the SAME user's next purchase at-or-after it (the forward
+    as-of — q96's last-touch is the backward one); within a purchase's
+    click set, first and last touch get 40% each and the middles split
+    the remaining 20% by floor division, remainder to the earliest
+    middle, so credits sum to exactly PPM per purchase.  ONE user-keyed
+    exchange co-locates both event streams; the forward as-of is a
+    vectorized searchsorted per bucket; credit assignment is a window
+    computation inside the purchase group."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    def keep_cp(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        return t.filter(
+            pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        )
+
+    tagged = ev.map_batches(keep_cp, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(us=us)
+        for _, sub in df.groupby("user_id", sort=False):
+            cl = sub[sub["event_type"] == "click"].sort_values(
+                ["us", "event_id"], kind="mergesort"
+            )
+            pu = sub[sub["event_type"] == "purchase"].sort_values(
+                ["us", "event_id"], kind="mergesort"
+            )
+            if len(cl) == 0 or len(pu) == 0:
+                continue
+            # forward as-of: first purchase with ts >= click ts; the
+            # (ts, id) sort makes the equal-ts run lead with min id
+            j = np.searchsorted(pu["us"].to_numpy(), cl["us"].to_numpy(),
+                                side="left")
+            ok = j < len(pu)
+            if not ok.any():
+                continue
+            a = pd.DataFrame(
+                {
+                    "purchase_id": pu["event_id"].to_numpy()[j[ok]],
+                    "click_id": cl["event_id"].to_numpy()[ok],
+                    "us": cl["us"].to_numpy()[ok],
+                }
+            )
+            outs.append(a)
+        if not outs:
+            return pd.DataFrame(
+                columns=["purchase_id", "click_id", "credit_ppm"]
+            )
+        asg = pd.concat(outs, ignore_index=True).sort_values(
+            ["purchase_id", "us", "click_id"], kind="mergesort"
+        )
+        m = asg.groupby("purchase_id")["click_id"].transform("size").to_numpy()
+        rn = asg.groupby("purchase_id").cumcount().to_numpy() + 1
+        credit = np.where(
+            m == 1,
+            PPM,
+            np.where(
+                m == 2,
+                500_000,
+                np.where(
+                    (rn == 1) | (rn == m),
+                    400_000,
+                    np.where(
+                        rn == 2,
+                        200_000 // np.maximum(m - 2, 1)
+                        + 200_000 % np.maximum(m - 2, 1),
+                        200_000 // np.maximum(m - 2, 1),
+                    ),
+                ),
+            ),
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "purchase_id": asg["purchase_id"].to_numpy(),
+                "click_id": asg["click_id"].to_numpy(),
+                "credit_ppm": credit,
+            }
+        )
+
+    out = (
+        bucketed_groupby(tagged, "user_id", combine,
+                         expected_rows=ev.count())
+        .to_pandas()
+        .sort_values(["purchase_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
