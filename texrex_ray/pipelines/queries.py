@@ -13783,3 +13783,240 @@ def q218_position_attribution(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Sort-layout pruning ROI (q219)
+# --------------------------------------------------------------------------
+
+LAYOUT_FRAG = 64
+LAYOUT_PROBES = (64, 128, 256, 384, 512, 640, 768, 896, 1024, 1280, 1536)
+
+_LAYOUT_SQL = f"""
+WITH nat AS (SELECT doc_id // {LAYOUT_FRAG} AS f, MIN(n_chars) AS mn,
+                    MAX(n_chars) AS mx
+             FROM documents GROUP BY 1),
+srt AS (SELECT f, MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        FROM (SELECT (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                  // {LAYOUT_FRAG} AS f, n_chars
+              FROM documents) GROUP BY 1),
+probes AS (SELECT unnest({list(LAYOUT_PROBES)}) AS probe)
+SELECT CAST(probe AS BIGINT) AS probe,
+       CAST((SELECT COUNT(*) FROM nat
+             WHERE nat.mn <= probe AND probe <= nat.mx) AS BIGINT)
+           AS frags_natural,
+       CAST((SELECT COUNT(*) FROM srt
+             WHERE srt.mn <= probe AND probe <= srt.mx) AS BIGINT)
+           AS frags_sorted
+FROM probes ORDER BY probe
+"""
+
+
+@query("q219_layout_roi", sql=_LAYOUT_SQL)
+def q219_layout_roi(sf_dir: str):
+    """Zone-map pruning ROI of re-sorting the corpus by n_chars: for a
+    fixed probe set, fragments a point lookup must scan under the
+    NATURAL (doc_id) layout vs the SORTED layout — the number that
+    justifies (or kills) a q78/q146-style rewrite before paying its
+    write amplification.  Scale insight the implementation exploits:
+    the sorted layout's zone maps are a PURE FUNCTION of the value
+    histogram (fragment f spans the values at global ranks
+    [f*K, f*K+K-1], read off cumulative counts) — so the sorted-side
+    audit needs only the q46-shape histogram exchange, never a global
+    sort.  The natural side is one fragment-keyed min/max groupby.
+    doc_id density (0..N-1) is asserted, making doc_id//K the exact
+    natural-layout fragment id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n_docs = ds.count()
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "f": pc.divide(t["doc_id"], pa.scalar(LAYOUT_FRAG, pa.int64())),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    nat = (
+        ds.map_batches(nat_partial, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Min("n_chars", alias_name="mn"),
+                   Max("n_chars", alias_name="mx"))
+        .to_pandas()
+    )
+    assert int(nat["f"].max()) == (n_docs - 1) // LAYOUT_FRAG, (
+        "doc_id not dense; natural fragment ids need a rank pass"
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_chars").aggregate([([], "count_all")])
+        return pa.table(
+            {"v": g["n_chars"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    ccol = "sum(c)" if "sum(c)" in hist.columns else "c"
+    vals = hist["v"].to_numpy(dtype=np.int64)
+    cum = hist[ccol].to_numpy(dtype=np.int64).cumsum()
+    n_frag = (n_docs + LAYOUT_FRAG - 1) // LAYOUT_FRAG
+    lo_rank = np.arange(n_frag, dtype=np.int64) * LAYOUT_FRAG
+    hi_rank = np.minimum(lo_rank + LAYOUT_FRAG - 1, n_docs - 1)
+    srt_mn = vals[np.searchsorted(cum, lo_rank, side="right")]
+    srt_mx = vals[np.searchsorted(cum, hi_rank, side="right")]
+
+    rows = []
+    for p in LAYOUT_PROBES:
+        fn = int(((nat["mn"] <= p) & (p <= nat["mx"])).sum())
+        fs = int(((srt_mn <= p) & (p <= srt_mx)).sum())
+        rows.append((p, fn, fs))
+    return pd.DataFrame(
+        rows, columns=["probe", "frags_natural", "frags_sorted"]
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Image exposure audit (q220)
+# --------------------------------------------------------------------------
+
+@query(
+    "q220_exposure_audit",
+    sql="SELECT image_id, p05, p50, p95, n_dark, n_bright FROM read_parquet("
+    f"'{_GRAPH_FIXDIR}/oracle/exposure_audit_n300_s42.parquet') "
+    "ORDER BY image_id",
+)
+def q220_exposure_audit(sf_dir: str):
+    """Exposure QC over the image payload table: per-image integer luma
+    quantiles (p05/p50/p95) + clipped-pixel counts — the black-frame /
+    blown-highlight reject gate a vision-training pipeline runs before
+    spending decode+embed compute downstream.  Actor-pool stage
+    (stages/images.py::ExposureAudit): decode in the task, one
+    vectorized bincount per image, 6 int64 columns out — pixels never
+    shuffle.  Fixture twin: pure-Python per-pixel counting loop
+    (tools/gen_oracle_fixtures.py::gen_exposure_audit)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import ExposureAudit
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes"])
+    out = (
+        ds.map_batches(
+            ExposureAudit, concurrency=2, batch_size=32,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "image_id":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Grouped Pearson correlation, integer-exact (q221)
+# --------------------------------------------------------------------------
+
+# r_ppm = sign(cov) * isqrt(r2_ppm * PPM) with
+# r2_ppm = cov^2 * PPM // (varx * vary); cov = n*Sxy - Sx*Sy etc.
+# Double-floor convention shared by both engines; HUGEINT covers the
+# cov^2*PPM product through sf0.1 (the Ray side uses unbounded ints).
+_PEARSON_SQL = """
+WITH m AS (SELECT lang,
+                  CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(SUM(n_chars) AS HUGEINT) AS sx,
+                  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+')))
+                       AS HUGEINT) AS sy,
+                  CAST(SUM(n_chars * n_chars) AS HUGEINT) AS sxx,
+                  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS BIGINT) * len(regexp_extract_all(lower(text),
+                       '[a-z]+'))) AS HUGEINT) AS syy,
+                  CAST(SUM(n_chars * len(regexp_extract_all(lower(text),
+                       '[a-z]+'))) AS HUGEINT) AS sxy
+           FROM documents GROUP BY 1),
+c AS (SELECT lang, n, n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary
+      FROM m),
+r AS (SELECT lang, n, cov,
+             cov * cov * 1000000 // (varx * vary) AS r2_ppm
+      FROM c),
+q AS (SELECT lang, n, cov, r2_ppm, r2_ppm * 1000000 AS x,
+             CAST(floor(sqrt(CAST(r2_ppm * 1000000 AS DOUBLE))) AS HUGEINT)
+                 AS s0
+      FROM r)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+            * (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                    WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END) AS BIGINT)
+           AS pearson_ppm
+FROM q ORDER BY lang
+"""
+
+
+@query("q221_grouped_pearson", sql=_PEARSON_SQL)
+def q221_grouped_pearson(sf_dir: str):
+    """Pearson correlation of (n_chars, token count) per language as an
+    exact integer: r_ppm = sign(cov) * isqrt(cov^2*PPM//(varx*vary)*PPM)
+    over the five integer moment sums — the correlation audit every
+    feature pipeline wants, computed without libm so both engines agree
+    to the last ppm (float corr differs in the last ulps across
+    summation orders).  Scale: the corpus folds to per-(batch, lang)
+    moment partials (q49's shape), the finish is domain-sized; Python
+    ints carry the cov^2 product unbounded (SQL mirrors in HUGEINT,
+    verified through sf0.1 magnitudes)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.array(
+            [len(_TOKEN_RE.findall((s or "").lower()))
+             for s in t["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in m.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        r2_ppm = cov * cov * PPM // (varx * vary)
+        val = math.isqrt(r2_ppm * PPM)
+        rows.append((r["lang"], n, -val if cov < 0 else val))
+    out = pd.DataFrame(rows, columns=["lang", "n", "pearson_ppm"])
+    out["n"] = out["n"].astype("int64")
+    out["pearson_ppm"] = out["pearson_ppm"].astype("int64")
+    return out

@@ -170,3 +170,52 @@ class ImagePatcher:
                 "n_px": pa.array(npx, pa.int64()),
             }
         )
+
+
+class ExposureAudit:
+    """Actor-pool exposure QC: per image, integer luma quantiles
+    (p05/p50/p95 at sorted index floor(q*(n-1))) plus clipped-pixel
+    counts (luma <= 2 dark, >= 253 bright) — the reject-before-train
+    check for black frames / blown highlights.  Luma is the integer
+    BT.601 surrogate (299r + 587g + 114b) // 1000; quantiles come from
+    a 256-bin bincount, so per-image work is one vectorized pass."""
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self._decode = decode_image
+
+    @staticmethod
+    def _quantile_from_counts(counts: np.ndarray, n: int, q: float) -> int:
+        idx = int(q * (n - 1))
+        cum = np.cumsum(counts)
+        return int(np.searchsorted(cum, idx, side="right"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, p05, p50, p95, dark, bright = [], [], [], [], [], []
+        for iid, raw in zip(
+            batch["image_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            px = self._decode(raw).astype(np.int64)
+            luma = (
+                299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+            ) // 1000
+            flat = luma.ravel()
+            counts = np.bincount(flat, minlength=256)
+            n = flat.size
+            ids.append(iid)
+            p05.append(self._quantile_from_counts(counts, n, 0.05))
+            p50.append(self._quantile_from_counts(counts, n, 0.50))
+            p95.append(self._quantile_from_counts(counts, n, 0.95))
+            dark.append(int(counts[:3].sum()))
+            bright.append(int(counts[253:].sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "p05": pa.array(p05, pa.int64()),
+                "p50": pa.array(p50, pa.int64()),
+                "p95": pa.array(p95, pa.int64()),
+                "n_dark": pa.array(dark, pa.int64()),
+                "n_bright": pa.array(bright, pa.int64()),
+            }
+        )

@@ -1184,6 +1184,48 @@ def gen_eccentricity() -> None:
 
 
 
+def gen_exposure_audit() -> None:
+    """Per-image luma quantiles + clip counts via a pure-Python counting
+    loop — independent of the distributed ExposureAudit's bincount."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["image_id", "bytes"])
+    rows = []
+    for iid, raw in zip(imgs["image_id"].to_pylist(),
+                        imgs["bytes"].to_pylist()):
+        px = decode_image(raw)
+        counts = [0] * 256
+        n = 0
+        for row in px.tolist():
+            for r, g, b in row:
+                counts[(299 * r + 587 * g + 114 * b) // 1000] += 1
+                n += 1
+
+        def quant(q):
+            idx = int(q * (n - 1))
+            c = 0
+            for v in range(256):
+                c += counts[v]
+                if c > idx:
+                    return v
+            return 255
+
+        rows.append((iid, quant(0.05), quant(0.50), quant(0.95),
+                     sum(counts[:3]), sum(counts[253:])))
+    df = pd.DataFrame(rows, columns=["image_id", "p05", "p50", "p95",
+                                     "n_dark", "n_bright"])
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    for c in df.columns[1:]:
+        t = t.set_column(t.schema.get_field_index(c), c, t[c].cast(pa.int64()))
+    pq.write_table(t, os.path.join(OUT, "exposure_audit_n300_s42.parquet"))
+    print("exposure_audit_n300_s42.parquet:", t.num_rows, "rows")
+
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1218,6 +1260,7 @@ def main() -> None:
     gen_harmonic_closeness()
     gen_image_patches()
     gen_eccentricity()
+    gen_exposure_audit()
 
 
 if __name__ == "__main__":
