@@ -321,3 +321,116 @@ def eccentricity_sequential_twin(edges: pd.DataFrame) -> pd.DataFrame:
         ds = [d for v, d in dist.items() if v != s]
         rows.append((s, max(ds) if ds else 0, len(ds)))
     return pd.DataFrame(rows, columns=["node", "ecc", "n_reached"])
+
+
+def edge_stress(edges: pd.DataFrame) -> pd.DataFrame:
+    """Distributed edge stress: number of shortest s->t paths crossing
+    each edge, summed over all ordered pairs — the bridge-EDGE ranking
+    (cut candidates) that complements node stress.  Per source, a DAG
+    edge (u, w) carries sigma_su * (1 + g(w)); contributions accumulate
+    per CSR position (parallel edges keep separate positions and are
+    summed at the end), fanned out and folded exactly like
+    stress_centrality."""
+    nodes, indptr, indices = build_csr(edges)
+    n = len(nodes)
+    ref = ray.put((indptr, indices))
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ip, ix = ray.get(ref)
+        acc = np.zeros(len(ix), dtype=np.int64)
+        for s in t["id"].to_numpy():
+            dist, sigma, levels = _bfs_sigma(ip, ix, n, int(s))
+            g = np.zeros(n, dtype=np.int64)
+            for frontier in reversed(levels):
+                starts = ip[frontier]
+                counts = ip[frontier + 1] - starts
+                gidx = _gather_ranges(starts, counts)
+                if gidx.size == 0:
+                    continue
+                nb = ix[gidx]
+                src_rep = np.repeat(frontier, counts)
+                succ = dist[nb] == dist[src_rep] + 1
+                if succ.any():
+                    np.add.at(g, src_rep[succ], 1 + g[nb[succ]])
+                    np.add.at(
+                        acc, gidx[succ], sigma[src_rep[succ]] * (1 + g[nb[succ]])
+                    )
+        nz = np.nonzero(acc)[0]
+        return pa.table(
+            {
+                "pos": pa.array(nz, pa.int64()),
+                "stress": pa.array(acc[nz], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.range(n)
+        .map_batches(batch_fn, batch_format="pyarrow", batch_size=128)
+        .groupby("pos")
+        .sum("stress")
+        .to_pandas()
+    )
+    col = "sum(stress)" if "sum(stress)" in parts.columns else "stress"
+    acc = np.zeros(len(indices), dtype=np.int64)
+    acc[parts["pos"].to_numpy(dtype=np.int64)] = parts[col].to_numpy(
+        dtype=np.int64
+    )
+    pos_src = np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(indptr)
+    )
+    out = (
+        pd.DataFrame(
+            {
+                "src": nodes[pos_src],
+                "dst": nodes[indices],
+                "stress": acc,
+            }
+        )
+        .groupby(["src", "dst"], as_index=False)["stress"]
+        .sum()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def edge_stress_sequential_twin(edges: pd.DataFrame) -> pd.DataFrame:
+    """Edge stress via classic predecessor-list Brandes (deque BFS,
+    dict structures, reverse-order stack) — an independent
+    implementation path from the vectorized level accumulation."""
+    nodes = sorted(set(edges["src"].tolist()) | set(edges["dst"].tolist()))
+    adj: dict[str, list[str]] = {u: [] for u in nodes}
+    for u, v in zip(edges["src"], edges["dst"]):
+        adj[u].append(v)
+    acc: dict[tuple[str, str], int] = {}
+    for s in nodes:
+        dist = {s: 0}
+        sigma = {s: 1}
+        preds: dict[str, list[str]] = {}
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    preds[w] = []
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        g = {u: 0 for u in order}
+        for w in reversed(order):
+            # preds[w] holds one entry PER EDGE COPY (the BFS loop walks
+            # every parallel edge), so no extra multiplicity factor here
+            for u in preds.get(w, []):
+                acc[(u, w)] = acc.get((u, w), 0) + sigma[u] * (1 + g[w])
+                g[u] += 1 + g[w]
+    rows = [(u, w, c) for (u, w), c in acc.items()]
+    return (
+        pd.DataFrame(rows, columns=["src", "dst", "stress"])
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )

@@ -14020,3 +14020,202 @@ def q221_grouped_pearson(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["pearson_ppm"] = out["pearson_ppm"].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# CDC upsert/delete apply (warehouse MERGE semantics) (q222)
+# --------------------------------------------------------------------------
+
+_UPSERT_SQL = """
+WITH log AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+                        AS op,
+                    CAST(ROUND(value * 100) AS BIGINT) AS vc
+             FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY us DESC, event_id DESC) AS rn
+      FROM log),
+n AS (SELECT user_id,
+             CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_upserts
+      FROM log GROUP BY 1)
+SELECT r.user_id, r.vc AS value_c, n.n_upserts, r.us AS last_us
+FROM r JOIN n USING (user_id)
+WHERE r.rn = 1 AND r.op = 'U'
+ORDER BY r.user_id
+"""
+
+
+@query("q222_upsert_apply", sql=_UPSERT_SQL)
+def q222_upsert_apply(sf_dir: str):
+    """Change-data-capture MERGE apply: a keyed upsert/delete log
+    (op = D for 'error' events, else U; version = (ts, event_id))
+    collapses to final table state — last writer wins, a trailing
+    delete removes the key entirely (the Delta/Iceberg MERGE
+    semantics every warehouse sync job runs; the texrex twin is
+    recrawl overwriting a page's stored record).  ONE user-keyed
+    exchange; inside the bucket the winner is a vectorized
+    idxmax-by-version, no sort of the full log."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def apply_log(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(
+            us=us,
+            vc=np.round(df["value"].to_numpy() * 100).astype(np.int64),
+            is_del=(df["event_type"] == "error").to_numpy(),
+        )
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        last = df.groupby("user_id", sort=False).tail(1)
+        ups = (
+            df[~df["is_del"]]
+            .groupby("user_id", sort=False)
+            .size()
+            .rename("n_upserts")
+        )
+        keep = last[~last["is_del"]]
+        out = keep.merge(ups, left_on="user_id", right_index=True)
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(),
+                "value_c": out["vc"].to_numpy(),
+                "n_upserts": out["n_upserts"].to_numpy(),
+                "last_us": out["us"].to_numpy(),
+            }
+        )
+
+    out = (
+        bucketed_groupby(ds, "user_id", apply_log, expected_rows=ds.count())
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Edge stress: bridge-edge ranking (q223)
+# --------------------------------------------------------------------------
+
+@query(
+    "q223_edge_stress",
+    sql="SELECT src, dst, stress FROM read_parquet("
+    f"'{_GRAPH_FIXDIR}/oracle/edge_stress_sf0.01.parquet') "
+    "ORDER BY src, dst",
+)
+def q223_edge_stress(sf_dir: str):
+    """Edge stress — shortest-path traffic PER LINK (the bridge-edge /
+    cut-candidate ranking that complements q207's node stress: a high-
+    stress edge between low-stress endpoints is a structural bottleneck
+    the crawl scheduler should not starve).  Each source adds
+    sigma_su * (1 + g(w)) to DAG edge (u, w) during the same reverse
+    level sweep as node stress; contributions accumulate per CSR
+    position and fold in ONE position-keyed groupby.  Fixture twin:
+    classic predecessor-list Brandes (independent implementation
+    path)."""
+    from texrex_ray.ops.centrality import edge_stress
+
+    edges = ray.data.read_parquet(
+        f"{_GRAPH_FIXDIR}/oracle/pagerank_edges.parquet"
+    ).to_pandas()
+    out = edge_stress(edges)
+    out = out[out["stress"] > 0].reset_index(drop=True)
+    out["stress"] = out["stress"].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Delta-encoding bit-width audit (q224)
+# --------------------------------------------------------------------------
+
+_DELTA_SQL = f"""
+WITH f AS (SELECT event_id // {ENC_FRAG} AS frag_id, epoch_us(ts) AS us,
+                  event_id
+           FROM events),
+d AS (SELECT frag_id,
+             us - lag(us) OVER (PARTITION BY frag_id
+                                ORDER BY us, event_id) AS delta
+      FROM f),
+b AS (SELECT frag_id,
+             CASE WHEN delta = 0 THEN 0
+                  ELSE length(printf('%b', delta)) END AS bits
+      FROM d WHERE delta IS NOT NULL)
+SELECT frag_id, CAST(COUNT(*) AS BIGINT) AS n_deltas,
+       CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       CAST(MAX(bits) AS BIGINT) AS max_bits,
+       CAST((SUM(bits) + 7) // 8 AS BIGINT) AS packed_bytes
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q224_delta_bits", sql=_DELTA_SQL)
+def q224_delta_bits(sf_dir: str):
+    """Delta-encoding bit-width audit of the timestamp column: per
+    fragment (q206's row ranges), the bit widths of successive-ts
+    deltas under the fragment's (ts, event_id) sort — sum/max bits and
+    the tight-packed byte size, i.e. what delta encoding would pay vs
+    8 bytes/raw value.  The companion to q206's RLE audit for the
+    NUMERIC columns; together they price a layout rewrite.  One
+    fragment-keyed exchange; widths via vectorized log2-free
+    bit_length (int64 deltas are exact, printf('%b') on the SQL
+    side)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def add_frag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "frag_id",
+            pc.divide(t["event_id"], pa.scalar(ENC_FRAG, pa.int64())),
+        )
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(us=us).sort_values(
+            ["frag_id", "us", "event_id"], kind="mergesort"
+        )
+        outs = []
+        for fid, sub in df.groupby("frag_id", sort=False):
+            u = sub["us"].to_numpy()
+            if len(u) < 2:
+                continue
+            delta = np.diff(u)
+            # bit_length: 0 for zero deltas, else floor(log2)+1 — exact
+            # via the binary string length of Python ints (no float log)
+            bits = np.array(
+                [0 if d == 0 else int(d).bit_length() for d in delta],
+                dtype=np.int64,
+            )
+            outs.append(
+                (
+                    int(fid),
+                    len(bits),
+                    int(bits.sum()),
+                    int(bits.max()),
+                    (int(bits.sum()) + 7) // 8,
+                )
+            )
+        return pd.DataFrame(
+            outs,
+            columns=["frag_id", "n_deltas", "sum_bits", "max_bits",
+                     "packed_bytes"],
+        )
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(add_frag, batch_format="pyarrow"),
+            "frag_id",
+            stats,
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .sort_values("frag_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -1226,6 +1226,25 @@ def gen_exposure_audit() -> None:
 
 
 
+def gen_edge_stress() -> None:
+    """Edge stress of the crawl link graph via predecessor-list Brandes
+    (ops/centrality.py::edge_stress_sequential_twin)."""
+    import pandas as pd
+    from texrex_ray.ops.centrality import edge_stress_sequential_twin
+
+    edges = pd.read_parquet(os.path.join(OUT, "pagerank_edges.parquet"))
+    out = edge_stress_sequential_twin(edges)
+    t = pa.table({
+        "src": pa.array(out["src"].tolist(), pa.string()),
+        "dst": pa.array(out["dst"].tolist(), pa.string()),
+        "stress": pa.array(out["stress"].to_numpy(), pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "edge_stress_sf0.01.parquet"))
+    print("edge_stress_sf0.01.parquet:", t.num_rows, "rows, max",
+          int(out["stress"].max()))
+
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1261,6 +1280,7 @@ def main() -> None:
     gen_image_patches()
     gen_eccentricity()
     gen_exposure_audit()
+    gen_edge_stress()
 
 
 if __name__ == "__main__":
