@@ -14219,3 +14219,267 @@ def q224_delta_bits(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Heaps-law vocabulary growth per source (q225)
+# --------------------------------------------------------------------------
+
+VOCAB_WINDOW = 20  # docs per growth window
+
+_HEAPS_SQL = f"""
+WITH d AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                      AS r
+           FROM documents),
+tok AS (SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+        FROM documents),
+ft AS (SELECT source, tk, MIN(doc_id) AS fdoc FROM tok GROUP BY 1, 2),
+fw AS (SELECT ft.source, d.r // {VOCAB_WINDOW} AS w,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM ft JOIN d ON d.doc_id = ft.fdoc AND d.source = ft.source
+       GROUP BY 1, 2),
+nd AS (SELECT source, r // {VOCAB_WINDOW} AS w,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM d GROUP BY 1, 2)
+SELECT nd.source, CAST(nd.w AS BIGINT) AS window_idx, nd.n_docs,
+       COALESCE(fw.c, 0) AS n_new_types,
+       CAST(SUM(COALESCE(fw.c, 0)) OVER (PARTITION BY nd.source ORDER BY nd.w
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+FROM nd LEFT JOIN fw ON fw.source = nd.source AND fw.w = nd.w
+ORDER BY 1, 2
+"""
+
+
+@query("q225_vocab_growth", sql=_HEAPS_SQL)
+def q225_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth per source: new word types per
+    window of {VOCAB_WINDOW} docs (doc_id order) and the cumulative
+    vocabulary — the saturation curve that separates generative
+    sources from template mills (a flat curve on a high-volume source
+    is a duplication alarm, the corpus-level cousin of q122's per-doc
+    novelty).  Plan: per-doc DISTINCT (source, token, doc_id) partials
+    → ONE (source, token)-keyed exchange takes min doc_id → the finish
+    joins first-occurrence counts to windows on a DOCS-SIZED frame
+    (ranks from a source-keyed exchange; at 10^9 docs that join rides
+    the q138 co-partitioned layout instead of the driver)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        srcs, docs, toks = [], [], []
+        for did, src, txt in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["text"].to_pylist(),
+        ):
+            for tk in set(_TOKEN_RE.findall((txt or "").lower())):
+                srcs.append(src)
+                docs.append(did)
+                toks.append(tk)
+        return pa.table(
+            {
+                "source": pa.array(srcs),
+                "tk": pa.array(toks),
+                "doc_id": pa.array(docs, pa.int64()),
+            }
+        )
+
+    def first_occ(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "tk"], sort=False)["doc_id"]
+            .min()
+            .reset_index(name="fdoc")
+        )
+        return g.groupby(["source", "fdoc"], sort=False).size().reset_index(
+            name="c"
+        )
+
+    # (source, first-doc) new-type counts: docs-sized result
+    fo = (
+        bucketed_groupby(
+            ds.map_batches(tok_partial, batch_format="pyarrow"),
+            ["source", "tk"],
+            first_occ,
+            expected_rows=ds.count() * 64,
+        )
+        .to_pandas()
+        .groupby(["source", "fdoc"], as_index=False)["c"]
+        .sum()
+    )
+    docs = (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    docs["r"] = docs.groupby("source").cumcount()
+    docs["w"] = docs["r"] // VOCAB_WINDOW
+    m = docs.merge(
+        fo, left_on=["source", "doc_id"], right_on=["source", "fdoc"],
+        how="left",
+    )
+    m["c"] = m["c"].fillna(0).astype(np.int64)
+    out = (
+        m.groupby(["source", "w"], as_index=False)
+        .agg(n_docs=("doc_id", "size"), n_new_types=("c", "sum"))
+        .rename(columns={"w": "window_idx"})
+        .sort_values(["source", "window_idx"])
+        .reset_index(drop=True)
+    )
+    out["cum_types"] = out.groupby("source")["n_new_types"].cumsum()
+    for c in ("window_idx", "n_docs", "n_new_types", "cum_types"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# l-diversity privacy audit (q226)
+# --------------------------------------------------------------------------
+
+LDIV_BAND = 128
+LDIV_L = 3
+
+_LDIV_SQL = f"""
+SELECT lang, CAST(n_chars // {LDIV_BAND} AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(CASE WHEN COUNT(DISTINCT source) >= {LDIV_L} THEN 1 ELSE 0 END
+            AS BIGINT) AS diverse
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q226_l_diversity", sql=_LDIV_SQL)
+def q226_l_diversity(sf_dir: str):
+    """l-diversity audit over the q176 quasi-identifier groups (lang x
+    length band): distinct sensitive values (source) per group and the
+    l >= {LDIV_L} flag — k-anonymity's necessary companion (a group of
+    50 rows all from ONE source still leaks membership; Machanavajjhala
+    et al. 2007).  One group-keyed exchange; distinct counting happens
+    inside the bucket on group-sized frames."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars", "source"])
+
+    def add_band(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "band", pc.divide(t["n_chars"], pa.scalar(LDIV_BAND, pa.int64()))
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["lang", "band"], sort=False)
+            .agg(n_rows=("source", "size"), n_sources=("source", "nunique"))
+            .reset_index()
+        )
+        g["diverse"] = (g["n_sources"] >= LDIV_L).astype(np.int64)
+        return g
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(add_band, batch_format="pyarrow"),
+            ["lang", "band"],
+            combine,
+            expected_rows=ds.count(),
+        )
+        .to_pandas()
+        .sort_values(["lang", "band"])
+        .reset_index(drop=True)
+    )
+    for c in ("band", "n_rows", "n_sources", "diverse"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Cross-source boilerplate n-gram discovery (q227)
+# --------------------------------------------------------------------------
+
+BOILER_GRAM = 4
+BOILER_MIN_SOURCES = 3
+BOILER_TOPK = 50
+
+_XBOILER_SQL = f"""
+WITH toks AS (SELECT doc_id, source,
+                     regexp_extract_all(lower(text), '[a-z]+') t
+              FROM documents),
+grams AS (SELECT DISTINCT doc_id, source,
+                 array_to_string(t[i:i+{BOILER_GRAM - 1}], ' ') g
+          FROM toks, unnest(range(1, len(t) - {BOILER_GRAM - 2})) AS u(i)),
+agg AS (SELECT g, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM grams GROUP BY 1)
+SELECT g AS gram, n_sources, n_docs
+FROM agg WHERE n_sources >= {BOILER_MIN_SOURCES}
+ORDER BY n_sources DESC, n_docs DESC, gram LIMIT {BOILER_TOPK}
+"""
+
+
+@query("q227_boilerplate_ngrams", sql=_XBOILER_SQL)
+def q227_boilerplate_ngrams(sf_dir: str):
+    """Corpus-level boilerplate discovery: {BOILER_GRAM}-grams that
+    recur across >= {BOILER_MIN_SOURCES} distinct sources, ranked by
+    coverage — the data-driven way to SEED a blocklist (q141) or a
+    removal pass: phrases shared by unrelated sources are navigation /
+    legal / template text, the cross-document complement of the
+    per-div Deboilerplater.  Plan: per-doc DISTINCT gram explode →
+    ONE gram-keyed exchange counting distinct (source, doc) inside the
+    bucket → threshold + result-sized top-k.  Same exchange shape as
+    q122/q87 (hash-the-key swap documented there applies here
+    verbatim)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        gs, srcs, docs = [], [], []
+        for did, src, txt in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["text"].to_pylist(),
+        ):
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            seen = set()
+            for i in range(len(toks) - BOILER_GRAM + 1):
+                g = " ".join(toks[i:i + BOILER_GRAM])
+                if g not in seen:
+                    seen.add(g)
+                    gs.append(g)
+                    srcs.append(src)
+                    docs.append(did)
+        return pa.table(
+            {
+                "g": pa.array(gs),
+                "source": pa.array(srcs),
+                "doc_id": pa.array(docs, pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("g", sort=False)
+            .agg(n_sources=("source", "nunique"), n_docs=("doc_id", "nunique"))
+            .reset_index()
+        )
+        return g[g["n_sources"] >= BOILER_MIN_SOURCES]
+
+    cand = bucketed_groupby(
+        ds.map_batches(gram_partial, batch_format="pyarrow"),
+        "g",
+        combine,
+        expected_rows=ds.count() * 256,
+    ).to_pandas()
+    if cand.empty:
+        cand = pd.DataFrame(columns=["g", "n_sources", "n_docs"])
+    out = (
+        cand.sort_values(
+            ["n_sources", "n_docs", "g"], ascending=[False, False, True]
+        )
+        .head(BOILER_TOPK)
+        .rename(columns={"g": "gram"})
+        .reset_index(drop=True)
+    )
+    out["n_sources"] = out["n_sources"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["gram", "n_sources", "n_docs"]]
