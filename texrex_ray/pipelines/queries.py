@@ -14483,3 +14483,197 @@ def q227_boilerplate_ngrams(sf_dir: str):
     out["n_sources"] = out["n_sources"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
     return out[["gram", "n_sources", "n_docs"]]
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility audit (q228)
+# --------------------------------------------------------------------------
+
+_FERT_SQL = """
+WITH e AS (SELECT doc_id, n_words, n_subwords FROM read_parquet(
+               '/root/repo/tests/fixtures/oracle/bpe_encode_sf0.01.parquet')),
+j AS (SELECT d.lang, e.n_words, e.n_subwords
+      FROM e JOIN documents d USING (doc_id))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+       CAST(SUM(n_subwords) * 1000000 // SUM(n_words) AS BIGINT)
+           AS fertility_ppm
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q228_tokenizer_fertility", sql=_FERT_SQL)
+def q228_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility per language: subwords-per-word (PPM) under
+    the q120-trained BPE — THE fairness number for a multilingual
+    tokenizer (a language with 2x fertility pays 2x context and 2x
+    compute per sentence; budget models like q101's packing consume
+    these totals).  Ray side re-trains + re-encodes distributedly
+    (q120/q131 machinery, zero-shuffle encode); the oracle derives the
+    same totals in SQL from the committed INDEPENDENT sequential-
+    encoder fixture joined to document langs."""
+    from texrex_ray.functions.bpe import bpe_encode, bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_df = bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=12)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    enc = bpe_encode(docs, merges).to_pandas()
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    j = enc.merge(langs, on="doc_id")
+    out = (
+        j.groupby("lang", as_index=False)
+        .agg(n_docs=("doc_id", "size"), n_words=("n_words", "sum"),
+             n_subwords=("n_subwords", "sum"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["fertility_ppm"] = [
+        int(s) * PPM // int(w) for s, w in zip(out["n_subwords"], out["n_words"])
+    ]
+    for c in ("n_docs", "n_words", "n_subwords", "fertility_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Payload storage audit: bytes per pixel by format (q229)
+# --------------------------------------------------------------------------
+
+_IMGDIR = "/tmp/texrex_ray_fixtures/images_n300_s42"
+
+_BPP_SQL = f"""
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(octet_length(bytes)) AS BIGINT) AS sum_bytes,
+       CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_px,
+       CAST(SUM(octet_length(bytes)) * 1000
+            // SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS bytes_per_kpx,
+       CAST(SUM(octet_length(bytes)) * 1000000
+            // SUM(CAST(w AS BIGINT) * h * 3 + 12) AS BIGINT)
+           AS vs_raw_ppm
+FROM read_parquet('{_IMGDIR}/images.parquet') GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q229_payload_storage", sql=_BPP_SQL)
+def q229_payload_storage(sf_dir: str):
+    """Payload storage audit over the image table: bytes per kilopixel
+    and container-vs-raw ratio per format — the table that decides
+    re-encode policy (which fmt is paying its rent) and sizes the
+    object-store budget per shard before a harvest run.  Metadata-only
+    columns plus octet_length(bytes): the blobs are READ but never
+    shuffled; partials are fmt-keyed sums."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["fmt", "bytes", "w", "h"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        blen = pc.binary_length(t["bytes"]).cast(pa.int64())
+        w = t["w"].cast(pa.int64())
+        h = t["h"].cast(pa.int64())
+        px = pc.multiply(w, h)
+        df = pd.DataFrame(
+            {
+                "fmt": t["fmt"].to_pylist(),
+                "n_images": 1,
+                "sum_bytes": blen.to_numpy(),
+                "sum_px": px.to_numpy(),
+                "sum_raw": (px.to_numpy() * 3 + 12),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("fmt", as_index=False).sum(), preserve_index=False
+        )
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n_images", "sum_bytes", "sum_px", "sum_raw")])
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    m["bytes_per_kpx"] = [
+        int(b) * 1000 // int(p) for b, p in zip(m["sum_bytes"], m["sum_px"])
+    ]
+    m["vs_raw_ppm"] = [
+        int(b) * PPM // int(r) for b, r in zip(m["sum_bytes"], m["sum_raw"])
+    ]
+    out = m[["fmt", "n_images", "sum_bytes", "sum_px", "bytes_per_kpx",
+             "vs_raw_ppm"]]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Caption dirt profile (q230)
+# --------------------------------------------------------------------------
+
+DIRT_PATTERNS = {
+    "n_entity": r"&[a-z]+;",
+    "n_tag": r"<[^>]+>",
+    "n_email": r"[a-z0-9.]+@[a-z0-9.]+",
+    "n_uri": r"https?://",
+}
+
+_DIRT_SQL = f"""
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_captions,
+       CAST(SUM(CASE WHEN regexp_matches(caption, '&[a-z]+;')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_entity,
+       CAST(SUM(CASE WHEN regexp_matches(caption, '<[^>]+>')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tag,
+       CAST(SUM(CASE WHEN regexp_matches(caption, '[a-z0-9.]+@[a-z0-9.]+')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+       CAST(SUM(CASE WHEN regexp_matches(caption, 'https?://')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_uri,
+       CAST(SUM(CASE WHEN contains(caption, chr(160))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nbsp,
+       CAST(SUM(CASE WHEN contains(caption, chr(8203))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zwsp
+FROM read_parquet('{_IMGDIR}/images.parquet') GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q230_caption_dirt", sql=_DIRT_SQL)
+def q230_caption_dirt(sf_dir: str):
+    """Dirt profile of the RAW caption column before the cleaning
+    chain: per format, documents carrying HTML entities, stray tags,
+    e-mails, URIs, NBSP and ZWSP — the intake dashboard that tells the
+    q45 pipeline what work is ahead and, rerun after cleansing,
+    proves it happened (every count must drop to zero).  Vectorized
+    pandas str.contains over a streaming pass; fmt-keyed count
+    partials only."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["fmt", "caption"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap = pd.Series(t["caption"].to_pylist())
+        df = pd.DataFrame({"fmt": t["fmt"].to_pylist(), "n_captions": 1})
+        for col, pat in DIRT_PATTERNS.items():
+            df[col] = cap.str.contains(pat, regex=True).astype(np.int64)
+        df["n_nbsp"] = cap.str.contains("\u00a0", regex=False).astype(np.int64)
+        df["n_zwsp"] = cap.str.contains("\u200b", regex=False).astype(np.int64)
+        return pa.Table.from_pandas(
+            df.groupby("fmt", as_index=False).sum(), preserve_index=False
+        )
+
+    cols = ["n_captions", *DIRT_PATTERNS.keys(), "n_nbsp", "n_zwsp"]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    out = out[["fmt", *cols]]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out
