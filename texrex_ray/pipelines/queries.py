@@ -14677,3 +14677,275 @@ def q230_caption_dirt(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Water-filling fetch-budget allocation (q231)
+# --------------------------------------------------------------------------
+
+WF_BUDGET = 4000
+
+_WF_SQL = f"""
+WITH he AS (SELECT regexp_extract(dst, 'http://([^/]+)/', 1) AS host
+            FROM read_parquet('{_EDGE_FIXTURE}')),
+deg AS (SELECT host, CAST(count(*) AS BIGINT) AS demand FROM he GROUP BY 1),
+lv AS (SELECT CAST(COALESCE(MAX(l), 0) AS BIGINT) AS level FROM (
+           SELECT t.l AS l, SUM(LEAST(d.demand, t.l)) AS s
+           FROM deg d CROSS JOIN
+                (SELECT unnest(range(0, (SELECT MAX(demand) + 1 FROM deg)))
+                 AS l) t
+           GROUP BY 1) WHERE s <= {WF_BUDGET}),
+base AS (SELECT d.host, d.demand, LEAST(d.demand, lv.level) AS fl,
+                lv.level AS level FROM deg d, lv),
+r AS (SELECT CAST({WF_BUDGET} - SUM(fl) AS BIGINT) AS rem FROM base),
+ranked AS (SELECT host, demand, fl, level,
+                  CASE WHEN demand > level THEN ROW_NUMBER() OVER
+                       (PARTITION BY demand > level ORDER BY host)
+                  END AS br FROM base)
+SELECT host, demand,
+       CAST(fl + CASE WHEN br IS NOT NULL AND br <= r.rem THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked, r ORDER BY host
+"""
+
+
+@query("q231_waterfill_budget", sql=_WF_SQL)
+def q231_waterfill_budget(sf_dir: str):
+    """Max-min-fair (water-filling) allocation of a global fetch budget
+    across hosts: every host is filled to a common waterline L capped
+    by its own demand (in-link count), L chosen as the largest integer
+    with sum(min(demand, L)) <= budget, and the integer remainder goes
+    +1 each to the lexicographically-smallest unsaturated hosts — the
+    scheduler's fair-share answer to q116's proportional apportionment
+    (proportional lets one mega-host eat the budget; water-filling
+    protects the tail, exactly ClaraX's politeness intent).  Plan: the
+    demand census is the distributed part (vectorized host extraction,
+    combiner partials, ONE host-keyed exchange); the waterline solve is
+    exact integer math on the host-sized table."""
+    edges = ray.data.read_parquet(_EDGE_FIXTURE, columns=["dst"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pd.Series(t["dst"].to_pylist()).str.extract(
+            r"http://([^/]+)/", expand=False
+        )
+        g = h.value_counts().rename_axis("host").reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    deg = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("pn", alias_name="demand"))
+        .to_pandas()  # host-sized
+    )
+    d = deg["demand"].astype("int64").to_numpy()
+    hosts = deg["host"].to_numpy()
+    n = len(d)
+    tot = int(d.sum())
+    if WF_BUDGET >= tot:
+        alloc = d.copy()
+    else:
+        srt = np.sort(d)
+        pfx = np.concatenate([[0], np.cumsum(srt)])
+        level = None
+        for k in range(n):  # k smallest hosts saturated
+            lo = int(srt[k - 1]) if k else 0
+            hi = int(srt[k])
+            cand = (WF_BUDGET - int(pfx[k])) // (n - k)
+            if lo <= cand < hi:
+                level = cand
+                break
+        assert level is not None
+        fl = np.minimum(d, level)
+        rem = WF_BUDGET - int(fl.sum())
+        unsat = np.sort(hosts[d > level])
+        bonus_hosts = set(unsat[:rem])
+        alloc = fl + np.array([h in bonus_hosts for h in hosts], dtype=np.int64)
+        assert int(alloc.sum()) == WF_BUDGET  # budget exactness invariant
+    out = (
+        pd.DataFrame({"host": hosts, "demand": d, "alloc": alloc})
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    out["demand"] = out["demand"].astype("int64")
+    out["alloc"] = out["alloc"].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Host-partition modularity of the crawl link graph (q232)
+# --------------------------------------------------------------------------
+
+_MOD_SQL = f"""
+WITH e AS (SELECT regexp_extract(src, 'http://([^/]+)/', 1) AS hs,
+                  regexp_extract(dst, 'http://([^/]+)/', 1) AS hd
+           FROM read_parquet('{_EDGE_FIXTURE}')),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+outs AS (SELECT hs AS host, CAST(count(*) AS BIGINT) AS out_deg
+         FROM e GROUP BY 1),
+ins AS (SELECT hd AS host, CAST(count(*) AS BIGINT) AS in_deg
+        FROM e GROUP BY 1),
+intra AS (SELECT hs AS host, CAST(count(*) AS BIGINT) AS e_intra
+          FROM e WHERE hs = hd GROUP BY 1),
+hosts AS (SELECT DISTINCT host FROM
+          (SELECT hs AS host FROM e UNION ALL SELECT hd FROM e))
+SELECT h.host,
+       CAST(COALESCE(i2.e_intra, 0) AS BIGINT) AS e_intra,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(m.m * COALESCE(i2.e_intra, 0)
+            - COALESCE(o.out_deg, 0) * COALESCE(i.in_deg, 0) AS BIGINT)
+           AS contrib_num
+FROM hosts h CROSS JOIN m
+LEFT JOIN outs o ON o.host = h.host
+LEFT JOIN ins i ON i.host = h.host
+LEFT JOIN intra i2 ON i2.host = h.host
+ORDER BY h.host
+"""
+
+
+@query("q232_host_modularity", sql=_MOD_SQL)
+def q232_host_modularity(sf_dir: str):
+    """Directed modularity of the BY-HOST partition of the page link
+    graph: per host c, the exact integer numerator
+    ``m * e_intra(c) - out_deg(c) * in_deg(c)`` of Leicht-Newman
+    directed modularity (Q = sum_c contrib_num / m^2) — the number
+    that says whether hash-partitioning the frontier BY HOST actually
+    co-locates most link traffic (high Q: intra-host edges stay inside
+    a shard; low Q: every hop is a cross-shard message).  Emitted as
+    raw integers (no division) so the value-hash is rounding-free;
+    DuckDB's `//` truncates toward zero while Python floors, so a
+    PPM-scaled signed quotient would diverge on negative contribs.
+    Plan: one vectorized host-extraction pass emitting per-batch
+    (host, intra/out/in) count partials, ONE host-keyed exchange, exact
+    integer math on the host-sized result."""
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs = pd.Series(t["src"].to_pylist()).str.extract(
+            r"http://([^/]+)/", expand=False
+        )
+        hd = pd.Series(t["dst"].to_pylist()).str.extract(
+            r"http://([^/]+)/", expand=False
+        )
+        out_p = hs.value_counts().rename_axis("host").reset_index(name="out_pn")
+        in_p = hd.value_counts().rename_axis("host").reset_index(name="in_pn")
+        intra_p = (
+            hs[hs.eq(hd)].value_counts().rename_axis("host")
+            .reset_index(name="intra_pn")
+        )
+        g = (
+            out_p.merge(in_p, on="host", how="outer")
+            .merge(intra_p, on="host", how="outer")
+            .fillna(0)
+        )
+        for c in ("out_pn", "in_pn", "intra_pn"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("out_pn", alias_name="out_deg"),
+            Sum("in_pn", alias_name="in_deg"),
+            Sum("intra_pn", alias_name="e_intra"),
+        )
+        .to_pandas()  # host-sized
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    m = int(agg["out_deg"].sum())
+    agg["contrib_num"] = [
+        m * int(e) - int(o) * int(i)
+        for e, o, i in zip(agg["e_intra"], agg["out_deg"], agg["in_deg"])
+    ]
+    for c in ("e_intra", "out_deg", "in_deg", "contrib_num"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["host", "e_intra", "out_deg", "in_deg", "contrib_num"]]
+
+
+# --------------------------------------------------------------------------
+# Exponential-backoff compliance audit (q233)
+# --------------------------------------------------------------------------
+
+_BACKOFF_SQL = f"""
+WITH err AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+             WHERE event_type = 'error'),
+o AS (SELECT user_id, t, ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM err),
+g AS (SELECT a.user_id, a.rn, a.t - b.t AS gap
+      FROM o a JOIN o b ON a.user_id = b.user_id AND a.rn = b.rn + 1),
+p AS (SELECT a.user_id, a.gap AS gap, b.gap AS pgap
+      FROM g a JOIN g b ON a.user_id = b.user_id AND a.rn = b.rn + 1),
+n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+      FROM err GROUP BY 1)
+SELECT n.user_id, n.n_errors,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN p.gap >= 2 * p.pgap THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ok,
+       CAST(SUM(CASE WHEN p.gap >= 2 * p.pgap THEN 1 ELSE 0 END)
+            * {PPM} // count(*) AS BIGINT) AS ok_ppm
+FROM p JOIN n ON p.user_id = n.user_id
+GROUP BY n.user_id, n.n_errors
+ORDER BY n.user_id
+"""
+
+
+@query("q233_backoff_audit", sql=_BACKOFF_SQL)
+def q233_backoff_audit(sf_dir: str):
+    """Exponential-backoff compliance audit: per user, over consecutive
+    'error' events, the fraction of adjacent gap pairs where the retry
+    gap at least DOUBLED (gap_i >= 2 * gap_{i-1}) — the log-side audit
+    of the fetcher's retry discipline (ClaraX restarts its client and
+    backs off on failing hosts; a client that retries at constant
+    cadence hammers a dying host).  Plan: per-batch filter+project to
+    (user_id, event_id, ts_us) partials, ONE user-keyed bucketed
+    exchange, per-user sort + vectorized diff inside the bucket;
+    microsecond-integer gaps so the doubling test is exact."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["event_type"], pa.scalar("error"))
+        f = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": f["user_id"],
+                "event_id": f["event_id"],
+                "t": f["ts"].cast(pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, sub in df.groupby("user_id", sort=False):
+            sub = sub.sort_values(["t", "event_id"])
+            t = sub["t"].to_numpy()
+            if len(t) < 3:
+                continue
+            gaps = np.diff(t)
+            ok = int(np.sum(gaps[1:] >= 2 * gaps[:-1]))
+            n_pairs = len(gaps) - 1
+            rows.append(
+                (int(uid), len(t), n_pairs, ok, ok * PPM // n_pairs)
+            )
+        return pd.DataFrame(
+            rows, columns=["user_id", "n_errors", "n_pairs", "n_ok", "ok_ppm"]
+        )
+
+    n_ev = ev.count()
+    out = (
+        bucketed_groupby(
+            ev.map_batches(partial, batch_format="pyarrow"),
+            "user_id",
+            combine,
+            expected_rows=n_ev,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
