@@ -14949,3 +14949,279 @@ def q233_backoff_audit(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Host out-link concentration: Simpson index per source host (q234)
+# --------------------------------------------------------------------------
+
+_FANOUT_SQL = f"""
+WITH e AS (SELECT regexp_extract(src, 'http://([^/]+)/', 1) AS hs,
+                  regexp_extract(dst, 'http://([^/]+)/', 1) AS hd
+           FROM read_parquet('{_EDGE_FIXTURE}')),
+x AS (SELECT hs, hd, CAST(count(*) AS BIGINT) AS n FROM e
+      WHERE hs <> hd GROUP BY 1, 2),
+a AS (SELECT hs AS host, CAST(SUM(n) AS BIGINT) AS n_links,
+             CAST(count(*) AS BIGINT) AS n_targets,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS pair_hits
+      FROM x GROUP BY 1)
+SELECT host, n_links, n_targets,
+       CAST(pair_hits * {PPM} // (n_links * (n_links - 1)) AS BIGINT)
+           AS simpson_ppm
+FROM a WHERE n_links >= 2 ORDER BY host
+"""
+
+
+@query("q234_fanout_simpson", sql=_FANOUT_SQL)
+def q234_fanout_simpson(sf_dir: str):
+    """Out-link concentration per source host: the Simpson index
+    (probability two random external out-links point at the SAME
+    target host, PPM-scaled, integer-exact — no log, unlike entropy)
+    over the host-contracted link graph.  High Simpson = the host
+    funnels into one neighbor (link farm / mirror feeder, a q118
+    reciprocity complement); low = a genuine hub worth frontier
+    priority.  Plan: vectorized host extraction, per-batch (hs, hd)
+    count partials (combiner), ONE host-pair-sized keyed exchange,
+    per-host math on the host-sized result."""
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs = pd.Series(t["src"].to_pylist()).str.extract(
+            r"http://([^/]+)/", expand=False
+        )
+        hd = pd.Series(t["dst"].to_pylist()).str.extract(
+            r"http://([^/]+)/", expand=False
+        )
+        df = pd.DataFrame({"hs": hs, "hd": hd})
+        df = df[df["hs"] != df["hd"]]
+        g = df.groupby(["hs", "hd"], as_index=False).size().rename(
+            columns={"size": "pn"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hs", "hd"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # host-pair-sized
+    )
+    rows = []
+    for host, sub in pairs.groupby("hs"):
+        n = sub["n"].astype("int64")
+        n_links = int(n.sum())
+        if n_links < 2:
+            continue
+        pair_hits = int((n * (n - 1)).sum())
+        rows.append(
+            (
+                host,
+                n_links,
+                len(sub),
+                pair_hits * PPM // (n_links * (n_links - 1)),
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["host", "n_links", "n_targets", "simpson_ppm"]
+    ).sort_values("host").reset_index(drop=True)
+    for c in ("n_links", "n_targets", "simpson_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Aspect-ratio bucketing for image-batch packing (q235)
+# --------------------------------------------------------------------------
+
+# (ratio_w, ratio_h) ladder; PPM ratio is the bucket key (SDXL-style
+# aspect bucketing: every training batch holds one bucket so no image is
+# padded, only center-cropped to the bucket ratio)
+ASPECT_BUCKETS = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (3, 2), (2, 3)]
+
+_ASPECT_CASES = " ".join(
+    f"UNION ALL SELECT {i} AS b_idx, {rw} AS rw, {rh} AS rh"
+    for i, (rw, rh) in enumerate(ASPECT_BUCKETS)
+).removeprefix("UNION ALL ")
+
+_ASPECT_SQL = f"""
+WITH img AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+             FROM read_parquet('{_IMGDIR}/images.parquet')),
+b AS ({_ASPECT_CASES}),
+d AS (SELECT img.image_id, img.w, img.h, b.b_idx, b.rw, b.rh,
+             abs(img.w * {PPM} // img.h - b.rw * {PPM} // b.rh) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY img.image_id
+                 ORDER BY abs(img.w * {PPM} // img.h - b.rw * {PPM} // b.rh),
+                          b.b_idx) AS rn
+      FROM img CROSS JOIN b),
+pick AS (SELECT * FROM d WHERE rn = 1),
+per AS (SELECT b_idx, rw, rh, w, h,
+               CASE WHEN w * rh >= h * rw
+                    THEN h * rw * {PPM} // (rh * w)
+                    ELSE w * rh * {PPM} // (rw * h) END AS retained_ppm
+        FROM pick)
+SELECT b_idx, CAST(rw AS BIGINT) AS rw, CAST(rh AS BIGINT) AS rh,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(w * h) AS BIGINT) AS sum_px,
+       CAST(SUM(retained_ppm) AS BIGINT) AS sum_retained_ppm
+FROM per GROUP BY 1, 2, 3 ORDER BY b_idx
+"""
+
+
+@query("q235_aspect_buckets", sql=_ASPECT_SQL)
+def q235_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing plan for image training batches
+    (SDXL-style): every image joins the ladder bucket with the nearest
+    PPM aspect ratio (tie -> lowest bucket index) and pays a
+    center-crop cost; per bucket we report population, pixel mass, and
+    the summed retained-pixel fraction (PPM, integer-exact floor on
+    both engines) — the table that decides whether the ladder needs
+    more rungs before a 100-TB re-encode pass.  Plan: metadata-only
+    columns (w, h — the blobs never load), vectorized numpy bucket
+    argmin per batch, ONE bucket-keyed combine of 7 rows."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "w", "h"])
+    b_ppm = np.array(
+        [rw * PPM // rh for rw, rh in ASPECT_BUCKETS], dtype=np.int64
+    )
+    rw_a = np.array([rw for rw, _ in ASPECT_BUCKETS], dtype=np.int64)
+    rh_a = np.array([rh for _, rh in ASPECT_BUCKETS], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t["w"].cast(pa.int64()).to_numpy()
+        h = t["h"].cast(pa.int64()).to_numpy()
+        img_ppm = w * PPM // h
+        dist = np.abs(img_ppm[:, None] - b_ppm[None, :])
+        # argmin picks the lowest index on ties — matches the SQL rn
+        idx = np.argmin(dist, axis=1)
+        rw, rh = rw_a[idx], rh_a[idx]
+        wide = w * rh >= h * rw
+        retained = np.where(
+            wide, h * rw * PPM // (rh * w), w * rh * PPM // (rw * h)
+        )
+        df = pd.DataFrame(
+            {
+                "b_idx": idx.astype(np.int64),
+                "rw": rw,
+                "rh": rh,
+                "n_images": 1,
+                "sum_px": w * h,
+                "sum_retained_ppm": retained,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["b_idx", "rw", "rh"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["b_idx", "rw", "rh"])
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_px", alias_name="sum_px"),
+            Sum("sum_retained_ppm", alias_name="sum_retained_ppm"),
+        )
+        .to_pandas()
+        .sort_values("b_idx")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["b_idx", "rw", "rh", "n_images", "sum_px",
+                "sum_retained_ppm"]]
+
+
+# --------------------------------------------------------------------------
+# Politeness makespan lower bound (q236)
+# --------------------------------------------------------------------------
+
+MIN_GAP_US = 500_000  # per-host politeness gap
+N_WALKERS = 8
+FETCH_US = 40_000  # per-fetch service time on one walker
+
+_MAKESPAN_SQL = f"""
+WITH u AS (SELECT DISTINCT dst AS url,
+                  regexp_extract(dst, 'http://([^/]+)/', 1) AS host
+           FROM read_parquet('{_EDGE_FIXTURE}')),
+per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages FROM u GROUP BY 1),
+g AS (SELECT CAST(SUM(n_pages) AS BIGINT) AS n_urls,
+             CAST(count(*) AS BIGINT) AS n_hosts,
+             CAST(MAX(n_pages) AS BIGINT) AS max_host_pages
+      FROM per)
+SELECT n_urls, n_hosts, max_host_pages,
+       CAST((max_host_pages - 1) * {MIN_GAP_US} + {FETCH_US} AS BIGINT)
+           AS lb_politeness_us,
+       CAST(((n_urls + {N_WALKERS} - 1) // {N_WALKERS}) * {FETCH_US}
+            AS BIGINT) AS lb_work_us,
+       CAST(GREATEST((max_host_pages - 1) * {MIN_GAP_US} + {FETCH_US},
+                     ((n_urls + {N_WALKERS} - 1) // {N_WALKERS})
+                     * {FETCH_US}) AS BIGINT) AS makespan_lb_us
+FROM g
+"""
+
+
+@query("q236_makespan_bound", sql=_MAKESPAN_SQL)
+def q236_makespan_bound(sf_dir: str):
+    """Crawl makespan lower bound: no schedule can finish the frontier
+    faster than max(politeness bound, work bound) — the hottest host
+    serializes at one fetch per MIN_GAP_US, and N_WALKERS walkers cap
+    aggregate service throughput.  This single row is what a capacity
+    planner reads BEFORE launching: if lb_politeness dominates, adding
+    walkers is useless (q231's fairness problem); if lb_work dominates,
+    the cluster is undersized.  Plan: distinct-URL census per host
+    (ONE host-keyed exchange of URL hashes), exact integer microsecond
+    bounds on the host-sized result."""
+    edges = ray.data.read_parquet(_EDGE_FIXTURE, columns=["dst"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["dst"].to_pylist()).drop_duplicates()
+        return pa.table(
+            {
+                "url": pa.array(s.to_list()),
+                "host": pa.array(
+                    s.str.extract(r"http://([^/]+)/", expand=False).to_list()
+                ),
+            }
+        )
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates("url")
+        return (
+            u.groupby("host", as_index=False)
+            .size()
+            .rename(columns={"size": "n_pages"})
+        )
+
+    per = (
+        bucketed_groupby(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            "host",
+            combine,
+            expected_rows=edges.count(),
+        )
+        .to_pandas()  # host-sized
+        .groupby("host", as_index=False)["n_pages"].sum()
+    )
+    n_urls = int(per["n_pages"].sum())
+    mx = int(per["n_pages"].max())
+    lb_pol = (mx - 1) * MIN_GAP_US + FETCH_US
+    lb_work = ((n_urls + N_WALKERS - 1) // N_WALKERS) * FETCH_US
+    out = pd.DataFrame(
+        [
+            {
+                "n_urls": n_urls,
+                "n_hosts": len(per),
+                "max_host_pages": mx,
+                "lb_politeness_us": lb_pol,
+                "lb_work_us": lb_work,
+                "makespan_lb_us": max(lb_pol, lb_work),
+            }
+        ]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
