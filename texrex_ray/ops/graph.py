@@ -1511,3 +1511,109 @@ def triangle_counts(
     )
     out["n_triangles"] = out["n_triangles"].astype("int64")
     return out[["node", "n_triangles"]]
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected view of ``edges``: every node starts labelled with its
+    own id and, each round, adopts the most frequent label among its
+    neighbors (ties -> lexicographically smallest label) — all updates
+    computed from the PREVIOUS round's labels, so the result is
+    deterministic and layout-invariant.  Community detection for crawl
+    graphs: link farms and mirror rings collapse onto one label within
+    a few rounds.
+
+    Plan mirrors ``pagerank_int``: nodes are integer-encoded ONCE
+    (sorted, so code order == lexicographic label order and the int
+    argmin tie-break IS the string tie-break); each round broadcasts
+    the node-sized label array (``ray.put``), edge batches emit
+    (node, neighbor_label) count partials in both directions, ONE
+    (node, label)-keyed exchange sums them, and the node-sized argmax
+    runs on the result.  At page scale the label table outgrows the
+    driver — swap the broadcast for the join plan exactly as
+    ``_pagerank_shuffle`` does (same state shape, same exchange)."""
+    edges = edges.materialize()
+    degs = _degrees(edges, src, dst).to_pandas()
+    nodes = np.sort(degs["node"].to_numpy())
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        s = ix.get_indexer(pd.Series(t[src].to_pandas()))
+        d = ix.get_indexer(pd.Series(t[dst].to_pandas()))
+        return pa.table(
+            {"s": pa.array(s.astype(np.int64)), "d": pa.array(d.astype(np.int64))}
+        )
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+    n = len(nodes)
+    labels = np.arange(n, dtype=np.int64)
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(iters):
+        ref = ray.put(labels)
+
+        def partial(t: pa.Table) -> pa.Table:
+            lab = ray.get(ref)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            node = np.concatenate([d, s])
+            lbl = lab[np.concatenate([s, d])]
+            df = pd.DataFrame({"node": node, "lbl": lbl})
+            g = df.groupby(["node", "lbl"], as_index=False).size().rename(
+                columns={"size": "pn"}
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = (
+            enc.map_batches(partial, batch_format="pyarrow")
+            .groupby(["node", "lbl"])
+            .aggregate(Sum("pn", alias_name="cnt"))
+            .to_pandas()  # at most one row per (node, neighbor-label)
+        )
+        win = (
+            counts.sort_values(
+                ["node", "cnt", "lbl"], ascending=[True, False, True]
+            )
+            .drop_duplicates("node")
+            .set_index("node")["lbl"]
+        )
+        new = labels.copy()
+        new[win.index.to_numpy()] = win.to_numpy()
+        labels = new
+
+    return pd.DataFrame(
+        {"page": nodes, "label": nodes[labels]}
+    ).sort_values("page").reset_index(drop=True)
+
+
+def label_propagation_sequential(
+    edges: list[tuple[str, str]], iters: int = 4
+) -> dict[str, str]:
+    """Independent dict/Counter implementation of the SAME synchronous
+    LPA semantics (fixture twin for ``label_propagation`` — per-edge
+    Python, no Dataset machinery)."""
+    from collections import Counter, defaultdict
+
+    nbrs: dict[str, list[str]] = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(iters):
+        new = {}
+        for v, ns in nbrs.items():
+            c = Counter(labels[u] for u in ns)
+            # tie-break: highest count, then lexicographically smallest
+            top = max(c.values())
+            new[v] = min(k for k, cnt in c.items() if cnt == top)
+        labels = new
+    return labels

@@ -15225,3 +15225,180 @@ def q236_makespan_bound(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Caption truncation-loss audit (q237)
+# --------------------------------------------------------------------------
+
+TRUNC_LIMIT = 12  # tokens kept by the text encoder (CLIP-style hard cut)
+
+_TRUNC_SQL = f"""
+WITH c AS (SELECT fmt,
+                  len(regexp_extract_all(lower(caption), '[a-z0-9]+'))
+                      AS n_tok
+           FROM read_parquet('{_IMGDIR}/images.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_captions,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n_tok > {TRUNC_LIMIT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated,
+       CAST(SUM(GREATEST(n_tok - {TRUNC_LIMIT}, 0)) AS BIGINT)
+           AS lost_tokens,
+       CAST(SUM(GREATEST(n_tok - {TRUNC_LIMIT}, 0)) * {PPM} // SUM(n_tok)
+            AS BIGINT) AS lost_ppm
+FROM c GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q237_caption_truncation", sql=_TRUNC_SQL)
+def q237_caption_truncation(sf_dir: str):
+    """Caption truncation-loss audit: a CLIP-style text encoder hard-
+    cuts captions at TRUNC_LIMIT tokens, so every token past the limit
+    is paid for in storage and shuffle but never trains — per format,
+    the captions over the limit and the PPM of total token mass lost.
+    This is the number that justifies (or kills) a caption-rewrite
+    pass before a 100-TB re-encode.  Plan: vectorized regex token
+    count per batch (blobs never load — caption + fmt columns only),
+    fmt-keyed count partials, one 5-row combine."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["fmt", "caption"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = np.array(
+            [
+                len(_CAPTOK_RE.findall((c or "").lower()))
+                for c in t["caption"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        lost = np.maximum(n_tok - TRUNC_LIMIT, 0)
+        df = pd.DataFrame(
+            {
+                "fmt": t["fmt"].to_pylist(),
+                "n_captions": 1,
+                "n_tokens": n_tok,
+                "n_truncated": (n_tok > TRUNC_LIMIT).astype(np.int64),
+                "lost_tokens": lost,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("fmt", as_index=False).sum(), preserve_index=False
+        )
+
+    cols = ["n_captions", "n_tokens", "n_truncated", "lost_tokens"]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    out["lost_ppm"] = [
+        int(l) * PPM // int(n) for l, n in zip(out["lost_tokens"], out["n_tokens"])
+    ]
+    for c in (*cols, "lost_ppm"):
+        out[c] = out[c].astype("int64")
+    return out[["fmt", *cols, "lost_ppm"]]
+
+
+_CAPTOK_RE = re.compile(r"[a-z0-9]+")
+
+
+# --------------------------------------------------------------------------
+# Deterministic K-fold assignment balance audit (q238)
+# --------------------------------------------------------------------------
+
+N_FOLDS = 5
+
+_FOLD_SQL = f"""
+WITH f AS (SELECT lang,
+                  md5_number_lower(CAST(doc_id AS VARCHAR)) % {N_FOLDS}
+                      AS fold
+           FROM documents),
+c AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs FROM f
+      GROUP BY 1, 2)
+SELECT CAST(fold AS BIGINT) AS fold, lang, n_docs,
+       CAST({N_FOLDS} * n_docs - SUM(n_docs) OVER (PARTITION BY lang)
+            AS BIGINT) AS dev_num
+FROM c ORDER BY fold, lang
+"""
+
+
+@query("q238_fold_balance", sql=_FOLD_SQL)
+def q238_fold_balance(sf_dir: str):
+    """Deterministic K-fold assignment + stratification audit: every
+    document's fold is a pure content-stable function of its id (md5
+    mod K — the q47 membership function, so folds survive
+    repartitioning, appends, and engine swaps), and per (fold, lang)
+    we emit the exact integer deviation numerator
+    ``K * n_docs(fold, lang) - n_docs(lang)`` (zero == perfectly
+    stratified; the full chi-square needs only this table).  An eval
+    harness reads this BEFORE trusting per-fold metrics on a skewed
+    corpus.  Plan: per-batch md5 fold hash (per-row digest, ~50 ns)
+    + (fold, lang) count partials, ONE K*langs-sized combine."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        folds = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[8:], "little"
+                ) % N_FOLDS
+                for i in t["doc_id"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        df = pd.DataFrame(
+            {"fold": folds, "lang": t["lang"].to_pylist(), "n_docs": 1}
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["fold", "lang"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["fold", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()  # K x langs rows
+    )
+    lang_tot = out.groupby("lang")["n_docs"].transform("sum")
+    out["dev_num"] = N_FOLDS * out["n_docs"] - lang_tot
+    out = out.sort_values(["fold", "lang"]).reset_index(drop=True)
+    for c in ("fold", "n_docs", "dev_num"):
+        out[c] = out[c].astype("int64")
+    return out[["fold", "lang", "n_docs", "dev_num"]]
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities over the crawl link graph (q239)
+# --------------------------------------------------------------------------
+
+@query(
+    "q239_label_propagation",
+    sql="SELECT page, label FROM read_parquet("
+    "'/root/repo/tests/fixtures/oracle/label_prop_sf0.01.parquet') "
+    "ORDER BY page",
+)
+def q239_label_propagation(sf_dir: str):
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    4 rounds, min-label tie-break) over the crawl link graph — the
+    cheap community detector that collapses link farms and mirror
+    rings onto one label without modularity optimization (q232 then
+    SCORES the found partition).  Ray plan (`ops/graph.py::
+    label_propagation`): nodes integer-encoded once, per-round
+    broadcast of the node-sized label array, per-batch bidirectional
+    (node, neighbor-label) count partials, ONE (node,label)-keyed
+    exchange per round — the PageRank exchange shape, label-valued.
+    Oracle: committed fixture from the INDEPENDENT dict/Counter
+    sequential twin."""
+    from texrex_ray.ops.graph import label_propagation
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE)
+    return label_propagation(edges, iters=4)

@@ -1245,6 +1245,25 @@ def gen_edge_stress() -> None:
 
 
 
+def gen_label_prop() -> None:
+    """Expected q239 synchronous-LPA labels from the INDEPENDENT
+    dict/Counter twin (ops/graph.py::label_propagation_sequential)."""
+    from texrex_ray.ops.graph import label_propagation_sequential
+
+    df = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet")).to_pandas()
+    lab = label_propagation_sequential(list(zip(df["src"], df["dst"])), iters=4)
+    pages = sorted(lab)
+    t = pa.table(
+        {
+            "page": pa.array(pages, pa.string()),
+            "label": pa.array([lab[v] for v in pages], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "label_prop_sf0.01.parquet"))
+    print("label_prop_sf0.01.parquet:", t.num_rows, "rows,",
+          t["label"].to_pandas().nunique(), "communities")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1281,6 +1300,7 @@ def main() -> None:
     gen_eccentricity()
     gen_exposure_audit()
     gen_edge_stress()
+    gen_label_prop()
 
 
 if __name__ == "__main__":
