@@ -15402,3 +15402,279 @@ def q239_label_propagation(sf_dir: str):
 
     edges = ray.data.read_parquet(_EDGE_FIXTURE)
     return label_propagation(edges, iters=4)
+
+
+# --------------------------------------------------------------------------
+# Held-out OOV rate vs a train-fold vocabulary (q240)
+# --------------------------------------------------------------------------
+
+VOCAB_K = 500
+
+_OOV_SQL = f"""
+WITH f AS (SELECT doc_id, lang, text,
+                  md5_number_lower(CAST(doc_id AS VARCHAR)) % {N_FOLDS}
+                      AS fold
+           FROM documents),
+tr AS (SELECT unnest({TOKEN_SQL}) AS token FROM f WHERE fold <> 0),
+voc AS (SELECT token FROM (SELECT token, count(*) AS n FROM tr GROUP BY 1)
+        ORDER BY n DESC, token ASC LIMIT {VOCAB_K}),
+ev AS (SELECT lang, unnest({TOKEN_SQL}) AS token FROM f WHERE fold = 0)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM voc)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM voc)
+                THEN 1 ELSE 0 END) * {PPM} // count(*) AS BIGINT) AS oov_ppm
+FROM ev GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q240_oov_rate", sql=_OOV_SQL)
+def q240_oov_rate(sf_dir: str):
+    """Held-out OOV audit: build the top-{VOCAB_K} token vocabulary on
+    the q238 TRAIN folds (md5(doc_id) % K != 0 — content-stable, so
+    the split never leaks under repartitioning) and measure per-lang
+    out-of-vocabulary token mass on the held-out fold — the eval-side
+    number that says whether a fixed vocab (or a q120 BPE merge table)
+    transfers across languages or silently starves the tail ones.
+    Plan: pass 1 = combiner-style partial token counts over train
+    folds, one token-keyed exchange, result-sized top-k; pass 2 =
+    broadcast vocab set (ray.put once), vectorized isin per batch,
+    lang-sized combine.  Tie-break at the vocab boundary is
+    (count DESC, token ASC) on both engines."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def fold_of(i) -> int:
+        return int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:], "little"
+        ) % N_FOLDS
+
+    def train_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter[str] = Counter()
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if fold_of(i) != 0:
+                c.update(_TOKEN_RE.findall((txt or "").lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "pn": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    tok = (
+        ds.map_batches(train_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    vocab = set(
+        tok.sort_values(["n", "token"], ascending=[False, True])
+        .head(VOCAB_K)["token"]
+    )
+    voc_ref = ray.put(vocab)
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        v = ray.get(voc_ref)
+        langs, n_tok, n_oov = [], [], []
+        for i, lang, txt in zip(
+            t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+            t["text"].to_pylist(),
+        ):
+            if fold_of(i) != 0:
+                continue
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            langs.append(lang)
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for w in toks if w not in v))
+        df = pd.DataFrame(
+            {"lang": langs, "n_tokens": n_tok, "n_oov": n_oov}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(eval_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_oov", alias_name="n_oov"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["oov_ppm"] = [
+        int(o) * PPM // int(n) for o, n in zip(out["n_oov"], out["n_tokens"])
+    ]
+    for c in ("n_tokens", "n_oov", "oov_ppm"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "n_tokens", "n_oov", "oov_ppm"]]
+
+
+# --------------------------------------------------------------------------
+# Exact byte-identical image dedup: storage reclaim table (q241)
+# --------------------------------------------------------------------------
+
+_IMGDUP_SQL = f"""
+WITH g AS (SELECT fmt, bytes, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(octet_length(bytes) AS BIGINT) AS blen
+           FROM read_parquet('{_IMGDIR}/images.parquet') GROUP BY fmt, bytes)
+SELECT fmt, CAST(SUM(cnt) AS BIGINT) AS n_images,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_rows,
+       CAST(SUM(cnt * blen) AS BIGINT) AS sum_bytes,
+       CAST(SUM((cnt - 1) * blen) AS BIGINT) AS reclaim_bytes
+FROM g GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q241_image_exact_dedup", sql=_IMGDUP_SQL)
+def q241_image_exact_dedup(sf_dir: str):
+    """Exact byte-identical image dedup accounting: per format, rows
+    that are perfect copies of another payload and the bytes a
+    content-addressed store would reclaim — the storage-side
+    complement of pHash NEAR-dup (q72): exact dup removal is free and
+    lossless, so it always runs first.  Plan: per-batch md5-digest of
+    the payload (16-byte key — the blobs themselves NEVER leave their
+    read task, q117's hash-not-content exchange discipline), ONE
+    digest-keyed exchange of (fmt, digest, cnt, blen) partials,
+    fmt-sized final combine.  Oracle groups by the raw BLOB — same
+    equivalence, independent mechanism (md5 collisions would show as a
+    hash mismatch here)."""
+    import hashlib
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["fmt", "bytes"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        digs, lens = [], []
+        for b in t["bytes"].to_pylist():
+            digs.append(hashlib.md5(b).hexdigest())
+            lens.append(len(b))
+        df = pd.DataFrame(
+            {"fmt": fmts, "dig": digs, "blen": lens, "cnt": 1}
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["fmt", "dig", "blen"], as_index=False)["cnt"].sum(),
+            preserve_index=False,
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["fmt", "dig", "blen"], as_index=False)["cnt"].sum()
+        g["n_images"] = g["cnt"]
+        g["n_unique"] = 1
+        g["n_dup_rows"] = g["cnt"] - 1
+        g["sum_bytes"] = g["cnt"] * g["blen"]
+        g["reclaim_bytes"] = (g["cnt"] - 1) * g["blen"]
+        return g[["fmt", "n_images", "n_unique", "n_dup_rows", "sum_bytes",
+                  "reclaim_bytes"]]
+
+    cols = ["n_images", "n_unique", "n_dup_rows", "sum_bytes",
+            "reclaim_bytes"]
+    out = (
+        bucketed_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "dig",
+            combine,
+            expected_rows=300,
+        )
+        .groupby("fmt")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[["fmt", *cols]]
+
+
+# --------------------------------------------------------------------------
+# Max-edge resize plan: pixel savings before re-encode (q242)
+# --------------------------------------------------------------------------
+
+MAX_EDGE = 96
+
+_RESIZE_SQL = f"""
+WITH img AS (SELECT fmt, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+             FROM read_parquet('{_IMGDIR}/images.parquet')),
+r AS (SELECT fmt, w, h,
+             CASE WHEN GREATEST(w, h) <= {MAX_EDGE} THEN w
+                  ELSE GREATEST(w * {MAX_EDGE} // GREATEST(w, h), 1) END
+                 AS nw,
+             CASE WHEN GREATEST(w, h) <= {MAX_EDGE} THEN h
+                  ELSE GREATEST(h * {MAX_EDGE} // GREATEST(w, h), 1) END
+                 AS nh
+      FROM img)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN nw <> w OR nh <> h THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resized,
+       CAST(SUM(w * h) AS BIGINT) AS px_before,
+       CAST(SUM(nw * nh) AS BIGINT) AS px_after,
+       CAST((SUM(w * h) - SUM(nw * nh)) * {PPM} // SUM(w * h) AS BIGINT)
+           AS saved_ppm
+FROM r GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q242_resize_plan", sql=_RESIZE_SQL)
+def q242_resize_plan(sf_dir: str):
+    """Max-edge resize plan: cap every image's longest edge at
+    MAX_EDGE px (aspect-preserving integer-floor dims, min 1) and
+    report per format how many rows shrink and the PPM of pixel mass
+    saved — the planning table that sizes a re-encode pass's compute
+    and the object-store budget it frees (a 100-TB harvest is mostly
+    oversized pixels).  Metadata-only: w/h columns, the blobs never
+    load; exact integer dims so the plan equals what the q37-style
+    decode-resize actors will actually produce."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["fmt", "w", "h"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t["w"].cast(pa.int64()).to_numpy()
+        h = t["h"].cast(pa.int64()).to_numpy()
+        edge = np.maximum(w, h)
+        over = edge > MAX_EDGE
+        nw = np.where(over, np.maximum(w * MAX_EDGE // edge, 1), w)
+        nh = np.where(over, np.maximum(h * MAX_EDGE // edge, 1), h)
+        df = pd.DataFrame(
+            {
+                "fmt": t["fmt"].to_pylist(),
+                "n_images": 1,
+                "n_resized": ((nw != w) | (nh != h)).astype(np.int64),
+                "px_before": w * h,
+                "px_after": nw * nh,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("fmt", as_index=False).sum(), preserve_index=False
+        )
+
+    cols = ["n_images", "n_resized", "px_before", "px_after"]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    out["saved_ppm"] = [
+        (int(b) - int(a)) * PPM // int(b)
+        for b, a in zip(out["px_before"], out["px_after"])
+    ]
+    for c in (*cols, "saved_ppm"):
+        out[c] = out[c].astype("int64")
+    return out[["fmt", *cols, "saved_ppm"]]
