@@ -44,7 +44,7 @@ def test_oov_rate_matches_serial(ray_session):
         for _, r in got.iterrows()
     }
     assert have == want
-    # a 500-token vocab cannot cover everything: OOV must be nonzero
+    # the truncated vocab must leave a real OOV tail
     assert sum(v[1] for v in have.values()) > 0
 
 

@@ -15408,7 +15408,7 @@ def q239_label_propagation(sf_dir: str):
 # Held-out OOV rate vs a train-fold vocabulary (q240)
 # --------------------------------------------------------------------------
 
-VOCAB_K = 500
+VOCAB_K = 12  # the synthetic corpus has ~31 types; 12 leaves a real OOV tail
 
 _OOV_SQL = f"""
 WITH f AS (SELECT doc_id, lang, text,
@@ -15430,7 +15430,7 @@ FROM ev GROUP BY lang ORDER BY lang
 
 @query("q240_oov_rate", sql=_OOV_SQL)
 def q240_oov_rate(sf_dir: str):
-    """Held-out OOV audit: build the top-{VOCAB_K} token vocabulary on
+    """Held-out OOV audit: build the top-VOCAB_K token vocabulary on
     the q238 TRAIN folds (md5(doc_id) % K != 0 — content-stable, so
     the split never leaks under repartitioning) and measure per-lang
     out-of-vocabulary token mass on the held-out fold — the eval-side
