@@ -124,3 +124,86 @@ def running_totals(
         return df
 
     return bucketed_groupby(ds, key, combine, expected_rows=expected_rows)
+
+
+def prefix_scan_max(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    *,
+    out: str = "prev_max",
+    n_buckets: int = 64,
+    sentinel: int = -(2**62),
+) -> ray.data.Dataset:
+    """EXCLUSIVE global running maximum of ``value_col`` in
+    ``order_col`` order — the watermark primitive (`MAX(...) OVER
+    (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`) that
+    Ray Data has no native operator for, built WITHOUT a global sort:
+
+    1. range-partition rows into ``n_buckets`` contiguous ``order_col``
+       slices (one hash-free map pass; slice width from the column's
+       min/max, so bucket order == order order),
+    2. per-bucket max via an ordinary groupby (bucket-count-sized
+       result on the driver),
+    3. exclusive prefix-max across the bucket maxima (driver-side,
+       n_buckets values), broadcast as each bucket's carry-in,
+    4. one bucketed combine per slice: sort within the slice, shifted
+       cummax seeded with the carry.
+
+    Two narrow exchanges total, both on integer keys; no stage ever
+    holds more than one slice.  The globally-first row gets
+    ``sentinel`` (no earlier value exists).  ``value_col`` and
+    ``order_col`` must be integers; ties in ``order_col`` are broken
+    by treating equal-order rows in ``value_col`` order inside the
+    slice (deterministic, but give rows a unique order key — e.g. an
+    arrival id — if tie semantics matter)."""
+    lo = ds.min(order_col)
+    hi = ds.max(order_col)
+    width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (o - int(lo)) // width
+        return t.append_column("_psm_bucket", pa.array(b, pa.int64()))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max
+
+    bmax = (
+        bucketed.groupby("_psm_bucket")
+        .aggregate(Max(value_col, alias_name="_m"))
+        .to_pandas()
+        .sort_values("_psm_bucket")
+    )
+    # exclusive prefix over the (at most n_buckets) bucket maxima
+    carry: dict[int, int] = {}
+    run = sentinel
+    for b, m in zip(bmax["_psm_bucket"], bmax["_m"]):
+        carry[int(b)] = run
+        run = max(run, int(m))
+    carry_ref = ray.put(carry)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(carry_ref)
+        parts = []
+        for b, sub in df.groupby("_psm_bucket", sort=False):
+            sub = sub.sort_values([order_col, value_col], kind="mergesort")
+            v = sub[value_col].to_numpy().astype(np.int64)
+            prev = np.empty(len(v), dtype=np.int64)
+            seed = c.get(int(b), sentinel)
+            if len(v):
+                prev[0] = seed
+                if len(v) > 1:
+                    prev[1:] = np.maximum.accumulate(
+                        np.maximum(v[:-1], seed)
+                    )
+            sub = sub.copy()
+            sub[out] = prev
+            parts.append(sub)
+        res = pd.concat(parts) if parts else df.assign(**{out: []})
+        return res.drop(columns=["_psm_bucket"])
+
+    return bucketed_groupby(
+        bucketed, "_psm_bucket", combine, n_buckets=n_buckets
+    )

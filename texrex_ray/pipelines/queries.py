@@ -15678,3 +15678,283 @@ def q242_resize_plan(sf_dir: str):
     for c in (*cols, "saved_ppm"):
         out[c] = out[c].astype("int64")
     return out[["fmt", *cols, "saved_ppm"]]
+
+
+# --------------------------------------------------------------------------
+# Watermark / late-data audit under adversarial arrival order (q243)
+# --------------------------------------------------------------------------
+
+LATENESS_US = 14 * 86_400_000_000  # allowed out-of-orderness: 14 d (stream spans ~30 d)
+# unique content-stable arrival key: md5-shuffled, event_id-salted
+_ARR_MOD = 2**38
+_ARR_SHIFT = 2**24
+
+_LATE_SQL = f"""
+WITH a AS (SELECT event_type, event_id, epoch_us(ts) AS t,
+                  (md5_number_lower(CAST(event_id AS VARCHAR)) % {_ARR_MOD})
+                      * {_ARR_SHIFT} + event_id AS arr
+           FROM events),
+w AS (SELECT event_type, t,
+             MAX(t) OVER (ORDER BY arr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pm
+      FROM a)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN pm - {LATENESS_US} > t THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN pm - {LATENESS_US} > t THEN 1 ELSE 0 END)
+            * {PPM} // count(*) AS BIGINT) AS late_ppm
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q243_late_events", sql=_LATE_SQL)
+def q243_late_events(sf_dir: str):
+    """Watermark / late-data audit: replay the event stream in a
+    content-stable ADVERSARIAL arrival order (md5-shuffled — the
+    synthetic feed is perfectly ts-ordered, so a worst-case ingest
+    permutation is what actually exercises the operator; being a pure
+    function of event_id it is also engine-invariant) and count, per
+    type, events arriving later than the watermark ``running_max(ts) -
+    LATENESS_US`` — the number that sizes a streaming sink's
+    allowed-lateness buffer.  Plan: the watermark is
+    ``ops/window.py::prefix_scan_max`` — an exclusive global running
+    max with NO global sort: contiguous range slices, bucket maxima to
+    the driver (n_buckets values), exclusive prefix carry broadcast
+    back, one in-slice vectorized cummax.  Two narrow integer
+    exchanges total."""
+    import hashlib
+
+    from texrex_ray.ops.window import prefix_scan_max
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        eids = t["event_id"].to_pylist()
+        arr = np.array(
+            [
+                (
+                    int.from_bytes(
+                        hashlib.md5(str(i).encode()).digest()[8:], "little"
+                    ) % _ARR_MOD
+                ) * _ARR_SHIFT + i
+                for i in eids
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "arr": pa.array(arr),
+                "t": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    scanned = prefix_scan_max(
+        ev.map_batches(keyed, batch_format="pyarrow"), "arr", "t"
+    )
+
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            n_events=1,
+            n_late=(df["prev_max"] - LATENESS_US > df["t"]).astype(np.int64),
+        )
+        return df.groupby("event_type", as_index=False)[
+            ["n_events", "n_late"]
+        ].sum()
+
+    out = (
+        scanned.map_batches(late_partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_late", alias_name="n_late"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["late_ppm"] = [
+        int(l) * PPM // int(n) for l, n in zip(out["n_late"], out["n_events"])
+    ]
+    for c in ("n_events", "n_late", "late_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# URL front-coding savings per host (q244)
+# --------------------------------------------------------------------------
+
+_FRONTCODE_SQL = f"""
+WITH u AS (SELECT DISTINCT dst AS url,
+                  regexp_extract(dst, 'http://([^/]+)/', 1) AS host
+           FROM read_parquet('{_EDGE_FIXTURE}')),
+o AS (SELECT host, url,
+             LAG(url) OVER (PARTITION BY host ORDER BY url) AS prev
+      FROM u),
+l AS (SELECT host, url,
+             CASE WHEN prev IS NULL THEN 0 ELSE (
+                 SELECT COALESCE(MAX(k), 0)
+                 FROM (SELECT unnest(range(1,
+                          LEAST(length(url), length(prev)) + 1)) AS k)
+                 WHERE substr(url, 1, CAST(k AS INTEGER))
+                       = substr(prev, 1, CAST(k AS INTEGER))
+             ) END AS lcp
+      FROM o)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(SUM(length(url)) AS BIGINT) AS bytes_raw,
+       CAST(SUM(lcp) AS BIGINT) AS bytes_saved,
+       CAST(SUM(lcp) * {PPM} // SUM(length(url)) AS BIGINT) AS saved_ppm
+FROM l GROUP BY host ORDER BY host
+"""
+
+
+@query("q244_url_frontcoding", sql=_FRONTCODE_SQL)
+def q244_url_frontcoding(sf_dir: str):
+    """Front-coding savings for the URL frontier store: within each
+    host, URLs sort lexicographically and each stores only its suffix
+    after the longest common prefix with its predecessor — exactly how
+    production crawlers (and the TARC arcxi index) keep 10^10-URL seen
+    sets in RAM.  Per host: raw bytes, bytes the shared prefixes save,
+    and the PPM ratio that decides whether the frontier shards get
+    front-coded pages or plain sorted strings.  Plan: distinct-URL
+    projection, ONE host-keyed bucketed exchange, in-bucket sort +
+    per-string LCP (the kernel is inherently per-string; hashing and
+    grouping stay vectorized)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE, columns=["dst"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["dst"].to_pylist()).drop_duplicates()
+        return pa.table(
+            {
+                "url": pa.array(s.to_list()),
+                "host": pa.array(
+                    s.str.extract(r"http://([^/]+)/", expand=False).to_list()
+                ),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for host, sub in df.groupby("host", sort=False):
+            urls = sorted(set(sub["url"]))
+            raw = sum(len(u) for u in urls)
+            saved = 0
+            for prev, cur in zip(urls, urls[1:]):
+                k = 0
+                m = min(len(prev), len(cur))
+                while k < m and prev[k] == cur[k]:
+                    k += 1
+                saved += k
+            rows.append((host, len(urls), raw, saved,
+                         saved * PPM // raw))
+        return pd.DataFrame(
+            rows,
+            columns=["host", "n_urls", "bytes_raw", "bytes_saved",
+                     "saved_ppm"],
+        )
+
+    out = (
+        bucketed_groupby(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            "host",
+            combine,
+            expected_rows=edges.count(),
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    for c in ("n_urls", "bytes_raw", "bytes_saved", "saved_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Postings run-length compressibility per language (q245)
+# --------------------------------------------------------------------------
+
+_RUNS_SQL = f"""
+WITH r AS (SELECT lang, doc_id,
+                  CASE WHEN LAG(doc_id) OVER (PARTITION BY lang
+                                              ORDER BY doc_id) = doc_id - 1
+                       THEN 0 ELSE 1 END AS run_start
+           FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(run_start) AS BIGINT) AS n_runs,
+       CAST(SUM(run_start) * {PPM} // count(*) AS BIGINT) AS runs_ppm
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q245_postings_runs", sql=_RUNS_SQL)
+def q245_postings_runs(sf_dir: str):
+    """Run-length compressibility of per-language doc_id posting lists:
+    the number of maximal consecutive-id runs (a Roaring/RLE container
+    stores one (start, len) pair per run, so runs_ppm ~ PPM means
+    incompressible singletons, ~0 means free storage).  The index-
+    layout twin of q99's inverted index and q219's sort-layout ROI.
+    Plan: NO sort — a run START is simply a doc whose predecessor id
+    is absent from its language's set, so each doc emits a presence
+    token at doc_id and a probe token at doc_id + 1, ONE (lang,
+    id)-keyed bucketed exchange counts starts, lang-sized combine."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].cast(pa.int64()).to_numpy()
+        lang = t["lang"].to_pylist()
+        return pa.table(
+            {
+                "lang": pa.array(lang + lang),
+                "key": pa.array(np.concatenate([d, d + 1])),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(d), np.int64),
+                         np.ones(len(d), np.int64)]
+                    )
+                ),  # 0 = present-here, 1 = predecessor-marker
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "key"])["kind"].agg(["min", "max"])
+        # run start: a present token (min==0) with no predecessor
+        # marker at the same key (max==0)
+        starts = (g["max"] == 0) & (g["min"] == 0)
+        pres = g["min"] == 0
+        out = pd.DataFrame(
+            {
+                "lang": [l for l, _ in g.index],
+                "n_docs": pres.astype(np.int64).to_numpy(),
+                "n_runs": starts.astype(np.int64).to_numpy(),
+            }
+        )
+        return out.groupby("lang", as_index=False).sum()
+
+    out = (
+        bucketed_groupby(
+            ds.map_batches(tokens, batch_format="pyarrow"),
+            ["lang", "key"],
+            combine,
+            expected_rows=ds.count() * 2,
+        )
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_runs", alias_name="n_runs"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["runs_ppm"] = [
+        int(r) * PPM // int(n) for r, n in zip(out["n_runs"], out["n_docs"])
+    ]
+    for c in ("n_docs", "n_runs", "runs_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
