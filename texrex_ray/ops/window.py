@@ -207,3 +207,69 @@ def prefix_scan_max(
     return bucketed_groupby(
         bucketed, "_psm_bucket", combine, n_buckets=n_buckets
     )
+
+
+def prefix_scan_sum(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    *,
+    out: str = "prev_sum",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXCLUSIVE global running sum of ``value_col`` in ``order_col``
+    order — `SUM(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND
+    1 PRECEDING)` with the same no-global-sort plan as
+    ``prefix_scan_max``: contiguous range slices → bucket sums to the
+    driver → exclusive carry broadcast → one in-slice vectorized
+    cumsum.  Integer-exact (int64 — caller guarantees the global total
+    fits).  The budget-cut primitive: "take rows in priority order
+    until a budget is spent" is ``prev_sum + cost <= budget`` on this
+    output, with no driver-side corpus materialization."""
+    lo = ds.min(order_col)
+    hi = ds.max(order_col)
+    width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (o - int(lo)) // width
+        return t.append_column("_pss_bucket", pa.array(b, pa.int64()))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    bsum = (
+        bucketed.groupby("_pss_bucket")
+        .aggregate(Sum(value_col, alias_name="_s"))
+        .to_pandas()
+        .sort_values("_pss_bucket")
+    )
+    carry: dict[int, int] = {}
+    run = 0
+    for b, m in zip(bsum["_pss_bucket"], bsum["_s"]):
+        carry[int(b)] = run
+        run += int(m)
+    carry_ref = ray.put(carry)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(carry_ref)
+        parts = []
+        for b, sub in df.groupby("_pss_bucket", sort=False):
+            sub = sub.sort_values([order_col, value_col], kind="mergesort")
+            v = sub[value_col].to_numpy().astype(np.int64)
+            prev = np.empty(len(v), dtype=np.int64)
+            seed = c.get(int(b), 0)
+            if len(v):
+                prev[0] = seed
+                if len(v) > 1:
+                    prev[1:] = seed + np.cumsum(v[:-1])
+            sub = sub.copy()
+            sub[out] = prev
+            parts.append(sub)
+        res = pd.concat(parts) if parts else df.assign(**{out: []})
+        return res.drop(columns=["_pss_bucket"])
+
+    return bucketed_groupby(
+        bucketed, "_pss_bucket", combine, n_buckets=n_buckets
+    )

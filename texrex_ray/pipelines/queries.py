@@ -15958,3 +15958,289 @@ def q245_postings_runs(sf_dir: str):
     for c in ("n_docs", "n_runs", "runs_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Session interval-union coverage per user (q246)
+# --------------------------------------------------------------------------
+
+COVER_WINDOW_US = 30 * 60_000_000  # each event covers [ts, ts + 30 min)
+
+_COVER_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + {COVER_WINDOW_US} AS e FROM events),
+o AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pm
+      FROM e)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pm, s)), 0)) AS BIGINT)
+           AS covered_us,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pm, s)), 0)) * {PPM}
+            // (MAX(e) - MIN(s)) AS BIGINT) AS util_ppm
+FROM o GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q246_interval_coverage", sql=_COVER_SQL)
+def q246_interval_coverage(sf_dir: str):
+    """Interval-union coverage: each event opens a 30-minute activity
+    window; per user, the exact µs length of the UNION of those
+    windows (overlaps counted once — the classic island problem) and
+    its PPM share of the user's total active span.  The engagement
+    number raw event counts inflate and sessionization (q98)
+    approximates.  Plan: ONE user-keyed bucketed exchange; inside the
+    bucket a vectorized sort + shifted cummax turns the union into
+    ``sum(max(0, e - max(s, running_max_before)))`` — linear, no
+    interval tree."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        s = t["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "s": s,
+                "e": pc.add(s, pa.scalar(COVER_WINDOW_US, pa.int64())),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, sub in df.groupby("user_id", sort=False):
+            sub = sub.sort_values(["s", "e"], kind="mergesort")
+            s = sub["s"].to_numpy()
+            e = sub["e"].to_numpy()
+            pm = np.empty(len(e), dtype=np.int64)
+            pm[0] = s[0]  # COALESCE(pm, s): first interval adds e - s
+            if len(e) > 1:
+                pm[1:] = np.maximum.accumulate(e[:-1])
+            covered = int(np.maximum(e - np.maximum(s, pm), 0).sum())
+            span = int(e.max() - s.min())
+            rows.append(
+                (int(uid), len(sub), covered, covered * PPM // span)
+            )
+        return pd.DataFrame(
+            rows, columns=["user_id", "n_events", "covered_us", "util_ppm"]
+        )
+
+    out = (
+        bucketed_groupby(
+            ev.map_batches(project, batch_format="pyarrow"),
+            "user_id",
+            combine,
+            expected_rows=ev.count(),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# HTML nesting-depth audit over raw pages (q247)
+# --------------------------------------------------------------------------
+
+_HTML_FIXTURE = "/root/repo/tests/fixtures/oracle/html_pages_sf0.01.parquet"
+VOID_TAGS = ("br", "img", "hr", "meta", "link", "input")
+_TAG_RE = re.compile(r"<[^>]+>")
+_TAGNAME_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9]*)")
+
+_VOID_SQL = ", ".join(f"'{v}'" for v in VOID_TAGS)
+
+_DEPTH_SQL = f"""
+WITH p AS (SELECT url, host, regexp_extract_all(html, '<[^>]+>') AS tg
+           FROM read_parquet('{_HTML_FIXTURE}')),
+d AS (SELECT url, host, i,
+             CASE WHEN tg[CAST(i AS INTEGER)] LIKE '</%' THEN -1
+                  WHEN tg[CAST(i AS INTEGER)] LIKE '%/>' THEN 0
+                  WHEN lower(regexp_extract(tg[CAST(i AS INTEGER)],
+                       '</?([a-zA-Z][a-zA-Z0-9]*)', 1)) IN ({_VOID_SQL})
+                       THEN 0
+                  ELSE 1 END AS delta
+      FROM p, unnest(range(1, len(tg) + 1)) AS u(i)),
+w AS (SELECT url, host,
+             SUM(delta) OVER (PARTITION BY url ORDER BY i) AS run
+      FROM d),
+per AS (SELECT p.url, p.host,
+               GREATEST(COALESCE(MAX(w.run), 0), 0) AS depth
+        FROM p LEFT JOIN w ON w.url = p.url GROUP BY 1, 2)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(SUM(depth) AS BIGINT) AS sum_depth
+FROM per GROUP BY host ORDER BY host
+"""
+
+
+@query("q247_html_depth", sql=_DEPTH_SQL)
+def q247_html_depth(sf_dir: str):
+    """HTML nesting-depth audit over the raw synthetic pages: per
+    host, the maximum and summed per-page tag-stack depth (open tags
+    push, close tags pop, void/self-closing tags are flat) — the
+    structural complexity gauge that sizes the HtmlStripper's div
+    stack (`trhtmlstripper.pas:174-189`) and flags crawler-trap
+    markup (runaway nesting) before the chain pays for it.  Plan:
+    pages regenerate in-process from the seed-pinned webgraph (the
+    committed fixture is the SAME bytes for the oracle); per-batch
+    per-string tag scan (inherently sequential per document, linear),
+    host-keyed count partials only — no page content ever shuffles."""
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    g = make_webgraph(
+        n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42,
+        with_images=True,
+    )
+    urls = sorted(g.pages)
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([g.pages[u].host for u in urls]),
+                "html": pa.array(
+                    [g.pages[u].content.decode("latin-1") for u in urls]
+                ),
+            }
+        )
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts, depths = [], []
+        for host, html in zip(t["host"].to_pylist(), t["html"].to_pylist()):
+            depth = run = 0
+            for tag in _TAG_RE.findall(html):
+                if tag.startswith("</"):
+                    run -= 1
+                elif tag.endswith("/>"):
+                    pass
+                else:
+                    m = _TAGNAME_RE.match(tag)
+                    if m and m.group(1).lower() in VOID_TAGS:
+                        pass
+                    else:
+                        run += 1
+                depth = max(depth, run)
+            hosts.append(host)
+            depths.append(depth)
+        df = pd.DataFrame({"host": hosts, "depth": depths})
+        g2 = df.groupby("host", as_index=False).agg(
+            n_pages=("depth", "size"),
+            max_depth=("depth", "max"),
+            sum_depth=("depth", "sum"),
+        )
+        return pa.Table.from_pandas(g2, preserve_index=False)
+
+    out = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Max("max_depth", alias_name="max_depth"),
+            Sum("sum_depth", alias_name="sum_depth"),
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    for c in ("n_pages", "max_depth", "sum_depth"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Budget-cut corpus selection by value density (q248)
+# --------------------------------------------------------------------------
+
+_SELECT_SQL = f"""
+WITH d AS (SELECT doc_id, source,
+                  len(regexp_extract_all(lower(text), '[a-z]+')) AS cost,
+                  len(list_distinct(regexp_extract_all(lower(text),
+                      '[a-z]+'))) AS value
+           FROM documents),
+r AS (SELECT doc_id, source, cost, value,
+             (({PPM} - value * {PPM} // cost) * 8589934592 + doc_id)
+                 AS okey
+      FROM d),
+b AS (SELECT CAST(SUM(cost) * 2 // 5 AS BIGINT) AS budget FROM d),
+s AS (SELECT source, cost, value, okey,
+             COALESCE(SUM(cost) OVER (ORDER BY okey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prev_sum
+      FROM r)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(cost) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN prev_sum + cost <= b.budget THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN prev_sum + cost <= b.budget THEN cost ELSE 0 END)
+            AS BIGINT) AS tokens_selected
+FROM s, b GROUP BY source ORDER BY source
+"""
+
+
+@query("q248_budget_selection", sql=_SELECT_SQL)
+def q248_budget_selection(sf_dir: str):
+    """Budget-cut corpus selection: rank every document by lexical
+    value density (distinct tokens per token, PPM — the cheap quality
+    proxy) and keep documents, best first, while the exclusive
+    running token cost stays inside a 40%-of-corpus token budget —
+    the data-selection pass a fixed training budget forces, reported
+    per source.  Plan: per-doc (cost, value) is one vectorized pass;
+    the global priority order needs NO sort — ``ops/window.py::
+    prefix_scan_sum`` range-slices the integer order key
+    ((PPM - density) * 2^33 + doc_id, unique and priority-ordered),
+    carries bucket sums, and each doc tests ``prev_sum + cost <=
+    budget`` locally.  Two narrow integer exchanges."""
+    from texrex_ray.ops.window import prefix_scan_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def measure(t: pa.Table) -> pa.Table:
+        costs, values = [], []
+        for txt in t["text"].to_pylist():
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            costs.append(len(toks))
+            values.append(len(set(toks)))
+        cost = np.array(costs, dtype=np.int64)
+        value = np.array(values, dtype=np.int64)
+        did = t["doc_id"].cast(pa.int64()).to_numpy()
+        okey = (PPM - value * PPM // cost) * 8589934592 + did
+        return pa.table(
+            {
+                "source": t["source"],
+                "cost": pa.array(cost),
+                "okey": pa.array(okey),
+            }
+        )
+
+    m = ds.map_batches(measure, batch_format="pyarrow").materialize()
+    budget = int(m.sum("cost")) * 2 // 5
+    scanned = prefix_scan_sum(m, "okey", "cost")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["prev_sum"] + df["cost"] <= budget
+        df = df.assign(
+            n_docs=1,
+            tokens_total=df["cost"],
+            n_selected=sel.astype(np.int64),
+            tokens_selected=np.where(sel, df["cost"], 0),
+        )
+        return df.groupby("source", as_index=False)[
+            ["n_docs", "tokens_total", "n_selected", "tokens_selected"]
+        ].sum()
+
+    cols = ["n_docs", "tokens_total", "n_selected", "tokens_selected"]
+    out = (
+        scanned.map_batches(pick, batch_format="pandas")
+        .groupby("source")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[["source", *cols]]

@@ -1264,6 +1264,31 @@ def gen_label_prop() -> None:
           t["label"].to_pandas().nunique(), "communities")
 
 
+def gen_html_pages() -> None:
+    """Synthetic page HTML for q247's nesting-depth oracle: the SAME
+    deterministic webgraph pages the Ray side regenerates in-process
+    (seed-pinned), stored latin-1-decoded so bytes round-trip."""
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    g = make_webgraph(
+        n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42,
+        with_images=True,
+    )
+    urls = sorted(g.pages)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array([g.pages[u].host for u in urls], pa.string()),
+            "html": pa.array(
+                [g.pages[u].content.decode("latin-1") for u in urls],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "html_pages_sf0.01.parquet"))
+    print("html_pages_sf0.01.parquet:", t.num_rows, "pages")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1301,6 +1326,7 @@ def main() -> None:
     gen_exposure_audit()
     gen_edge_stress()
     gen_label_prop()
+    gen_html_pages()
 
 
 if __name__ == "__main__":
