@@ -16244,3 +16244,253 @@ def q248_budget_selection(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype("int64")
     return out[["source", *cols]]
+
+
+# --------------------------------------------------------------------------
+# URL-seen state sizing plan: Bloom vs cuckoo bytes per host (q249)
+# --------------------------------------------------------------------------
+
+# 1% Bloom: m/n = ln(1/p)/ln^2(2) = 9.585 bits/key (k = 7), as the exact
+# rational 9585/1000; cuckoo: 2-byte slots (12-bit fingerprint + padding)
+# at 0.95 load -> slots = ceil(n * 20 / 19)
+
+_SIZING_SQL = f"""
+WITH u AS (SELECT DISTINCT dst AS url,
+                  regexp_extract(dst, 'http://([^/]+)/', 1) AS host
+           FROM read_parquet('{_EDGE_FIXTURE}')),
+per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM u GROUP BY 1)
+SELECT host, n_urls,
+       CAST((n_urls * 9585 + 7999) // 8000 AS BIGINT) AS bloom_bytes,
+       CAST(((n_urls * 20 + 18) // 19) * 2 AS BIGINT) AS cuckoo_bytes
+FROM per ORDER BY host
+"""
+
+
+@query("q249_state_sizing", sql=_SIZING_SQL)
+def q249_state_sizing(sf_dir: str):
+    """URL-seen state sizing plan: per host (= per politeness shard),
+    the exact bytes a 1%-FPR Bloom filter (9.585 bits/key as the
+    rational 9585/1000, k=7) and a 0.95-load 2-byte-slot cuckoo filter
+    need for that host's distinct URL count — the capacity table that
+    decides which sharded `state/bloom.py` vs `state/cuckoo.py`
+    variant a 10^10-frontier deployment allocates, and what each
+    partition's checkpoint will weigh.  Plan: distinct-URL census
+    (ONE host-keyed exchange), host-sized integer arithmetic."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    edges = ray.data.read_parquet(_EDGE_FIXTURE, columns=["dst"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["dst"].to_pylist()).drop_duplicates()
+        return pa.table(
+            {
+                "url": pa.array(s.to_list()),
+                "host": pa.array(
+                    s.str.extract(r"http://([^/]+)/", expand=False).to_list()
+                ),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates("url")
+        return (
+            u.groupby("host", as_index=False)
+            .size()
+            .rename(columns={"size": "n_urls"})
+        )
+
+    out = (
+        bucketed_groupby(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            "host",
+            combine,
+            expected_rows=edges.count(),
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    n = out["n_urls"].astype("int64")
+    out["bloom_bytes"] = (n * 9585 + 7999) // 8000
+    out["cuckoo_bytes"] = ((n * 20 + 18) // 19) * 2
+    for c in ("n_urls", "bloom_bytes", "cuckoo_bytes"):
+        out[c] = out[c].astype("int64")
+    return out[["host", "n_urls", "bloom_bytes", "cuckoo_bytes"]]
+
+
+# --------------------------------------------------------------------------
+# A/A chi-square calibration of the drift monitor (q250)
+# --------------------------------------------------------------------------
+
+CHI_BIN_W = 20  # doc token-count bin width
+CHI_BINS = 10  # bins 0..9, last bin open-ended
+
+_CHI_SQL = f"""
+WITH d AS (SELECT source,
+                  md5_number_lower(CAST(doc_id AS VARCHAR)) % 2 AS half,
+                  LEAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                        // {CHI_BIN_W}, {CHI_BINS - 1}) AS bin
+           FROM documents),
+c AS (SELECT source, bin,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM d GROUP BY 1, 2),
+n AS (SELECT source, CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(b) AS BIGINT) AS nb FROM c GROUP BY 1),
+per AS (SELECT c.source, c.bin, c.a, c.b,
+               CAST((c.a * n.nb - c.b * n.na) * (c.a * n.nb - c.b * n.na)
+                    * {PPM} // (n.na * n.nb * (c.a + c.b)) AS BIGINT)
+                   AS chi_ppm
+        FROM c JOIN n ON n.source = c.source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(SUM(chi_ppm) AS BIGINT) AS chi2_ppm
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+@query("q250_aa_drift_calibration", sql=_CHI_SQL)
+def q250_aa_drift_calibration(sf_dir: str):
+    """A/A calibration of the drift monitor: split every source's
+    documents into two content-stable halves (md5 of doc_id — NOT a
+    time or layout split, so the two samples are exchangeable by
+    construction) and compute the exact integer chi-square statistic
+    between their token-length histograms.  A drift alarm (cf. q161's
+    KS) is only trustworthy if this A/A number sits near zero — run it
+    before believing any A/B drift reading.  Per-bin floor-PPM
+    contributions so both engines sum identical integers.  Plan:
+    per-batch (source, half, bin) count partials, ONE
+    sources*bins-sized exchange."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs, halves, bins = [], [], []
+        for i, src, txt in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["text"].to_pylist(),
+        ):
+            half = int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[8:], "little"
+            ) % 2
+            b = min(
+                len(_TOKEN_RE.findall((txt or "").lower())) // CHI_BIN_W,
+                CHI_BINS - 1,
+            )
+            srcs.append(src)
+            halves.append(half)
+            bins.append(b)
+        df = pd.DataFrame(
+            {"source": srcs, "half": halves, "bin": bins, "n": 1}
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["source", "half", "bin"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "half", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # sources x 2 x bins rows
+    )
+    piv = (
+        cnt.pivot_table(
+            index=["source", "bin"], columns="half", values="n",
+            fill_value=0, aggfunc="sum",
+        )
+        .reset_index()
+    )
+    for h in (0, 1):
+        if h not in piv.columns:
+            piv[h] = 0
+    rows = []
+    for src, sub in piv.groupby("source"):
+        na = int(sub[0].sum())
+        nb = int(sub[1].sum())
+        chi = 0
+        for _, r in sub.iterrows():
+            a, b = int(r[0]), int(r[1])
+            num = (a * nb - b * na) ** 2 * PPM
+            chi += num // (na * nb * (a + b))
+        rows.append((src, len(sub), chi))
+    out = pd.DataFrame(
+        rows, columns=["source", "n_bins", "chi2_ppm"]
+    ).sort_values("source").reset_index(drop=True)
+    for c in ("n_bins", "chi2_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Global channel normalization constants (q251)
+# --------------------------------------------------------------------------
+
+_CHSTATS_FIXTURE = (
+    "/root/repo/tests/fixtures/oracle/channel_stats_n300_s42.parquet"
+)
+
+_CHSTATS_SQL = f"""
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_px) AS BIGINT) AS n_px,
+       CAST(SUM(sum_r) AS BIGINT) AS sum_r,
+       CAST(SUM(sum_g) AS BIGINT) AS sum_g,
+       CAST(SUM(sum_b) AS BIGINT) AS sum_b,
+       CAST(SUM(sq_r) AS BIGINT) AS sq_r,
+       CAST(SUM(sq_g) AS BIGINT) AS sq_g,
+       CAST(SUM(sq_b) AS BIGINT) AS sq_b,
+       CAST(SUM(sum_r) * 1000 // SUM(n_px) AS BIGINT) AS mean_r_milli,
+       CAST(SUM(sum_g) * 1000 // SUM(n_px) AS BIGINT) AS mean_g_milli,
+       CAST(SUM(sum_b) * 1000 // SUM(n_px) AS BIGINT) AS mean_b_milli
+FROM read_parquet('{_CHSTATS_FIXTURE}') GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q251_channel_stats", sql=_CHSTATS_SQL)
+def q251_channel_stats(sf_dir: str):
+    """Dataset normalization constants: exact per-channel pixel sums,
+    sums of squares, and milli-scaled means per format over the full
+    decoded payload table — what every vision trainer hard-codes as
+    `mean=[...], std=[...]`, computed distributedly and bit-identical
+    under any partitioning because only EXACT integers are exchanged
+    (means derive at the end; std follows from sq/n - mean^2 on the
+    same integers).  Plan: `stages/images.py::ChannelStats` actor pool
+    (decode in `__init__`-held codec, pixels never shuffle; 7 int64
+    columns out), fmt-keyed sum combine.  Oracle: committed fixture
+    from the INDEPENDENT scalar-loop serial decoder."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import ChannelStats
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(
+        f"{d}/images_table", columns=["image_id", "fmt", "bytes"]
+    )
+    stats = ds.map_batches(
+        ChannelStats, batch_size=32, concurrency=2, batch_format="pyarrow"
+    )
+    cols = ["n_px", "sum_r", "sum_g", "sum_b", "sq_r", "sq_g", "sq_b"]
+
+    def with_count(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_images", pa.array(np.ones(t.num_rows, np.int64))
+        )
+
+    out = (
+        stats.map_batches(with_count, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n_images", *cols)])
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for ch in ("r", "g", "b"):
+        out[f"mean_{ch}_milli"] = [
+            int(s) * 1000 // int(n)
+            for s, n in zip(out[f"sum_{ch}"], out["n_px"])
+        ]
+    keep = ["fmt", "n_images", *cols,
+            "mean_r_milli", "mean_g_milli", "mean_b_milli"]
+    for c in keep[1:]:
+        out[c] = out[c].astype("int64")
+    return out[keep]

@@ -219,3 +219,47 @@ class ExposureAudit:
                 "n_bright": pa.array(bright, pa.int64()),
             }
         )
+
+
+class ChannelStats:
+    """Actor-pool stage: per-image exact integer channel statistics
+    (sum and sum-of-squares per RGB channel, pixel count) — the pass
+    that produces a dataset's normalization constants (mean/std per
+    channel) for vision training.  Decode happens inside the task
+    (binary in, seven int64 columns out — pixels never shuffle);
+    means/stds are derived downstream from the EXACT sums so the
+    constants are bit-identical however the corpus is partitioned."""
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self._decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fmts = [], []
+        out = {c: [] for c in
+               ("sum_r", "sum_g", "sum_b", "sq_r", "sq_g", "sq_b", "n_px")}
+        for iid, fmt, raw in zip(
+            batch["image_id"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["bytes"].to_pylist(),
+        ):
+            px = self._decode(raw).astype(np.int64)
+            ids.append(iid)
+            fmts.append(fmt)
+            s = px.sum(axis=(0, 1))
+            q = (px * px).sum(axis=(0, 1))
+            out["sum_r"].append(int(s[0]))
+            out["sum_g"].append(int(s[1]))
+            out["sum_b"].append(int(s[2]))
+            out["sq_r"].append(int(q[0]))
+            out["sq_g"].append(int(q[1]))
+            out["sq_b"].append(int(q[2]))
+            out["n_px"].append(px.shape[0] * px.shape[1])
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "fmt": pa.array(fmts, pa.string()),
+                **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+            }
+        )

@@ -1289,6 +1289,44 @@ def gen_html_pages() -> None:
     print("html_pages_sf0.01.parquet:", t.num_rows, "pages")
 
 
+def gen_channel_stats() -> None:
+    """Expected q251 per-image channel sums from an INDEPENDENT serial
+    decode loop (no Dataset machinery, numpy-free accumulation)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet")).to_pandas()
+    rows = []
+    for _, r in df.iterrows():
+        px = decode_image(bytes(r["bytes"]))
+        h, w, _ = px.shape
+        sums = [0, 0, 0]
+        sqs = [0, 0, 0]
+        for y in range(h):          # deliberately scalar: independent path
+            for x in range(w):
+                for c in range(3):
+                    v = int(px[y, x, c])
+                    sums[c] += v
+                    sqs[c] += v * v
+        rows.append((r["image_id"], r["fmt"], *sums, *sqs, h * w))
+    t = pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows], pa.string()),
+            "fmt": pa.array([r[1] for r in rows], pa.string()),
+            "sum_r": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_g": pa.array([r[3] for r in rows], pa.int64()),
+            "sum_b": pa.array([r[4] for r in rows], pa.int64()),
+            "sq_r": pa.array([r[5] for r in rows], pa.int64()),
+            "sq_g": pa.array([r[6] for r in rows], pa.int64()),
+            "sq_b": pa.array([r[7] for r in rows], pa.int64()),
+            "n_px": pa.array([r[8] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "channel_stats_n300_s42.parquet"))
+    print("channel_stats_n300_s42.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1327,6 +1365,7 @@ def main() -> None:
     gen_edge_stress()
     gen_label_prop()
     gen_html_pages()
+    gen_channel_stats()
 
 
 if __name__ == "__main__":
