@@ -16494,3 +16494,231 @@ def q251_channel_stats(sf_dir: str):
     for c in keep[1:]:
         out[c] = out[c].astype("int64")
     return out[keep]
+
+
+# --------------------------------------------------------------------------
+# Nation-pair trade flows (TPC-H Q7 shape) (q252)
+# --------------------------------------------------------------------------
+
+FLOW_TOPK = 30
+
+_FLOWS_SQL = f"""
+WITH f AS (SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+           WHERE cn.n_name <> sn.n_name)
+SELECT cust_nation, supp_nation, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(vol_c) AS BIGINT) AS volume_c
+FROM f GROUP BY 1, 2
+ORDER BY volume_c DESC, cust_nation, supp_nation LIMIT {FLOW_TOPK}
+"""
+
+
+@query("q252_nation_flows", sql=_FLOWS_SQL)
+def q252_nation_flows(sf_dir: str):
+    """Cross-nation trade flows (the TPC-H Q7 join shape): volume
+    shipped from each supplier nation to each distinct customer
+    nation, top {FLOW_TOPK} lanes — the 6-table join stress test that
+    proves a reference user can port their heaviest reporting query.
+    Plan: ONE shuffle_join for the only fact-fact edge
+    (lineitem x orders, both corpus-sized, auto-bucketed hash
+    exchange); every dimension (customer, supplier, nation) rides a
+    broadcast_join — small sides ship once via ray.put, never through
+    an exchange; partial (pair, count, cents) aggregation before the
+    pair-sized final combine."""
+    from texrex_ray.ops.join import broadcast_join, shuffle_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+
+    cust_nat = cust.merge(
+        nat.rename(columns={"n_name": "cust_nation"}),
+        left_on="c_nationkey", right_on="n_nationkey",
+    )[["c_custkey", "cust_nation"]]
+    supp_nat = supp.merge(
+        nat.rename(columns={"n_name": "supp_nation"}),
+        left_on="s_nationkey", right_on="n_nationkey",
+    )[["s_suppkey", "supp_nation"]]
+
+    j = shuffle_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        expected_rows=li.count(),
+    )
+    j = broadcast_join(j, cust_nat, on="o_custkey", right_on="c_custkey")
+    j = broadcast_join(j, supp_nat, on="l_suppkey", right_on="s_suppkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["cust_nation"] != df["supp_nation"]]
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        # pure integer cents x (100 - discount hundredths) // 100: exact
+        # and engine-invariant (per-row float ROUND hits .5 ties)
+        df = df.assign(n_items=1, vol_c=price_c * (100 - disc_h) // 100)
+        return df.groupby(["cust_nation", "supp_nation"], as_index=False)[
+            ["n_items", "vol_c"]
+        ].sum()
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby(["cust_nation", "supp_nation"])
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("vol_c", alias_name="volume_c"),
+        )
+        .to_pandas()  # nation-pair-sized
+        .sort_values(
+            ["volume_c", "cust_nation", "supp_nation"],
+            ascending=[False, True, True],
+        )
+        .head(FLOW_TOPK)
+        .reset_index(drop=True)
+    )
+    for c in ("n_items", "volume_c"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["cust_nation", "supp_nation", "n_items", "volume_c"]]
+
+
+# --------------------------------------------------------------------------
+# Crawl action mix by walk phase (q253)
+# --------------------------------------------------------------------------
+
+_VISITS_FIXTURE = (
+    "/root/repo/tests/fixtures/oracle/crawl_visits_sf0.01.parquet"
+)
+
+_ACTMIX_SQL = f"""
+WITH v AS (SELECT seq, action,
+                  seq * 10 // (SELECT MAX(seq) + 1 FROM read_parquet(
+                      '{_VISITS_FIXTURE}')) AS decile
+           FROM read_parquet('{_VISITS_FIXTURE}'))
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(SUM(CASE WHEN action = 'step' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_step,
+       CAST(SUM(CASE WHEN action = 'randomjump' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_jump,
+       CAST(SUM(CASE WHEN action = 'seed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seed
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q253_crawl_action_mix", sql=_ACTMIX_SQL)
+def q253_crawl_action_mix(sf_dir: str):
+    """Crawl dynamics audit: the walk-action mix (step / randomjump /
+    seed) per decile of the visit sequence — the observable that says
+    whether the random-walk policy has entered its steady state
+    (early deciles are seed/jump-heavy while the frontier warms, late
+    deciles should be step-dominated) and the first chart to read when
+    tuning jump probability against trap escape (q123).  Plan: the
+    visit log is already the crawl engine's per-partition parquet
+    output; decile assignment is one vectorized pass, decile-keyed
+    count partials only."""
+    visits = ray.data.read_parquet(_VISITS_FIXTURE)
+    hi = int(visits.max("seq")) + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        seq = t["seq"].cast(pa.int64()).to_numpy()
+        act = np.asarray(t["action"].to_pylist())
+        df = pd.DataFrame(
+            {
+                "decile": seq * 10 // hi,
+                "n_visits": 1,
+                "n_step": (act == "step").astype(np.int64),
+                "n_jump": (act == "randomjump").astype(np.int64),
+                "n_seed": (act == "seed").astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("decile", as_index=False).sum(), preserve_index=False
+        )
+
+    cols = ["n_visits", "n_step", "n_jump", "n_seed"]
+    out = (
+        visits.map_batches(partial, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    for c in ("decile", *cols):
+        out[c] = out[c].astype("int64")
+    return out[["decile", *cols]]
+
+
+# --------------------------------------------------------------------------
+# Segment x priority association lift (q254)
+# --------------------------------------------------------------------------
+
+_LIFT_SQL = f"""
+WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+cell AS (SELECT seg, prio, CAST(count(*) AS BIGINT) AS n_obs
+         FROM j GROUP BY 1, 2),
+m AS (SELECT seg, CAST(SUM(n_obs) AS BIGINT) AS n_seg FROM cell GROUP BY 1),
+p AS (SELECT prio, CAST(SUM(n_obs) AS BIGINT) AS n_prio FROM cell GROUP BY 1)
+SELECT cell.seg, cell.prio, cell.n_obs,
+       CAST(cell.n_obs * n.n * {PPM} // (m.n_seg * p.n_prio) AS BIGINT)
+           AS lift_ppm
+FROM cell JOIN m ON m.seg = cell.seg
+JOIN p ON p.prio = cell.prio
+CROSS JOIN n
+ORDER BY cell.seg, cell.prio
+"""
+
+
+@query("q254_segment_priority_lift", sql=_LIFT_SQL)
+def q254_segment_priority_lift(sf_dir: str):
+    """Contingency-table lift between customer market segment and
+    order priority: observed / expected-under-independence as exact
+    PPM (``n_obs * N * PPM // (n_seg * n_prio)``; PPM ~ 1e6 means
+    independent) — the association screen that decides whether a
+    stratified sampler (q85) must stratify on BOTH columns or one is
+    redundant.  Plan: the fact-dim edge is a broadcast_join (customer
+    segments ship once); (seg, prio) count partials, one 25-cell
+    combine, margins derived from the SAME cell counts so the
+    identity sum(cells) == N is exact."""
+    from texrex_ray.ops.join import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    j = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(
+            columns={"c_mktsegment": "seg", "o_orderpriority": "prio"}
+        ).assign(n_obs=1)
+        return df.groupby(["seg", "prio"], as_index=False)["n_obs"].sum()
+
+    cell = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby(["seg", "prio"])
+        .aggregate(Sum("n_obs", alias_name="n_obs"))
+        .to_pandas()  # seg x prio cells
+    )
+    n = int(cell["n_obs"].sum())
+    n_seg = cell.groupby("seg")["n_obs"].transform("sum")
+    n_prio = cell.groupby("prio")["n_obs"].transform("sum")
+    cell["lift_ppm"] = [
+        int(o) * n * PPM // (int(a) * int(b))
+        for o, a, b in zip(cell["n_obs"], n_seg, n_prio)
+    ]
+    out = cell.sort_values(["seg", "prio"]).reset_index(drop=True)
+    for c in ("n_obs", "lift_ppm"):
+        out[c] = out[c].astype("int64")
+    return out[["seg", "prio", "n_obs", "lift_ppm"]]
