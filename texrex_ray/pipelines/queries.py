@@ -16722,3 +16722,192 @@ def q254_segment_priority_lift(sf_dir: str):
     for c in ("n_obs", "lift_ppm"):
         out[c] = out[c].astype("int64")
     return out[["seg", "prio", "n_obs", "lift_ppm"]]
+
+
+# --------------------------------------------------------------------------
+# Crawl coverage vs the seed-reachable set (q255)
+# --------------------------------------------------------------------------
+
+_G42_EDGES = "/root/repo/tests/fixtures/oracle/graph42_edges.parquet"
+_G42_SEEDS = "/root/repo/tests/fixtures/oracle/graph42_seeds.parquet"
+
+_COVERAGE_SQL = f"""
+WITH RECURSIVE e AS (SELECT src, dst FROM read_parquet('{_G42_EDGES}')),
+walk(node) AS (
+    SELECT url AS node FROM read_parquet('{_G42_SEEDS}')
+    UNION
+    SELECT e.dst FROM walk w JOIN e ON e.src = w.node
+),
+reach AS (SELECT DISTINCT node AS url,
+                 regexp_extract(node, 'http://([^/]+)/', 1) AS host
+          FROM walk),
+vis AS (SELECT DISTINCT url FROM read_parquet('{_VISITS_FIXTURE}'))
+SELECT reach.host, CAST(count(*) AS BIGINT) AS n_reachable,
+       CAST(SUM(CASE WHEN vis.url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_visited,
+       CAST(SUM(CASE WHEN vis.url IS NOT NULL THEN 1 ELSE 0 END) * {PPM}
+            // count(*) AS BIGINT) AS coverage_ppm
+FROM reach LEFT JOIN vis ON vis.url = reach.url
+GROUP BY reach.host ORDER BY reach.host
+"""
+
+
+@query("q255_crawl_coverage", sql=_COVERAGE_SQL)
+def q255_crawl_coverage(sf_dir: str):
+    """Crawl coverage audit: of the pages REACHABLE from the seed set
+    (the crawl's theoretical ceiling), the per-host fraction the
+    150-step reference walk actually visited — the recall number that
+    separates "the walk is short" from "the policy starves this host"
+    (read with q112's frontier debt and q217's discovery curve).
+    Plan: reachability is `ops/graph.py::bfs_depths` (per-round
+    frontier broadcast, edge-batch joins — the PageRank exchange
+    shape); the visit log joins as a broadcast filter; host-sized
+    combine.  Oracle: DuckDB runs its own recursive-CTE closure over
+    the committed edge fixture — independent BFS implementations."""
+    from texrex_ray.ops.graph import bfs_depths
+
+    edges = ray.data.read_parquet(_G42_EDGES)
+    seeds = set(
+        pd.read_parquet(_G42_SEEDS)["url"]
+    )  # seed list: crawl-config-sized
+    depths = bfs_depths(edges, frozenset(seeds), max_depth=10**6)
+    reach = depths[["page"]].copy()
+    reach["host"] = reach["page"].str.extract(r"http://([^/]+)/")
+    visited = set(pd.read_parquet(_VISITS_FIXTURE)["url"].unique())
+    reach["vis"] = reach["page"].isin(visited).astype(np.int64)
+    out = (
+        reach.groupby("host", as_index=False)
+        .agg(n_reachable=("page", "size"), n_visited=("vis", "sum"))
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    out["coverage_ppm"] = [
+        int(v) * PPM // int(n)
+        for v, n in zip(out["n_visited"], out["n_reachable"])
+    ]
+    for c in ("n_reachable", "n_visited", "coverage_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster-size histogram (q256)
+# --------------------------------------------------------------------------
+
+_CLUSTHIST_SQL = f"""
+WITH RECURSIVE pairs AS (SELECT id_small AS a, id_big AS b
+                         FROM ({_TENDER_SQL})),
+und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, root) AS (
+    SELECT a AS node, a AS root FROM (SELECT DISTINCT a FROM und)
+    UNION
+    SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node),
+sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz ORDER BY sz
+"""
+
+
+@query("q256_dup_cluster_sizes", sql=_CLUSTHIST_SQL)
+def q256_dup_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram of the near-dup pair graph: how much of
+    the duplication is pairwise (size 2) vs viral template families
+    (large components) — THE shape that decides dedup policy (keep-one
+    per cluster loses little on pairs, but a 50-doc component usually
+    means boilerplate, not copies; cf. q39/q64).  Plan: pairs from the
+    tender chain (result-sized), connected components via
+    `dedup/clusters.py::dup_clusters` (numpy label propagation under
+    the documented 5M-edge driver plan, distributed pointer-jumping
+    above), histogram on the component-sized result.  Oracle: DuckDB's
+    own recursive-CTE closure over ITS pair SQL — two independent CC
+    implementations."""
+    from texrex_ray.dedup.clusters import dup_clusters
+    from texrex_ray.dedup.tender import count_pairs, gram_shingles, shingle_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    sh = gram_shingles(ds, n=5)
+    pairs = count_pairs(shingle_pairs(sh, max_redundancy=200), pair_threshold=5)
+    cl = dup_clusters(pairs, id_a="id_small", id_b="id_big")
+    sizes = cl.groupby("cluster_id").size()
+    hist = sizes.value_counts().sort_index()
+    out = pd.DataFrame(
+        {
+            "cluster_size": hist.index.astype("int64"),
+            "n_clusters": hist.to_numpy().astype("int64"),
+        }
+    )
+    out["n_docs"] = (out["cluster_size"] * out["n_clusters"]).astype("int64")
+    return out.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Per-source near-dup removal burden (q257)
+# --------------------------------------------------------------------------
+
+_BURDEN_SQL = f"""
+WITH black AS (SELECT DISTINCT id_small FROM ({_TENDER_SQL}))
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN b.id_small IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN b.id_small IS NOT NULL THEN 1 ELSE 0 END)
+            * {PPM} // count(*) AS BIGINT) AS removed_ppm
+FROM documents d LEFT JOIN black b ON b.id_small = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query("q257_dedup_burden", sql=_BURDEN_SQL)
+def q257_dedup_burden(sf_dir: str):
+    """Per-source near-dup removal burden: which sources pay the
+    tender blacklist (q12's complement, attributed) — a source whose
+    removed_ppm spikes is either syndicating content or being crawled
+    twice under different hosts; the dashboard that routes dedup
+    savings back to acquisition decisions.  Plan: blacklist is
+    result-sized and broadcast (ray.put once); one vectorized isin
+    pass over (doc_id, source), source-sized combine."""
+    from texrex_ray.dedup.tender import (
+        blacklist, count_pairs, gram_shingles, shingle_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    sh = gram_shingles(ds, n=5)
+    pairs = count_pairs(shingle_pairs(sh, max_redundancy=200), pair_threshold=5)
+    black_ref = ray.put(
+        set(blacklist(pairs).to_pandas()["id_small"].unique().tolist())
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = ray.get(black_ref)
+        rem = np.array(
+            [int(i) in b for i in t["doc_id"].to_pylist()], dtype=np.int64
+        )
+        df = pd.DataFrame(
+            {"source": t["source"].to_pylist(), "n_docs": 1, "n_removed": rem}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_removed", alias_name="n_removed"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["removed_ppm"] = [
+        int(r) * PPM // int(n) for r, n in zip(out["n_removed"], out["n_docs"])
+    ]
+    for c in ("n_docs", "n_removed", "removed_ppm"):
+        out[c] = out[c].astype("int64")
+    return out

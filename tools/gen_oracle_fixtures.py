@@ -1327,6 +1327,26 @@ def gen_channel_stats() -> None:
     print("channel_stats_n300_s42.parquet:", t.num_rows, "rows")
 
 
+def gen_graph42_edges() -> None:
+    """Edges + seeds of the 10-host seed=42 webgraph (the graph behind
+    the q21 crawl-visits fixture) for q255's recursive-CTE oracle."""
+    from texrex_ray.sources.webgraph import link_edges, make_webgraph
+
+    g = make_webgraph(n_hosts=10, pages_per_host_base=10, n_seeds=8, seed=42)
+    e = link_edges(g)
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in e], pa.string()),
+            "dst": pa.array([b for _, b in e], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(OUT, "graph42_edges.parquet"))
+    ts = pa.table({"url": pa.array(list(g.seeds), pa.string())})
+    pq.write_table(ts, os.path.join(OUT, "graph42_seeds.parquet"))
+    print("graph42_edges.parquet:", t.num_rows, "edges,",
+          ts.num_rows, "seeds")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1366,6 +1386,7 @@ def main() -> None:
     gen_label_prop()
     gen_html_pages()
     gen_channel_stats()
+    gen_graph42_edges()
 
 
 if __name__ == "__main__":
