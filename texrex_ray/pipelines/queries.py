@@ -16911,3 +16911,190 @@ def q257_dedup_burden(sf_dir: str):
     for c in ("n_docs", "n_removed", "removed_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (q258)
+# --------------------------------------------------------------------------
+
+WIN_K = 4  # tokens per k-gram
+WIN_W = 4  # winnowing window (grams); density -> 2/(w+1)
+_WIN_HMOD = 2**32
+
+_WINNOW_SQL = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') t
+              FROM documents),
+grams AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 md5_number_lower(array_to_string(
+                     t[CAST(i AS INTEGER):CAST(i + {WIN_K - 1} AS INTEGER)],
+                     ' ')) % {_WIN_HMOD} AS h
+          FROM toks, unnest(range(1, len(t) - {WIN_K - 2})) AS u(i)),
+w AS (SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+                 AS mn,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {WIN_W - 1} PRECEDING
+                            AND CURRENT ROW) AS nfull
+      FROM grams),
+sel AS (SELECT DISTINCT w.doc_id,
+               (SELECT MAX(g2.i) FROM grams g2
+                WHERE g2.doc_id = w.doc_id
+                  AND g2.i BETWEEN w.i - {WIN_W - 1} AND w.i
+                  AND g2.h = w.mn) AS pos
+        FROM w WHERE w.nfull = {WIN_W}),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM sel GROUP BY 1),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       FROM grams GROUP BY 1)
+SELECT sz.doc_id, sz.n_grams, COALESCE(per.n_fp, 0) AS n_fp,
+       CAST(COALESCE(per.n_fp, 0) * {PPM} // sz.n_grams AS BIGINT)
+           AS density_ppm
+FROM sz LEFT JOIN per ON per.doc_id = sz.doc_id ORDER BY sz.doc_id
+"""
+
+
+@query("q258_winnowing", sql=_WINNOW_SQL)
+def q258_winnowing(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every {WIN_K}-token gram, slide a
+    {WIN_W}-gram window, keep the window minimum (RIGHTMOST position
+    on ties), dedup selected positions — the guaranteed-coverage
+    fingerprint set whose density converges to 2/(w+1), the
+    local-document complement of global minhash (q13): any shared
+    substring of >= w+k-1 tokens is guaranteed to share a fingerprint.
+    Per doc: gram count, fingerprints kept, density PPM.  Plan:
+    per-doc work is embarrassingly parallel (one vectorized
+    sliding-window argmin per doc inside map_batches — no exchange at
+    all until the doc-sized result)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        dids, n_grams, n_fps = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            grams = [
+                " ".join(toks[i:i + WIN_K])
+                for i in range(len(toks) - WIN_K + 1)
+            ]
+            if not grams:
+                continue
+            h = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(g.encode()).digest()[8:], "little"
+                    ) % _WIN_HMOD
+                    for g in grams
+                ],
+                dtype=np.int64,
+            )
+            if len(h) >= WIN_W:
+                win = np.lib.stride_tricks.sliding_window_view(h, WIN_W)
+                rev = win[:, ::-1]
+                arg = np.argmin(rev, axis=1)  # rightmost min of the window
+                pos = np.arange(len(h) - WIN_W + 1) + (WIN_W - 1 - arg)
+                n_fp = len(np.unique(pos))
+            else:
+                n_fp = 0
+            dids.append(int(did))
+            n_grams.append(len(grams))
+            n_fps.append(n_fp)
+        g = np.array(n_grams, dtype=np.int64)
+        f = np.array(n_fps, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_grams": pa.array(g),
+                "n_fp": pa.array(f),
+                "density_ppm": pa.array(f * PPM // g),
+            }
+        )
+
+    return (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# Payload integrity: magic-byte sniff vs declared format (q259)
+# --------------------------------------------------------------------------
+
+_MAGIC_HEX = {"png": b"SPNG".hex().upper(), "jpeg": b"SJPG".hex().upper(),
+              "webp": b"SWEB".hex().upper()}
+_SNIFF_CASES = " ".join(
+    f"WHEN left(hex(bytes), 8) = '{hx}' THEN '{fmt}'"
+    for fmt, hx in _MAGIC_HEX.items()
+)
+
+_SNIFF_SQL = f"""
+WITH s AS (SELECT fmt AS declared,
+                  CASE {_SNIFF_CASES} ELSE 'unknown' END AS sniffed,
+                  CASE WHEN octet_length(bytes)
+                            = 12 + CAST(w AS BIGINT) * h * 3
+                       THEN 1 ELSE 0 END AS len_ok
+           FROM read_parquet('{_IMGDIR}/images.parquet'))
+SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(len_ok) AS BIGINT) AS n_len_ok
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q259_payload_integrity", sql=_SNIFF_SQL)
+def q259_payload_integrity(sf_dir: str):
+    """Payload integrity audit: sniff every image's container from its
+    magic bytes and cross-tab against the DECLARED format column, plus
+    an exact container-length check (12-byte header + w*h*3) — the
+    intake gate that catches truncated fetches, mislabeled rows, and
+    corrupt shards BEFORE a decode actor crashes on them mid-pipeline.
+    A healthy harvest reads as a pure diagonal with n_len_ok ==
+    n_images; any off-diagonal row is a quarantine list.  Plan:
+    4-byte prefix + length arithmetic per batch (the payload is read
+    but only its first bytes are touched; nothing shuffles but the
+    3x3 count table)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import MAGIC
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["fmt", "bytes", "w", "h"])
+    rev = {v: k for k, v in MAGIC.items()}
+
+    def partial(t: pa.Table) -> pa.Table:
+        declared = t["fmt"].to_pylist()
+        w = t["w"].cast(pa.int64()).to_numpy()
+        h = t["h"].cast(pa.int64()).to_numpy()
+        sniffed, len_ok = [], []
+        for i, b in enumerate(t["bytes"].to_pylist()):
+            sniffed.append(rev.get(b[:4], "unknown"))
+            len_ok.append(int(len(b) == 12 + int(w[i]) * int(h[i]) * 3))
+        df = pd.DataFrame(
+            {
+                "declared": declared,
+                "sniffed": sniffed,
+                "n_images": 1,
+                "n_len_ok": len_ok,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["declared", "sniffed"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["declared", "sniffed"])
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_len_ok", alias_name="n_len_ok"),
+        )
+        .to_pandas()
+        .sort_values(["declared", "sniffed"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "n_len_ok"):
+        out[c] = out[c].astype("int64")
+    return out[["declared", "sniffed", "n_images", "n_len_ok"]]
