@@ -17098,3 +17098,193 @@ def q259_payload_integrity(sf_dir: str):
     for c in ("n_images", "n_len_ok"):
         out[c] = out[c].astype("int64")
     return out[["declared", "sniffed", "n_images", "n_len_ok"]]
+
+
+# --------------------------------------------------------------------------
+# pHash bit-balance audit (q260)
+# --------------------------------------------------------------------------
+
+_BITBAL_SQL = f"""
+WITH b AS (SELECT CAST(u.b AS BIGINT) AS bit,
+                  (phash >> CAST(u.b AS INTEGER)) & 1 AS v
+           FROM read_parquet('{_IMGDIR}/images.parquet'),
+                unnest(range(0, 64)) AS u(b))
+SELECT bit, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(v) AS BIGINT) AS n_ones,
+       CAST(abs(2 * SUM(v) - count(*)) * {PPM} // count(*) AS BIGINT)
+           AS bias_ppm
+FROM b GROUP BY bit ORDER BY bit
+"""
+
+
+@query("q260_phash_bit_balance", sql=_BITBAL_SQL)
+def q260_phash_bit_balance(sf_dir: str):
+    """pHash bit-balance audit: for each of the 64 hash bits, how far
+    its ones-rate sits from 50% (bias_ppm = |2*ones - n| * PPM // n).
+    A biased bit carries less than one bit of information, so every
+    Hamming-LSH band that includes it loses selectivity — this table
+    is what you read before choosing q72's band layout, and a bit
+    pinned near 0/PPM means the phash kernel is broken for this
+    corpus.  Plan: 64 shift-and-mask partial sums per batch (no
+    unpackbits, no row explosion on the Ray side), one 64-row
+    combine."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["phash"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ph = t["phash"].cast(pa.int64()).to_numpy().astype(np.uint64)
+        ones = np.array(
+            [int(((ph >> np.uint64(b)) & np.uint64(1)).sum())
+             for b in range(64)],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "bit": pa.array(np.arange(64, dtype=np.int64)),
+                "n_images": pa.array(
+                    np.full(64, len(ph), dtype=np.int64)
+                ),
+                "n_ones": pa.array(ones),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_ones", alias_name="n_ones"),
+        )
+        .to_pandas()
+        .sort_values("bit")
+        .reset_index(drop=True)
+    )
+    out["bias_ppm"] = [
+        abs(2 * int(o) - int(n)) * PPM // int(n)
+        for o, n in zip(out["n_ones"], out["n_images"])
+    ]
+    for c in ("bit", "n_images", "n_ones", "bias_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality rule suite (q261)
+# --------------------------------------------------------------------------
+
+_DQ_SQL = """
+SELECT 'lineitem_orphan_order' AS rule,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders_orphan_customer',
+       CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'discount_range',
+       CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'quantity_positive',
+       CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'doc_chars_match',
+       CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM documents
+ORDER BY rule
+"""
+
+
+@query("q261_data_quality", sql=_DQ_SQL)
+def q261_data_quality(sf_dir: str):
+    """Declarative data-quality rule suite in one pass per table:
+    referential integrity (every lineitem names a real order, every
+    order a real customer — broadcast key-set membership, the orphan
+    detector a 100-TB ingest runs before ANY join is trusted), value
+    ranges (discount, quantity), and derived-column consistency
+    (n_chars == length(text)).  Output: (rule, n_checked,
+    n_violations) — a healthy feed is all zeros, and any nonzero row
+    is a quarantine predicate.  Plan: dimension key sets ship once via
+    ray.put; every rule is a vectorized per-batch count partial;
+    nothing but the 5-row rule table ever shuffles."""
+    orders_keys = set(
+        _read(sf_dir, "orders", ["o_orderkey"]).to_pandas()["o_orderkey"]
+    )
+    cust_keys = set(
+        _read(sf_dir, "customer", ["c_custkey"]).to_pandas()["c_custkey"]
+    )
+    ok_ref = ray.put(orders_keys)
+    ck_ref = ray.put(cust_keys)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount", "l_quantity"])
+
+    def li_rules(df: pd.DataFrame) -> pd.DataFrame:
+        ok = ray.get(ok_ref)
+        orphan = (~df["l_orderkey"].isin(ok)).sum()
+        disc = ((df["l_discount"] < 0) | (df["l_discount"] > 0.1)).sum()
+        qty = (df["l_quantity"] <= 0).sum()
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "rule": ["lineitem_orphan_order", "discount_range",
+                         "quantity_positive"],
+                "n_checked": [n, n, n],
+                "n_violations": [int(orphan), int(disc), int(qty)],
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def o_rules(df: pd.DataFrame) -> pd.DataFrame:
+        ck = ray.get(ck_ref)
+        orphan = (~df["o_custkey"].isin(ck)).sum()
+        return pd.DataFrame(
+            {
+                "rule": ["orders_orphan_customer"],
+                "n_checked": [len(df)],
+                "n_violations": [int(orphan)],
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def d_rules(df: pd.DataFrame) -> pd.DataFrame:
+        bad = (df["text"].str.len() != df["n_chars"]).sum()
+        return pd.DataFrame(
+            {
+                "rule": ["doc_chars_match"],
+                "n_checked": [len(df)],
+                "n_violations": [int(bad)],
+            }
+        )
+
+    parts = (
+        li.map_batches(li_rules, batch_format="pandas")
+        .union(orders.map_batches(o_rules, batch_format="pandas"))
+        .union(docs.map_batches(d_rules, batch_format="pandas"))
+    )
+    out = (
+        parts.groupby("rule")
+        .aggregate(
+            Sum("n_checked", alias_name="n_checked"),
+            Sum("n_violations", alias_name="n_violations"),
+        )
+        .to_pandas()
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+    for c in ("n_checked", "n_violations"):
+        out[c] = out[c].astype("int64")
+    return out
