@@ -15464,10 +15464,19 @@ def q240_oov_rate(sf_dir: str):
             }
         )
 
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block prune: tokens are unique after the groupby, so the
+        # global top-K lives inside the union of per-block top-Ks —
+        # the driver sees at most blocks * K rows, never the full vocab
+        return df.sort_values(
+            ["n", "token"], ascending=[False, True]
+        ).head(VOCAB_K)
+
     tok = (
         ds.map_batches(train_counts, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("pn", alias_name="n"))
+        .map_batches(block_topk, batch_format="pandas")
         .to_pandas()
     )
     vocab = set(
