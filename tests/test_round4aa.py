@@ -138,3 +138,37 @@ def test_postings_runs_matches_serial(ray_session):
     assert have == want
     # interleaved langs: runs must be plural but fewer than docs+1
     assert all(1 <= v[1] <= v[0] for v in have.values())
+
+
+def test_prefix_scan_edge_cases(ray_session):
+    """Ties on the order key, negative orders, single row, empty."""
+    import pyarrow as pa
+    import ray
+    from texrex_ray.ops.window import prefix_scan_max, prefix_scan_sum
+
+    df = pd.DataFrame({"o": [5, 5, 5, -3, -3, 0], "v": [9, 1, 9, 4, 2, 7]})
+    out = (
+        prefix_scan_max(
+            ray.data.from_pandas(df).repartition(3), "o", "v", n_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["o", "v"])
+        .reset_index(drop=True)
+    )
+    # reference: rows ordered by (o, v); exclusive running max
+    ref = df.sort_values(["o", "v"]).reset_index(drop=True)
+    want = [-(2**62)]
+    for v in ref["v"].to_numpy()[:-1]:
+        want.append(max(want[-1], int(v)))
+    assert out["prev_max"].tolist() == want
+
+    one = prefix_scan_sum(
+        ray.data.from_pandas(pd.DataFrame({"o": [1], "v": [42]})), "o", "v"
+    ).to_pandas()
+    assert one["prev_sum"].tolist() == [0]
+
+    empty = ray.data.from_arrow(
+        pa.table({"o": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    assert prefix_scan_sum(empty, "o", "v").to_pandas().empty
+    assert prefix_scan_max(empty, "o", "v").to_pandas().empty

@@ -159,6 +159,14 @@ def prefix_scan_max(
     arrival id — if tie semantics matter)."""
     lo = ds.min(order_col)
     hi = ds.max(order_col)
+    if lo is None:  # empty input: emit the schema, no rows
+
+        def add_empty(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                out, pa.array([0] * t.num_rows, pa.int64())
+            )
+
+        return ds.map_batches(add_empty, batch_format="pyarrow")
     width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -228,6 +236,14 @@ def prefix_scan_sum(
     output, with no driver-side corpus materialization."""
     lo = ds.min(order_col)
     hi = ds.max(order_col)
+    if lo is None:  # empty input: emit the schema, no rows
+
+        def add_empty(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                out, pa.array([0] * t.num_rows, pa.int64())
+            )
+
+        return ds.map_batches(add_empty, batch_format="pyarrow")
     width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
 
     def assign(t: pa.Table) -> pa.Table:
