@@ -17297,3 +17297,284 @@ def q261_data_quality(sf_dir: str):
     for c in ("n_checked", "n_violations"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters with exact verification (q262)
+# --------------------------------------------------------------------------
+
+MG_K = 767  # counters per summary; guarantee: freq > n/(MG_K+1) survives
+
+_HH_SQL = f"""
+WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z]+') t
+              FROM documents),
+bg AS (SELECT t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)]
+           AS bigram
+       FROM toks, unnest(range(1, len(t))) AS u(i)),
+tot AS (SELECT count(*) AS n FROM bg),
+c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1)
+SELECT bigram, CAST(cnt AS BIGINT) AS n_count,
+       CAST(cnt * {PPM} // (SELECT n FROM tot) AS BIGINT) AS share_ppm
+FROM c WHERE cnt * {MG_K + 1} > (SELECT n FROM tot)
+ORDER BY bigram
+"""
+
+
+@query("q262_heavy_hitters", sql=_HH_SQL)
+def q262_heavy_hitters(sf_dir: str):
+    """Streaming heavy hitters over token bigrams via the Misra-Gries
+    summary (k={MG_K} counters): every batch keeps at most k weighted
+    candidates (decrement-by-(k+1)-th-largest prune), so the exchange
+    is k-bounded per block no matter how large the vocabulary — the
+    sketch a 100-TB vocabulary pass runs INSTEAD of a full groupby.
+    Superset guarantee: any bigram with global share > 1/(k+1) beats
+    that share in at least one batch (pigeonhole), so the candidate
+    union covers all true heavy hitters; an exact second pass counts
+    only candidates (broadcast set) and the threshold filter makes the
+    output deterministic and merge-order-independent.  Output:
+    (bigram, n_count, share_ppm) for bigrams with cnt*(k+1) > n."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        n_total = 0
+        for txt in t["text"].to_pylist():
+            ws = re.findall(r"[a-z]+", txt.lower())
+            n_total += max(len(ws) - 1, 0)
+            c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        if len(c) > MG_K:
+            cut = sorted(c.values(), reverse=True)[MG_K]
+            c = Counter({k: v - cut for k, v in c.items() if v > cut})
+        keys = sorted(c)
+        return pa.table(
+            {
+                "bigram": pa.array(keys + ["\x00TOTAL"]),
+                "weight": pa.array(
+                    [c[k] for k in keys] + [n_total], type=pa.int64()
+                ),
+            }
+        )
+
+    partials = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("weight", alias_name="weight"))
+        .to_pandas()
+    )
+    n_total = int(partials.loc[partials["bigram"] == "\x00TOTAL", "weight"].iloc[0])
+    cands = set(partials.loc[partials["bigram"] != "\x00TOTAL", "bigram"])
+    cand_ref = ray.put(cands)
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cs = ray.get(cand_ref)
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            ws = re.findall(r"[a-z]+", txt.lower())
+            for a, b in zip(ws, ws[1:]):
+                g = f"{a} {b}"
+                if g in cs:
+                    c[g] += 1
+        keys = sorted(c)
+        return pa.table(
+            {
+                "bigram": pa.array(keys),
+                "n_count": pa.array([c[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n_count", alias_name="n_count"))
+        .to_pandas()
+    )
+    out = out[out["n_count"] * (MG_K + 1) > n_total].copy()
+    out["share_ppm"] = [int(v) * PPM // n_total for v in out["n_count"]]
+    out = out.sort_values("bigram").reset_index(drop=True)
+    for c in ("n_count", "share_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchical aggregate from one leaf pass (q263)
+# --------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+WITH base AS (
+  SELECT r.r_name, n.n_name,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey)
+SELECT COALESCE(r_name, '*ALL*') AS r_name,
+       COALESCE(n_name, '*ALL*') AS n_name,
+       CAST(SUM(cents) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM base GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
+@query("q263_rollup_revenue", sql=_ROLLUP_SQL)
+def q263_rollup_revenue(sf_dir: str):
+    """ROLLUP hierarchy (region -> nation -> grand total) computed
+    from ONE leaf aggregate: orders scan emits per-batch partial sums
+    keyed by nationkey (dimension chain customer->nation->region ships
+    once via ray.put — at warehouse scale the customer map becomes a
+    shuffle join, the nation/region maps stay broadcast), the combine
+    is nation-sized (~25 rows), and the region subtotals + grand total
+    are derived from the leaf rows driver-side with exact integer
+    sums — never a second scan per level, which is what GROUP BY
+    ROLLUP costs when executed naively.  Per-row cents are exact
+    (prices are 2-decimal; *100 never lands on a .5 tie)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    cust_nat = dict(zip(cust["c_custkey"], cust["c_nationkey"].astype(int)))
+    map_ref = ray.put(cust_nat)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        g = pd.DataFrame(
+            {
+                "nationkey": df["o_custkey"].map(m).astype("int64"),
+                "cents": np.rint(df["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+                "n_orders": 1,
+            }
+        )
+        return g.groupby("nationkey", as_index=False).sum()
+
+    leaf = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(
+            Sum("cents", alias_name="revenue_c"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    names = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    leaf = leaf.merge(
+        names[["n_nationkey", "n_name", "r_name"]],
+        left_on="nationkey",
+        right_on="n_nationkey",
+    )[["r_name", "n_name", "revenue_c", "n_orders"]]
+    by_reg = leaf.groupby("r_name", as_index=False)[["revenue_c", "n_orders"]].sum()
+    by_reg["n_name"] = "*ALL*"
+    total = pd.DataFrame(
+        {
+            "r_name": ["*ALL*"],
+            "n_name": ["*ALL*"],
+            "revenue_c": [leaf["revenue_c"].sum()],
+            "n_orders": [leaf["n_orders"].sum()],
+        }
+    )
+    out = (
+        pd.concat([leaf, by_reg, total], ignore_index=True)[
+            ["r_name", "n_name", "revenue_c", "n_orders"]
+        ]
+        .sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)
+    )
+    for c in ("revenue_c", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel conversion (q264)
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = f"""
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after,
+       CAST((SELECT count(*) FROM c) * {PPM}
+            // (SELECT count(*) FROM v) AS BIGINT) AS click_ppm,
+       CAST((SELECT count(*) FROM p) * {PPM}
+            // (SELECT count(*) FROM c) AS BIGINT) AS purchase_ppm
+"""
+
+
+@query("q264_funnel", sql=_FUNNEL_SQL)
+def q264_funnel(sf_dir: str):
+    """Strict-order funnel (view -> click -> purchase): a user
+    converts a stage only with an event strictly AFTER their previous
+    stage's first qualifying event — the product-analytics primitive
+    sessionization (q-sessions) doesn't give you.  Plan: three
+    filtered min-aggregate passes, each exchange is user-dimension
+    sized; between passes the (user -> frontier-ts) map ships once via
+    ray.put and the next filter is a vectorized per-batch compare.  At
+    warehouse scale the broadcast map becomes a shuffle join on
+    user_id; the pass structure (one per funnel stage) is unchanged."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def stage_min(prev_ref, etype: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            us = df["user_id"].to_numpy()
+            ts = df["ts"].astype("int64").to_numpy()
+            mask = (df["event_type"] == etype).to_numpy()
+            if prev_ref is not None:
+                prev = ray.get(prev_ref)
+                gate = np.array(
+                    [prev.get(int(u), None) for u in us], dtype=object
+                )
+                ok = np.array(
+                    [g is not None and t > g for g, t in zip(gate, ts)]
+                )
+                mask &= ok
+            sub = pd.DataFrame({"user_id": us[mask], "t": ts[mask]})
+            if not len(sub):
+                return pd.DataFrame({"user_id": [], "t": []}).astype(
+                    {"user_id": "int64", "t": "int64"}
+                )
+            return sub.groupby("user_id", as_index=False).min()
+
+        return fn
+
+    def collect(stage_ds) -> dict[int, int]:
+        df = (
+            stage_ds.groupby("user_id")
+            .aggregate(Min("t", alias_name="t"))
+            .to_pandas()
+        )
+        return dict(zip(df["user_id"].astype(int), df["t"].astype(int)))
+
+    t1 = collect(ev.map_batches(stage_min(None, "view"), batch_format="pandas"))
+    t1_ref = ray.put(t1)
+    t2 = collect(ev.map_batches(stage_min(t1_ref, "click"), batch_format="pandas"))
+    t2_ref = ray.put(t2)
+    t3 = collect(
+        ev.map_batches(stage_min(t2_ref, "purchase"), batch_format="pandas")
+    )
+    n_users = len(ev.select_columns(["user_id"]).unique("user_id"))
+    nv, nc, npp = len(t1), len(t2), len(t3)
+    return pd.DataFrame(
+        {
+            "n_users": [n_users],
+            "n_view": [nv],
+            "n_click_after": [nc],
+            "n_purchase_after": [npp],
+            "click_ppm": [nc * PPM // nv],
+            "purchase_ppm": [npp * PPM // nc],
+        }
+    ).astype("int64")
