@@ -15,7 +15,7 @@ TOK = re.compile(r"[a-z]+")
 def test_heavy_hitters_matches_serial(ray_session):
     from texrex_ray.pipelines.queries import MG_K, PPM, QUERIES
 
-    got = QUERIES["q262_heavy_hitters"](SF)
+    got = QUERIES["q262_misra_gries"](SF)
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     c: Counter = Counter()
     n = 0
@@ -89,7 +89,7 @@ def test_rollup_revenue_matches_serial(ray_session):
 def test_funnel_matches_serial(ray_session):
     from texrex_ray.pipelines.queries import PPM, QUERIES
 
-    got = QUERIES["q264_funnel"](SF)
+    got = QUERIES["q264_funnel_ordered"](SF)
     ev = pd.read_parquet(f"{SF}/events.parquet")
     ev["us"] = ev["ts"].astype("int64")
     t1, t2, t3 = {}, {}, {}

@@ -17320,13 +17320,16 @@ ORDER BY bigram
 """
 
 
-@query("q262_heavy_hitters", sql=_HH_SQL)
-def q262_heavy_hitters(sf_dir: str):
+@query("q262_misra_gries", sql=_HH_SQL)
+def q262_misra_gries(sf_dir: str):
     """Streaming heavy hitters over token bigrams via the Misra-Gries
     summary (k={MG_K} counters): every batch keeps at most k weighted
     candidates (decrement-by-(k+1)-th-largest prune), so the exchange
     is k-bounded per block no matter how large the vocabulary — the
-    sketch a 100-TB vocabulary pass runs INSTEAD of a full groupby.
+    sketch a 100-TB vocabulary pass runs INSTEAD of a full groupby
+    (the deterministic-counter complement of q56's count-min sketch:
+    MG gives k-bounded memory and a frequency LOWER bound, CMS gives
+    fixed memory and an UPPER bound).
     Superset guarantee: any bigram with global share > 1/(k+1) beats
     that share in at least one batch (pigeonhole), so the candidate
     union covers all true heavy hitters; an exact second pass counts
@@ -17431,7 +17434,10 @@ def q263_rollup_revenue(sf_dir: str):
     is nation-sized (~25 rows), and the region subtotals + grand total
     are derived from the leaf rows driver-side with exact integer
     sums — never a second scan per level, which is what GROUP BY
-    ROLLUP costs when executed naively.  Per-row cents are exact
+    ROLLUP costs when executed naively (q105 solves the same shape by
+    emitting 3x partial rows per batch; deriving from the leaf works
+    whenever every rollup level is a function of the leaf key).  Per-row
+    cents are exact
     (prices are 2-decimal; *100 never lands on a .5 tie)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
@@ -17515,12 +17521,13 @@ SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
 """
 
 
-@query("q264_funnel", sql=_FUNNEL_SQL)
-def q264_funnel(sf_dir: str):
+@query("q264_funnel_ordered", sql=_FUNNEL_SQL)
+def q264_funnel_ordered(sf_dir: str):
     """Strict-order funnel (view -> click -> purchase): a user
     converts a stage only with an event strictly AFTER their previous
-    stage's first qualifying event — the product-analytics primitive
-    sessionization (q-sessions) doesn't give you.  Plan: three
+    stage's first qualifying event — strictly stronger than q75's
+    existence-of-ordered-pair funnel (min/max extrema can't express a
+    3-stage strict order).  Plan: three
     filtered min-aggregate passes, each exchange is user-dimension
     sized; between passes the (user -> frontier-ts) map ships once via
     ray.put and the next filter is a vectorized per-batch compare.  At
