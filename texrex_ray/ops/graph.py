@@ -1617,3 +1617,139 @@ def label_propagation_sequential(
             new[v] = min(k for k, cnt in c.items() if cnt == top)
         labels = new
     return labels
+
+
+def ktruss_sizes(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    expected_edges: int | None = None,
+) -> pd.DataFrame:
+    """k-truss ladder of the UNDIRECTED simple graph: for each k >= 3,
+    the size of the maximal subgraph whose every edge closes >= k-2
+    triangles inside it.  Trusses are the cohesion statistic between
+    triangles (q109) and cores (q119): a k-truss is always inside the
+    (k-1)-core but demands TRIANGLE support, so link farms that inflate
+    degree without closure fall out — the community-pruning gate a
+    template-farm detector runs after the cheap core filter.
+
+    Plan: dedup to canonical undirected edges (one hash-keyed exchange),
+    integer-encode; each peeling round broadcasts the surviving
+    adjacency as a CSR (sorted-neighbor arrays) via ``ray.put`` and ONE
+    ``map_batches`` pass over the edge partition computes per-edge
+    support with vectorized two-pointer intersections, dropping
+    under-supported edges.  Rounds repeat to fixpoint per k, then k
+    advances on the survivors (monotone: the (k+1)-truss is inside the
+    k-truss, so work only shrinks).  The broadcast CSR bounds this plan
+    at edge sets that fit one worker (~10^9 edges at 16 bytes); past
+    that the documented swap is hash-partitioned wedge enumeration
+    (each triangle counted at its lowest-degree apex) with support
+    deltas shuffled per round — same rounds, no broadcast.
+
+    Returns (k, n_edges) for every k >= 3 with a nonempty truss.
+    """
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[src].astype(str), df[dst].astype(str)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[lo != hi].drop_duplicates()
+
+    und = bucketed_groupby(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["a", "b"],
+        lambda g: g.drop_duplicates(["a", "b"]),
+        expected_rows=expected_edges,
+    ).to_pandas()
+    if not len(und):
+        return pd.DataFrame(
+            {"k": pd.Series(dtype="int64"), "n_edges": pd.Series(dtype="int64")}
+        )
+
+    nodes = pd.Index(np.sort(pd.unique(np.concatenate([und["a"], und["b"]]))))
+    ea = nodes.get_indexer(und["a"]).astype(np.int64)
+    eb = nodes.get_indexer(und["b"]).astype(np.int64)
+
+    def csr_of(a: np.ndarray, b: np.ndarray, n: int):
+        heads = np.concatenate([a, b])
+        tails = np.concatenate([b, a])
+        order = np.lexsort((tails, heads))
+        heads, tails = heads[order], tails[order]
+        offsets = np.searchsorted(heads, np.arange(n + 1))
+        return offsets, tails
+
+    n = len(nodes)
+    rows: list[tuple[int, int]] = []
+    k = 3
+    while len(ea):
+        while True:
+            csr_ref = ray.put(csr_of(ea, eb, n))
+            cur = ray.data.from_arrow(
+                pa.table({"ai": pa.array(ea), "bi": pa.array(eb)})
+            ).repartition(max(1, len(ea) // 4096))
+
+            def support_filter(t: pa.Table, need: int = k - 2) -> pa.Table:
+                offs, tails = ray.get(csr_ref)
+                ai = t["ai"].to_numpy()
+                bi = t["bi"].to_numpy()
+                keep = np.zeros(len(ai), dtype=bool)
+                for i, (x, y) in enumerate(zip(ai, bi)):
+                    nx = tails[offs[x]:offs[x + 1]]
+                    ny = tails[offs[y]:offs[y + 1]]
+                    # sorted two-pointer via searchsorted membership
+                    sup = np.count_nonzero(
+                        np.isin(nx, ny, assume_unique=True)
+                    )
+                    if sup >= need:
+                        keep[i] = True
+                return pa.table(
+                    {"ai": pa.array(ai[keep]), "bi": pa.array(bi[keep])}
+                )
+
+            out = cur.map_batches(support_filter, batch_format="pyarrow").to_pandas()
+            if len(out) == len(ea):
+                break
+            if not len(out):
+                ea = eb = np.array([], dtype=np.int64)
+                break
+            ea = out["ai"].to_numpy()
+            eb = out["bi"].to_numpy()
+        if len(ea):
+            rows.append((k, len(ea)))
+        k += 1
+
+    return pd.DataFrame(rows, columns=["k", "n_edges"]).astype("int64")
+
+
+def ktruss_sequential(edges: list[tuple[str, str]]) -> dict[int, int]:
+    """Independent per-edge Python twin (dict-of-sets, stack-driven
+    incremental peeling) — the oracle used by tests and the q266
+    committed fixture."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    sizes: dict[int, int] = {}
+    k = 3
+    cur = set(und)
+    while cur:
+        adj: dict[str, set] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        stack = [e for e in cur if len(adj[e[0]] & adj[e[1]]) < k - 2]
+        while stack:
+            a, b = stack.pop()
+            if (a, b) not in cur:
+                continue
+            cur.discard((a, b))
+            adj[a].discard(b)
+            adj[b].discard(a)
+            for c in adj[a] & adj[b]:
+                for e in ((a, c), (b, c)):
+                    e = tuple(sorted(e))
+                    if e in cur and len(adj[e[0]] & adj[e[1]]) < k - 2:
+                        stack.append(e)
+        if cur:
+            sizes[k] = len(cur)
+        k += 1
+    return sizes

@@ -17585,3 +17585,235 @@ def q264_funnel_ordered(sf_dir: str):
             "purchase_ppm": [npp * PPM // nc],
         }
     ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Blur (variance-of-Laplacian) audit over the image table (q265)
+# --------------------------------------------------------------------------
+
+BLUR_MILLI = 2_400_000  # variance-of-Laplacian floor (milli-units)
+
+_BLUR_SQL = f"""
+WITH s AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/sharpness_fixture.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN var_milli < {BLUR_MILLI} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blurry,
+       CAST(MIN(var_milli) AS BIGINT) AS min_var_milli,
+       CAST(MAX(var_milli) AS BIGINT) AS max_var_milli,
+       CAST(SUM(var_milli) AS BIGINT) AS sum_var_milli
+FROM s GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q265_blur_audit", sql=_BLUR_SQL)
+def q265_blur_audit(sf_dir: str):
+    """Blur detection via variance of the Laplacian — the standard
+    sharpness gate an image-caption curation pass runs before spending
+    caption/embedding compute on unusable pixels (complement of q223's
+    exposure audit: exposure finds bad LEVELS, Laplacian variance finds
+    missing EDGES).  Integer-exact: channel-sum luminance, 4-neighbor
+    Laplacian on interior pixels, population variance scaled x1000
+    (stages/images.py::SharpnessAudit).  Per fmt: image count, blurry
+    count (< {BLUR_MILLI} milli), min/max/sum variance.  Plan:
+    actor-pool decode+variance, pixels never leave the task, fmt-sized
+    combine.  Oracle: committed fixture from the INDEPENDENT per-pixel
+    scalar loop."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import SharpnessAudit
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        SharpnessAudit, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "sharp_var_milli"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")["sharp_var_milli"]
+        out = pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "n_blurry": g.apply(lambda s: int((s < BLUR_MILLI).sum())),
+                "min_var_milli": g.min(),
+                "max_var_milli": g.max(),
+                "sum_var_milli": g.sum(),
+            }
+        ).reset_index()
+        return out
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_blurry", alias_name="n_blurry"),
+            Min("min_var_milli", alias_name="min_var_milli"),
+            Max("max_var_milli", alias_name="max_var_milli"),
+            Sum("sum_var_milli", alias_name="sum_var_milli"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "n_blurry", "min_var_milli", "max_var_milli",
+              "sum_var_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# k-truss ladder of the crawl link graph (q266)
+# --------------------------------------------------------------------------
+
+@query(
+    "q266_ktruss",
+    sql="SELECT k, n_edges FROM read_parquet("
+    "'/root/repo/tests/fixtures/oracle/ktruss_sf0.01.parquet') ORDER BY k",
+)
+def q266_ktruss(sf_dir: str):
+    """k-truss ladder (Cohen 2008) of the undirected crawl link graph:
+    for each k, edges whose every survivor closes >= k-2 triangles —
+    the triangle-support community core between q109's triangle counts
+    and q119's degree cores (a k-truss needs CLOSURE, so link farms
+    that inflate degree without mutual linking fall out of it).
+    Broadcast-CSR peeling rounds with vectorized per-edge neighbor
+    intersections; the documented >10^9-edge swap is hash-partitioned
+    wedge enumeration (ops/graph.py::ktruss_sizes).  Fixture twin: the
+    INDEPENDENT stack-driven incremental peel (ktruss_sequential)."""
+    from texrex_ray.ops.graph import ktruss_sizes
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    out = ktruss_sizes(edges, expected_edges=edges.count())
+    return out
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd k-means over embeddings (q267)
+# --------------------------------------------------------------------------
+
+KM_K = 8
+KM_ITERS = 5
+
+
+@query(
+    "q267_kmeans",
+    sql="SELECT cluster, n_members, inertia FROM read_parquet("
+    "'/root/repo/tests/fixtures/oracle/kmeans_sf0.01.parquet') "
+    "ORDER BY cluster",
+)
+def q267_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (k={KM_K}, {KM_ITERS} iterations) over
+    the embedding table in fixed-point int64 (round(x*1000)) so every
+    step — assignment argmin (ties to the lowest cluster), centroid
+    update (elementwise floor-div of exact partial sums, empty cluster
+    keeps its centroid), final inertia — is engine-invariant.  The
+    clustering pass behind semantic dedup shard maps (q106) and IVF
+    coarse quantizers (q36): q69 aggregates centroids for GIVEN labels,
+    this LEARNS them.  Plan: quantized vectors materialize once;
+    each iteration broadcasts the K x d centroid matrix and runs ONE
+    map_batches pass emitting (cluster, dim) partial sums — the
+    exchange is K x d rows per block, never vectors; the driver pivots
+    a K x d table.  Oracle: committed fixture from the INDEPENDENT
+    per-row serial trainer."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // len(t)
+        q = np.floor(flat.astype(np.float64).reshape(len(t), d) * 1e3 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "q": pa.array(list(q), pa.list_(pa.int64())),
+            }
+        )
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+    init = (
+        qds.sort("vec_id").limit(KM_K).to_pandas()
+    )
+    cents = np.stack([np.asarray(v, dtype=np.int64) for v in init["q"]])
+    d = cents.shape[1]
+
+    def _unpack_fixed_lists(col, n_rows: int) -> np.ndarray:
+        """Zero-copy (n, d) int64 view of a fixed-width list column."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        return flat.reshape(n_rows, len(flat) // n_rows)
+
+    def assign(q: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # argmin over ||q-c||²; dropping the q² term preserves ties
+        scores = -2 * (q @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = np.argmin(scores, axis=1)  # first occurrence = lowest cluster
+        diff = q - c[a]
+        return a, (diff * diff).sum(axis=1)
+
+    for _ in range(KM_ITERS):
+        c_ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            q = _unpack_fixed_lists(t["q"], len(t))
+            a, _ = assign(q, c)
+            g = pd.DataFrame(q).groupby(a).sum()
+            cnt = pd.Series(a).value_counts().sort_index()
+            return pa.table(
+                {
+                    "cluster": pa.array(
+                        np.repeat(g.index.to_numpy().astype(np.int64), d)
+                    ),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(g))),
+                    "pn": pa.array(
+                        np.repeat(cnt.to_numpy().astype(np.int64), d)
+                    ),
+                    "ps": pa.array(g.to_numpy().reshape(-1)),
+                }
+            )
+
+        agg = (
+            qds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
+            .to_pandas()
+        )
+        new = cents.copy()
+        for j, sub in agg.groupby("cluster"):
+            sub = sub.sort_values("dim")
+            n = int(sub["n"].iloc[0])
+            if n:
+                new[int(j)] = sub["s"].to_numpy() // n
+        cents = new
+
+    c_ref = ray.put(cents)
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        q = _unpack_fixed_lists(t["q"], len(t))
+        a, d2 = assign(q, c)
+        df = pd.DataFrame({"cluster": a, "pn": 1, "pi": d2})
+        return pa.Table.from_pandas(
+            df.groupby("cluster", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        qds.map_batches(final_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            Sum("pn", alias_name="n_members"), Sum("pi", alias_name="inertia")
+        )
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    for c in ("cluster", "n_members", "inertia"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -263,3 +263,46 @@ class ChannelStats:
                 **{k: pa.array(v, pa.int64()) for k, v in out.items()},
             }
         )
+
+
+class SharpnessAudit:
+    """Actor-pool stage: variance-of-Laplacian sharpness per image —
+    the standard blur detector an image-caption curation pass runs
+    before spending caption/embedding compute on unusable pixels.
+
+    Integer-exact: luminance is the per-pixel CHANNEL SUM (0..765,
+    int64 — no /3, no float), the 4-neighbor Laplacian is computed on
+    interior pixels, and the population variance is emitted as
+    ``var_milli = (n*Σl² - (Σl)²) * 1000 // n²`` so the blur verdict
+    hashes identically on every engine.  Decode happens inside the
+    task; only the scalar column leaves it.  Adds: ``sharp_var_milli``
+    (int64; -1 for images too small for an interior).
+    """
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for raw in batch["bytes"].to_pylist():
+            px = self.decode(raw).astype(np.int64)
+            lum = px.sum(axis=2)
+            if lum.shape[0] < 3 or lum.shape[1] < 3:
+                out.append(-1)
+                continue
+            lap = (
+                4 * lum[1:-1, 1:-1]
+                - lum[:-2, 1:-1]
+                - lum[2:, 1:-1]
+                - lum[1:-1, :-2]
+                - lum[1:-1, 2:]
+            )
+            n = lap.size
+            s = int(lap.sum())
+            s2 = int((lap * lap).sum())
+            out.append((n * s2 - s * s) * 1000 // (n * n))
+        return batch.append_column(
+            "sharp_var_milli", pa.array(out, pa.int64())
+        )

@@ -1347,6 +1347,105 @@ def gen_graph42_edges() -> None:
           ts.num_rows, "seeds")
 
 
+
+def gen_sharpness() -> None:
+    """Expected q265 per-image Laplacian variance from an INDEPENDENT
+    serial per-pixel loop (scalar accumulation, no numpy vector ops on
+    the Laplacian path)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet")).to_pandas()
+    ids, fmts, vs = [], [], []
+    for _, r in df.iterrows():
+        px = decode_image(bytes(r["bytes"]))
+        h, w, _ = px.shape
+        lum = [[int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])
+                for x in range(w)] for y in range(h)]
+        if h < 3 or w < 3:
+            v = -1
+        else:
+            s1 = s2 = 0
+            n = (h - 2) * (w - 2)
+            for y in range(1, h - 1):        # deliberately scalar
+                for x in range(1, w - 1):
+                    l = (4 * lum[y][x] - lum[y - 1][x] - lum[y + 1][x]
+                         - lum[y][x - 1] - lum[y][x + 1])
+                    s1 += l
+                    s2 += l * l
+            v = (n * s2 - s1 * s1) * 1000 // (n * n)
+        ids.append(r["image_id"]); fmts.append(r["fmt"]); vs.append(v)
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "fmt": pa.array(fmts, pa.string()),
+                  "var_milli": pa.array(vs, pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "sharpness_fixture.parquet"))
+    print("sharpness_fixture.parquet:", t.num_rows, "rows")
+
+
+def gen_ktruss() -> None:
+    """Expected q266 k-truss ladder from the INDEPENDENT stack-driven
+    incremental peeling (ops/graph.py::ktruss_sequential — dict-of-sets
+    per-edge Python, no Dataset machinery)."""
+    from texrex_ray.ops.graph import ktruss_sequential
+
+    df = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet")).to_pandas()
+    sizes = ktruss_sequential(list(zip(df["src"], df["dst"])))
+    ks = sorted(sizes)
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "n_edges": pa.array([sizes[k] for k in ks], pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "ktruss_sf0.01.parquet"))
+    print("ktruss_sf0.01.parquet:", t.num_rows, "rows", dict(sizes))
+
+
+def gen_kmeans() -> None:
+    """Expected q267 Lloyd k-means summary from an INDEPENDENT serial
+    trainer: plain per-row python loops over the fixed-point int64
+    vectors — same spec (init = K lowest vec_ids, argmin ties to the
+    lowest cluster, update = elementwise floor-div, empty cluster keeps
+    its centroid), different implementation path."""
+    import pandas as pd
+
+    K, ITERS, Q = 8, 5, 1000
+    df = (pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    vecs = [[int(np.floor(float(x) * Q + 0.5)) for x in v]
+            for v in df["embedding"]]
+    d = len(vecs[0])
+    cents = [list(vecs[i]) for i in range(K)]
+    for _ in range(ITERS):
+        sums = [[0] * d for _ in range(K)]
+        cnts = [0] * K
+        for v in vecs:
+            best, bd = 0, None
+            for j in range(K):
+                dist = sum((a - b) * (a - b) for a, b in zip(v, cents[j]))
+                if bd is None or dist < bd:
+                    best, bd = j, dist
+            cnts[best] += 1
+            for t_ in range(d):
+                sums[best][t_] += v[t_]
+        for j in range(K):
+            if cnts[j]:
+                cents[j] = [sums[j][t_] // cnts[j] for t_ in range(d)]
+    n_mem = [0] * K
+    inert = [0] * K
+    for v in vecs:
+        best, bd = 0, None
+        for j in range(K):
+            dist = sum((a - b) * (a - b) for a, b in zip(v, cents[j]))
+            if bd is None or dist < bd:
+                best, bd = j, dist
+        n_mem[best] += 1
+        inert[best] += bd
+    t = pa.table({"cluster": pa.array(range(K), pa.int64()),
+                  "n_members": pa.array(n_mem, pa.int64()),
+                  "inertia": pa.array(inert, pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "kmeans_sf0.01.parquet"))
+    print("kmeans_sf0.01.parquet:", t.num_rows, "rows", n_mem)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1387,6 +1486,9 @@ def main() -> None:
     gen_html_pages()
     gen_channel_stats()
     gen_graph42_edges()
+    gen_sharpness()
+    gen_ktruss()
+    gen_kmeans()
 
 
 if __name__ == "__main__":
