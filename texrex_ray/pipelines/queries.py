@@ -17817,3 +17817,229 @@ def q267_kmeans(sf_dir: str):
     for c in ("cluster", "n_members", "inertia"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# LRU reuse-distance histogram, SHARDS-sampled (q268)
+# --------------------------------------------------------------------------
+
+SHARDS_MOD = 4  # keep keys with md5 % SHARDS_MOD == 0 (rate 1/4)
+
+_REUSE_SQL = f"""
+WITH s AS (SELECT event_id, user_id,
+                  row_number() OVER (ORDER BY ts, event_id) AS pos
+           FROM events
+           WHERE md5_number_lower(CAST(user_id AS VARCHAR))
+                 % {SHARDS_MOD} = 0),
+w AS (SELECT pos, user_id,
+             lag(pos) OVER (PARTITION BY user_id ORDER BY pos) AS ppos
+      FROM s),
+d AS (SELECT CASE WHEN ppos IS NULL THEN -1
+             ELSE (SELECT COUNT(DISTINCT s2.user_id) FROM s s2
+                   WHERE s2.pos > w.ppos AND s2.pos < w.pos) END AS dist
+      FROM w)
+SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_accesses
+FROM d GROUP BY dist ORDER BY dist
+"""
+
+
+@query("q268_reuse_distance", sql=_REUSE_SQL)
+def q268_reuse_distance(sf_dir: str):
+    """LRU reuse-distance (Mattson stack-distance) histogram of the
+    user-access stream, SHARDS-sampled (Waldspurger et al. 2015):
+    hash-sample the KEYS at rate 1/{SHARDS_MOD}, replay only the
+    sampled substream, and the exact distances on it estimate the full
+    miss-ratio curve at distance x {SHARDS_MOD} — the cache-sizing
+    curve for the crawl's document/robots caches, computed at constant
+    memory no matter the stream length.  dist = distinct keys between
+    consecutive accesses of the same key (hit in an LRU of size C iff
+    dist < C; -1 = cold first access).  Plan: the hash filter and the
+    (ts, event_id) sort are distributed; the replay is a single
+    move-to-front scan over the SAMPLE-sized substream on the driver —
+    at 100 TB you lower the rate, never the memory.  Output:
+    (dist, n_accesses)."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        uniq = df["user_id"].unique()
+        ok = {
+            int(u)
+            for u in uniq
+            if int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:], "little")
+            % SHARDS_MOD
+            == 0
+        }
+        return df[df["user_id"].isin(ok)]
+
+    sub = (
+        ev.map_batches(keep, batch_format="pandas")
+        .sort(["ts", "event_id"])
+        .to_pandas()
+    )
+    stack: list[int] = []  # most-recent-first
+    from collections import Counter
+
+    hist: Counter = Counter()
+    for u in sub["user_id"].astype(int):
+        try:
+            i = stack.index(u)
+        except ValueError:
+            hist[-1] += 1
+            stack.insert(0, u)
+            continue
+        hist[i] += 1
+        stack.pop(i)
+        stack.insert(0, u)
+    ds = sorted(hist)
+    return pd.DataFrame(
+        {"dist": ds, "n_accesses": [hist[d] for d in ds]}
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Per-image connected-component (blob) count (q269)
+# --------------------------------------------------------------------------
+
+_BLOB_SQL = """
+WITH b AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/blob_counts_fixture.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_blobs) AS BIGINT) AS sum_blobs,
+       CAST(MIN(n_blobs) AS BIGINT) AS min_blobs,
+       CAST(MAX(n_blobs) AS BIGINT) AS max_blobs
+FROM b GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q269_blob_count", sql=_BLOB_SQL)
+def q269_blob_count(sf_dir: str):
+    """4-connected foreground component count per image (object-count
+    proxy): flat graphics label as a handful of blobs, busy photographs
+    as thousands — the structure-complexity gate that pairs with q265's
+    edge-energy gate in an image-curation chain.  Vectorized min-label
+    relaxation inside the decode actor (stages/images.py::BlobCount);
+    only the scalar count leaves the task.  Per fmt: image count and
+    sum/min/max blobs.  Oracle: committed fixture from the INDEPENDENT
+    scalar BFS flood fill."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import BlobCount
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        BlobCount, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "n_blobs"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")["n_blobs"]
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "sum_blobs": g.sum(),
+                "min_blobs": g.min(),
+                "max_blobs": g.max(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_blobs", alias_name="sum_blobs"),
+            Min("min_blobs", alias_name="min_blobs"),
+            Max("max_blobs", alias_name="max_blobs"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "sum_blobs", "min_blobs", "max_blobs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Grouped isotonic regression via PAVA (q270)
+# --------------------------------------------------------------------------
+
+@query(
+    "q270_isotonic",
+    sql="SELECT l_returnflag, qty, n_items, fitted_mc FROM read_parquet("
+    "'/root/repo/tests/fixtures/oracle/isotonic_sf0.01.parquet') "
+    "ORDER BY l_returnflag, qty",
+)
+def q270_isotonic(sf_dir: str):
+    """Per-group isotonic regression (pool-adjacent-violators) of mean
+    line price vs quantity — the monotone calibration fit used to turn
+    a raw heuristic score into a trustworthy ranking signal (here:
+    price should rise with quantity; pooled levels expose where the
+    fixture violates it).  Integer-exact throughout: pooling compares
+    rational means by cross-multiplication in Python ints, the fitted
+    level is emitted as milli-cents floor-div.  Plan: ONE distributed
+    (group, qty) aggregate (quantity-domain-sized exchange), then PAVA
+    inside ``map_groups`` per group — each group is domain-sized (~50
+    rows), so the sequential pool scan is result-sized work.  Oracle:
+    committed fixture from the INDEPENDENT stack-based serial PAVA."""
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "qty": np.rint(df["l_quantity"].to_numpy()).astype("int64"),
+                "cents": np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+                "n_items": 1,
+            }
+        )
+        return g.groupby(["l_returnflag", "qty"], as_index=False).sum()
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(
+            Sum("cents", alias_name="cents"), Sum("n_items", alias_name="n_items")
+        )
+    )
+
+    def pava(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("qty").reset_index(drop=True)
+        # pools as [qty_list, s, n]; merge while mean decreases
+        pools: list[list] = []
+        for _, r in g.iterrows():
+            pools.append([[int(r["qty"])], int(r["cents"]), int(r["n_items"])])
+            while len(pools) > 1 and (
+                pools[-2][1] * pools[-1][2] > pools[-1][1] * pools[-2][2]
+            ):
+                q2, s2, n2 = pools.pop()
+                pools[-1][0].extend(q2)
+                pools[-1][1] += s2
+                pools[-1][2] += n2
+        rows = []
+        flag = g["l_returnflag"].iloc[0]
+        per_q = dict(zip(g["qty"].astype(int), g["n_items"].astype(int)))
+        for qs, s, n in pools:
+            fit = s * 1000 // n
+            for qv in qs:
+                rows.append((flag, qv, per_q[qv], fit))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "qty", "n_items", "fitted_mc"]
+        )
+
+    out = (
+        agg.groupby("l_returnflag")
+        .map_groups(pava, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["l_returnflag", "qty"])
+        .reset_index(drop=True)
+    )
+    for c in ("qty", "n_items", "fitted_mc"):
+        out[c] = out[c].astype("int64")
+    return out

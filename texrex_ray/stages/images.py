@@ -306,3 +306,51 @@ class SharpnessAudit:
         return batch.append_column(
             "sharp_var_milli", pa.array(out, pa.int64())
         )
+
+
+class BlobCount:
+    """Actor-pool stage: count 4-connected foreground components per
+    image — the structure-complexity signal (object count proxy) an
+    image curation pass uses to separate flat graphics from busy
+    photographs, and the pixel-level cousin of the corpus-level
+    connected components in dedup/clusters.py.
+
+    Foreground = channel-sum luminance > ``thresh`` (default 383 =
+    half of 765; integer, no float).  Labeling is vectorized
+    min-label relaxation: every foreground pixel starts with its own
+    index and repeatedly takes the min over its foreground 4-neighbors
+    until fixpoint — iterations bound by component diameter, every
+    step a whole-array numpy op (no per-pixel Python).  Adds:
+    ``n_blobs`` (int64).
+    """
+
+    def __init__(self, thresh: int = 383) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.thresh = thresh
+
+    def _count(self, px: np.ndarray) -> int:
+        lum = px.astype(np.int64).sum(axis=2)
+        fg = lum > self.thresh
+        if not fg.any():
+            return 0
+        h, w = fg.shape
+        lab = np.where(fg, np.arange(h * w, dtype=np.int64).reshape(h, w), -1)
+        big = np.int64(h * w)
+        while True:
+            cur = np.where(fg, lab, big)
+            m = cur.copy()
+            m[1:, :] = np.minimum(m[1:, :], cur[:-1, :])
+            m[:-1, :] = np.minimum(m[:-1, :], cur[1:, :])
+            m[:, 1:] = np.minimum(m[:, 1:], cur[:, :-1])
+            m[:, :-1] = np.minimum(m[:, :-1], cur[:, 1:])
+            new = np.where(fg, m, -1)
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return int(len(np.unique(lab[fg])))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._count(self.decode(raw)) for raw in batch["bytes"].to_pylist()]
+        return batch.append_column("n_blobs", pa.array(out, pa.int64()))

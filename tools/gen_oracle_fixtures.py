@@ -1446,6 +1446,92 @@ def gen_kmeans() -> None:
     print("kmeans_sf0.01.parquet:", t.num_rows, "rows", n_mem)
 
 
+
+def gen_blob_counts() -> None:
+    """Expected q269 per-image blob counts from an INDEPENDENT scalar
+    BFS flood fill (deque over pixels — no numpy relaxation)."""
+    from collections import deque
+
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet")).to_pandas()
+    ids, fmts, ns = [], [], []
+    for _, r in df.iterrows():
+        px = decode_image(bytes(r["bytes"]))
+        h, w, _ = px.shape
+        fg = [[(int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])) > 383
+               for x in range(w)] for y in range(h)]
+        seen = [[False] * w for _ in range(h)]
+        n = 0
+        for y0 in range(h):
+            for x0 in range(w):
+                if not fg[y0][x0] or seen[y0][x0]:
+                    continue
+                n += 1
+                dq = deque([(y0, x0)])
+                seen[y0][x0] = True
+                while dq:
+                    y, x = dq.popleft()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        yy, xx = y + dy, x + dx
+                        if (0 <= yy < h and 0 <= xx < w and fg[yy][xx]
+                                and not seen[yy][xx]):
+                            seen[yy][xx] = True
+                            dq.append((yy, xx))
+        ids.append(r["image_id"]); fmts.append(r["fmt"]); ns.append(n)
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "fmt": pa.array(fmts, pa.string()),
+                  "n_blobs": pa.array(ns, pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "blob_counts_fixture.parquet"))
+    print("blob_counts_fixture.parquet:", t.num_rows, "rows")
+
+
+def gen_isotonic() -> None:
+    """Expected q270 isotonic fit from the INDEPENDENT minimax formula
+    (fit[k] = max over i<=k of min over j>=k of mean(y[i..j]), exact
+    Fractions) — a different characterization of the same regression
+    than PAVA pooling."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    li["qty"] = [int(round(q)) for q in li["l_quantity"]]
+    li["cents"] = [int(round(x * 100)) for x in li["l_extendedprice"]]
+    rows = []
+    for flag, sub in li.groupby("l_returnflag"):
+        g = sub.groupby("qty").agg(s=("cents", "sum"), n=("cents", "size"))
+        g = g.sort_index()
+        qs = list(g.index)
+        S = [0]
+        N = [0]
+        for q in qs:
+            S.append(S[-1] + int(g.loc[q, "s"]))
+            N.append(N[-1] + int(g.loc[q, "n"]))
+        m = len(qs)
+
+        def mean(i, j):  # inclusive block i..j (0-based)
+            return Fraction(S[j + 1] - S[i], N[j + 1] - N[i])
+
+        for k in range(m):
+            fit = max(min(mean(i, j) for j in range(k, m)) for i in range(k + 1))
+            mc = (fit.numerator * 1000) // fit.denominator
+            rows.append((flag, qs[k], int(g.loc[qs[k], "n"]), mc))
+    t = pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "qty": pa.array([r[1] for r in rows], pa.int64()),
+        "n_items": pa.array([r[2] for r in rows], pa.int64()),
+        "fitted_mc": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "isotonic_sf0.01.parquet"))
+    print("isotonic_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1489,6 +1575,8 @@ def main() -> None:
     gen_sharpness()
     gen_ktruss()
     gen_kmeans()
+    gen_blob_counts()
+    gen_isotonic()
 
 
 if __name__ == "__main__":
