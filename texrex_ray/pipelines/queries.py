@@ -18043,3 +18043,221 @@ def q270_isotonic(sf_dir: str):
     for c in ("qty", "n_items", "fitted_mc"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Apriori frequent part-pairs (q271)
+# --------------------------------------------------------------------------
+
+ITEMSET_MINSUP = 3
+
+_ITEMSET_SQL = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(count(*) AS BIGINT) AS support
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= {ITEMSET_MINSUP}
+ORDER BY support DESC, p1, p2
+"""
+
+
+@query("q271_itemset_pairs", sql=_ITEMSET_SQL)
+def q271_itemset_pairs(sf_dir: str):
+    """Market-basket frequent pairs with the Apriori candidate prune
+    (Agrawal & Srikant 1994): parts co-ordered in >= MINSUP orders.
+    Plan: (1) L1 pass — distinct-order count per part via ONE part-keyed
+    bucketed exchange, frequent-part set broadcast to every task (at
+    100 TB this set is vocabulary-sized, the whole point of the prune);
+    (2) baskets co-locate by ONE order-keyed bucketed exchange, pairs
+    generated per order by a vectorized self-merge among frequent parts
+    only; (3) pair supports summed by a pair-keyed bucketed exchange —
+    never a per-group Python reduce over ~1e5 pair groups.  Output:
+    (p1, p2, support)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = li.count()
+
+    # L1: parts present in >= MINSUP distinct orders
+    def part_orders(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        g = d.groupby("l_partkey", as_index=False).size()
+        return g.rename(columns={"size": "n_orders"})
+
+    l1 = bucketed_groupby(
+        li, ["l_partkey"], part_orders, expected_rows=n_rows
+    ).to_pandas()
+    freq = set(l1.loc[l1["n_orders"] >= ITEMSET_MINSUP, "l_partkey"].astype(int))
+
+    filt = li.map_batches(
+        lambda df: df[df["l_partkey"].isin(freq)], batch_format="pandas"
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        g = (
+            m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False)
+            .size()
+            .rename(columns={"l_partkey_x": "p1", "l_partkey_y": "p2",
+                             "size": "support"})
+        )
+        return g
+
+    partial = bucketed_groupby(filt, ["l_orderkey"], pairs, expected_rows=n_rows)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p1", "p2"], as_index=False)["support"].sum()
+        return g[g["support"] >= ITEMSET_MINSUP]
+
+    out = (
+        bucketed_groupby(partial, ["p1", "p2"], total, expected_rows=n_rows)
+        .to_pandas()
+        .sort_values(["support", "p1", "p2"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    for c in ("p1", "p2", "support"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Binary box-split palette quantization (q272)
+# --------------------------------------------------------------------------
+
+_PALETTE_SQL = """
+WITH p AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/palette_fixture.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_boxes) AS BIGINT) AS sum_boxes,
+       CAST(SUM(quant_err) AS BIGINT) AS sum_err,
+       CAST(MAX(quant_err) AS BIGINT) AS max_err
+FROM p GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q272_palette_quant", sql=_PALETTE_SQL)
+def q272_palette_quant(sf_dir: str):
+    """K=8 palette quantization error per image via the deterministic
+    midpoint box-split (stages/images.py::PaletteQuant) — synthetic
+    graphics quantize to near-zero error, photographs don't; the
+    compressibility gate of an image-curation chain.  Pixels never
+    leave the decode task; only two scalars per image shuffle.  Per
+    fmt: image count, sum of boxes, sum/max quantization error.
+    Oracle: committed fixture from the INDEPENDENT recursive splitter."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import PaletteQuant
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        PaletteQuant, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "n_boxes", "quant_err"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "sum_boxes": g["n_boxes"].sum(),
+                "sum_err": g["quant_err"].sum(),
+                "max_err": g["quant_err"].max(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_boxes", alias_name="sum_boxes"),
+            Sum("sum_err", alias_name="sum_err"),
+            Max("max_err", alias_name="max_err"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "sum_boxes", "sum_err", "max_err"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Huffman storage-bound audit (q273)
+# --------------------------------------------------------------------------
+
+@query(
+    "q273_huffman_bits",
+    sql="SELECT lang, n_bytes, n_symbols, huff_bits, saved_ppm "
+    "FROM read_parquet("
+    "'/root/repo/tests/fixtures/oracle/huffman_sf0.01.parquet') "
+    "ORDER BY lang",
+)
+def q273_huffman_bits(sf_dir: str):
+    """Optimal byte-level Huffman storage bound per language: what an
+    entropy coder would save over raw UTF-8 — the storage-planning
+    audit for a corpus tier (cold text shards compress ~2x; this
+    computes the per-language bound exactly).  Plan: per-batch byte
+    histograms via ONE np.bincount over the concatenated batch bytes
+    (lang x 256 partial rows — the only exchange), then the 256-leaf
+    Huffman build on the driver.  Total weighted code length is the
+    UNIQUE optimal cost, so any correct Huffman implementation agrees —
+    the fixture oracle uses the two-queue method, this one a heap.
+    Output: (lang, n_bytes, n_symbols, huff_bits, saved_ppm)."""
+    import heapq
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, sub in df.groupby("lang"):
+            buf = np.frombuffer(
+                "".join(sub["text"].tolist()).encode("utf-8"), dtype=np.uint8
+            )
+            counts = np.bincount(buf, minlength=256)
+            nz = np.nonzero(counts)[0]
+            rows.append(
+                pd.DataFrame(
+                    {"lang": lang, "byte": nz.astype("int64"),
+                     "n": counts[nz].astype("int64")}
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    agg = (
+        docs.map_batches(hist, batch_format="pandas")
+        .groupby(["lang", "byte"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out_rows = []
+    for lang, sub in agg.groupby("lang"):
+        w = sub["n"].astype(int).tolist()
+        n_bytes = sum(w)
+        n_sym = len(w)
+        if n_sym == 1:
+            bits = n_bytes  # 1-bit code by convention
+        else:
+            heap = list(w)
+            heapq.heapify(heap)
+            bits = 0
+            while len(heap) > 1:
+                a = heapq.heappop(heap)
+                b = heapq.heappop(heap)
+                bits += a + b
+                heapq.heappush(heap, a + b)
+        out_rows.append(
+            (lang, n_bytes, n_sym, bits,
+             (8 * n_bytes - bits) * PPM // (8 * n_bytes))
+        )
+    out = pd.DataFrame(
+        sorted(out_rows),
+        columns=["lang", "n_bytes", "n_symbols", "huff_bits", "saved_ppm"],
+    )
+    for c in ("n_bytes", "n_symbols", "huff_bits", "saved_ppm"):
+        out[c] = out[c].astype("int64")
+    return out

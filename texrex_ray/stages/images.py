@@ -354,3 +354,75 @@ class BlobCount:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = [self._count(self.decode(raw)) for raw in batch["bytes"].to_pylist()]
         return batch.append_column("n_blobs", pa.array(out, pa.int64()))
+
+
+class PaletteQuant:
+    """Actor-pool stage: K-color palette via iterative binary box-split
+    (median-cut family, midpoint rule) + integer quantization error —
+    the palette/compressibility signal an image-curation pass uses to
+    separate synthetic graphics (tiny error at K=8) from photographs.
+
+    Deterministic spec (the fixture oracle and test twin re-implement
+    it independently):
+
+    - start with one box holding all pixels; repeat until ``k`` boxes
+      or no box has channel range > 0: pick the box with the largest
+      (max-min) channel range (first/lowest box id on ties), split on
+      its widest channel (lowest channel index on ties) at
+      ``mid = (min+max)//2`` — pixels with value <= mid keep the box
+      id, the rest move to a fresh id (both sides non-empty because
+      range > 0).
+    - palette color per box = floor per-channel mean (sum//n); error =
+      sum over pixels of squared L2 distance to their box's color.
+
+    All splits are whole-array numpy masks (no per-pixel Python).
+    Adds: ``n_boxes``, ``quant_err`` (int64).
+    """
+
+    def __init__(self, k: int = 8) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.k = k
+
+    def _quant(self, px: np.ndarray) -> tuple[int, int]:
+        pts = px.reshape(-1, 3).astype(np.int64)
+        lab = np.zeros(len(pts), dtype=np.int64)
+        n_boxes = 1
+        while n_boxes < self.k:
+            best, best_rng, best_ch = -1, 0, 0
+            for b in range(n_boxes):
+                sel = pts[lab == b]
+                if not len(sel):
+                    continue
+                rng = sel.max(axis=0) - sel.min(axis=0)
+                ch = int(np.argmax(rng))
+                if rng[ch] > best_rng:
+                    best, best_rng, best_ch = b, int(rng[ch]), ch
+            if best < 0 or best_rng == 0:
+                break
+            m = lab == best
+            v = pts[:, best_ch]
+            lo = int(v[m].min())
+            hi = int(v[m].max())
+            mid = (lo + hi) // 2
+            lab[m & (v > mid)] = n_boxes
+            n_boxes += 1
+        err = 0
+        for b in range(n_boxes):
+            sel = pts[lab == b]
+            if not len(sel):
+                continue
+            c = sel.sum(axis=0) // len(sel)
+            err += int(((sel - c) ** 2).sum())
+        return n_boxes, err
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nb, qe = [], []
+        for raw in batch["bytes"].to_pylist():
+            n, e = self._quant(self.decode(raw))
+            nb.append(n)
+            qe.append(e)
+        return batch.append_column(
+            "n_boxes", pa.array(nb, pa.int64())
+        ).append_column("quant_err", pa.array(qe, pa.int64()))

@@ -1532,6 +1532,98 @@ def gen_isotonic() -> None:
     print("isotonic_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_palette() -> None:
+    """Expected q272 per-image palette stats from an INDEPENDENT
+    organization of the midpoint box-split spec: boxes as explicit
+    index-array objects with stats recomputed from scratch each round
+    via np.ptp and a key-tuple max (the stage keeps one flat label
+    array and argmax scans)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    K = 8
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet")).to_pandas()
+    ids, fmts, nbs, errs = [], [], [], []
+    for _, r in df.iterrows():
+        pts = decode_image(bytes(r["bytes"])).reshape(-1, 3).astype(np.int64)
+        boxes = [np.arange(len(pts))]
+        while len(boxes) < K:
+            cand = []
+            for bid, idx in enumerate(boxes):
+                rng = np.ptp(pts[idx], axis=0)
+                ch = int(np.argmax(rng))
+                cand.append((int(rng[ch]), -bid, ch, bid))
+            rng_v, _, ch, bid = max(cand)
+            if rng_v == 0:
+                break
+            idx = boxes[bid]
+            v = pts[idx, ch]
+            mid = (int(v.min()) + int(v.max())) // 2
+            boxes[bid] = idx[v <= mid]
+            boxes.append(idx[v > mid])
+        err = 0
+        for idx in boxes:
+            c = pts[idx].sum(axis=0) // len(idx)
+            err += int(((pts[idx] - c) ** 2).sum())
+        ids.append(r["image_id"]); fmts.append(r["fmt"])
+        nbs.append(len(boxes)); errs.append(err)
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "fmt": pa.array(fmts, pa.string()),
+                  "n_boxes": pa.array(nbs, pa.int64()),
+                  "quant_err": pa.array(errs, pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "palette_fixture.parquet"))
+    print("palette_fixture.parquet:", t.num_rows, "rows")
+
+
+def gen_huffman() -> None:
+    """Expected q273 per-lang Huffman bound from the INDEPENDENT
+    two-queue merge (sorted deque pair, no heap) — any correct Huffman
+    yields the same unique optimal total cost."""
+    from collections import Counter, deque
+
+    import pandas as pd
+
+    PPM = 1_000_000
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["lang", "text"]).to_pandas()
+    rows = []
+    for lang, sub in docs.groupby("lang"):
+        c = Counter()
+        for t in sub["text"]:
+            c.update(t.encode("utf-8"))
+        w = sorted(c.values())
+        n_bytes = sum(w)
+        if len(w) == 1:
+            bits = n_bytes
+        else:
+            q1 = deque(w)
+            q2 = deque()
+            bits = 0
+
+            def popmin():
+                if q1 and (not q2 or q1[0] <= q2[0]):
+                    return q1.popleft()
+                return q2.popleft()
+
+            while len(q1) + len(q2) > 1:
+                s = popmin() + popmin()
+                bits += s
+                q2.append(s)
+        rows.append((lang, n_bytes, len(w), bits,
+                     (8 * n_bytes - bits) * PPM // (8 * n_bytes)))
+    rows.sort()
+    t = pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n_bytes": pa.array([r[1] for r in rows], pa.int64()),
+        "n_symbols": pa.array([r[2] for r in rows], pa.int64()),
+        "huff_bits": pa.array([r[3] for r in rows], pa.int64()),
+        "saved_ppm": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "huffman_sf0.01.parquet"))
+    print("huffman_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1577,6 +1669,8 @@ def main() -> None:
     gen_kmeans()
     gen_blob_counts()
     gen_isotonic()
+    gen_palette()
+    gen_huffman()
 
 
 if __name__ == "__main__":
