@@ -18261,3 +18261,320 @@ def q273_huffman_bits(sf_dir: str):
     for c in ("n_bytes", "n_symbols", "huff_bits", "saved_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Bigram next-token accuracy (q274)
+# --------------------------------------------------------------------------
+
+_BIGRAM_SQL = f"""
+WITH tk AS (SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents),
+tok AS (SELECT doc_id, lang, unnest(toks) AS w,
+               generate_subscripts(toks, 1) AS i FROM tk),
+bg AS (SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+fb AS (SELECT *, md5_number_lower(CAST(doc_id AS VARCHAR)) % {N_FOLDS} AS fold
+       FROM bg),
+tr AS (SELECT w1, w2, count(*) AS n FROM fb WHERE fold <> 0 GROUP BY 1, 2),
+pr AS (SELECT w1, w2 AS wp FROM (
+         SELECT w1, w2,
+                row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rn
+         FROM tr) WHERE rn = 1),
+ev AS (SELECT lang, w1, w2 FROM fb WHERE fold = 0)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN pr.wp = ev.w2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       CAST(SUM(CASE WHEN pr.wp = ev.w2 THEN 1 ELSE 0 END)
+            * {PPM} // count(*) AS BIGINT) AS acc_ppm
+FROM ev LEFT JOIN pr USING (w1)
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q274_bigram_nexttok", sql=_BIGRAM_SQL)
+def q274_bigram_nexttok(sf_dir: str):
+    """Bigram language-model next-token accuracy on the held-out fold —
+    the cheapest intrinsic eval of a corpus as TRAINING DATA: train the
+    argmax bigram predictor (ties broken lexicographically) on the
+    md5-stable train folds, score per-language accuracy on fold 0.
+    Plan: bigram emission is a per-batch zip (no exchange); train
+    counts and the per-w1 argmax are TWO token-keyed bucketed
+    exchanges (vocabulary-scale groups, never per-group Python); the
+    eval side joins the prediction table by ONE shuffle_join on w1 —
+    at 100 TB the prediction table is vocab²-bounded and the join
+    stays bucket-local.  Output: (lang, n_bigrams, n_correct,
+    acc_ppm)."""
+    import hashlib
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+    from texrex_ray.ops.join import shuffle_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    tok_re = re.compile(r"[a-z]+")
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        rows_w1, rows_w2, rows_lang, rows_fold = [], [], [], []
+        for i, lang, text in zip(df["doc_id"], df["lang"], df["text"]):
+            fold = int.from_bytes(
+                hashlib.md5(str(int(i)).encode()).digest()[8:], "little"
+            ) % N_FOLDS
+            ws = tok_re.findall((text or "").lower())
+            rows_w1.extend(ws[:-1])
+            rows_w2.extend(ws[1:])
+            rows_lang.extend([lang] * max(len(ws) - 1, 0))
+            rows_fold.extend([fold] * max(len(ws) - 1, 0))
+        return pd.DataFrame(
+            {"lang": rows_lang, "fold": rows_fold,
+             "w1": rows_w1, "w2": rows_w2}
+        )
+
+    bg = docs.map_batches(bigrams, batch_format="pandas")
+    n_hint = docs.count() * 200  # ~tokens per doc upper bound
+
+    train = bg.map_batches(
+        lambda df: df.loc[df["fold"] != 0, ["w1", "w2"]], batch_format="pandas"
+    )
+    counts = bucketed_groupby(
+        train, ["w1", "w2"],
+        lambda df: df.groupby(["w1", "w2"], as_index=False).size()
+        .rename(columns={"size": "n"}),
+        expected_rows=n_hint,
+    )
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["w1", "n", "w2"], ascending=[True, False, True])
+        top = d.drop_duplicates("w1", keep="first")
+        return top[["w1", "w2"]].rename(columns={"w2": "wp"})
+
+    pred = bucketed_groupby(counts, ["w1"], argmax, expected_rows=n_hint)
+
+    ev = bg.map_batches(
+        lambda df: df.loc[df["fold"] == 0, ["lang", "w1", "w2"]],
+        batch_format="pandas",
+    )
+    joined = shuffle_join(ev, pred, on="w1", how="left",
+                          expected_rows=n_hint)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ok = (df["wp"] == df["w2"]).astype("int64")
+        return pd.DataFrame(
+            {"lang": df["lang"], "n_bigrams": 1, "n_correct": ok}
+        ).groupby("lang", as_index=False).sum()
+
+    out = (
+        joined.map_batches(score, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                   Sum("n_correct", alias_name="n_correct"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["acc_ppm"] = out["n_correct"] * PPM // out["n_bigrams"]
+    for c in ("n_bigrams", "n_correct", "acc_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# CRC32 transfer-integrity ledger (q275)
+# --------------------------------------------------------------------------
+
+_CRC_SQL = """
+WITH c AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/crc_fixture.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT crc) AS BIGINT) AS n_distinct,
+       CAST(sum(crc) AS BIGINT) AS sum_crc,
+       CAST(min(crc) AS BIGINT) AS min_crc,
+       CAST(max(crc) AS BIGINT) AS max_crc
+FROM c GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q275_crc_ledger", sql=_CRC_SQL)
+def q275_crc_ledger(sf_dir: str):
+    """CRC-32 transfer-integrity ledger over the image payloads — the
+    checksum manifest a multi-hop copy (crawler → object store → training
+    host) verifies against; per fmt: counts, distinct checksums (exact
+    duplicate detector at 4 bytes/image), and sum/min/max as the
+    mergeable ledger digest.  Plan: crc32 per blob inside the read task
+    (zlib C kernel, bytes never shuffle), (fmt, crc) count combine, per-
+    fmt aggregates over the distinct-checksum-sized survivor set.
+    Oracle: committed fixture from an INDEPENDENT table-driven
+    pure-Python CRC-32."""
+    import zlib
+
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["bytes", "fmt"])
+
+    def crc(t: pa.Table) -> pa.Table:
+        vals = [zlib.crc32(raw) for raw in t["bytes"].to_pylist()]
+        return pa.table({"fmt": t["fmt"], "crc": pa.array(vals, pa.int64())})
+
+    per = (
+        ds.map_batches(crc, batch_format="pyarrow")
+        .groupby(["fmt", "crc"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    g = per.groupby("fmt")
+    out = pd.DataFrame(
+        {
+            "n_images": g["n"].sum(),
+            "n_distinct": g["crc"].size(),
+            "sum_crc": g.apply(
+                lambda s: int((s["crc"] * s["n"]).sum()), include_groups=False
+            ),
+            "min_crc": g["crc"].min(),
+            "max_crc": g["crc"].max(),
+        }
+    ).reset_index().sort_values("fmt").reset_index(drop=True)
+    for c in ("n_images", "n_distinct", "sum_crc", "min_crc", "max_crc"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout vs Z-order (q276)
+# --------------------------------------------------------------------------
+
+HILBERT_ORDER = 16  # 2^16 x 2^16 grid, d < 2^32
+
+
+def hilbert_d_vec(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert xy→d (s-reflection variant; validated by the
+    exhaustive adjacency test in tests/test_round4ll.py: consecutive d
+    are always grid neighbors, which Z-order cannot guarantee)."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1 << (order - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+_HILBERT_SQL = f"""
+WITH q AS (SELECT event_id, user_id AS x,
+                  CAST(ROUND(value * 100) AS BIGINT) AS y FROM events),
+h AS (SELECT q.event_id, q.x, q.y, f.hkey
+      FROM q JOIN read_parquet(
+        '/root/repo/tests/fixtures/oracle/hilbert_sf0.01.parquet') f
+      USING (event_id)),
+rh AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY hkey, event_id) AS rn FROM h),
+fh AS (SELECT (rn - 1) // {ZORDER_FRAG} AS frag,
+              MAX(x) - MIN(x) AS dx, MAX(y) - MIN(y) AS dy
+       FROM rh GROUP BY 1),
+z AS (SELECT event_id, x, y,
+        SUM(((x >> i) & 1) * (1::BIGINT << (2*i))
+            + ((y >> i) & 1) * (1::BIGINT << (2*i + 1))) AS zc
+      FROM q, range({HILBERT_ORDER}) t(i) GROUP BY 1, 2, 3),
+rz AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY zc, event_id) AS rn FROM z),
+fz AS (SELECT (rn - 1) // {ZORDER_FRAG} AS frag,
+              MAX(x) - MIN(x) AS dx, MAX(y) - MIN(y) AS dy
+       FROM rz GROUP BY 1)
+SELECT 'hilbert' AS layout, CAST(COUNT(*) AS BIGINT) AS n_frag,
+       CAST(SUM(dx) AS BIGINT) AS sum_dx, CAST(SUM(dy) AS BIGINT) AS sum_dy
+FROM fh
+UNION ALL
+SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(dx) AS BIGINT), CAST(SUM(dy) AS BIGINT) FROM fz
+ORDER BY layout
+"""
+
+
+@query("q276_hilbert_layout", sql=_HILBERT_SQL)
+def q276_hilbert_layout(sf_dir: str):
+    """Hilbert-curve storage clustering vs q146's Z-order on the same
+    (user, value-cents) dimensions: the Hilbert index keeps consecutive
+    rows GRID-ADJACENT (no Z-order jump discontinuities), so per-
+    fragment bounding boxes — what zone maps prune with — shrink
+    further for the same single sort.  Plan identical to q146: derive
+    keys vectorized per batch, ONE sort (sorted_positions), fragment-
+    count-sized bbox aggregate.  Oracle: hilbert codes from the
+    committed fixture (INDEPENDENT scalar implementation), Z-order and
+    both frag audits recomputed in SQL."""
+    from texrex_ray.ops.shuffle import sorted_positions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (
+            pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        hk = hilbert_d_vec(HILBERT_ORDER, x, y)
+        zc = np.zeros(len(x), dtype=np.int64)
+        for i in range(HILBERT_ORDER):
+            zc += ((x >> i) & 1) << (2 * i)
+            zc += ((y >> i) & 1) << (2 * i + 1)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "hkey": pa.array(
+                    [f"{h:012d}:{e:012d}" for h, e in zip(hk, eid)]
+                ),
+                "zkey": pa.array(
+                    [f"{z:012d}:{e:012d}" for z, e in zip(zc, eid)]
+                ),
+            }
+        )
+
+    base = ds.map_batches(derive, batch_format="pyarrow")
+
+    def frag_stats(layout: str, key: str) -> pd.DataFrame:
+        ranked = sorted_positions(
+            base.select_columns([key, "x", "y"]), key, pos_col="rn"
+        )
+
+        def to_frag(t: pa.Table) -> pa.Table:
+            rn = t["rn"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "frag": pa.array((rn - 1) // ZORDER_FRAG, pa.int64()),
+                    "x": t["x"],
+                    "y": t["y"],
+                }
+            )
+
+        f = (
+            ranked.map_batches(to_frag, batch_format="pyarrow")
+            .groupby("frag")
+            .aggregate(
+                Min("x", alias_name="x_lo"), Max("x", alias_name="x_hi"),
+                Min("y", alias_name="y_lo"), Max("y", alias_name="y_hi"),
+            )
+            .to_pandas()
+        )
+        return pd.DataFrame(
+            {
+                "layout": [layout],
+                "n_frag": [len(f)],
+                "sum_dx": [int((f["x_hi"] - f["x_lo"]).sum())],
+                "sum_dy": [int((f["y_hi"] - f["y_lo"]).sum())],
+            }
+        )
+
+    out = pd.concat(
+        [frag_stats("hilbert", "hkey"), frag_stats("zorder", "zkey")],
+        ignore_index=True,
+    ).astype({"n_frag": "int64", "sum_dx": "int64", "sum_dy": "int64"})
+    return out.sort_values("layout").reset_index(drop=True)

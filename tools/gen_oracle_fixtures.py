@@ -1624,6 +1624,72 @@ def gen_huffman() -> None:
     print("huffman_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_crc() -> None:
+    """Expected q275 per-image CRC-32 from an INDEPENDENT table-driven
+    pure-Python implementation (the query uses zlib's C kernel)."""
+    from texrex_ray.pipelines.caption import fixture_path
+
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        table.append(c)
+
+    def crc32_py(data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for b in data:
+            c = table[(c ^ b) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
+
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet"),
+                       columns=["image_id", "fmt", "bytes"]).to_pandas()
+    t = pa.table({
+        "image_id": pa.array(df["image_id"], pa.string()),
+        "fmt": pa.array(df["fmt"], pa.string()),
+        "crc": pa.array([crc32_py(bytes(b)) for b in df["bytes"]], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "crc_fixture.parquet"))
+    print("crc_fixture.parquet:", t.num_rows, "rows")
+
+
+def gen_hilbert() -> None:
+    """Expected q276 Hilbert codes from the INDEPENDENT scalar xy2d
+    walk (the query vectorizes the same s-reflection spec in numpy)."""
+    import pandas as pd
+
+    ORDER = 16
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_id", "user_id", "value"]).to_pandas()
+
+    def xy2d(x: int, y: int) -> int:
+        d = 0
+        s = 1 << (ORDER - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    hk = [
+        xy2d(int(u), int(round(v * 100)))
+        for u, v in zip(ev["user_id"], ev["value"])
+    ]
+    t = pa.table({
+        "event_id": pa.array(ev["event_id"].astype("int64"), pa.int64()),
+        "hkey": pa.array(hk, pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "hilbert_sf0.01.parquet"))
+    print("hilbert_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1671,6 +1737,8 @@ def main() -> None:
     gen_isotonic()
     gen_palette()
     gen_huffman()
+    gen_crc()
+    gen_hilbert()
 
 
 if __name__ == "__main__":
