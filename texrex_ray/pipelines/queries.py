@@ -18578,3 +18578,213 @@ def q276_hilbert_layout(sf_dir: str):
         ignore_index=True,
     ).astype({"n_frag": "int64", "sum_dx": "int64", "sum_dy": "int64"})
     return out.sort_values("layout").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# SymSpell 1-delete near-duplicate strings (q277)
+# --------------------------------------------------------------------------
+
+_SYMSPELL_SQL = """
+WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
+SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b
+  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+ AND levenshtein(a.w, b.w) = 1
+ORDER BY w1, w2
+"""
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein<=1 in O(n): equal length -> at most one
+    mismatch; length gap 1 -> one-gap subsequence check."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = used = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif used:
+            return False
+        else:
+            used = 1
+            j += 1
+    return True
+
+
+@query("q277_symspell_pairs", sql=_SYMSPELL_SQL)
+def q277_symspell_pairs(sf_dir: str):
+    """All string pairs at edit distance exactly 1 via the SymSpell
+    1-delete index (Garbe) — the spell-variant / near-identifier
+    clustering primitive: two strings within distance 1 ALWAYS share a
+    member of {self} ∪ {1-deletes} (substitution at i → both i-deletes
+    collide; insertion → the longer side's delete equals the shorter
+    string itself), so candidate generation is an equi-join on delete
+    variants, never an all-pairs scan.  Plan: variant explode per batch
+    (length+1 rows per string), variant-keyed bucketed exchange for
+    candidates, pair-keyed bucketed dedup, O(n) two-pointer verify —
+    at 100 TB the exchange is (corpus × avg_len) rows of SHORT strings,
+    and the verify touches only candidates.  Output: (w1, w2)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    cust = _read(sf_dir, "customer", ["c_name"])
+    n_hint = cust.count() * 20
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        ws, vs = [], []
+        for w in df["c_name"].drop_duplicates():
+            ws.append(w)
+            vs.append(w)
+            for i in range(len(w)):
+                ws.append(w)
+                vs.append(w[:i] + w[i + 1:])
+        return pd.DataFrame({"w": ws, "v": vs})
+
+    var = cust.map_batches(variants, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="v")
+        m = m[m["w_x"] < m["w_y"]]
+        return m[["w_x", "w_y"]].drop_duplicates().rename(
+            columns={"w_x": "w1", "w_y": "w2"}
+        )
+
+    cand = bucketed_groupby(var, ["v"], bucket_pairs, expected_rows=n_hint)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        keep = [
+            _lev_le1(w1, w2) for w1, w2 in zip(d["w1"], d["w2"])
+        ]
+        return d[np.asarray(keep, dtype=bool)]
+
+    out = (
+        bucketed_groupby(cand, ["w1", "w2"], verify, expected_rows=n_hint)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Gale-Shapley stable matching (q278)
+# --------------------------------------------------------------------------
+
+GS_N = 100  # matching market size (suppliers propose)
+
+_GS_SQL = """
+SELECT p AS s_suppkey, a AS c_custkey, p_rank, a_rank
+FROM read_parquet('/root/repo/tests/fixtures/oracle/stable_match_sf0.01.parquet')
+ORDER BY s_suppkey
+"""
+
+
+@query("q278_stable_match", sql=_GS_SQL)
+def q278_stable_match(sf_dir: str):
+    """Proposer-optimal stable matching (Gale-Shapley 1962) between the
+    first GS_N suppliers and customers, preferences = (|acctbal gap|
+    cents, key) — the two-sided assignment primitive (replica election,
+    shard placement, crawl-budget pairing).  Strict preferences make
+    the proposer-optimal matching UNIQUE, so independent
+    implementations agree row-for-row and stability is a checkable
+    certificate.  Plan: preference ranking is the data-sized work and
+    runs distributed (ops/matching.py::rank_preferences, broadcast
+    acceptor table); deferred acceptance is O(N²) pointer chasing over
+    the domain-sized rank matrix on the driver — the round-synchronous
+    exchange variant for web-scale N is documented in the module.
+    Output: (s_suppkey, c_custkey, p_rank, a_rank)."""
+    from texrex_ray.ops.matching import gale_shapley, rank_preferences
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    sup_pd = sup.to_pandas().sort_values("s_suppkey").head(GS_N)
+    cust_pd = cust.to_pandas().sort_values("c_custkey").head(len(sup_pd))
+
+    sup_ds = ray.data.from_pandas(sup_pd)
+    cust_ds = ray.data.from_pandas(cust_pd)
+    prefs_p = rank_preferences(
+        sup_ds, cust_pd, "s_suppkey", "s_acctbal", "c_custkey", "c_acctbal"
+    )
+    prefs_a = rank_preferences(
+        cust_ds, sup_pd, "c_custkey", "c_acctbal", "s_suppkey", "s_acctbal"
+    ).rename(columns={"p": "a", "a": "p"})  # acceptor-side: (a, rank, p)
+    out = gale_shapley(prefs_p, prefs_a).rename(
+        columns={"p": "s_suppkey", "a": "c_custkey"}
+    )
+    for c in ("s_suppkey", "c_custkey", "p_rank", "a_rank"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Histogram-equalization contrast audit (q279)
+# --------------------------------------------------------------------------
+
+_HISTEQ_SQL = """
+WITH h AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/histeq_fixture.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(var_before_milli) AS BIGINT) AS sum_var_before,
+       CAST(SUM(var_after_milli) AS BIGINT) AS sum_var_after,
+       CAST(SUM(CASE WHEN var_after_milli > var_before_milli
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_gained
+FROM h GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q279_hist_equalize", sql=_HISTEQ_SQL)
+def q279_hist_equalize(sf_dir: str):
+    """Histogram-equalization contrast audit per image
+    (stages/images.py::HistEqualize): the classic integer CDF remap of
+    channel-sum luminance, variance x1000 before/after — which assets
+    an enhancement pass would actually improve.  Two scalars per image
+    leave the decode task; per fmt: counts, variance sums, images
+    gained.  Oracle: committed fixture from the INDEPENDENT per-pixel
+    scalar twin."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import HistEqualize
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        HistEqualize, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "var_before_milli", "var_after_milli"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(
+            gained=(df["var_after_milli"] > df["var_before_milli"]).astype(
+                "int64"
+            )
+        ).groupby("fmt")
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "sum_var_before": g["var_before_milli"].sum(),
+                "sum_var_after": g["var_after_milli"].sum(),
+                "n_gained": g["gained"].sum(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_var_before", alias_name="sum_var_before"),
+            Sum("sum_var_after", alias_name="sum_var_after"),
+            Sum("n_gained", alias_name="n_gained"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "sum_var_before", "sum_var_after", "n_gained"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -426,3 +426,52 @@ class PaletteQuant:
         return batch.append_column(
             "n_boxes", pa.array(nb, pa.int64())
         ).append_column("quant_err", pa.array(qe, pa.int64()))
+
+
+class HistEqualize:
+    """Actor-pool stage: histogram-equalization contrast audit.
+
+    Channel-sum luminance (0..765) per pixel; the classic integer remap
+    ``v' = (cdf(v) - cdf_min) * 765 // (n_px - cdf_min)`` (cdf_min =
+    CDF at the darkest PRESENT level, so the darkest pixel maps to 0
+    and the brightest to 765); a single-level image equalizes to all
+    zeros by convention.  Emits exact population variance x1000 before
+    and after via the (n*s2 - s*s) // (n*n) identity — the
+    contrast-gain signal an enhancement pass would use to decide which
+    assets benefit.  Adds: ``var_before_milli``, ``var_after_milli``
+    (int64).
+    """
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    @staticmethod
+    def _var_milli(vals: np.ndarray) -> int:
+        n = vals.size
+        s = int(vals.sum())
+        s2 = int((vals.astype(object) ** 2).sum())
+        return (n * s2 - s * s) * 1000 // (n * n)
+
+    def _audit(self, px: np.ndarray) -> tuple[int, int]:
+        lum = px.astype(np.int64).sum(axis=2).ravel()
+        n = lum.size
+        hist = np.bincount(lum, minlength=766)
+        cdf = np.cumsum(hist)
+        cdf_min = int(cdf[int(lum.min())])
+        if cdf_min == n:
+            eq = np.zeros_like(lum)
+        else:
+            eq = (cdf[lum] - cdf_min) * 765 // (n - cdf_min)
+        return self._var_milli(lum), self._var_milli(eq)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vb, va = [], []
+        for raw in batch["bytes"].to_pylist():
+            b, a = self._audit(self.decode(raw))
+            vb.append(b)
+            va.append(a)
+        return batch.append_column(
+            "var_before_milli", pa.array(vb, pa.int64())
+        ).append_column("var_after_milli", pa.array(va, pa.int64()))

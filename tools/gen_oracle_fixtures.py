@@ -1690,6 +1690,103 @@ def gen_hilbert() -> None:
     print("hilbert_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_stable_match() -> None:
+    """Expected q278 matching from the INDEPENDENT textbook Gale-Shapley
+    (queue of free proposers, dict-of-list preferences built with
+    sorted()) — proposer-optimal matching is unique under strict
+    preferences, so any correct implementation agrees."""
+    from collections import deque
+
+    import pandas as pd
+
+    GS_N = 100
+    sup = pq.read_table(f"{SF_DIR}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"]).to_pandas()
+    sup = sup.sort_values("s_suppkey").head(GS_N)
+    cust = cust.sort_values("c_custkey").head(len(sup))
+    sc = {int(r["s_suppkey"]): int(round(r["s_acctbal"] * 100))
+          for _, r in sup.iterrows()}
+    cc = {int(r["c_custkey"]): int(round(r["c_acctbal"] * 100))
+          for _, r in cust.iterrows()}
+    plist = {p_: sorted(cc, key=lambda a: (abs(cc[a] - sc[p_]), a))
+             for p_ in sc}
+    arank = {a: {p_: i for i, p_ in enumerate(
+                 sorted(sc, key=lambda p_: (abs(sc[p_] - cc[a]), p_)))}
+             for a in cc}
+    nxt = {p_: 0 for p_ in sc}
+    held = {}
+    free = deque(sorted(sc))
+    while free:
+        p_ = free.popleft()
+        a = plist[p_][nxt[p_]]
+        if a not in held:
+            held[a] = p_
+        elif arank[a][p_] < arank[a][held[a]]:
+            old = held[a]
+            held[a] = p_
+            nxt[old] += 1
+            free.append(old)
+        else:
+            nxt[p_] += 1
+            free.append(p_)
+    rows = sorted((p_, a, nxt[p_], arank[a][p_]) for a, p_ in held.items())
+    t = pa.table({
+        "p": pa.array([r[0] for r in rows], pa.int64()),
+        "a": pa.array([r[1] for r in rows], pa.int64()),
+        "p_rank": pa.array([r[2] for r in rows], pa.int64()),
+        "a_rank": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "stable_match_sf0.01.parquet"))
+    print("stable_match_sf0.01.parquet:", t.num_rows, "rows")
+
+
+def gen_histeq() -> None:
+    """Expected q279 per-image variances from the INDEPENDENT per-pixel
+    scalar twin (dict histogram, no numpy)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet"),
+                       columns=["image_id", "fmt", "bytes"]).to_pandas()
+    ids, fmts, vb, va = [], [], [], []
+    for _, r in df.iterrows():
+        px = decode_image(bytes(r["bytes"]))
+        h, w, _ = px.shape
+        lum = [int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])
+               for y in range(h) for x in range(w)]
+        n = len(lum)
+        hist = {}
+        for v in lum:
+            hist[v] = hist.get(v, 0) + 1
+        cdf = {}
+        run = 0
+        for v in sorted(hist):
+            run += hist[v]
+            cdf[v] = run
+        cdf_min = cdf[min(hist)]
+        if cdf_min == n:
+            eq = [0] * n
+        else:
+            eq = [(cdf[v] - cdf_min) * 765 // (n - cdf_min) for v in lum]
+
+        def var_milli(vals):
+            s = sum(vals)
+            s2 = sum(v * v for v in vals)
+            return (len(vals) * s2 - s * s) * 1000 // (len(vals) ** 2)
+
+        ids.append(r["image_id"]); fmts.append(r["fmt"])
+        vb.append(var_milli(lum)); va.append(var_milli(eq))
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "fmt": pa.array(fmts, pa.string()),
+                  "var_before_milli": pa.array(vb, pa.int64()),
+                  "var_after_milli": pa.array(va, pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "histeq_fixture.parquet"))
+    print("histeq_fixture.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1739,6 +1836,8 @@ def main() -> None:
     gen_huffman()
     gen_crc()
     gen_hilbert()
+    gen_stable_match()
+    gen_histeq()
 
 
 if __name__ == "__main__":
