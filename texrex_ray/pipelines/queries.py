@@ -18788,3 +18788,247 @@ def q279_hist_equalize(sf_dir: str):
     for c in ("n_images", "sum_var_before", "sum_var_after", "n_gained"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Deterministic KLL quantile sketch (q280)
+# --------------------------------------------------------------------------
+
+KLL_K = 64
+KLL_BUCKETS = 32
+KLL_STATS = [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+_KLL_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/kll_sf0.01.parquet')),
+t AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+SELECT f.stat, f.est_c,
+       CAST((SELECT count(*) FROM t WHERE t.c < f.est_c) AS BIGINT)
+           AS n_below,
+       n.n_total,
+       CAST((f.q_num * n.n_total + f.q_den - 1) // f.q_den AS BIGINT)
+           AS target_rank,
+       CAST(abs((SELECT count(*) FROM t WHERE t.c < f.est_c)
+                - (f.q_num * n.n_total + f.q_den - 1) // f.q_den)
+            AS BIGINT) AS err_rank
+FROM f, n ORDER BY f.stat
+"""
+
+
+@query("q280_kll_quantiles", sql=_KLL_SQL)
+def q280_kll_quantiles(sf_dir: str):
+    """Mergeable deterministic KLL quantile sketch (ops/kll.py) over
+    line-item price cents, plus an EXACT distributed rank audit of each
+    estimate — the streaming replacement for q46's exact histogram when
+    the value domain is unbounded: O(k log(n/k)) state per bucket,
+    content-stable bucketing (md5 of the row key), bucket sketches
+    merged in id order so the result is layout-invariant.  Plan: ONE
+    bucketed exchange carrying (value, weight) sketch rows (KB-scale),
+    driver merge over KLL_BUCKETS sketches, then ONE partial-count pass
+    for the exact ranks of the four estimates.  Output: (stat, est_c,
+    n_below, n_total, target_rank, err_rank) — err bounded by
+    rank_error_bound, asserted in tests."""
+    from texrex_ray.functions.hashing import md5_lower64
+    from texrex_ray.ops.kll import (
+        build_sketch,
+        merge_sketches,
+        quantile,
+        rows_to_sketch,
+        sketch_to_rows,
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+    def bucket_vals(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            f"{o}:{l}"
+            for o, l in zip(df["l_orderkey"].astype(int),
+                            df["l_linenumber"].astype(int))
+        ]
+        b = (md5_lower64(keys) % np.uint64(KLL_BUCKETS)).astype(np.int64)
+        c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"bucket": b, "c": c})
+
+    def bucket_sketch(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g["c"].to_numpy())
+        levels = build_sketch(vals, KLL_K)
+        v, w = sketch_to_rows(levels)
+        return pd.DataFrame(
+            {"bucket": int(g["bucket"].iloc[0]), "v": v, "w": w}
+        )
+
+    rows = (
+        li.map_batches(bucket_vals, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_sketch, batch_format="pandas")
+        .to_pandas()
+    )
+    merged: list[np.ndarray] = []
+    for b in sorted(rows["bucket"].unique()):
+        sub = rows[rows["bucket"] == b]
+        sk = rows_to_sketch(sub["v"].to_numpy(), sub["w"].to_numpy())
+        merged = merge_sketches(merged, sk, KLL_K) if merged else sk
+    ests = {
+        stat: quantile(merged, qn, qd) for stat, qn, qd in KLL_STATS
+    }
+
+    thresholds = np.array([ests[s] for s, _, _ in KLL_STATS], dtype=np.int64)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        below = [(c < t).sum() for t in thresholds]
+        return pd.DataFrame(
+            {
+                "stat": [s for s, _, _ in KLL_STATS],
+                "n_below": np.asarray(below, dtype=np.int64),
+                "n_total": np.int64(len(c)),
+            }
+        )
+
+    agg = (
+        li.map_batches(counts, batch_format="pandas")
+        .groupby("stat")
+        .aggregate(Sum("n_below", alias_name="n_below"),
+                   Sum("n_total", alias_name="n_total"))
+        .to_pandas()
+    )
+    agg["est_c"] = agg["stat"].map(ests)
+    qmap = {s: (qn, qd) for s, qn, qd in KLL_STATS}
+    agg["target_rank"] = [
+        (qmap[s][0] * int(n) + qmap[s][1] - 1) // qmap[s][1]
+        for s, n in zip(agg["stat"], agg["n_total"])
+    ]
+    agg["err_rank"] = (agg["n_below"] - agg["target_rank"]).abs()
+    out = agg[["stat", "est_c", "n_below", "n_total", "target_rank",
+               "err_rank"]].sort_values("stat").reset_index(drop=True)
+    for c in ("est_c", "n_below", "n_total", "target_rank", "err_rank"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Systematic weighted sampling (q281)
+# --------------------------------------------------------------------------
+
+SAMPLE_N = 100
+
+_SYSSAMPLE_SQL = f"""
+WITH c AS (SELECT doc_id, n_chars,
+       COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+       FROM documents),
+t AS (SELECT SUM(n_chars) AS w FROM documents)
+SELECT doc_id, n_chars,
+       CAST((lo + n_chars) * {SAMPLE_N} // w
+            - lo * {SAMPLE_N} // w AS BIGINT) AS mult
+FROM c, t
+WHERE (lo + n_chars) * {SAMPLE_N} // w > lo * {SAMPLE_N} // w
+ORDER BY doc_id
+"""
+
+
+@query("q281_systematic_sample", sql=_SYSSAMPLE_SQL)
+def q281_systematic_sample(sf_dir: str):
+    """Systematic probability-proportional-to-size sampling: lay all
+    documents along the cumulative n_chars axis and take one unit every
+    W/SAMPLE_N — the PPS sampler behind corpus audits ("inspect 100
+    documents weighted by size") with EXACTLY SAMPLE_N total
+    multiplicity by floor telescoping, no randomness, no sort-by-
+    priority.  Plan: ops/window.py::prefix_scan_sum gives the exclusive
+    global running sum with NO global sort (range slices + driver
+    carry); selection is then a per-batch integer predicate.  A
+    document larger than W/SAMPLE_N spans several sampling points and
+    reports its multiplicity.  Output: (doc_id, n_chars, mult)."""
+    from texrex_ray.ops.window import prefix_scan_sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    w_total = int(docs.sum("n_chars"))
+    scanned = prefix_scan_sum(docs, "doc_id", "n_chars", out="lo")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy().astype(np.int64)
+        hi = lo + df["n_chars"].to_numpy().astype(np.int64)
+        m = hi * SAMPLE_N // w_total - lo * SAMPLE_N // w_total
+        out = df.loc[m > 0, ["doc_id", "n_chars"]].copy()
+        out["mult"] = m[m > 0]
+        return out
+
+    out = (
+        scanned.map_batches(pick, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_chars", "mult"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Otsu threshold audit (q282)
+# --------------------------------------------------------------------------
+
+_OTSU_SQL = """
+WITH o AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/otsu_fixture.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(otsu_thresh) AS BIGINT) AS sum_thresh,
+       CAST(MIN(otsu_thresh) AS BIGINT) AS min_thresh,
+       CAST(MAX(otsu_thresh) AS BIGINT) AS max_thresh,
+       CAST(SUM(otsu_eta_milli) AS BIGINT) AS sum_eta_milli
+FROM o GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q282_otsu_threshold", sql=_OTSU_SQL)
+def q282_otsu_threshold(sf_dir: str):
+    """Otsu's optimal threshold + separability per image
+    (stages/images.py::OtsuThreshold): exact-integer argmax of
+    between-class variance over the 766-bin luminance histogram — the
+    per-image replacement for q269's fixed foreground constant, and a
+    flat-vs-bimodal structure gate (eta→0 means no meaningful split).
+    Histogram-sized work per image, two scalars shuffle.  Oracle:
+    committed fixture from the INDEPENDENT Fraction-arithmetic twin."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import OtsuThreshold
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        OtsuThreshold, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "otsu_thresh", "otsu_eta_milli"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "sum_thresh": g["otsu_thresh"].sum(),
+                "min_thresh": g["otsu_thresh"].min(),
+                "max_thresh": g["otsu_thresh"].max(),
+                "sum_eta_milli": g["otsu_eta_milli"].sum(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_thresh", alias_name="sum_thresh"),
+            Min("min_thresh", alias_name="min_thresh"),
+            Max("max_thresh", alias_name="max_thresh"),
+            Sum("sum_eta_milli", alias_name="sum_eta_milli"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "sum_thresh", "min_thresh", "max_thresh",
+              "sum_eta_milli"):
+        out[c] = out[c].astype("int64")
+    return out

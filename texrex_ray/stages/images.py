@@ -475,3 +475,55 @@ class HistEqualize:
         return batch.append_column(
             "var_before_milli", pa.array(vb, pa.int64())
         ).append_column("var_after_milli", pa.array(va, pa.int64()))
+
+
+class OtsuThreshold:
+    """Actor-pool stage: Otsu's optimal global threshold over channel-sum
+    luminance (0..765) — the classic foreground/background split that
+    feeds q269's blob count with a per-image threshold instead of a
+    global constant.  The argmax of between-class variance runs in
+    exact integer arithmetic (cross-multiplied rational compare, Python
+    ints — the squared terms exceed int64), over the 766-bin histogram,
+    never per pixel.  Ties take the lowest threshold.  Adds:
+    ``otsu_thresh`` (-1 for single-level images) and ``otsu_eta_milli``
+    (between-class / total variance x1000, the separability score).
+    """
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _otsu(self, px: np.ndarray) -> tuple[int, int]:
+        lum = px.astype(np.int64).sum(axis=2).ravel()
+        hist = np.bincount(lum, minlength=766)
+        n = int(lum.size)
+        s = int(lum.sum())
+        s2 = int((lum.astype(object) ** 2).sum())
+        tot_var_num = n * s2 - s * s  # N^2 * sigma_total^2
+        if tot_var_num == 0:
+            return -1, 0
+        best_t, best_num, best_den = -1, 0, 1
+        n0 = 0
+        s0 = 0
+        for t in range(766):
+            n0 += int(hist[t])
+            s0 += t * int(hist[t])
+            if n0 == 0 or n0 == n:
+                continue
+            num = (s0 * n - s * n0) ** 2
+            den = n0 * (n - n0)
+            if num * best_den > best_num * den:
+                best_t, best_num, best_den = t, num, den
+        eta_milli = best_num * 1000 // (best_den * tot_var_num)
+        return best_t, eta_milli
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts, es = [], []
+        for raw in batch["bytes"].to_pylist():
+            t, e = self._otsu(self.decode(raw))
+            ts.append(t)
+            es.append(e)
+        return batch.append_column(
+            "otsu_thresh", pa.array(ts, pa.int64())
+        ).append_column("otsu_eta_milli", pa.array(es, pa.int64()))

@@ -1787,6 +1787,143 @@ def gen_histeq() -> None:
     print("histeq_fixture.parquet:", t.num_rows, "rows")
 
 
+def gen_kll() -> None:
+    """Expected q280 sketch estimates from an INDEPENDENT element-wise
+    KLL compactor (incremental buffers fed one value at a time; the op
+    builds levels by whole-array chunk slicing)."""
+    import pandas as pd
+
+    from texrex_ray.functions.hashing import md5_lower64
+
+    K = 64
+    B = 32
+    STATS = [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).to_pandas()
+    keys = [f"{int(o)}:{int(l)}" for o, l in
+            zip(li["l_orderkey"], li["l_linenumber"])]
+    li["bucket"] = (md5_lower64(keys) % np.uint64(B)).astype(np.int64)
+    li["c"] = [int(round(x * 100)) for x in li["l_extendedprice"]]
+
+    def feed(sorted_vals):
+        levels = [[]]
+        for v in sorted_vals:
+            levels[0].append(int(v))
+            lvl = 0
+            while len(levels[lvl]) >= K:
+                buf = sorted(levels[lvl])
+                promo = buf[:K][1::2]
+                rest = buf[K:]
+                levels[lvl] = rest
+                if lvl + 1 == len(levels):
+                    levels.append([])
+                levels[lvl + 1].extend(promo)
+                lvl += 1
+        return [sorted(b) for b in levels]
+
+    def merge(a, b):
+        out = []
+        carry = []
+        i = 0
+        while i < max(len(a), len(b)) or carry:
+            buf = sorted(carry + (a[i] if i < len(a) else [])
+                         + (b[i] if i < len(b) else []))
+            if len(buf) > K:
+                if len(buf) % 2:
+                    keep, body = [buf[-1]], buf[:-1]
+                else:
+                    keep, body = [], buf
+                out.append(keep)
+                carry = body[1::2]
+            else:
+                out.append(buf)
+                carry = []
+            i += 1
+        return out
+
+    merged = []
+    for b in sorted(li["bucket"].unique()):
+        vals = sorted(li.loc[li["bucket"] == b, "c"])
+        sk = feed(vals)
+        merged = merge(merged, sk) if merged else sk
+    flat = sorted(
+        (v, 1 << lvl) for lvl, buf in enumerate(merged) for v in buf
+    )
+    w_tot = sum(w for _, w in flat)
+    rows = []
+    for stat, qn, qd in STATS:
+        target = max(1, -(-qn * w_tot // qd))
+        run = 0
+        est = flat[-1][0]
+        for v, w in flat:
+            run += w
+            if run >= target:
+                est = v
+                break
+        rows.append((stat, est, qn, qd))
+    t = pa.table({
+        "stat": pa.array([r[0] for r in rows], pa.string()),
+        "est_c": pa.array([r[1] for r in rows], pa.int64()),
+        "q_num": pa.array([r[2] for r in rows], pa.int64()),
+        "q_den": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "kll_sf0.01.parquet"))
+    print("kll_sf0.01.parquet:", t.num_rows, "rows")
+
+
+def gen_otsu() -> None:
+    """Expected q282 per-image Otsu stats from the INDEPENDENT
+    Fraction-arithmetic twin (w0*w1*(mu0-mu1)^2 maximized as exact
+    rationals; the stage cross-multiplies integer numerators)."""
+    from fractions import Fraction
+
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet"),
+                       columns=["image_id", "fmt", "bytes"]).to_pandas()
+    ids, fmts, ths, etas = [], [], [], []
+    for _, r in df.iterrows():
+        px = decode_image(bytes(r["bytes"])).astype(np.int64)
+        lum = px.sum(axis=2).ravel()
+        hist = np.bincount(lum, minlength=766)
+        n = int(lum.size)
+        s = int(lum.sum())
+        s2 = int((lum.astype(object) ** 2).sum())
+        tot = Fraction(n * s2 - s * s, n * n)
+        if tot == 0:
+            ids.append(r["image_id"]); fmts.append(r["fmt"])
+            ths.append(-1); etas.append(0)
+            continue
+        best_t, best_v = -1, Fraction(0)
+        n0 = s0 = 0
+        for t_ in range(766):
+            n0 += int(hist[t_])
+            s0 += t_ * int(hist[t_])
+            if n0 == 0 or n0 == n:
+                continue
+            w0 = Fraction(n0, n)
+            w1 = Fraction(n - n0, n)
+            mu0 = Fraction(s0, n0)
+            mu1 = Fraction(s - s0, n - n0)
+            v = w0 * w1 * (mu0 - mu1) ** 2
+            if v > best_v:
+                best_t, best_v = t_, v
+        eta = best_v / tot
+        ids.append(r["image_id"]); fmts.append(r["fmt"])
+        ths.append(best_t)
+        etas.append((eta.numerator * 1000) // eta.denominator)
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "fmt": pa.array(fmts, pa.string()),
+                  "otsu_thresh": pa.array(ths, pa.int64()),
+                  "otsu_eta_milli": pa.array(etas, pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "otsu_fixture.parquet"))
+    print("otsu_fixture.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1838,6 +1975,8 @@ def main() -> None:
     gen_hilbert()
     gen_stable_match()
     gen_histeq()
+    gen_kll()
+    gen_otsu()
 
 
 if __name__ == "__main__":
