@@ -19032,3 +19032,222 @@ def q282_otsu_threshold(sf_dir: str):
               "sum_eta_milli"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Sobel edge-orientation histogram (q283)
+# --------------------------------------------------------------------------
+
+_SOBEL_SQL = """
+WITH s AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/sobel_fixture.parquet')),
+u AS (SELECT fmt, unnest(ori_hist) AS votes,
+             generate_subscripts(ori_hist, 1) - 1 AS sector FROM s)
+SELECT fmt, CAST(sector AS BIGINT) AS sector,
+       CAST(SUM(votes) AS BIGINT) AS n_votes
+FROM u GROUP BY fmt, sector ORDER BY fmt, sector
+"""
+
+
+@query("q283_sobel_orientation", sql=_SOBEL_SQL)
+def q283_sobel_orientation(sf_dir: str):
+    """Per-format 8-sector edge-orientation histogram (the HOG
+    descriptor's first stage) via stages/images.py::SobelOrientation:
+    integer Sobel on shifted interior views, octant decided by exact
+    sign/magnitude comparisons — no atan, no floats, so bit-identical
+    everywhere.  Synthetic graphics show axis-aligned spikes,
+    photographs spread — the texture-direction signal for curation.
+    Only the 8-bin histogram leaves the task.  Oracle: committed
+    fixture from the INDEPENDENT per-pixel nested-branch twin, sector
+    sums recomputed in SQL.  Output: (fmt, sector, n_votes)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import SobelOrientation
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        SobelOrientation, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "ori_hist"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for fmt, sub in df.groupby("fmt"):
+            mat = np.vstack([np.asarray(h, dtype=np.int64)
+                             for h in sub["ori_hist"]])
+            tot = mat.sum(axis=0)
+            rows.append(pd.DataFrame({
+                "fmt": fmt,
+                "sector": np.arange(8, dtype=np.int64),
+                "n_votes": tot,
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby(["fmt", "sector"])
+        .aggregate(Sum("n_votes", alias_name="n_votes"))
+        .to_pandas()
+        .sort_values(["fmt", "sector"])
+        .reset_index(drop=True)
+    )
+    for c in ("sector", "n_votes"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Morphological opening despeckle audit (q284)
+# --------------------------------------------------------------------------
+
+_MORPH_SQL = """
+WITH m AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/morph_fixture.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(fg_px) AS BIGINT) AS sum_fg,
+       CAST(SUM(opened_px) AS BIGINT) AS sum_opened,
+       CAST(SUM(speckle_px) AS BIGINT) AS sum_speckle,
+       CAST(MAX(speckle_px) AS BIGINT) AS max_speckle
+FROM m GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q284_morph_opening", sql=_MORPH_SQL)
+def q284_morph_opening(sf_dir: str):
+    """3x3 morphological opening despeckle audit per image
+    (stages/images.py::MorphOpening): erosion-then-dilation removes
+    sub-kernel foreground specks — the denoise pass before q269's blob
+    count; opening is anti-extensive, so speckle_px >= 0 always (test
+    invariant).  Shifted whole-array min/max, three scalars shuffle.
+    Oracle: committed fixture from the INDEPENDENT scalar
+    neighborhood-walk twin."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import MorphOpening
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        MorphOpening, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "fg_px", "opened_px", "speckle_px"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "sum_fg": g["fg_px"].sum(),
+                "sum_opened": g["opened_px"].sum(),
+                "sum_speckle": g["speckle_px"].sum(),
+                "max_speckle": g["speckle_px"].max(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_fg", alias_name="sum_fg"),
+            Sum("sum_opened", alias_name="sum_opened"),
+            Sum("sum_speckle", alias_name="sum_speckle"),
+            Max("max_speckle", alias_name="max_speckle"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "sum_fg", "sum_opened", "sum_speckle",
+              "max_speckle"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detector (q285)
+# --------------------------------------------------------------------------
+
+CUSUM_H_MULT = 5  # alarm threshold = 5 * allowance
+
+_CUSUM_SQL = """
+SELECT event_type, n_days, allowance_k, threshold_h, n_alarms,
+       first_alarm_day, max_s
+FROM read_parquet('/root/repo/tests/fixtures/oracle/cusum_sf0.01.parquet')
+ORDER BY event_type
+"""
+
+
+@query("q285_cusum_drift", sql=_CUSUM_SQL)
+def q285_cusum_drift(sf_dir: str):
+    """Page's CUSUM drift detector over per-type daily event volumes —
+    the data-quality tripwire that catches a feed running persistently
+    hot (S_t = max(0, S_{t-1} + x_t - k); alarm and reset when S_t > h)
+    where a plain threshold only sees single spikes.  Missing days
+    zero-fill over the GLOBAL day range (a silent feed is itself
+    drift).  Integer spec: k = floor(total/n_days) + 1 (strictly above
+    floor-mean), h = CUSUM_H_MULT * k.  Plan: ONE (day x type)-sized
+    distributed aggregate, then the recursive scan runs per type inside
+    map_groups over day-domain-sized series.  Output: (event_type,
+    n_days, allowance_k, threshold_h, n_alarms, first_alarm_day,
+    max_s)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "day": day, "n": 1})
+            .groupby(["event_type", "day"], as_index=False)
+            .sum()
+        )
+        return g
+
+    daily = (
+        ev.map_batches(day_counts, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    lo = int(daily.min("day"))
+    hi = int(daily.max("day"))
+    n_days = hi - lo + 1
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        full = np.zeros(n_days, dtype=np.int64)
+        full[g["day"].to_numpy().astype(np.int64) - lo] = g["n"].to_numpy()
+        total = int(full.sum())
+        k = total // n_days + 1
+        h = CUSUM_H_MULT * k
+        s = 0
+        max_s = 0
+        n_alarms = 0
+        first = -1
+        for i in range(n_days):
+            s = max(0, s + int(full[i]) - k)
+            max_s = max(max_s, s)
+            if s > h:
+                n_alarms += 1
+                if first < 0:
+                    first = lo + i
+                s = 0
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_days": [n_days],
+                "allowance_k": [k],
+                "threshold_h": [h],
+                "n_alarms": [n_alarms],
+                "first_alarm_day": [first],
+                "max_s": [max_s],
+            }
+        )
+
+    out = (
+        daily.groupby("event_type")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_days", "allowance_k", "threshold_h", "n_alarms",
+              "first_alarm_day", "max_s"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -527,3 +527,117 @@ class OtsuThreshold:
         return batch.append_column(
             "otsu_thresh", pa.array(ts, pa.int64())
         ).append_column("otsu_eta_milli", pa.array(es, pa.int64()))
+
+
+class SobelOrientation:
+    """Actor-pool stage: 8-sector edge-orientation histogram (the HOG
+    descriptor's first stage) over channel-sum luminance.
+
+    Integer Sobel gradients on the interior (3x3 kernels via shifted
+    views, no per-pixel Python); each edge pixel (|gx|+|gy| >= thresh)
+    votes into one of 8 octants decided by exact integer comparisons
+    (signs of gx, gy and |gy| vs |gx| — no atan, no floats): octant =
+    (sign pattern, steeper-than-45°).  Adds ``ori_hist`` (8 x int64
+    list) and ``n_edge_px``.
+    """
+
+    def __init__(self, thresh: int = 160) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.thresh = thresh
+
+    def _hist(self, px: np.ndarray) -> tuple[list[int], int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        if h < 3 or w < 3:
+            return [0] * 8, 0
+        # Sobel via shifted interior views
+        tl, tc, tr = lum[:-2, :-2], lum[:-2, 1:-1], lum[:-2, 2:]
+        ml, mr = lum[1:-1, :-2], lum[1:-1, 2:]
+        bl, bc, br = lum[2:, :-2], lum[2:, 1:-1], lum[2:, 2:]
+        gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+        gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+        mag = np.abs(gx) + np.abs(gy)
+        edge = mag >= self.thresh
+        n_edge = int(edge.sum())
+        if n_edge == 0:
+            return [0] * 8, 0
+        gxe, gye = gx[edge], gy[edge]
+        # octant: bit0 = gy < 0 OR (gy == 0 AND gx < 0)  (lower half)
+        #         bit1 = gx < 0 XOR bit0                  (quadrant walk)
+        #         bit2 = |gy| > |gx|                      (steep)
+        lower = (gye < 0) | ((gye == 0) & (gxe < 0))
+        left = gxe < 0
+        steep = np.abs(gye) > np.abs(gxe)
+        oct_ = (
+            lower.astype(np.int64) * 4
+            + (left ^ lower).astype(np.int64) * 2
+            + steep.astype(np.int64)
+        )
+        return np.bincount(oct_, minlength=8).astype(int).tolist(), n_edge
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hists, ns = [], []
+        for raw in batch["bytes"].to_pylist():
+            hi, n = self._hist(self.decode(raw))
+            hists.append(hi)
+            ns.append(n)
+        return batch.append_column(
+            "ori_hist", pa.array(hists, pa.list_(pa.int64()))
+        ).append_column("n_edge_px", pa.array(ns, pa.int64()))
+
+
+class MorphOpening:
+    """Actor-pool stage: 3x3 binary morphological opening (erosion then
+    dilation) of the foreground mask — the despeckle pass that removes
+    sub-kernel noise before q269's blob count.  Both passes are shifted
+    whole-array min/max with zero-padding semantics (border treated as
+    background for erosion, as background contribution 0 for dilation).
+    Adds: ``fg_px`` (mask pixels before), ``opened_px`` (after),
+    ``speckle_px`` (= removed by opening, int64).
+    """
+
+    def __init__(self, thresh: int = 383) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.thresh = thresh
+
+    @staticmethod
+    def _erode(m: np.ndarray) -> np.ndarray:
+        p = np.zeros((m.shape[0] + 2, m.shape[1] + 2), dtype=bool)
+        p[1:-1, 1:-1] = m
+        out = np.ones_like(m)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                out &= p[dy:dy + m.shape[0], dx:dx + m.shape[1]]
+        return out
+
+    @staticmethod
+    def _dilate(m: np.ndarray) -> np.ndarray:
+        p = np.zeros((m.shape[0] + 2, m.shape[1] + 2), dtype=bool)
+        p[1:-1, 1:-1] = m
+        out = np.zeros_like(m)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                out |= p[dy:dy + m.shape[0], dx:dx + m.shape[1]]
+        return out
+
+    def _audit(self, px: np.ndarray) -> tuple[int, int]:
+        fg = px.astype(np.int64).sum(axis=2) > self.thresh
+        opened = self._dilate(self._erode(fg))
+        return int(fg.sum()), int(opened.sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        before, after = [], []
+        for raw in batch["bytes"].to_pylist():
+            b, a = self._audit(self.decode(raw))
+            before.append(b)
+            after.append(a)
+        sp = [b - a for b, a in zip(before, after)]
+        return (
+            batch.append_column("fg_px", pa.array(before, pa.int64()))
+            .append_column("opened_px", pa.array(after, pa.int64()))
+            .append_column("speckle_px", pa.array(sp, pa.int64()))
+        )

@@ -1924,6 +1924,152 @@ def gen_otsu() -> None:
     print("otsu_fixture.parquet:", t.num_rows, "rows")
 
 
+def gen_sobel() -> None:
+    """Expected q283 per-image orientation histograms from the
+    INDEPENDENT per-pixel nested-branch twin (explicit 3x3 kernel sums
+    and if-chains; the stage uses shifted views and bit arithmetic)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    THRESH = 160
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet"),
+                       columns=["image_id", "fmt", "bytes"]).to_pandas()
+    ids, fmts, hists, ns = [], [], [], []
+    for _, r in df.iterrows():
+        px = decode_image(bytes(r["bytes"])).astype(int)
+        lum = px[:, :, 0] + px[:, :, 1] + px[:, :, 2]
+        h, w = lum.shape
+        hist = [0] * 8
+        n_edge = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (int(lum[y - 1, x + 1]) + 2 * int(lum[y, x + 1])
+                      + int(lum[y + 1, x + 1]) - int(lum[y - 1, x - 1])
+                      - 2 * int(lum[y, x - 1]) - int(lum[y + 1, x - 1]))
+                gy = (int(lum[y + 1, x - 1]) + 2 * int(lum[y + 1, x])
+                      + int(lum[y + 1, x + 1]) - int(lum[y - 1, x - 1])
+                      - 2 * int(lum[y - 1, x]) - int(lum[y - 1, x + 1]))
+                if abs(gx) + abs(gy) < THRESH:
+                    continue
+                n_edge += 1
+                if gy < 0 or (gy == 0 and gx < 0):
+                    lower = True
+                else:
+                    lower = False
+                left = gx < 0
+                steep = abs(gy) > abs(gx)
+                o = 0
+                if lower:
+                    o += 4
+                if left != lower:
+                    o += 2
+                if steep:
+                    o += 1
+                hist[o] += 1
+        ids.append(r["image_id"]); fmts.append(r["fmt"])
+        hists.append(hist); ns.append(n_edge)
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "fmt": pa.array(fmts, pa.string()),
+                  "ori_hist": pa.array(hists, pa.list_(pa.int64())),
+                  "n_edge_px": pa.array(ns, pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "sobel_fixture.parquet"))
+    print("sobel_fixture.parquet:", t.num_rows, "rows")
+
+
+def gen_morph() -> None:
+    """Expected q284 per-image opening stats from the INDEPENDENT
+    scalar neighborhood walk (explicit 9-neighbor loops)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    THRESH = 383
+    d = fixture_path(n=300, seed=42)
+    df = pq.read_table(os.path.join(d, "images.parquet"),
+                       columns=["image_id", "fmt", "bytes"]).to_pandas()
+    ids, fmts, fgs, ops = [], [], [], []
+    for _, r in df.iterrows():
+        px = decode_image(bytes(r["bytes"])).astype(int)
+        lum = px[:, :, 0] + px[:, :, 1] + px[:, :, 2]
+        h, w = lum.shape
+        fg = [[lum[y][x] > THRESH for x in range(w)] for y in range(h)]
+
+        def nb_all(m, y, x):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = y + dy, x + dx
+                    if not (0 <= yy < h and 0 <= xx < w):
+                        return False  # zero padding: border kills erosion
+                    if not m[yy][xx]:
+                        return False
+            return True
+
+        def nb_any(m, y, x):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w and m[yy][xx]:
+                        return True
+            return False
+
+        er = [[nb_all(fg, y, x) for x in range(w)] for y in range(h)]
+        op = [[nb_any(er, y, x) for x in range(w)] for y in range(h)]
+        ids.append(r["image_id"]); fmts.append(r["fmt"])
+        fgs.append(sum(v for row in fg for v in row))
+        ops.append(sum(v for row in op for v in row))
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "fmt": pa.array(fmts, pa.string()),
+                  "fg_px": pa.array(fgs, pa.int64()),
+                  "opened_px": pa.array(ops, pa.int64()),
+                  "speckle_px": pa.array(
+                      [f - o for f, o in zip(fgs, ops)], pa.int64())})
+    pq.write_table(t, os.path.join(OUT, "morph_fixture.parquet"))
+    print("morph_fixture.parquet:", t.num_rows, "rows")
+
+
+def gen_cusum() -> None:
+    """Expected q285 per-type CUSUM stats from the INDEPENDENT pandas
+    route (value_counts + reindex + itertuples scan)."""
+    import pandas as pd
+
+    H_MULT = 5
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    ev["day"] = (ev["ts"].astype("int64") // 86_400_000_000).astype(int)
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    rows = []
+    for et, sub in ev.groupby("event_type"):
+        counts = sub["day"].value_counts().reindex(
+            range(lo, hi + 1), fill_value=0).sort_index()
+        n_days = hi - lo + 1
+        total = int(counts.sum())
+        k = total // n_days + 1
+        h = H_MULT * k
+        s = max_s = n_alarms = 0
+        first = -1
+        for day, x in counts.items():
+            s = max(0, s + int(x) - k)
+            max_s = max(max_s, s)
+            if s > h:
+                n_alarms += 1
+                if first < 0:
+                    first = int(day)
+                s = 0
+        rows.append((et, n_days, k, h, n_alarms, first, max_s))
+    rows.sort()
+    t = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "allowance_k": pa.array([r[2] for r in rows], pa.int64()),
+        "threshold_h": pa.array([r[3] for r in rows], pa.int64()),
+        "n_alarms": pa.array([r[4] for r in rows], pa.int64()),
+        "first_alarm_day": pa.array([r[5] for r in rows], pa.int64()),
+        "max_s": pa.array([r[6] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "cusum_sf0.01.parquet"))
+    print("cusum_sf0.01.parquet:", t.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -1977,6 +2123,9 @@ def main() -> None:
     gen_histeq()
     gen_kll()
     gen_otsu()
+    gen_sobel()
+    gen_morph()
+    gen_cusum()
 
 
 if __name__ == "__main__":
