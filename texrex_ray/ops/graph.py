@@ -1753,3 +1753,127 @@ def ktruss_sequential(edges: list[tuple[str, str]]) -> dict[int, int]:
             sizes[k] = len(cur)
         k += 1
     return sizes
+
+
+def kcore_int(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+) -> pd.DataFrame:
+    """Core number of every node in the undirected simple view of
+    ``edges`` (self-loops dropped, parallel/reciprocal edges collapse)
+    via the h-index fixpoint (Lu, Zhou, Zhang, Stanley 2016): start
+    c(v) = deg(v); each round set c(v) to the H-index of its neighbors'
+    c values; the unique fixpoint IS the coreness — deterministic, no
+    peeling order to pin.  Coreness grades crawl-graph density the way
+    k-truss grades cohesion: link farms sit in deep cores, genuine
+    content in shallow ones.
+
+    Plan mirrors ``label_propagation``: integer-encode nodes ONCE,
+    build a node-partitioned CSR adjacency (one exchange), then each
+    round broadcasts the node-sized c array (``ray.put``) and the
+    per-node H-index runs vectorized inside map_batches — only changed
+    counts aggregate back.  At page scale swap the broadcast for the
+    (node, c)-keyed join plan exactly as ``_pagerank_shuffle`` does.
+    Converges in O(peeling depth) rounds (tens, even on web graphs).
+    """
+    edges = edges.materialize()
+    degs = _degrees(edges, src, dst).to_pandas()
+    nodes = np.sort(degs["node"].to_numpy())
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        s = ix.get_indexer(pd.Series(t[src].to_pandas())).astype(np.int64)
+        d = ix.get_indexer(pd.Series(t[dst].to_pandas())).astype(np.int64)
+        keep = s != d
+        return pa.table({"s": pa.array(s[keep]), "d": pa.array(d[keep])})
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.concatenate([df["s"].to_numpy(), df["d"].to_numpy()])
+        b = np.concatenate([df["d"].to_numpy(), df["s"].to_numpy()])
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    def neigh_lists(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.drop_duplicates()
+        return pd.DataFrame(
+            {
+                "node": [int(g2["a"].iloc[0])],
+                "nbrs": [np.unique(g2["b"].to_numpy()).tolist()],
+            }
+        )
+
+    adj = (
+        edges.map_batches(encode, batch_format="pyarrow")
+        .map_batches(undirect, batch_format="pandas")
+        .groupby("a")
+        .map_groups(neigh_lists, batch_format="pandas")
+        .materialize()
+    )
+    n = len(nodes)
+    c = np.zeros(n, dtype=np.int64)
+    deg = adj.to_pandas()
+    c[deg["node"].to_numpy()] = deg["nbrs"].map(len).to_numpy()
+
+    for _ in range(max_iters):
+        ref = ray.put(c)
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            cur = ray.get(ref)
+            outs = np.empty(len(df), dtype=np.int64)
+            for i, nb in enumerate(df["nbrs"]):
+                vals = np.sort(cur[np.asarray(nb, dtype=np.int64)])[::-1]
+                outs[i] = int(
+                    np.max(np.minimum(vals, np.arange(1, len(vals) + 1)))
+                )
+            return pd.DataFrame({"node": df["node"].to_numpy(), "h": outs})
+
+        upd = adj.map_batches(step, batch_format="pandas").to_pandas()
+        new = c.copy()
+        new[upd["node"].to_numpy()] = upd["h"].to_numpy()
+        if np.array_equal(new, c):
+            break
+        c = new
+    else:
+        raise RuntimeError("kcore_int: no fixpoint within max_iters")
+
+    return pd.DataFrame({"node": nodes, "core": c}).sort_values(
+        "node"
+    ).reset_index(drop=True)
+
+
+def kcore_sequential(edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Independent twin: Batagelj-Zaversnik bucket peeling (repeatedly
+    remove a minimum-degree node; its degree AT REMOVAL is its core
+    number, monotonically maxed) — a completely different route to the
+    same unique coreness, used by tests and the q287 fixture."""
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[str, int] = {}
+    live = dict(adj)
+    k = 0
+    import heapq
+
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    removed: set = set()
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue
+        removed.add(v)
+        k = max(k, d)
+        core[v] = k
+        for u in live[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    return core

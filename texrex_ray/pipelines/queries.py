@@ -19251,3 +19251,182 @@ def q285_cusum_drift(sf_dir: str):
               "first_alarm_day", "max_s"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Aho-Corasick multi-pattern census (q286)
+# --------------------------------------------------------------------------
+
+AC_PATTERNS = ["a", "an", "row", "scan", "tab", "table"]
+
+_AC_SQL = """
+WITH pats(pattern) AS (VALUES ('a'), ('an'), ('row'), ('scan'), ('tab'),
+                              ('table')),
+hits AS (
+  SELECT d.doc_id, p.pattern
+  FROM documents d CROSS JOIN pats p
+  CROSS JOIN generate_series(1, 600) AS t(i)
+  WHERE i <= length(d.text) - length(p.pattern) + 1
+    AND substr(d.text, i, length(p.pattern)) = p.pattern
+)
+SELECT pattern, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM hits GROUP BY pattern ORDER BY pattern
+"""
+
+
+@query("q286_aho_corasick", sql=_AC_SQL)
+def q286_aho_corasick(sf_dir: str):
+    """Multi-pattern term census via ONE Aho-Corasick automaton pass
+    (functions/multimatch.py) instead of the reference's per-pattern
+    regex sweeps (trrofl.pas word lists) — O(corpus + matches) for any
+    blocklist size, counting ALL (overlapping, nested) occurrences.
+    Automaton built once per actor in __init__; only pattern-sized
+    count rows leave each task.  Oracle: brute-force SQL position scan
+    substr(text, i, len(p)) = p — the exact same overlap semantics by
+    construction.  Output: (pattern, n_docs, n_occ)."""
+    from texrex_ray.functions.multimatch import AhoCorasick
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class Census:
+        def __init__(self) -> None:
+            self.ac = AhoCorasick(AC_PATTERNS)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            occ = np.zeros(len(AC_PATTERNS), dtype=np.int64)
+            ndoc = np.zeros(len(AC_PATTERNS), dtype=np.int64)
+            for txt in t["text"].to_pylist():
+                c = self.ac.count(txt)
+                occ += c
+                ndoc += c > 0
+            return pa.table(
+                {
+                    "pattern": pa.array(AC_PATTERNS, pa.string()),
+                    "n_docs": pa.array(ndoc, pa.int64()),
+                    "n_occ": pa.array(occ, pa.int64()),
+                }
+            )
+
+    out = (
+        docs.map_batches(Census, concurrency=2, batch_size=256,
+                         batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_occ", alias_name="n_occ"))
+        .to_pandas()
+        .sort_values("pattern")
+        .reset_index(drop=True)
+    )
+    out = out[out["n_occ"] > 0]
+    for c in ("n_docs", "n_occ"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (q287)
+# --------------------------------------------------------------------------
+
+_KCORE_SQL = """
+SELECT CAST(core AS BIGINT) AS core, CAST(count(*) AS BIGINT) AS n_nodes
+FROM read_parquet('/root/repo/tests/fixtures/oracle/kcore_fixture.parquet')
+GROUP BY core ORDER BY core
+"""
+
+
+@query("q287_kcore", sql=_KCORE_SQL)
+def q287_kcore(sf_dir: str):
+    """Core number of every crawl-graph page via the h-index fixpoint
+    (ops/graph.py::kcore_int) — coreness grades graph density the way
+    q266's k-truss grades cohesion; link farms land in deep cores.
+    Node-sized broadcast per round, edge-batch H-index vectorized, a
+    documented join swap at page scale.  Oracle: committed fixture from
+    the INDEPENDENT Batagelj-Zaversnik bucket-peeling twin
+    (kcore_sequential) — a different algorithm whose unique answer must
+    coincide.  Output: (core, n_nodes) histogram."""
+    from texrex_ray.ops.graph import kcore_int
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    pernode = kcore_int(edges)
+    out = (
+        pernode.groupby("core", as_index=False)
+        .size()
+        .rename(columns={"size": "n_nodes"})
+        .sort_values("core")
+        .reset_index(drop=True)
+    )
+    for c in ("core", "n_nodes"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter false-positive-rate audit (q288)
+# --------------------------------------------------------------------------
+
+BLOOM_AUDIT_CAP = 4096      # initial segment capacity (forces scaling)
+BLOOM_AUDIT_ERR = 0.01      # per-segment design error rate
+BLOOM_AUDIT_CHUNK = 1024    # fixed add-chunk size (segmentation is part
+                            # of the spec: chunks land whole in a segment)
+BLOOM_AUDIT_PROBES = 50_000
+
+_BLOOM_AUDIT_SQL = """
+SELECT n_keys, n_added, n_segments, total_bits, total_set_bits,
+       n_probes, n_fp, fpr_ppm
+FROM read_parquet('/root/repo/tests/fixtures/oracle/bloom_audit_sf0.01.parquet')
+"""
+
+
+@query("q288_bloom_fpr_audit", sql=_BLOOM_AUDIT_SQL)
+def q288_bloom_fpr_audit(sf_dir: str):
+    """Measured false-positive rate of the URL-seen ScalingBloom
+    (state/bloom.py, ref trbloom.pas:169-582) against a disjoint probe
+    set — the audit that justifies the crawl frontier's memory budget:
+    membership is any-segment-hits, so the effective FPR of a 3-segment
+    chain is ~1-(1-p)^3, NOT the per-segment design p.  Build is
+    deterministic (sorted keys, fixed 1024-key chunks, driver-side —
+    the engine's real blooms are per-frontier-shard); the 50k-key probe
+    runs distributed with the snapshot broadcast once via ray.put.
+    Oracle: committed fixture from the INDEPENDENT pure-Python-int
+    bit-set twin (no numpy).  Output: one audit row."""
+    from texrex_ray.state.bloom import ScalingBloom
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"]).to_pandas()
+    keys = [f"u:{k}" for k in np.sort(orders["o_orderkey"].to_numpy())]
+    bloom = ScalingBloom(initial_capacity=BLOOM_AUDIT_CAP,
+                         error_rate=BLOOM_AUDIT_ERR)
+    n_added = 0
+    for i in range(0, len(keys), BLOOM_AUDIT_CHUNK):
+        n_added += int(bloom.add_if_new(keys[i:i + BLOOM_AUDIT_CHUNK]).sum())
+    snap_ref = ray.put(bloom.snapshot())
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = ScalingBloom.restore(ray.get(snap_ref))
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        hit = b.contains_many([f"x:{i}" for i in ids])
+        return pa.table({"fp": pa.array([int(hit.sum())], pa.int64())})
+
+    n_fp = int(
+        ray.data.range(BLOOM_AUDIT_PROBES)
+        .map_batches(probe, batch_format="pyarrow", batch_size=8192)
+        .sum("fp")
+    )
+    total_bits = sum(s.bits for s in bloom.segments)
+    set_bits = sum(
+        int(np.unpackbits(s.arr).sum()) for s in bloom.segments
+    )
+    return pd.DataFrame(
+        {
+            "n_keys": [len(keys)],
+            "n_added": [n_added],
+            "n_segments": [len(bloom.segments)],
+            "total_bits": [total_bits],
+            "total_set_bits": [set_bits],
+            "n_probes": [BLOOM_AUDIT_PROBES],
+            "n_fp": [n_fp],
+            "fpr_ppm": [n_fp * 1_000_000 // BLOOM_AUDIT_PROBES],
+        }
+    ).astype("int64")

@@ -2070,6 +2070,99 @@ def gen_cusum() -> None:
     print("cusum_sf0.01.parquet:", t.num_rows, "rows")
 
 
+def gen_kcore() -> None:
+    """Expected q287 per-node core numbers from the INDEPENDENT
+    Batagelj-Zaversnik bucket-peeling twin (kcore_sequential) over the
+    committed pagerank edge fixture."""
+    from texrex_ray.ops.graph import kcore_sequential
+
+    e = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet"))
+    edges = list(zip(e["src"].to_pylist(), e["dst"].to_pylist()))
+    core = kcore_sequential(edges)
+    nodes = sorted(core)
+    t = pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "core": pa.array([core[v] for v in nodes], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "kcore_fixture.parquet"))
+    print("kcore_fixture.parquet:", t.num_rows, "rows, max core",
+          max(core.values()))
+
+
+def gen_bloom_audit() -> None:
+    """Expected q288 audit row from an INDEPENDENT pure-Python-int Bloom
+    twin: per-segment bit SETS (no numpy, no bit-packing), blake2b
+    double hashing with explicit 2**64 wraparound, replicating the
+    sorted-keys / 1024-chunk / any-segment-hits spec scalar-wise."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    CAP, ERR, CHUNK, PROBES = 4096, 0.01, 1024, 50_000
+
+    def hpair(s: str) -> tuple[int, int]:
+        d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
+        return (int.from_bytes(d[:8], "little"),
+                int.from_bytes(d[8:], "little") | 1)
+
+    def seg_params(cap: int) -> tuple[int, int]:
+        bits = int(math.ceil(-cap * math.log(ERR) / (math.log(2) ** 2))) + 1
+        k = max(1, int(math.ceil(math.log(2) * bits / cap)))
+        return bits, k
+
+    segments: list[dict] = [
+        {"cap": CAP, "bits": seg_params(CAP)[0], "k": seg_params(CAP)[1],
+         "set": set(), "count": 0}
+    ]
+
+    def positions(seg: dict, h1: int, h2: int) -> list[int]:
+        return [((h1 + i * h2) % (2 ** 64)) % seg["bits"]
+                for i in range(seg["k"])]
+
+    def contains(h1: int, h2: int) -> bool:
+        return any(
+            all(p in seg["set"] for p in positions(seg, h1, h2))
+            for seg in segments
+        )
+
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet",
+                           columns=["o_orderkey"]).to_pandas()
+    keys = [f"u:{k}" for k in sorted(int(x) for x in orders["o_orderkey"])]
+    n_added = 0
+    for i in range(0, len(keys), CHUNK):
+        chunk = keys[i:i + CHUNK]
+        fresh = [k for k in chunk if not contains(*hpair(k))]
+        tail = segments[-1]
+        if tail["count"] + len(fresh) > tail["cap"]:
+            cap = tail["cap"] * 2
+            bits, kk = seg_params(cap)
+            segments.append({"cap": cap, "bits": bits, "k": kk,
+                             "set": set(), "count": 0})
+            tail = segments[-1]
+        for k in fresh:
+            h1, h2 = hpair(k)
+            for p in positions(tail, h1, h2):
+                tail["set"].add(p)
+        tail["count"] += len(fresh)
+        n_added += len(fresh)
+    n_fp = sum(contains(*hpair(f"x:{i}")) for i in range(PROBES))
+    t = pa.table({
+        "n_keys": pa.array([len(keys)], pa.int64()),
+        "n_added": pa.array([n_added], pa.int64()),
+        "n_segments": pa.array([len(segments)], pa.int64()),
+        "total_bits": pa.array([sum(s["bits"] for s in segments)], pa.int64()),
+        "total_set_bits": pa.array([sum(len(s["set"]) for s in segments)],
+                                   pa.int64()),
+        "n_probes": pa.array([PROBES], pa.int64()),
+        "n_fp": pa.array([n_fp], pa.int64()),
+        "fpr_ppm": pa.array([n_fp * 1_000_000 // PROBES], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "bloom_audit_sf0.01.parquet"))
+    print("bloom_audit_sf0.01.parquet: n_fp", n_fp, "segments", len(segments))
+
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2126,6 +2219,8 @@ def main() -> None:
     gen_sobel()
     gen_morph()
     gen_cusum()
+    gen_kcore()
+    gen_bloom_audit()
 
 
 if __name__ == "__main__":
