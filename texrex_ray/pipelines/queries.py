@@ -19430,3 +19430,197 @@ def q288_bloom_fpr_audit(sf_dir: str):
             "fpr_ppm": [n_fp * 1_000_000 // BLOOM_AUDIT_PROBES],
         }
     ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# LZ76 complexity profile (q289)
+# --------------------------------------------------------------------------
+
+_LZ76_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/lz76_sf0.01.parquet'))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(lz76) AS BIGINT) AS sum_c,
+       CAST(MIN(lz76) AS BIGINT) AS min_c,
+       CAST(MAX(lz76) AS BIGINT) AS max_c,
+       CAST(SUM(lz76) * 1000 // SUM(n_chars) AS BIGINT) AS c_per_kchar
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q289_lz76_complexity", sql=_LZ76_SQL)
+def q289_lz76_complexity(sf_dir: str):
+    """LZ76 phrase-count complexity per document (functions/
+    complexity.py) aggregated per language — the tuning-free
+    compressibility signal: template/boilerplate text parses into few
+    phrases, natural prose into ~n/log n.  Embarrassingly parallel doc-
+    local scan; language-sized aggregate rows shuffle.  Oracle:
+    committed fixture from the INDEPENDENT Kaspar-Schuster pointer-walk
+    twin (char-by-char, no substring-search primitive), re-aggregated
+    in SQL.  Output: (lang, n_docs, sum_c, min_c, max_c, c_per_kchar
+    = sum_c * 1000 // sum_chars)."""
+    from texrex_ray.functions.complexity import lz76_complexity
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        df = pd.DataFrame(
+            {
+                "lang": langs,
+                "c": [lz76_complexity(s) for s in texts],
+                "nch": [len(s) for s in texts],
+            }
+        )
+        g = df.groupby("lang").agg(
+            n_docs=("c", "size"), sum_c=("c", "sum"), min_c=("c", "min"),
+            max_c=("c", "max"), sum_ch=("nch", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_c", alias_name="sum_c"),
+            Min("min_c", alias_name="min_c"),
+            Max("max_c", alias_name="max_c"),
+            Sum("sum_ch", alias_name="sum_ch"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["c_per_kchar"] = out["sum_c"] * 1000 // out["sum_ch"]
+    out = out.drop(columns=["sum_ch"])
+    for c in ("n_docs", "sum_c", "min_c", "max_c", "c_per_kchar"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Hamilton largest-remainder apportionment (q290)
+# --------------------------------------------------------------------------
+
+HAMILTON_SEATS = 10_000
+
+_HAMILTON_SQL = """
+WITH w AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(w_chars) AS big_w FROM w),
+q AS (
+  SELECT source, w_chars,
+         w_chars * 10000 // big_w       AS base_seats,
+         w_chars * 10000 %  big_w       AS rem,
+         10000 - SUM(w_chars * 10000 // big_w) OVER () AS r_extra
+  FROM w, tot
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM q
+)
+SELECT source, w_chars, CAST(base_seats AS BIGINT) AS base_seats,
+       CAST(CASE WHEN rk <= r_extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_seats + CASE WHEN rk <= r_extra THEN 1 ELSE 0 END
+            AS BIGINT) AS seats
+FROM r ORDER BY source
+"""
+
+
+@query("q290_hamilton_apportion", sql=_HAMILTON_SQL)
+def q290_hamilton_apportion(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of a fixed sampling
+    budget across sources, proportional to corpus bytes — the exact-
+    integer way to split "take 10k docs" over shards so the totals sum
+    EXACTLY to the budget (floor quotas + one extra seat to the largest
+    remainders, ties by source name).  The weight scan is the only
+    distributed pass; apportionment runs on the stratum-sized table.
+    Pure-SQL oracle (window functions), no fixture.  Output: (source,
+    w_chars, base_seats, extra, seats)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    w = (
+        docs.groupby("source")
+        .aggregate(Sum("n_chars", alias_name="w_chars"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    big_w = int(w["w_chars"].sum())
+    num = w["w_chars"].astype("int64") * HAMILTON_SEATS
+    w["base_seats"] = num // big_w
+    rem = num % big_w
+    r_extra = HAMILTON_SEATS - int(w["base_seats"].sum())
+    order = np.lexsort((w["source"].to_numpy(), -rem.to_numpy()))
+    extra = np.zeros(len(w), dtype=np.int64)
+    extra[order[:r_extra]] = 1
+    w["extra"] = extra
+    w["seats"] = w["base_seats"] + w["extra"]
+    for c in ("w_chars", "base_seats", "extra", "seats"):
+        w[c] = w[c].astype("int64")
+    return w
+
+
+# --------------------------------------------------------------------------
+# Integral-image box means (q291)
+# --------------------------------------------------------------------------
+
+_BOXMEANS_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/boxmeans_fixture.parquet'))
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_boxes,
+       CAST(SUM(mean_milli) AS BIGINT) AS sum_mean,
+       CAST(MIN(mean_milli) AS BIGINT) AS min_mean,
+       CAST(MAX(mean_milli) AS BIGINT) AS max_mean
+FROM f GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("q291_box_means", sql=_BOXMEANS_SQL)
+def q291_box_means(sf_dir: str):
+    """Mean luminance of 8 deterministic boxes per image via ONE
+    summed-area table per image (stages/images.py::BoxMeans) — O(1)
+    per box after an O(pixels) integral pass (Viola-Jones); the
+    region-stat backbone for thumbnail/crop scoring.  Box coords derive
+    from md5(image_id:b), exact integer mean_milli = sum*1000//area.
+    Oracle: committed fixture from the INDEPENDENT direct per-box
+    pixel-loop twin, per-format stats recomputed in SQL."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import BoxMeans
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    rows = ds.map_batches(
+        BoxMeans, concurrency=2, batch_size=64, batch_format="pyarrow"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")["mean_milli"]
+        return pd.DataFrame(
+            {
+                "n_boxes": g.size(),
+                "sum_mean": g.sum(),
+                "min_mean": g.min(),
+                "max_mean": g.max(),
+            }
+        ).reset_index()
+
+    out = (
+        rows.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_boxes", alias_name="n_boxes"),
+            Sum("sum_mean", alias_name="sum_mean"),
+            Min("min_mean", alias_name="min_mean"),
+            Max("max_mean", alias_name="max_mean"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_boxes", "sum_mean", "min_mean", "max_mean"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -641,3 +641,64 @@ class MorphOpening:
             .append_column("opened_px", pa.array(after, pa.int64()))
             .append_column("speckle_px", pa.array(sp, pa.int64()))
         )
+
+
+class BoxMeans:
+    """Actor-pool stage: mean luminance of k deterministic boxes per
+    image via ONE summed-area table (integral image) — O(1) per box
+    after an O(pixels) pass, the classic Viola-Jones trick; the direct
+    per-box loop the fixture twin uses is O(pixels) per box.
+
+    Boxes derive from md5(image_id:b): y0/x0 mod dims, then height/
+    width mod the remaining span (always >= 1x1, in-bounds).  Emits
+    rows (image_id, fmt, box_idx, mean_milli) with mean_milli =
+    box_sum * 1000 // area over channel-sum luminance (0..765).
+    """
+
+    def __init__(self, n_boxes: int = 8) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.n_boxes = n_boxes
+
+    @staticmethod
+    def box_for(image_id: str, b: int, h: int, w: int) -> tuple[int, int, int, int]:
+        import hashlib
+
+        d = hashlib.md5(f"{image_id}:{b}".encode()).digest()
+        y0 = (d[0] << 8 | d[1]) % h
+        x0 = (d[2] << 8 | d[3]) % w
+        bh = d[4] % (h - y0) + 1
+        bw = d[6] % (w - x0) + 1
+        return y0, x0, bh, bw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fmts, idxs, means = [], [], [], []
+        for iid, fmt, raw in zip(
+            batch["image_id"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["bytes"].to_pylist(),
+        ):
+            px = self.decode(raw)
+            lum = px.astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            sat = np.zeros((h + 1, w + 1), dtype=np.int64)
+            sat[1:, 1:] = lum.cumsum(axis=0).cumsum(axis=1)
+            for b in range(self.n_boxes):
+                y0, x0, bh, bw = self.box_for(iid, b, h, w)
+                s = int(
+                    sat[y0 + bh, x0 + bw] - sat[y0, x0 + bw]
+                    - sat[y0 + bh, x0] + sat[y0, x0]
+                )
+                ids.append(iid)
+                fmts.append(fmt)
+                idxs.append(b)
+                means.append(s * 1000 // (bh * bw))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "fmt": pa.array(fmts, pa.string()),
+                "box_idx": pa.array(idxs, pa.int64()),
+                "mean_milli": pa.array(means, pa.int64()),
+            }
+        )

@@ -2163,6 +2163,64 @@ def gen_bloom_audit() -> None:
 
 
 
+def gen_lz76() -> None:
+    """Expected q289 per-doc LZ76 complexities from the INDEPENDENT
+    Kaspar-Schuster pointer-walk twin (char-by-char comparisons)."""
+    from texrex_ray.functions.complexity import lz76_kaspar_schuster
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "lang", "text", "n_chars"])
+    cs = [lz76_kaspar_schuster(s) for s in t["text"].to_pylist()]
+    out = pa.table({
+        "doc_id": t["doc_id"],
+        "lang": t["lang"],
+        "n_chars": t["n_chars"],
+        "lz76": pa.array(cs, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "lz76_sf0.01.parquet"))
+    print("lz76_sf0.01.parquet:", out.num_rows, "rows")
+
+
+def gen_boxmeans() -> None:
+    """Expected q291 per-box means from the INDEPENDENT direct
+    pixel-loop twin (no integral image): box coords re-derived from
+    md5(image_id:b), sum accumulated scalar-wise."""
+    import hashlib
+
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    t = pq.read_table(os.path.join(d, "images.parquet"),
+                      columns=["image_id", "fmt", "bytes"])
+    ids, fmts, idxs, means = [], [], [], []
+    for iid, fmt, raw in zip(t["image_id"].to_pylist(),
+                             t["fmt"].to_pylist(),
+                             t["bytes"].to_pylist()):
+        px = decode_image(raw).astype(int)
+        h, w = px.shape[0], px.shape[1]
+        for b in range(8):
+            dg = hashlib.md5(f"{iid}:{b}".encode()).digest()
+            y0 = (dg[0] << 8 | dg[1]) % h
+            x0 = (dg[2] << 8 | dg[3]) % w
+            bh = dg[4] % (h - y0) + 1
+            bw = dg[6] % (w - x0) + 1
+            s = 0
+            for y in range(y0, y0 + bh):
+                for x in range(x0, x0 + bw):
+                    s += int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])
+            ids.append(iid); fmts.append(fmt); idxs.append(b)
+            means.append(s * 1000 // (bh * bw))
+    out = pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "fmt": pa.array(fmts, pa.string()),
+        "box_idx": pa.array(idxs, pa.int64()),
+        "mean_milli": pa.array(means, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "boxmeans_fixture.parquet"))
+    print("boxmeans_fixture.parquet:", out.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2221,6 +2279,8 @@ def main() -> None:
     gen_cusum()
     gen_kcore()
     gen_bloom_audit()
+    gen_lz76()
+    gen_boxmeans()
 
 
 if __name__ == "__main__":
