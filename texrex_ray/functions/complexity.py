@@ -52,3 +52,32 @@ def lz76_kaspar_schuster(s: str) -> int:
         c += 1
         l += kmax + 1
     return c
+
+
+def smallest_period(s: str) -> int:
+    """Minimal p >= 1 with s[i] == s[i+p] for all 0 <= i < n-p
+    (= n - longest proper border, via the KMP failure function).
+    Empty string -> 0.  p == n means aperiodic (no self-overlap)."""
+    n = len(s)
+    if n == 0:
+        return 0
+    fail = [0] * (n + 1)
+    k = 0
+    for i in range(1, n):
+        while k and s[i] != s[k]:
+            k = fail[k]
+        if s[i] == s[k]:
+            k += 1
+        fail[i + 1] = k
+    return n - fail[n]
+
+
+def smallest_period_brute(s: str) -> int:
+    """Independent twin: try each shift p ascending, scalar compare."""
+    n = len(s)
+    if n == 0:
+        return 0
+    for p in range(1, n):
+        if all(s[i] == s[i + p] for i in range(n - p)):
+            return p
+    return n

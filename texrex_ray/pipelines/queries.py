@@ -19624,3 +19624,253 @@ def q291_box_means(sf_dir: str):
     for c in ("n_boxes", "sum_mean", "min_mean", "max_mean"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Max-sum sliding 7-day window per event type (q292)
+# --------------------------------------------------------------------------
+
+WINDOW_DAYS = 7
+
+_WINMAX_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                      RANGE BETWEEN CURRENT ROW AND 6 FOLLOWING) AS wsum
+  FROM daily
+),
+best AS (
+  SELECT event_type, day AS best_start_day, wsum AS best_sum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY wsum DESC, day) AS rk
+  FROM win
+)
+SELECT b.event_type, CAST(b.best_start_day AS BIGINT) AS best_start_day,
+       CAST(b.best_sum AS BIGINT) AS best_sum,
+       CAST(a.n_days_active AS BIGINT) AS n_days_active
+FROM best b
+JOIN (SELECT event_type, count(*) AS n_days_active FROM daily GROUP BY 1) a
+  USING (event_type)
+WHERE b.rk = 1 ORDER BY b.event_type
+"""
+
+
+@query("q292_window_max_burst", sql=_WINMAX_SQL)
+def q292_window_max_burst(sf_dir: str):
+    """Hottest 7-day window per event type — the burst detector behind
+    capacity planning: max over window starts of the volume in
+    [s, s+6], where the optimum is provably achieved starting AT an
+    active day (shifting a start right to the next active day loses
+    nothing on the left and can only gain on the right), so both
+    engines scan only active-day starts.  ONE (day x type) aggregate,
+    then a day-domain-sized vectorized sliding sum per type.  Ties ->
+    earliest start.  Output: (event_type, best_start_day, best_sum,
+    n_days_active)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "day": day, "n": 1})
+            .groupby(["event_type", "day"], as_index=False)
+            .sum()
+        )
+
+    daily = (
+        ev.map_batches(day_counts, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        days = g["day"].to_numpy().astype(np.int64)
+        ns = g["n"].to_numpy().astype(np.int64)
+        # windowed sum at each active start via two-pointer searchsorted
+        ends = np.searchsorted(days, days + WINDOW_DAYS, side="left")
+        csum = np.concatenate([[0], ns.cumsum()])
+        wsums = csum[ends] - csum[np.arange(len(days))]
+        i = int(np.lexsort((days, -wsums))[0])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "best_start_day": [int(days[i])],
+                "best_sum": [int(wsums[i])],
+                "n_days_active": [len(days)],
+            }
+        )
+
+    out = (
+        daily.groupby("event_type")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("best_start_day", "best_sum", "n_days_active"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Smallest string period via KMP failure function (q293)
+# --------------------------------------------------------------------------
+
+_PERIOD_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/period_sf0.01.parquet'))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN period < n_chars THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bordered,
+       CAST(SUM(period) AS BIGINT) AS sum_period,
+       CAST(SUM(period * 1000 // n_chars) AS BIGINT) AS sum_ratio_milli
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q293_smallest_period", sql=_PERIOD_SQL)
+def q293_smallest_period(sf_dir: str):
+    """Smallest period p of each document (minimal p with s[i] ==
+    s[i+p] for all i < n-p, i.e. n minus the longest border from the
+    KMP failure function) — template spam repeats with tiny periods,
+    natural prose has p == n.  Doc-local O(n) scan; language-sized
+    aggregates shuffle.  Oracle: committed fixture from the INDEPENDENT
+    brute-force shift-check twin (tries each p ascending).  Output:
+    (lang, n_docs, n_bordered, sum_period, sum_ratio_milli)."""
+    from texrex_ray.functions.complexity import smallest_period
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        ps = [smallest_period(s) for s in texts]
+        df = pd.DataFrame(
+            {
+                "lang": langs,
+                "p": ps,
+                "bordered": [int(p < len(s)) for p, s in zip(ps, texts)],
+                "ratio": [p * 1000 // len(s) for p, s in zip(ps, texts)],
+            }
+        )
+        g = df.groupby("lang").agg(
+            n_docs=("p", "size"), n_bordered=("bordered", "sum"),
+            sum_period=("p", "sum"), sum_ratio_milli=("ratio", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_bordered", alias_name="n_bordered"),
+            Sum("sum_period", alias_name="sum_period"),
+            Sum("sum_ratio_milli", alias_name="sum_ratio_milli"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_bordered", "sum_period", "sum_ratio_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Coordinated key-sample join estimate (q294)
+# --------------------------------------------------------------------------
+
+COORD_SAMPLE_MOD = 16
+
+_COORD_SQL = """
+WITH so AS (
+  SELECT o_custkey FROM orders
+  WHERE md5_number_lower(CAST(o_custkey AS VARCHAR)) % 16 = 0
+),
+sc AS (
+  SELECT c_custkey FROM customer
+  WHERE md5_number_lower(CAST(c_custkey AS VARCHAR)) % 16 = 0
+),
+j AS (SELECT count(*) AS n FROM so JOIN sc ON o_custkey = c_custkey),
+t AS (SELECT count(*) AS n FROM orders JOIN customer
+      ON o_custkey = c_custkey)
+SELECT CAST((SELECT count(*) FROM so) AS BIGINT) AS n_sample_ord,
+       CAST((SELECT count(*) FROM sc) AS BIGINT) AS n_sample_cust,
+       CAST(j.n AS BIGINT)                        AS n_sample_join,
+       CAST(j.n * 16 AS BIGINT)                   AS est_join,
+       CAST(t.n AS BIGINT)                        AS true_join,
+       CAST(abs(j.n * 16 - t.n) * 1000000 // t.n AS BIGINT) AS err_ppm
+FROM j, t
+"""
+
+
+@query("q294_coordinated_sample_join", sql=_COORD_SQL)
+def q294_coordinated_sample_join(sf_dir: str):
+    """Coordinated Bernoulli key sampling for join-size estimation:
+    BOTH sides keep a key iff md5(custkey) % 16 == 0 (the q47/q60
+    md5_number_lower convention), so the sample of the join IS the
+    join of the samples (inclusion is a pure key function — the
+    estimator is unbiased with rate 1/16 on the KEY domain, unlike
+    independent row sampling which needs 1/256).  Complements q164's
+    NDV-formula audit with the sampling-based estimator.  Samples are
+    filtered AT the scan; only 1/16 of keys ever shuffle.  Output: one
+    audit row (counts, est_join = n_sample_join*16, true_join,
+    err_ppm)."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    def keep(t: pa.Table, col: str) -> pa.Table:
+        h = md5_lower64([str(int(x)) for x in t[col].to_pylist()])
+        return t.filter(pa.array(h % np.uint64(COORD_SAMPLE_MOD) == 0))
+
+    so = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: keep(t, "o_custkey"), batch_format="pyarrow"
+    )
+    sc = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: keep(t, "c_custkey"), batch_format="pyarrow"
+    )
+    n_so = so.count()
+    # customer keys are unique: broadcast the sampled-key set, count
+    # sampled orders whose custkey is in it (the joined sample), and
+    # get the true join size from per-key order counts x key presence
+    sc_keys = set(sc.to_pandas()["c_custkey"].tolist())
+    keys_ref = ray.put(np.fromiter(sc_keys, dtype=np.int64, count=len(sc_keys)))
+
+    def join_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(np.isin(ck, ks).sum())], pa.int64())})
+
+    n_sj = int(so.map_batches(join_partial, batch_format="pyarrow").sum("n"))
+    # true join size: orders joined to (unique-key) customer = orders
+    # whose custkey exists in customer
+    cust = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    all_ref = ray.put(cust["c_custkey"].to_numpy().astype(np.int64))
+
+    def true_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(all_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(np.isin(ck, ks).sum())], pa.int64())})
+
+    true_join = int(
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(true_partial, batch_format="pyarrow")
+        .sum("n")
+    )
+    est = n_sj * COORD_SAMPLE_MOD
+    return pd.DataFrame(
+        {
+            "n_sample_ord": [n_so],
+            "n_sample_cust": [len(sc_keys)],
+            "n_sample_join": [n_sj],
+            "est_join": [est],
+            "true_join": [true_join],
+            "err_ppm": [abs(est - true_join) * 1_000_000 // true_join],
+        }
+    ).astype("int64")

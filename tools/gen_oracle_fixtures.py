@@ -2221,6 +2221,24 @@ def gen_boxmeans() -> None:
     print("boxmeans_fixture.parquet:", out.num_rows, "rows")
 
 
+def gen_period() -> None:
+    """Expected q293 per-doc smallest periods from the INDEPENDENT
+    brute-force shift-check twin (tries each p ascending)."""
+    from texrex_ray.functions.complexity import smallest_period_brute
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "lang", "text", "n_chars"])
+    ps = [smallest_period_brute(s) for s in t["text"].to_pylist()]
+    out = pa.table({
+        "doc_id": t["doc_id"],
+        "lang": t["lang"],
+        "n_chars": t["n_chars"],
+        "period": pa.array(ps, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "period_sf0.01.parquet"))
+    print("period_sf0.01.parquet:", out.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2281,6 +2299,7 @@ def main() -> None:
     gen_bloom_audit()
     gen_lz76()
     gen_boxmeans()
+    gen_period()
 
 
 if __name__ == "__main__":
