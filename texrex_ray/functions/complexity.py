@@ -81,3 +81,98 @@ def smallest_period_brute(s: str) -> int:
         if all(s[i] == s[i + p] for i in range(n - p)):
             return p
     return n
+
+
+def _suffix_array_lcps(s: str) -> list[int]:
+    """Adjacent-suffix longest-common-prefix lengths in suffix-sorted
+    order (O(n^2 log n) naive sort — doc-sized strings only)."""
+    n = len(s)
+    sa = sorted(range(n), key=lambda i: s[i:])
+    lcps = []
+    for a, b in zip(sa, sa[1:]):
+        l = 0
+        while a + l < n and b + l < n and s[a + l] == s[b + l]:
+            l += 1
+        lcps.append(l)
+    return lcps
+
+
+def longest_repeated_substring(s: str) -> int:
+    """Length of the longest substring occurring >= 2 times (possibly
+    overlapping) = max adjacent LCP over the suffix array.  0 if all
+    characters are distinct (or len < 2)."""
+    if len(s) < 2:
+        return 0
+    lcps = _suffix_array_lcps(s)
+    return max(lcps) if lcps else 0
+
+
+def longest_repeated_substring_brute(s: str) -> int:
+    """Independent twin: binary-search the answer length; at each
+    length l scan a rolling set of all l-grams for a duplicate."""
+    n = len(s)
+
+    def has_repeat(l: int) -> bool:
+        seen: set[str] = set()
+        for i in range(n - l + 1):
+            g = s[i:i + l]
+            if g in seen:
+                return True
+            seen.add(g)
+        return False
+
+    lo, hi = 0, n - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if has_repeat(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def distinct_substrings(s: str) -> int:
+    """Number of distinct non-empty substrings via a suffix automaton
+    (Blumer et al. 1985): sum over non-initial states of
+    len(state) - len(link(state)).  Linear construction."""
+    # suffix automaton over arbitrary unicode chars (dict transitions)
+    MAXLEN: list[int] = [0]
+    LINK: list[int] = [-1]
+    TRANS: list[dict] = [{}]
+    last = 0
+    for ch in s:
+        cur = len(MAXLEN)
+        MAXLEN.append(MAXLEN[last] + 1)
+        LINK.append(-1)
+        TRANS.append({})
+        p = last
+        while p != -1 and ch not in TRANS[p]:
+            TRANS[p][ch] = cur
+            p = LINK[p]
+        if p == -1:
+            LINK[cur] = 0
+        else:
+            q = TRANS[p][ch]
+            if MAXLEN[p] + 1 == MAXLEN[q]:
+                LINK[cur] = q
+            else:
+                clone = len(MAXLEN)
+                MAXLEN.append(MAXLEN[p] + 1)
+                LINK.append(LINK[q])
+                TRANS.append(dict(TRANS[q]))
+                while p != -1 and TRANS[p].get(ch) == q:
+                    TRANS[p][ch] = clone
+                    p = LINK[p]
+                LINK[q] = clone
+                LINK[cur] = clone
+        last = cur
+    return sum(MAXLEN[v] - MAXLEN[LINK[v]] for v in range(1, len(MAXLEN)))
+
+
+def distinct_substrings_suffixarray(s: str) -> int:
+    """Independent twin: n(n+1)/2 minus the sum of adjacent suffix-
+    array LCPs (each LCP position is a substring counted twice)."""
+    n = len(s)
+    if n == 0:
+        return 0
+    return n * (n + 1) // 2 - sum(_suffix_array_lcps(s))

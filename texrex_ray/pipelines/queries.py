@@ -19874,3 +19874,201 @@ def q294_coordinated_sample_join(sf_dir: str):
             "err_ppm": [abs(est - true_join) * 1_000_000 // true_join],
         }
     ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Longest repeated substring (q295)
+# --------------------------------------------------------------------------
+
+_LRS_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/lrs_sf0.01.parquet'))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(lrs) AS BIGINT) AS sum_lrs,
+       CAST(MAX(lrs) AS BIGINT) AS max_lrs,
+       CAST(SUM(lrs * 1000 // n_chars) AS BIGINT) AS sum_ratio_milli
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q295_longest_repeat", sql=_LRS_SQL)
+def q295_longest_repeat(sf_dir: str):
+    """Longest repeated substring per document (suffix-array adjacent
+    LCP max, functions/complexity.py) — internal-duplication signal:
+    a high lrs/n ratio marks copy-pasted blocks inside one page that
+    near-dup passes (which compare ACROSS docs) never see.  Doc-local;
+    language-sized aggregates shuffle.  Oracle: committed fixture from
+    the INDEPENDENT binary-search + rolling-l-gram-set twin.  Output:
+    (lang, n_docs, sum_lrs, max_lrs, sum_ratio_milli)."""
+    from texrex_ray.functions.complexity import longest_repeated_substring
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        ls = [longest_repeated_substring(s) for s in texts]
+        df = pd.DataFrame(
+            {
+                "lang": langs,
+                "l": ls,
+                "ratio": [l * 1000 // len(s) for l, s in zip(ls, texts)],
+            }
+        )
+        g = df.groupby("lang").agg(
+            n_docs=("l", "size"), sum_lrs=("l", "sum"), max_lrs=("l", "max"),
+            sum_ratio_milli=("ratio", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_lrs", alias_name="sum_lrs"),
+            Max("max_lrs", alias_name="max_lrs"),
+            Sum("sum_ratio_milli", alias_name="sum_ratio_milli"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "sum_lrs", "max_lrs", "sum_ratio_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Greedy interval scheduling (q296)
+# --------------------------------------------------------------------------
+
+SESSION_US = 1_800_000_000  # each event claims a 30-min slot
+
+_INTSCHED_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/intsched_sf0.01.parquet'))
+SELECT CAST(n_selected AS BIGINT) AS n_selected,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events
+FROM f GROUP BY n_selected ORDER BY n_selected
+"""
+
+
+@query("q296_interval_scheduling", sql=_INTSCHED_SQL)
+def q296_interval_scheduling(sf_dir: str):
+    """Maximum non-overlapping 30-min sessions per user — the
+    earliest-finish greedy (provably optimal for interval scheduling):
+    scan a user's events by (end, start), keep each whose start >= the
+    last kept end.  The attention-capacity bound behind engagement
+    dedup: n_selected counts DISTINCT attention slots, where raw event
+    counts double-bill bursts.  ONE user-keyed exchange; per-group
+    vectorized scan.  Oracle: committed fixture from the INDEPENDENT
+    O(n log n) DP twin (sort by end + bisect over predecessors).
+    Output histogram: (n_selected, n_users, sum_events)."""
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        st = np.sort(g["ts"].astype("int64").to_numpy())
+        last_end = -1
+        n_sel = 0
+        for s in st.tolist():
+            if s >= last_end:
+                n_sel += 1
+                last_end = s + SESSION_US
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(st)],
+                "n_selected": [n_sel],
+            }
+        )
+
+    per_user = (
+        ev.groupby("user_id").map_groups(pick, batch_format="pandas")
+    )
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_selected").agg(
+            n_users=("user_id", "size"), sum_events=("n_events", "sum")
+        ).reset_index()
+        return g
+
+    out = (
+        per_user.map_batches(hist, batch_format="pandas")
+        .groupby("n_selected")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("sum_events", alias_name="sum_events"))
+        .to_pandas()
+        .sort_values("n_selected")
+        .reset_index(drop=True)
+    )
+    for c in ("n_selected", "n_users", "sum_events"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Distinct substring count via suffix automaton (q297)
+# --------------------------------------------------------------------------
+
+_DSUB_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/dsub_sf0.01.parquet'))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+       CAST(SUM(n_distinct * 1000 // (n_chars * (n_chars + 1) // 2))
+            AS BIGINT) AS sum_fill_milli
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q297_distinct_substrings", sql=_DSUB_SQL)
+def q297_distinct_substrings(sf_dir: str):
+    """Distinct-substring count per document via a LINEAR suffix
+    automaton (Blumer et al. 1985; sum of len(v)-len(link(v)))
+    (functions/complexity.py::distinct_substrings) — the saturation
+    counterpart to q289's LZ76: fill = distinct/(n(n+1)/2) approaches
+    1 for incompressible text, collapses for templates.  Doc-local
+    linear scan.  Oracle: committed fixture from the INDEPENDENT
+    suffix-array twin (n(n+1)/2 - sum adjacent LCP).  Output: (lang,
+    n_docs, sum_distinct, sum_fill_milli)."""
+    from texrex_ray.functions.complexity import distinct_substrings
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        ds_ = [distinct_substrings(s) for s in texts]
+        df = pd.DataFrame(
+            {
+                "lang": langs,
+                "d": ds_,
+                "fill": [
+                    d * 1000 // (len(s) * (len(s) + 1) // 2)
+                    for d, s in zip(ds_, texts)
+                ],
+            }
+        )
+        g = df.groupby("lang").agg(
+            n_docs=("d", "size"), sum_distinct=("d", "sum"),
+            sum_fill_milli=("fill", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_distinct", alias_name="sum_distinct"),
+            Sum("sum_fill_milli", alias_name="sum_fill_milli"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "sum_distinct", "sum_fill_milli"):
+        out[c] = out[c].astype("int64")
+    return out

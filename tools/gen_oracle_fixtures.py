@@ -2239,6 +2239,72 @@ def gen_period() -> None:
     print("period_sf0.01.parquet:", out.num_rows, "rows")
 
 
+def gen_lrs() -> None:
+    """Expected q295 per-doc longest-repeated-substring lengths from
+    the INDEPENDENT binary-search + rolling-l-gram-set twin."""
+    from texrex_ray.functions.complexity import (
+        longest_repeated_substring_brute,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "lang", "text", "n_chars"])
+    ls = [longest_repeated_substring_brute(s) for s in t["text"].to_pylist()]
+    out = pa.table({
+        "doc_id": t["doc_id"], "lang": t["lang"], "n_chars": t["n_chars"],
+        "lrs": pa.array(ls, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "lrs_sf0.01.parquet"))
+    print("lrs_sf0.01.parquet:", out.num_rows, "rows")
+
+
+def gen_intsched() -> None:
+    """Expected q296 per-user max non-overlapping sessions from the
+    INDEPENDENT DP twin (sort by end, bisect predecessor, dp array)."""
+    import bisect
+
+    import pandas as pd
+
+    SESSION_US = 1_800_000_000
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["start"] = ev["ts"].astype("int64")
+    rows = []
+    for uid, sub in ev.groupby("user_id"):
+        ivs = sorted((int(s) + SESSION_US, int(s)) for s in sub["start"])
+        ends = [e for e, _ in ivs]
+        dp = [0] * (len(ivs) + 1)
+        for i, (e, st) in enumerate(ivs, 1):
+            j = bisect.bisect_right(ends, st, 0, i - 1)
+            dp[i] = max(dp[i - 1], dp[j] + 1)
+        rows.append((int(uid), len(ivs), dp[len(ivs)]))
+    rows.sort()
+    out = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_events": pa.array([r[1] for r in rows], pa.int64()),
+        "n_selected": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "intsched_sf0.01.parquet"))
+    print("intsched_sf0.01.parquet:", out.num_rows, "users")
+
+
+def gen_dsub() -> None:
+    """Expected q297 per-doc distinct-substring counts from the
+    INDEPENDENT suffix-array twin (n(n+1)/2 - sum adjacent LCP)."""
+    from texrex_ray.functions.complexity import (
+        distinct_substrings_suffixarray,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "lang", "text", "n_chars"])
+    ds_ = [distinct_substrings_suffixarray(s) for s in t["text"].to_pylist()]
+    out = pa.table({
+        "doc_id": t["doc_id"], "lang": t["lang"], "n_chars": t["n_chars"],
+        "n_distinct": pa.array(ds_, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "dsub_sf0.01.parquet"))
+    print("dsub_sf0.01.parquet:", out.num_rows, "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2300,6 +2366,9 @@ def main() -> None:
     gen_lz76()
     gen_boxmeans()
     gen_period()
+    gen_lrs()
+    gen_intsched()
+    gen_dsub()
 
 
 if __name__ == "__main__":
