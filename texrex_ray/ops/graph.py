@@ -1877,3 +1877,118 @@ def kcore_sequential(edges: list[tuple[str, str]]) -> dict[str, int]:
                 deg[u] -= 1
                 heapq.heappush(heap, (deg[u], u))
     return core
+
+
+def double_sweep(
+    edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst"
+) -> dict:
+    """Double-sweep BFS diameter lower bound on the undirected simple
+    view of ``edges``: BFS from the lexicographically smallest node;
+    take the farthest node (max dist, ties -> lex-min); BFS again from
+    it.  ``ecc_peak`` lower-bounds the diameter (exact on trees,
+    empirically tight on web graphs — Magnien/Latapy/Habib 2009).
+
+    Plan: adjacency built once exactly as ``kcore_int``; each BFS
+    level is ONE map over adjacency batches with the integer frontier
+    mask broadcast (``ray.put``), unioning discovered nodes on a
+    node-sized driver bitmap — level count = eccentricity.  Only nodes
+    REACHABLE from the start are swept (n_reached reported next to
+    n_nodes)."""
+    edges = edges.materialize()
+    degs = _degrees(edges, src, dst).to_pandas()
+    nodes = np.sort(degs["node"].to_numpy())
+    node_index = pd.Index(nodes)
+    idx_ref = ray.put(node_index)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        s = ix.get_indexer(pd.Series(t[src].to_pandas())).astype(np.int64)
+        d = ix.get_indexer(pd.Series(t[dst].to_pandas())).astype(np.int64)
+        keep = s != d
+        return pa.table({"s": pa.array(s[keep]), "d": pa.array(d[keep])})
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.concatenate([df["s"].to_numpy(), df["d"].to_numpy()])
+        b = np.concatenate([df["d"].to_numpy(), df["s"].to_numpy()])
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    enc = (
+        edges.map_batches(encode, batch_format="pyarrow")
+        .map_batches(undirect, batch_format="pandas")
+        .materialize()
+    )
+    n = len(nodes)
+
+    def bfs(root: int) -> np.ndarray:
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[root] = 0
+        frontier = np.array([root], dtype=np.int64)
+        level = 0
+        while len(frontier):
+            fmask = np.zeros(n, dtype=bool)
+            fmask[frontier] = True
+            fref = ray.put(fmask)
+
+            def expand(df: pd.DataFrame) -> pd.DataFrame:
+                fm = ray.get(fref)
+                a = df["a"].to_numpy()
+                hit = fm[a]
+                return pd.DataFrame({"nb": np.unique(df["b"].to_numpy()[hit])})
+
+            nb = enc.map_batches(expand, batch_format="pandas").to_pandas()
+            cand = np.unique(nb["nb"].to_numpy()) if len(nb) else np.array([], dtype=np.int64)
+            fresh = cand[dist[cand] < 0] if len(cand) else cand
+            level += 1
+            dist[fresh] = level
+            frontier = fresh
+        return dist
+
+    d0 = bfs(0)  # nodes sorted => index 0 IS the lex-min node
+    ecc_start = int(d0.max())
+    peak = int(np.flatnonzero(d0 == ecc_start)[0])  # lex-min among ties
+    d1 = bfs(peak)
+    return {
+        "start_node": str(nodes[0]),
+        "ecc_start": ecc_start,
+        "peak_node": str(nodes[peak]),
+        "ecc_peak": int(d1.max()),
+        "n_reached": int((d0 >= 0).sum()),
+        "n_nodes": n,
+    }
+
+
+def double_sweep_sequential(edges: list[tuple[str, str]]) -> dict:
+    """Independent twin: deque BFS over dict-of-sets adjacency."""
+    from collections import deque
+
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+
+    def bfs(root: str) -> dict[str, int]:
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            v = q.popleft()
+            for u in adj[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+        return dist
+
+    d0 = bfs(nodes[0])
+    ecc_start = max(d0.values())
+    peak = min(v for v, d in d0.items() if d == ecc_start)
+    d1 = bfs(peak)
+    return {
+        "start_node": nodes[0],
+        "ecc_start": ecc_start,
+        "peak_node": peak,
+        "ecc_peak": max(d1.values()),
+        "n_reached": len(d0),
+        "n_nodes": len(nodes),
+    }

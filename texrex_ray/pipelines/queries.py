@@ -20072,3 +20072,185 @@ def q297_distinct_substrings(sf_dir: str):
     for c in ("n_docs", "sum_distinct", "sum_fill_milli"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Haar wavelet band energy (q298)
+# --------------------------------------------------------------------------
+
+_HAAR_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/haar_fixture.parquet'))
+SELECT fmt, band, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(energy) AS BIGINT) AS sum_energy,
+       CAST(MAX(energy) AS BIGINT) AS max_energy
+FROM f GROUP BY fmt, band ORDER BY fmt, band
+"""
+
+
+@query("q298_haar_energy", sql=_HAAR_SQL)
+def q298_haar_energy(sf_dir: str):
+    """2-level integer Haar band energies per image (stages/
+    images.py::HaarEnergy) — multi-resolution texture profile: flat
+    graphics pile energy into LL2, photographs spread it across
+    LH/HL/HH; the frequency-domain complement to q283's orientation
+    histogram.  Unnormalized +-sums of 2x2 blocks, exact int64 squares;
+    7 scalar rows per image shuffle.  Oracle: committed fixture from
+    the INDEPENDENT per-pixel nested-loop twin.  Output: (fmt, band,
+    n_images, sum_energy, max_energy)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import HaarEnergy
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    rows = ds.map_batches(
+        HaarEnergy, concurrency=2, batch_size=64, batch_format="pyarrow"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["fmt", "band"])["energy"]
+        return pd.DataFrame(
+            {"n_images": g.size(), "sum_energy": g.sum(),
+             "max_energy": g.max()}
+        ).reset_index()
+
+    out = (
+        rows.map_batches(partial, batch_format="pandas")
+        .groupby(["fmt", "band"])
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_energy", alias_name="sum_energy"),
+            Max("max_energy", alias_name="max_energy"),
+        )
+        .to_pandas()
+        .sort_values(["fmt", "band"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "sum_energy", "max_energy"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Density core-point census over quantized embeddings (q299)
+# --------------------------------------------------------------------------
+
+DENSITY_RADIUS_SQ = 1_400_000  # milli-quantized L2^2 threshold
+DENSITY_MIN_PTS = 5            # neighbors (excluding self) for a core
+
+_DENSITY_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/density_sf0.01.parquet'))
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN n_neighbors >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core,
+       CAST(SUM(n_neighbors) AS BIGINT) AS sum_neighbors,
+       CAST(MAX(n_neighbors) AS BIGINT) AS max_neighbors
+FROM f GROUP BY label ORDER BY label
+"""
+
+
+@query("q299_density_core_census", sql=_DENSITY_SQL)
+def q299_density_core_census(sf_dir: str):
+    """DBSCAN-style core-point census over embeddings: per vector, the
+    count of OTHER vectors within integer L2^2 radius after milli-unit
+    quantization (q = round(v*1000): 64-dim dots <= 64e6, EXACT in
+    float64 matmul — no float ambiguity), cores have >= 5.  The density
+    signal behind semantic-dedup clustering: cores mark over-sampled
+    semantic neighborhoods.  Plan: quantized matrix broadcast once
+    (ray.put), each batch computes one block x corpus distance matmul —
+    at page scale swap the broadcast for the LSH/IVF prefilter
+    (dedup/embed.py) as documented there.  Oracle: committed fixture
+    from the INDEPENDENT scalar per-pair loop twin.  Output: (label,
+    n_vecs, n_core, sum_neighbors, max_neighbors)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    all_df = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = np.rint(np.asarray(list(all_df["embedding"]), dtype=np.float64)
+                * 1000.0).astype(np.float64)
+    norms = (q * q).sum(axis=1)
+    ref = ray.put((q, norms))
+
+    def count_neighbors(t: pa.Table) -> pa.Table:
+        corpus, cn = ray.get(ref)
+        block = np.rint(
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+        )
+        bn = (block * block).sum(axis=1)
+        # L2^2 = |a|^2 + |b|^2 - 2ab, all integer-valued float64
+        d2 = bn[:, None] + cn[None, :] - 2.0 * (block @ corpus.T)
+        within = (d2 <= float(DENSITY_RADIUS_SQ)).sum(axis=1) - 1  # self
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": t["label"],
+                "n_neighbors": pa.array(within.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_vec = emb.map_batches(count_neighbors, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label")["n_neighbors"]
+        return pd.DataFrame(
+            {
+                "n_vecs": g.size(),
+                "n_core": df.groupby("label")["n_neighbors"]
+                .apply(lambda s: int((s >= DENSITY_MIN_PTS).sum())),
+                "sum_neighbors": g.sum(),
+                "max_neighbors": g.max(),
+            }
+        ).reset_index()
+
+    out = (
+        per_vec.map_batches(partial, batch_format="pandas")
+        .groupby("label")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("n_core", alias_name="n_core"),
+            Sum("sum_neighbors", alias_name="sum_neighbors"),
+            Max("max_neighbors", alias_name="max_neighbors"),
+        )
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    for c in ("label", "n_vecs", "n_core", "sum_neighbors", "max_neighbors"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Double-sweep BFS diameter bound (q300)
+# --------------------------------------------------------------------------
+
+_DIAM_SQL = """
+SELECT start_node, CAST(ecc_start AS BIGINT) AS ecc_start,
+       peak_node, CAST(ecc_peak AS BIGINT) AS ecc_peak,
+       CAST(n_reached AS BIGINT) AS n_reached,
+       CAST(n_nodes AS BIGINT) AS n_nodes
+FROM read_parquet('/root/repo/tests/fixtures/oracle/diameter_fixture.parquet')
+"""
+
+
+@query("q300_diameter_bound", sql=_DIAM_SQL)
+def q300_diameter_bound(sf_dir: str):
+    """Double-sweep BFS diameter lower bound of the undirected crawl
+    graph: BFS from the lexicographically smallest node, then BFS from
+    the farthest node found (ties -> lex-min); ecc_peak is the
+    classic 2-sweep bound (exact on trees, near-exact on web graphs) —
+    the hop-budget sizing input for frontier scheduling.  Plan:
+    adjacency built ONCE (kcore-style exchange); each BFS level is one
+    map over adjacency with the frontier broadcast; level count =
+    eccentricity (~tens).  Oracle: committed fixture from the
+    INDEPENDENT deque-BFS twin.  Output: one row."""
+    from texrex_ray.ops.graph import double_sweep
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    r = double_sweep(edges)
+    return pd.DataFrame([r])[
+        ["start_node", "ecc_start", "peak_node", "ecc_peak",
+         "n_reached", "n_nodes"]
+    ]

@@ -702,3 +702,63 @@ class BoxMeans:
                 "mean_milli": pa.array(means, pa.int64()),
             }
         )
+
+
+class HaarEnergy:
+    """Actor-pool stage: unnormalized integer 2D Haar transform of
+    channel-sum luminance, ``levels`` deep — the multi-resolution
+    energy split (sum of squared band coefficients) that separates
+    flat synthetic graphics (energy piles into deep LL) from textured
+    photographs (energy spread across LH/HL/HH).  All integer: bands
+    are +-sums of 2x2 blocks (no /2 normalization), dims crop to even
+    per level.  Emits one row per (image, band): band in
+    {LH1,HL1,HH1,...,LLk}, energy = sum of squares (int64-safe:
+    coefficients <= 765*4^level, squares * pixels << 2^63).
+    """
+
+    def __init__(self, levels: int = 2) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.levels = levels
+
+    def bands(self, px: np.ndarray) -> list[tuple[str, int]]:
+        lum = px.astype(np.int64).sum(axis=2)
+        out = []
+        ll = lum
+        for lv in range(1, self.levels + 1):
+            h, w = ll.shape
+            ll = ll[: h - h % 2, : w - w % 2]
+            if ll.size == 0:
+                break
+            a = ll[0::2, 0::2]
+            b = ll[0::2, 1::2]
+            c = ll[1::2, 0::2]
+            d = ll[1::2, 1::2]
+            out.append((f"LH{lv}", int(((a - b + c - d) ** 2).sum())))
+            out.append((f"HL{lv}", int(((a + b - c - d) ** 2).sum())))
+            out.append((f"HH{lv}", int(((a - b - c + d) ** 2).sum())))
+            ll = a + b + c + d
+        out.append((f"LL{self.levels}", int((ll ** 2).sum())))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fmts, bnames, es = [], [], [], []
+        for iid, fmt, raw in zip(
+            batch["image_id"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["bytes"].to_pylist(),
+        ):
+            for bn, e in self.bands(self.decode(raw)):
+                ids.append(iid)
+                fmts.append(fmt)
+                bnames.append(bn)
+                es.append(e)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "fmt": pa.array(fmts, pa.string()),
+                "band": pa.array(bnames, pa.string()),
+                "energy": pa.array(es, pa.int64()),
+            }
+        )

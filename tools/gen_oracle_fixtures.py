@@ -2305,6 +2305,110 @@ def gen_dsub() -> None:
     print("dsub_sf0.01.parquet:", out.num_rows, "rows")
 
 
+def gen_haar() -> None:
+    """Expected q298 per-image Haar band energies from the INDEPENDENT
+    scalar 2x2-block walk twin (Python ints, no numpy vector ops)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    LEVELS = 2
+    d = fixture_path(n=300, seed=42)
+    t = pq.read_table(os.path.join(d, "images.parquet"),
+                      columns=["image_id", "fmt", "bytes"])
+    ids, fmts, bands, es = [], [], [], []
+    for iid, fmt, raw in zip(t["image_id"].to_pylist(),
+                             t["fmt"].to_pylist(),
+                             t["bytes"].to_pylist()):
+        px = decode_image(raw)
+        h0, w0 = px.shape[0], px.shape[1]
+        ll = [[int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])
+               for x in range(w0)] for y in range(h0)]
+        for lv in range(1, LEVELS + 1):
+            h, w = len(ll) - len(ll) % 2, len(ll[0]) - len(ll[0]) % 2
+            if h == 0 or w == 0:
+                break
+            lh = hl = hh = 0
+            nxt = []
+            for y in range(0, h, 2):
+                row = []
+                for x in range(0, w, 2):
+                    a, b = ll[y][x], ll[y][x + 1]
+                    c, dd = ll[y + 1][x], ll[y + 1][x + 1]
+                    lh += (a - b + c - dd) ** 2
+                    hl += (a + b - c - dd) ** 2
+                    hh += (a - b - c + dd) ** 2
+                    row.append(a + b + c + dd)
+                nxt.append(row)
+            for bn, e in ((f"LH{lv}", lh), (f"HL{lv}", hl), (f"HH{lv}", hh)):
+                ids.append(iid); fmts.append(fmt); bands.append(bn)
+                es.append(e)
+            ll = nxt
+        lle = sum(v * v for row in ll for v in row)
+        ids.append(iid); fmts.append(fmt); bands.append(f"LL{LEVELS}")
+        es.append(lle)
+    out = pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "fmt": pa.array(fmts, pa.string()),
+        "band": pa.array(bands, pa.string()),
+        "energy": pa.array(es, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "haar_fixture.parquet"))
+    print("haar_fixture.parquet:", out.num_rows, "rows")
+
+
+def gen_density() -> None:
+    """Expected q299 per-vector neighbor counts from the INDEPENDENT
+    scalar per-pair integer loop twin."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    labels = t["label"].to_pylist()
+    vecs = [[int(round(float(x) * 1000.0)) for x in v]
+            for v in t["embedding"].to_pylist()]
+    R = 1_400_000
+    n = len(vecs)
+    counts = [0] * n
+    for i in range(n):
+        vi = vecs[i]
+        for j in range(i + 1, n):
+            vj = vecs[j]
+            s = 0
+            for a, b in zip(vi, vj):
+                s += (a - b) * (a - b)
+                if s > R:
+                    break
+            if s <= R:
+                counts[i] += 1
+                counts[j] += 1
+    out = pa.table({
+        "vec_id": pa.array([int(i) for i in ids], pa.int64()),
+        "label": pa.array([int(l) for l in labels], pa.int64()),
+        "n_neighbors": pa.array(counts, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "density_sf0.01.parquet"))
+    print("density_sf0.01.parquet:", out.num_rows, "rows, cores",
+          sum(c >= 5 for c in counts))
+
+
+def gen_diameter() -> None:
+    """Expected q300 double-sweep row from the INDEPENDENT deque-BFS
+    twin (ops/graph.py::double_sweep_sequential)."""
+    from texrex_ray.ops.graph import double_sweep_sequential
+
+    e = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet"))
+    r = double_sweep_sequential(
+        list(zip(e["src"].to_pylist(), e["dst"].to_pylist())))
+    out = pa.table({
+        "start_node": pa.array([r["start_node"]], pa.string()),
+        "ecc_start": pa.array([r["ecc_start"]], pa.int64()),
+        "peak_node": pa.array([r["peak_node"]], pa.string()),
+        "ecc_peak": pa.array([r["ecc_peak"]], pa.int64()),
+        "n_reached": pa.array([r["n_reached"]], pa.int64()),
+        "n_nodes": pa.array([r["n_nodes"]], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "diameter_fixture.parquet"))
+    print("diameter_fixture.parquet:", r)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2369,6 +2473,9 @@ def main() -> None:
     gen_lrs()
     gen_intsched()
     gen_dsub()
+    gen_haar()
+    gen_density()
+    gen_diameter()
 
 
 if __name__ == "__main__":
