@@ -19318,7 +19318,7 @@ def q286_aho_corasick(sf_dir: str):
         .sort_values("pattern")
         .reset_index(drop=True)
     )
-    out = out[out["n_occ"] > 0]
+    out = out[out["n_occ"] > 0].copy()
     for c in ("n_docs", "n_occ"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
@@ -20254,3 +20254,471 @@ def q300_diameter_bound(sf_dir: str):
         ["start_node", "ecc_start", "peak_node", "ecc_peak",
          "n_reached", "n_nodes"]
     ]
+
+
+# --------------------------------------------------------------------------
+# Lindley queue waits (q301)
+# --------------------------------------------------------------------------
+
+LINDLEY_SERVICE_US = 120_000_000  # fixed 2-min service per event
+
+_LINDLEY_SQL = """
+WITH a AS (
+  SELECT event_type, epoch_us(ts) AS at,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS k
+  FROM events
+),
+u AS (
+  SELECT event_type, at, k,
+         at - k * 120000000 AS uu
+  FROM a
+),
+w AS (
+  SELECT event_type,
+         GREATEST(0, MAX(uu) OVER (PARTITION BY event_type ORDER BY k
+                                   ROWS UNBOUNDED PRECEDING) - uu) AS wait
+  FROM u
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_arrivals,
+       CAST(SUM(CASE WHEN wait > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_delayed,
+       CAST(SUM(wait) AS BIGINT) AS sum_wait_us,
+       CAST(MAX(wait) AS BIGINT) AS max_wait_us
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q301_lindley_queue", sql=_LINDLEY_SQL)
+def q301_lindley_queue(sf_dir: str):
+    """Single-server queue waits per event type via the Lindley
+    recursion W_{k+1} = max(0, W_k + S - gap_k) with fixed service
+    S = 2 min — the backpressure model for a fetch/decode worker fed by
+    this arrival stream: n_delayed and max_wait tell you whether ONE
+    worker keeps up and how deep the buffer must be.  Closed form
+    W_k = max(0, runmax_j<=k(U_j) - U_k) with U_j = A_j - j*S turns
+    the recursion into a prefix max — vectorized per type in
+    map_groups AND expressible as a pure-SQL window (the oracle; no
+    fixture).  Order: (ts, event_id).  Output: (event_type,
+    n_arrivals, n_delayed, sum_wait_us, max_wait_us)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "event_id"])
+
+    def waits(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        at = g["ts"].astype("int64").to_numpy()
+        k = np.arange(1, len(at) + 1, dtype=np.int64)
+        u = at - k * LINDLEY_SERVICE_US
+        w = np.maximum(np.maximum.accumulate(u) - u, 0)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_arrivals": [len(at)],
+                "n_delayed": [int((w > 0).sum())],
+                "sum_wait_us": [int(w.sum())],
+                "max_wait_us": [int(w.max()) if len(w) else 0],
+            }
+        )
+
+    out = (
+        ev.groupby("event_type")
+        .map_groups(waits, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_arrivals", "n_delayed", "sum_wait_us", "max_wait_us"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Longest increasing subsequence per user (q302)
+# --------------------------------------------------------------------------
+
+_LIS_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/lis_sf0.01.parquet'))
+SELECT CAST(lis_len AS BIGINT) AS lis_len,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events
+FROM f GROUP BY lis_len ORDER BY lis_len
+"""
+
+
+@query("q302_lis_per_user", sql=_LIS_SQL)
+def q302_lis_per_user(sf_dir: str):
+    """Longest STRICTLY increasing subsequence of each user's
+    value-cents stream (ordered by ts, event_id) via patience sorting
+    (O(n log n) bisect on pile tops) — the monotone-trend depth that
+    rank correlations blur: a long LIS certifies a sustained escalation
+    path.  ONE user-keyed exchange; per-group bisect scan.  Oracle:
+    committed fixture from the INDEPENDENT O(n^2) DP twin.  Output
+    histogram: (lis_len, n_users, sum_events)."""
+    import bisect
+
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id", "value"])
+
+    def lis(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        vals = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        tops: list[int] = []
+        for v in vals.tolist():
+            i = bisect.bisect_left(tops, v)
+            if i == len(tops):
+                tops.append(v)
+            else:
+                tops[i] = v
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(vals)],
+                "lis_len": [len(tops)],
+            }
+        )
+
+    per_user = ev.groupby("user_id").map_groups(lis, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lis_len").agg(
+            n_users=("user_id", "size"), sum_events=("n_events", "sum")
+        ).reset_index()
+
+    out = (
+        per_user.map_batches(hist, batch_format="pandas")
+        .groupby("lis_len")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("sum_events", alias_name="sum_events"))
+        .to_pandas()
+        .sort_values("lis_len")
+        .reset_index(drop=True)
+    )
+    for c in ("lis_len", "n_users", "sum_events"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Belady OPT vs LRU cache replay (q303)
+# --------------------------------------------------------------------------
+
+CACHE_SIZES = (4, 8, 16, 32)
+
+_BELADY_SQL = """
+SELECT CAST(cache_size AS BIGINT) AS cache_size,
+       CAST(n_accesses AS BIGINT) AS n_accesses,
+       CAST(lru_hits AS BIGINT) AS lru_hits,
+       CAST(opt_hits AS BIGINT) AS opt_hits
+FROM read_parquet('/root/repo/tests/fixtures/oracle/belady_sf0.01.parquet')
+ORDER BY cache_size
+"""
+
+
+@query("q303_belady_vs_lru", sql=_BELADY_SQL)
+def q303_belady_vs_lru(sf_dir: str):
+    """Offline-optimal (Belady) vs LRU hit counts on the user-access
+    stream at several cache sizes — the headroom audit for q268's
+    miss-ratio curve: opt_hits - lru_hits is what a smarter eviction
+    could still win.  OPT evicts the resident key with the farthest
+    next use (never-again first, ties -> largest key).  Plan: the
+    (ts, event_id) sort is distributed; the replay is one
+    constant-memory scan per cache size over the stream — at 100 TB
+    replay the SHARDS-sampled substream exactly as q268 does.  Oracle:
+    committed fixture from the INDEPENDENT twin (OrderedDict LRU +
+    next-use-chain OPT; the query uses array scans).  Output:
+    (cache_size, n_accesses, lru_hits, opt_hits)."""
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id"])
+    trace = (
+        ev.sort(["ts", "event_id"])
+        .to_pandas()["user_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n = len(trace)
+    # next-use index per position (n = never again)
+    nxt = np.full(n, n, dtype=np.int64)
+    last: dict[int, int] = {}
+    for i in range(n - 1, -1, -1):
+        k = int(trace[i])
+        nxt[i] = last.get(k, n)
+        last[k] = i
+    rows = []
+    for cap in CACHE_SIZES:
+        # LRU via recency stamps
+        lru_hits = 0
+        stamp: dict[int, int] = {}
+        for i in range(n):
+            k = int(trace[i])
+            if k in stamp:
+                lru_hits += 1
+            elif len(stamp) >= cap:
+                victim = min(stamp, key=lambda x: stamp[x])
+                del stamp[victim]
+            stamp[k] = i
+        # OPT: resident -> its next use position, refreshed on access
+        opt_hits = 0
+        res: dict[int, int] = {}
+        for i in range(n):
+            k = int(trace[i])
+            if k in res:
+                opt_hits += 1
+            elif len(res) >= cap:
+                # farthest next use; ties (never again) -> largest key
+                victim = max(res, key=lambda x: (res[x], x))
+                del res[victim]
+            res[k] = int(nxt[i])
+        rows.append((cap, n, lru_hits, opt_hits))
+    return pd.DataFrame(
+        rows, columns=["cache_size", "n_accesses", "lru_hits", "opt_hits"]
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# DGIM sliding-window count sketch (q304)
+# --------------------------------------------------------------------------
+
+DGIM_WINDOW_US = 14 * 86_400_000_000  # last 14 days
+DGIM_K = 2                            # max buckets per size
+
+
+def _dgim_run(ts_list: list[int]) -> tuple[int, int, int]:
+    """DGIM (Datar-Gionis-Indyk-Motwani 2002) over a time-based window:
+    process 1-bits at timestamps ascending; buckets (size, rightmost
+    ts), at most DGIM_K per size — on K+1, merge the OLDEST two into
+    one of double size (rightmost ts of the newer); expire buckets
+    with rightmost ts <= t_end - W.  Estimate = sum of all bucket
+    sizes minus half the oldest (floor) — the classic <=50% bound on
+    the oldest bucket's straddle.  Returns (estimate, n_buckets,
+    oldest_size)."""
+    buckets: list[tuple[int, int]] = []  # oldest first
+    for t in ts_list:
+        buckets.append((1, t))
+        # cascade merges: scan sizes ascending
+        size = 1
+        while True:
+            idx = [i for i, b in enumerate(buckets) if b[0] == size]
+            if len(idx) <= DGIM_K:
+                break
+            i0, i1 = idx[0], idx[1]  # the two OLDEST of this size
+            merged = (size * 2, buckets[i1][1])
+            buckets = (
+                buckets[:i0] + [merged] + buckets[i0 + 1:i1]
+                + buckets[i1 + 1:]
+            )
+            size *= 2
+    if not ts_list:
+        return 0, 0, 0
+    t_end = ts_list[-1]
+    buckets = [b for b in buckets if b[1] > t_end - DGIM_WINDOW_US]
+    if not buckets:
+        return 0, 0, 0
+    total = sum(b[0] for b in buckets)
+    oldest = buckets[0][0]
+    return total - oldest + oldest // 2 + (oldest % 2), len(buckets), oldest
+
+
+_DGIM_SQL = """
+WITH a AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+m AS (SELECT event_type, MAX(t) AS t_end FROM a GROUP BY event_type),
+ex AS (
+  SELECT a.event_type, CAST(count(*) AS BIGINT) AS exact_w
+  FROM a JOIN m USING (event_type)
+  WHERE a.t > m.t_end - 1209600000000
+  GROUP BY a.event_type
+),
+f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/dgim_sf0.01.parquet'))
+SELECT f.event_type, ex.exact_w, f.est_w, f.n_buckets, f.oldest_size
+FROM f JOIN ex USING (event_type) ORDER BY f.event_type
+"""
+
+
+@query("q304_dgim_window_count", sql=_DGIM_SQL)
+def q304_dgim_window_count(sf_dir: str):
+    """DGIM sliding-window counting per event type: O(log^2 W) memory
+    per counter instead of buffering the window — the constant-memory
+    'events in the last 14 days' gauge a streaming collector keeps per
+    key.  Window anchored at each TYPE's own last arrival.  Plan: per-type
+    map_groups runs the bucket cascade over (ts)-sorted groups; the
+    exact window count is ONE distributed filtered aggregate.  Oracle:
+    exact side recomputed in SQL from raw events; sketch side from the
+    committed INDEPENDENT deque-twin fixture.  Output: (event_type,
+    exact_w, est_w, n_buckets, oldest_size); tests pin the DGIM bound
+    |est-exact| <= oldest_size/2."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy()).tolist()
+        est, nb, oldest = _dgim_run(ts)
+        exact = int(
+            (np.asarray(ts) > ts[-1] - DGIM_WINDOW_US).sum()
+        ) if ts else 0
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "exact_w": [exact],
+                "est_w": [est],
+                "n_buckets": [nb],
+                "oldest_size": [oldest],
+            }
+        )
+
+    out = (
+        ev.groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("exact_w", "est_w", "n_buckets", "oldest_size"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing collision census (q305)
+# --------------------------------------------------------------------------
+
+FEATHASH_BUCKETS = 16
+
+_FEATHASH_SQL = """
+WITH tok AS (
+  SELECT t AS token
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE length(t) > 0
+),
+tc AS (SELECT token, count(*) AS occ FROM tok GROUP BY token),
+tb AS (SELECT token, occ, md5_number_lower(token) % 16 AS b FROM tc),
+bl AS (
+  SELECT b, count(*) AS load, SUM(occ) AS occ_sum
+  FROM tb GROUP BY b
+)
+SELECT CAST(load AS BIGINT) AS load,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(occ_sum) AS BIGINT) AS sum_occurrences
+FROM bl GROUP BY load ORDER BY load
+"""
+
+
+@query("q305_feature_hash_census", sql=_FEATHASH_SQL)
+def q305_feature_hash_census(sf_dir: str):
+    """Hashing-trick collision census: vocabulary -> 16 buckets via
+    md5 (the q47/q60 convention; bucket count sized to the synthetic
+    vocab so collisions actually occur), histogram of bucket loads (distinct
+    tokens per bucket) with the token-occurrence mass riding along —
+    the audit that tells you how much feature mass a hashed
+    vectorizer smears (buckets with load >= 2).  Plan: per-batch token
+    counts -> ONE token-keyed exchange -> bucket-sized combine;
+    pure-SQL oracle (string_split + md5_number_lower), no fixture.
+    Output: (load, n_buckets, sum_occurrences)."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for txt in t["text"].to_pylist():
+            for w in txt.split(" "):
+                if w:
+                    cnt[w] = cnt.get(w, 0) + 1
+        toks = list(cnt)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "occ": pa.array([cnt[w] for w in toks], pa.int64()),
+            }
+        )
+
+    per_token = (
+        docs.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("occ", alias_name="occ"))
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (md5_lower64(t["token"].to_pylist())
+             % np.uint64(FEATHASH_BUCKETS)).astype(np.int64)
+        df = pd.DataFrame({"b": b, "occ": t["occ"].to_numpy()})
+        g = df.groupby("b").agg(load=("occ", "size"),
+                                occ_sum=("occ", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        per_token.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("load", alias_name="load"),
+                   Sum("occ_sum", alias_name="occ_sum"))
+        .to_pandas()
+        .groupby("load")
+        .agg(n_buckets=("b", "size"), sum_occurrences=("occ_sum", "sum"))
+        .reset_index()
+        .sort_values("load")
+        .reset_index(drop=True)
+    )
+    for c in ("load", "n_buckets", "sum_occurrences"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Power-of-two-choices load balance (q306)
+# --------------------------------------------------------------------------
+
+P2C_BUCKETS = 64
+
+_P2C_SQL = """
+SELECT scheme, CAST(max_load AS BIGINT) AS max_load,
+       CAST(nonempty AS BIGINT) AS nonempty,
+       CAST(sum_sq AS BIGINT) AS sum_sq
+FROM read_parquet('/root/repo/tests/fixtures/oracle/p2c_sf0.01.parquet')
+ORDER BY scheme
+"""
+
+
+@query("q306_power_of_two_choices", sql=_P2C_SQL)
+def q306_power_of_two_choices(sf_dir: str):
+    """Balls-into-bins audit: place doc_ids (ascending — the placement
+    ORDER is part of the spec) into 64 bins by (a) one hash and (b)
+    the lesser-loaded of two hashes (Azar et al. 1994: exponential ->
+    log-log max-load drop); md5-derived h1/h2, ties -> smaller bin.
+    The shard-placement policy comparison for q209's hash ring.  The
+    hashes compute distributed; the two-choice placement is a
+    key-count-sized sequential fold (at scale: per-shard streams).
+    Oracle: committed fixture from the INDEPENDENT array-walk twin.
+    Output: (scheme, max_load, nonempty, sum_sq)."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h1 = (md5_lower64([f"{int(i)}:1" for i in ids])
+              % np.uint64(P2C_BUCKETS)).astype(np.int64)
+        h2 = (md5_lower64([f"{int(i)}:2" for i in ids])
+              % np.uint64(P2C_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "h1": pa.array(h1), "h2": pa.array(h2)}
+        )
+
+    hdf = (
+        docs.map_batches(hashes, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    single = np.bincount(hdf["h1"].to_numpy(), minlength=P2C_BUCKETS)
+    loads = np.zeros(P2C_BUCKETS, dtype=np.int64)
+    for a, b in zip(hdf["h1"].tolist(), hdf["h2"].tolist()):
+        if loads[a] < loads[b] or (loads[a] == loads[b] and a <= b):
+            loads[a] += 1
+        else:
+            loads[b] += 1
+    rows = [
+        ("p2c", int(loads.max()), int((loads > 0).sum()),
+         int((loads ** 2).sum())),
+        ("single", int(single.max()), int((single > 0).sum()),
+         int((single ** 2).sum())),
+    ]
+    return pd.DataFrame(
+        rows, columns=["scheme", "max_load", "nonempty", "sum_sq"]
+    ).astype({"max_load": "int64", "nonempty": "int64", "sum_sq": "int64"})

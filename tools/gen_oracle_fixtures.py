@@ -2409,6 +2409,172 @@ def gen_diameter() -> None:
     print("diameter_fixture.parquet:", r)
 
 
+def gen_lis() -> None:
+    """Expected q302 per-user LIS lengths from the INDEPENDENT O(n^2)
+    DP twin (no bisect/patience)."""
+    import pandas as pd
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "event_id", "user_id", "value"]
+                       ).to_pandas()
+    ev = ev.sort_values(["ts", "event_id"])
+    rows = []
+    for uid, sub in ev.groupby("user_id"):
+        vals = [int(round(float(v) * 100)) for v in sub["value"]]
+        n = len(vals)
+        dp = [1] * n
+        for i in range(n):
+            for j in range(i):
+                if vals[j] < vals[i] and dp[j] + 1 > dp[i]:
+                    dp[i] = dp[j] + 1
+        rows.append((int(uid), n, max(dp) if dp else 0))
+    rows.sort()
+    out = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_events": pa.array([r[1] for r in rows], pa.int64()),
+        "lis_len": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "lis_sf0.01.parquet"))
+    print("lis_sf0.01.parquet:", out.num_rows, "users")
+
+
+def gen_belady() -> None:
+    """Expected q303 hit counts from the INDEPENDENT twin: OrderedDict
+    LRU (move_to_end/popitem) + per-key occurrence-list OPT."""
+    from collections import OrderedDict
+
+    import pandas as pd
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "event_id", "user_id"]).to_pandas()
+    trace = [int(u) for u in
+             ev.sort_values(["ts", "event_id"])["user_id"]]
+    n = len(trace)
+    # per-key occurrence lists + a moving pointer per key
+    occ: dict[int, list] = {}
+    for i, k in enumerate(trace):
+        occ.setdefault(k, []).append(i)
+    rows = []
+    for cap in (4, 8, 16, 32):
+        lru: OrderedDict = OrderedDict()
+        lru_hits = 0
+        for k in trace:
+            if k in lru:
+                lru_hits += 1
+                lru.move_to_end(k)
+            else:
+                if len(lru) >= cap:
+                    lru.popitem(last=False)
+                lru[k] = True
+        ptr = {k: 0 for k in occ}
+        res: dict[int, int] = {}
+        opt_hits = 0
+        for i, k in enumerate(trace):
+            ptr[k] += 1
+            nxt = occ[k][ptr[k]] if ptr[k] < len(occ[k]) else n
+            if k in res:
+                opt_hits += 1
+            elif len(res) >= cap:
+                victim = None
+                best = (-1, -1)
+                for rk, rn in res.items():
+                    if (rn, rk) > best:
+                        best = (rn, rk)
+                        victim = rk
+                del res[victim]
+            res[k] = nxt
+        rows.append((cap, n, lru_hits, opt_hits))
+    out = pa.table({
+        "cache_size": pa.array([r[0] for r in rows], pa.int64()),
+        "n_accesses": pa.array([r[1] for r in rows], pa.int64()),
+        "lru_hits": pa.array([r[2] for r in rows], pa.int64()),
+        "opt_hits": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "belady_sf0.01.parquet"))
+    print("belady_sf0.01.parquet:", rows)
+
+
+def gen_dgim() -> None:
+    """Expected q304 DGIM sketch rows from the INDEPENDENT carry/deque
+    twin (binary-counter level propagation instead of list scans)."""
+    from collections import deque
+
+    import pandas as pd
+
+    K = 2
+    W = 14 * 86_400_000_000
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    ev["t"] = ev["ts"].astype("int64")
+    rows = []
+    for et, sub in ev.groupby("event_type"):
+        ts_list = sorted(int(x) for x in sub["t"])
+        levels: dict = {}
+        for t in ts_list:
+            levels.setdefault(1, deque()).append(t)
+            s = 1
+            while len(levels.get(s, ())) > K:
+                levels[s].popleft()
+                t1 = levels[s].popleft()
+                levels.setdefault(2 * s, deque()).append(t1)
+                s *= 2
+        t_end = ts_list[-1]
+        buckets = sorted(
+            (ts, sz) for sz, dq in levels.items() for ts in dq
+            if ts > t_end - W
+        )
+        total = sum(sz for _, sz in buckets)
+        oldest = buckets[0][1] if buckets else 0
+        est = (total - oldest + oldest // 2 + (oldest % 2)) if buckets else 0
+        rows.append((et, est, len(buckets), oldest))
+    rows.sort()
+    out = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "est_w": pa.array([r[1] for r in rows], pa.int64()),
+        "n_buckets": pa.array([r[2] for r in rows], pa.int64()),
+        "oldest_size": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "dgim_sf0.01.parquet"))
+    print("dgim_sf0.01.parquet:", rows)
+
+
+def gen_p2c() -> None:
+    """Expected q306 load stats from the INDEPENDENT dict-walk twin
+    (per-item hashlib calls, dict loads, no numpy)."""
+    import hashlib
+
+    B = 64
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    ids = sorted(int(x) for x in t["doc_id"].to_pylist())
+
+    def h(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                              "little") % B
+
+    single: dict = {}
+    loads: dict = {}
+    for i in ids:
+        h1, h2 = h(f"{i}:1"), h(f"{i}:2")
+        single[h1] = single.get(h1, 0) + 1
+        l1, l2 = loads.get(h1, 0), loads.get(h2, 0)
+        pick = h1 if (l1 < l2 or (l1 == l2 and h1 <= h2)) else h2
+        loads[pick] = loads.get(pick, 0) + 1
+    rows = [
+        ("p2c", max(loads.values()), len(loads),
+         sum(v * v for v in loads.values())),
+        ("single", max(single.values()), len(single),
+         sum(v * v for v in single.values())),
+    ]
+    out = pa.table({
+        "scheme": pa.array([r[0] for r in rows], pa.string()),
+        "max_load": pa.array([r[1] for r in rows], pa.int64()),
+        "nonempty": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_sq": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "p2c_sf0.01.parquet"))
+    print("p2c_sf0.01.parquet:", rows)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2476,6 +2642,10 @@ def main() -> None:
     gen_haar()
     gen_density()
     gen_diameter()
+    gen_lis()
+    gen_belady()
+    gen_dgim()
+    gen_p2c()
 
 
 if __name__ == "__main__":
