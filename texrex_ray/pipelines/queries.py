@@ -20722,3 +20722,225 @@ def q306_power_of_two_choices(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["scheme", "max_load", "nonempty", "sum_sq"]
     ).astype({"max_load": "int64", "nonempty": "int64", "sum_sq": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Weighted interval scheduling DP (q307)
+# --------------------------------------------------------------------------
+
+_WIS_SQL = """
+SELECT user_id, n_events, total_value_c, best_value_c
+FROM read_parquet('/root/repo/tests/fixtures/oracle/wis_sf0.01.parquet')
+ORDER BY user_id
+"""
+
+
+@query("q307_weighted_intervals", sql=_WIS_SQL)
+def q307_weighted_intervals(sf_dir: str):
+    """Maximum total VALUE of non-overlapping 30-min sessions per user
+    (weighted interval scheduling) — where q296's unweighted greedy is
+    provably optimal, the weighted case needs the classic DP
+    dp[i] = max(dp[i-1], v_i + dp[pred(i)]); the revenue-capacity bound
+    per user.  Vectorized: ends sorted, pred(i) via ONE searchsorted,
+    then a linear fold.  ONE user-keyed exchange.  Oracle: committed
+    fixture from the INDEPENDENT recursive-memo twin.  Output:
+    (user_id, n_events, total_value_c, best_value_c)."""
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id", "value"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        st = g["ts"].astype("int64").to_numpy()
+        val = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((st, st + SESSION_US))  # by end, then start
+        st = st[order]
+        val = val[order]
+        ends = st + SESSION_US
+        pred = np.searchsorted(ends, st, side="right")
+        dp = np.zeros(len(st) + 1, dtype=np.int64)
+        for i in range(1, len(st) + 1):
+            take = val[i - 1] + dp[pred[i - 1]]
+            dp[i] = dp[i - 1] if dp[i - 1] >= take else take
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(st)],
+                "total_value_c": [int(val.sum())],
+                "best_value_c": [int(dp[-1])],
+            }
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "n_events", "total_value_c", "best_value_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Merkle tree root (q308)
+# --------------------------------------------------------------------------
+
+def _merkle_root(leaves: list[bytes]) -> tuple[str, int]:
+    """Iterative Merkle fold: blake2b-16 of left+right per pair, an odd
+    trailing node promotes UNCHANGED; returns (root hex, depth)."""
+    import hashlib
+
+    if not leaves:
+        return "", 0
+    level = list(leaves)
+    depth = 0
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(hashlib.blake2b(level[i] + level[i + 1],
+                                       digest_size=16).digest())
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+        depth += 1
+    return level[0].hex(), depth
+
+
+_MERKLE_SQL = """
+SELECT CAST(n_leaves AS BIGINT) AS n_leaves,
+       CAST(depth AS BIGINT) AS depth, root_hex
+FROM read_parquet('/root/repo/tests/fixtures/oracle/merkle_sf0.01.parquet')
+"""
+
+
+@query("q308_merkle_root", sql=_MERKLE_SQL)
+def q308_merkle_root(sf_dir: str):
+    """Merkle root of the corpus (leaves = md5(text) in doc_id order,
+    blake2b-16 internal nodes, odd node promoted) — the tamper-evident
+    counterpart to q275's CRC ledger: a replica can verify any single
+    document against the root with a log-depth proof instead of
+    re-hashing the corpus.  Leaf hashing is distributed; the fold runs
+    on the leaf-digest vector (16 bytes/doc — at 10^9 docs, fold
+    per-shard subtrees and combine the log-sized crowns).  Oracle:
+    committed fixture from the INDEPENDENT recursive-halving twin.
+    Output: (n_leaves, depth, root_hex)."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def leaf(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(
+                    [hashlib.md5(s.encode()).digest()
+                     for s in t["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    ld = (
+        docs.map_batches(leaf, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    leaves = [bytes(b) for b in ld["h"]]
+    root, depth = _merkle_root(leaves)
+    return pd.DataFrame(
+        {"n_leaves": [len(leaves)], "depth": [depth], "root_hex": [root]}
+    ).astype({"n_leaves": "int64", "depth": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking dedup (q309)
+# --------------------------------------------------------------------------
+
+CDC_WINDOW = 8
+CDC_BASE = 257        # rolling polynomial base (mod 2^64)
+CDC_MASK_MOD = 64     # boundary when window hash % 64 == 0
+
+_CDC_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/cdc_sf0.01.parquet')),
+d AS (SELECT chunk_md5, count(*) AS occ, MIN(chunk_len) AS clen
+      FROM f GROUP BY chunk_md5)
+SELECT CAST(SUM(occ) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(occ - 1) AS BIGINT) AS dup_chunks,
+       CAST(SUM((occ - 1) * clen) AS BIGINT) AS dup_chars
+FROM d
+"""
+
+
+@query("q309_cdc_dedup", sql=_CDC_SQL)
+def q309_cdc_dedup(sf_dir: str):
+    """Content-defined chunking (the rsync/borg primitive) over
+    documents: split after every position whose 8-byte rolling
+    polynomial hash (base 257 mod 2^64) is divisible by 64 — boundaries
+    move WITH content, so an insertion only re-chunks its neighborhood
+    (fixed-size blocks would shift every later block) — then count
+    duplicate chunks corpus-wide: the storage-dedup win estimate.
+    Boundary set is a pure per-position function (no min-length state),
+    so chunking is embarrassingly parallel; ONE chunk-hash-keyed
+    exchange counts occurrences.  Oracle: committed fixture of per-doc
+    chunks from the INDEPENDENT scalar Python-int rolling twin, dedup
+    aggregates recomputed in SQL.  Output: (n_chunks, n_distinct,
+    dup_chunks, dup_chars)."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        hs, ls = [], []
+        pw = np.array(
+            [pow(CDC_BASE, CDC_WINDOW - 1 - j, 1 << 64)
+             for j in range(CDC_WINDOW)],
+            dtype=np.uint64,
+        )
+        for txt in t["text"].to_pylist():
+            b = np.frombuffer(txt.encode(), dtype=np.uint8)
+            n = len(b)
+            if n < CDC_WINDOW:
+                cuts = [n]
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(b, CDC_WINDOW)
+                with np.errstate(over="ignore"):
+                    h = (w.astype(np.uint64) * pw[None, :]).sum(axis=1)
+                # position i = window END index (i + CDC_WINDOW - 1)
+                ends = np.flatnonzero(h % np.uint64(CDC_MASK_MOD) == 0) \
+                    + CDC_WINDOW
+                cuts = sorted(set(ends.tolist()) | {n})
+            prev = 0
+            raw = txt.encode()
+            for c in cuts:
+                if c > prev:
+                    piece = raw[prev:c]
+                    hs.append(hashlib.md5(piece).hexdigest())
+                    ls.append(len(piece))
+                    prev = c
+        return pa.table(
+            {
+                "chunk_md5": pa.array(hs, pa.string()),
+                "chunk_len": pa.array(ls, pa.int64()),
+                "one": pa.array([1] * len(hs), pa.int64()),
+            }
+        )
+
+    per_hash = (
+        docs.map_batches(chunks, batch_format="pyarrow")
+        .groupby("chunk_md5")
+        .aggregate(Sum("one", alias_name="occ"),
+                   Min("chunk_len", alias_name="clen"))
+        .to_pandas()
+    )
+    occ = per_hash["occ"].astype("int64")
+    clen = per_hash["clen"].astype("int64")
+    return pd.DataFrame(
+        {
+            "n_chunks": [int(occ.sum())],
+            "n_distinct": [len(per_hash)],
+            "dup_chunks": [int((occ - 1).sum())],
+            "dup_chars": [int(((occ - 1) * clen).sum())],
+        }
+    ).astype("int64")

@@ -2575,6 +2575,134 @@ def gen_p2c() -> None:
     print("p2c_sf0.01.parquet:", rows)
 
 
+def gen_wis() -> None:
+    """Expected q307 per-user weighted-interval optima from the
+    INDEPENDENT recursive-memo twin (take/skip recursion, bisect-free
+    linear predecessor scan)."""
+    import sys
+
+    import pandas as pd
+
+    SESSION_US = 1_800_000_000
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "event_id", "user_id", "value"]
+                       ).to_pandas()
+    ev = ev.sort_values(["ts", "event_id"])
+    sys.setrecursionlimit(100_000)
+    rows = []
+    for uid, sub in ev.groupby("user_id"):
+        st = [int(x) for x in sub["ts"].astype("int64")]
+        val = [int(round(float(v) * 100)) for v in sub["value"]]
+        ivs = sorted(zip([s + SESSION_US for s in st], st, val))
+        n = len(ivs)
+        pred = []
+        for i in range(n):
+            p = 0
+            for j in range(i - 1, -1, -1):
+                if ivs[j][0] <= ivs[i][1]:
+                    p = j + 1
+                    break
+            pred.append(p)
+        memo: dict = {}
+
+        def opt(i: int) -> int:
+            if i == 0:
+                return 0
+            if i in memo:
+                return memo[i]
+            r = max(opt(i - 1), ivs[i - 1][2] + opt(pred[i - 1]))
+            memo[i] = r
+            return r
+
+        rows.append((int(uid), n, sum(val), opt(n)))
+    rows.sort()
+    out = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_events": pa.array([r[1] for r in rows], pa.int64()),
+        "total_value_c": pa.array([r[2] for r in rows], pa.int64()),
+        "best_value_c": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "wis_sf0.01.parquet"))
+    print("wis_sf0.01.parquet:", out.num_rows, "users")
+
+
+def gen_merkle() -> None:
+    """Expected q308 root from the INDEPENDENT level-recursive twin
+    (recurse on levels instead of an iterative while loop)."""
+    import hashlib
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id")
+    leaves = [hashlib.md5(s.encode()).digest() for s in t["text"]]
+
+    def fold(level, depth):
+        if len(level) == 1:
+            return level[0], depth
+        nxt = [hashlib.blake2b(level[i] + level[i + 1],
+                               digest_size=16).digest()
+               for i in range(0, len(level) - 1, 2)]
+        if len(level) % 2:
+            nxt.append(level[-1])
+        return fold(nxt, depth + 1)
+
+    root, depth = fold(leaves, 0)
+    out = pa.table({
+        "n_leaves": pa.array([len(leaves)], pa.int64()),
+        "depth": pa.array([depth], pa.int64()),
+        "root_hex": pa.array([root.hex()], pa.string()),
+    })
+    pq.write_table(out, os.path.join(OUT, "merkle_sf0.01.parquet"))
+    print("merkle_sf0.01.parquet:", len(leaves), "leaves depth", depth)
+
+
+def gen_cdc() -> None:
+    """Expected q309 per-doc chunks from the INDEPENDENT scalar
+    Python-int rolling-hash twin (incremental update, no numpy)."""
+    import hashlib
+
+    W, B, M = 8, 257, 64
+    MOD = 1 << 64
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id")
+    dids, idxs, lens, md5s = [], [], [], []
+    topw = pow(B, W - 1, MOD)
+    for did, txt in zip(t["doc_id"], t["text"]):
+        raw = txt.encode()
+        n = len(raw)
+        cuts = set()
+        if n >= W:
+            h = 0
+            for j in range(W):
+                h = (h * B + raw[j]) % MOD
+            if h % M == 0:
+                cuts.add(W)
+            for i in range(1, n - W + 1):
+                h = ((h - raw[i - 1] * topw) * B + raw[i + W - 1]) % MOD
+                if h % M == 0:
+                    cuts.add(i + W)
+        cuts.add(n)
+        prev = 0
+        ci = 0
+        for c in sorted(cuts):
+            if c > prev:
+                piece = raw[prev:c]
+                dids.append(int(did)); idxs.append(ci)
+                lens.append(len(piece))
+                md5s.append(hashlib.md5(piece).hexdigest())
+                prev = c
+                ci += 1
+    out = pa.table({
+        "doc_id": pa.array(dids, pa.int64()),
+        "chunk_idx": pa.array(idxs, pa.int64()),
+        "chunk_len": pa.array(lens, pa.int64()),
+        "chunk_md5": pa.array(md5s, pa.string()),
+    })
+    pq.write_table(out, os.path.join(OUT, "cdc_sf0.01.parquet"))
+    print("cdc_sf0.01.parquet:", out.num_rows, "chunks over", len(t), "docs")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2646,6 +2774,9 @@ def main() -> None:
     gen_belady()
     gen_dgim()
     gen_p2c()
+    gen_wis()
+    gen_merkle()
+    gen_cdc()
 
 
 if __name__ == "__main__":
