@@ -1992,3 +1992,192 @@ def double_sweep_sequential(edges: list[tuple[str, str]]) -> dict:
         "n_reached": len(d0),
         "n_nodes": len(nodes),
     }
+
+
+def maxflow_int(
+    edges: ray.data.Dataset,
+    src_node: str,
+    dst_node: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> int:
+    """Max s-t flow on the undirected simple view with UNIT capacities
+    (= number of edge-disjoint s-t paths = s-t edge connectivity, by
+    Menger) via Edmonds-Karp BFS augmentation — the crawl-redundancy
+    audit: how many edge-independent routes reach t if links die.
+
+    The flow VALUE is unique (max-flow/min-cut), so any correct
+    algorithm must agree — the q310 fixture twin runs Dinic instead.
+    Plan: edge canonicalization/dedup is distributed; the augmentation
+    loop runs on the driver over the edge-sized CSR (inherently
+    sequential — at page scale cap the subgraph by ego-radius first,
+    like the ktruss driver plan)."""
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_pylist()
+        b = t[dst].to_pylist()
+        pairs = {(x, y) if x < y else (y, x) for x, y in zip(a, b) if x != y}
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.string()),
+                "b": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    # residual capacities as dict-of-dicts (unit caps both directions)
+    cap: dict[str, dict[str, int]] = {}
+    for a, b in zip(und["a"], und["b"]):
+        cap.setdefault(a, {})[b] = 1
+        cap.setdefault(b, {})[a] = 1
+    if src_node not in cap or dst_node not in cap:
+        return 0
+    from collections import deque
+
+    flow = 0
+    while True:
+        parent = {src_node: None}
+        q = deque([src_node])
+        while q and dst_node not in parent:
+            v = q.popleft()
+            for u in sorted(cap[v]):  # sorted => deterministic BFS tree
+                if cap[v][u] > 0 and u not in parent:
+                    parent[u] = v
+                    q.append(u)
+        if dst_node not in parent:
+            return flow
+        v = dst_node
+        while parent[v] is not None:
+            p = parent[v]
+            cap[p][v] -= 1
+            cap[v][p] = cap[v].get(p, 0) + 1
+            v = p
+        flow += 1
+
+
+def maxflow_dinic(edges: list[tuple[str, str]], s: str, t: str) -> int:
+    """Independent twin: Dinic's algorithm (level graph + blocking
+    flow) on the same unit-capacity undirected view."""
+    from collections import deque
+
+    cap: dict[str, dict[str, int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        cap.setdefault(a, {})[b] = 1
+        cap.setdefault(b, {})[a] = 1
+    if s not in cap or t not in cap:
+        return 0
+    flow = 0
+    while True:
+        level = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for u, c in cap[v].items():
+                if c > 0 and u not in level:
+                    level[u] = level[v] + 1
+                    q.append(u)
+        if t not in level:
+            return flow
+        it = {v: iter(sorted(cap[v])) for v in cap}
+
+        def dfs(v: str, pushed: int) -> int:
+            if v == t:
+                return pushed
+            for u in it[v]:
+                if cap[v].get(u, 0) > 0 and level.get(u, -1) == level[v] + 1:
+                    got = dfs(u, min(pushed, cap[v][u]))
+                    if got:
+                        cap[v][u] -= got
+                        cap[u][v] = cap[u].get(v, 0) + got
+                        return got
+            return 0
+
+        while True:
+            pushed = dfs(s, 1 << 30)
+            if not pushed:
+                break
+            flow += pushed
+
+
+def hopcroft_karp(pairs: list[tuple[str, str]]) -> int:
+    """Maximum bipartite matching size via Hopcroft-Karp (left = first
+    element, right = second).  The matching SIZE is unique (König), so
+    the q311 fixture twin runs simple Kuhn augmentation instead."""
+    from collections import deque
+
+    adj: dict[str, list] = {}
+    rights: set = set()
+    for l, r in pairs:
+        adj.setdefault(l, []).append(r)
+        rights.add(r)
+    for l in adj:
+        adj[l] = sorted(set(adj[l]))
+    INF = 1 << 60
+    match_l: dict[str, str | None] = {l: None for l in adj}
+    match_r: dict[str, str | None] = {r: None for r in rights}
+    size = 0
+    while True:
+        dist = {}
+        q = deque()
+        for l, m in match_l.items():
+            if m is None:
+                dist[l] = 0
+                q.append(l)
+        found = False
+        while q:
+            l = q.popleft()
+            for r in adj[l]:
+                nl = match_r[r]
+                if nl is None:
+                    found = True
+                elif nl not in dist:
+                    dist[nl] = dist[l] + 1
+                    q.append(nl)
+        if not found:
+            return size
+
+        def try_aug(l: str) -> bool:
+            for r in adj[l]:
+                nl = match_r[r]
+                if nl is None or (dist.get(nl) == dist[l] + 1 and try_aug(nl)):
+                    match_l[l] = r
+                    match_r[r] = l
+                    return True
+            dist[l] = INF
+            return False
+
+        for l in list(match_l):
+            if match_l[l] is None and try_aug(l):
+                size += 1
+
+
+def kuhn_matching(pairs: list[tuple[str, str]]) -> int:
+    """Independent twin: one-augmenting-path-at-a-time Kuhn."""
+    adj: dict[str, list] = {}
+    for l, r in pairs:
+        adj.setdefault(l, []).append(r)
+    for l in adj:
+        adj[l] = sorted(set(adj[l]))
+    match_r: dict[str, str] = {}
+
+    def aug(l: str, seen: set) -> bool:
+        for r in adj[l]:
+            if r in seen:
+                continue
+            seen.add(r)
+            if r not in match_r or aug(match_r[r], seen):
+                match_r[r] = l
+                return True
+        return False
+
+    size = 0
+    for l in sorted(adj):
+        if aug(l, set()):
+            size += 1
+    return size

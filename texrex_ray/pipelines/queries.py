@@ -20944,3 +20944,222 @@ def q309_cdc_dedup(sf_dir: str):
             "dup_chars": [int(((occ - 1) * clen).sum())],
         }
     ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Max s-t flow / edge connectivity (q310)
+# --------------------------------------------------------------------------
+
+_MAXFLOW_SQL = """
+SELECT s_node, t_node, CAST(max_flow AS BIGINT) AS max_flow
+FROM read_parquet('/root/repo/tests/fixtures/oracle/maxflow_fixture.parquet')
+"""
+
+
+@query("q310_maxflow", sql=_MAXFLOW_SQL)
+def q310_maxflow(sf_dir: str):
+    """Edge-disjoint path count (unit-capacity max s-t flow = s-t edge
+    connectivity, Menger) between q300's two sweep endpoints — the
+    redundancy audit: how many independent routes survive link loss.
+    Edge canonicalization is distributed; Edmonds-Karp augmentation
+    runs on the edge-sized residual graph (driver plan, ego-radius cap
+    documented for page scale).  The flow VALUE is unique, so the
+    oracle fixture runs DINIC (a different algorithm) and must agree.
+    Output: (s_node, t_node, max_flow)."""
+    from texrex_ray.ops.graph import maxflow_int
+
+    dm = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/diameter_fixture.parquet"
+    ).iloc[0]
+    s, t = str(dm["start_node"]), str(dm["peak_node"])
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    f = maxflow_int(edges, s, t)
+    return pd.DataFrame(
+        {"s_node": [s], "t_node": [t], "max_flow": [f]}
+    ).astype({"max_flow": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Maximum bipartite matching (q311)
+# --------------------------------------------------------------------------
+
+_MATCHING_SQL = """
+SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(matching AS BIGINT) AS matching
+FROM read_parquet('/root/repo/tests/fixtures/oracle/matching_sf0.01.parquet')
+"""
+
+
+@query("q311_bipartite_matching", sql=_MATCHING_SQL)
+def q311_bipartite_matching(sf_dir: str):
+    """Maximum supplier-part matching over the distinct (l_suppkey,
+    l_partkey) bipartite graph — the one-part-per-supplier assignment
+    capacity (how many parts can ship simultaneously if each supplier
+    handles one): Hopcroft-Karp on the deduped edge list.  The SIZE is
+    unique (Koenig), so the fixture twin runs plain Kuhn augmentation.
+    Edge dedup is ONE distributed exchange; matching runs on the
+    distinct-edge-sized graph.  Output: (n_suppliers, n_parts,
+    n_edges, matching)."""
+    import sys
+
+    from texrex_ray.ops.graph import hopcroft_karp
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs_df = (
+        li.map_batches(dedup, batch_format="pandas")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    pairs = [(f"s{int(s)}", f"p{int(p)}")
+             for s, p in zip(pairs_df["l_suppkey"], pairs_df["l_partkey"])]
+    sys.setrecursionlimit(max(10_000, 4 * len(pairs)))
+    m = hopcroft_karp(pairs)
+    return pd.DataFrame(
+        {
+            "n_suppliers": [len({a for a, _ in pairs})],
+            "n_parts": [len({b for _, b in pairs})],
+            "n_edges": [len(pairs)],
+            "matching": [m],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Selinger join-order DP (q312)
+# --------------------------------------------------------------------------
+
+_SELINGER_SQL = """
+SELECT best_order, CAST(best_cost AS BIGINT) AS best_cost,
+       worst_order, CAST(worst_cost AS BIGINT) AS worst_cost,
+       CAST(n_valid_orders AS BIGINT) AS n_valid_orders
+FROM read_parquet('/root/repo/tests/fixtures/oracle/selinger_sf0.01.parquet')
+"""
+
+# join graph: customer-orders (custkey), orders-lineitem (orderkey),
+# customer-nation (nationkey)
+_SEL_TABLES = ("c", "l", "n", "o")
+_SEL_PREDS = {frozenset("co"), frozenset("ol"), frozenset("cn")}
+
+
+def _sel_connected(sub: frozenset) -> bool:
+    if len(sub) <= 1:
+        return True
+    seen = {next(iter(sub))}
+    grew = True
+    while grew:
+        grew = False
+        for t in sub - seen:
+            if any(frozenset((t, s)) in _SEL_PREDS for s in seen):
+                seen.add(t)
+                grew = True
+    return seen == sub
+
+
+@query("q312_selinger_join_order", sql=_SELINGER_SQL)
+def q312_selinger_join_order(sf_dir: str):
+    """Selinger (System R 1979) left-deep join-order DP over
+    {customer, orders, lineitem, nation} with cost = SUM of EXACT
+    intermediate join cardinalities (cross products forbidden) — the
+    optimizer audit run against TRUE sizes instead of estimates, the
+    ground truth q164's estimate audit compares against.  Every
+    connected-subset cardinality is ONE distributed broadcast-membership
+    count (np.isin against ray.put key sets); the DP itself is
+    16-subset-sized.  Tie-break: lexicographic order string.  Oracle:
+    committed fixture from the INDEPENDENT full-permutation-enumeration
+    twin with pandas-merge cardinalities.  Output: (best_order,
+    best_cost, worst_order, worst_cost, n_valid_orders)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    cust_keys = ray.put(cust["c_custkey"].to_numpy().astype(np.int64))
+    nat_ok_cust = ray.put(
+        cust.loc[cust["c_nationkey"].isin(set(nat["n_nationkey"])),
+                 "c_custkey"].to_numpy().astype(np.int64)
+    )
+
+    def count_in(ds, col, ref):
+        def f(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            v = t[col].to_numpy(zero_copy_only=False)
+            return pa.table({"n": pa.array([int(np.isin(v, ks).sum())],
+                                           pa.int64())})
+
+        return int(ds.map_batches(f, batch_format="pyarrow").sum("n"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    co = count_in(orders, "o_custkey", cust_keys)          # |c ⋈ o|
+    ol = int(li.count())                                   # |o ⋈ l| (FK)
+    cn = int(cust["c_nationkey"].isin(set(nat["n_nationkey"])).sum())
+    # orders whose cust exists AND cust's nation exists
+    con = count_in(orders, "o_custkey", nat_ok_cust)
+    # lineitems whose order's cust exists: broadcast the joined orderkeys
+    odf = orders.to_pandas()
+    ok_orders = ray.put(
+        odf.loc[odf["o_custkey"].isin(set(cust["c_custkey"])),
+                "o_orderkey"].to_numpy().astype(np.int64)
+    )
+    col_ = count_in(li, "l_orderkey", ok_orders)
+    full_ok = ray.put(
+        odf.loc[odf["o_custkey"].isin(
+            set(cust.loc[cust["c_nationkey"].isin(set(nat["n_nationkey"])),
+                         "c_custkey"])),
+                "o_orderkey"].to_numpy().astype(np.int64)
+    )
+    conl = count_in(li, "l_orderkey", full_ok)
+    card = {
+        frozenset("co"): co, frozenset("ol"): ol, frozenset("cn"): cn,
+        frozenset("col"): col_, frozenset("con"): con,
+        frozenset("coln"): conl,
+    }
+    # DP over connected subsets, left-deep, no cross products
+    from itertools import combinations
+
+    best: dict = {}
+    worst: dict = {}
+    npaths: dict = {}
+    for t in _SEL_TABLES:
+        s = frozenset(t)
+        best[s] = (0, t)
+        worst[s] = (0, t)
+        npaths[s] = 1
+    for size in (2, 3, 4):
+        for combo in combinations(_SEL_TABLES, size):
+            s = frozenset(combo)
+            if not _sel_connected(s) or s not in card:
+                continue
+            cands_b, cands_w, cnt = [], [], 0
+            for t in sorted(s):
+                rest = s - {t}
+                if rest in best and _sel_connected(rest) and any(
+                    frozenset((t, r)) in _SEL_PREDS for r in rest
+                ):
+                    cands_b.append((best[rest][0] + card[s],
+                                    best[rest][1] + t))
+                    cands_w.append((worst[rest][0] + card[s],
+                                    worst[rest][1] + t))
+                    cnt += npaths[rest]
+            if cands_b:
+                best[s] = min(cands_b)
+                worst[s] = max(cands_w)
+                npaths[s] = cnt
+    full = frozenset(_SEL_TABLES)
+    return pd.DataFrame(
+        {
+            "best_order": [best[full][1]],
+            "best_cost": [best[full][0]],
+            "worst_order": [worst[full][1]],
+            "worst_cost": [worst[full][0]],
+            "n_valid_orders": [npaths[full]],
+        }
+    ).astype({"best_cost": "int64", "worst_cost": "int64",
+              "n_valid_orders": "int64"})

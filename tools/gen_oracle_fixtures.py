@@ -2703,6 +2703,113 @@ def gen_cdc() -> None:
     print("cdc_sf0.01.parquet:", out.num_rows, "chunks over", len(t), "docs")
 
 
+def gen_maxflow() -> None:
+    """Expected q310 flow value from the INDEPENDENT Dinic twin."""
+    import sys
+
+    sys.setrecursionlimit(100_000)
+    from texrex_ray.ops.graph import maxflow_dinic
+
+    dm = pq.read_table(os.path.join(OUT, "diameter_fixture.parquet")
+                       ).to_pandas().iloc[0]
+    s, t = str(dm["start_node"]), str(dm["peak_node"])
+    e = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet"))
+    f = maxflow_dinic(list(zip(e["src"].to_pylist(),
+                               e["dst"].to_pylist())), s, t)
+    out = pa.table({
+        "s_node": pa.array([s], pa.string()),
+        "t_node": pa.array([t], pa.string()),
+        "max_flow": pa.array([f], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "maxflow_fixture.parquet"))
+    print("maxflow_fixture.parquet:", s, "->", t, "flow", f)
+
+
+def gen_matching() -> None:
+    """Expected q311 matching size from the INDEPENDENT Kuhn twin."""
+    import sys
+
+    from texrex_ray.ops.graph import kuhn_matching
+
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey"]).to_pandas()
+    pairs = sorted({(f"s{int(s)}", f"p{int(p)}")
+                    for s, p in zip(li["l_suppkey"], li["l_partkey"])})
+    sys.setrecursionlimit(max(10_000, 4 * len(pairs)))
+    m = kuhn_matching(pairs)
+    out = pa.table({
+        "n_suppliers": pa.array([len({a for a, _ in pairs})], pa.int64()),
+        "n_parts": pa.array([len({b for _, b in pairs})], pa.int64()),
+        "n_edges": pa.array([len(pairs)], pa.int64()),
+        "matching": pa.array([m], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "matching_sf0.01.parquet"))
+    print("matching_sf0.01.parquet:", len(pairs), "edges, matching", m)
+
+
+def gen_selinger() -> None:
+    """Expected q312 row from the INDEPENDENT permutation-enumeration
+    twin with pandas-merge cardinalities."""
+    from itertools import permutations
+
+    import pandas as pd
+
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{SF_DIR}/nation.parquet",
+                        columns=["n_nationkey"]).to_pandas()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"]).to_pandas()
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    co = len(orders.merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    ol = len(li.merge(orders, left_on="l_orderkey", right_on="o_orderkey"))
+    cn = len(cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    cdf = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    con = len(orders.merge(cdf, left_on="o_custkey", right_on="c_custkey"))
+    odf = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    col = len(li.merge(odf, left_on="l_orderkey", right_on="o_orderkey"))
+    odf2 = orders.merge(cdf, left_on="o_custkey", right_on="c_custkey")
+    conl = len(li.merge(odf2, left_on="l_orderkey", right_on="o_orderkey"))
+    card = {
+        frozenset("co"): co, frozenset("ol"): ol, frozenset("cn"): cn,
+        frozenset("col"): col, frozenset("con"): con,
+        frozenset("coln"): conl,
+    }
+    preds = {frozenset("co"), frozenset("ol"), frozenset("cn")}
+
+    def connected_prefixes(perm):
+        cur = set()
+        for t in perm:
+            if cur and not any(frozenset((t, s)) in preds for s in cur):
+                return False
+            cur.add(t)
+        return True
+
+    cands = []
+    for perm in permutations("clno"):
+        if not connected_prefixes(perm):
+            continue
+        cost = 0
+        cur = set()
+        for t in perm:
+            cur.add(t)
+            if len(cur) >= 2:
+                cost += card[frozenset(cur)]
+        cands.append((cost, "".join(perm)))
+    best = min(cands)
+    worst = max(cands)
+    out = pa.table({
+        "best_order": pa.array([best[1]], pa.string()),
+        "best_cost": pa.array([best[0]], pa.int64()),
+        "worst_order": pa.array([worst[1]], pa.string()),
+        "worst_cost": pa.array([worst[0]], pa.int64()),
+        "n_valid_orders": pa.array([len(cands)], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "selinger_sf0.01.parquet"))
+    print("selinger_sf0.01.parquet:", best, worst, len(cands))
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2777,6 +2884,9 @@ def main() -> None:
     gen_wis()
     gen_merkle()
     gen_cdc()
+    gen_maxflow()
+    gen_matching()
+    gen_selinger()
 
 
 if __name__ == "__main__":
