@@ -2181,3 +2181,135 @@ def kuhn_matching(pairs: list[tuple[str, str]]) -> int:
         if aug(l, set()):
             size += 1
     return size
+
+
+def bridges_articulation(edges: ray.data.Dataset, *, src: str = "src",
+                         dst: str = "dst") -> dict:
+    """Bridges and articulation points of the undirected simple view
+    (Tarjan/Hopcroft low-link, ITERATIVE dfs — web-graph depths
+    overflow Python recursion) — the single-point-of-failure census
+    complementing q173's hub robustness: a bridge is a link whose loss
+    disconnects, an articulation a page whose loss does.  Both SETS
+    are unique properties of the graph (independent of DFS order).
+    Edge canonicalization is distributed; the linear-time DFS runs on
+    the edge-sized adjacency (ktruss-style driver plan)."""
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_pylist()
+        b = t[dst].to_pylist()
+        pairs = {(x, y) if x < y else (y, x) for x, y in zip(a, b) if x != y}
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.string()),
+                "b": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    adj: dict[str, list] = {}
+    for a, b in zip(und["a"], und["b"]):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for v in adj:
+        adj[v].sort()
+    disc: dict[str, int] = {}
+    low: dict[str, int] = {}
+    bridges = 0
+    artic: set = set()
+    timer = 0
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        # iterative DFS: stack of (node, parent, neighbor-iterator)
+        disc[root] = low[root] = timer
+        timer += 1
+        root_children = 0
+        stack = [(root, None, iter(adj[root]))]
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for u in it:
+                if u == parent:
+                    # skip ONE parent edge occurrence (simple graph)
+                    parent = None
+                    stack[-1] = (v, parent, it)
+                    continue
+                if u not in disc:
+                    disc[u] = low[u] = timer
+                    timer += 1
+                    if v == root:
+                        root_children += 1
+                    stack.append((u, v, iter(adj[u])))
+                    advanced = True
+                    break
+                low[v] = min(low[v], disc[u])
+            if not advanced:
+                stack.pop()
+                if stack:
+                    pv = stack[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                    if low[v] > disc[pv]:
+                        bridges += 1
+                    if pv != root and low[v] >= disc[pv]:
+                        artic.add(pv)
+        if root_children >= 2:
+            artic.add(root)
+    return {
+        "n_nodes": len(adj),
+        "n_edges_und": len(und),
+        "n_bridges": bridges,
+        "n_articulation": len(artic),
+    }
+
+
+def bridges_articulation_brute(edges: list[tuple[str, str]]) -> dict:
+    """Independent twin: remove each edge/node, recount components."""
+    from collections import deque
+
+    adj: dict[str, set] = {}
+    und = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        und.add((a, b) if a < b else (b, a))
+
+    def n_comp(skip_edge=None, skip_node=None) -> int:
+        seen: set = set()
+        comps = 0
+        for s in adj:
+            if s == skip_node or s in seen:
+                continue
+            comps += 1
+            q = deque([s])
+            seen.add(s)
+            while q:
+                v = q.popleft()
+                for u in adj[v]:
+                    if u == skip_node or u in seen:
+                        continue
+                    e = (v, u) if v < u else (u, v)
+                    if e == skip_edge:
+                        continue
+                    seen.add(u)
+                    q.append(u)
+        return comps
+
+    base = n_comp()
+    n_bridges = sum(1 for e in und if n_comp(skip_edge=e) > base)
+    n_art = 0
+    for v in adj:
+        # removing v drops it from the count; more pieces than before
+        # (excluding v itself) means articulation
+        if n_comp(skip_node=v) > base - (1 if len(adj[v]) == 0 else 0):
+            n_art += 1
+    return {
+        "n_nodes": len(adj),
+        "n_edges_und": len(und),
+        "n_bridges": n_bridges,
+        "n_articulation": n_art,
+    }

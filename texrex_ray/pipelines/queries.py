@@ -21163,3 +21163,215 @@ def q312_selinger_join_order(sf_dir: str):
         }
     ).astype({"best_cost": "int64", "worst_cost": "int64",
               "n_valid_orders": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Bridges and articulation points (q313)
+# --------------------------------------------------------------------------
+
+_BRIDGES_SQL = """
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges_und AS BIGINT) AS n_edges_und,
+       CAST(n_bridges AS BIGINT) AS n_bridges,
+       CAST(n_articulation AS BIGINT) AS n_articulation
+FROM read_parquet('/root/repo/tests/fixtures/oracle/bridges_fixture.parquet')
+"""
+
+
+@query("q313_bridges_articulation", sql=_BRIDGES_SQL)
+def q313_bridges_articulation(sf_dir: str):
+    """Single-point-of-failure census of the crawl graph: bridges
+    (links whose loss disconnects) and articulation points (pages
+    whose loss does) via iterative Tarjan low-link (ops/graph.py) —
+    the structural complement to q173's hub-removal robustness.  Both
+    sets are unique graph properties (DFS-order independent), so the
+    fixture twin uses brute-force removal + component recount.  Edge
+    canonicalization distributed; linear DFS on the edge-sized
+    adjacency.  Output: one row."""
+    from texrex_ray.ops.graph import bridges_articulation
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    r = bridges_articulation(edges)
+    return pd.DataFrame([r]).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Roaring-style container census (q314)
+# --------------------------------------------------------------------------
+
+ROAR_SPAN = 1024  # container id-span; array if 2*count < span/8 bytes
+
+_ROARING_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus AS status, o_orderkey // 1024 AS chunk,
+         count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+cls AS (
+  SELECT status, chunk, cnt,
+         CASE WHEN 2 * cnt < 128 THEN 2 * cnt ELSE 128 END AS bytes,
+         CASE WHEN 2 * cnt < 128 THEN 1 ELSE 0 END AS is_array
+  FROM cells
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_containers,
+       CAST(SUM(is_array) AS BIGINT) AS n_array,
+       CAST(count(*) - SUM(is_array) AS BIGINT) AS n_bitmap,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM cls GROUP BY status ORDER BY status
+"""
+
+
+@query("q314_roaring_census", sql=_ROARING_SQL)
+def q314_roaring_census(sf_dir: str):
+    """Roaring-bitmap container census for a value-index on
+    o_orderstatus: per (value, 1024-id chunk), store the posting as a
+    sorted ARRAY (2 bytes/id) when that beats the dense BITMAP
+    (span/8 = 128 bytes), the Chambi et al. 2016 rule scaled to the
+    chunk span — the storage planner's answer to 'how big is a bitmap
+    index on this column'.  ONE (value, chunk)-keyed exchange; the
+    classification is per-cell arithmetic.  Pure-SQL oracle.  Output:
+    (status, n_containers, n_array, n_bitmap, bytes_total, n_rows)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "status": df["o_orderstatus"],
+                    "chunk": df["o_orderkey"].astype("int64") // ROAR_SPAN,
+                    "cnt": 1,
+                }
+            )
+            .groupby(["status", "chunk"], as_index=False)
+            .sum()
+        )
+        return g
+
+    per_cell = (
+        ds.map_batches(cells, batch_format="pandas")
+        .groupby(["status", "chunk"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    bitmap_bytes = ROAR_SPAN // 8
+    arr = 2 * per_cell["cnt"] < bitmap_bytes
+    per_cell["bytes"] = np.where(arr, 2 * per_cell["cnt"], bitmap_bytes)
+    per_cell["is_array"] = arr.astype(int)
+    out = (
+        per_cell.groupby("status")
+        .agg(
+            n_containers=("chunk", "size"),
+            n_array=("is_array", "sum"),
+            bytes_total=("bytes", "sum"),
+            n_rows=("cnt", "sum"),
+        )
+        .reset_index()
+        .sort_values("status")
+        .reset_index(drop=True)
+    )
+    out["n_bitmap"] = out["n_containers"] - out["n_array"]
+    out = out[["status", "n_containers", "n_array", "n_bitmap",
+               "bytes_total", "n_rows"]]
+    for c in ("n_containers", "n_array", "n_bitmap", "bytes_total", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# MATTR lexical diversity (q315)
+# --------------------------------------------------------------------------
+
+MATTR_WINDOW = 20
+
+_MATTR_SQL = """
+WITH dt AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos, len(toks) AS n_toks
+  FROM dt
+),
+wins AS (
+  SELECT s.doc_id, s.lang, s.pos AS w, t.token
+  FROM tok s JOIN tok t
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.pos AND s.pos + 19
+  WHERE s.pos <= s.n_toks - 19
+),
+perwin AS (
+  SELECT doc_id, lang, w, count(DISTINCT token) AS d
+  FROM wins GROUP BY doc_id, lang, w
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(SUM(d) AS BIGINT) AS sum_distinct,
+       CAST(SUM(d) * 1000 // (20 * count(*)) AS BIGINT) AS mattr_milli
+FROM perwin GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q315_mattr", sql=_MATTR_SQL)
+def q315_mattr(sf_dir: str):
+    """MATTR (moving-average type-token ratio, Covington & McFall
+    2010, window 20) per language — the length-invariant lexical-
+    diversity measure plain TTR is not (TTR falls with doc length;
+    MATTR's windows don't): the corpus-linguistics quality gauge next
+    to q159's HHI.  Per-doc incremental sliding distinct count (one
+    dict, O(tokens)); language-sized aggregates shuffle.  Pure-SQL
+    oracle (window self-join + COUNT DISTINCT).  Output: (lang,
+    n_windows, sum_distinct, mattr_milli)."""
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows: dict[str, list[int]] = {}
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            toks = [w for w in txt.split(" ") if w]
+            n = len(toks)
+            acc = rows.setdefault(lang, [0, 0])
+            if n < MATTR_WINDOW:
+                continue
+            cnt: dict[str, int] = {}
+            distinct = 0
+            s = 0
+            for i, w in enumerate(toks):
+                c = cnt.get(w, 0)
+                if c == 0:
+                    distinct += 1
+                cnt[w] = c + 1
+                if i >= MATTR_WINDOW:
+                    old = toks[i - MATTR_WINDOW]
+                    cnt[old] -= 1
+                    if cnt[old] == 0:
+                        distinct -= 1
+                if i >= MATTR_WINDOW - 1:
+                    acc[0] += 1
+                    acc[1] += distinct
+        langs = sorted(rows)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_windows": pa.array([rows[l][0] for l in langs], pa.int64()),
+                "sum_distinct": pa.array([rows[l][1] for l in langs],
+                                         pa.int64()),
+            }
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_windows", alias_name="n_windows"),
+                   Sum("sum_distinct", alias_name="sum_distinct"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["mattr_milli"] = (
+        out["sum_distinct"] * 1000 // (MATTR_WINDOW * out["n_windows"])
+    )
+    for c in ("n_windows", "sum_distinct", "mattr_milli"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -2810,6 +2810,19 @@ def gen_selinger() -> None:
     print("selinger_sf0.01.parquet:", best, worst, len(cands))
 
 
+def gen_bridges() -> None:
+    """Expected q313 counts from the INDEPENDENT removal-recount twin
+    (remove each edge/node, BFS component recount)."""
+    from texrex_ray.ops.graph import bridges_articulation_brute
+
+    e = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet"))
+    r = bridges_articulation_brute(
+        list(zip(e["src"].to_pylist(), e["dst"].to_pylist())))
+    out = pa.table({k: pa.array([v], pa.int64()) for k, v in r.items()})
+    pq.write_table(out, os.path.join(OUT, "bridges_fixture.parquet"))
+    print("bridges_fixture.parquet:", r)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2887,6 +2900,7 @@ def main() -> None:
     gen_maxflow()
     gen_matching()
     gen_selinger()
+    gen_bridges()
 
 
 if __name__ == "__main__":
