@@ -21375,3 +21375,271 @@ def q315_mattr(sf_dir: str):
     for c in ("n_windows", "sum_distinct", "mattr_milli"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Local-supplier volume (TPC-H Q5 shape) (q316)
+# --------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+_Q5_SQL = f"""
+WITH f AS (SELECT n.n_name AS nation,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+           WHERE c.c_nationkey = s.s_nationkey
+             AND r.r_name = '{Q5_REGION}'
+             AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+             AND o.o_orderdate <  TIMESTAMP '{Q5_DATE_HI}')
+SELECT nation, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(vol_c) AS BIGINT) AS revenue_c
+FROM f GROUP BY nation ORDER BY revenue_c DESC, nation
+"""
+
+
+@query("q316_local_supplier_volume", sql=_Q5_SQL)
+def q316_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — revenue from orders where customer and
+    supplier sit in the SAME nation (the cyclic join predicate that
+    breaks naive join trees), nations restricted to one region, orders
+    to one year.  Plan: the date filter prunes orders AT the scan;
+    ONE shuffle_join joins the two fact tables; nation equality rides
+    broadcast dimension maps (c_custkey -> nationkey, s_suppkey ->
+    nationkey) compared per batch — the cycle costs NO extra exchange.
+    Output: (nation, n_items, revenue_c)."""
+    from texrex_ray.ops.join import broadcast_join, shuffle_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    lo = pd.Timestamp(Q5_DATE_LO).value // 1000
+    hi = pd.Timestamp(Q5_DATE_HI).value // 1000
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                       pc.less(d, pa.scalar(hi)))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(date_filter, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = set(
+        nat.merge(reg[reg["r_name"] == Q5_REGION],
+                  left_on="n_regionkey", right_on="r_regionkey")
+        ["n_nationkey"]
+    )
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     expected_rows=li.count())
+    j = broadcast_join(j, cust[["c_custkey", "c_nationkey"]],
+                       on="o_custkey", right_on="c_custkey")
+    j = broadcast_join(j, supp[["s_suppkey", "s_nationkey"]],
+                       on="l_suppkey", right_on="s_suppkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["c_nationkey"] == df["s_nationkey"])
+                & df["c_nationkey"].isin(asia)]
+        if not len(df):
+            return pd.DataFrame({"nation": [], "n_items": [], "vol_c": []})
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        df = df.assign(
+            nation=df["c_nationkey"].map(nname),
+            n_items=1,
+            vol_c=price_c * (100 - disc_h) // 100,
+        )
+        return df.groupby("nation", as_index=False)[["n_items", "vol_c"]].sum()
+
+    out = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("nation")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("vol_c", alias_name="revenue_c"))
+        .to_pandas()
+        .sort_values(["revenue_c", "nation"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    for c in ("n_items", "revenue_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Shipping-priority top-k (TPC-H Q3 shape) (q317)
+# --------------------------------------------------------------------------
+
+Q3_DATE = "1997-07-01"
+Q3_TOPK = 10
+
+_Q3_SQL = f"""
+WITH f AS (SELECT l.l_orderkey,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+             AND l.l_shipdate > TIMESTAMP '{Q3_DATE}')
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(vol_c) AS BIGINT) AS revenue_c
+FROM f GROUP BY l_orderkey
+ORDER BY revenue_c DESC, l_orderkey LIMIT {Q3_TOPK}
+"""
+
+
+@query("q317_shipping_priority", sql=_Q3_SQL)
+def q317_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — top-{Q3_TOPK} unshipped orders by outstanding
+    revenue at a cutoff date (ordered before, shipped after).  Plan:
+    BOTH date predicates prune at the scans (the selective filters do
+    the heavy lifting before any exchange); the surviving slice joins
+    via broadcast of the filtered orderkey set (small after the
+    filter), per-order partials combine, grouped top-k finishes.
+    Output: (l_orderkey, n_items, revenue_c)."""
+    cut = pd.Timestamp(Q3_DATE).value // 1000
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"].cast(pa.int64()), pa.scalar(cut))
+        return t.filter(keep).select(["o_orderkey"])
+
+    ok = ray.put(
+        orders.map_batches(ofilter, batch_format="pyarrow")
+        .to_pandas()["o_orderkey"].to_numpy().astype(np.int64)
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"].cast(pa.int64()), pa.scalar(cut))
+        t = t.filter(keep)
+        keys = ray.get(ok)
+        ks = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(ks, keys)))
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64()),
+                             "vol_c": pa.array([], pa.int64())})
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        df = df.assign(n_items=1, vol_c=price_c * (100 - disc_h) // 100)
+        g = df.groupby("l_orderkey", as_index=False)[["n_items", "vol_c"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("vol_c", alias_name="revenue_c"))
+        .to_pandas()
+        .sort_values(["revenue_c", "l_orderkey"], ascending=[False, True])
+        .head(Q3_TOPK)
+        .reset_index(drop=True)
+    )
+    for c in ("l_orderkey", "n_items", "revenue_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Promo revenue share (TPC-H Q14 shape) (q318)
+# --------------------------------------------------------------------------
+
+Q14_LO = "1997-07-01"
+Q14_HI = "1997-08-01"
+
+_Q14_SQL = f"""
+WITH f AS (SELECT p.p_type,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO}'
+             AND l.l_shipdate <  TIMESTAMP '{Q14_HI}')
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol_c ELSE 0 END)
+            AS BIGINT) AS promo_c,
+       CAST(SUM(vol_c) AS BIGINT) AS total_c,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol_c ELSE 0 END)
+            * 1000000 // SUM(vol_c) AS BIGINT) AS promo_ppm
+FROM f
+"""
+
+
+@query("q318_promo_share", sql=_Q14_SQL)
+def q318_promo_share(sf_dir: str):
+    """TPC-H Q14 shape — share of one month's revenue from PROMO-type
+    parts: the conditional-aggregate-over-a-join pattern every
+    marketing dashboard runs.  Plan: the ship-date predicate prunes at
+    the scan; part types ride ONE broadcast map (partkey -> is_promo);
+    three integers leave each task.  Output: (n_items, promo_c,
+    total_c, promo_ppm)."""
+    lo = pd.Timestamp(Q14_LO).value // 1000
+    hi = pd.Timestamp(Q14_HI).value // 1000
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = ray.put(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"]
+        .to_numpy().astype(np.int64)
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                       pc.less(d, pa.scalar(hi)))
+        t = t.filter(keep)
+        pk = ray.get(promo)
+        ks = t["l_partkey"].to_numpy(zero_copy_only=False)
+        is_promo = np.isin(ks, pk)
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_h = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        vol = price_c * (100 - disc_h) // 100
+        return pa.table(
+            {
+                "n_items": pa.array([len(vol)], pa.int64()),
+                "promo_c": pa.array([int(vol[is_promo].sum())], pa.int64()),
+                "total_c": pa.array([int(vol.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("promo_c", alias_name="promo_c"),
+                   Sum("total_c", alias_name="total_c"))
+        .to_pandas()
+    )
+    n, p, tt = (int(agg["n_items"].iloc[0]), int(agg["promo_c"].iloc[0]),
+                int(agg["total_c"].iloc[0]))
+    return pd.DataFrame(
+        {
+            "n_items": [n],
+            "promo_c": [p],
+            "total_c": [tt],
+            "promo_ppm": [p * 1_000_000 // tt],
+        }
+    ).astype("int64")
