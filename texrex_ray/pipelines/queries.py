@@ -21643,3 +21643,250 @@ def q318_promo_share(sf_dir: str):
             "promo_ppm": [p * 1_000_000 // tt],
         }
     ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Small-quantity-order revenue (TPC-H Q17 shape) (q319)
+# --------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#2"
+
+_Q17_SQL = f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+st AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+         count(*) AS cnt
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+  GROUP BY l_partkey
+),
+f AS (
+  SELECT l.l_partkey, CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS ep_c
+  FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+  WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 * st.cnt
+        < st.sum_qty_c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(SUM(ep_c) AS BIGINT) AS revenue_c
+FROM f
+"""
+
+
+@query("q319_small_qty_revenue", sql=_Q17_SQL)
+def q319_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue from lineitems of one brand whose
+    quantity is below 20% of that PART's average quantity: the
+    correlated-aggregate pattern (per-key threshold computed from the
+    same fact table), kept integer-exact by cross-multiplying the
+    average away (qty_c * 5 * cnt < sum_qty_c).  Plan: brand filter
+    broadcasts the partkey set; per-part (sum, count) is ONE keyed
+    exchange whose result broadcasts back — the fact table never
+    shuffles twice.  Output: (n_items, n_parts, revenue_c)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_keys = ray.put(
+        part.loc[part["p_brand"] == Q17_BRAND, "p_partkey"]
+        .to_numpy().astype(np.int64)
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_only(t: pa.Table) -> pa.Table:
+        ks = ray.get(brand_keys)
+        keep = np.isin(t["l_partkey"].to_numpy(zero_copy_only=False), ks)
+        return t.filter(pa.array(keep))
+
+    branded = li.map_batches(brand_only, batch_format="pyarrow")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty_c=np.round(df["l_quantity"] * 100).astype(np.int64), cnt=1
+        )
+        return df.groupby("l_partkey", as_index=False)[["qty_c", "cnt"]].sum()
+
+    st = (
+        branded.map_batches(stats, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                   Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    st_ref = ray.put(
+        {int(k): (int(s), int(c))
+         for k, s, c in zip(st["l_partkey"], st["sum_qty_c"], st["cnt"])}
+    )
+
+    def below(t: pa.Table) -> pa.Table:
+        stm = ray.get(st_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty_c = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ep_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = np.zeros(len(pk), dtype=bool)
+        for i, k in enumerate(pk.tolist()):
+            s, c = stm[k]
+            keep[i] = qty_c[i] * 5 * c < s
+        kept = pd.DataFrame({"pk": pk[keep], "ep": ep_c[keep]})
+        g = kept.groupby("pk", as_index=False).agg(
+            n_items=("ep", "size"), revenue_c=("ep", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        branded.map_batches(below, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_items": [int(agg["n_items"].sum())],
+            "n_parts": [int((agg["n_items"] > 0).sum())],
+            "revenue_c": [int(agg["revenue_c"].sum())],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Large-volume customers (TPC-H Q18 shape) (q320)
+# --------------------------------------------------------------------------
+
+Q18_QTY_C = 9_000  # HAVING sum(quantity) > 90.00 (cents scale)
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > {Q18_QTY_C}
+)
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       CAST(b.sum_qty_c AS BIGINT) AS sum_qty_c
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_c DESC, o_orderkey LIMIT 20
+"""
+
+
+@query("q320_large_volume_orders", sql=_Q18_SQL)
+def q320_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape — customers behind the largest-quantity orders:
+    fact-side HAVING (per-order quantity sum over a threshold) feeding
+    a dimension join and a top-k.  Plan: ONE orderkey-keyed exchange
+    computes the sums; only qualifying orderkeys (a tiny set) ship to
+    the driver to broadcast-join orders/customer; top-20 by
+    (totalprice, orderkey).  Output: (c_custkey, o_orderkey,
+    totalprice_c, sum_qty_c)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qsum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(q=np.round(df["l_quantity"] * 100).astype(np.int64))
+        return df.groupby("l_orderkey", as_index=False)["q"].sum()
+
+    sums = (
+        li.map_batches(qsum, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="sum_qty_c"))
+        .to_pandas()
+    )
+    big = sums[sums["sum_qty_c"] > Q18_QTY_C]
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
+    out = (
+        big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .assign(
+            totalprice_c=lambda d: np.round(
+                d["o_totalprice"] * 100).astype(np.int64)
+        )
+        .rename(columns={"o_custkey": "c_custkey"})
+        .sort_values(["totalprice_c", "o_orderkey"],
+                     ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )[["c_custkey", "o_orderkey", "totalprice_c", "sum_qty_c"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Order-priority EXISTS semi-join (TPC-H Q4 shape) (q321)
+# --------------------------------------------------------------------------
+
+Q4_LO = "1996-01-01"
+Q4_HI = "1996-04-01"
+Q4_LATE_DAYS = 60
+
+_Q4_SQL = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+@query("q321_priority_exists", sql=_Q4_SQL)
+def q321_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape — orders per priority (one quarter) having AT
+    LEAST ONE lineitem shipped more than {Q4_LATE_DAYS} days after the
+    order date: the EXISTS semi-join with a cross-table predicate.
+    Plan: quarter filter prunes orders at the scan; the (orderkey ->
+    orderdate) map of the pruned quarter broadcasts; lineitem batches
+    emit the DISTINCT late orderkeys they see (semi-join = set union,
+    no row multiplication); the priority count runs on the order side.
+    Output: (o_orderpriority, order_count)."""
+    lo = pd.Timestamp(Q4_LO).value // 1000
+    hi = pd.Timestamp(Q4_HI).value // 1000
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].astype("int64")
+        return df[(d >= lo) & (d < hi)]
+
+    odf = orders.map_batches(ofilter, batch_format="pandas").to_pandas()
+    odate = ray.put(
+        dict(zip(odf["o_orderkey"].astype(int),
+                 odf["o_orderdate"].astype("int64").astype(int)))
+    )
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        om = ray.get(odate)
+        ks = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hit = set()
+        for k, s in zip(ks.tolist(), sd.tolist()):
+            od = om.get(k)
+            if od is not None and s > od + late_us:
+                hit.add(k)
+        return pa.table({"k": pa.array(sorted(hit), pa.int64())})
+
+    late = (
+        li.map_batches(late_keys, batch_format="pyarrow")
+        .to_pandas()["k"].unique()
+    )
+    sel = odf[odf["o_orderkey"].isin(set(late.tolist()))]
+    out = (
+        sel.groupby("o_orderpriority")
+        .size()
+        .rename("order_count")
+        .reset_index()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out
