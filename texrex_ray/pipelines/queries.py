@@ -21890,3 +21890,209 @@ def q321_priority_exists(sf_dir: str):
     )
     out["order_count"] = out["order_count"].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Important-stock share (TPC-H Q11 shape) (q322)
+# --------------------------------------------------------------------------
+
+Q11_MEAN_NUM, Q11_MEAN_DEN = 3, 2  # keep parts > 1.5x the mean value
+
+_Q11_SQL = f"""
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100)
+             AS value_c
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(value_c) AS total_c, count(*) AS n_parts FROM v)
+SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
+FROM v, tot
+WHERE value_c * n_parts * {Q11_MEAN_DEN} > total_c * {Q11_MEAN_NUM}
+ORDER BY value_c DESC, l_partkey
+"""
+
+
+@query("q322_important_stock", sql=_Q11_SQL)
+def q322_important_stock(sf_dir: str):
+    """TPC-H Q11 shape — parts whose traded value exceeds 1.5x the
+    GLOBAL mean part value: the group-vs-global-scalar HAVING (each
+    group compared against an aggregate over everything),
+    integer-exact via cross-multiplication (v*n*2 > total*3).  Plan: ONE
+    partkey exchange builds per-part values; the global total is a
+    driver scalar; the filter runs on the part-sized frame.  Output:
+    (l_partkey, value_c) ordered by value desc."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        df = df.assign(v=price_c * (100 - disc_h) // 100)
+        return df.groupby("l_partkey", as_index=False)["v"].sum()
+
+    per_part = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("v", alias_name="value_c"))
+        .to_pandas()
+    )
+    total = int(per_part["value_c"].sum())
+    n_parts = len(per_part)
+    out = (
+        per_part[per_part["value_c"] * n_parts * Q11_MEAN_DEN
+                 > total * Q11_MEAN_NUM]
+        .sort_values(["value_c", "l_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    for c in ("l_partkey", "value_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Top supplier by quarter revenue (TPC-H Q15 shape) (q323)
+# --------------------------------------------------------------------------
+
+Q15_LO = "1997-01-01"
+Q15_HI = "1997-04-01"
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100)
+             AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, CAST(total_rev_c AS BIGINT) AS total_rev_c
+FROM rev WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@query("q323_top_supplier", sql=_Q15_SQL)
+def q323_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — the supplier(s) whose quarter revenue EQUALS
+    the maximum (the view + scalar-subquery-equality pattern that must
+    return ALL ties, not a LIMIT-1).  Plan: date prune at the scan,
+    ONE suppkey exchange, max + equality filter on the supplier-sized
+    frame.  Output: (s_suppkey, total_rev_c)."""
+    lo = pd.Timestamp(Q15_LO).value // 1000
+    hi = pd.Timestamp(Q15_HI).value // 1000
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                       pc.less(d, pa.scalar(hi)))
+        df = t.filter(keep).to_pandas()
+        if not len(df):
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        df = df.assign(v=price_c * (100 - disc_h) // 100)
+        g = df.groupby("l_suppkey", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("v", alias_name="total_rev_c"))
+        .to_pandas()
+    )
+    mx = int(rev["total_rev_c"].max())
+    out = (
+        rev[rev["total_rev_c"] == mx]
+        .rename(columns={"l_suppkey": "s_suppkey"})
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    for c in ("s_suppkey", "total_rev_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Dormant rich customers (TPC-H Q22 shape) (q324)
+# --------------------------------------------------------------------------
+
+Q22_NATIONS = (1, 3, 5, 7, 9)
+Q22_CUTOFF = "2000-06-01"
+
+_Q22_SQL = f"""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN {Q22_NATIONS}
+),
+avgp AS (
+  SELECT SUM(bal_c) AS s, count(*) AS n FROM pool WHERE bal_c > 0
+),
+rich AS (
+  SELECT p.* FROM pool p, avgp WHERE p.bal_c * avgp.n > avgp.s
+),
+dormant AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c
+FROM dormant GROUP BY c_nationkey ORDER BY nationkey
+"""
+
+
+@query("q324_dormant_rich", sql=_Q22_SQL)
+def q324_dormant_rich(sf_dir: str):
+    """TPC-H Q22 shape — customers in selected nations with
+    above-average (positive-balance average, cross-multiplied exact)
+    account balance and NO orders since {Q22_CUTOFF} (dormant):
+    scalar-subquery threshold + NOT EXISTS anti-join.  Plan: the candidate pool is customer-sized
+    (dimension); the anti-join broadcasts the candidate key set and
+    subtracts the order-side hits gathered in ONE distributed pass.
+    Output: (nationkey, n_cust, sum_bal_c)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
+    pool = cust[cust["c_nationkey"].isin(Q22_NATIONS)].copy()
+    pool["bal_c"] = np.round(pool["c_acctbal"] * 100).astype(np.int64)
+    pos = pool[pool["bal_c"] > 0]
+    s, n = int(pos["bal_c"].sum()), len(pos)
+    rich = pool[pool["bal_c"] * n > s]
+    keys = ray.put(rich["c_custkey"].to_numpy().astype(np.int64))
+    cut = pd.Timestamp(Q22_CUTOFF).value // 1000
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["o_orderdate"].cast(pa.int64()),
+                                pa.scalar(cut))
+        t = t.filter(keep)
+        ks = ray.get(keys)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        got = np.unique(ck[np.isin(ck, ks)])
+        return pa.table({"k": pa.array(got, pa.int64())})
+
+    with_orders = set(
+        orders.map_batches(hits, batch_format="pyarrow")
+        .to_pandas()["k"].tolist()
+    )
+    dormant = rich[~rich["c_custkey"].isin(with_orders)]
+    out = (
+        dormant.groupby("c_nationkey")
+        .agg(n_cust=("c_custkey", "size"), sum_bal_c=("bal_c", "sum"))
+        .reset_index()
+        .rename(columns={"c_nationkey": "nationkey"})
+        .sort_values("nationkey")
+        .reset_index(drop=True)
+    )
+    for c in ("nationkey", "n_cust", "sum_bal_c"):
+        out[c] = out[c].astype("int64")
+    return out
