@@ -22096,3 +22096,213 @@ def q324_dormant_rich(sf_dir: str):
     for c in ("nationkey", "n_cust", "sum_bal_c"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (q325)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_merges(word_freq: dict[str, int], k: int) -> list[tuple]:
+    """First k BPE merges (Sennrich et al. 2016) over a word-frequency
+    table: symbols start as characters; each round merges the most
+    frequent adjacent pair (ties -> lexicographically smallest pair).
+    Returns [(idx, left, right, pair_freq)]."""
+    seqs = {w: tuple(w) for w in word_freq}
+    out = []
+    for idx in range(k):
+        counts: dict[tuple, int] = {}
+        for w, seq in seqs.items():
+            f = word_freq[w]
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        out.append((idx, best[0], best[1], counts[best]))
+        merged = best[0] + best[1]
+        new_seqs = {}
+        for w, seq in seqs.items():
+            res = []
+            i = 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == best[0]
+                        and seq[i + 1] == best[1]):
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(res)
+        seqs = new_seqs
+    return out
+
+
+_BPE_SQL = """
+SELECT CAST(merge_idx AS BIGINT) AS merge_idx, left_sym, right_sym,
+       CAST(pair_freq AS BIGINT) AS pair_freq
+FROM read_parquet('/root/repo/tests/fixtures/oracle/bpe_sf0.01.parquet')
+ORDER BY merge_idx
+"""
+
+
+@query("q325_bpe_merges", sql=_BPE_SQL)
+def q325_bpe_merges(sf_dir: str):
+    """First 8 BPE tokenizer-training merges over the corpus (Sennrich
+    et al. 2016): the fast-BPE decomposition — the CORPUS pass (word
+    frequencies) is the distributed part (per-batch token counts, ONE
+    token-keyed exchange), the merge loop then runs on the VOCAB-sized
+    frequency table (exactly how production BPE trainers scale: corpus
+    O(TB) -> vocab O(MB)).  Ties -> lexicographically smallest pair,
+    so the merge sequence is unique.  Oracle: committed fixture from
+    the INDEPENDENT regex-free scalar twin fed by a pandas word count.
+    Output: (merge_idx, left_sym, right_sym, pair_freq)."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for txt in t["text"].to_pylist():
+            for w in txt.split(" "):
+                if w:
+                    cnt[w] = cnt.get(w, 0) + 1
+        toks = list(cnt)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "occ": pa.array([cnt[w] for w in toks], pa.int64()),
+            }
+        )
+
+    wf = (
+        docs.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("occ", alias_name="occ"))
+        .to_pandas()
+    )
+    merges = _bpe_merges(
+        dict(zip(wf["token"], wf["occ"].astype(int))), BPE_MERGES
+    )
+    return pd.DataFrame(
+        merges, columns=["merge_idx", "left_sym", "right_sym", "pair_freq"]
+    ).astype({"merge_idx": "int64", "pair_freq": "int64"})
+
+
+# --------------------------------------------------------------------------
+# kNN label-noise census (q326)
+# --------------------------------------------------------------------------
+
+KNN_NOISE_K = 5
+
+_KNNNOISE_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/knnnoise_sf0.01.parquet'))
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN maj_label <> label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disagree
+FROM f GROUP BY label ORDER BY label
+"""
+
+
+@query("q326_knn_label_noise", sql=_KNNNOISE_SQL)
+def q326_knn_label_noise(sf_dir: str):
+    """Label-noise census via k-NN disagreement (the confident-learning
+    heuristic): a vector whose 5 nearest neighbors (integer-quantized
+    dot products — exact in float64 matmul) majority-vote a DIFFERENT
+    label is a relabel/removal candidate.  Deterministic tie-breaks:
+    neighbors by (-dot, vec_id); majority by (count desc, label asc).
+    Plan: quantized matrix broadcast once, per-batch top-k against it;
+    the LSH/IVF prefilter swap at page scale as in q299.  Oracle:
+    committed fixture from the INDEPENDENT scalar per-pair twin.
+    Output: (label, n_vecs, n_disagree)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    all_df = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = np.rint(np.asarray(list(all_df["embedding"]), dtype=np.float64)
+                * 1000.0)
+    ids = all_df["vec_id"].to_numpy().astype(np.int64)
+    labels = all_df["label"].to_numpy().astype(np.int64)
+    ref = ray.put((q, ids, labels))
+
+    def vote(t: pa.Table) -> pa.Table:
+        corpus, cids, clab = ray.get(ref)
+        block = np.rint(
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+        )
+        bids = t["vec_id"].to_numpy(zero_copy_only=False)
+        dots = block @ corpus.T
+        maj = np.empty(len(bids), dtype=np.int64)
+        for i in range(len(bids)):
+            d = dots[i]
+            order = np.lexsort((cids, -d))
+            picked = []
+            for j in order:
+                if cids[j] == bids[i]:
+                    continue
+                picked.append(j)
+                if len(picked) == KNN_NOISE_K:
+                    break
+            cnt: dict[int, int] = {}
+            for j in picked:
+                cnt[int(clab[j])] = cnt.get(int(clab[j]), 0) + 1
+            maj[i] = min(cnt, key=lambda l: (-cnt[l], l))
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": t["label"],
+                "maj_label": pa.array(maj, pa.int64()),
+            }
+        )
+
+    per_vec = emb.map_batches(vote, batch_format="pyarrow").to_pandas()
+    per_vec["dis"] = (per_vec["maj_label"] != per_vec["label"]).astype(int)
+    out = (
+        per_vec.groupby("label")
+        .agg(n_vecs=("vec_id", "size"), n_disagree=("dis", "sum"))
+        .reset_index()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    for c in ("label", "n_vecs", "n_disagree"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Class-balanced resampling plan (q327)
+# --------------------------------------------------------------------------
+
+_BALANCE_SQL = """
+WITH cnt AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+),
+mx AS (SELECT MAX(n) AS target FROM cnt)
+SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+       CAST(target // n AS BIGINT) AS base_mult,
+       CAST(target % n AS BIGINT) AS n_extra
+FROM cnt, mx ORDER BY label
+"""
+
+
+@query("q327_class_balance_plan", sql=_BALANCE_SQL)
+def q327_class_balance_plan(sf_dir: str):
+    """Exact class-balancing oversample plan: every label is brought
+    to the majority-class count with base multiplicity target//n plus
+    n_extra = target%n single extra copies (assigned by hash rank at
+    apply time, q281-style) — totals are EXACTLY target per class, no
+    float sampling rates.  ONE label-sized aggregate.  Pure-SQL
+    oracle.  Output: (label, n, base_mult, n_extra)."""
+    emb = _read(sf_dir, "embeddings", ["label"])
+    cnt = (
+        emb.groupby("label")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    target = int(cnt["n"].max())
+    cnt["base_mult"] = target // cnt["n"]
+    cnt["n_extra"] = target % cnt["n"]
+    for c in ("label", "n", "base_mult", "n_extra"):
+        cnt[c] = cnt[c].astype("int64")
+    return cnt

@@ -2823,6 +2823,83 @@ def gen_bridges() -> None:
     print("bridges_fixture.parquet:", r)
 
 
+def gen_bpe() -> None:
+    """Expected q325 merge sequence from an INDEPENDENT scalar twin:
+    pandas word count + list-splice merge application (no tuples)."""
+    import pandas as pd
+
+    K = 8
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    wf: dict = {}
+    for txt in docs["text"]:
+        for w in txt.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    seqs = {w: list(w) for w in wf}
+    rows = []
+    for idx in range(K):
+        counts: dict = {}
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] = counts.get(p, 0) + wf[w]
+        if not counts:
+            break
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), f = items[0]
+        rows.append((idx, l, r, f))
+        for w in seqs:
+            seq = seqs[w]
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == l and seq[i + 1] == r:
+                    seq[i:i + 2] = [l + r]
+                else:
+                    i += 1
+    out = pa.table({
+        "merge_idx": pa.array([r[0] for r in rows], pa.int64()),
+        "left_sym": pa.array([r[1] for r in rows], pa.string()),
+        "right_sym": pa.array([r[2] for r in rows], pa.string()),
+        "pair_freq": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "bpe_sf0.01.parquet"))
+    print("bpe_sf0.01.parquet:", rows[:3], "...")
+
+
+def gen_knnnoise() -> None:
+    """Expected q326 per-vector majority labels from the INDEPENDENT
+    scalar per-pair integer-dot twin."""
+    K = 5
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = [int(x) for x in t["vec_id"].to_pylist()]
+    labels = [int(x) for x in t["label"].to_pylist()]
+    vecs = [[int(round(float(x) * 1000.0)) for x in v]
+            for v in t["embedding"].to_pylist()]
+    n = len(vecs)
+    majs = []
+    for i in range(n):
+        dots = []
+        for j in range(n):
+            if j == i:
+                continue
+            d = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+            dots.append((-d, ids[j], labels[j]))
+        dots.sort()
+        cnt: dict = {}
+        for _, _, lab in dots[:K]:
+            cnt[lab] = cnt.get(lab, 0) + 1
+        majs.append(min(cnt, key=lambda l: (-cnt[l], l)))
+    out = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "label": pa.array(labels, pa.int64()),
+        "maj_label": pa.array(majs, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "knnnoise_sf0.01.parquet"))
+    print("knnnoise_sf0.01.parquet:",
+          sum(m != l for m, l in zip(majs, labels)), "disagreements")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2901,6 +2978,8 @@ def main() -> None:
     gen_matching()
     gen_selinger()
     gen_bridges()
+    gen_bpe()
+    gen_knnnoise()
 
 
 if __name__ == "__main__":
