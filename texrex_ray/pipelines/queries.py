@@ -22306,3 +22306,257 @@ def q327_class_balance_plan(sf_dir: str):
     for c in ("label", "n", "base_mult", "n_extra"):
         cnt[c] = cnt[c].astype("int64")
     return cnt
+
+
+# --------------------------------------------------------------------------
+# Linear-threshold cascade (q328)
+# --------------------------------------------------------------------------
+
+LT_SEEDS = 25       # top-in-degree seed count
+LT_MAX_ROUNDS = 10  # fixed simulation horizon (standard LTM practice)
+
+
+def _lt_thresholds(nodes: list[str]) -> dict[str, int]:
+    """Deterministic per-node activation threshold in [1, 100]:
+    md5-derived — the 'random' thresholds of the Kempe-Kleinberg-
+    Tardos linear-threshold model, pinned for replay."""
+    import hashlib
+
+    return {
+        v: int.from_bytes(hashlib.md5(f"lt:{v}".encode()).digest()[:4],
+                          "little") % 100 + 1
+        for v in nodes
+    }
+
+
+_LT_SQL = """
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_active AS BIGINT) AS n_active
+FROM read_parquet('/root/repo/tests/fixtures/oracle/cascade_fixture.parquet')
+ORDER BY round
+"""
+
+
+@query("q328_lt_cascade", sql=_LT_SQL)
+def q328_lt_cascade(sf_dir: str):
+    """Linear-threshold influence cascade (Kempe-Kleinberg-Tardos
+    2003) on the crawl graph: seeds = top-{LT_SEEDS} in-degree pages;
+    a page activates when the share of its in-neighbors active
+    reaches its md5-pinned threshold percent (integer cross-multiplied:
+    active_in * 100 >= thresh * in_deg) — the virality model for how
+    content spreads through link neighborhoods.  Synchronous rounds =
+    deterministic.  Plan: per-round ONE map over the edge set with the
+    active bitmap broadcast (double_sweep-style); horizon fixed at
+    LT_MAX_ROUNDS rounds (the standard fixed-budget simulation).
+    Oracle: committed fixture from the INDEPENDENT scalar
+    adjacency-walk twin.  Output: (round, n_new, n_active)."""
+    edges_df = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    edges_df = edges_df[edges_df["src"] != edges_df["dst"]].drop_duplicates()
+    nodes = np.sort(
+        pd.unique(pd.concat([edges_df["src"], edges_df["dst"]]))
+    )
+    idx = pd.Index(nodes)
+    s = idx.get_indexer(edges_df["src"]).astype(np.int64)
+    d = idx.get_indexer(edges_df["dst"]).astype(np.int64)
+    n = len(nodes)
+    in_deg = np.bincount(d, minlength=n).astype(np.int64)
+    thr_map = _lt_thresholds(list(nodes))
+    thr = np.array([thr_map[v] for v in nodes], dtype=np.int64)
+    order = np.lexsort((nodes, -in_deg))
+    seeds = order[:LT_SEEDS]
+    active = np.zeros(n, dtype=bool)
+    active[seeds] = True
+    edges_ds = ray.data.from_pandas(
+        pd.DataFrame({"s": s, "d": d})
+    ).materialize()
+    rows = [(0, LT_SEEDS, LT_SEEDS)]
+    rnd = 0
+    while rnd < LT_MAX_ROUNDS:
+        rnd += 1
+        aref = ray.put(active)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            am = ray.get(aref)
+            hit = am[df["s"].to_numpy()]
+            cnt = np.bincount(df["d"].to_numpy()[hit], minlength=n)
+            return pd.DataFrame({"node": np.flatnonzero(cnt),
+                                 "k": cnt[cnt > 0]})
+
+        acc = (
+            edges_ds.map_batches(partial, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Sum("k", alias_name="k"))
+            .to_pandas()
+        )
+        active_in = np.zeros(n, dtype=np.int64)
+        active_in[acc["node"].to_numpy()] = acc["k"].to_numpy()
+        newly = (~active) & (in_deg > 0) & (
+            active_in * 100 >= thr * in_deg
+        )
+        if not newly.any():
+            break
+        active |= newly
+        rows.append((rnd, int(newly.sum()), int(active.sum())))
+    out = pd.DataFrame(rows, columns=["round", "n_new", "n_active"])
+    return out.astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Clustering coefficient by degree bucket (q329)
+# --------------------------------------------------------------------------
+
+_CLUSTCOEF_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/clustcoef_fixture.parquet'))
+SELECT CAST(deg_bucket AS BIGINT) AS deg_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(tri2) AS BIGINT) AS sum_tri2,
+       CAST(SUM(wedges) AS BIGINT) AS sum_wedges,
+       CAST(CASE WHEN SUM(wedges) > 0
+                 THEN SUM(tri2) * 1000000 // SUM(wedges)
+                 ELSE 0 END AS BIGINT) AS coef_ppm
+FROM f GROUP BY deg_bucket ORDER BY deg_bucket
+"""
+
+
+@query("q329_clustering_by_degree", sql=_CLUSTCOEF_SQL)
+def q329_clustering_by_degree(sf_dir: str):
+    """Local clustering coefficient curve by degree bucket (bucket =
+    bit_length(deg)) — the c(k) ~ k^-1 signature that separates
+    hierarchical web graphs from random ones (Ravasz-Barabasi).
+    Per-node: tri2 = 2x triangles through the node (closed wedges),
+    wedges = deg*(deg-1); coefficient = ppm ratio per bucket.
+    Plan: sorted-adjacency intersection per node batch (the q266
+    two-pointer idiom) with the CSR broadcast; exchange is node-sized.
+    Oracle: committed fixture from the INDEPENDENT per-edge dict-set
+    twin.  Output: (deg_bucket, n_nodes, sum_tri2, sum_wedges,
+    coef_ppm)."""
+    edges_df = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    a = edges_df["src"].to_numpy()
+    b = edges_df["dst"].to_numpy()
+    und = {(x, y) if x < y else (y, x) for x, y in zip(a, b) if x != y}
+    nodes = np.sort(pd.unique(np.array([v for e in und for v in e])))
+    idx = pd.Index(nodes)
+    ea = idx.get_indexer([e[0] for e in und]).astype(np.int64)
+    eb = idx.get_indexer([e[1] for e in und]).astype(np.int64)
+    n = len(nodes)
+    # CSR of sorted neighbors
+    both_a = np.concatenate([ea, eb])
+    both_b = np.concatenate([eb, ea])
+    o = np.lexsort((both_b, both_a))
+    both_a, both_b = both_a[o], both_b[o]
+    offs = np.searchsorted(both_a, np.arange(n + 1))
+    deg = (offs[1:] - offs[:-1]).astype(np.int64)
+    csr_ref = ray.put((offs, both_b, deg))
+
+    def per_node(t: pa.Table) -> pa.Table:
+        offs_, tails, deg_ = ray.get(csr_ref)
+        vs = t["v"].to_numpy(zero_copy_only=False)
+        tri2 = np.zeros(len(vs), dtype=np.int64)
+        for i, v in enumerate(vs.tolist()):
+            nb = tails[offs_[v]:offs_[v + 1]]
+            cnt = 0
+            for u in nb.tolist():
+                nu = tails[offs_[u]:offs_[u + 1]]
+                cnt += int(
+                    np.isin(nb, nu, assume_unique=True).sum()
+                )
+            tri2[i] = cnt
+        return pa.table(
+            {
+                "v": pa.array(vs),
+                "tri2": pa.array(tri2),
+                "wedges": pa.array(deg_[vs] * (deg_[vs] - 1)),
+                "deg_bucket": pa.array(
+                    np.array([int(x).bit_length() for x in deg_[vs]],
+                             dtype=np.int64)
+                ),
+            }
+        )
+
+    per = (
+        ray.data.from_pandas(pd.DataFrame({"v": np.arange(n)}))
+        .map_batches(per_node, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    g = per.groupby("deg_bucket").agg(
+        n_nodes=("v", "size"), sum_tri2=("tri2", "sum"),
+        sum_wedges=("wedges", "sum"),
+    ).reset_index()
+    g["coef_ppm"] = np.where(
+        g["sum_wedges"] > 0,
+        g["sum_tri2"] * 1_000_000 // g["sum_wedges"], 0
+    )
+    g = g.sort_values("deg_bucket").reset_index(drop=True)
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g
+
+
+# --------------------------------------------------------------------------
+# Directed-edge reciprocity (q330)
+# --------------------------------------------------------------------------
+
+_EDGES_FIXTURE = "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+
+_RECIP_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst
+  FROM read_parquet('{_EDGES_FIXTURE}') WHERE src <> dst
+),
+m AS (
+  SELECT e1.src, e1.dst FROM e e1 JOIN e e2
+    ON e1.src = e2.dst AND e1.dst = e2.src
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM m) AS BIGINT) AS n_mutual_arcs,
+       CAST((SELECT count(*) FROM m) * 1000000
+            // (SELECT count(*) FROM e) AS BIGINT) AS reciprocity_ppm
+"""
+
+
+@query("q330_reciprocity", sql=_RECIP_SQL)
+def q330_reciprocity(sf_dir: str):
+    """Link reciprocity of the directed crawl graph — the fraction of
+    arcs with a reverse arc (Garlaschelli-Loffredo): mutual linking
+    separates editorial link exchanges from organic citation.  Plan:
+    canonical-pair keying makes this ONE exchange: each arc maps to
+    (min, max, dir-bit); a pair is mutual iff both bits appear — no
+    self-join.  Pure-SQL oracle (the naive reversed self-join).
+    Output: (n_edges, n_mutual_arcs, reciprocity_ppm)."""
+    edges = ray.data.read_parquet(_EDGES_FIXTURE)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        lo = np.minimum(df["src"], df["dst"])
+        hi = np.maximum(df["src"], df["dst"])
+        return pd.DataFrame(
+            {"lo": lo, "hi": hi,
+             "fwd": (df["src"].to_numpy() == lo.to_numpy()).astype(int),
+             "bwd": (df["src"].to_numpy() != lo.to_numpy()).astype(int)}
+        ).drop_duplicates()
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pandas")
+        .groupby(["lo", "hi"])
+        .aggregate(Sum("fwd", alias_name="fwd"),
+                   Sum("bwd", alias_name="bwd"))
+        .to_pandas()
+    )
+    fwd = pairs["fwd"].clip(upper=1)
+    bwd = pairs["bwd"].clip(upper=1)
+    n_edges = int(fwd.sum() + bwd.sum())
+    mutual_pairs = int(((fwd > 0) & (bwd > 0)).sum())
+    n_mutual_arcs = 2 * mutual_pairs
+    return pd.DataFrame(
+        {
+            "n_edges": [n_edges],
+            "n_mutual_arcs": [n_mutual_arcs],
+            "reciprocity_ppm": [n_mutual_arcs * 1_000_000 // n_edges],
+        }
+    ).astype("int64")

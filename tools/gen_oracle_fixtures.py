@@ -2900,6 +2900,79 @@ def gen_knnnoise() -> None:
           sum(m != l for m, l in zip(majs, labels)), "disagreements")
 
 
+def gen_cascade() -> None:
+    """Expected q328 rounds from the INDEPENDENT scalar adjacency-walk
+    twin (dict adjacency, per-node neighbor scan each round)."""
+    import hashlib
+
+    SEEDS = 25
+    e = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet")
+                      ).to_pandas()
+    e = e[e["src"] != e["dst"]].drop_duplicates()
+    in_nb: dict = {}
+    nodes = set()
+    for s, d in zip(e["src"], e["dst"]):
+        in_nb.setdefault(d, set()).add(s)
+        nodes.add(s); nodes.add(d)
+    nodes = sorted(nodes)
+    thr = {v: int.from_bytes(hashlib.md5(f"lt:{v}".encode()).digest()[:4],
+                             "little") % 100 + 1 for v in nodes}
+    indeg = {v: len(in_nb.get(v, ())) for v in nodes}
+    seeds = sorted(nodes, key=lambda v: (-indeg[v], v))[:SEEDS]
+    active = set(seeds)
+    rows = [(0, SEEDS, SEEDS)]
+    rnd = 0
+    while rnd < 10:
+        rnd += 1
+        newly = set()
+        for v in nodes:
+            if v in active or indeg[v] == 0:
+                continue
+            k = sum(1 for u in in_nb[v] if u in active)
+            if k * 100 >= thr[v] * indeg[v]:
+                newly.add(v)
+        if not newly:
+            break
+        active |= newly
+        rows.append((rnd, len(newly), len(active)))
+    out = pa.table({
+        "round": pa.array([r[0] for r in rows], pa.int64()),
+        "n_new": pa.array([r[1] for r in rows], pa.int64()),
+        "n_active": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "cascade_fixture.parquet"))
+    print("cascade_fixture.parquet:", rows)
+
+
+def gen_clustcoef() -> None:
+    """Expected q329 per-node wedge/triangle counts from the
+    INDEPENDENT dict-set twin."""
+    e = pq.read_table(os.path.join(OUT, "pagerank_edges.parquet")
+                      ).to_pandas()
+    und = {(a, b) if a < b else (b, a)
+           for a, b in zip(e["src"], e["dst"]) if a != b}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    vs, t2s, ws, bks = [], [], [], []
+    for v in nodes:
+        nb = adj[v]
+        t2 = sum(len(adj[u] & nb) for u in nb)
+        d = len(nb)
+        vs.append(v); t2s.append(t2); ws.append(d * (d - 1))
+        bks.append(int(d).bit_length())
+    out = pa.table({
+        "node": pa.array(vs, pa.string()),
+        "tri2": pa.array(t2s, pa.int64()),
+        "wedges": pa.array(ws, pa.int64()),
+        "deg_bucket": pa.array(bks, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "clustcoef_fixture.parquet"))
+    print("clustcoef_fixture.parquet:", len(nodes), "nodes")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -2980,6 +3053,8 @@ def main() -> None:
     gen_bridges()
     gen_bpe()
     gen_knnnoise()
+    gen_cascade()
+    gen_clustcoef()
 
 
 if __name__ == "__main__":
