@@ -22560,3 +22560,258 @@ def q330_reciprocity(sf_dir: str):
             "reciprocity_ppm": [n_mutual_arcs * 1_000_000 // n_edges],
         }
     ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# 1-D k-means price quantization (q331)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 8
+
+
+_KMEANS_SQL = """
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(centroid_c AS BIGINT) AS centroid_c,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_c AS BIGINT) AS sum_c
+FROM read_parquet('/root/repo/tests/fixtures/oracle/kmeans1d_sf0.01.parquet')
+ORDER BY bucket
+"""
+
+
+@query("q331_price_kmeans", sql=_KMEANS_SQL)
+def q331_price_kmeans(sf_dir: str):
+    """Distributed 1-D Lloyd k-means over order totals (k=8, 8 fixed
+    iterations) — learned price-bucket boundaries for histogram
+    equalization / zone-map design, integer-exact end to end:
+    deterministic spread init (min + span*(2i+1)//2k), nearest-centroid
+    assignment with ties to the LOWER bucket, floor-mean updates, empty
+    clusters keep their centroid.  The classic distributed-Lloyd
+    shape: centroids broadcast per iteration (ray.put), per-batch
+    (sum, count) partials, k-sized driver update — the same pattern
+    dedup/embed.py::train_centroids runs over vectors.  Oracle:
+    committed fixture from the INDEPENDENT scalar loop twin.  Output:
+    (bucket, centroid_c, n, sum_c)."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        return pd.DataFrame({"lo": [int(c.min())], "hi": [int(c.max())]})
+
+    mm = orders.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    cent = np.array(
+        [lo + (hi - lo) * (2 * i + 1) // (2 * KMEANS_K)
+         for i in range(KMEANS_K)],
+        dtype=np.int64,
+    )
+    for _ in range(KMEANS_ITERS):
+        cref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cc = ray.get(cref)
+            v = np.round(df["o_totalprice"] * 100).astype(np.int64).to_numpy()
+            d = np.abs(v[:, None] - cc[None, :])
+            a = d.argmin(axis=1)  # argmin takes the LOWEST index on ties
+            return pd.DataFrame(
+                {"bucket": a, "s": v, "n": np.ones(len(v), dtype=np.int64)}
+            ).groupby("bucket", as_index=False).sum()
+
+        agg = (
+            orders.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        new = cent.copy()
+        for b, s, n in zip(agg["bucket"], agg["s"], agg["n"]):
+            new[int(b)] = int(s) // int(n)
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    cref = ray.put(cent)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cc = ray.get(cref)
+        v = np.round(df["o_totalprice"] * 100).astype(np.int64).to_numpy()
+        a = np.abs(v[:, None] - cc[None, :]).argmin(axis=1)
+        return pd.DataFrame(
+            {"bucket": a, "sum_c": v, "n": np.ones(len(v), dtype=np.int64)}
+        ).groupby("bucket", as_index=False).sum()
+
+    out = (
+        orders.map_batches(final, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("sum_c", alias_name="sum_c"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["centroid_c"] = [int(cent[int(b)]) for b in out["bucket"]]
+    out = out[["bucket", "centroid_c", "n", "sum_c"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Shuffle adjacency audit (q332)
+# --------------------------------------------------------------------------
+
+SHUFFLE_AUDIT_SALT = "shuffle"
+
+_SHUFAUD_SQL = f"""
+WITH o AS (
+  SELECT source,
+         LAG(source) OVER (
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)
+                                     || ':{SHUFFLE_AUDIT_SALT}'), doc_id
+         ) AS prev_source
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_adjacent_same
+FROM o
+"""
+
+
+@query("q332_shuffle_adjacency", sql=_SHUFAUD_SQL)
+def q332_shuffle_adjacency(sf_dir: str):
+    """Shuffle-quality audit of ops/shuffle.py::deterministic_shuffle:
+    count adjacent pairs in the training order that share a source —
+    a well-mixed order keeps this near the random-permutation
+    expectation Sum n_s(n_s-1)/n; clumps mean curriculum leakage.
+    Plan: the shuffle's own global positions make the adjacency
+    distributed: per-batch interior LAG compare + block-count-sized
+    boundary stitching on the driver — no second exchange.  Pure-SQL
+    oracle recomputes the SAME md5 order with a window LAG.  Output:
+    (n_rows, n_adjacent_same)."""
+    from texrex_ray.ops.shuffle import deterministic_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    shuffled = deterministic_shuffle(docs, id_col="doc_id",
+                                     salt=SHUFFLE_AUDIT_SALT)
+
+    def interior(t: pa.Table) -> pa.Table:
+        df = t.select(["pos", "source"]).to_pandas().sort_values("pos")
+        src = df["source"].to_numpy()
+        same = int((src[1:] == src[:-1]).sum()) if len(src) > 1 else 0
+        return pa.table(
+            {
+                "same": pa.array([same], pa.int64()),
+                "n": pa.array([len(df)], pa.int64()),
+                "first_pos": pa.array([int(df["pos"].iloc[0])], pa.int64()),
+                "first_src": pa.array([df["source"].iloc[0]], pa.string()),
+                "last_pos": pa.array([int(df["pos"].iloc[-1])], pa.int64()),
+                "last_src": pa.array([df["source"].iloc[-1]], pa.string()),
+            }
+        )
+
+    parts = shuffled.map_batches(
+        interior, batch_format="pyarrow"
+    ).to_pandas().sort_values("first_pos")
+    n_rows = int(parts["n"].sum())
+    same = int(parts["same"].sum())
+    # stitch block boundaries (consecutive positions across blocks)
+    last_pos = parts["last_pos"].to_numpy()[:-1]
+    next_pos = parts["first_pos"].to_numpy()[1:]
+    touching = last_pos + 1 == next_pos
+    same += int(
+        (touching
+         & (parts["last_src"].to_numpy()[:-1]
+            == parts["first_src"].to_numpy()[1:])).sum()
+    )
+    return pd.DataFrame(
+        {"n_rows": [n_rows], "n_adjacent_same": [same]}
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Deficit round robin (q333)
+# --------------------------------------------------------------------------
+
+DRR_QUANTUM_C = 1_000
+DRR_ROUNDS = 200
+
+
+def _drr_run(queues: dict[str, list[int]]) -> list[tuple]:
+    """Deficit Round Robin (Shreedhar-Varghese 1996): types served in
+    sorted order; each visit adds QUANTUM to the deficit, serves heads
+    while size <= deficit, zeroes the deficit when the queue drains.
+    Fixed {DRR_ROUNDS}-round horizon.  Returns per type:
+    (type, n_served, served_value_c, backlog, deficit_end)."""
+    types = sorted(queues)
+    head = {t: 0 for t in types}
+    deficit = {t: 0 for t in types}
+    served = {t: 0 for t in types}
+    value = {t: 0 for t in types}
+    for _ in range(DRR_ROUNDS):
+        for t in types:
+            q = queues[t]
+            if head[t] >= len(q):
+                deficit[t] = 0
+                continue
+            deficit[t] += DRR_QUANTUM_C
+            while head[t] < len(q) and q[head[t]] <= deficit[t]:
+                deficit[t] -= q[head[t]]
+                value[t] += q[head[t]]
+                served[t] += 1
+                head[t] += 1
+            if head[t] >= len(q):
+                deficit[t] = 0
+    return [
+        (t, served[t], value[t], len(queues[t]) - served[t], deficit[t])
+        for t in types
+    ]
+
+
+_DRR_SQL = """
+SELECT event_type, CAST(n_served AS BIGINT) AS n_served,
+       CAST(served_value_c AS BIGINT) AS served_value_c,
+       CAST(backlog AS BIGINT) AS backlog,
+       CAST(deficit_end AS BIGINT) AS deficit_end
+FROM read_parquet('/root/repo/tests/fixtures/oracle/drr_sf0.01.parquet')
+ORDER BY event_type
+"""
+
+
+@query("q333_deficit_round_robin", sql=_DRR_SQL)
+def q333_deficit_round_robin(sf_dir: str):
+    """Deficit-round-robin fairness replay (Shreedhar-Varghese 1996)
+    over per-type event queues (FIFO by ts, size = value cents,
+    quantum 1000c, 200 rounds) — the byte-fair scheduler audit for a
+    multi-tenant fetch/ingest pipeline: DRR guarantees each type's
+    served value per round approaches the quantum regardless of item
+    sizes.  Plan: queue construction is ONE type-keyed exchange with
+    per-group (ts, event_id) sort; the scheduler fold runs on the
+    queue heads (at scale: one DRR per dispatcher shard).  Oracle:
+    committed fixture from the INDEPENDENT deque-twin.  Output:
+    (event_type, n_served, served_value_c, backlog, deficit_end)."""
+    ev = _read(sf_dir, "events", ["ts", "event_id", "event_type", "value"])
+
+    def q_lists(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        sizes = np.maximum(
+            np.rint(g["value"].to_numpy() * 100).astype(np.int64), 1
+        )
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "sizes": [sizes.tolist()]}
+        )
+
+    qs = (
+        ev.groupby("event_type")
+        .map_groups(q_lists, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = _drr_run(dict(zip(qs["event_type"], qs["sizes"])))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_served", "served_value_c",
+                       "backlog", "deficit_end"]
+    )
+    for c in ("n_served", "served_value_c", "backlog", "deficit_end"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -2973,6 +2973,96 @@ def gen_clustcoef() -> None:
     print("clustcoef_fixture.parquet:", len(nodes), "nodes")
 
 
+def gen_kmeans1d() -> None:
+    """Expected q331 clusters from the INDEPENDENT scalar Lloyd twin
+    (per-point Python loops, no numpy broadcasting)."""
+    K, ITERS = 8, 8
+    t = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    vals = [int(round(float(x) * 100)) for x in t["o_totalprice"].to_pylist()]
+    lo, hi = min(vals), max(vals)
+    cent = [lo + (hi - lo) * (2 * i + 1) // (2 * K) for i in range(K)]
+    for _ in range(ITERS):
+        sums = [0] * K
+        cnts = [0] * K
+        for v in vals:
+            best, bd = 0, abs(v - cent[0])
+            for i in range(1, K):
+                d = abs(v - cent[i])
+                if d < bd:
+                    best, bd = i, d
+            sums[best] += v
+            cnts[best] += 1
+        new = [sums[i] // cnts[i] if cnts[i] else cent[i] for i in range(K)]
+        if new == cent:
+            break
+        cent = new
+    sums = [0] * K
+    cnts = [0] * K
+    for v in vals:
+        best, bd = 0, abs(v - cent[0])
+        for i in range(1, K):
+            d = abs(v - cent[i])
+            if d < bd:
+                best, bd = i, d
+        sums[best] += v
+        cnts[best] += 1
+    keep = [i for i in range(K) if cnts[i]]
+    out = pa.table({
+        "bucket": pa.array(keep, pa.int64()),
+        "centroid_c": pa.array([cent[i] for i in keep], pa.int64()),
+        "n": pa.array([cnts[i] for i in keep], pa.int64()),
+        "sum_c": pa.array([sums[i] for i in keep], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "kmeans1d_sf0.01.parquet"))
+    print("kmeans1d_sf0.01.parquet:", list(zip(keep, [cnts[i] for i in keep])))
+
+
+def gen_drr() -> None:
+    """Expected q333 schedule from the INDEPENDENT deque twin."""
+    from collections import deque
+
+    import pandas as pd
+
+    QUANTUM, ROUNDS = 1_000, 200
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "event_id", "event_type", "value"]
+                       ).to_pandas()
+    ev = ev.sort_values(["ts", "event_id"])
+    queues = {}
+    for et, sub in ev.groupby("event_type"):
+        queues[et] = deque(
+            max(int(round(float(v) * 100)), 1) for v in sub["value"])
+    types = sorted(queues)
+    totals = {t: len(queues[t]) for t in types}
+    deficit = {t: 0 for t in types}
+    served = {t: 0 for t in types}
+    value = {t: 0 for t in types}
+    for _ in range(ROUNDS):
+        for t in types:
+            q = queues[t]
+            if not q:
+                deficit[t] = 0
+                continue
+            deficit[t] += QUANTUM
+            while q and q[0] <= deficit[t]:
+                s = q.popleft()
+                deficit[t] -= s
+                value[t] += s
+                served[t] += 1
+            if not q:
+                deficit[t] = 0
+    out = pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_served": pa.array([served[t] for t in types], pa.int64()),
+        "served_value_c": pa.array([value[t] for t in types], pa.int64()),
+        "backlog": pa.array([totals[t] - served[t] for t in types],
+                            pa.int64()),
+        "deficit_end": pa.array([deficit[t] for t in types], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "drr_sf0.01.parquet"))
+    print("drr_sf0.01.parquet:", [(t, served[t]) for t in types])
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3055,6 +3145,8 @@ def main() -> None:
     gen_knnnoise()
     gen_cascade()
     gen_clustcoef()
+    gen_kmeans1d()
+    gen_drr()
 
 
 if __name__ == "__main__":
