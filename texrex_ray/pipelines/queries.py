@@ -22815,3 +22815,254 @@ def q333_deficit_round_robin(sf_dir: str):
     for c in ("n_served", "served_value_c", "backlog", "deficit_end"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# Forecast revenue change (TPC-H Q6 shape) (q334)
+# --------------------------------------------------------------------------
+
+Q6_LO = "1996-01-01"
+Q6_HI = "1997-01-01"
+
+_Q6_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT) // 100)
+            AS BIGINT) AS revenue_delta_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q6_HI}'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6
+  AND CAST(ROUND(l_quantity * 100) AS BIGINT) < 2400
+"""
+
+
+@query("q334_forecast_revenue", sql=_Q6_SQL)
+def q334_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — revenue given up to small-quantity discounts
+    in a year (price x discount over a 3-predicate slice): the pure
+    scan-filter-aggregate that measures how well predicates push to
+    the read.  NO join, NO exchange — two integers leave each task.
+    Output: (n_items, revenue_delta_c)."""
+    lo = pd.Timestamp(Q6_LO).value // 1000
+    hi = pd.Timestamp(Q6_HI).value // 1000
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                              pa.scalar(100.0))), pa.int64())
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"],
+                                             pa.scalar(100.0))), pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                    pc.less(d, pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_h, pa.scalar(4)),
+                        pc.less_equal(disc_h, pa.scalar(6))),
+                pc.less(qty_c, pa.scalar(2400)),
+            ),
+        )
+        t2 = t.filter(keep)
+        price_c = np.round(
+            t2["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dh = np.round(
+            t2["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        delta = price_c * dh // 100
+        return pa.table(
+            {
+                "n_items": pa.array([t2.num_rows], pa.int64()),
+                "delta": pa.array([int(delta.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("delta", alias_name="revenue_delta_c"))
+        .to_pandas()
+    )
+    return agg[["n_items", "revenue_delta_c"]].astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Returned-item top customers (TPC-H Q10 shape) (q335)
+# --------------------------------------------------------------------------
+
+Q10_LO = "1996-01-01"
+Q10_HI = "1996-07-01"
+Q10_TOPK = 20
+
+_Q10_SQL = f"""
+WITH f AS (SELECT o.o_custkey,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_returnflag = 'R'
+             AND o.o_orderdate >= TIMESTAMP '{Q10_LO}'
+             AND o.o_orderdate <  TIMESTAMP '{Q10_HI}')
+SELECT c.c_custkey, n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(f.vol_c) AS BIGINT) AS lost_revenue_c
+FROM f JOIN customer c ON c.c_custkey = f.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY c.c_custkey, n.n_name
+ORDER BY lost_revenue_c DESC, c_custkey LIMIT {Q10_TOPK}
+"""
+
+
+@query("q335_returned_items", sql=_Q10_SQL)
+def q335_returned_items(sf_dir: str):
+    """TPC-H Q10 shape — customers who returned the most revenue in a
+    half-year window: returnflag filter on the fact side, date filter
+    on orders, customer+nation dimension decoration, top-20.  Plan:
+    both filters prune at the scans; the half-year orderkey->custkey
+    map broadcasts (small after the filter); per-customer partials
+    combine before the customer-sized top-k.  Output: (c_custkey,
+    nation, n_items, lost_revenue_c)."""
+    lo = pd.Timestamp(Q10_LO).value // 1000
+    hi = pd.Timestamp(Q10_HI).value // 1000
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].astype("int64")
+        return df.loc[(d >= lo) & (d < hi), ["o_orderkey", "o_custkey"]]
+
+    omap_df = orders.map_batches(ofilter, batch_format="pandas").to_pandas()
+    omap = ray.put(dict(zip(omap_df["o_orderkey"].astype(int),
+                            omap_df["o_custkey"].astype(int))))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        om = ray.get(omap)
+        ks = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cust = np.array([om.get(int(k), -1) for k in ks], dtype=np.int64)
+        sel = cust >= 0
+        df = t.to_pandas()[sel]
+        if not len(df):
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64()),
+                             "vol_c": pa.array([], pa.int64())})
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"c_custkey": cust[sel], "n_items": 1,
+             "vol_c": price_c * (100 - disc_h) // 100}
+        ).groupby("c_custkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("vol_c", alias_name="lost_revenue_c"))
+        .to_pandas()
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dec = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = (
+        per_cust.merge(dec[["c_custkey", "n_name"]], on="c_custkey")
+        .rename(columns={"n_name": "nation"})
+        .sort_values(["lost_revenue_c", "c_custkey"],
+                     ascending=[False, True])
+        .head(Q10_TOPK)
+        .reset_index(drop=True)
+    )[["c_custkey", "nation", "n_items", "lost_revenue_c"]]
+    for c in ("c_custkey", "n_items", "lost_revenue_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Disjunctive predicate revenue (TPC-H Q19 shape) (q336)
+# --------------------------------------------------------------------------
+
+_Q19_SQL = """
+WITH f AS (
+  SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+             // 100 AS vol_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+         AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) BETWEEN 100 AND 1500)
+     OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 5 AND 20
+         AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) BETWEEN 1000 AND 3000)
+     OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 10 AND 40
+         AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) BETWEEN 2000 AND 5000)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(vol_c) AS BIGINT) AS revenue_c
+FROM f
+"""
+
+Q19_ARMS = (
+    ("Brand#2", 1, 10, 100, 1500),
+    ("Brand#17", 5, 20, 1000, 3000),
+    ("Brand#25", 10, 40, 2000, 5000),
+)
+
+
+@query("q336_disjunctive_revenue", sql=_Q19_SQL)
+def q336_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue under a 3-arm DISJUNCTION of
+    (brand, size-range, quantity-range) predicates: the OR-of-ANDs
+    slice planners must union instead of intersecting.  Plan: each arm
+    compiles to a broadcast partkey set (brand+size prune on the
+    dimension); lineitem batches test arm membership + quantity range
+    vectorized and union the arms with one boolean OR — the fact table
+    is scanned ONCE for all arms.  Output: (n_items, revenue_c)."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    arms = []
+    for brand, slo, shi, qlo, qhi in Q19_ARMS:
+        keys = part.loc[
+            (part["p_brand"] == brand)
+            & (part["p_size"] >= slo) & (part["p_size"] <= shi),
+            "p_partkey",
+        ].to_numpy().astype(np.int64)
+        arms.append((ray.put(keys), qlo, qhi))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty_c = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = np.zeros(len(pk), dtype=bool)
+        for ref, qlo, qhi in arms:
+            ks = ray.get(ref)
+            keep |= np.isin(pk, ks) & (qty_c >= qlo) & (qty_c <= qhi)
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_h = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        vol = (price_c * (100 - disc_h) // 100)[keep]
+        return pa.table(
+            {
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_c": pa.array([int(vol.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    return agg[["n_items", "revenue_c"]].astype("int64")
