@@ -23066,3 +23066,371 @@ def q336_disjunctive_revenue(sf_dir: str):
         .to_pandas()
     )
     return agg[["n_items", "revenue_c"]].astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Boruvka minimum spanning forest over the supplier-part graph (q337)
+# --------------------------------------------------------------------------
+
+_MST_SQL = (
+    "SELECT n_nodes, n_edges, n_components, n_mst_edges, mst_weight_c "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/mst_sf0.01.parquet')"
+)
+
+
+@query("q337_boruvka_msf", sql=_MST_SQL)
+def q337_boruvka_msf(sf_dir: str):
+    """Minimum spanning forest of the bipartite supplier-part graph
+    (edge weight = MIN lineitem extendedprice in cents for the pair),
+    computed with DISTRIBUTED Boruvka rounds: per round, every
+    component's cheapest outgoing edge is found with one combiner-style
+    ``map_batches`` partial + a component-keyed groupby over a packed
+    ``(w, src, dst)`` int64 key (lexicographic min == integer min), and
+    only the per-component winners reach the driver's union-find.
+    Components at least halve per round, so the loop is O(log V) rounds
+    of edge-local work — the textbook MST shape for map-reduce.  The
+    node->component label array is driver-broadcast per round (V here is
+    suppliers+parts ~ 2.1k; at web scale labels shard into actor state
+    and merging uses pointer-jumping, same plan switch as
+    ops/graph.py::dup_clusters).  Every MSF has the same total weight
+    and edge count, so the output is implementation-independent; the
+    oracle fixture is an INDEPENDENT Kruskal twin
+    (tools/gen_oracle_fixtures.py::gen_mst).  Output one row:
+    (n_nodes, n_edges, n_components, n_mst_edges, mst_weight_c)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_extendedprice"])
+
+    # edge aggregation: per-batch min per (src, dst), then one shuffle
+    def edge_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "dst": t["l_partkey"].to_numpy(zero_copy_only=False)
+                + 1_000_000,
+                "w_c": np.round(
+                    t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["src", "dst"], as_index=False)["w_c"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    edges = (
+        li.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Min("w_c", alias_name="w_c"))
+        .materialize()  # reused every Boruvka round; edge-list-sized
+    )
+    n_edges = edges.count()
+
+    # driver-side node universe + dense index (V = result-sized here)
+    uniq = (
+        pd.concat(
+            [
+                b.to_pandas()
+                for b in edges.select_columns(["src", "dst"]).iter_batches(
+                    batch_format="pyarrow", batch_size=65536
+                )
+            ]
+        )
+        .melt(value_name="node")["node"]
+        .drop_duplicates()
+        .sort_values()
+        .to_numpy()
+    )
+    n_nodes = len(uniq)
+    node_pos = {int(v): i for i, v in enumerate(uniq)}
+    pos_ref = ray.put(node_pos)
+
+    # union-find on dense node indices (driver: component-sized state)
+    parent = np.arange(n_nodes, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return int(x)
+
+    # packed lexicographic key (w, src, dst) -> one int64 so the
+    # per-component argmin is a plain integer Min aggregate.  Index
+    # width is sized from V at the driver; the weight gets the rest of
+    # the 63 bits, asserted loudly (beyond that, switch the winner
+    # aggregate to a map_groups lexicographic min).
+    idx_bits = max(int(np.ceil(np.log2(max(n_nodes, 2)))), 1)
+    w_bits = 63 - 2 * idx_bits
+
+    mst_w = 0
+    mst_e = 0
+    while True:
+        # component label per node, broadcast once per round
+        labels = np.array([find(i) for i in range(n_nodes)], dtype=np.int64)
+        lab_ref = ray.put(labels)
+
+        def min_out(df: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            pos = ray.get(pos_ref)
+            si = df["src"].map(pos).to_numpy(np.int64)
+            di = df["dst"].map(pos).to_numpy(np.int64)
+            c1, c2 = lab[si], lab[di]
+            live = c1 != c2
+            if not live.any():
+                return pd.DataFrame({"comp": [], "packed": []}).astype(
+                    {"comp": np.int64, "packed": np.int64}
+                )
+            w = df["w_c"].to_numpy(np.int64)[live]
+            if w.max(initial=0) >= (1 << w_bits):
+                raise ValueError(
+                    f"q337 packed-key overflow: w_c needs >= {w_bits} bits"
+                )
+            packed = (
+                (w << (2 * idx_bits)) | (si[live] << idx_bits) | di[live]
+            )
+            both = pd.DataFrame(
+                {
+                    "comp": np.concatenate([c1[live], c2[live]]),
+                    "packed": np.concatenate([packed, packed]),
+                }
+            )
+            return both.groupby("comp", as_index=False)["packed"].min()
+
+        winners = (
+            edges.map_batches(min_out, batch_format="pandas")
+            .groupby("comp")
+            .aggregate(Min("packed", alias_name="packed"))
+            .to_pandas()
+        )
+        if winners.empty:
+            break
+        merged_any = False
+        # sort for determinism; unpack and union
+        for p in np.sort(winners["packed"].to_numpy(np.int64)):
+            w = int(p >> (2 * idx_bits))
+            si = int((p >> idx_bits) & ((1 << idx_bits) - 1))
+            di = int(p & ((1 << idx_bits) - 1))
+            ra, rb = find(si), find(di)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                mst_w += w
+                mst_e += 1
+                merged_any = True
+        if not merged_any:
+            break
+
+    n_comp = len({find(i) for i in range(n_nodes)})
+    return pd.DataFrame(
+        {
+            "n_nodes": [n_nodes],
+            "n_edges": [n_edges],
+            "n_components": [n_comp],
+            "n_mst_edges": [mst_e],
+            "mst_weight_c": [mst_w],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# AMS F2 sketch audit over the event stream (q338)
+# --------------------------------------------------------------------------
+
+_AMS_J = 17  # odd estimator count -> the median is an exact element
+
+_AMS_SQL = f"""
+WITH cnt AS (
+  SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+est AS (
+  SELECT j,
+         CAST(SUM(CASE WHEN md5_number_lower(CAST(u AS VARCHAR) || ':' ||
+                                             CAST(j AS VARCHAR)) % 2 = 0
+                       THEN c ELSE -c END) AS BIGINT) AS s
+  FROM cnt CROSS JOIN (SELECT unnest(range({_AMS_J})) AS j)
+  GROUP BY j
+),
+ranked AS (
+  SELECT s * s AS e, row_number() OVER (ORDER BY s * s) AS rn FROM est
+),
+x AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM cnt),
+m AS (SELECT e AS est_f2 FROM ranked WHERE rn = {(_AMS_J + 1) // 2})
+SELECT exact_f2, est_f2,
+       CAST(ABS(est_f2 - exact_f2) * 10000 // exact_f2 AS BIGINT) AS rel_err_bp
+FROM x, m
+"""
+
+
+@query("q338_ams_f2", sql=_AMS_SQL)
+def q338_ams_f2(sf_dir: str):
+    """AMS second-frequency-moment sketch audit: F2 = sum over users of
+    count^2 (the self-join size of the stream), estimated with 17
+    four-wise-ish +/-1 estimators S_j = sum_u sign_j(u) * c_u, taking
+    the MEDIAN of S_j^2 — versus the exact F2 from the same grouped
+    counts.  Ray plan: combiner-style per-batch partial counts ->
+    groupby-user sum (the only key-cardinality exchange); the 17 signed
+    sums fold over the RESULT-SIZED user table per batch and meet in a
+    17-row groupby — the signs (md5_number_lower(u:j) parity, identical
+    in DuckDB and Python) are computed on aggregated keys, never per
+    event.  At 100 TB the user table itself streams: the signed partial
+    per batch is 17 numbers, so the second exchange stays 17 rows.
+    Output: (exact_f2, est_f2, rel_err_bp)."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"u": u.astype(np.int64), "c": c.astype(np.int64)})
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def signed(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        js = np.empty(_AMS_J, np.int64)
+        ss = np.empty(_AMS_J, np.int64)
+        f2 = int((c.astype(object) * c).sum())
+        for j in range(_AMS_J):
+            sign = np.fromiter(
+                (
+                    1
+                    if int.from_bytes(
+                        hashlib.md5(f"{int(x)}:{j}".encode()).digest()[8:],
+                        "little",
+                    )
+                    % 2
+                    == 0
+                    else -1
+                    for x in u
+                ),
+                np.int64,
+                len(u),
+            )
+            js[j] = j
+            ss[j] = int((sign * c).sum())
+        out = pa.table({"j": js, "s": ss})
+        return out.append_column(
+            "f2", pa.array([f2] + [0] * (_AMS_J - 1), pa.int64())
+        )
+
+    folded = (
+        counts.map_batches(signed, batch_format="pyarrow")
+        .groupby("j")
+        .aggregate(Sum("s", alias_name="s"), Sum("f2", alias_name="f2"))
+        .to_pandas()
+    )
+    exact = int(folded["f2"].sum())
+    ests = np.sort((folded["s"].to_numpy(np.int64) ** 2))
+    est = int(ests[(_AMS_J - 1) // 2])
+    return pd.DataFrame(
+        {
+            "exact_f2": [exact],
+            "est_f2": [est],
+            "rel_err_bp": [abs(est - exact) * 10000 // exact],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Profit by nation and ship year (TPC-H Q9 shape) (q339)
+# --------------------------------------------------------------------------
+
+_Q9_SQL = """
+WITH f AS (
+  SELECT n.n_name,
+         CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) // 100
+           - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+             * CAST(ROUND(l.l_quantity * 100) AS BIGINT) // 100 AS amount_c
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey  = l.l_partkey
+  JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+)
+SELECT n_name, o_year, CAST(SUM(amount_c) AS BIGINT) AS profit_c
+FROM f GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+@query("q339_nation_profit", sql=_Q9_SQL)
+def q339_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape — profit by (supplier nation, ship year) for 'red'
+    parts, with retail price standing in for supply cost (no partsupp
+    table).  Plan: the two dimension sides are broadcast lookup arrays
+    (partkey -> retail cents for the name-filtered parts; suppkey ->
+    nation name via a driver-side 100x25 join), the fact table is
+    scanned once with a combiner-style partial aggregate on
+    (nation, year), and the final exchange is nation*year-sized.
+    Integer-exact cents arithmetic end to end (the q94 discipline).
+    Output: (n_name, o_year, profit_c) ordered by nation, year DESC."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    red = part[part["p_name"].str.contains("red")]
+    retail_c = dict(
+        zip(
+            red["p_partkey"].astype(np.int64),
+            np.round(red["p_retailprice"].to_numpy() * 100).astype(np.int64),
+        )
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    s2n = dict(
+        zip(
+            sup["s_suppkey"].astype(np.int64),
+            sup["s_nationkey"].map(
+                dict(zip(nat["n_nationkey"], nat["n_name"]))
+            ),
+        )
+    )
+    retail_ref, s2n_ref = ray.put(retail_c), ray.put(s2n)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rc = ray.get(retail_ref)
+        sn = ray.get(s2n_ref)
+        r = df["l_partkey"].map(rc)
+        keep = r.notna()
+        if not keep.any():
+            return pd.DataFrame(
+                {"n_name": pd.Series([], dtype=str),
+                 "o_year": pd.Series([], dtype=np.int64),
+                 "profit_c": pd.Series([], dtype=np.int64)}
+            )
+        d = df.loc[keep]
+        price_c = np.round(d["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_h = np.round(d["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty_c = np.round(d["l_quantity"].to_numpy() * 100).astype(np.int64)
+        amount = (price_c * (100 - disc_h) // 100
+                  - r[keep].to_numpy(np.int64) * qty_c // 100)
+        g = pd.DataFrame(
+            {
+                "n_name": d["l_suppkey"].map(sn).to_numpy(),
+                "o_year": d["l_shipdate"].dt.year.to_numpy(np.int64),
+                "profit_c": amount,
+            }
+        ).groupby(["n_name", "o_year"], as_index=False)["profit_c"].sum()
+        return g
+
+    out = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("profit_c", alias_name="profit_c"))
+        .to_pandas()
+        .sort_values(["n_name", "o_year"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit_c"] = out["profit_c"].astype("int64")
+    return out[["n_name", "o_year", "profit_c"]]

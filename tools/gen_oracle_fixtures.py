@@ -3063,6 +3063,52 @@ def gen_drr() -> None:
     print("drr_sf0.01.parquet:", [(t, served[t]) for t in types])
 
 
+def gen_mst() -> None:
+    """Expected q337 MSF summary from an INDEPENDENT Kruskal twin
+    (sort-by-weight + path-halving union-find; every MSF shares the
+    same total weight and edge count, so the row is plan-invariant)."""
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT l_suppkey AS src, l_partkey + 1000000 AS dst,
+               CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT) AS w_c
+        FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        GROUP BY 1, 2 ORDER BY w_c, src, dst
+        """
+    ).fetchall()
+    nodes = sorted({v for s, d, _ in edges for v in (s, d)})
+    pos = {v: i for i, v in enumerate(nodes)}
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    w_total = 0
+    n_mst = 0
+    for s, d, w in edges:
+        ra, rb = find(pos[s]), find(pos[d])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            w_total += w
+            n_mst += 1
+    n_comp = len({find(i) for i in range(len(nodes))})
+    out = pa.table({
+        "n_nodes": pa.array([len(nodes)], pa.int64()),
+        "n_edges": pa.array([len(edges)], pa.int64()),
+        "n_components": pa.array([n_comp], pa.int64()),
+        "n_mst_edges": pa.array([n_mst], pa.int64()),
+        "mst_weight_c": pa.array([w_total], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "mst_sf0.01.parquet"))
+    print("mst_sf0.01.parquet:", len(nodes), "nodes,", n_mst,
+          "mst edges, weight", w_total)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3147,6 +3193,7 @@ def main() -> None:
     gen_clustcoef()
     gen_kmeans1d()
     gen_drr()
+    gen_mst()
 
 
 if __name__ == "__main__":
