@@ -23434,3 +23434,345 @@ def q339_nation_profit(sf_dir: str):
     out["o_year"] = out["o_year"].astype("int64")
     out["profit_c"] = out["profit_c"].astype("int64")
     return out[["n_name", "o_year", "profit_c"]]
+
+
+# --------------------------------------------------------------------------
+# Johnson two-machine flow-shop makespan (q340)
+# --------------------------------------------------------------------------
+
+_FS_MOD = 86_400  # synthetic per-machine processing seconds: [1, 86400]
+
+_JOHNSON_SQL = f"""
+WITH j AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) % {_FS_MOD} + 1 AS p1,
+         (o_orderkey * 37 + 11) % {_FS_MOD} + 1                    AS p2
+  FROM orders
+),
+s AS (
+  SELECT *,
+         CASE WHEN p1 < p2 THEN 0 ELSE 1 END AS grp,
+         CASE WHEN p1 < p2 THEN p1 ELSE -p2 END AS k2
+  FROM j
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_jobs,
+             CAST(SUM(p1) AS BIGINT) AS total_p1,
+             CAST(SUM(p2) AS BIGINT) AS total_p2 FROM j),
+jo AS (
+  SELECT CAST(MAX(score) AS BIGINT) AS makespan_johnson FROM (
+    SELECT SUM(p1) OVER (ORDER BY grp, k2, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      + (SELECT total_p2 FROM t)
+      - COALESCE(SUM(p2) OVER (ORDER BY grp, k2, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS score FROM s)
+),
+fi AS (
+  SELECT CAST(MAX(score) AS BIGINT) AS makespan_fifo FROM (
+    SELECT SUM(p1) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      + (SELECT total_p2 FROM t)
+      - COALESCE(SUM(p2) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS score FROM s)
+)
+SELECT n_jobs, total_p1, total_p2, makespan_johnson, makespan_fifo
+FROM t, jo, fi
+"""
+
+
+@query("q340_johnson_flowshop", sql=_JOHNSON_SQL)
+def q340_johnson_flowshop(sf_dir: str):
+    """Johnson's rule for the two-machine flow shop: every order is a
+    job with synthetic deterministic processing times (p1 from the
+    price cents, p2 from the key), scheduled by the optimal rule
+    (p1<p2 ascending p1 first, then the rest descending p2) and
+    compared against FIFO key order.  The makespan uses the CLOSED
+    FORM C = max_j (cumsum_p1(j) + total_p2 - cumsum_p2(j-1)), so the
+    sequential machine-2 recurrence becomes two distributed EXCLUSIVE
+    prefix scans (ops/window.py::prefix_scan_sum — contiguous range
+    slices, driver carries are bucket-count-sized) over a packed
+    integer schedule key + one global max: no global sort, no
+    driver-side job list.  Output one row:
+    (n_jobs, total_p1, total_p2, makespan_johnson, makespan_fifo)."""
+    from texrex_ray.ops.window import prefix_scan_sum
+
+    ods = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p1 = (
+            np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)
+            % _FS_MOD
+            + 1
+        )
+        p2 = (k * 37 + 11) % _FS_MOD + 1
+        if k.max(initial=0) >= (1 << 21):
+            raise ValueError("q340 packed key: o_orderkey needs >= 21 bits")
+        grp = (p1 >= p2).astype(np.int64)
+        k2 = np.where(grp == 0, p1, -p2)
+        # (grp, k2, key) packed into one int64 order key for the scans
+        ord_j = (grp << 39) | ((k2 + (1 << 17)) << 21) | k
+        return pa.table({"key": k, "p1": p1, "p2": p2, "ord_j": ord_j})
+
+    jobs = ods.map_batches(derive, batch_format="pyarrow")
+    n_jobs = jobs.count()
+    total_p1 = jobs.sum("p1")
+    total_p2 = jobs.sum("p2")
+
+    def makespan(ds: ray.data.Dataset, order_col: str) -> int:
+        s1 = prefix_scan_sum(ds, order_col, "p1", out="pp1")
+        s2 = prefix_scan_sum(s1, order_col, "p2", out="pp2")
+
+        def score(t: pa.Table) -> pa.Table:
+            v = (
+                t["pp1"].to_numpy(zero_copy_only=False)
+                + t["p1"].to_numpy(zero_copy_only=False)
+                + total_p2
+                - t["pp2"].to_numpy(zero_copy_only=False)
+            )
+            return pa.table({"m": pa.array([int(v.max())], pa.int64())})
+
+        return int(
+            s2.map_batches(score, batch_format="pyarrow").max("m")
+        )
+
+    return pd.DataFrame(
+        {
+            "n_jobs": [n_jobs],
+            "total_p1": [total_p1],
+            "total_p2": [total_p2],
+            "makespan_johnson": [makespan(jobs, "ord_j")],
+            "makespan_fifo": [makespan(jobs, "key")],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Delta-stepping single-source shortest paths (q341)
+# --------------------------------------------------------------------------
+
+_SSSP_SQL = (
+    "SELECT n_nodes, n_reached, sum_dist_c, max_dist_c "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/sssp_sf0.01.parquet')"
+)
+
+_SSSP_DELTA = 1 << 21  # bucket width in cents (~21k USD)
+
+
+@query("q341_delta_stepping", sql=_SSSP_SQL)
+def q341_delta_stepping(sf_dir: str):
+    """Delta-stepping SSSP (Meyer & Sanders) over the undirected
+    supplier-part graph (edge weight = MIN lineitem extendedprice
+    cents for the pair), source = the smallest node id.  The classic
+    scalable SSSP: distances are binned into width-DELTA buckets; the
+    lowest bucket is drained with repeated LIGHT-edge (w < DELTA)
+    relaxation phases, then HEAVY edges of the removed set relax once.
+    Every relaxation phase is DISTRIBUTED: one map_batches over the
+    (materialized, edge-aggregated) edge dataset with the frontier
+    mask + distance array broadcast, a per-batch min-per-dst combiner,
+    and a dst-keyed groupby min — the driver only merges per-node
+    winners (V-sized here; sharded actor state at web scale, the same
+    plan note as q337).  The oracle fixture is an INDEPENDENT binary-
+    heap Dijkstra twin (tools/gen_oracle_fixtures.py::gen_sssp).
+    Output: (n_nodes, n_reached, sum_dist_c, max_dist_c)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_extendedprice"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            + 1_000_000
+        w = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "src": np.concatenate([s, d]),  # undirected: both ways
+                "dst": np.concatenate([d, s]),
+                "w_c": np.concatenate([w, w]),
+            }
+        ).groupby(["src", "dst"], as_index=False)["w_c"].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (
+        li.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Min("w_c", alias_name="w_c"))
+        .materialize()  # reused every relaxation phase
+    )
+
+    uniq = (
+        pd.concat(
+            [
+                b.to_pandas()
+                for b in edges.select_columns(["src"]).iter_batches(
+                    batch_format="pyarrow", batch_size=65536
+                )
+            ]
+        )["src"]
+        .drop_duplicates()
+        .sort_values()
+        .to_numpy(np.int64)
+    )
+    n_nodes = len(uniq)
+    pos = {int(v): i for i, v in enumerate(uniq)}
+    pos_ref = ray.put(pos)
+
+    INF = np.int64(1 << 62)
+    dist = np.full(n_nodes, INF, np.int64)
+    dist[0] = 0  # uniq is sorted: index 0 == smallest node id
+    pending = np.zeros(n_nodes, bool)
+    pending[0] = True
+
+    def relax(active: np.ndarray, light: bool) -> pd.DataFrame:
+        act_ref = ray.put(active)
+        dist_ref = ray.put(dist)
+
+        def phase(df: pd.DataFrame) -> pd.DataFrame:
+            a = ray.get(act_ref)
+            dd = ray.get(dist_ref)
+            p = ray.get(pos_ref)
+            si = df["src"].map(p).to_numpy(np.int64)
+            w = df["w_c"].to_numpy(np.int64)
+            kind = (w < _SSSP_DELTA) if light else (w >= _SSSP_DELTA)
+            live = a[si] & kind
+            if not live.any():
+                return pd.DataFrame(
+                    {"di": pd.Series([], dtype=np.int64),
+                     "cand": pd.Series([], dtype=np.int64)}
+                )
+            di = df["dst"].map(p).to_numpy(np.int64)[live]
+            cand = dd[si[live]] + w[live]
+            out = pd.DataFrame({"di": di, "cand": cand})
+            return out.groupby("di", as_index=False)["cand"].min()
+
+        return (
+            edges.map_batches(phase, batch_format="pandas")
+            .groupby("di")
+            .aggregate(Min("cand", alias_name="cand"))
+            .to_pandas()
+        )
+
+    def apply(req: pd.DataFrame) -> np.ndarray:
+        improved = np.zeros(n_nodes, bool)
+        if len(req):
+            di = req["di"].to_numpy(np.int64)
+            cand = req["cand"].to_numpy(np.int64)
+            better = cand < dist[di]
+            dist[di[better]] = cand[better]
+            improved[di[better]] = True
+        return improved
+
+    while pending.any():
+        i = int(dist[pending].min()) // _SSSP_DELTA
+        in_bucket = pending & (dist < INF) & (dist // _SSSP_DELTA == i)
+        removed = np.zeros(n_nodes, bool)
+        while in_bucket.any():
+            removed |= in_bucket
+            pending &= ~in_bucket
+            pending |= apply(relax(in_bucket, light=True))
+            in_bucket = pending & (dist // _SSSP_DELTA == i)
+        pending |= apply(relax(removed, light=False))
+
+    reached = dist < INF
+    return pd.DataFrame(
+        {
+            "n_nodes": [n_nodes],
+            "n_reached": [int(reached.sum())],
+            "sum_dist_c": [int(dist[reached].sum())],
+            "max_dist_c": [int(dist[reached].max())],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Parts-supplier relationship census (TPC-H Q16 shape) (q342)
+# --------------------------------------------------------------------------
+
+_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+_Q16_SQL = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN {_Q16_SIZES}
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 25
+"""
+
+
+@query("q342_supplier_census", sql=_Q16_SQL)
+def q342_supplier_census(sf_dir: str):
+    """TPC-H Q16 shape — COUNT(DISTINCT supplier) per (brand, type,
+    size) for a size-list slice, excluding one brand, one type, and
+    complained-about suppliers (acctbal < 0, the Q16 anti-join).  Plan:
+    both dimension filters are broadcast lookups (part dim -> attrs,
+    supplier exclusion set); the fact scan dedupes
+    (brand, type, size, suppkey) per batch (combiner), one groupby
+    collapses cross-batch duplicates, a second groupby counts distinct
+    suppliers — the exchanges carry distinct COMBINATIONS, never fact
+    rows.  Output: top-25 by (supplier_cnt DESC, brand, type, size)."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    keep = part[
+        (part["p_brand"] != "Brand#2")
+        & (part["p_type"] != "PROMO")
+        & part["p_size"].isin(_Q16_SIZES)
+    ]
+    attrs = {
+        int(r.p_partkey): (r.p_brand, r.p_type, int(r.p_size))
+        for r in keep.itertuples()
+    }
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    excl = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype(int))
+    attrs_ref, excl_ref = ray.put(attrs), ray.put(excl)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def combos(df: pd.DataFrame) -> pd.DataFrame:
+        am = ray.get(attrs_ref)
+        ex = ray.get(excl_ref)
+        d = df[df["l_partkey"].isin(am) & ~df["l_suppkey"].isin(ex)]
+        if d.empty:
+            return pd.DataFrame(
+                {"p_brand": pd.Series([], dtype=str),
+                 "p_type": pd.Series([], dtype=str),
+                 "p_size": pd.Series([], dtype=np.int64),
+                 "suppkey": pd.Series([], dtype=np.int64)}
+            )
+        rows = d.drop_duplicates(["l_partkey", "l_suppkey"])
+        att = rows["l_partkey"].map(am)
+        return pd.DataFrame(
+            {
+                "p_brand": att.str[0].to_numpy(),
+                "p_type": att.str[1].to_numpy(),
+                "p_size": att.str[2].to_numpy(np.int64),
+                "suppkey": rows["l_suppkey"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    distinct = (
+        li.map_batches(combos, batch_format="pandas")
+        .groupby(["p_brand", "p_type", "p_size", "suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    counts = (
+        distinct.groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .to_pandas()
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        )
+        .head(25)
+        .reset_index(drop=True)
+    )
+    counts["p_size"] = counts["p_size"].astype("int64")
+    counts["supplier_cnt"] = counts["supplier_cnt"].astype("int64")
+    return counts[["p_brand", "p_type", "p_size", "supplier_cnt"]]

@@ -3109,6 +3109,50 @@ def gen_mst() -> None:
           "mst edges, weight", w_total)
 
 
+def gen_sssp() -> None:
+    """Expected q341 SSSP summary from an INDEPENDENT binary-heap
+    Dijkstra twin over the same undirected weighted graph."""
+    import duckdb
+    import heapq
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT l_suppkey AS s, l_partkey + 1000000 AS d,
+               CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT) AS w_c
+        FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for s, d, w in rows:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    nodes = sorted(adj)
+    src = nodes[0]
+    dist = {src: 0}
+    heap = [(0, src)]
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if dv > dist.get(v, 1 << 62):
+            continue
+        for u, w in adj[v]:
+            nd = dv + w
+            if nd < dist.get(u, 1 << 62):
+                dist[u] = nd
+                heapq.heappush(heap, (nd, u))
+    vals = list(dist.values())
+    out = pa.table({
+        "n_nodes": pa.array([len(nodes)], pa.int64()),
+        "n_reached": pa.array([len(vals)], pa.int64()),
+        "sum_dist_c": pa.array([sum(vals)], pa.int64()),
+        "max_dist_c": pa.array([max(vals)], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "sssp_sf0.01.parquet"))
+    print("sssp_sf0.01.parquet:", len(nodes), "nodes, reached",
+          len(vals), "sum", sum(vals), "max", max(vals))
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3194,6 +3238,7 @@ def main() -> None:
     gen_kmeans1d()
     gen_drr()
     gen_mst()
+    gen_sssp()
 
 
 if __name__ == "__main__":
