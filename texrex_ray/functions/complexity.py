@@ -15,6 +15,8 @@ twin in tests / tools/gen_oracle_fixtures.py.
 
 from __future__ import annotations
 
+import numpy as np
+
 
 def lz76_complexity(s: str) -> int:
     """Number of LZ76 production phrases in ``s`` (0 for empty)."""
@@ -176,3 +178,51 @@ def distinct_substrings_suffixarray(s: str) -> int:
     if n == 0:
         return 0
     return n * (n + 1) // 2 - sum(_suffix_array_lcps(s))
+
+
+def bwt_runs(s: str) -> tuple[int, int]:
+    """(length, run count) of the Burrows-Wheeler transform of
+    ``s + sentinel`` — the run count is the bzip2-style compressibility
+    proxy (repetitive text clusters identical characters in the BWT).
+
+    The suffix array comes from numpy PREFIX DOUBLING (O(n log^2 n)
+    lexsort rounds, no per-character Python) — with a unique smallest
+    sentinel, suffix order equals rotation order, so
+    ``bwt[i] = s2[(sa[i] - 1) % n]``.  The independent twin
+    (``bwt_runs_rotations``) sorts the explicit rotations instead."""
+    s2 = s.replace("\x00", "") + "\x00"
+    n = len(s2)
+    if n == 1:
+        return 1, 1
+    rank = np.fromiter(map(ord, s2), np.int64, n)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        diff = (rank[order[1:]] != rank[order[:-1]]) | (
+            key2[order[1:]] != key2[order[:-1]]
+        )
+        new = np.empty(n, np.int64)
+        new[order] = np.concatenate([[0], np.cumsum(diff)])
+        rank = new
+        if rank[order[-1]] == n - 1:
+            sa = order
+            break
+        k *= 2
+    bwt = rank  # reuse buffer shape: gather previous characters
+    codes = np.fromiter(map(ord, s2), np.int64, n)
+    bwt = codes[(sa - 1) % n]
+    return n, 1 + int((bwt[1:] != bwt[:-1]).sum())
+
+
+def bwt_runs_rotations(s: str) -> tuple[int, int]:
+    """Independent twin: sort the explicit rotations of
+    ``s + sentinel``, read the last column, count runs."""
+    s2 = s.replace("\x00", "") + "\x00"
+    n = len(s2)
+    d = s2 + s2
+    order = sorted(range(n), key=lambda i: d[i : i + n])
+    bwt = [s2[(i - 1) % n] for i in order]
+    runs = 1 + sum(1 for a, b in zip(bwt, bwt[1:]) if a != b)
+    return n, runs

@@ -23776,3 +23776,265 @@ def q342_supplier_census(sf_dir: str):
     counts["p_size"] = counts["p_size"].astype("int64")
     counts["supplier_cnt"] = counts["supplier_cnt"].astype("int64")
     return counts[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
+# --------------------------------------------------------------------------
+# Burrows-Wheeler run compressibility (q343)
+# --------------------------------------------------------------------------
+
+_BWT_PREFIX = 512
+
+_BWT_SQL = (
+    "SELECT source, n_docs, sum_chars, sum_runs, runs_ppm "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/bwt_sf0.01.parquet') "
+    "ORDER BY source"
+)
+
+
+@query("q343_bwt_runs", sql=_BWT_SQL)
+def q343_bwt_runs(sf_dir: str):
+    """Per-source Burrows-Wheeler compressibility: BWT each document's
+    first 512 chars (+ sentinel) and count the transform's character
+    RUNS — the bzip2 pipeline's leverage (repetitive text -> few runs).
+    The per-doc suffix array uses numpy prefix doubling
+    (functions/complexity.py::bwt_runs, O(n log^2 n) lexsort rounds);
+    the oracle fixture is the INDEPENDENT explicit-rotation-sort twin.
+    Per-doc work is embarrassingly parallel map_batches; the exchange
+    is source-count-sized partial sums.  Output per source:
+    (source, n_docs, sum_chars, sum_runs, runs_ppm) where
+    runs_ppm = sum_runs * 1e6 // sum_chars (lower = more squeezable)."""
+    from texrex_ray.functions.complexity import bwt_runs
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src_name, sub in df.groupby("source", sort=False):
+            n_c = 0
+            n_r = 0
+            for t in sub["text"]:
+                c, r = bwt_runs(str(t)[:_BWT_PREFIX])
+                n_c += c
+                n_r += r
+            rows.append((src_name, len(sub), n_c, n_r))
+        return pd.DataFrame(
+            rows, columns=["source", "n_docs", "sum_chars", "sum_runs"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("sum_runs", alias_name="sum_runs"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["runs_ppm"] = (
+        out["sum_runs"] * 1_000_000 // out["sum_chars"]
+    ).astype("int64")
+    for c in ("n_docs", "sum_chars", "sum_runs"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n_docs", "sum_chars", "sum_runs", "runs_ppm"]]
+
+
+# --------------------------------------------------------------------------
+# L1 distance-transform audit over the image payload table (q344)
+# --------------------------------------------------------------------------
+
+_DT_SQL = (
+    "SELECT fmt, n_images, n_fg, sum_dt, max_dt "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/dt_sf0.01.parquet') "
+    "ORDER BY fmt"
+)
+
+
+@query("q344_distance_transform", sql=_DT_SQL)
+def q344_distance_transform(sf_dir: str):
+    """Exact L1 distance transform per image (separable two-pass lower
+    envelope, stages/images.py::DistanceTransform): how far background
+    pixels sit from the nearest bright (luminance >= 383) pixel — the
+    layout-sparsity audit behind content-crop and saliency heuristics.
+    Decode + transform run in the actor pool (pixels never shuffle);
+    three int64 scalars per image reach the per-fmt aggregate.  Oracle:
+    committed fixture from the INDEPENDENT multi-source BFS-dilation
+    twin (L1 distance == 4-neighbour BFS depth on an obstacle-free
+    grid).  Output per fmt: (fmt, n_images, n_fg, sum_dt, max_dt)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import DistanceTransform
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        DistanceTransform, concurrency=2, batch_size=64,
+        batch_format="pyarrow",
+    ).select_columns(["fmt", "n_fg", "sum_dt", "max_dt"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "n_fg": g["n_fg"].sum(),
+                "sum_dt": g["sum_dt"].sum(),
+                "max_dt": g["max_dt"].max(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_fg", alias_name="n_fg"),
+            Sum("sum_dt", alias_name="sum_dt"),
+            Max("max_dt", alias_name="max_dt"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "n_fg", "sum_dt", "max_dt"):
+        out[c] = out[c].astype("int64")
+    return out[["fmt", "n_images", "n_fg", "sum_dt", "max_dt"]]
+
+
+# --------------------------------------------------------------------------
+# National market share (TPC-H Q8 shape) (q345)
+# --------------------------------------------------------------------------
+
+_Q8_SQL = """
+WITH cust AS (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'AMERICA'
+),
+ords AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year
+  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM cust)
+),
+f AS (
+  SELECT o.o_year,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) // 100 AS vol_c,
+         (SELECT n2.n_name FROM supplier s JOIN nation n2
+            ON n2.n_nationkey = s.s_nationkey
+          WHERE s.s_suppkey = l.l_suppkey) AS supp_nation
+  FROM lineitem l
+  JOIN ords o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'STANDARD'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END)
+            AS BIGINT) AS nation_vol_c,
+       CAST(SUM(vol_c) AS BIGINT) AS total_vol_c,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END)
+            * 1000000 // SUM(vol_c) AS BIGINT) AS share_ppm
+FROM f GROUP BY o_year ORDER BY o_year
+"""
+
+
+@query("q345_market_share", sql=_Q8_SQL)
+def q345_market_share(sf_dir: str):
+    """TPC-H Q8 shape — NATION_3 suppliers' market share, by order
+    year, of STANDARD-part volume ordered by AMERICA-region customers.
+    Plan: the three dimension reductions (region->customer set,
+    customer-filtered orders -> orderkey->year map, supplier->nation
+    flag) are driver-side joins over dimension tables, broadcast once;
+    the lineitem fact is scanned ONCE with a per-batch partial
+    (year, nation_vol, total_vol) aggregate.  The orderkey->year map is
+    order-count-sized — beyond broadcast reach it becomes the q54
+    shuffle join on l_orderkey (auto-bucketed); noted, not needed at
+    bench scale.  Integer cents + PPM share.  Output:
+    (o_year, nation_vol_c, total_vol_c, share_ppm)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    am_regions = set(reg.loc[reg["r_name"] == "AMERICA", "r_regionkey"])
+    am_nations = set(nat.loc[nat["n_regionkey"].isin(am_regions),
+                             "n_nationkey"])
+    am_cust = set(cust.loc[cust["c_nationkey"].isin(am_nations),
+                           "c_custkey"].astype(int))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    keep_o = orders[orders["o_custkey"].isin(am_cust)]
+    o2y = dict(
+        zip(
+            keep_o["o_orderkey"].astype(int),
+            keep_o["o_orderdate"].dt.year.astype(int),
+        )
+    )
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    n3 = int(nat.loc[nat["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
+    n3_supp = set(sup.loc[sup["s_nationkey"] == n3, "s_suppkey"].astype(int))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    std_parts = set(part.loc[part["p_type"] == "STANDARD",
+                             "p_partkey"].astype(int))
+
+    o2y_ref = ray.put(o2y)
+    n3_ref = ray.put(n3_supp)
+    parts_ref = ray.put(std_parts)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        oy = ray.get(o2y_ref)
+        ns = ray.get(n3_ref)
+        sp = ray.get(parts_ref)
+        y = df["l_orderkey"].map(oy)
+        keep = y.notna() & df["l_partkey"].isin(sp)
+        if not keep.any():
+            return pd.DataFrame(
+                {"o_year": pd.Series([], dtype=np.int64),
+                 "nation_vol_c": pd.Series([], dtype=np.int64),
+                 "total_vol_c": pd.Series([], dtype=np.int64)}
+            )
+        d = df.loc[keep]
+        vol = (
+            np.round(d["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.round(d["l_discount"].to_numpy() * 100).astype(np.int64))
+            // 100
+        )
+        is_n3 = d["l_suppkey"].isin(ns).to_numpy()
+        g = pd.DataFrame(
+            {
+                "o_year": y[keep].astype(np.int64).to_numpy(),
+                "nation_vol_c": np.where(is_n3, vol, 0),
+                "total_vol_c": vol,
+            }
+        ).groupby("o_year", as_index=False).sum()
+        return g
+
+    out = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_vol_c", alias_name="nation_vol_c"),
+            Sum("total_vol_c", alias_name="total_vol_c"),
+        )
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    out["share_ppm"] = (
+        out["nation_vol_c"].astype(object) * 1_000_000
+        // out["total_vol_c"]
+    ).astype("int64")
+    for c in ("o_year", "nation_vol_c", "total_vol_c"):
+        out[c] = out[c].astype("int64")
+    return out[["o_year", "nation_vol_c", "total_vol_c", "share_ppm"]]

@@ -762,3 +762,61 @@ class HaarEnergy:
                 "energy": pa.array(es, pa.int64()),
             }
         )
+
+
+class DistanceTransform:
+    """Actor-pool stage: exact L1 (city-block) distance transform to
+    the nearest FOREGROUND pixel (channel-sum luminance >= ``thresh``),
+    via the separable two-pass lower-envelope trick — for the L1
+    metric, ``dt(x,y) = min_y' (rowdt(x,y') + |y-y'|)`` collapses to a
+    forward and a backward ``min``-accumulate of ``g -/+ index``, so
+    the whole transform is four vectorized passes, never per-pixel
+    Python.  Adds ``n_fg`` (foreground pixels), ``sum_dt`` (total L1
+    distance over background pixels) and ``max_dt`` (image
+    "emptiness" radius; -1 when the image has no foreground)."""
+
+    def __init__(self, thresh: int = 383) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.thresh = thresh
+
+    @staticmethod
+    def _envelope_1d(g: np.ndarray, axis: int) -> np.ndarray:
+        """min over j along ``axis`` of g[j] + |i - j| (vectorized)."""
+        n = g.shape[axis]
+        idx_shape = [1, 1]
+        idx_shape[axis] = n
+        idx = np.arange(n, dtype=np.int64).reshape(idx_shape)
+        fwd = np.minimum.accumulate(g - idx, axis=axis) + idx
+        rev = np.flip(
+            np.minimum.accumulate(np.flip(g + idx, axis=axis), axis=axis),
+            axis=axis,
+        ) - idx
+        return np.minimum(fwd, rev)
+
+    def _dt(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        fg = lum >= self.thresh
+        n_fg = int(fg.sum())
+        if n_fg == 0:
+            return 0, 0, -1
+        h, w = fg.shape
+        inf = np.int64(h + w + 2)
+        g = np.where(fg, np.int64(0), inf)
+        rowdt = self._envelope_1d(g, axis=1)   # nearest fg in-row
+        dt = self._envelope_1d(rowdt, axis=0)  # + |dy| envelope
+        return n_fg, int(dt.sum()), int(dt.max())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf, sd, md = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            a, b, c = self._dt(self.decode(raw))
+            nf.append(a)
+            sd.append(b)
+            md.append(c)
+        return (
+            batch.append_column("n_fg", pa.array(nf, pa.int64()))
+            .append_column("sum_dt", pa.array(sd, pa.int64()))
+            .append_column("max_dt", pa.array(md, pa.int64()))
+        )

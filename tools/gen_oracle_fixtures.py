@@ -3153,6 +3153,78 @@ def gen_sssp() -> None:
           len(vals), "sum", sum(vals), "max", max(vals))
 
 
+def gen_bwt() -> None:
+    """Expected q343 per-source BWT run counts from the INDEPENDENT
+    explicit-rotation-sort twin."""
+    import pandas as pd
+    from texrex_ray.functions.complexity import bwt_runs_rotations
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    rows = []
+    for src, sub in docs.groupby("source"):
+        n_c = n_r = 0
+        for t in sub["text"]:
+            c, r = bwt_runs_rotations(str(t)[:512])
+            n_c += c
+            n_r += r
+        rows.append((src, len(sub), n_c, n_r, n_r * 1_000_000 // n_c))
+    out = pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["source", "n_docs", "sum_chars",
+                                    "sum_runs", "runs_ppm"]).astype(
+            {"n_docs": "int64", "sum_chars": "int64", "sum_runs": "int64",
+             "runs_ppm": "int64"}),
+        preserve_index=False)
+    pq.write_table(out, os.path.join(OUT, "bwt_sf0.01.parquet"))
+    print("bwt_sf0.01.parquet:", len(rows), "sources")
+
+
+def gen_dt() -> None:
+    """Expected q344 per-fmt L1 distance-transform stats from the
+    INDEPENDENT multi-source BFS-dilation twin (layered 4-neighbour
+    min-propagation — L1 distance on an obstacle-free grid)."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        px = decode_image(raw)
+        lum = px.astype(np.int64).sum(axis=2)
+        fg = lum >= 383
+        n_fg = int(fg.sum())
+        if n_fg == 0:
+            rows.append((fmt, n_fg, 0, -1))
+            continue
+        h, w = fg.shape
+        inf = np.int64(h + w + 2)
+        dt = np.where(fg, np.int64(0), inf)
+        # layered dilation: dist = min(neighbours) + 1 per sweep
+        while True:
+            nxt = dt.copy()
+            nxt[1:, :] = np.minimum(nxt[1:, :], dt[:-1, :] + 1)
+            nxt[:-1, :] = np.minimum(nxt[:-1, :], dt[1:, :] + 1)
+            nxt[:, 1:] = np.minimum(nxt[:, 1:], dt[:, :-1] + 1)
+            nxt[:, :-1] = np.minimum(nxt[:, :-1], dt[:, 1:] + 1)
+            if np.array_equal(nxt, dt):
+                break
+            dt = nxt
+        rows.append((fmt, n_fg, int(dt.sum()), int(dt.max())))
+    df = pd.DataFrame(rows, columns=["fmt", "n_fg", "sum_dt", "max_dt"])
+    agg = df.groupby("fmt").agg(
+        n_images=("n_fg", "size"), n_fg=("n_fg", "sum"),
+        sum_dt=("sum_dt", "sum"), max_dt=("max_dt", "max")
+    ).reset_index().astype({"n_images": "int64", "n_fg": "int64",
+                            "sum_dt": "int64", "max_dt": "int64"})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "dt_sf0.01.parquet"))
+    print("dt_sf0.01.parquet:")
+    print(agg)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3239,6 +3311,8 @@ def main() -> None:
     gen_drr()
     gen_mst()
     gen_sssp()
+    gen_bwt()
+    gen_dt()
 
 
 if __name__ == "__main__":
