@@ -24038,3 +24038,309 @@ def q345_market_share(sf_dir: str):
     for c in ("o_year", "nation_vol_c", "total_vol_c"):
         out[c] = out[c].astype("int64")
     return out[["o_year", "nation_vol_c", "total_vol_c", "share_ppm"]]
+
+
+# --------------------------------------------------------------------------
+# Convex-hull content extent over the image payload table (q346)
+# --------------------------------------------------------------------------
+
+_HULL_SQL = (
+    "SELECT fmt, n_images, n_fg, sum_hull_area2, sum_hull_verts "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/hull_sf0.01.parquet') "
+    "ORDER BY fmt"
+)
+
+
+@query("q346_convex_hull", sql=_HULL_SQL)
+def q346_convex_hull(sf_dir: str):
+    """Convex hull of each image's bright-pixel set
+    (stages/images.py::ConvexHullStats): content extent for auto-crop /
+    density audits.  Candidates reduce vectorized to per-row
+    x-extremes, then an exact-integer monotone chain; decode and hull
+    stay in the actor pool, three int64 scalars per image shuffle.
+    Oracle fixture: INDEPENDENT Jarvis-march twin (gift wrapping).
+    Output per fmt: (fmt, n_images, n_fg, sum_hull_area2,
+    sum_hull_verts)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import ConvexHullStats
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        ConvexHullStats, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "n_fg", "hull_verts", "hull_area2"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "n_fg": g["n_fg"].sum(),
+                "sum_hull_area2": g["hull_area2"].sum(),
+                "sum_hull_verts": g["hull_verts"].sum(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_fg", alias_name="n_fg"),
+            Sum("sum_hull_area2", alias_name="sum_hull_area2"),
+            Sum("sum_hull_verts", alias_name="sum_hull_verts"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "n_fg", "sum_hull_area2", "sum_hull_verts"):
+        out[c] = out[c].astype("int64")
+    return out[["fmt", "n_images", "n_fg", "sum_hull_area2",
+                "sum_hull_verts"]]
+
+
+# --------------------------------------------------------------------------
+# Priority-sampling (Duffield-Lund-Thorup) subset-sum audit (q347)
+# --------------------------------------------------------------------------
+
+_PS_K = 64
+_PS_SCALE = 1 << 64  # priority = w * 2^64 // hash  (exact integers)
+
+_PS_SQL = f"""
+WITH w AS (
+  SELECT o_orderkey AS okey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w_c,
+         o_orderpriority = '1-URGENT' AS in_s,
+         GREATEST(md5_number_lower(CAST(o_orderkey AS VARCHAR)), 1) AS h
+  FROM orders
+),
+q AS (SELECT *, CAST(w_c AS HUGEINT) * {_PS_SCALE} // h AS pri FROM w),
+r AS (SELECT *, row_number() OVER (ORDER BY pri DESC, okey) AS rn FROM q),
+tau AS (SELECT COALESCE(MAX(CASE WHEN rn = {_PS_K + 1} THEN pri END), 0)
+               AS tau FROM r),
+s AS (SELECT * FROM r WHERE rn <= {_PS_K}),
+x AS (SELECT CAST(SUM(w_c) AS BIGINT) AS exact_total_c,
+             CAST(SUM(CASE WHEN in_s THEN w_c ELSE 0 END) AS BIGINT)
+               AS exact_urgent_c,
+             CAST(COUNT(*) AS BIGINT) AS n_items FROM w),
+e AS (SELECT
+        CAST(SUM(GREATEST(CAST(w_c AS HUGEINT), (SELECT tau FROM tau)))
+             AS BIGINT) AS est_total_c,
+        CAST(SUM(CASE WHEN in_s
+                 THEN GREATEST(CAST(w_c AS HUGEINT), (SELECT tau FROM tau))
+                 ELSE 0 END) AS BIGINT) AS est_urgent_c
+      FROM s)
+SELECT n_items, CAST((SELECT tau FROM tau) AS BIGINT) AS tau,
+       exact_total_c, est_total_c,
+       CAST(ABS(est_total_c - exact_total_c) * 10000 // exact_total_c
+            AS BIGINT) AS err_total_bp,
+       exact_urgent_c, est_urgent_c
+FROM x, e
+"""
+
+
+@query("q347_priority_sampling", sql=_PS_SQL)
+def q347_priority_sampling(sf_dir: str):
+    """Priority sampling (Duffield-Lund-Thorup): draw ONE weighted
+    sample of k=64 orders (priority = weight / uniform(hash)) and
+    estimate BOTH the total order value and an arbitrary-subset sum
+    (the '1-URGENT' slice) as sum of max(w_i, tau) over sampled subset
+    members, tau = the (k+1)-th priority.  Priorities are EXACT
+    integers (w * 2^64 // md5_lower64, Python ints — they exceed
+    int64), identical to the DuckDB HUGEINT oracle.  The distributed
+    plan: each batch emits only its local top-(k+1) candidates
+    (a batch's member of the global top-(k+1) is in that batch's
+    top-(k+1)), so the driver merge sees k+1 rows per block while the
+    exact totals flow through ordinary Sum aggregates.  Output:
+    (n_items, tau, exact_total_c, est_total_c, err_total_bp,
+    exact_urgent_c, est_urgent_c)."""
+    import hashlib
+
+    ods = _read(sf_dir, "orders",
+                ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        w = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        in_s = (df["o_orderpriority"] == "1-URGENT").to_numpy()
+        cand = []
+        for okey, wc, fl in zip(k, w, in_s):
+            h = int.from_bytes(
+                hashlib.md5(str(int(okey)).encode()).digest()[8:], "little"
+            ) or 1
+            cand.append((int(wc) * _PS_SCALE // h, int(okey), int(wc),
+                         bool(fl)))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        top = cand[: _PS_K + 1]
+        return pd.DataFrame(
+            {
+                "okey": [t[1] for t in top],
+                "w_c": [t[2] for t in top],
+                "in_s": [t[3] for t in top],
+                "pri_str": [str(t[0]) for t in top],  # > int64: ship as str
+                "n_items": [len(df)] + [0] * (len(top) - 1),
+                "sum_w": [int(w.sum())] + [0] * (len(top) - 1),
+                "sum_w_s": [int(w[in_s].sum())] + [0] * (len(top) - 1),
+            }
+        )
+
+    parts = ods.map_batches(partial, batch_format="pandas").to_pandas()
+    n_items = int(parts["n_items"].sum())
+    exact_total = int(parts["sum_w"].sum())
+    exact_urgent = int(parts["sum_w_s"].sum())
+    cand = sorted(
+        (
+            (int(p), int(o), int(wc), bool(fl))
+            for p, o, wc, fl in zip(parts["pri_str"], parts["okey"],
+                                    parts["w_c"], parts["in_s"])
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top = cand[:_PS_K]
+    tau = cand[_PS_K][0] if len(cand) > _PS_K else 0
+    est_total = sum(max(wc, tau) for _, _, wc, _ in top)
+    est_urgent = sum(max(wc, tau) for _, _, wc, fl in top if fl)
+    return pd.DataFrame(
+        {
+            "n_items": [n_items],
+            "tau": [tau],
+            "exact_total_c": [exact_total],
+            "est_total_c": [est_total],
+            "err_total_bp": [abs(est_total - exact_total) * 10000
+                             // exact_total],
+            "exact_urgent_c": [exact_urgent],
+            "est_urgent_c": [est_urgent],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Bipartite butterfly (2x2 biclique) count (q348)
+# --------------------------------------------------------------------------
+
+_BFLY_SQL = """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY p),
+wedge AS (
+  SELECT e1.s AS s1, e2.s AS s2, CAST(COUNT(*) AS BIGINT) AS m
+  FROM e e1 JOIN e e2 ON e1.p = e2.p AND e1.s < e2.s
+  GROUP BY 1, 2
+)
+SELECT (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM e) AS n_left,
+       (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM e) AS n_right,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_butterflies
+FROM wedge
+"""
+
+
+@query("q348_butterfly_count", sql=_BFLY_SQL)
+def q348_butterfly_count(sf_dir: str):
+    """Exact butterfly (2x2 biclique) count of the supplier-part
+    bipartite graph — the bipartite clustering primitive (BUTTERFLIES
+    are to bipartite graphs what triangles are to unipartite ones).
+    Plan: distinct edges via a hash-bucketed combine
+    (ops/aggregate.py::bucketed_groupby — native sort-groupby is the
+    wrong tool for this key cardinality); per-part wedge EXPLOSION
+    (d*(d-1)/2 supplier pairs, vectorized triu indices) inside the
+    p-bucketed combine; pair multiplicities m fold to
+    sum C(m, 2) inside the (s1,s2)-bucketed combine, so only
+    bucket-count rows reach the final sum.  Wedges are the scale knob:
+    a hot part with degree d emits O(d^2) pairs — the degree cap
+    guards it loudly (at web scale, split hot vertices by hashed
+    neighbour ranges and correct the within-split undercount).
+    Output: (n_left, n_right, n_edges, n_wedges, n_butterflies)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    n_rows = li.count()  # metadata-only on parquet
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().rename(
+            columns={"l_suppkey": "s", "l_partkey": "p"}
+        )
+
+    edges = bucketed_groupby(
+        li.map_batches(dedup, batch_format="pandas"),
+        ["s", "p"],
+        lambda df: df.drop_duplicates(),
+        expected_rows=n_rows,
+    ).materialize()
+    n_edges = edges.count()
+
+    def _distinct(col: str) -> int:
+        return bucketed_groupby(
+            edges,
+            col,
+            lambda df: df[[col]].drop_duplicates(),
+            expected_rows=n_edges,
+        ).count()
+
+    n_left = _distinct("s")
+    n_right = _distinct("p")
+
+    # Butterfly fold: the LEFT side (suppliers) is small by
+    # construction, so the per-pair co-neighbourhood counts m(s1,s2)
+    # come from an ADDITIVE co-occurrence matrix instead of a wedge
+    # shuffle: each edge block builds a local 0/1 incidence B over its
+    # parts and emits triu(B @ B^T) — partial matrices SUM across
+    # blocks (parts partition cleanly), so the only "exchange" is a
+    # block-count driver reduce of L*(L-1)/2-entry vectors.  Dot
+    # products are integers < 2^24, exact in float32 BLAS.  Beyond
+    # L ~ 3e4 left nodes the matrix no longer fits and the plan is the
+    # (s1,s2)-bucketed wedge-pair shuffle with hot-vertex salting —
+    # guarded loudly here.
+    if n_left > 30_000:
+        raise ValueError(
+            f"q348: {n_left} left nodes exceeds the co-occurrence-matrix "
+            "plan; switch to the bucketed wedge-pair shuffle with salting"
+        )
+    s_ids = np.sort(
+        pd.concat(
+            [
+                b.to_pandas()
+                for b in bucketed_groupby(
+                    edges, "s", lambda df: df[["s"]].drop_duplicates(),
+                    expected_rows=n_edges,
+                ).iter_batches(batch_format="pyarrow", batch_size=65536)
+            ]
+        )["s"].to_numpy(np.int64)
+    )
+    pos = {int(v): i for i, v in enumerate(s_ids)}
+    pos_ref = ray.put(pos)
+    L = n_left
+    iu, ju = np.triu_indices(L, 1)
+
+    def comat(df: pd.DataFrame) -> pd.DataFrame:
+        # one bucket = a p-COMPLETE slice (bucketed_groupby hashes on p),
+        # so every part's full supplier set co-locates here — a plain
+        # map_batches split would tear parts across blocks and silently
+        # undercount cross-block pairs
+        pm = ray.get(pos_ref)
+        si = df["s"].map(pm).to_numpy(np.int64)
+        p_codes, uniq_p = pd.factorize(df["p"], sort=False)
+        B = np.zeros((L, len(uniq_p)), np.float32)
+        B[si, p_codes] = 1.0
+        M = B @ B.T
+        i, j = np.triu_indices(L, 1)
+        return pd.DataFrame({"m_flat": [M[i, j].astype(np.int64).tobytes()]})
+
+    m = np.zeros(L * (L - 1) // 2, np.int64)
+    for row in bucketed_groupby(
+        edges, "p", comat, expected_rows=n_edges
+    ).iter_rows():
+        m += np.frombuffer(row["m_flat"], np.int64)
+    n_wedges = int(m.sum())
+    n_butterflies = int((m * (m - 1) // 2).sum())
+    return pd.DataFrame(
+        {
+            "n_left": [n_left],
+            "n_right": [n_right],
+            "n_edges": [n_edges],
+            "n_wedges": [n_wedges],
+            "n_butterflies": [n_butterflies],
+        }
+    ).astype("int64")

@@ -820,3 +820,121 @@ class DistanceTransform:
             .append_column("sum_dt", pa.array(sd, pa.int64()))
             .append_column("max_dt", pa.array(md, pa.int64()))
         )
+
+
+def _cross(o, a, b) -> int:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def monotone_chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Andrew's monotone chain with STRICT turns (collinear boundary
+    points dropped — hull lists corners only).  Input points are
+    deduplicated and sorted here; returns the hull CCW.  Degenerate
+    inputs: 1 point -> [p], all-collinear -> the 2 extreme points."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+    lower: list[tuple[int, int]] = []
+    for p in pts:
+        while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[int, int]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:  # all points collinear: keep the two extremes
+        return [pts[0], pts[-1]]
+    return hull
+
+
+def jarvis_march(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Independent twin: gift wrapping with farthest-point collinear
+    tie-break (also corners-only), for the fixture/test oracle."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+    start = min(pts, key=lambda p: (p[1], p[0]))
+    hull = [start]
+    cur = start
+    while True:
+        nxt = None
+        for cand in pts:
+            if cand == cur:
+                continue
+            if nxt is None:
+                nxt = cand
+                continue
+            c = _cross(cur, nxt, cand)
+            if c < 0 or (
+                c == 0
+                and (abs(cand[0] - cur[0]) + abs(cand[1] - cur[1]))
+                > (abs(nxt[0] - cur[0]) + abs(nxt[1] - cur[1]))
+            ):
+                nxt = cand
+        if nxt is None or nxt == start:
+            break
+        hull.append(nxt)
+        cur = nxt
+    if len(hull) < 3:
+        return [pts[0], pts[-1]]
+    return hull
+
+
+def hull_area2(hull: list[tuple[int, int]]) -> int:
+    """2x the polygon area (shoelace, exact integer); 0 for <3 pts."""
+    if len(hull) < 3:
+        return 0
+    s = 0
+    for (x1, y1), (x2, y2) in zip(hull, hull[1:] + hull[:1]):
+        s += x1 * y2 - x2 * y1
+    return abs(s)
+
+
+class ConvexHullStats:
+    """Actor-pool stage: convex hull of the FOREGROUND pixel set
+    (luminance >= ``thresh``) per image — the content-extent audit
+    behind auto-crop and layout density scoring.  The candidate set is
+    first reduced VECTORIZED to per-row x-extremes (the hull of the
+    row-extreme points equals the hull of all foreground pixels), so
+    the monotone chain runs over <= 2h points, not n_fg.  Exact
+    integer arithmetic (cross products + shoelace).  Adds ``n_fg``,
+    ``hull_verts`` (strict corners; 1/2 for degenerate point/segment
+    sets) and ``hull_area2`` (2x area; 0 when degenerate)."""
+
+    def __init__(self, thresh: int = 383) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.thresh = thresh
+
+    def _stats(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        fg = lum >= self.thresh
+        n_fg = int(fg.sum())
+        if n_fg == 0:
+            return 0, 0, 0
+        h, w = fg.shape
+        rows = fg.any(axis=1)
+        ys = np.nonzero(rows)[0]
+        first = fg[rows].argmax(axis=1)
+        last = w - 1 - fg[rows][:, ::-1].argmax(axis=1)
+        pts = [(int(x), int(y)) for x, y in zip(first, ys)]
+        pts += [(int(x), int(y)) for x, y in zip(last, ys)]
+        hull = monotone_chain(pts)
+        return n_fg, len(hull), hull_area2(hull)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf, hv, ha = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            a, b, c = self._stats(self.decode(raw))
+            nf.append(a)
+            hv.append(b)
+            ha.append(c)
+        return (
+            batch.append_column("n_fg", pa.array(nf, pa.int64()))
+            .append_column("hull_verts", pa.array(hv, pa.int64()))
+            .append_column("hull_area2", pa.array(ha, pa.int64()))
+        )

@@ -3225,6 +3225,47 @@ def gen_dt() -> None:
     print(agg)
 
 
+def gen_hull() -> None:
+    """Expected q346 per-fmt hull stats from the INDEPENDENT Jarvis
+    gift-wrapping twin over the same per-row extreme points."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+    from texrex_ray.stages.images import hull_area2, jarvis_march
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        px = decode_image(raw)
+        lum = px.astype(np.int64).sum(axis=2)
+        fg = lum >= 383
+        n_fg = int(fg.sum())
+        if n_fg == 0:
+            rows.append((fmt, 0, 0, 0))
+            continue
+        w = fg.shape[1]
+        sel = fg.any(axis=1)
+        ys = np.nonzero(sel)[0]
+        first = fg[sel].argmax(axis=1)
+        last = w - 1 - fg[sel][:, ::-1].argmax(axis=1)
+        pts = [(int(x), int(y)) for x, y in zip(first, ys)]
+        pts += [(int(x), int(y)) for x, y in zip(last, ys)]
+        hull = jarvis_march(pts)
+        rows.append((fmt, n_fg, hull_area2(hull), len(hull)))
+    df = pd.DataFrame(rows, columns=["fmt", "n_fg", "a2", "v"])
+    agg = df.groupby("fmt").agg(
+        n_images=("n_fg", "size"), n_fg=("n_fg", "sum"),
+        sum_hull_area2=("a2", "sum"), sum_hull_verts=("v", "sum"),
+    ).reset_index().astype({c: "int64" for c in
+        ("n_images", "n_fg", "sum_hull_area2", "sum_hull_verts")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "hull_sf0.01.parquet"))
+    print("hull_sf0.01.parquet:")
+    print(agg)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3313,6 +3354,7 @@ def main() -> None:
     gen_sssp()
     gen_bwt()
     gen_dt()
+    gen_hull()
 
 
 if __name__ == "__main__":
