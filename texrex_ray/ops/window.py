@@ -289,3 +289,86 @@ def prefix_scan_sum(
     return bucketed_groupby(
         bucketed, "_pss_bucket", combine, n_buckets=n_buckets
     )
+
+
+def windowed_min(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    *,
+    window: int,
+    out: str = "win_min",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Global rolling minimum over the ``window`` rows ending at each
+    row in ``order_col`` order — ``MIN(value) OVER (ORDER BY order
+    ROWS window-1 PRECEDING)`` — via contiguous range slices plus a
+    HALO exchange: each slice needs only the last ``window - 1`` rows
+    of its predecessor slices, so the cross-slice traffic is
+    (window-1) x n_buckets rows through the driver, never a global
+    sort.  Ties in ``order_col`` are broken by ``value_col`` (give
+    rows a unique order key when tie semantics matter — the callers
+    here pack one).  Integer columns only."""
+    lo = ds.min(order_col)
+    hi = ds.max(order_col)
+    if lo is None:
+
+        def add_empty(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                out, pa.array([0] * t.num_rows, pa.int64())
+            )
+
+        return ds.map_batches(add_empty, batch_format="pyarrow")
+    width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (o - int(lo)) // width
+        return t.append_column("_wm_bucket", pa.array(b, pa.int64()))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+    # per-bucket TAILS (last window-1 rows) -> driver -> per-bucket halo
+    def tails(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for b, sub in df.groupby("_wm_bucket", sort=False):
+            sub = sub.sort_values([order_col, value_col], kind="mergesort")
+            parts.append(sub.tail(window - 1))
+        return pd.concat(parts) if parts else df
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    tail_df = (
+        bucketed_groupby(bucketed, "_wm_bucket", tails, n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values(["_wm_bucket", order_col, value_col], kind="mergesort")
+    )
+    halos: dict[int, pd.DataFrame] = {}
+    seen: list[pd.DataFrame] = []
+    for b in sorted(tail_df["_wm_bucket"].unique()):
+        prev = pd.concat(seen).tail(window - 1) if seen else tail_df.iloc[:0]
+        halos[int(b)] = prev
+        seen.append(tail_df[tail_df["_wm_bucket"] == b])
+    halo_ref = ray.put(halos)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(halo_ref)
+        parts = []
+        for b, sub in df.groupby("_wm_bucket", sort=False):
+            halo = h.get(int(b), sub.iloc[:0])
+            n_h = len(halo)
+            full = pd.concat([halo, sub]).sort_values(
+                [order_col, value_col], kind="mergesort"
+            )
+            mins = (
+                full[value_col].rolling(window, min_periods=1).min()
+                .to_numpy(np.int64)
+            )
+            res = full.iloc[n_h:].copy()
+            res[out] = mins[n_h:]
+            parts.append(res)
+        res = pd.concat(parts) if parts else df.assign(**{out: []})
+        return res.drop(columns=["_wm_bucket"])
+
+    return bucketed_groupby(bucketed, "_wm_bucket", combine,
+                            n_buckets=n_buckets)

@@ -24344,3 +24344,299 @@ def q348_butterfly_count(sf_dir: str):
             "n_butterflies": [n_butterflies],
         }
     ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence audit: event type x value band (q349)
+# --------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH c AS (
+  SELECT event_type AS et,
+         CASE WHEN CAST(ROUND(value * 100) AS BIGINT) < 2000 THEN 0
+              WHEN CAST(ROUND(value * 100) AS BIGINT) < 5000 THEN 1
+              WHEN CAST(ROUND(value * 100) AS BIGINT) < 10000 THEN 2
+              ELSE 3 END AS vb
+  FROM events
+),
+o AS (SELECT et, vb, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+grid AS (
+  SELECT e.et, v.vb, COALESCE(o.n, 0) AS n
+  FROM (SELECT DISTINCT et FROM o) e
+  CROSS JOIN (SELECT DISTINCT vb FROM o) v
+  LEFT JOIN o ON o.et = e.et AND o.vb = v.vb
+),
+rt AS (SELECT et, SUM(n) AS r FROM grid GROUP BY 1),
+ct AS (SELECT vb, SUM(n) AS c FROM grid GROUP BY 1),
+tot AS (SELECT SUM(n) AS nn FROM grid)
+SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT g.et) - 1) * (COUNT(DISTINCT g.vb) - 1)
+            AS BIGINT) AS dof,
+       CAST(SUM(
+         (g.n * nn - r * c) * (g.n * nn - r * c) * 1000000
+           // (r * c * nn)
+       ) AS BIGINT) AS chi2_scaled
+FROM grid g JOIN rt ON rt.et = g.et JOIN ct ON ct.vb = g.vb, tot
+"""
+
+
+@query("q349_chi2_independence", sql=_CHI2_SQL)
+def q349_chi2_independence(sf_dir: str):
+    """Pearson chi-square independence audit of event_type x value
+    band (fixed cent thresholds) — the categorical-drift / feature-
+    dependence primitive.  Integer-exact: with N, row totals r and
+    column totals c, each cell contributes
+    (O*N - r*c)^2 * 1e6 // (r*c*N) — floored PER CELL in Python ints
+    (the squared numerators exceed int64), matching the DuckDB HUGEINT
+    oracle term for term, including EMPTY grid cells (O=0 cells still
+    carry E>0).  Plan: one combiner-style partial count per batch, a
+    cell-count-sized groupby, driver math on the <=R*C grid.  Output:
+    (n_rows, n_cells, dof, chi2_scaled)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        vb = np.select([vc < 2000, vc < 5000, vc < 10000],
+                       [0, 1, 2], default=3)
+        return (
+            pd.DataFrame({"et": df["event_type"].to_numpy(), "vb": vb})
+            .groupby(["et", "vb"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    grid = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["et", "vb"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    ets = sorted(grid["et"].unique())
+    vbs = sorted(grid["vb"].unique())
+    full = (
+        pd.MultiIndex.from_product([ets, vbs], names=["et", "vb"])
+        .to_frame(index=False)
+        .merge(grid, on=["et", "vb"], how="left")
+        .fillna({"n": 0})
+    )
+    nn = int(full["n"].sum())
+    r = full.groupby("et")["n"].transform("sum").astype(int)
+    c = full.groupby("vb")["n"].transform("sum").astype(int)
+    chi2 = sum(
+        (int(o) * nn - int(ri) * int(ci)) ** 2 * 1_000_000
+        // (int(ri) * int(ci) * nn)
+        for o, ri, ci in zip(full["n"], r, c)
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [nn],
+            "n_cells": [len(full)],
+            "dof": [(len(ets) - 1) * (len(vbs) - 1)],
+            "chi2_scaled": [chi2],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Union-of-rectangles area via slab decomposition (q350)
+# --------------------------------------------------------------------------
+
+_RECT_SLABS = 64
+_RECT_DOM = 101_000  # x/y origins < 100000, extents <= 1000
+
+_RECT_SQL = (
+    "SELECT n_rects, sum_rect_area, union_area "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/rectunion_sf0.01.parquet')"
+)
+
+
+def _order_rects(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic synthetic rectangles, one per order (exact ints)."""
+    import hashlib
+
+    k = df["o_orderkey"].to_numpy(np.int64)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(x)).encode()).digest()[8:],
+                           "little")
+            for x in k
+        ),
+        np.uint64,
+        len(k),
+    ).astype(object)
+    x0 = np.array([int(v) % 100_000 for v in h], np.int64)
+    y0 = np.array([int(v) // 100_000 % 100_000 for v in h], np.int64)
+    w = k % 900 + 100
+    ht = (k * 7) % 900 + 100
+    return pd.DataFrame({"x0": x0, "x1": x0 + w, "y0": y0, "y1": y0 + ht})
+
+
+def _sweep_area(rects: pd.DataFrame) -> int:
+    """Exact union area: x-event sweep with a compressed-y coverage
+    count array (covered length recomputed per event span)."""
+    if rects.empty:
+        return 0
+    ys = np.unique(np.concatenate([rects["y0"].to_numpy(),
+                                   rects["y1"].to_numpy()]))
+    seg_len = np.diff(ys).astype(np.int64)
+    y_pos = {int(v): i for i, v in enumerate(ys)}
+    events = []  # (x, +1/-1, y0_idx, y1_idx)
+    for x0, x1, y0, y1 in rects[["x0", "x1", "y0", "y1"]].itertuples(
+            index=False):
+        events.append((int(x0), 1, y_pos[int(y0)], y_pos[int(y1)]))
+        events.append((int(x1), -1, y_pos[int(y0)], y_pos[int(y1)]))
+    events.sort()
+    cnt = np.zeros(len(ys) - 1, np.int64)
+    area = 0
+    prev_x = events[0][0]
+    for x, d, i0, i1 in events:
+        if x > prev_x:
+            area += int(seg_len[cnt > 0].sum()) * (x - prev_x)
+            prev_x = x
+        cnt[i0:i1] += d
+    return area
+
+
+@query("q350_rect_union_area", sql=_RECT_SQL)
+def q350_rect_union_area(sf_dir: str):
+    """Exact area of the union of 15k+ axis-aligned rectangles (one
+    deterministic rect per order) — the coverage/overlap primitive
+    behind viewport dedup and tile planning.  DISTRIBUTED by slab
+    decomposition: the x-axis splits into 64 fixed slabs, each rect is
+    REPLICATED (clipped) to the slabs it overlaps via a flat-map, and
+    each slab runs an independent event sweep over a compressed-y
+    coverage array — slabs partition the plane, so slab areas sum
+    exactly, no halo needed.  The oracle fixture is an INDEPENDENT
+    x-strip + y-interval-merge twin over the unsliced input
+    (tools/gen_oracle_fixtures.py::gen_rectunion).  Output:
+    (n_rects, sum_rect_area, union_area)."""
+    ods = _read(sf_dir, "orders", ["o_orderkey"])
+    slab_w = _RECT_DOM // _RECT_SLABS + 1
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        r = _order_rects(df)
+        outs = []
+        for x0, x1, y0, y1 in r.itertuples(index=False):
+            for s in range(int(x0) // slab_w, (int(x1) - 1) // slab_w + 1):
+                lo, hi = s * slab_w, (s + 1) * slab_w
+                outs.append((s, max(int(x0), lo), min(int(x1), hi),
+                             int(y0), int(y1)))
+        out = pd.DataFrame(
+            outs, columns=["slab", "x0", "x1", "y0", "y1"]
+        )
+        # per-batch partials for the exact-total audit columns
+        out["n_rects"] = 0
+        out["rect_area"] = 0
+        if len(r):
+            out.loc[out.index[0], "n_rects"] = len(r)
+            out.loc[out.index[0], "rect_area"] = int(
+                ((r["x1"] - r["x0"]) * (r["y1"] - r["y0"])).sum()
+            )
+        return out
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    exploded = ods.map_batches(explode, batch_format="pandas").materialize()
+    n_rects = int(exploded.sum("n_rects"))
+    sum_rect_area = int(exploded.sum("rect_area"))
+
+    def slab_sweep(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s, sub in df.groupby("slab", sort=False):
+            outs.append((int(s), _sweep_area(sub)))
+        return pd.DataFrame(outs, columns=["slab", "area"])
+
+    areas = bucketed_groupby(
+        exploded.drop_columns(["n_rects", "rect_area"]),
+        "slab",
+        slab_sweep,
+        n_buckets=16,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rects": [n_rects],
+            "sum_rect_area": [sum_rect_area],
+            "union_area": [int(areas["area"].sum())],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-row minimum with halo exchange (q351)
+# --------------------------------------------------------------------------
+
+_ROLL_W = 7
+
+_ROLLMIN_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+         MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           ORDER BY ts, event_id
+           ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW
+         ) AS win_min
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(win_min) AS BIGINT) AS sum_win_min_c,
+       CAST(SUM(CASE WHEN win_min = value_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self_min
+FROM v
+"""
+
+
+@query("q351_rolling_min", sql=_ROLLMIN_SQL)
+def q351_rolling_min(sf_dir: str):
+    """Global 7-row rolling minimum over the (ts, event_id)-ordered
+    event stream — the monitoring floor/debounce primitive — WITHOUT a
+    global sort: ops/window.py::windowed_min range-slices the order
+    key and exchanges only each slice's (window-1)-row HALO through
+    the driver, then computes the in-slice rolling min vectorized.
+    The order key packs (epoch_us, event_id) so ties are impossible.
+    Output: (n_rows, sum_win_min_c, n_self_min)."""
+    from texrex_ray.ops.window import windowed_min
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    min_us = int(pd.Timestamp(ev.min("ts")).value // 1000)
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        # exact (ts, event_id) total order in ONE int64: rebased stamps
+        # (<= ~2^42 us for a multi-week window) shifted over 21 id bits
+        span = us - min_us
+        if span.max(initial=0) >= (1 << 42) or eid.max(initial=0) >= (1 << 21):
+            raise ValueError(
+                "q351 packed order key overflow: widen to (ord_hi, ord_lo)"
+            )
+        ok = (span << 21) | eid
+        vc = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                      ).astype(np.int64)
+        return pa.table({"ord": ok, "us": us, "eid": eid, "value_c": vc})
+
+    base = ev.map_batches(derive, batch_format="pyarrow")
+    rolled = windowed_min(base, "ord", "value_c", window=_ROLL_W,
+                          out="win_min")
+
+    def fold(t: pa.Table) -> pa.Table:
+        wm = t["win_min"].to_numpy(zero_copy_only=False)
+        vc = t["value_c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "sum_win_min_c": pa.array([int(wm.sum())], pa.int64()),
+                "n_self_min": pa.array([int((wm == vc).sum())], pa.int64()),
+            }
+        )
+
+    out = (
+        rolled.map_batches(fold, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_win_min_c", alias_name="sum_win_min_c"),
+            Sum("n_self_min", alias_name="n_self_min"),
+        )
+        .to_pandas()
+    )
+    return out[["n_rows", "sum_win_min_c", "n_self_min"]].astype("int64")

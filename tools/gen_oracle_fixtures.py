@@ -3266,6 +3266,46 @@ def gen_hull() -> None:
     print(agg)
 
 
+def gen_rectunion() -> None:
+    """Expected q350 union area from the INDEPENDENT x-strip +
+    y-interval-merge twin over the unsliced rectangle set."""
+    import pandas as pd
+    from texrex_ray.pipelines.queries import _order_rects
+
+    o = pq.read_table(f"{SF_DIR}/orders.parquet",
+                      columns=["o_orderkey"]).to_pandas()
+    r = _order_rects(o)
+    xs = np.unique(np.concatenate([r["x0"].to_numpy(), r["x1"].to_numpy()]))
+    x0 = r["x0"].to_numpy(np.int64)
+    x1 = r["x1"].to_numpy(np.int64)
+    y0 = r["y0"].to_numpy(np.int64)
+    y1 = r["y1"].to_numpy(np.int64)
+    area = 0
+    for a, b in zip(xs[:-1], xs[1:]):
+        live = (x0 <= a) & (x1 >= b)
+        if not live.any():
+            continue
+        ivs = sorted(zip(y0[live], y1[live]))
+        covered = 0
+        cur_lo, cur_hi = ivs[0]
+        for lo, hi in ivs[1:]:
+            if lo > cur_hi:
+                covered += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        covered += cur_hi - cur_lo
+        area += int(covered) * int(b - a)
+    out = pa.table({
+        "n_rects": pa.array([len(r)], pa.int64()),
+        "sum_rect_area": pa.array(
+            [int(((x1 - x0) * (y1 - y0)).sum())], pa.int64()),
+        "union_area": pa.array([area], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "rectunion_sf0.01.parquet"))
+    print("rectunion_sf0.01.parquet:", len(r), "rects, union", area)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3355,6 +3395,7 @@ def main() -> None:
     gen_bwt()
     gen_dt()
     gen_hull()
+    gen_rectunion()
 
 
 if __name__ == "__main__":
