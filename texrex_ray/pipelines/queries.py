@@ -24640,3 +24640,248 @@ def q351_rolling_min(sf_dir: str):
         .to_pandas()
     )
     return out[["n_rows", "sum_win_min_c", "n_self_min"]].astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Minimum seam-carving cost over the image payload table (q352)
+# --------------------------------------------------------------------------
+
+_SEAM_SQL = (
+    "SELECT fmt, n_images, sum_seam_cost, min_seam_cost, max_seam_cost "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/seam_sf0.01.parquet') "
+    "ORDER BY fmt"
+)
+
+
+@query("q352_seam_energy", sql=_SEAM_SQL)
+def q352_seam_energy(sf_dir: str):
+    """Minimum vertical seam cost per image (seam carving /
+    content-aware-resize inner loop): gradient-energy surface + one
+    vectorized min-of-three DP per row (stages/images.py::SeamEnergy).
+    Low cost = a low-energy corridor (croppable background column).
+    Decode and DP stay in the actor pool; one int64 per image
+    shuffles.  Oracle fixture: INDEPENDENT Dijkstra twin over the same
+    pixel DAG (tools/gen_oracle_fixtures.py::gen_seam).  Output per
+    fmt: (fmt, n_images, sum_seam_cost, min_seam_cost,
+    max_seam_cost)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import SeamEnergy
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        SeamEnergy, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).select_columns(["fmt", "seam_cost"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")["seam_cost"]
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "sum_seam_cost": g.sum(),
+                "min_seam_cost": g.min(),
+                "max_seam_cost": g.max(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_seam_cost", alias_name="sum_seam_cost"),
+            Min("min_seam_cost", alias_name="min_seam_cost"),
+            Max("max_seam_cost", alias_name="max_seam_cost"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "sum_seam_cost", "min_seam_cost", "max_seam_cost"):
+        out[c] = out[c].astype("int64")
+    return out[["fmt", "n_images", "sum_seam_cost", "min_seam_cost",
+                "max_seam_cost"]]
+
+
+# --------------------------------------------------------------------------
+# Kadane maximum-burst (best contiguous run) per user (q353)
+# --------------------------------------------------------------------------
+
+_KADANE_BASE = 5000  # cents: runs are scored against a 50-unit baseline
+
+_KADANE_SQL = f"""
+WITH v AS (
+  SELECT user_id AS u, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) - {_KADANE_BASE} AS x
+  FROM events
+),
+c0 AS (
+  SELECT u, ts, event_id,
+         SUM(x) OVER (PARTITION BY u ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM v
+),
+c AS (
+  SELECT u, cum,
+         COALESCE(MIN(cum) OVER (
+             PARTITION BY u ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmin
+  FROM c0
+),
+b AS (
+  SELECT u, MAX(cum - LEAST(pmin, 0)) AS best FROM c GROUP BY u
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(best) AS BIGINT) AS sum_best_c,
+       CAST(MAX(best) AS BIGINT) AS max_best_c,
+       CAST(SUM(CASE WHEN best > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_users_positive
+FROM b
+"""
+
+
+@query("q353_kadane_burst", sql=_KADANE_SQL)
+def q353_kadane_burst(sf_dir: str):
+    """Best contiguous spend burst per user (Kadane): the maximum-sum
+    NONEMPTY run of baseline-centred event values in (ts, event_id)
+    order — the classic 'hottest streak' primitive.  The scan form
+    used here is exchange-friendly: best = max_i (S_i - min(0,
+    min_{{j<i}} S_j)) over per-user prefix sums, so each USER-COMPLETE
+    bucket (one hash-bucketed combine) computes cumsum + shifted
+    prefix-min vectorized — no per-row Python, one exchange.  Output:
+    (n_users, sum_best_c, max_best_c, n_users_positive)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    n_rows = ev.count()
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        x = (
+            np.round(df["value"].to_numpy() * 100).astype(np.int64)
+            - _KADANE_BASE
+        )
+        g = df.groupby("user_id", sort=False)
+        cum = pd.Series(x, index=df.index).groupby(
+            df["user_id"], sort=False
+        ).cumsum().to_numpy(np.int64)
+        rows = []
+        start = 0
+        for u, sz in g.size().items():
+            c = cum[start:start + sz]
+            pmin = np.concatenate(([0], np.minimum.accumulate(c)[:-1]))
+            best = int((c - np.minimum(pmin, 0)).max())
+            rows.append((u, best))
+            start += sz
+        return pd.DataFrame(rows, columns=["u", "best"])
+
+    per = bucketed_groupby(ev, "user_id", per_user, expected_rows=n_rows)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["best"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_users": [len(b)],
+                "sum_best_c": [int(b.sum())],
+                "max_best_c": [int(b.max()) if len(b) else -(1 << 62)],
+                "n_users_positive": [int((b > 0).sum())],
+            }
+        )
+
+    out = (
+        per.map_batches(fold, batch_format="pandas")
+        .groupby(None)
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("sum_best_c", alias_name="sum_best_c"),
+            Max("max_best_c", alias_name="max_best_c"),
+            Sum("n_users_positive", alias_name="n_users_positive"),
+        )
+        .to_pandas()
+    )
+    return out[["n_users", "sum_best_c", "max_best_c",
+                "n_users_positive"]].astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Exact distributed selection (k-th smallest) without a sort (q354)
+# --------------------------------------------------------------------------
+
+_KTH_SQL = """
+WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+           FROM lineitem),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM v)
+SELECT n_rows,
+       (SELECT x FROM v ORDER BY x LIMIT 1
+        OFFSET ((SELECT n_rows FROM n) + 9) // 10 - 1)  AS p10_c,
+       (SELECT x FROM v ORDER BY x LIMIT 1
+        OFFSET ((SELECT n_rows FROM n) + 1) // 2 - 1)   AS p50_c,
+       (SELECT x FROM v ORDER BY x LIMIT 1
+        OFFSET ((SELECT n_rows FROM n) * 9 + 9) // 10 - 1) AS p90_c
+FROM n
+"""
+
+
+@query("q354_exact_kth", sql=_KTH_SQL)
+def q354_exact_kth(sf_dir: str):
+    """EXACT order statistics (p10/p50/p90 as k-th smallest, k =
+    ceil(q*n)) of the price column WITHOUT any global sort: pass 1
+    builds a coarse value histogram (value >> 8 buckets, one
+    combiner-style groupby whose result is histogram-sized); the
+    driver walks the cumulative counts to locate each target's bucket
+    and residual rank; pass 2 filters just those buckets' rows (a
+    predicate-pushdown scan returning ~n/buckets values) and picks the
+    residual ranks from the tiny sorted slices.  Two streaming passes,
+    no materialization — the distributed-selection replacement for
+    ORDER BY ... OFFSET.  Output: (n_rows, p10_c, p50_c, p90_c)."""
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        b, c = np.unique(v >> 8, return_counts=True)
+        return pa.table({"b": b, "c": c.astype(np.int64)})
+
+    counts = (
+        li.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    n = int(counts["c"].sum())
+    targets = {
+        "p10_c": (n + 9) // 10,
+        "p50_c": (n + 1) // 2,
+        "p90_c": (n * 9 + 9) // 10,
+    }
+    cum = counts["c"].cumsum().to_numpy(np.int64)
+    buckets = counts["b"].to_numpy(np.int64)
+    need: dict[int, list[tuple[str, int]]] = {}
+    for name, k in targets.items():
+        i = int(np.searchsorted(cum, k))
+        resid = k - (int(cum[i - 1]) if i else 0)  # 1-indexed within bucket
+        need.setdefault(int(buckets[i]), []).append((name, resid))
+    need_ref = ray.put(set(need))
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        v = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = np.isin(v >> 8, list(want))
+        return pa.table({"x": v[keep]})
+
+    vals = li.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+    x = np.sort(vals["x"].to_numpy(np.int64))
+    out = {"n_rows": n}
+    for b, wants in need.items():
+        in_b = x[(x >> 8) == b]
+        for name, resid in wants:
+            out[name] = int(in_b[resid - 1])
+    return pd.DataFrame({k: [v] for k, v in out.items()}).astype("int64")[
+        ["n_rows", "p10_c", "p50_c", "p90_c"]
+    ]

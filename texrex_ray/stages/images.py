@@ -938,3 +938,44 @@ class ConvexHullStats:
             .append_column("hull_verts", pa.array(hv, pa.int64()))
             .append_column("hull_area2", pa.array(ha, pa.int64()))
         )
+
+
+def seam_energy(lum: np.ndarray) -> np.ndarray:
+    """Gradient-magnitude energy |dx| + |dy| with replicated borders
+    (exact integers), the seam-carving cost surface."""
+    padx = np.pad(lum, ((0, 0), (1, 1)), mode="edge")
+    pady = np.pad(lum, ((1, 1), (0, 0)), mode="edge")
+    return np.abs(padx[:, 2:] - padx[:, :-2]) + np.abs(
+        pady[2:, :] - pady[:-2, :]
+    )
+
+
+class SeamEnergy:
+    """Actor-pool stage: minimum vertical-seam cost (seam carving's
+    inner loop) — the cheapest top-to-bottom 8-connected-column path
+    through the gradient-energy surface, via the classic DP
+    ``cost[y] = energy[y] + min(cost[y-1] shifted -1/0/+1)`` — one
+    vectorized min-of-three per row, no per-pixel Python.  Exact
+    integers; the oracle twin runs Dijkstra over the same DAG.  Adds
+    ``seam_cost`` (int64)."""
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _seam(self, px: np.ndarray) -> int:
+        lum = px.astype(np.int64).sum(axis=2)
+        e = seam_energy(lum)
+        big = np.int64(1) << 50
+        cost = e[0].copy()
+        for y in range(1, e.shape[0]):
+            left = np.concatenate(([big], cost[:-1]))
+            right = np.concatenate((cost[1:], [big]))
+            cost = e[y] + np.minimum(np.minimum(left, cost), right)
+        return int(cost.min())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cs = [self._seam(self.decode(raw))
+              for raw in batch["bytes"].to_pylist()]
+        return batch.append_column("seam_cost", pa.array(cs, pa.int64()))

@@ -3306,6 +3306,55 @@ def gen_rectunion() -> None:
     print("rectunion_sf0.01.parquet:", len(r), "rects, union", area)
 
 
+def gen_seam() -> None:
+    """Expected q352 per-fmt seam costs from the INDEPENDENT Dijkstra
+    twin over the same gradient-energy DAG."""
+    import heapq
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+    from texrex_ray.stages.images import seam_energy
+
+    def dijkstra_seam(lum):
+        e = seam_energy(lum)
+        h, w = e.shape
+        dist = {}
+        heap = [(int(e[0, x]), 0, x) for x in range(w)]
+        heapq.heapify(heap)
+        best = None
+        while heap:
+            d, y, x = heapq.heappop(heap)
+            if (y, x) in dist:
+                continue
+            dist[(y, x)] = d
+            if y == h - 1:
+                best = d if best is None else min(best, d)
+                continue
+            for dx in (-1, 0, 1):
+                nx = x + dx
+                if 0 <= nx < w and (y + 1, nx) not in dist:
+                    heapq.heappush(heap, (d + int(e[y + 1, nx]), y + 1, nx))
+        return best
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2)
+        rows.append((fmt, dijkstra_seam(lum)))
+    df = pd.DataFrame(rows, columns=["fmt", "c"])
+    agg = df.groupby("fmt").agg(
+        n_images=("c", "size"), sum_seam_cost=("c", "sum"),
+        min_seam_cost=("c", "min"), max_seam_cost=("c", "max"),
+    ).reset_index().astype({c: "int64" for c in
+        ("n_images", "sum_seam_cost", "min_seam_cost", "max_seam_cost")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "seam_sf0.01.parquet"))
+    print("seam_sf0.01.parquet:")
+    print(agg)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3396,6 +3445,7 @@ def main() -> None:
     gen_dt()
     gen_hull()
     gen_rectunion()
+    gen_seam()
 
 
 if __name__ == "__main__":
