@@ -979,3 +979,84 @@ class SeamEnergy:
         cs = [self._seam(self.decode(raw))
               for raw in batch["bytes"].to_pylist()]
         return batch.append_column("seam_cost", pa.array(cs, pa.int64()))
+
+
+def huffman_bits_heap(hist: np.ndarray) -> int:
+    """Exact optimal prefix-code size (total bits) for a symbol
+    histogram via heapq Huffman — the optimal TOTAL is unique across
+    tie-breaks, so any Huffman implementation agrees.  Single-symbol
+    convention: 1 bit per occurrence."""
+    import heapq
+
+    w = [int(x) for x in hist if x > 0]
+    if not w:
+        return 0
+    if len(w) == 1:
+        return w[0]
+    heapq.heapify(w)
+    total = 0
+    while len(w) > 1:
+        a = heapq.heappop(w)
+        b = heapq.heappop(w)
+        total += a + b
+        heapq.heappush(w, a + b)
+    return total
+
+
+def huffman_bits_twoqueue(hist: np.ndarray) -> int:
+    """Independent twin: sorted two-queue Huffman (O(n) merge after
+    one sort) — different mechanics, same unique optimal total."""
+    leaves = sorted(int(x) for x in hist if x > 0)
+    if not leaves:
+        return 0
+    if len(leaves) == 1:
+        return leaves[0]
+    from collections import deque
+
+    q1, q2 = deque(leaves), deque()
+    total = 0
+
+    def pop_min():
+        if q1 and (not q2 or q1[0] <= q2[0]):
+            return q1.popleft()
+        return q2.popleft()
+
+    while len(q1) + len(q2) > 1:
+        a = pop_min()
+        b = pop_min()
+        total += a + b
+        q2.append(a + b)
+    return total
+
+
+class ResidualCodingBound:
+    """Actor-pool stage: exact entropy-coding lower bound (optimal
+    prefix code, bits) of each image's LEFT-PREDICTOR residuals — the
+    PNG 'Sub' filter audit: how compressible the pixels are after the
+    cheapest spatial predictor.  Residuals r = (b[x] - b[x-1]) mod 256
+    over the R channel, vectorized; the 256-bin histogram feeds an
+    exact Huffman total (optimal size is tie-break-invariant).  Adds
+    ``raw_bits`` (8 * n_px) and ``huff_bits``."""
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _bits(self, px: np.ndarray) -> tuple[int, int]:
+        b = px[:, :, 0].astype(np.int64)
+        resid = np.empty_like(b)
+        resid[:, 0] = b[:, 0]
+        resid[:, 1:] = (b[:, 1:] - b[:, :-1]) % 256
+        hist = np.bincount(resid.ravel(), minlength=256)
+        return 8 * b.size, huffman_bits_heap(hist)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rb, hb = [], []
+        for raw in batch["bytes"].to_pylist():
+            a, b = self._bits(self.decode(raw))
+            rb.append(a)
+            hb.append(b)
+        return batch.append_column(
+            "raw_bits", pa.array(rb, pa.int64())
+        ).append_column("huff_bits", pa.array(hb, pa.int64()))

@@ -3355,6 +3355,39 @@ def gen_seam() -> None:
     print(agg)
 
 
+def gen_resid() -> None:
+    """Expected q356 per-fmt residual coding bounds from the
+    INDEPENDENT two-queue Huffman twin."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+    from texrex_ray.stages.images import huffman_bits_twoqueue
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        b = decode_image(raw)[:, :, 0].astype(np.int64)
+        resid = np.empty_like(b)
+        resid[:, 0] = b[:, 0]
+        resid[:, 1:] = (b[:, 1:] - b[:, :-1]) % 256
+        hist = np.bincount(resid.ravel(), minlength=256)
+        rows.append((fmt, 8 * b.size, huffman_bits_twoqueue(hist)))
+    df = pd.DataFrame(rows, columns=["fmt", "raw", "huff"])
+    agg = df.groupby("fmt").agg(
+        n_images=("raw", "size"), sum_raw_bits=("raw", "sum"),
+        sum_huff_bits=("huff", "sum"),
+    ).reset_index()
+    agg["ratio_ppm"] = agg["sum_huff_bits"] * 1_000_000 // agg["sum_raw_bits"]
+    agg = agg.astype({c: "int64" for c in
+        ("n_images", "sum_raw_bits", "sum_huff_bits", "ratio_ppm")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "resid_sf0.01.parquet"))
+    print("resid_sf0.01.parquet:")
+    print(agg)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3446,6 +3479,7 @@ def main() -> None:
     gen_hull()
     gen_rectunion()
     gen_seam()
+    gen_resid()
 
 
 if __name__ == "__main__":
