@@ -1060,3 +1060,61 @@ class ResidualCodingBound:
         return batch.append_column(
             "raw_bits", pa.array(rb, pa.int64())
         ).append_column("huff_bits", pa.array(hb, pa.int64()))
+
+
+_MED9_NET = [
+    (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+    (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+    (4, 2), (6, 4), (4, 2),
+]
+
+
+def median9(planes: list[np.ndarray]) -> np.ndarray:
+    """Exact median of 9 equal-shape integer planes via the classic
+    19-exchange sorting network — every exchange is a vectorized
+    min/max, no per-pixel Python.  After the network, index 4 holds
+    the median."""
+    v = [p.copy() for p in planes]
+    for a, b in _MED9_NET:
+        lo = np.minimum(v[a], v[b])
+        hi = np.maximum(v[a], v[b])
+        v[a], v[b] = lo, hi
+    return v[4]
+
+
+class MedianFilter:
+    """Actor-pool stage: 3x3 median filter over channel-sum luminance
+    (interior pixels) — the classic salt-and-pepper denoiser, run as
+    19 vectorized min/max exchanges (median-of-9 sorting network).
+    Adds ``n_interior``, ``sum_abs_change`` (L1 between original and
+    filtered interior) and ``n_changed`` — the noise-level audit.
+    Images smaller than 3x3 emit zeros."""
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _stats(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        if h < 3 or w < 3:
+            return 0, 0, 0
+        planes = [lum[y:h - 2 + y, x:w - 2 + x]
+                  for y in range(3) for x in range(3)]
+        med = median9(planes)
+        diff = np.abs(med - lum[1:-1, 1:-1])
+        return int(diff.size), int(diff.sum()), int((diff > 0).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ni, sa, nc = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            a, b, c = self._stats(self.decode(raw))
+            ni.append(a)
+            sa.append(b)
+            nc.append(c)
+        return (
+            batch.append_column("n_interior", pa.array(ni, pa.int64()))
+            .append_column("sum_abs_change", pa.array(sa, pa.int64()))
+            .append_column("n_changed", pa.array(nc, pa.int64()))
+        )

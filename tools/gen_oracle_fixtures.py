@@ -3388,6 +3388,77 @@ def gen_resid() -> None:
     print(agg)
 
 
+def gen_median() -> None:
+    """Expected q358 per-fmt median-filter stats from the INDEPENDENT
+    stack-and-np.median twin."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        if h < 3 or w < 3:
+            rows.append((fmt, 0, 0, 0))
+            continue
+        stack = np.stack([lum[y:h - 2 + y, x:w - 2 + x]
+                          for y in range(3) for x in range(3)])
+        med = np.median(stack, axis=0).astype(np.int64)
+        diff = np.abs(med - lum[1:-1, 1:-1])
+        rows.append((fmt, diff.size, int(diff.sum()), int((diff > 0).sum())))
+    df = pd.DataFrame(rows, columns=["fmt", "ni", "sa", "nc"])
+    agg = df.groupby("fmt").agg(
+        n_images=("ni", "size"), n_interior=("ni", "sum"),
+        sum_abs_change=("sa", "sum"), n_changed=("nc", "sum"),
+    ).reset_index().astype({c: "int64" for c in
+        ("n_images", "n_interior", "sum_abs_change", "n_changed")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "median_sf0.01.parquet"))
+    print("median_sf0.01.parquet:")
+    print(agg)
+
+
+def gen_mmr() -> None:
+    """Expected q360 MMR selection from the INDEPENDENT serial numpy
+    twin (full candidate matrix, argmax per round)."""
+    import pandas as pd
+    from texrex_ray.pipelines.queries import _MMR_K, _embed_int
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    ids = t["vec_id"].to_numpy(np.int64)
+    E = np.stack([_embed_int(e) for e in t["embedding"]])
+    S = E.sum(axis=0)
+    n = len(ids)
+    rel = E @ S
+    chosen: list[int] = []
+    scores: list[int] = []
+    mask = np.ones(n, bool)
+    maxsim = np.full(n, -(1 << 62), np.int64)
+    for _ in range(_MMR_K):
+        pen = np.where(len(chosen) > 0, maxsim * n, 0)
+        score = 7 * rel - 3 * pen
+        score_m = np.where(mask, score, -(1 << 62))
+        order = np.lexsort((ids, -score_m))
+        i = order[0]
+        chosen.append(int(ids[i]))
+        scores.append(int(score_m[i]))
+        mask[i] = False
+        sim = E @ E[i]
+        maxsim = np.maximum(maxsim, sim)
+    out = pa.table({
+        "rank": pa.array(range(1, _MMR_K + 1), pa.int64()),
+        "vec_id": pa.array(chosen, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "mmr_sf0.01.parquet"))
+    print("mmr_sf0.01.parquet:", chosen)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3480,6 +3551,8 @@ def main() -> None:
     gen_rectunion()
     gen_seam()
     gen_resid()
+    gen_median()
+    gen_mmr()
 
 
 if __name__ == "__main__":
