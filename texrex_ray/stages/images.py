@@ -1118,3 +1118,89 @@ class MedianFilter:
             .append_column("sum_abs_change", pa.array(sa, pa.int64()))
             .append_column("n_changed", pa.array(nc, pa.int64()))
         )
+
+
+class DownsampleLoss:
+    """Actor-pool stage: detail lost by a 2x box downsample — SSE
+    between the original (cropped to even dims) and the
+    nearest-upsampled floor-average of each 2x2 block, over channel-sum
+    luminance.  Exact integers (floor-average is the spec).  Adds
+    ``n_px_even`` and ``sse_down`` — the per-image resolution-budget
+    audit (high SSE = halving resolution destroys real detail)."""
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _loss(self, px: np.ndarray) -> tuple[int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        he, we = h - h % 2, w - w % 2
+        if he == 0 or we == 0:
+            return 0, 0
+        a = lum[:he, :we]
+        small = (
+            a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+        ) // 4
+        up = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+        d = a - up
+        return int(a.size), int((d * d).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np_, ss = [], []
+        for raw in batch["bytes"].to_pylist():
+            a, b = self._loss(self.decode(raw))
+            np_.append(a)
+            ss.append(b)
+        return batch.append_column(
+            "n_px_even", pa.array(np_, pa.int64())
+        ).append_column("sse_down", pa.array(ss, pa.int64()))
+
+
+class TileVariance:
+    """Actor-pool stage: 8x8 tile variance map over channel-sum
+    luminance, exact integers — a tile is FLAT when its scaled
+    variance numerator n*sum(x^2) - sum(x)^2 <= thresh * n^2, BUSY
+    when it exceeds busy_thresh * n^2 (the text/graphics-region
+    heuristic).  Edge tiles (partial) are skipped; per-tile sums are
+    reshape-pooled, no per-pixel Python.  Adds ``n_tiles``,
+    ``n_flat``, ``n_busy``."""
+
+    def __init__(self, tile: int = 8, thresh: int = 400,
+                 busy_thresh: int = 8000) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.tile = tile
+        self.thresh = thresh
+        self.busy = busy_thresh
+
+    def _stats(self, px: np.ndarray) -> tuple[int, int, int]:
+        t = self.tile
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        ht, wt = h // t, w // t
+        if ht == 0 or wt == 0:
+            return 0, 0, 0
+        a = lum[: ht * t, : wt * t].reshape(ht, t, wt, t)
+        s = a.sum(axis=(1, 3))
+        s2 = (a * a).sum(axis=(1, 3))
+        n = t * t
+        num = n * s2 - s * s  # n^2 * variance, exact
+        flat = int((num <= self.thresh * n * n).sum())
+        busy = int((num > self.busy * n * n).sum())
+        return ht * wt, flat, busy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nt, nf, nb = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            a, b, c = self._stats(self.decode(raw))
+            nt.append(a)
+            nf.append(b)
+            nb.append(c)
+        return (
+            batch.append_column("n_tiles", pa.array(nt, pa.int64()))
+            .append_column("n_flat", pa.array(nf, pa.int64()))
+            .append_column("n_busy", pa.array(nb, pa.int64()))
+        )

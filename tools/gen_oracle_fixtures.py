@@ -3459,6 +3459,96 @@ def gen_mmr() -> None:
     print("mmr_sf0.01.parquet:", chosen)
 
 
+def gen_down_tiles_hemd() -> None:
+    """Expected q364/q365/q366 per-fmt stats from INDEPENDENT twins:
+    reshape-pooled downsample, per-tile loop variance, and loop-
+    accumulated EMD."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.pipelines.queries import _HEMD_BINS
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    down_rows, tile_rows, hists = [], [], []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        # --- q364 twin: reshape pooling
+        he, we = h - h % 2, w - w % 2
+        if he and we:
+            a = lum[:he, :we]
+            small = a.reshape(he // 2, 2, we // 2, 2).sum(axis=(1, 3)) // 4
+            up = np.kron(small, np.ones((2, 2), np.int64))
+            dd = a - up
+            down_rows.append((fmt, a.size, int((dd * dd).sum())))
+        else:
+            down_rows.append((fmt, 0, 0))
+        # --- q365 twin: explicit per-tile loop
+        t = 8
+        nf = nb = nt = 0
+        for y in range(0, h - t + 1, t):
+            for x in range(0, w - t + 1, t):
+                blk = lum[y:y + t, x:x + t]
+                n = t * t
+                num = n * int((blk * blk).sum()) - int(blk.sum()) ** 2
+                nt += 1
+                if num <= 400 * n * n:
+                    nf += 1
+                if num > 8000 * n * n:
+                    nb += 1
+        tile_rows.append((fmt, nt, nf, nb))
+        # --- q366: histogram for the EMD twin below
+        hist = np.bincount((lum // 8).ravel(),
+                           minlength=_HEMD_BINS).astype(np.int64)
+        hists.append((fmt, hist))
+
+    dfd = pd.DataFrame(down_rows, columns=["fmt", "npx", "sse"])
+    aggd = dfd.groupby("fmt").agg(
+        n_images=("npx", "size"), n_px_even=("npx", "sum"),
+        sse_down=("sse", "sum")).reset_index().astype(
+        {c: "int64" for c in ("n_images", "n_px_even", "sse_down")})
+    pq.write_table(pa.Table.from_pandas(aggd, preserve_index=False),
+                   os.path.join(OUT, "down_sf0.01.parquet"))
+    print("down_sf0.01.parquet:")
+    print(aggd)
+
+    dft = pd.DataFrame(tile_rows, columns=["fmt", "nt", "nf", "nb"])
+    aggt = dft.groupby("fmt").agg(
+        n_images=("nt", "size"), n_tiles=("nt", "sum"),
+        n_flat=("nf", "sum"), n_busy=("nb", "sum")).reset_index().astype(
+        {c: "int64" for c in ("n_images", "n_tiles", "n_flat", "n_busy")})
+    pq.write_table(pa.Table.from_pandas(aggt, preserve_index=False),
+                   os.path.join(OUT, "tiles_sf0.01.parquet"))
+    print("tiles_sf0.01.parquet:")
+    print(aggt)
+
+    protos: dict[str, np.ndarray] = {}
+    for fmt, hist in hists:
+        protos[fmt] = protos.get(fmt, np.zeros(_HEMD_BINS, np.int64)) + hist
+    emd_rows = []
+    for fmt, hist in hists:
+        n_i, n_p = int(hist.sum()), int(protos[fmt].sum())
+        ci = cp = 0
+        num = 0
+        for a, b in zip(hist.tolist(), protos[fmt].tolist()):
+            ci += a
+            cp += b
+            num += abs(ci * n_p - cp * n_i)
+        emd_rows.append((fmt, num // n_p))
+    dfe = pd.DataFrame(emd_rows, columns=["fmt", "emd"])
+    agge = dfe.groupby("fmt").agg(
+        n_images=("emd", "size"), sum_emd_scaled=("emd", "sum"),
+        max_emd_scaled=("emd", "max")).reset_index().astype(
+        {c: "int64" for c in
+         ("n_images", "sum_emd_scaled", "max_emd_scaled")})
+    pq.write_table(pa.Table.from_pandas(agge, preserve_index=False),
+                   os.path.join(OUT, "hemd_sf0.01.parquet"))
+    print("hemd_sf0.01.parquet:")
+    print(agge)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3553,6 +3643,7 @@ def main() -> None:
     gen_resid()
     gen_median()
     gen_mmr()
+    gen_down_tiles_hemd()
 
 
 if __name__ == "__main__":
