@@ -3549,6 +3549,101 @@ def gen_down_tiles_hemd() -> None:
     print(agge)
 
 
+def gen_rake() -> None:
+    """Expected q368 top keywords from the INDEPENDENT serial Counter
+    twin (same RAKE spec, single pass over the corpus)."""
+    import pandas as pd
+    import re
+    from collections import Counter
+    from texrex_ray.pipelines.queries import _RAKE_STOP
+
+    tok_re = re.compile(r"[a-z]+")
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    pcount: Counter = Counter()
+    for t in docs["text"]:
+        toks = tok_re.findall(str(t).lower())
+        cur = []
+        runs = []
+        for w in toks:
+            if w in _RAKE_STOP:
+                if cur:
+                    runs.append(tuple(cur))
+                    cur = []
+            else:
+                cur.append(w)
+        if cur:
+            runs.append(tuple(cur))
+        for ph in runs:
+            pcount[" ".join(ph)] += 1
+            for w in ph:
+                freq[w] += 1
+                deg[w] += len(ph)
+    score = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    rows = [(p, n, sum(score[w] for w in p.split(" ")))
+            for p, n in pcount.items()]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    df = pd.DataFrame(rows[:10],
+                      columns=["phrase", "n_occurrences", "score_scaled"])
+    df = df.astype({"n_occurrences": "int64", "score_scaled": "int64"})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(OUT, "rake_sf0.01.parquet"))
+    print("rake_sf0.01.parquet:")
+    print(df)
+
+
+def gen_xmodal() -> None:
+    """Expected q369 per-image (fmt, tok, seam) from the INDEPENDENT
+    Dijkstra seam twin + regex token count."""
+    import heapq
+    import re
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+    from texrex_ray.stages.images import seam_energy
+
+    tok_re = re.compile(r"[a-z]+")
+
+    def dijkstra_seam(lum):
+        e = seam_energy(lum)
+        h, w = e.shape
+        dist = {}
+        heap = [(int(e[0, x]), 0, x) for x in range(w)]
+        heapq.heapify(heap)
+        best = None
+        while heap:
+            dd, y, x = heapq.heappop(heap)
+            if (y, x) in dist:
+                continue
+            dist[(y, x)] = dd
+            if y == h - 1:
+                best = dd if best is None else min(best, dd)
+                continue
+            for dx in (-1, 0, 1):
+                nx = x + dx
+                if 0 <= nx < w and (y + 1, nx) not in dist:
+                    heapq.heappush(heap, (dd + int(e[y + 1, nx]), y + 1, nx))
+        return best
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["image_id", "bytes", "fmt", "caption"]
+                         ).to_pandas()
+    rows = []
+    for iid, raw, fmt, cap in zip(imgs["image_id"], imgs["bytes"],
+                                  imgs["fmt"], imgs["caption"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2)
+        rows.append((iid, fmt, len(tok_re.findall(str(cap).lower())),
+                     dijkstra_seam(lum)))
+    df = pd.DataFrame(rows, columns=["image_id", "fmt", "tok", "seam"])
+    df = df.astype({"tok": "int64", "seam": "int64"})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(OUT, "xmodal_sf0.01.parquet"))
+    print("xmodal_sf0.01.parquet:", len(df), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3644,6 +3739,8 @@ def main() -> None:
     gen_median()
     gen_mmr()
     gen_down_tiles_hemd()
+    gen_rake()
+    gen_xmodal()
 
 
 if __name__ == "__main__":
