@@ -1204,3 +1204,59 @@ class TileVariance:
             .append_column("n_flat", pa.array(nf, pa.int64()))
             .append_column("n_busy", pa.array(nb, pa.int64()))
         )
+
+
+class LargestBlob:
+    """Actor-pool stage: size and bounding box of the LARGEST
+    4-connected bright component (luminance >= ``thresh``) — the
+    dominant-object gate that pairs with q269's blob count.  Labels
+    come from the same vectorized min-label relaxation (each round a
+    4-neighbour minimum, no per-pixel Python); size ties break toward
+    the component containing the smallest (y, x) pixel.  Adds
+    ``blob_size``, ``blob_bbox_area`` (0, 0 when no foreground)."""
+
+    def __init__(self, thresh: int = 383) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.thresh = thresh
+
+    def _largest(self, px: np.ndarray) -> tuple[int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        fg = lum >= self.thresh
+        if not fg.any():
+            return 0, 0
+        h, w = fg.shape
+        lab = np.where(
+            fg, np.arange(h * w, dtype=np.int64).reshape(h, w), -1
+        )
+        big = np.int64(h * w + 1)
+        cur = np.where(fg, lab, big)
+        while True:
+            nxt = cur.copy()
+            nxt[1:, :] = np.minimum(nxt[1:, :], cur[:-1, :])
+            nxt[:-1, :] = np.minimum(nxt[:-1, :], cur[1:, :])
+            nxt[:, 1:] = np.minimum(nxt[:, 1:], cur[:, :-1])
+            nxt[:, :-1] = np.minimum(nxt[:, :-1], cur[:, 1:])
+            nxt = np.where(fg, nxt, big)
+            if np.array_equal(nxt, cur):
+                break
+            cur = nxt
+        labels = cur[fg]
+        uniq, counts = np.unique(labels, return_counts=True)
+        # ties: smallest root label == component holding the smallest
+        # (y, x) foreground pixel (labels are y*w + x)
+        best = uniq[np.lexsort((uniq, -counts))][0]
+        ys, xs = np.nonzero(fg & (cur == best))
+        bbox = int(ys.max() - ys.min() + 1) * int(xs.max() - xs.min() + 1)
+        return int(counts[uniq == best][0]), bbox
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sz, bb = [], []
+        for raw in batch["bytes"].to_pylist():
+            a, b = self._largest(self.decode(raw))
+            sz.append(a)
+            bb.append(b)
+        return batch.append_column(
+            "blob_size", pa.array(sz, pa.int64())
+        ).append_column("blob_bbox_area", pa.array(bb, pa.int64()))

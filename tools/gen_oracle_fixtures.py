@@ -3644,6 +3644,124 @@ def gen_xmodal() -> None:
     print("xmodal_sf0.01.parquet:", len(df), "rows")
 
 
+def gen_iblt_sq8_lblob() -> None:
+    """Expected q370/q371/q372 rows from INDEPENDENT twins: serial
+    IBLT peel, full-matrix quantization recall, BFS flood fill."""
+    import pandas as pd
+    from collections import deque
+    from texrex_ray.pipelines.queries import (_SQ_K, _SQ_NQ, _embed_int,
+                                              iblt_check, iblt_insert,
+                                              iblt_peel, iblt_size)
+
+    # --- q370: serial IBLT over the exact sets
+    import duckdb
+    con = duckdb.connect()
+    wk = con.execute(
+        f"""
+        WITH base AS (SELECT user_id,
+               epoch_us(ts) // 86400000000
+               - (SELECT MIN(epoch_us(ts) // 86400000000)
+                  FROM read_parquet('{SF_DIR}/events.parquet')) AS day
+               FROM read_parquet('{SF_DIR}/events.parquet'))
+        SELECT DISTINCT user_id * 64 + day % 7 AS key, day // 7 AS week
+        FROM base WHERE day // 7 IN (0, 1)
+        """
+    ).df()
+    a = set(wk.loc[wk["week"] == 0, "key"].astype(int))
+    b = set(wk.loc[wk["week"] == 1, "key"].astype(int))
+    diff = a ^ b
+    m = iblt_size(len(diff))
+    cells = np.zeros((m, 3), np.int64)
+    iblt_insert(cells, np.array(sorted(a), np.int64), +1)
+    iblt_insert(cells, np.array(sorted(b), np.int64), -1)
+    oa, ob, ok = iblt_peel(cells)
+    assert ok and oa == (a - b) and ob == (b - a), "serial IBLT twin failed"
+    out = pa.table({
+        "n_cells": pa.array([m], pa.int64()),
+        "n_recovered": pa.array([len(oa) + len(ob)], pa.int64()),
+        "peel_ok": pa.array([1 if ok else 0], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "iblt_sf0.01.parquet"))
+    print("iblt_sf0.01.parquet: m", m, "recovered", len(oa) + len(ob))
+
+    # --- q371: full-matrix twin
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    ids = t["vec_id"].to_numpy(np.int64)
+    E = np.stack([_embed_int(e) for e in t["embedding"]])
+    lo = E.min(axis=0)
+    span = np.maximum(E.max(axis=0) - lo, 1)
+    Ez = (E - lo) * 255 // span
+    order_q = np.argsort(ids)[:_SQ_NQ]
+    hits = 0
+    for qi in order_q:
+        for_self = ids != ids[qi]
+        sel = {}
+        for kind, s in (("exact", E @ E[qi]), ("quant", Ez @ Ez[qi])):
+            o = np.lexsort((ids, -s))
+            o = o[for_self[o]][:_SQ_K]
+            sel[kind] = set(ids[o])
+        hits += len(sel["exact"] & sel["quant"])
+    out = pa.table({
+        "n_queries": pa.array([_SQ_NQ], pa.int64()),
+        "k": pa.array([_SQ_K], pa.int64()),
+        "total_hits": pa.array([hits], pa.int64()),
+        "mean_recall_ppm": pa.array(
+            [hits * 1_000_000 // (_SQ_NQ * _SQ_K)], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "sq8_sf0.01.parquet"))
+    print("sq8_sf0.01.parquet: hits", hits)
+
+    # --- q372: BFS flood-fill twin
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        fg = decode_image(raw).astype(np.int64).sum(axis=2) >= 383
+        h, w = fg.shape
+        seen = np.zeros_like(fg)
+        comps = []
+        for y in range(h):
+            for x in range(w):
+                if fg[y, x] and not seen[y, x]:
+                    qd = deque([(y, x)])
+                    seen[y, x] = True
+                    pix = []
+                    while qd:
+                        cy, cx = qd.popleft()
+                        pix.append((cy, cx))
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            ny, nx = cy + dy, cx + dx
+                            if (0 <= ny < h and 0 <= nx < w
+                                    and fg[ny, nx] and not seen[ny, nx]):
+                                seen[ny, nx] = True
+                                qd.append((ny, nx))
+                    comps.append(pix)
+        if not comps:
+            rows.append((fmt, 0, 0))
+            continue
+        comps.sort(key=lambda c: (-len(c), min(y * w + x for y, x in c)))
+        c = comps[0]
+        ys = [y for y, _ in c]
+        xs = [x for _, x in c]
+        rows.append((fmt, len(c),
+                     (max(ys) - min(ys) + 1) * (max(xs) - min(xs) + 1)))
+    df = pd.DataFrame(rows, columns=["fmt", "sz", "bb"])
+    agg = df.groupby("fmt").agg(
+        n_images=("sz", "size"), sum_blob_size=("sz", "sum"),
+        max_blob_size=("sz", "max"), sum_bbox_area=("bb", "sum"),
+    ).reset_index().astype({c: "int64" for c in
+        ("n_images", "sum_blob_size", "max_blob_size", "sum_bbox_area")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "lblob_sf0.01.parquet"))
+    print("lblob_sf0.01.parquet:")
+    print(agg)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3741,6 +3859,7 @@ def main() -> None:
     gen_down_tiles_hemd()
     gen_rake()
     gen_xmodal()
+    gen_iblt_sq8_lblob()
 
 
 if __name__ == "__main__":
