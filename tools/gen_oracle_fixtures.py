@@ -3762,6 +3762,26 @@ def gen_iblt_sq8_lblob() -> None:
     print(agg)
 
 
+def gen_palin() -> None:
+    """Expected q373 per-source palindrome stats from the INDEPENDENT
+    center-expansion twin."""
+    import pandas as pd
+    from texrex_ray.pipelines.queries import longest_palindrome_brute
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    rows = []
+    for src, sub in docs.groupby("source"):
+        ls = [longest_palindrome_brute(str(t)[:512]) for t in sub["text"]]
+        rows.append((src, len(ls), int(np.sum(ls)), int(np.max(ls))))
+    df = pd.DataFrame(rows, columns=["source", "n_docs", "sum_pal_len",
+                                     "max_pal_len"]).astype(
+        {c: "int64" for c in ("n_docs", "sum_pal_len", "max_pal_len")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(OUT, "palin_sf0.01.parquet"))
+    print("palin_sf0.01.parquet:", len(df), "sources")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3860,6 +3880,7 @@ def main() -> None:
     gen_rake()
     gen_xmodal()
     gen_iblt_sq8_lblob()
+    gen_palin()
 
 
 if __name__ == "__main__":
