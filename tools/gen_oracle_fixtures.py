@@ -3782,6 +3782,35 @@ def gen_palin() -> None:
     print("palin_sf0.01.parquet:", len(df), "sources")
 
 
+def gen_viterbi() -> None:
+    """Expected q376 summary from the INDEPENDENT backward-recursion
+    Viterbi twin."""
+    import pandas as pd
+    from texrex_ray.pipelines.queries import (_vit_matrices,
+                                              viterbi_best_backward)
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "event_type"]
+                       ).to_pandas()
+    states = sorted(ev["event_type"].unique())
+    T, E = _vit_matrices(states)
+    pos = {s: i for i, s in enumerate(states)}
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    bests = []
+    for _, sub in ev.groupby("user_id"):
+        obs = sub["event_type"].map(pos).to_numpy(np.int64)
+        bests.append(viterbi_best_backward(obs, T, E))
+    bests = np.array(bests, np.int64)
+    out = pa.table({
+        "n_users": pa.array([len(bests)], pa.int64()),
+        "sum_best": pa.array([int(bests.sum())], pa.int64()),
+        "max_best": pa.array([int(bests.max())], pa.int64()),
+        "min_best": pa.array([int(bests.min())], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "viterbi_sf0.01.parquet"))
+    print("viterbi_sf0.01.parquet:", len(bests), "users")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3881,6 +3910,7 @@ def main() -> None:
     gen_xmodal()
     gen_iblt_sq8_lblob()
     gen_palin()
+    gen_viterbi()
 
 
 if __name__ == "__main__":
