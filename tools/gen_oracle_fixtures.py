@@ -3811,6 +3811,41 @@ def gen_viterbi() -> None:
     print("viterbi_sf0.01.parquet:", len(bests), "users")
 
 
+def gen_bpcs() -> None:
+    """Expected q381 per-(fmt, plane) transition sums from the
+    INDEPENDENT row/column-loop twin."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.images import decode_image
+
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        b = decode_image(raw)[:, :, 0].astype(np.int64)
+        h, w = b.shape
+        for k in range(8):
+            p = ((b >> k) & 1).tolist()
+            t = 0
+            for y in range(h):
+                for x in range(1, w):
+                    t += p[y][x] != p[y][x - 1]
+            for x in range(w):
+                for y in range(1, h):
+                    t += p[y][x] != p[y - 1][x]
+            rows.append((fmt, k, t))
+    df = pd.DataFrame(rows, columns=["fmt", "plane", "t"])
+    agg = df.groupby(["fmt", "plane"]).agg(
+        n_images=("t", "size"), sum_transitions=("t", "sum")
+    ).reset_index().astype({c: "int64" for c in
+        ("plane", "n_images", "sum_transitions")})
+    agg = agg[["fmt", "n_images", "plane", "sum_transitions"]]
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "bpcs_sf0.01.parquet"))
+    print("bpcs_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3911,6 +3946,7 @@ def main() -> None:
     gen_iblt_sq8_lblob()
     gen_palin()
     gen_viterbi()
+    gen_bpcs()
 
 
 if __name__ == "__main__":
