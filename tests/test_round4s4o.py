@@ -88,7 +88,7 @@ def test_bitplane_single_image_exact():
     import numpy as np
 
     b = np.array([[3, 2], [1, 0]], np.int64)  # bits: 11 10 / 01 00
-    for k, want in ((0, 4), (1, 2)):
+    for k, want in ((0, 2), (1, 2)):
         p = (b >> k) & 1
         t = int((p[:, 1:] != p[:, :-1]).sum()) + int(
             (p[1:, :] != p[:-1, :]).sum())
