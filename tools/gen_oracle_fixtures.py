@@ -3846,6 +3846,129 @@ def gen_bpcs() -> None:
     print("bpcs_sf0.01.parquet:", len(agg), "rows")
 
 
+def gen_tiledup_densest_vopt() -> None:
+    """Expected q382/q383/q384 rows from INDEPENDENT twins: serial
+    tile-hash dict, repeated-scan peel, memoized-recursion DP."""
+    import pandas as pd
+    from collections import defaultdict
+    from fractions import Fraction
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.pipelines.queries import (_TILEH_MIN_SHARED,
+                                              _VOPT_BASE, _VOPT_K,
+                                              image_tile_hashes)
+    from texrex_ray.sources.images import decode_image
+
+    # --- q382 twin
+    d = fixture_path(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["image_id", "bytes"]).to_pandas()
+    byhash: dict[int, set] = defaultdict(set)
+    n_tiles = 0
+    for iid, raw in zip(imgs["image_id"], imgs["bytes"]):
+        th = image_tile_hashes(decode_image(raw))
+        n_tiles += len(th)
+        for h in th.tolist():
+            byhash[h].add(iid)
+    votes: dict[tuple, int] = defaultdict(int)
+    for ids in byhash.values():
+        ss = sorted(ids)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                votes[(ss[i], ss[j])] += 1
+    out = pa.table({
+        "n_images": pa.array([len(imgs)], pa.int64()),
+        "n_tiles": pa.array([n_tiles], pa.int64()),
+        "n_candidate_pairs": pa.array([len(votes)], pa.int64()),
+        "n_dup_pairs": pa.array(
+            [sum(1 for v in votes.values() if v >= _TILEH_MIN_SHARED)],
+            pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "tiledup_sf0.01.parquet"))
+    print("tiledup_sf0.01.parquet:", len(votes), "candidates")
+
+    # --- q383 twin: repeated-scan min-degree peel
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey"]).to_pandas()
+    edges = {(int(s), int(p) + 1_000_000)
+             for s, p in zip(li["l_suppkey"], li["l_partkey"])}
+    adj: dict[int, set] = defaultdict(set)
+    for s, p in edges:
+        adj[s].add(p)
+        adj[p].add(s)
+    alive = dict(adj)
+    deg = {v: len(ns) for v, ns in alive.items()}
+    m = len(edges)
+    best = (len(alive), m, m * 1_000_000 // len(alive))
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        for u in alive[v]:
+            if u in alive and u != v:
+                alive[u] = alive[u] - {v}
+                deg[u] -= 1
+        m -= deg[v]
+        del alive[v], deg[v]
+        if alive:
+            dens = m * 1_000_000 // len(alive)
+            if dens > best[2]:
+                best = (len(alive), m, dens)
+    out = pa.table({
+        "n_nodes": pa.array([len(adj)], pa.int64()),
+        "n_edges": pa.array([len(edges)], pa.int64()),
+        "best_nodes": pa.array([best[0]], pa.int64()),
+        "best_edges": pa.array([best[1]], pa.int64()),
+        "best_density_ppm": pa.array([best[2]], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "densest_sf0.01.parquet"))
+    print("densest_sf0.01.parquet:", best)
+
+    # --- q384 twin: memoized recursion over the same base bins
+    lip = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_extendedprice"]).to_pandas()
+    v = np.round(lip["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    bins = (v * _VOPT_BASE // 10_300_000).clip(0, _VOPT_BASE - 1)
+    base = np.bincount(bins, minlength=_VOPT_BASE).astype(np.int64)
+    vals = np.arange(_VOPT_BASE, dtype=np.int64)
+    cw = np.concatenate(([0], np.cumsum(base)))
+    cs = np.concatenate(([0], np.cumsum(base * vals)))
+    cs2 = np.concatenate(([0], np.cumsum(base * vals * vals)))
+
+    def sse(i, j):
+        n = int(cw[j] - cw[i])
+        if n == 0:
+            return Fraction(0)
+        s = int(cs[j] - cs[i])
+        return Fraction(int(cs2[j] - cs2[i])) - Fraction(s * s, n)
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def rec(kk, j):
+        if kk == 0:
+            return (Fraction(0), ()) if j == 0 else (Fraction(1 << 200), ())
+        best_c, best_b = Fraction(1 << 200), ()
+        for i in range(kk - 1, j):
+            c, b = rec(kk - 1, i)
+            c = c + sse(i, j)
+            if c < best_c:
+                best_c, best_b = c, b + (j,)
+        return best_c, best_b
+
+    import sys
+    sys.setrecursionlimit(10000)
+    tot, bounds = rec(_VOPT_K, _VOPT_BASE)
+    out = pa.table({
+        "n_rows": pa.array([int(base.sum())], pa.int64()),
+        "n_base_bins": pa.array([_VOPT_BASE], pa.int64()),
+        "k": pa.array([_VOPT_K], pa.int64()),
+        "sse_num_scaled": pa.array([int(tot * 1000)], pa.int64()),
+        "first_boundary": pa.array([bounds[0]], pa.int64()),
+        "last_boundary": pa.array([bounds[-2] if len(bounds) > 1
+                                   else bounds[0]], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "vopt_sf0.01.parquet"))
+    print("vopt_sf0.01.parquet: sse", int(tot * 1000), "bounds", bounds)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -3947,6 +4070,7 @@ def main() -> None:
     gen_palin()
     gen_viterbi()
     gen_bpcs()
+    gen_tiledup_densest_vopt()
 
 
 if __name__ == "__main__":
