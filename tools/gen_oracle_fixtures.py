@@ -3969,6 +3969,65 @@ def gen_tiledup_densest_vopt() -> None:
     print("vopt_sf0.01.parquet: sse", int(tot * 1000), "bounds", bounds)
 
 
+def gen_pitch_shots() -> None:
+    """Expected q386/q387 rows from INDEPENDENT twins: pitch over the
+    REGENERATED raw PCM (quantization applied arithmetically, codec
+    path untouched) and shot stats via a struct-unpack video parser."""
+    import pandas as pd
+    from texrex_ray.pipelines.queries import _av_n, pitch_lag, shot_stats
+    from texrex_ray.sources.av import (AUDIO_QUANT, _synth_pcm,
+                                       fixture_path as av_fixture)
+
+    n_aud, n_vid = _av_n(SF_DIR)
+    # --- q386: regenerate each clip's PCM exactly as make_audio does
+    rows = []
+    for i in range(n_aud):
+        rng = np.random.default_rng(42 * 1_000_003 + i)
+        sr = int(rng.choice([8000, 16000]))
+        dur = float(rng.uniform(0.2, 1.0))
+        pcm = _synth_pcm(rng, int(sr * dur), sr)
+        fmt = "ogg" if i % 3 == 0 else "wav"
+        q = AUDIO_QUANT[fmt]
+        if q != 1:
+            pcm = (np.round(pcm.astype(np.int32) / q) * q).clip(
+                -32768, 32767).astype(np.int16)
+        rows.append((fmt, 100 * sr // pitch_lag(pcm, sr)))
+    df = pd.DataFrame(rows, columns=["fmt", "chz"])
+    agg = df.groupby("fmt").agg(
+        n_clips=("chz", "size"), sum_pitch_chz=("chz", "sum"),
+        min_pitch_chz=("chz", "min"), max_pitch_chz=("chz", "max"),
+    ).reset_index().astype({c: "int64" for c in
+        ("n_clips", "sum_pitch_chz", "min_pitch_chz", "max_pitch_chz")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "pitch_sf0.01.parquet"))
+    print("pitch_sf0.01.parquet:")
+    print(agg)
+
+    # --- q387: independent struct-unpack parser over the stored blobs
+    d = av_fixture(n=n_vid, seed=42)
+    vids = pq.read_table(os.path.join(d, "video.parquet"),
+                         columns=["bytes"]).to_pandas()
+    tot = [0, 0, 0, 0]
+    for raw in vids["bytes"]:
+        import struct
+
+        w, h, n, _fps = struct.unpack(">IIII", raw[4:20])
+        frames = np.frombuffer(raw[20:], np.uint8).reshape(n, h, w, 3)
+        a, b, c = shot_stats(frames)
+        tot[0] += 1
+        tot[1] += a
+        tot[2] += b
+        tot[3] += c
+    out = pa.table({
+        "n_videos": pa.array([tot[0]], pa.int64()),
+        "n_frame_pairs": pa.array([tot[1]], pa.int64()),
+        "n_boundaries": pa.array([tot[2]], pa.int64()),
+        "sum_max_diff": pa.array([tot[3]], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "shots_sf0.01.parquet"))
+    print("shots_sf0.01.parquet:", tot)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_boiler_scores()
@@ -4071,6 +4130,7 @@ def main() -> None:
     gen_viterbi()
     gen_bpcs()
     gen_tiledup_densest_vopt()
+    gen_pitch_shots()
 
 
 if __name__ == "__main__":
