@@ -4028,8 +4028,62 @@ def gen_pitch_shots() -> None:
     print("shots_sf0.01.parquet:", tot)
 
 
+def gen_pca_dtw() -> None:
+    """Expected q391/q392 outputs from the INDEPENDENT twins
+    (pca_power_twin scalar loops; dtw_band_twin memoized recursion)."""
+    import pandas as pd
+    from texrex_ray.pipelines.queries import (_DTW_BAND, dtw_band_twin,
+                                              pca_power_twin)
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["embedding"]).to_pandas()
+    vecs = [
+        [int(round(float(x) * 1000.0)) for x in v] for v in emb["embedding"]
+    ]
+    lam_ppm, loadings = pca_power_twin(vecs)
+    d = len(loadings)
+    pq.write_table(
+        pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "loading_ppm": pa.array(np.array(loadings, dtype=np.int64)),
+            "lam_ppm": pa.array(np.full(d, lam_ppm, dtype=np.int64)),
+        }),
+        os.path.join(OUT, "pca_sf0.01.parquet"),
+    )
+    print("pca_sf0.01.parquet:", d, "dims, lam_ppm", lam_ppm)
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    day = (ev["ts"].astype("int64") // 86_400_000_000).astype(np.int64)
+    counts = (
+        pd.DataFrame({"day": day, "event_type": ev["event_type"]})
+        .groupby(["day", "event_type"]).size().reset_index(name="cnt")
+    )
+    days = np.arange(counts["day"].min(), counts["day"].max() + 1)
+    types = sorted(counts["event_type"].unique())
+    series = {}
+    for t in types:
+        sub = counts[counts["event_type"] == t].set_index("day")["cnt"]
+        grid = sub.reindex(days, fill_value=0).to_numpy(np.int64)
+        series[t] = [int(x) * 1000 // max(int(grid.sum()), 1) for x in grid]
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            rows.append((ta, tb,
+                         dtw_band_twin(tuple(series[ta]), tuple(series[tb]),
+                                       _DTW_BAND),
+                         len(days)))
+    df = pd.DataFrame(rows, columns=["type_a", "type_b", "dtw_cost",
+                                     "n_days"]).astype(
+        {"dtw_cost": "int64", "n_days": "int64"})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(OUT, "dtw_sf0.01.parquet"))
+    print("dtw_sf0.01.parquet:", len(df), "pairs")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
+    gen_pca_dtw()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
