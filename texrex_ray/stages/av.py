@@ -180,3 +180,126 @@ class AudioFingerprint:
                 "simhash": pa.array(sigs, pa.int64()),
             }
         )
+
+
+class VoiceActivity:
+    """Actor-pool stage: frame-level activity segmentation — the
+    speech/tone-span gate for audio curation (complements the global
+    rms/zcr of AudioDecoder with WHERE the energy sits).
+
+    20 ms frames (tail partial frame dropped); a frame is ACTIVE iff
+    its energy beats the clip's mean frame energy, compared exactly in
+    integers: e_f * n_frames > total_energy (sums of int16², < 2^53
+    for any realistic clip, held in int64).  Adds ``n_frames``,
+    ``n_active`` and ``max_run`` (longest consecutive active span).
+    """
+
+    FRAME_MS = 20
+
+    def __init__(self) -> None:
+        self.decode = decode_audio
+
+    def _segments(self, pcm: np.ndarray, sr: int) -> tuple[int, int, int]:
+        flen = max(1, sr * self.FRAME_MS // 1000)
+        n_frames = len(pcm) // flen
+        if n_frames == 0:
+            return 0, 0, 0
+        x = pcm[: n_frames * flen].astype(np.int64)
+        e = (x * x).reshape(n_frames, flen).sum(axis=1)
+        total = int(e.sum())
+        active = e * n_frames > total
+        n_active = int(active.sum())
+        max_run = 0
+        run = 0
+        for a in active:
+            run = run + 1 if a else 0
+            if run > max_run:
+                max_run = run
+        return n_frames, n_active, max_run
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf, na, mr = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            pcm, sr = self.decode(raw)
+            a, b, c = self._segments(pcm, sr)
+            nf.append(a)
+            na.append(b)
+            mr.append(c)
+        return (
+            batch.append_column("n_frames", pa.array(nf, pa.int64()))
+            .append_column("n_active", pa.array(na, pa.int64()))
+            .append_column("max_run", pa.array(mr, pa.int64()))
+        )
+
+
+class MotionBlocks:
+    """Actor-pool stage: block-matching motion estimation between
+    consecutive frames — the pan/static census that complements
+    q387's shot boundaries (WITHIN-shot motion vs ACROSS-shot cuts).
+
+    Per frame pair: 4x4 luminance blocks on the margin-2 interior of
+    the earlier frame, each matched against the later frame over all
+    25 offsets (dx, dy) in [-2, 2]²; best = minimum SAD with ties to
+    the lexicographically smallest (dy, dx) (so the zero offset wins
+    pure-brightness changes only if no shift beats it).  The 25
+    candidate SADs are whole-array shifted-view reductions (reshape
+    pooling, no per-pixel Python).  Adds ``n_pairs``, ``n_blocks``,
+    ``n_moving`` (best offset != (0,0)) and ``sum_sad`` (int64).
+    """
+
+    MARGIN = 2
+    BLOCK = 4
+
+    def __init__(self) -> None:
+        self.decode = decode_video
+
+    def _census(self, frames: np.ndarray) -> tuple[int, int, int, int]:
+        n, h, w, _ = frames.shape
+        m, bs = self.MARGIN, self.BLOCK
+        ih, iw = h - 2 * m, w - 2 * m
+        bh, bw = ih // bs, iw // bs
+        if n < 2 or bh == 0 or bw == 0:
+            return 0, 0, 0, 0
+        lum = frames.astype(np.int64).sum(axis=3)
+        n_moving = 0
+        sum_sad = 0
+        offs = [(dy, dx) for dy in range(-m, m + 1) for dx in range(-m, m + 1)]
+        for f in range(n - 1):
+            prev = lum[f, m:m + bh * bs, m:m + bw * bs]
+            best = None
+            best_off = None
+            for oi, (dy, dx) in enumerate(offs):
+                nxt = lum[f + 1, m + dy:m + dy + bh * bs,
+                          m + dx:m + dx + bw * bs]
+                sad = (
+                    np.abs(prev - nxt)
+                    .reshape(bh, bs, bw, bs)
+                    .sum(axis=(1, 3))
+                )
+                if best is None:
+                    best = sad.copy()
+                    best_off = np.zeros_like(sad)
+                else:
+                    better = sad < best
+                    best[better] = sad[better]
+                    best_off[better] = oi
+            zero_oi = offs.index((0, 0))
+            n_moving += int((best_off != zero_oi).sum())
+            sum_sad += int(best.sum())
+        return n - 1, (n - 1) * bh * bw, n_moving, sum_sad
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np_, nb, nm, ss = [], [], [], []
+        for raw in batch["bytes"].to_pylist():
+            frames, _ = self.decode(raw)
+            a, b, c, d = self._census(frames)
+            np_.append(a)
+            nb.append(b)
+            nm.append(c)
+            ss.append(d)
+        return (
+            batch.append_column("n_pairs", pa.array(np_, pa.int64()))
+            .append_column("n_blocks", pa.array(nb, pa.int64()))
+            .append_column("n_moving", pa.array(nm, pa.int64()))
+            .append_column("sum_sad", pa.array(ss, pa.int64()))
+        )

@@ -1260,3 +1260,57 @@ class LargestBlob:
         return batch.append_column(
             "blob_size", pa.array(sz, pa.int64())
         ).append_column("blob_bbox_area", pa.array(bb, pa.int64()))
+
+
+class HarrisCorners:
+    """Actor-pool stage: Harris corner census — the interest-point
+    density signal (photos of structured scenes score high, flat
+    synthetic fills score near zero).
+
+    Integer pipeline, no floats: Sobel gradients on the interior
+    (shifted views, as SobelOrientation), per-pixel products gx²/gxy/gy²
+    box-summed over a 3x3 window (shifted-view sums again), response
+    R = 20·det(M) − trace(M)² — Harris k = 0.05 cleared to integers by
+    scaling det by 20 (k·20 = 1).  All magnitudes bound by
+    20·(9·3060²)² < 2^63 for 8-bit 3-channel input.  Adds
+    ``n_corner_px`` (R > thresh) and ``max_resp`` (int64).
+    """
+
+    def __init__(self, thresh: int = 1 << 38) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.thresh = int(thresh)
+
+    def _census(self, px: np.ndarray) -> tuple[int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        if h < 5 or w < 5:
+            return 0, 0
+        tl, tc, tr = lum[:-2, :-2], lum[:-2, 1:-1], lum[:-2, 2:]
+        ml, mr = lum[1:-1, :-2], lum[1:-1, 2:]
+        bl, bc, br = lum[2:, :-2], lum[2:, 1:-1], lum[2:, 2:]
+        gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+        gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+        gxx, gxy, gyy = gx * gx, gx * gy, gy * gy
+
+        def box3(a: np.ndarray) -> np.ndarray:
+            return (
+                a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+                + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+                + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:]
+            )
+
+        sxx, sxy, syy = box3(gxx), box3(gxy), box3(gyy)
+        resp = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+        return int((resp > self.thresh).sum()), int(resp.max())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, mx = [], []
+        for raw in batch["bytes"].to_pylist():
+            n, m = self._census(self.decode(raw))
+            ns.append(n)
+            mx.append(m)
+        return batch.append_column(
+            "n_corner_px", pa.array(ns, pa.int64())
+        ).append_column("max_resp", pa.array(mx, pa.int64()))

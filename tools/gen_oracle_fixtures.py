@@ -4081,9 +4081,145 @@ def gen_pca_dtw() -> None:
     print("dtw_sf0.01.parquet:", len(df), "pairs")
 
 
+def gen_harris_vad_motion() -> None:
+    """Expected q394/q395/q396 rows from INDEPENDENT scalar twins
+    (per-pixel Harris loops; frame-walk VAD; per-block SAD loops)."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.av import (decode_audio, decode_video,
+                                       fixture_path as av_fixture)
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q394 Harris (per-pixel nested loops, independent of the
+    # shifted-view stage implementation)
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    THRESH = 1 << 38
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        h, w = len(lum), len(lum[0])
+        gx = [[0] * w for _ in range(h)]
+        gy = [[0] * w for _ in range(h)]
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx[y][x] = (lum[y - 1][x + 1] + 2 * lum[y][x + 1]
+                            + lum[y + 1][x + 1] - lum[y - 1][x - 1]
+                            - 2 * lum[y][x - 1] - lum[y + 1][x - 1])
+                gy[y][x] = (lum[y + 1][x - 1] + 2 * lum[y + 1][x]
+                            + lum[y + 1][x + 1] - lum[y - 1][x - 1]
+                            - 2 * lum[y - 1][x] - lum[y - 1][x + 1])
+        n_c = 0
+        m_r = 0
+        for y in range(2, h - 2):
+            for x in range(2, w - 2):
+                sxx = sxy = syy = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        a, b = gx[y + dy][x + dx], gy[y + dy][x + dx]
+                        sxx += a * a
+                        sxy += a * b
+                        syy += b * b
+                r = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+                if r > THRESH:
+                    n_c += 1
+                if r > m_r or (y == 2 and x == 2):
+                    m_r = max(m_r, r) if not (y == 2 and x == 2) else r
+        rows.append((fmt, n_c, m_r))
+    df = pd.DataFrame(rows, columns=["fmt", "n_c", "m_r"])
+    agg = df.groupby("fmt").agg(
+        n_images=("n_c", "size"), sum_corner_px=("n_c", "sum"),
+        max_resp=("m_r", "max")).reset_index().astype(
+        {c: "int64" for c in ("n_images", "sum_corner_px", "max_resp")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "harris_sf0.01.parquet"))
+    print("harris_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q395 VAD (scalar frame walk)
+    av = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(av, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    rows = []
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm, sr = decode_audio(raw)
+        flen = max(1, sr * 20 // 1000)
+        nf = len(pcm) // flen
+        es = []
+        for f in range(nf):
+            s = 0
+            for v in pcm[f * flen:(f + 1) * flen]:
+                s += int(v) * int(v)
+            es.append(s)
+        tot = sum(es)
+        act = [e * nf > tot for e in es]
+        mr = r = 0
+        for a in act:
+            r = r + 1 if a else 0
+            mr = max(mr, r)
+        rows.append((fmt, nf, sum(act), mr))
+    df = pd.DataFrame(rows, columns=["fmt", "nf", "na", "mr"])
+    agg = df.groupby("fmt").agg(
+        n_clips=("nf", "size"), sum_frames=("nf", "sum"),
+        sum_active=("na", "sum"), max_run=("mr", "max")
+    ).reset_index().astype({c: "int64" for c in
+        ("n_clips", "sum_frames", "sum_active", "max_run")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "vad_sf0.01.parquet"))
+    print("vad_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q396 motion (scalar per-block argmin)
+    av = av_fixture(n=100, seed=42)
+    vid = pq.read_table(os.path.join(av, "video.parquet"),
+                        columns=["bytes"]).to_pandas()
+    M, BS = 2, 4
+    tot = [0, 0, 0, 0, 0]
+    for raw in vid["bytes"]:
+        frames, _ = decode_video(raw)
+        n, h, w, _ = frames.shape
+        lum = frames.astype(np.int64).sum(axis=3).tolist()
+        bh, bw = (h - 2 * M) // BS, (w - 2 * M) // BS
+        if n < 2 or bh == 0 or bw == 0:
+            tot[0] += 1
+            continue
+        tot[0] += 1
+        for f in range(n - 1):
+            tot[1] += 1
+            for by in range(bh):
+                for bx in range(bw):
+                    tot[2] += 1
+                    best = None
+                    best_off = None
+                    for dy in range(-M, M + 1):
+                        for dx in range(-M, M + 1):
+                            sad = 0
+                            for yy in range(BS):
+                                for xx in range(BS):
+                                    py = M + by * BS + yy
+                                    px_ = M + bx * BS + xx
+                                    sad += abs(lum[f][py][px_]
+                                               - lum[f + 1][py + dy][px_ + dx])
+                            if best is None or sad < best:
+                                best = sad
+                                best_off = (dy, dx)
+                    if best_off != (0, 0):
+                        tot[3] += 1
+                    tot[4] += best
+    out = pa.table({
+        "n_clips": pa.array([tot[0]], pa.int64()),
+        "n_pairs": pa.array([tot[1]], pa.int64()),
+        "n_blocks": pa.array([tot[2]], pa.int64()),
+        "n_moving": pa.array([tot[3]], pa.int64()),
+        "sum_sad": pa.array([tot[4]], pa.int64()),
+    })
+    pq.write_table(out, os.path.join(OUT, "motion_sf0.01.parquet"))
+    print("motion_sf0.01.parquet:", tot)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
+    gen_harris_vad_motion()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
