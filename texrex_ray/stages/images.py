@@ -1314,3 +1314,193 @@ class HarrisCorners:
         return batch.append_column(
             "n_corner_px", pa.array(ns, pa.int64())
         ).append_column("max_resp", pa.array(mx, pa.int64()))
+
+
+class SsimAudit:
+    """Actor-pool stage: integer-exact SSIM audit of a 2x box-downsample
+    -> nearest-upsample reconstruction — the perceptual complement to
+    q364's absolute-error DownsampleLoss (SSIM weights *structure*, so a
+    uniform brightness shift scores high while texture loss scores low).
+
+    Integer discipline: luminance (r+g+b)//3, per 8x8 tile the SSIM
+    rational is cleared of means via sums (n=64): with sx=Σx, sxx=Σx²,
+    A1 = 2·sx·sy + C1·n², A2 = 2·(n·sxy − sx·sy) + C2·n²,
+    B1 = sx² + sy² + C1·n², B2 = (n·sxx − sx²) + (n·syy − sy²) + C2·n²,
+    tile SSIM = (A1·A2)/(B1·B2) exactly; stabilizers C1=7, C2=59 are the
+    integer roundings of the standard (0.01·255)²/(0.03·255)².  The ppm
+    scaling A1·A2·10⁶ exceeds int64, so the finish is per-tile Python
+    ints (≤256 tiles/image — bounded, not a per-pixel loop); the tile
+    sums themselves are whole-array numpy reductions.  Adds ``n_tiles``,
+    ``sum_ssim_ppm``, ``min_ssim_ppm`` (int64).
+    """
+
+    C1 = 7
+    C2 = 59
+    T = 8
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2) // 3
+        h, w = lum.shape
+        h2, w2 = (h // 2) * 2, (w // 2) * 2
+        lum = lum[:h2, :w2]
+        T = self.T
+        th, tw = h2 // T, w2 // T
+        if th == 0 or tw == 0:
+            return 0, 0, 0
+        box = (
+            lum[0::2, 0::2] + lum[0::2, 1::2] + lum[1::2, 0::2] + lum[1::2, 1::2]
+        ) // 4
+        rec = np.repeat(np.repeat(box, 2, axis=0), 2, axis=1)
+        x = lum[: th * T, : tw * T].reshape(th, T, tw, T)
+        y = rec[: th * T, : tw * T].reshape(th, T, tw, T)
+        sx = x.sum(axis=(1, 3)).ravel().tolist()
+        sy = y.sum(axis=(1, 3)).ravel().tolist()
+        sxx = (x * x).sum(axis=(1, 3)).ravel().tolist()
+        syy = (y * y).sum(axis=(1, 3)).ravel().tolist()
+        sxy = (x * y).sum(axis=(1, 3)).ravel().tolist()
+        n = T * T
+        nn = n * n
+        total = 0
+        mn: int | None = None
+        for a, b, aa, bb, ab in zip(sx, sy, sxx, syy, sxy):
+            a1 = 2 * a * b + self.C1 * nn
+            a2 = 2 * (n * ab - a * b) + self.C2 * nn
+            b1 = a * a + b * b + self.C1 * nn
+            b2 = (n * aa - a * a) + (n * bb - b * b) + self.C2 * nn
+            v = (a1 * a2 * 1_000_000) // (b1 * b2)
+            total += v
+            mn = v if mn is None or v < mn else mn
+        return th * tw, total, mn if mn is not None else 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nt, sm, mn = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            t, s, m = self._census(self.decode(raw))
+            nt.append(t)
+            sm.append(s)
+            mn.append(m)
+        return (
+            batch.append_column("n_tiles", pa.array(nt, pa.int64()))
+            .append_column("sum_ssim_ppm", pa.array(sm, pa.int64()))
+            .append_column("min_ssim_ppm", pa.array(mn, pa.int64()))
+        )
+
+
+class TemplateMatch:
+    """Actor-pool stage: coarse (stride-4) planted-logo search — minimum
+    sum-of-squared-differences between a fixed 8x8 seeded template and
+    the luminance plane over a stride-4 grid of positions (the coarse
+    pass of classic hierarchical template matching; a fine pass would
+    re-search ±3 px around the coarse winner).
+
+    Integer pipeline: luminance (r+g+b)//3 ∈ [0,255], SSD per position
+    ≤ 64·255² < 2^23 — the whole SSD map is 64 shifted-strided-view
+    accumulations, no per-position loop.  Ties break to the first
+    position in row-major order (np.argmin's contract).  Adds
+    ``best_y``, ``best_x``, ``best_ssd`` (int64; -1/-1/-1 when the
+    image is smaller than the template).
+    """
+
+    def __init__(self, seed: int = 397, t: int = 8, stride: int = 4) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.t = int(t)
+        self.stride = int(stride)
+        rng = np.random.RandomState(seed)
+        self.tmpl = rng.randint(0, 256, (self.t, self.t)).astype(np.int64)
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2) // 3
+        h, w = lum.shape
+        T, S = self.t, self.stride
+        if h < T or w < T:
+            return -1, -1, -1
+        gh = (h - T) // S + 1
+        gw = (w - T) // S + 1
+        ssd = np.zeros((gh, gw), np.int64)
+        for ty in range(T):
+            for tx in range(T):
+                v = lum[ty : ty + (gh - 1) * S + 1 : S, tx : tx + (gw - 1) * S + 1 : S]
+                d = v - self.tmpl[ty, tx]
+                ssd += d * d
+        k = int(np.argmin(ssd))
+        by, bx = divmod(k, gw)
+        return by * S, bx * S, int(ssd[by, bx])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ys, xs, ss = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            y, x, s = self._census(self.decode(raw))
+            ys.append(y)
+            xs.append(x)
+            ss.append(s)
+        return (
+            batch.append_column("best_y", pa.array(ys, pa.int64()))
+            .append_column("best_x", pa.array(xs, pa.int64()))
+            .append_column("best_ssd", pa.array(ss, pa.int64()))
+        )
+
+
+_LBP_UNIFORM = np.array(
+    [
+        c
+        for c in range(256)
+        if bin((((c << 1) | (c >> 7)) & 0xFF) ^ c).count("1") <= 2
+    ],
+    dtype=np.int64,
+)
+
+
+class LbpTexture:
+    """Actor-pool stage: 8-neighbor local-binary-pattern texture census —
+    the rotation-ish texture descriptor (Ojala et al.) complementing
+    q283's gradient orientations: LBP sees micro-texture (spots, edges,
+    corners as bit patterns), not gradient energy.
+
+    Code per interior pixel: bit i set iff neighbor_i >= center, i
+    clockwise from top-left.  ``uniform`` patterns (≤2 circular 0/1
+    transitions — the 58 classic codes) are the texture-bearing ones;
+    their share separates structured texture from noise.  Whole-array
+    pipeline: 8 shifted-view compares OR-ed into a code plane, one
+    bincount.  Adds ``n_px``, ``n_uniform`` (int64) and ``hist``
+    (fixed 256 int64 list) for exact downstream modal analysis.
+    """
+
+    _OFFS = ((-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, np.ndarray]:
+        lum = px.astype(np.int64).sum(axis=2) // 3
+        h, w = lum.shape
+        if h < 3 or w < 3:
+            return 0, 0, np.zeros(256, np.int64)
+        c = lum[1:-1, 1:-1]
+        code = np.zeros(c.shape, np.int64)
+        for i, (dy, dx) in enumerate(self._OFFS):
+            nb = lum[1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
+            code |= (nb >= c).astype(np.int64) << i
+        hist = np.bincount(code.ravel(), minlength=256).astype(np.int64)
+        return int(code.size), int(hist[_LBP_UNIFORM].sum()), hist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np_, nu, hs = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            n, u, h = self._census(self.decode(raw))
+            np_.append(n)
+            nu.append(u)
+            hs.append(h.tolist())
+        return (
+            batch.append_column("n_px", pa.array(np_, pa.int64()))
+            .append_column("n_uniform", pa.array(nu, pa.int64()))
+            .append_column("hist", pa.array(hs, pa.list_(pa.int64())))
+        )

@@ -4216,10 +4216,141 @@ def gen_harris_vad_motion() -> None:
     print("motion_sf0.01.parquet:", tot)
 
 
+def gen_ssim_template_lbp() -> None:
+    """Expected q397/q398/q399 rows from INDEPENDENT scalar twins
+    (per-tile Python-loop SSIM sums; per-position slice SSD; per-pixel
+    LBP walk with a bit-iteration uniformity test)."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+
+    # ---- q397 SSIM (per-tile scalar sums, Python-int rational finish)
+    C1, C2, T = 7, 59, 8
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        px = decode_image(raw).astype(np.int64)
+        lum = (px.sum(axis=2) // 3).tolist()
+        h2 = (len(lum) // 2) * 2
+        w2 = (len(lum[0]) // 2) * 2
+        rec = [[0] * w2 for _ in range(h2)]
+        for y in range(0, h2, 2):
+            for x in range(0, w2, 2):
+                m = (lum[y][x] + lum[y][x + 1]
+                     + lum[y + 1][x] + lum[y + 1][x + 1]) // 4
+                rec[y][x] = rec[y][x + 1] = rec[y + 1][x] = rec[y + 1][x + 1] = m
+        th, tw = h2 // T, w2 // T
+        n = T * T
+        nn = n * n
+        total, mn = 0, None
+        for by in range(th):
+            for bx in range(tw):
+                sx = sy = sxx = syy = sxy = 0
+                for yy in range(by * T, by * T + T):
+                    for xx in range(bx * T, bx * T + T):
+                        a, b = lum[yy][xx], rec[yy][xx]
+                        sx += a
+                        sy += b
+                        sxx += a * a
+                        syy += b * b
+                        sxy += a * b
+                a1 = 2 * sx * sy + C1 * nn
+                a2 = 2 * (n * sxy - sx * sy) + C2 * nn
+                b1 = sx * sx + sy * sy + C1 * nn
+                b2 = (n * sxx - sx * sx) + (n * syy - sy * sy) + C2 * nn
+                v = (a1 * a2 * 1_000_000) // (b1 * b2)
+                total += v
+                mn = v if mn is None else min(mn, v)
+        rows.append((fmt, th * tw, total, 0 if mn is None else mn))
+    df = pd.DataFrame(rows, columns=["fmt", "nt", "sm", "mn"])
+    agg = df.groupby("fmt").agg(
+        n_images=("nt", "size"), n_tiles=("nt", "sum"),
+        sum_ssim_ppm=("sm", "sum"), min_ssim_ppm=("mn", "min"),
+    ).reset_index().astype({c: "int64" for c in (
+        "n_images", "n_tiles", "sum_ssim_ppm", "min_ssim_ppm")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "ssim_sf0.01.parquet"))
+    print("ssim_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q398 template match (per-grid-position slice SSD, an
+    # independent decomposition of the stage's shifted-view accumulate)
+    TT, S = 8, 4
+    rng = np.random.RandomState(397)
+    tmpl = rng.randint(0, 256, (TT, TT)).astype(np.int64)
+    rows = []
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2) // 3
+        h, w = lum.shape
+        if h < TT or w < TT:
+            rows.append((fmt, -1, -1, -1))
+            continue
+        best, by, bx = None, -1, -1
+        for y in range(0, h - TT + 1, S):
+            for x in range(0, w - TT + 1, S):
+                ssd = int(((lum[y:y + TT, x:x + TT] - tmpl) ** 2).sum())
+                if best is None or ssd < best:
+                    best, by, bx = ssd, y, x
+        rows.append((fmt, by, bx, best))
+    df = pd.DataFrame(rows, columns=["fmt", "by", "bx", "ssd"])
+    agg = df.groupby("fmt").agg(
+        n_images=("ssd", "size"), min_ssd=("ssd", "min"),
+        sum_ssd=("ssd", "sum"), sum_y=("by", "sum"), sum_x=("bx", "sum"),
+    ).reset_index().astype({c: "int64" for c in (
+        "n_images", "min_ssd", "sum_ssd", "sum_y", "sum_x")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "template_sf0.01.parquet"))
+    print("template_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q399 LBP (per-pixel scalar walk; uniformity by iterating the
+    # 8 circular bit transitions — independent of the precomputed table)
+    def is_uniform(code: int) -> bool:
+        bits = [(code >> i) & 1 for i in range(8)]
+        return sum(bits[i] != bits[(i + 1) % 8] for i in range(8)) <= 2
+
+    offs = ((-1, -1), (-1, 0), (-1, 1), (0, 1),
+            (1, 1), (1, 0), (1, -1), (0, -1))
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = (decode_image(raw).astype(np.int64).sum(axis=2) // 3).tolist()
+        h, w = len(lum), len(lum[0])
+        hist = [0] * 256
+        for y in range(1, h - 1):
+            row = lum[y]
+            for x in range(1, w - 1):
+                c = row[x]
+                code = 0
+                for i, (dy, dx) in enumerate(offs):
+                    if lum[y + dy][x + dx] >= c:
+                        code |= 1 << i
+                hist[code] += 1
+        st = per_fmt.setdefault(fmt, [0, 0, 0, [0] * 256])
+        st[0] += 1
+        st[1] += (h - 2) * (w - 2)
+        st[2] += sum(hist[c] for c in range(256) if is_uniform(c))
+        st[3] = [a + b for a, b in zip(st[3], hist)]
+    rows = []
+    for fmt in sorted(per_fmt):
+        n_img, n_px, n_uni, hist = per_fmt[fmt]
+        top_count = max(hist)
+        top_code = hist.index(top_count)  # smallest code wins ties
+        rows.append((fmt, n_img, n_px, n_uni, top_code, top_count))
+    agg = pd.DataFrame(rows, columns=[
+        "fmt", "n_images", "n_px", "n_uniform", "top_code", "top_count"
+    ]).astype({c: "int64" for c in (
+        "n_images", "n_px", "n_uniform", "top_code", "top_count")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "lbp_sf0.01.parquet"))
+    print("lbp_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
     gen_harris_vad_motion()
+    gen_ssim_template_lbp()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
