@@ -303,3 +303,72 @@ class MotionBlocks:
             .append_column("n_moving", pa.array(nm, pa.int64()))
             .append_column("sum_sad", pa.array(ss, pa.int64()))
         )
+
+
+class WalshSpectrum:
+    """Actor-pool stage: fast Walsh-Hadamard sequency census per audio
+    clip — an EXACT-integer spectral-band split (the Hadamard basis is
+    ±1, so unlike a DFT no trigonometric rounding enters): low-index
+    Walsh coefficients capture slow envelope structure, high-index
+    ones capture rapid alternation, separating tonal from noisy clips
+    without floats.
+
+    64-sample non-overlapping frames (tail dropped); per frame the
+    order-64 fast Walsh-Hadamard transform — 6 vectorized butterfly
+    rounds over the whole (n_frames, 64) block at once, |coef| ≤
+    64·32768 so squares stay < 2^53 in int64 — then reordered to
+    SEQUENCY (Walsh) order via the gray-code bit-reversal permutation,
+    so coefficient s has exactly s sign changes.  Parseval: Σ w² =
+    64·Σ x² exactly.  Bands: low = sequencies 0-7 (envelope), high =
+    sequencies 32-63 (rapid alternation).  Adds ``n_frames``,
+    ``low_energy``, ``high_energy``, ``total_energy`` (int64).
+    """
+
+    FRAME = 64
+
+    def __init__(self) -> None:
+        self.decode = decode_audio
+        F = self.FRAME
+        bits = F.bit_length() - 1
+        # sequency s -> natural (Sylvester) index: bit-reverse(gray(s))
+        self.perm = np.array(
+            [int(f"{s ^ (s >> 1):0{bits}b}"[::-1], 2) for s in range(F)],
+            dtype=np.int64,
+        )
+
+    def _census(self, pcm: np.ndarray) -> tuple[int, int, int, int]:
+        F = self.FRAME
+        n_frames = len(pcm) // F
+        if n_frames == 0:
+            return 0, 0, 0, 0
+        w = pcm[: n_frames * F].astype(np.int64).reshape(n_frames, F).copy()
+        h = 1
+        while h < F:
+            w = w.reshape(n_frames, F // (2 * h), 2, h)
+            a = w[:, :, 0, :] + w[:, :, 1, :]
+            b = w[:, :, 0, :] - w[:, :, 1, :]
+            w = np.concatenate(
+                [a[:, :, None, :], b[:, :, None, :]], axis=2
+            ).reshape(n_frames, F)
+            h *= 2
+        e = (w * w)[:, self.perm]
+        low = int(e[:, :8].sum())
+        high = int(e[:, 32:].sum())
+        total = int(e.sum())
+        return n_frames, low, high, total
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf, lo, hi, tt = [], [], [], []
+        for raw in batch["bytes"].to_pylist():
+            pcm, _sr = self.decode(raw)
+            a, b, c, d = self._census(pcm)
+            nf.append(a)
+            lo.append(b)
+            hi.append(c)
+            tt.append(d)
+        return (
+            batch.append_column("n_frames", pa.array(nf, pa.int64()))
+            .append_column("low_energy", pa.array(lo, pa.int64()))
+            .append_column("high_energy", pa.array(hi, pa.int64()))
+            .append_column("total_energy", pa.array(tt, pa.int64()))
+        )

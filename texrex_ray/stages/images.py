@@ -1504,3 +1504,64 @@ class LbpTexture:
             .append_column("n_uniform", pa.array(nu, pa.int64()))
             .append_column("hist", pa.array(hs, pa.list_(pa.int64())))
         )
+
+
+class GlcmTexture:
+    """Actor-pool stage: gray-level co-occurrence texture census
+    (Haralick) — second-order texture statistics that LBP (q399) and
+    gradient censuses can't see: LBP encodes LOCAL rank patterns,
+    the GLCM measures how often specific gray-level PAIRS co-occur at
+    a fixed offset, separating coarse from fine texture at equal edge
+    density.
+
+    Luminance (r+g+b)//3 quantized to 16 levels (//16); co-occurrence
+    counts over the two canonical offsets (0,1) and (1,0) pooled into
+    one 16x16 matrix via a single bincount of packed codes 16*a+b
+    (symmetrized by construction order — (a,b) kept directed, matching
+    the scalar twin).  Exact integer Haralick features:
+    contrast = Σ n_ab (a-b)², energy = Σ n_ab², and homogeneity in ppm
+    = Σ (n_ab · 10⁶) // (1 + (a-b)²) — per-cell floor, a fixed integer
+    spec (256 bounded cells, numpy-vectorized).  Adds ``n_pairs``,
+    ``contrast``, ``energy``, ``homog_ppm`` (int64).
+    """
+
+    LEVELS = 16
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        L = self.LEVELS
+        a, b = np.divmod(np.arange(L * L, dtype=np.int64), L)
+        self._d2 = (a - b) ** 2
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2) // 3
+        q = lum // self.LEVELS
+        L = self.LEVELS
+        codes_h = (q[:, :-1] * L + q[:, 1:]).ravel()
+        codes_v = (q[:-1, :] * L + q[1:, :]).ravel()
+        n = np.bincount(codes_h, minlength=L * L) + np.bincount(
+            codes_v, minlength=L * L
+        )
+        n = n.astype(np.int64)
+        n_pairs = int(n.sum())
+        contrast = int((n * self._d2).sum())
+        energy = int((n * n).sum())
+        homog = int(((n * 1_000_000) // (1 + self._d2)).sum())
+        return n_pairs, contrast, energy, homog
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np_, ct, en, hg = [], [], [], []
+        for raw in batch["bytes"].to_pylist():
+            a, b, c, d = self._census(self.decode(raw))
+            np_.append(a)
+            ct.append(b)
+            en.append(c)
+            hg.append(d)
+        return (
+            batch.append_column("n_pairs", pa.array(np_, pa.int64()))
+            .append_column("contrast", pa.array(ct, pa.int64()))
+            .append_column("energy", pa.array(en, pa.int64()))
+            .append_column("homog_ppm", pa.array(hg, pa.int64()))
+        )

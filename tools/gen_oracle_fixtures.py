@@ -4346,11 +4346,146 @@ def gen_ssim_template_lbp() -> None:
     print("lbp_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_glcm_ols_wht() -> None:
+    """Expected q400/q401/q402 rows from INDEPENDENT twins (per-pixel
+    dict-walk GLCM; Cramer-determinant Fraction OLS over one-pass
+    sums; explicit Sylvester-matrix Walsh transform)."""
+    import pandas as pd
+    from fractions import Fraction
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q400 GLCM (scalar dict walk over both offsets)
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = (decode_image(raw).astype(np.int64).sum(axis=2) // 3).tolist()
+        h, w = len(lum), len(lum[0])
+        counts: dict[tuple[int, int], int] = {}
+        for y in range(h):
+            for x in range(w):
+                a = lum[y][x] // 16
+                if x + 1 < w:
+                    b = lum[y][x + 1] // 16
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+                if y + 1 < h:
+                    b = lum[y + 1][x] // 16
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+        n_pairs = sum(counts.values())
+        contrast = sum(c * (a - b) ** 2 for (a, b), c in counts.items())
+        energy = sum(c * c for c in counts.values())
+        homog = sum((c * 1_000_000) // (1 + (a - b) ** 2)
+                    for (a, b), c in counts.items())
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n_pairs
+        st[2] += contrast
+        st[3] += energy
+        st[4] += homog
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "n_pairs", "sum_contrast",
+                 "sum_energy", "sum_homog_ppm"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_pairs", "sum_contrast", "sum_energy",
+        "sum_homog_ppm")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "glcm_sf0.01.parquet"))
+    print("glcm_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q401 OLS (one-pass numpy sums + Cramer-rule Fraction solve,
+    # vs the query's distributed partials + Gaussian elimination)
+    li = pq.read_table("/root/testdata/sf0.01/lineitem.parquet",
+                       columns=["l_quantity", "l_extendedprice",
+                                "l_discount", "l_tax"]).to_pandas()
+    y = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    x1 = np.round(li["l_quantity"].to_numpy()).astype(np.int64)
+    x2 = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    x3 = np.round(li["l_tax"].to_numpy() * 100).astype(np.int64)
+    X = np.stack([np.ones_like(x1), x1, x2, x3], axis=1)
+    A = [[int(v) for v in row] for row in (X.T @ X)]
+    b = [int(v) for v in (X.T @ y)]
+
+    def det4(M) -> Fraction:
+        # cofactor expansion, exact Fractions
+        def det(m):
+            k = len(m)
+            if k == 1:
+                return Fraction(m[0][0])
+            tot = Fraction(0)
+            for j in range(k):
+                sub = [row[:j] + row[j + 1:] for row in m[1:]]
+                tot += (-1) ** j * Fraction(m[0][j]) * det(sub)
+            return tot
+        return det(M)
+
+    dA = det4(A)
+    assert dA != 0
+    betas = []
+    for i in range(4):
+        Ai = [row[:i] + [b[r]] + row[i + 1:] for r, row in enumerate(A)]
+        betas.append(det4(Ai) / dA)
+    import math
+    row = {"n": np.int64(len(y))}
+    for i, bt in enumerate(betas):
+        row[f"b{i}_e9"] = np.int64(math.floor(bt * 10**9))
+    agg = pd.DataFrame([row])
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "ols_sf0.01.parquet"))
+    print("ols_sf0.01.parquet:", agg.to_dict("records"))
+
+    # ---- q402 Walsh spectrum (explicit Sylvester H_64 matmul per
+    # frame, sequency order derived by COUNTING each row's sign
+    # changes — independent of the stage's gray-code bit-reversal)
+    from texrex_ray.sources.av import decode_audio
+    from texrex_ray.sources.av import fixture_path as av_fixture
+
+    H = np.array([[1]], dtype=np.int64)
+    while H.shape[0] < 64:
+        H = np.block([[H, H], [H, -H]])
+    sign_changes = [int((np.diff(row) != 0).sum()) for row in H]
+    assert sorted(sign_changes) == list(range(64))
+    order = np.argsort(sign_changes)
+    H = H[order]
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm, _sr = decode_audio(raw)
+        nf = len(pcm) // 64
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        if nf == 0:
+            continue
+        frames = pcm[: nf * 64].astype(np.int64).reshape(nf, 64)
+        w = frames @ H.T          # row f -> H @ frame (H symmetric)
+        e = w * w
+        st[1] += nf
+        st[2] += int(e[:, :8].sum())
+        st[3] += int(e[:, 32:].sum())
+        st[4] += int(e.sum())
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_clips", "n_frames", "low_energy",
+                 "high_energy", "total_energy"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "n_frames", "low_energy", "high_energy",
+        "total_energy")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "wht_sf0.01.parquet"))
+    print("wht_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
     gen_harris_vad_motion()
     gen_ssim_template_lbp()
+    gen_glcm_ols_wht()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
