@@ -4480,12 +4480,99 @@ def gen_glcm_ols_wht() -> None:
     print("wht_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_hough_cube_soundex() -> None:
+    """Expected q403/q405 rows from INDEPENDENT scalar twins (per-pixel
+    Sobel + dict-vote Hough; per-letter state-machine Soundex).  q404's
+    CUBE oracle is pure SQL (GROUP BY CUBE) — no fixture needed."""
+    import pandas as pd
+    import re
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q403 Hough 4-direction line census (scalar voting twin)
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    EDGE_T = 1_000_000
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        h, w = len(lum), len(lum[0])
+        votes = [dict(), dict(), dict(), dict()]
+        n_edge = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (lum[y - 1][x + 1] + 2 * lum[y][x + 1]
+                      + lum[y + 1][x + 1] - lum[y - 1][x - 1]
+                      - 2 * lum[y][x - 1] - lum[y + 1][x - 1])
+                gy = (lum[y + 1][x - 1] + 2 * lum[y + 1][x]
+                      + lum[y + 1][x + 1] - lum[y - 1][x - 1]
+                      - 2 * lum[y - 1][x] - lum[y - 1][x + 1])
+                if gx * gx + gy * gy > EDGE_T:
+                    n_edge += 1
+                    for di, rho in enumerate((x, y, x + y, x - y)):
+                        votes[di][rho] = votes[di].get(rho, 0) + 1
+        bd, br, bv = -1, -1, 0
+        for di in range(4):
+            for rho in sorted(votes[di]):
+                if votes[di][rho] > bv:
+                    bd, br, bv = di, rho, votes[di][rho]
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n_edge
+        st[2] += bv
+        st[3] = max(st[3], bv)
+        if bd in (0, 1):
+            st[4] += 1
+        elif bd in (2, 3):
+            st[5] += 1
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "sum_edge_px", "sum_best_votes",
+                 "max_best_votes", "n_axis", "n_diag"],
+    ).astype({c: "int64" for c in (
+        "n_images", "sum_edge_px", "sum_best_votes", "max_best_votes",
+        "n_axis", "n_diag")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "hough_sf0.01.parquet"))
+    print("hough_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q405 Soundex key census (state-machine twin + dict counting)
+    from texrex_ray.functions.phonetic import soundex_one
+
+    docs = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    tok_re = re.compile(r"[a-z]+")
+    per_src: dict[str, set] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        st = per_src.setdefault(src, set())
+        st.update(t for t in tok_re.findall((text or "").lower())
+                  if len(t) >= 2)
+    rows = []
+    for src in sorted(per_src):
+        toks = per_src[src]
+        keys: dict[str, int] = {}
+        for t in toks:
+            k = soundex_one(t)
+            keys[k] = keys.get(k, 0) + 1
+        top_key = min(keys, key=lambda k: (-keys[k], k))
+        rows.append((src, len(toks), len(keys), top_key, keys[top_key]))
+    agg = pd.DataFrame(rows, columns=[
+        "source", "n_tokens", "n_keys", "top_key", "top_count"
+    ]).astype({c: "int64" for c in ("n_tokens", "n_keys", "top_count")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "soundex_sf0.01.parquet"))
+    print("soundex_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
     gen_harris_vad_motion()
     gen_ssim_template_lbp()
     gen_glcm_ols_wht()
+    gen_hough_cube_soundex()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
