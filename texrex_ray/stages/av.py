@@ -372,3 +372,71 @@ class WalshSpectrum:
             .append_column("high_energy", pa.array(hi, pa.int64()))
             .append_column("total_energy", pa.array(tt, pa.int64()))
         )
+
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 mu-law encode (int16 -> uint8) — the classic
+    ALL-INTEGER telephony companding: bias, segment exponent from the
+    magnitude's high bit, 4-bit mantissa, ones-complement code."""
+    x = x.astype(np.int64)
+    sign = (x < 0).astype(np.int64)
+    m = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    # segment exponent: index of the highest set bit in bits 7..14
+    e = np.zeros(len(m), np.int64)
+    for thresh in (0x100, 0x200, 0x400, 0x800, 0x1000, 0x2000, 0x4000):
+        e += (m >= thresh).astype(np.int64)
+    mant = (m >> (e + 3)) & 0x0F
+    return (~((sign << 7) | (e << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(code: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 mu-law decode (uint8 -> int16)."""
+    c = (~code.astype(np.int64)) & 0xFF
+    sign = (c >> 7) & 1
+    e = (c >> 4) & 7
+    mant = c & 0x0F
+    m = (((mant << 3) | _MULAW_BIAS) << e) - _MULAW_BIAS
+    return np.where(sign == 1, -m, m).astype(np.int16)
+
+
+class MuLawAudit:
+    """Actor-pool stage: G.711 mu-law companding round-trip audit —
+    encode every sample to the 8-bit telephony code and measure the
+    exact integer reconstruction error: the bandwidth-vs-fidelity
+    audit for speech-grade audio storage (complements q371's linear
+    int8 quantization with the logarithmic codec the phone network
+    actually uses — mu-law spends its 16 codes per octave, so loud
+    clips lose absolute precision but keep relative precision).
+
+    Everything is integer bit arithmetic (G.711 is specified that
+    way); encode/decode are whole-array numpy.  Adds ``n_samples``,
+    ``sse`` (Σ(decoded−original)², int64) and ``max_err`` (int64).
+    """
+
+    def __init__(self) -> None:
+        self.decode_clip = decode_audio
+
+    def _census(self, pcm: np.ndarray) -> tuple[int, int, int]:
+        if len(pcm) == 0:
+            return 0, 0, 0
+        rec = mulaw_decode(mulaw_encode(pcm)).astype(np.int64)
+        err = rec - pcm.astype(np.int64)
+        return len(pcm), int((err * err).sum()), int(np.abs(err).max())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, se, mx = [], [], []
+        for raw in batch["bytes"].to_pylist():
+            pcm, _sr = self.decode_clip(raw)
+            a, b, c = self._census(pcm)
+            ns.append(a)
+            se.append(b)
+            mx.append(c)
+        return (
+            batch.append_column("n_samples", pa.array(ns, pa.int64()))
+            .append_column("sse", pa.array(se, pa.int64()))
+            .append_column("max_err", pa.array(mx, pa.int64()))
+        )

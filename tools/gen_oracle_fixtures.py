@@ -4566,6 +4566,221 @@ def gen_hough_cube_soundex() -> None:
     print("soundex_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_cuckoo_mulaw_bayer() -> None:
+    """Expected q406/q407/q408 rows from INDEPENDENT twins: a pure-
+    Python list-of-lists cuckoo replica of the state/cuckoo.py spec
+    (same blake2b/fp-offset/LCG constants, no numpy); a per-sample
+    scalar segment-walk mu-law codec; a per-pixel scalar demosaic."""
+    import hashlib
+    import pandas as pd
+
+    # ---- q406 scaling-cuckoo FPR audit
+    CAP, CHUNK, PROBES = 4096, 1024, 50_000
+    BS, MAXK = 4, 500
+
+    def hpair(sx: str) -> tuple[int, int]:
+        d = hashlib.blake2b(sx.encode("utf-8"), digest_size=16).digest()
+        h = int.from_bytes(d[:8], "little")
+        fp = int.from_bytes(d[8:10], "little")
+        return h, fp or 1
+
+    def fp_off(fp: int, mask: int) -> int:
+        x = (fp * 0x5BD1E995) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 13
+        return x & mask
+
+    class Tab:
+        def __init__(self, nb: int):
+            self.nb = nb
+            self.rows = [[0] * BS for _ in range(nb)]
+            self.count = 0
+            self.full = False
+            self.victim = None
+            self.kick = 0x9E3779B9
+
+        def cap(self):
+            return int(self.nb * BS * 0.95)
+
+        def partners(self, h, fp):
+            i1 = h & (self.nb - 1)
+            return i1, i1 ^ fp_off(fp, self.nb - 1)
+
+        def contains(self, h, fp):
+            i1, i2 = self.partners(h, fp)
+            if self.victim is not None and self.victim[1] == fp \
+                    and self.victim[0] in (i1, i2):
+                return True
+            return fp in self.rows[i1] or fp in self.rows[i2]
+
+        def tryput(self, i, fp):
+            row = self.rows[i]
+            for j in range(BS):
+                if row[j] == 0:
+                    row[j] = fp
+                    self.count += 1
+                    return True
+            return False
+
+        def insert(self, h, fp):
+            if self.full or self.count >= self.cap() \
+                    or self.victim is not None:
+                self.full = True
+                return False
+            i1, i2 = self.partners(h, fp)
+            if self.tryput(i1, fp) or self.tryput(i2, fp):
+                return True
+            i = i2
+            for _ in range(MAXK):
+                self.kick = (self.kick * 1103515245 + 12345) & 0x7FFFFFFF
+                j = self.kick % BS
+                fp, self.rows[i][j] = self.rows[i][j], fp
+                i = i ^ fp_off(fp, self.nb - 1)
+                if self.tryput(i, fp):
+                    return True
+            self.victim = (i, fp)
+            self.count += 1
+            self.full = True
+            return True
+
+    def buckets_for(capv: int) -> int:
+        import math
+        need = max(1, math.ceil(capv / (BS * 0.95)))
+        return 1 << math.ceil(math.log2(need))
+
+    tabs = [Tab(buckets_for(CAP))]
+
+    def contains_any(h, fp):
+        return any(t.contains(h, fp) for t in tabs)
+
+    orders = pq.read_table("/root/testdata/sf0.01/orders.parquet",
+                           columns=["o_orderkey"]).to_pandas()
+    keys = [f"c:{k}" for k in sorted(int(x) for x in orders["o_orderkey"])]
+    n_added = 0
+    for i in range(0, len(keys), CHUNK):
+        for k in keys[i:i + CHUNK]:
+            h, fp = hpair(k)
+            if contains_any(h, fp):
+                continue
+            if not tabs[-1].insert(h, fp):
+                tabs.append(Tab(tabs[-1].nb * 2))
+                assert tabs[-1].insert(h, fp)
+            n_added += 1
+    n_fp = sum(contains_any(*hpair(f"x:{i}")) for i in range(PROBES))
+    t = pa.table({
+        "n_keys": pa.array([len(keys)], pa.int64()),
+        "n_added": pa.array([n_added], pa.int64()),
+        "n_tables": pa.array([len(tabs)], pa.int64()),
+        "total_slots": pa.array([sum(t2.nb * BS for t2 in tabs)], pa.int64()),
+        "used_slots": pa.array([sum(t2.count for t2 in tabs)], pa.int64()),
+        "n_probes": pa.array([PROBES], pa.int64()),
+        "n_fp": pa.array([n_fp], pa.int64()),
+        "fpr_ppm": pa.array([n_fp * 1_000_000 // PROBES], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "cuckoo_audit_sf0.01.parquet"))
+    print("cuckoo_audit_sf0.01.parquet: n_fp", n_fp, "tables", len(tabs))
+
+    # ---- q407 mu-law audit (scalar per-sample segment walk)
+    from texrex_ray.sources.av import decode_audio
+    from texrex_ray.sources.av import fixture_path as av_fixture
+
+    def enc1(x: int) -> int:
+        sign = 1 if x < 0 else 0
+        m = min(abs(x), 32635) + 0x84
+        e = 0
+        while m >= (0x100 << e) and e < 7:
+            e += 1
+        mant = (m >> (e + 3)) & 0x0F
+        return ~((sign << 7) | (e << 4) | mant) & 0xFF
+
+    def dec1(code: int) -> int:
+        c = ~code & 0xFF
+        sign, e, mant = (c >> 7) & 1, (c >> 4) & 7, c & 0x0F
+        m = (((mant << 3) | 0x84) << e) - 0x84
+        return -m if sign else m
+
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm, _sr = decode_audio(raw)
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(pcm)
+        for x in pcm.tolist():
+            err = dec1(enc1(x)) - x
+            st[2] += err * err
+            st[3] = max(st[3], abs(err))
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_clips", "n_samples", "sse", "max_err"],
+    ).astype({c: "int64" for c in ("n_clips", "n_samples", "sse",
+                                   "max_err")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "mulaw_sf0.01.parquet"))
+    print("mulaw_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q408 Bayer demosaic audit (scalar per-pixel walk)
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        px = decode_image(raw).astype(np.int64)
+        h, w = px.shape[:2]
+        mos = [[0] * w for _ in range(h)]
+        for y in range(h):
+            for x in range(w):
+                ch = 0 if (y % 2 == 0 and x % 2 == 0) else \
+                    2 if (y % 2 == 1 and x % 2 == 1) else 1
+                mos[y][x] = int(px[y][x][ch])
+        sse = [0, 0, 0]
+        mx = 0
+        npx = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                npx += 1
+                cc = mos[y][x]
+                cross = (mos[y - 1][x] + mos[y + 1][x]
+                         + mos[y][x - 1] + mos[y][x + 1])
+                dia = (mos[y - 1][x - 1] + mos[y - 1][x + 1]
+                       + mos[y + 1][x - 1] + mos[y + 1][x + 1])
+                hp = mos[y][x - 1] + mos[y][x + 1]
+                vp = mos[y - 1][x] + mos[y + 1][x]
+                if y % 2 == 0 and x % 2 == 0:      # R site
+                    rec = (cc, cross // 4, dia // 4)
+                elif y % 2 == 1 and x % 2 == 1:    # B site
+                    rec = (dia // 4, cross // 4, cc)
+                elif y % 2 == 0:                   # G on R row
+                    rec = (hp // 2, cc, vp // 2)
+                else:                              # G on B row
+                    rec = (vp // 2, cc, hp // 2)
+                for ch in range(3):
+                    e = rec[ch] - int(px[y][x][ch])
+                    sse[ch] += e * e
+                    mx = max(mx, abs(e))
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += npx
+        st[2] += sse[0]
+        st[3] += sse[1]
+        st[4] += sse[2]
+        st[5] = max(st[5], mx)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_images", "n_px", "sse_r", "sse_g", "sse_b",
+                 "max_err"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_px", "sse_r", "sse_g", "sse_b", "max_err")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "bayer_sf0.01.parquet"))
+    print("bayer_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -4573,6 +4788,7 @@ def main() -> None:
     gen_ssim_template_lbp()
     gen_glcm_ols_wht()
     gen_hough_cube_soundex()
+    gen_cuckoo_mulaw_bayer()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
