@@ -440,3 +440,52 @@ class MuLawAudit:
             .append_column("sse", pa.array(se, pa.int64()))
             .append_column("max_err", pa.array(mx, pa.int64()))
         )
+
+
+class ExposureFlicker:
+    """Actor-pool stage: global exposure-stability census per video
+    clip — frame-level brightness SUMS (never divided, so exact):
+    where q387's shot detector sees CONTENT change via per-pixel L1
+    deltas, this sees global exposure drift/flicker (auto-exposure
+    hunting, strobing, fades) even when content is static.
+
+    S_f = Σ summed-channel luminance of frame f.  A pair flickers iff
+    |S_{f+1} − S_f| > JUMP_T · n_px (mean jump above JUMP_T summed-
+    channel gray levels, compared in integers).  Also the longest
+    strictly-increasing S run (fade-in detector) and the S range.
+    Adds ``n_frames``, ``n_jumps``, ``max_mono_run``, ``range_s``
+    (int64).
+    """
+
+    JUMP_T = 6
+
+    def __init__(self) -> None:
+        self.decode = decode_video
+
+    def _census(self, frames: np.ndarray) -> tuple[int, int, int, int]:
+        n = frames.shape[0]
+        if n == 0:
+            return 0, 0, 0, 0
+        npx = frames.shape[1] * frames.shape[2]
+        s = frames.astype(np.int64).sum(axis=(1, 2, 3))
+        if n == 1:
+            return 1, 0, 0, 0
+        d = np.diff(s)
+        n_jumps = int((np.abs(d) > self.JUMP_T * npx).sum())
+        run = best = 0
+        for inc in (d > 0).tolist():
+            run = run + 1 if inc else 0
+            best = max(best, run)
+        return n, n_jumps, best, int(s.max() - s.min())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            frames, _fps = self.decode(raw)
+            for lst, v in zip(cols, self._census(frames)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_frames", "n_jumps", "max_mono_run",
+                              "range_s"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -1722,3 +1722,69 @@ class BayerAudit:
         for name, lst in zip(names, cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class HaarFeatures:
+    """Actor-pool stage: Viola-Jones-style Haar-like rectangle features
+    via ONE integral image — the region-contrast detector family
+    (complements q394's point corners and q403's thin lines with BLOCK
+    structure: banners, split layouts, letterboxing).
+
+    Features at every position, fixed scale, exact integers over the
+    summed-channel plane: 2-rect horizontal (right 8x8 minus left 8x8
+    inside an 8x16 window) and 3-rect vertical (top 8x8 + bottom 8x8
+    minus 2x middle 8x8 inside a 24x8 window).  Each window sum is 4
+    integral-image taps — whole-grid shifted views, no per-window
+    loop.  Ties break row-major to the first position (argmax
+    contract).  Adds ``n_win2``, ``max_h2`` (max |response|),
+    ``n_win3``, ``max_v3`` (int64; 0 when the image is smaller than
+    the window).
+    """
+
+    B = 8  # block edge
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    @staticmethod
+    def _rect_sums(ii: np.ndarray, h: int, w: int, bh: int, bw: int
+                   ) -> np.ndarray:
+        """Sum of every bh x bw rectangle (top-left grid), via 4 taps."""
+        return (
+            ii[bh: h + 1, bw: w + 1] - ii[: h - bh + 1, bw: w + 1]
+            - ii[bh: h + 1, : w - bw + 1] + ii[: h - bh + 1, : w - bw + 1]
+        )
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        B = self.B
+        if h < B or w < B:
+            return 0, 0, 0, 0
+        ii = np.zeros((h + 1, w + 1), np.int64)
+        np.cumsum(np.cumsum(lum, axis=0), axis=1, out=ii[1:, 1:])
+        rs = self._rect_sums(ii, h, w, B, B)  # (h-B+1, w-B+1) block sums
+        n2 = m2 = n3 = m3 = 0
+        if w >= 2 * B:
+            # right block minus left block, same row
+            resp = rs[:, B:] - rs[:, : w - 2 * B + 1]
+            n2 = resp.size
+            m2 = int(np.abs(resp).max())
+        if h >= 3 * B:
+            resp = (rs[: h - 3 * B + 1, :] + rs[2 * B:, :]
+                    - 2 * rs[B: h - 2 * B + 1, :])
+            n3 = resp.size
+            m3 = int(np.abs(resp).max())
+        return n2, m2, n3, m3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_win2", "max_h2", "n_win3", "max_v3"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -4781,6 +4781,104 @@ def gen_cuckoo_mulaw_bayer() -> None:
     print("bayer_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_haar_flicker() -> None:
+    """Expected q409/q411 rows from INDEPENDENT twins (per-window
+    direct slice sums — no integral image; per-pixel scalar frame
+    sums).  q410's grouped-mode oracle is pure SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q409 Haar rectangle features (direct window sums)
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    B = 8
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        n2 = m2 = n3 = m3 = 0
+        if h >= B and w >= 2 * B:
+            for y in range(h - B + 1):
+                for x in range(w - 2 * B + 1):
+                    left = int(lum[y:y + B, x:x + B].sum())
+                    right = int(lum[y:y + B, x + B:x + 2 * B].sum())
+                    n2 += 1
+                    m2 = max(m2, abs(right - left))
+        if h >= 3 * B and w >= B:
+            for y in range(h - 3 * B + 1):
+                for x in range(w - B + 1):
+                    top = int(lum[y:y + B, x:x + B].sum())
+                    mid = int(lum[y + B:y + 2 * B, x:x + B].sum())
+                    bot = int(lum[y + 2 * B:y + 3 * B, x:x + B].sum())
+                    n3 += 1
+                    m3 = max(m3, abs(top + bot - 2 * mid))
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n2
+        st[2] = max(st[2], m2)
+        st[3] += n3
+        st[4] = max(st[4], m3)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "n_win2", "max_h2", "n_win3",
+                 "max_v3"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_win2", "max_h2", "n_win3", "max_v3")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "haar_sf0.01.parquet"))
+    print("haar_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q411 exposure flicker (per-pixel scalar frame sums)
+    from texrex_ray.sources.av import decode_video
+    from texrex_ray.sources.av import fixture_path as av_fixture
+
+    d = av_fixture(n=100, seed=42)
+    vid = pq.read_table(os.path.join(d, "video.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    JUMP_T = 6
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(vid["bytes"], vid["fmt"]):
+        frames, _fps = decode_video(raw)
+        n, h, w, _ = frames.shape
+        npx = h * w
+        sums = []
+        for f in range(n):
+            tot = 0
+            fl = frames[f].tolist()
+            for row in fl:
+                for pxv in row:
+                    tot += pxv[0] + pxv[1] + pxv[2]
+            sums.append(tot)
+        n_jumps = 0
+        run = best = 0
+        for i in range(1, n):
+            dlt = sums[i] - sums[i - 1]
+            if abs(dlt) > JUMP_T * npx:
+                n_jumps += 1
+            run = run + 1 if dlt > 0 else 0
+            best = max(best, run)
+        rng_s = (max(sums) - min(sums)) if n else 0
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n
+        st[2] += n_jumps
+        st[3] = max(st[3], best)
+        st[4] = max(st[4], rng_s)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_clips", "n_frames", "n_jumps",
+                 "max_mono_run", "max_range_s"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "n_frames", "n_jumps", "max_mono_run",
+        "max_range_s")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "flicker_sf0.01.parquet"))
+    print("flicker_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -4789,6 +4887,7 @@ def main() -> None:
     gen_glcm_ols_wht()
     gen_hough_cube_soundex()
     gen_cuckoo_mulaw_bayer()
+    gen_haar_flicker()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
