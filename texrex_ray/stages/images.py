@@ -1788,3 +1788,146 @@ class HaarFeatures:
         for name, lst in zip(("n_win2", "max_h2", "n_win3", "max_v3"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class SkeletonCensus:
+    """Actor-pool stage: Zhang-Suen thinning census — iteratively peel
+    the Otsu-binarized foreground down to its 1-px skeleton and count
+    what survives: line art / text glyphs keep most of their pixels as
+    skeleton (high ratio), solid blobs collapse (low ratio) — a shape-
+    complexity gate orthogonal to q372's blob size and q344's
+    distance transform.
+
+    Binarization: foreground = luminance sum > Otsu threshold over the
+    summed-channel histogram (exact integer between-class variance
+    argmax, smallest threshold wins ties; foreground must be the
+    MINORITY side — if more than half the pixels exceed the threshold
+    the polarity flips, so 'ink on paper' and 'paper on ink' skeletal
+    equally).  Thinning: classic two-subiteration Zhang-Suen with the
+    B(p)∈[2,6] / A(p)=1 / cross-neighbor rules, each subiteration one
+    whole-array shifted-view pass.  Adds ``n_fg`` (foreground px),
+    ``n_skel`` (skeleton px), ``n_iter`` (full iterations until
+    fixpoint; bounded by 256).
+    """
+
+    MAX_ITER = 256
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    @staticmethod
+    def _otsu(lum: np.ndarray) -> int:
+        hist = np.bincount(lum.ravel(), minlength=766).astype(np.int64)
+        total = int(lum.size)
+        tot_sum = int((np.arange(766, dtype=np.int64) * hist).sum())
+        best_t, best_num, best_den = 0, -1, 1
+        w0 = 0
+        s0 = 0
+        for t in range(766):
+            w0 += int(hist[t])
+            if w0 == 0 or w0 == total:
+                continue
+            s0 += t * int(hist[t])
+            w1 = total - w0
+            # between-class variance numerator (exact rational compare)
+            num = (s0 * total - tot_sum * w0) ** 2
+            den = w0 * w1
+            if num * best_den > best_num * den:
+                best_t, best_num, best_den = t, num, den
+        return best_t
+
+    @classmethod
+    def _neighbors(cls, img: np.ndarray):
+        """The 8 neighbor planes P2..P9 (clockwise from north) of the
+        interior, Zhang-Suen convention."""
+        return (
+            img[:-2, 1:-1], img[:-2, 2:], img[1:-1, 2:], img[2:, 2:],
+            img[2:, 1:-1], img[2:, :-2], img[1:-1, :-2], img[:-2, :-2],
+        )
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        if h < 3 or w < 3:
+            return 0, 0, 0
+        t = self._otsu(lum)
+        fg = lum > t
+        if int(fg.sum()) * 2 > lum.size:
+            fg = ~fg
+        n_fg = int(fg.sum())
+        img = np.zeros((h + 2, w + 2), np.uint8)
+        img[1:-1, 1:-1] = fg
+        it = 0
+        while it < self.MAX_ITER:
+            changed = False
+            for phase in (0, 1):
+                p = self._neighbors(img)
+                c = img[1:-1, 1:-1]
+                b = sum(x.astype(np.int64) for x in p)
+                ring = np.stack([x.astype(np.int64) for x in p]
+                                + [p[0].astype(np.int64)])
+                a = ((ring[1:] - ring[:-1]) == 1).sum(axis=0)
+                if phase == 0:
+                    cond = ((p[0] * p[2] * p[4]) == 0) & (
+                        (p[2] * p[4] * p[6]) == 0)
+                else:
+                    cond = ((p[0] * p[2] * p[6]) == 0) & (
+                        (p[0] * p[4] * p[6]) == 0)
+                kill = (c == 1) & (b >= 2) & (b <= 6) & (a == 1) & cond
+                if kill.any():
+                    img[1:-1, 1:-1][kill] = 0
+                    changed = True
+            it += 1
+            if not changed:
+                break
+        return n_fg, int(img.sum()), it
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_fg", "n_skel", "n_iter"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out
+
+
+class Colorfulness:
+    """Actor-pool stage: Hasler-Süsstrunk-style colorfulness census in
+    EXACT integer sums — opponent-channel statistics rg = R−G and
+    yb = (R+G)//2 − B, emitted as raw first/second moments so the
+    downstream aggregate (and the oracle) can form the variance
+    exactly without any square root: grayscale content has all four
+    sums ≈ 0, saturated graphics blow up Σrg²/Σyb².  Whole-array
+    numpy.  Adds ``n_px``, ``sum_rg``, ``sum_rg2``, ``sum_yb``,
+    ``sum_yb2`` (int64).
+    """
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int, int, int]:
+        p = px.astype(np.int64)
+        rg = p[:, :, 0] - p[:, :, 1]
+        yb = (p[:, :, 0] + p[:, :, 1]) // 2 - p[:, :, 2]
+        return (
+            int(rg.size),
+            int(rg.sum()), int((rg * rg).sum()),
+            int(yb.sum()), int((yb * yb).sum()),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_px", "sum_rg", "sum_rg2", "sum_yb",
+                              "sum_yb2"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

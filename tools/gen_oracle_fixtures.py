@@ -4879,6 +4879,124 @@ def gen_haar_flicker() -> None:
     print("flicker_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_skeleton_color_pareto() -> None:
+    """Expected q412/q413/q414 rows from INDEPENDENT twins: a sparse
+    SET-based Zhang-Suen (coordinate sets + per-pixel rule walk, vs
+    the stage's whole-array masks); per-pixel scalar opponent sums;
+    q414's Pareto oracle is pure SQL (window cumsum)."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+
+    # ---- q412 Zhang-Suen skeleton census (sparse set twin)
+    def otsu(lum) -> int:
+        hist = [0] * 766
+        for row in lum:
+            for v in row:
+                hist[v] += 1
+        total = sum(hist)
+        tot_sum = sum(t * h for t, h in enumerate(hist))
+        best_t, best_num, best_den = 0, -1, 1
+        w0 = s0 = 0
+        for t in range(766):
+            w0 += hist[t]
+            if w0 == 0 or w0 == total:
+                continue
+            s0 += t * hist[t]
+            num = (s0 * total - tot_sum * w0) ** 2
+            den = w0 * (total - w0)
+            if num * best_den > best_num * den:
+                best_t, best_num, best_den = t, num, den
+        return best_t
+
+    OFFS = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+            (1, 0), (1, -1), (0, -1), (-1, -1))  # P2..P9
+
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        px = decode_image(raw).astype(np.int64)
+        lum = px.sum(axis=2).tolist()
+        h, w = len(lum), len(lum[0])
+        t = otsu(lum)
+        fg = {(y, x) for y in range(h) for x in range(w) if lum[y][x] > t}
+        if len(fg) * 2 > h * w:
+            fg = {(y, x) for y in range(h) for x in range(w)} - fg
+        n_fg = len(fg)
+        it = 0
+        while it < 256:
+            changed = False
+            for phase in (0, 1):
+                kill = []
+                for (y, x) in fg:
+                    nb = [1 if (y + dy, x + dx) in fg else 0
+                          for dy, dx in OFFS]
+                    b = sum(nb)
+                    if not (2 <= b <= 6):
+                        continue
+                    ring = nb + [nb[0]]
+                    a = sum(1 for i in range(8)
+                            if ring[i] == 0 and ring[i + 1] == 1)
+                    if a != 1:
+                        continue
+                    if phase == 0:
+                        ok = (nb[0] * nb[2] * nb[4] == 0
+                              and nb[2] * nb[4] * nb[6] == 0)
+                    else:
+                        ok = (nb[0] * nb[2] * nb[6] == 0
+                              and nb[0] * nb[4] * nb[6] == 0)
+                    if ok:
+                        kill.append((y, x))
+                if kill:
+                    fg -= set(kill)
+                    changed = True
+            it += 1
+            if not changed:
+                break
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n_fg
+        st[2] += len(fg)
+        st[3] = max(st[3], it)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "sum_fg", "sum_skel", "max_iter"],
+    ).astype({c: "int64" for c in (
+        "n_images", "sum_fg", "sum_skel", "max_iter")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "skeleton_sf0.01.parquet"))
+    print("skeleton_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q413 colorfulness opponent sums (scalar walk)
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        px = decode_image(raw).astype(np.int64).tolist()
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0, 0, 0])
+        st[0] += 1
+        for row in px:
+            for r, g, b in row:
+                rg = r - g
+                yb = (r + g) // 2 - b
+                st[1] += 1
+                st[2] += rg
+                st[3] += rg * rg
+                st[4] += yb
+                st[5] += yb * yb
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_images", "n_px", "sum_rg", "sum_rg2",
+                 "sum_yb", "sum_yb2"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_px", "sum_rg", "sum_rg2", "sum_yb", "sum_yb2")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "colorfulness_sf0.01.parquet"))
+    print("colorfulness_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -4888,6 +5006,7 @@ def main() -> None:
     gen_hough_cube_soundex()
     gen_cuckoo_mulaw_bayer()
     gen_haar_flicker()
+    gen_skeleton_color_pareto()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
