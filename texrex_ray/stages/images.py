@@ -1931,3 +1931,147 @@ class Colorfulness:
                               "sum_yb2"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+_GF_POLY = 0x11D  # x^8+x^4+x^3+x^2+1, the standard RS(255,·) modulus
+
+
+def _gf_tables() -> tuple[np.ndarray, np.ndarray]:
+    exp = np.zeros(512, np.int64)
+    log = np.zeros(256, np.int64)
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x <<= 1
+        if x & 0x100:
+            x ^= _GF_POLY
+    exp[255:510] = exp[:255]
+    return exp, log
+
+
+class RsParity:
+    """Actor-pool stage: Reed-Solomon GF(2^8) parity audit over the
+    raw image payload — the storage-integrity complement to q275's
+    CRC ledger and q308's Merkle root: RS parity is the ECC actually
+    deployed under object stores, and its syndrome census proves the
+    GF arithmetic end to end.
+
+    Spec: split the payload bytes into 64-byte data chunks (tail
+    partial chunk dropped), append R=8 parity symbols per chunk =
+    remainder of data(x)·x^8 mod g(x), g = Π_{i<8}(x−α^i) over
+    GF(256)/0x11D.  The polynomial division is sequential in the 64
+    byte POSITIONS but whole-array across a payload's chunks
+    (log/antilog table lookups — 64 vectorized steps per image).
+    Adds ``n_chunks``, ``sum_parity`` (Σ all parity bytes),
+    ``xor_parity`` (XOR-fold of all parity bytes, int64).
+    """
+
+    CHUNK = 64
+    R = 8
+
+    def __init__(self) -> None:
+        self.exp, self.log = _gf_tables()
+        # generator polynomial g(x), monic, degree R
+        g = np.array([1], np.int64)
+        for i in range(self.R):
+            root = int(self.exp[i])
+            nxt = np.zeros(len(g) + 1, np.int64)
+            # multiply g by (x - root): shift ^ scale
+            nxt[:-1] ^= g
+            scaled = np.where(
+                g > 0, self.exp[(self.log[g] + self.log[root]) % 255], 0
+            )
+            nxt[1:] ^= scaled
+            g = nxt
+        self.gen = g  # g[0] == 1
+
+    def _parity(self, data: np.ndarray) -> np.ndarray:
+        """data: (n_chunks, CHUNK) uint8 -> (n_chunks, R) parity."""
+        n = data.shape[0]
+        rem = np.zeros((n, self.R), np.int64)
+        glow = self.gen[1:]  # degree-R monic: divide by trailing coeffs
+        glog = self.log[glow]
+        gmask = glow > 0
+        for j in range(self.CHUNK):
+            lead = rem[:, 0] ^ data[:, j].astype(np.int64)
+            rem[:, :-1] = rem[:, 1:]
+            rem[:, -1] = 0
+            nz = lead > 0
+            if nz.any():
+                ll = self.log[lead[nz]]
+                for k in range(self.R):
+                    if gmask[k]:
+                        rem[nz, k] ^= self.exp[(ll + glog[k]) % 255]
+        return rem
+
+    def _census(self, raw: bytes) -> tuple[int, int, int]:
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        n = len(buf) // self.CHUNK
+        if n == 0:
+            return 0, 0, 0
+        data = buf[: n * self.CHUNK].reshape(n, self.CHUNK)
+        par = self._parity(data)
+        x = 0
+        for v in par.ravel().tolist():
+            x ^= v
+        return n, int(par.sum()), x
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(raw)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_chunks", "sum_parity", "xor_parity"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out
+
+
+class EulerTopology:
+    """Actor-pool stage: Euler-number topology census via Gray's quad
+    counting — components minus holes of the Otsu foreground (8-
+    connected fg / 4-connected bg) from nothing but 2x2 pattern
+    counts: E8 = (Q1 − Q3 − 2·QD) / 4, one bincount of packed quad
+    codes, no labeling pass — the topological complement to q269's
+    blob count and q372's largest blob (a donut and a disk have the
+    same area but different Euler number).
+
+    Binarization shares SkeletonCensus's exact-integer Otsu spec
+    (minority-side foreground).  Adds ``n_fg``, ``euler8`` (int64).
+    """
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        t = SkeletonCensus._otsu(lum)
+        fg = lum > t
+        if int(fg.sum()) * 2 > lum.size:
+            fg = ~fg
+        n_fg = int(fg.sum())
+        img = np.zeros((h + 2, w + 2), np.int64)
+        img[1:-1, 1:-1] = fg
+        quad = (img[:-1, :-1] * 8 + img[:-1, 1:] * 4
+                + img[1:, :-1] * 2 + img[1:, 1:])
+        counts = np.bincount(quad.ravel(), minlength=16)
+        q1 = int(counts[1] + counts[2] + counts[4] + counts[8])
+        q3 = int(counts[7] + counts[11] + counts[13] + counts[14])
+        qd = int(counts[6] + counts[9])
+        e4 = q1 - q3 - 2 * qd
+        assert e4 % 4 == 0
+        return n_fg, e4 // 4
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_fg", "euler8"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -4997,6 +4997,203 @@ def gen_skeleton_color_pareto() -> None:
     print("colorfulness_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_linebreak_rs_euler() -> None:
+    """Expected q415/q416/q417 rows from INDEPENDENT twins: memoized
+    TOP-DOWN line-break recursion (vs the query's bottom-up DP);
+    scalar peasant-multiplication GF(256) synthetic division (no
+    log/antilog tables); flood-fill components-minus-holes (vs the
+    stage's quad-count formula)."""
+    import pandas as pd
+    from functools import lru_cache
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt", "caption"]).to_pandas()
+
+    # ---- q415 optimal line breaking (top-down memoized twin)
+    W = 32
+
+    def best_badness(tokens: tuple, width: int) -> tuple[int, int]:
+        @lru_cache(maxsize=None)
+        def go(i: int) -> tuple[int, int]:
+            n = len(tokens)
+            if i == n:
+                return 0, 0
+            best = None
+            for j in range(i + 1, n + 1):
+                ln = sum(len(t) for t in tokens[i:j]) + (j - i - 1)
+                if ln <= width:
+                    bad = 0 if j == n else (width - ln) ** 2
+                else:
+                    bad = (ln - width) ** 2 * 1000
+                rest, lines = go(j)
+                cand = (bad + rest, lines + 1)
+                if best is None or cand < best:
+                    best = cand
+                if ln > width:
+                    break  # longer lines only get worse
+            return best
+        return go(0)
+
+    per_fmt: dict[str, list] = {}
+    for cap, fmt in zip(imgs["caption"], imgs["fmt"]):
+        toks = tuple(cap.split())
+        bad, lines = best_badness(toks, W)
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += bad
+        st[2] += lines
+        st[3] = max(st[3], bad)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_captions", "sum_badness", "sum_lines",
+                 "max_badness"],
+    ).astype({c: "int64" for c in (
+        "n_captions", "sum_badness", "sum_lines", "max_badness")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "linebreak_sf0.01.parquet"))
+    print("linebreak_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q416 RS parity (scalar peasant-mult twin)
+    def gfmul(a: int, b: int) -> int:
+        r = 0
+        while b:
+            if b & 1:
+                r ^= a
+            b >>= 1
+            a <<= 1
+            if a & 0x100:
+                a ^= 0x11D
+        return r
+
+    # generator poly by scalar convolution with roots alpha^i
+    gen = [1]
+    alpha = 1
+    for _ in range(8):
+        nxt = [0] * (len(gen) + 1)
+        for k, c in enumerate(gen):
+            nxt[k] ^= c
+            nxt[k + 1] ^= gfmul(c, alpha)
+        gen = nxt
+        alpha = gfmul(alpha, 2)
+
+    def parity(chunk: list) -> list:
+        rem = [0] * 8
+        for byte in chunk:
+            lead = rem[0] ^ byte
+            rem = rem[1:] + [0]
+            if lead:
+                for k in range(8):
+                    if gen[k + 1]:
+                        rem[k] ^= gfmul(lead, gen[k + 1])
+        return rem
+
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        buf = list(raw)
+        n = len(buf) // 64
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n
+        for i in range(n):
+            par = parity(buf[i * 64:(i + 1) * 64])
+            st[2] += sum(par)
+            for v in par:
+                st[3] ^= v
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_images", "n_chunks", "sum_parity",
+                 "xor_parity"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_chunks", "sum_parity", "xor_parity")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "rs_parity_sf0.01.parquet"))
+    print("rs_parity_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q417 Euler topology (flood-fill twin)
+    import sys
+    sys.setrecursionlimit(10000)
+
+    def otsu(lum) -> int:
+        hist = [0] * 766
+        for row in lum:
+            for v in row:
+                hist[v] += 1
+        total = sum(hist)
+        tot_sum = sum(t * h for t, h in enumerate(hist))
+        best_t, best_num, best_den = 0, -1, 1
+        w0 = s0 = 0
+        for t in range(766):
+            w0 += hist[t]
+            if w0 == 0 or w0 == total:
+                continue
+            s0 += t * hist[t]
+            num = (s0 * total - tot_sum * w0) ** 2
+            den = w0 * (total - w0)
+            if num * best_den > best_num * den:
+                best_t, best_num, best_den = t, num, den
+        return best_t
+
+    def flood(cells: set, start, conn8: bool) -> set:
+        offs = ((-1, 0), (1, 0), (0, -1), (0, 1))
+        if conn8:
+            offs = offs + ((-1, -1), (-1, 1), (1, -1), (1, 1))
+        seen = {start}
+        stack = [start]
+        while stack:
+            y, x = stack.pop()
+            for dy, dx in offs:
+                p = (y + dy, x + dx)
+                if p in cells and p not in seen:
+                    seen.add(p)
+                    stack.append(p)
+        return seen
+
+    per_fmt3: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        t = otsu(lum.tolist())
+        fgm = lum > t
+        if int(fgm.sum()) * 2 > h * w:
+            fgm = ~fgm
+        fg = {(y, x) for y in range(h) for x in range(w) if fgm[y, x]}
+        bg = {(y, x) for y in range(-1, h + 1) for x in range(-1, w + 1)
+              if (y, x) not in fg}
+        # components: 8-connected fg
+        comps = 0
+        rest = set(fg)
+        while rest:
+            comps += 1
+            rest -= flood(fg, next(iter(sorted(rest))), True)
+        # holes: 4-connected bg components not touching the border ring
+        outer = flood(bg, (-1, -1), False)
+        holes = 0
+        rest = bg - outer
+        while rest:
+            holes += 1
+            rest -= flood(bg, next(iter(sorted(rest))), False)
+        st = per_fmt3.setdefault(fmt, [0, 0, 0, None, None])
+        st[0] += 1
+        st[1] += len(fg)
+        e = comps - holes
+        st[2] += e
+        st[3] = e if st[3] is None else min(st[3], e)
+        st[4] = e if st[4] is None else max(st[4], e)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt3.items())],
+        columns=["fmt", "n_images", "sum_fg", "sum_euler", "min_euler",
+                 "max_euler"],
+    ).astype({c: "int64" for c in (
+        "n_images", "sum_fg", "sum_euler", "min_euler", "max_euler")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "euler_sf0.01.parquet"))
+    print("euler_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5007,6 +5204,7 @@ def main() -> None:
     gen_cuckoo_mulaw_bayer()
     gen_haar_flicker()
     gen_skeleton_color_pareto()
+    gen_linebreak_rs_euler()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
