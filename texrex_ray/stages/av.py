@@ -489,3 +489,45 @@ class ExposureFlicker:
                               "range_s"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class SilenceTrim:
+    """Actor-pool stage: leading/trailing silence census — the
+    boundary-trim audit every speech-data pipeline runs before
+    training (silence wastes tokens and skews VAD statistics).
+
+    A sample is silent iff |x| <= THRESH (64 ≈ −54 dBFS).  Emits the
+    run of silent samples at each end (a fully-silent clip reports
+    n_lead = n, n_trail = 0 — the runs never double-count) plus the
+    active span length.  One argmax over a boolean plane per side —
+    whole-array numpy.  Adds ``n_samples``, ``n_lead``, ``n_trail``,
+    ``n_active`` (int64).
+    """
+
+    THRESH = 64
+
+    def __init__(self) -> None:
+        self.decode = decode_audio
+
+    def _census(self, pcm: np.ndarray) -> tuple[int, int, int, int]:
+        n = len(pcm)
+        if n == 0:
+            return 0, 0, 0, 0
+        loud = np.abs(pcm.astype(np.int64)) > self.THRESH
+        if not loud.any():
+            return n, n, 0, 0
+        first = int(np.argmax(loud))
+        last = n - 1 - int(np.argmax(loud[::-1]))
+        return n, first, n - 1 - last, last - first + 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            pcm, _sr = self.decode(raw)
+            for lst, v in zip(cols, self._census(pcm)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_samples", "n_lead", "n_trail",
+                              "n_active"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -2075,3 +2075,57 @@ class EulerTopology:
         for name, lst in zip(("n_fg", "euler8"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+_BAYER8 = None
+
+
+def bayer_matrix(n: int = 8) -> np.ndarray:
+    """Classic recursive Bayer ordered-dither matrix (values 0..n²−1)."""
+    m = np.array([[0]], np.int64)
+    while m.shape[0] < n:
+        k = m.shape[0]
+        m = np.block([
+            [4 * m + 0, 4 * m + 2],
+            [4 * m + 3, 4 * m + 1],
+        ])
+    return m
+
+
+class OrderedDither:
+    """Actor-pool stage: 8x8 Bayer ordered-dither halftoning census —
+    quantize luminance to 1 bit through the classic tiled threshold
+    matrix and compare against the flat mid-gray threshold: smooth
+    gradients flip many pixels (that is the point of dithering —
+    spatial dither encodes intermediate tones), hard graphics flip
+    none.  The dither comparison is lum·64 vs (2·bayer+1)·765/2 —
+    cross-multiplied so everything stays integral: bit = 1 iff
+    2·lum·64 > (2·b+1)·765.  Whole-array via np.tile.  Adds
+    ``n_px``, ``n_on`` (dithered white count), ``n_flips`` (pixels
+    whose dithered bit differs from the flat threshold
+    2·lum > 765).
+    """
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.bayer = bayer_matrix(8)
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        th = np.tile(self.bayer, (h // 8 + 1, w // 8 + 1))[:h, :w]
+        on = 2 * lum * 64 > (2 * th + 1) * 765
+        flat = 2 * lum > 765
+        return int(lum.size), int(on.sum()), int((on != flat).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_px", "n_on", "n_flips"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -5194,6 +5194,88 @@ def gen_linebreak_rs_euler() -> None:
     print("euler_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_dither_silence() -> None:
+    """Expected q419/q420 rows from INDEPENDENT twins: per-pixel scalar
+    dither walk with the BIT-INTERLEAVE closed form of the Bayer matrix
+    (vs the stage's recursive block construction); per-sample scalar
+    silence walk.  q418's grouped top-k oracle is pure SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q419 ordered dither (closed-form Bayer + scalar walk)
+    def bayer_closed(y: int, x: int) -> int:
+        v = 0
+        for i in range(3):
+            xy = ((x ^ y) >> i) & 1
+            yy = (y >> i) & 1
+            v = (v << 2) | (xy << 1) | yy
+        return v
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        for y, row in enumerate(lum):
+            for x, v in enumerate(row):
+                b = bayer_closed(y % 8, x % 8)
+                on = 2 * v * 64 > (2 * b + 1) * 765
+                flat = 2 * v > 765
+                st[1] += 1
+                st[2] += on
+                st[3] += on != flat
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "n_px", "n_on", "n_flips"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_px", "n_on", "n_flips")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "dither_sf0.01.parquet"))
+    print("dither_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q420 silence trim (scalar sample walk)
+    from texrex_ray.sources.av import decode_audio
+    from texrex_ray.sources.av import fixture_path as av_fixture
+
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm = decode_audio(raw)[0].tolist()
+        n = len(pcm)
+        lead = 0
+        while lead < n and abs(pcm[lead]) <= 64:
+            lead += 1
+        if lead == n:
+            trail, active = 0, 0
+        else:
+            trail = 0
+            while abs(pcm[n - 1 - trail]) <= 64:
+                trail += 1
+            active = n - lead - trail
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n
+        st[2] += lead
+        st[3] += trail
+        st[4] += active
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_clips", "n_samples", "sum_lead", "sum_trail",
+                 "sum_active"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "n_samples", "sum_lead", "sum_trail", "sum_active")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "silence_sf0.01.parquet"))
+    print("silence_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5205,6 +5287,7 @@ def main() -> None:
     gen_haar_flicker()
     gen_skeleton_color_pareto()
     gen_linebreak_rs_euler()
+    gen_dither_silence()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
