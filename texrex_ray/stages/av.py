@@ -531,3 +531,89 @@ class SilenceTrim:
                               "n_active"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+class AdpcmAudit:
+    """Actor-pool stage: IMA ADPCM 4-bit codec round-trip audit — the
+    ADAPTIVE differential codec (step-size table + index adaptation)
+    complementing q407's instantaneous logarithmic mu-law: ADPCM
+    tracks the signal, so smooth tonal clips reconstruct much better
+    than noise at the same 4 bits/sample.
+
+    Spec: 64-sample blocks, predictor RESET per block (pred = first
+    sample stored verbatim, index = 0, the remaining 63 samples
+    encoded) — the reset is what makes blocks independent, so the
+    stage runs the 63 sequential steps VECTORIZED ACROSS all blocks
+    of a clip (numpy state vectors, position loop only), the classic
+    blocked-codec trick (same shape as RsParity).  All arithmetic is
+    the integer IMA reference: diff/4-bit code/step>>3 reconstruction,
+    clamps at ±32768/32767 and index 0..88.  Adds ``n_blocks``,
+    ``sse`` (Σ(dec−orig)² over encoded positions), ``max_err``.
+    """
+
+    BLOCK = 64
+
+    def __init__(self) -> None:
+        self.decode = decode_audio
+        self.steps = np.array(_IMA_STEPS, np.int64)
+        self.idx_adj = np.array(_IMA_INDEX, np.int64)
+
+    def _census(self, pcm: np.ndarray) -> tuple[int, int, int]:
+        B = self.BLOCK
+        n = len(pcm) // B
+        if n == 0:
+            return 0, 0, 0
+        blocks = pcm[: n * B].astype(np.int64).reshape(n, B)
+        pred = blocks[:, 0].copy()
+        index = np.zeros(n, np.int64)
+        sse = 0
+        max_err = 0
+        for j in range(1, B):
+            step = self.steps[index]
+            diff = blocks[:, j] - pred
+            sign = diff < 0
+            mag = np.abs(diff)
+            # 3-bit magnitude code by successive subtraction (IMA ref)
+            code = np.zeros(n, np.int64)
+            rem = mag.copy()
+            st = step.copy()
+            for bit in (4, 2, 1):
+                take = rem >= st
+                code += np.where(take, bit, 0)
+                rem = np.where(take, rem - st, rem)
+                st >>= 1
+            # reconstruction: (code + 0.5) * step / 4 in integer form
+            delta = (step >> 3) + np.where(code & 4, step, 0) \
+                + np.where(code & 2, step >> 1, 0) \
+                + np.where(code & 1, step >> 2, 0)
+            pred = pred + np.where(sign, -delta, delta)
+            np.clip(pred, -32768, 32767, out=pred)
+            index = index + self.idx_adj[code]
+            np.clip(index, 0, 88, out=index)
+            err = pred - blocks[:, j]
+            sse += int((err * err).sum())
+            max_err = max(max_err, int(np.abs(err).max()))
+        return n, sse, max_err
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            pcm, _sr = self.decode(raw)
+            for lst, v in zip(cols, self._census(pcm)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_blocks", "sse", "max_err"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

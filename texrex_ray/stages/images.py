@@ -2129,3 +2129,86 @@ class OrderedDither:
         for name, lst in zip(("n_px", "n_on", "n_flips"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class ShapeMoments:
+    """Actor-pool stage: exact n²-scaled central moments of the Otsu
+    foreground — the orientation/elongation shape census (a glyph, a
+    banner and a blob separate by second-moment anisotropy long
+    before any classifier runs).  Division-free: with S10 = Σx,
+    S01 = Σy, the n²-scaled central moments are
+    mu20s = n·ΣX² − S10², mu02s = n·ΣY² − S01², mu11s = n·ΣXY −
+    S10·S01 — the same clear-the-mean trick as q391's covariance.
+    Binarization shares SkeletonCensus's exact Otsu (minority fg).
+    Adds ``n_fg``, ``mu20s``, ``mu02s``, ``mu11s`` (int64; zeros for
+    an empty foreground).
+    """
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        t = SkeletonCensus._otsu(lum)
+        fg = lum > t
+        if int(fg.sum()) * 2 > lum.size:
+            fg = ~fg
+        ys, xs = np.nonzero(fg)
+        n = len(ys)
+        if n == 0:
+            return 0, 0, 0, 0
+        ys = ys.astype(np.int64)
+        xs = xs.astype(np.int64)
+        s10, s01 = int(xs.sum()), int(ys.sum())
+        s20, s02 = int((xs * xs).sum()), int((ys * ys).sum())
+        s11 = int((xs * ys).sum())
+        return (
+            n,
+            n * s20 - s10 * s10,
+            n * s02 - s01 * s01,
+            n * s11 - s10 * s01,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_fg", "mu20s", "mu02s", "mu11s"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out
+
+
+class ByteUniformity:
+    """Actor-pool stage: chi-square byte-uniformity audit of the RAW
+    payload — how far the encoded byte stream is from uniform(256):
+    well-compressed formats sit near the χ² expectation, structured
+    or sparse encodings blow up — the no-logarithm stand-in for
+    payload entropy (complements q206's encoding stats and q423's
+    oracle needs only integers: χ²·N = 256·Σo² − N², exact).
+    One bincount per payload.  Adds ``n_bytes``, ``sum_o2``
+    (Σ per-byte-value counts squared), ``n_distinct`` (int64).
+    """
+
+    def __init__(self) -> None:
+        pass
+
+    def _census(self, raw: bytes) -> tuple[int, int, int]:
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        if len(buf) == 0:
+            return 0, 0, 0
+        o = np.bincount(buf, minlength=256).astype(np.int64)
+        return len(buf), int((o * o).sum()), int((o > 0).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(raw)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_bytes", "sum_o2", "n_distinct"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

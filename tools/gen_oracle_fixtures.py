@@ -5276,6 +5276,157 @@ def gen_dither_silence() -> None:
     print("silence_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_adpcm_moments_bytes() -> None:
+    """Expected q421/q422/q423 rows from INDEPENDENT scalar twins
+    (per-sample IMA state machine; per-pixel moment sums with scalar
+    Otsu; per-byte dict census)."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.av import decode_audio
+    from texrex_ray.sources.av import fixture_path as av_fixture
+    from texrex_ray.sources.images import decode_image
+    from texrex_ray.stages.av import _IMA_INDEX, _IMA_STEPS
+
+    # ---- q421 IMA ADPCM audit (scalar per-sample state machine)
+    def block_roundtrip(block: list) -> tuple[int, int]:
+        pred, index = block[0], 0
+        sse = mx = 0
+        for j in range(1, len(block)):
+            step = _IMA_STEPS[index]
+            diff = block[j] - pred
+            sign = diff < 0
+            mag = -diff if sign else diff
+            code = 0
+            if mag >= step:
+                code |= 4
+                mag -= step
+            if mag >= step >> 1:
+                code |= 2
+                mag -= step >> 1
+            if mag >= step >> 2:
+                code |= 1
+            delta = step >> 3
+            if code & 4:
+                delta += step
+            if code & 2:
+                delta += step >> 1
+            if code & 1:
+                delta += step >> 2
+            pred = pred - delta if sign else pred + delta
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_INDEX[code]))
+            e = pred - block[j]
+            sse += e * e
+            mx = max(mx, abs(e))
+        return sse, mx
+
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm = decode_audio(raw)[0].tolist()
+        n = len(pcm) // 64
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n
+        for i in range(n):
+            sse, mx = block_roundtrip(pcm[i * 64:(i + 1) * 64])
+            st[2] += sse
+            st[3] = max(st[3], mx)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_clips", "n_blocks", "sse", "max_err"],
+    ).astype({c: "int64" for c in ("n_clips", "n_blocks", "sse",
+                                   "max_err")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "adpcm_sf0.01.parquet"))
+    print("adpcm_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q422 shape central moments (scalar Otsu + scalar sums)
+    def otsu(lum) -> int:
+        hist = [0] * 766
+        for row in lum:
+            for v in row:
+                hist[v] += 1
+        total = sum(hist)
+        tot_sum = sum(t * h for t, h in enumerate(hist))
+        best_t, best_num, best_den = 0, -1, 1
+        w0 = s0 = 0
+        for t in range(766):
+            w0 += hist[t]
+            if w0 == 0 or w0 == total:
+                continue
+            s0 += t * hist[t]
+            num = (s0 * total - tot_sum * w0) ** 2
+            den = w0 * (total - w0)
+            if num * best_den > best_num * den:
+                best_t, best_num, best_den = t, num, den
+        return best_t
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        h, w = len(lum), len(lum[0])
+        t = otsu(lum)
+        pts = [(y, x) for y in range(h) for x in range(w)
+               if lum[y][x] > t]
+        if len(pts) * 2 > h * w:
+            pts = [(y, x) for y in range(h) for x in range(w)
+                   if lum[y][x] <= t]
+        n = len(pts)
+        if n:
+            s10 = sum(x for _, x in pts)
+            s01 = sum(y for y, _ in pts)
+            s20 = sum(x * x for _, x in pts)
+            s02 = sum(y * y for y, _ in pts)
+            s11 = sum(x * y for y, x in pts)
+            m20 = n * s20 - s10 * s10
+            m02 = n * s02 - s01 * s01
+            m11 = n * s11 - s10 * s01
+        else:
+            m20 = m02 = m11 = 0
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n
+        st[2] += m20
+        st[3] += m02
+        st[4] += m11
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_images", "sum_fg", "sum_mu20s", "sum_mu02s",
+                 "sum_mu11s"],
+    ).astype({c: "int64" for c in (
+        "n_images", "sum_fg", "sum_mu20s", "sum_mu02s", "sum_mu11s")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "moments_sf0.01.parquet"))
+    print("moments_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q423 byte-uniformity chi-square (dict census twin)
+    per_fmt3: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        counts: dict[int, int] = {}
+        for b in raw:
+            counts[b] = counts.get(b, 0) + 1
+        st = per_fmt3.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(raw)
+        st[2] += sum(c * c for c in counts.values())
+        st[3] += len(counts)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt3.items())],
+        columns=["fmt", "n_images", "n_bytes", "sum_o2", "sum_distinct"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_bytes", "sum_o2", "sum_distinct")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "byteuniform_sf0.01.parquet"))
+    print("byteuniform_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5288,6 +5439,7 @@ def main() -> None:
     gen_skeleton_color_pareto()
     gen_linebreak_rs_euler()
     gen_dither_silence()
+    gen_adpcm_moments_bytes()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
