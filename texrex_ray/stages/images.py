@@ -2212,3 +2212,69 @@ class ByteUniformity:
         for name, lst in zip(("n_bytes", "sum_o2", "n_distinct"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class RlsaLayout:
+    """Actor-pool stage: run-length smearing (RLSA, Wahl-Wong-Casey)
+    layout census — fill horizontal background gaps of length ≤ S
+    between Otsu-foreground pixels and count how the black-run
+    structure collapses: text lines smear into solid bars (few long
+    runs), scattered noise stays fragmented — THE classic document-
+    layout-analysis primitive, complementing q247's HTML depth with a
+    pixel-side layout signal.
+
+    Exact gap rule: a background pixel whose nearest left fg is ld
+    away and nearest right fg is rd away (same row) is filled iff
+    ld + rd − 1 ≤ S (i.e. it sits in a bounded gap of length ≤ S).
+    Distances are computed with S shifted-view passes each side — no
+    per-pixel loop.  Adds ``n_fg``, ``n_filled``, ``runs_before``,
+    ``runs_after`` (horizontal black-run counts, int64).
+    """
+
+    S = 4
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    @staticmethod
+    def _runs(mask: np.ndarray) -> int:
+        starts = mask & ~np.pad(mask, ((0, 0), (1, 0)))[:, :-1]
+        return int(starts.sum())
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        t = SkeletonCensus._otsu(lum)
+        fg = lum > t
+        if int(fg.sum()) * 2 > lum.size:
+            fg = ~fg
+        h, w = fg.shape
+        S = self.S
+        BIG = S + 1
+        ld = np.full((h, w), BIG, np.int64)
+        rd = np.full((h, w), BIG, np.int64)
+        for k in range(1, S + 1):
+            left = np.zeros((h, w), bool)
+            left[:, k:] = fg[:, :-k]
+            np.minimum(ld, np.where(left, k, BIG), out=ld)
+            right = np.zeros((h, w), bool)
+            right[:, :-k] = fg[:, k:]
+            np.minimum(rd, np.where(right, k, BIG), out=rd)
+        filled = (~fg) & (ld + rd - 1 <= S)
+        smeared = fg | filled
+        return (
+            int(fg.sum()), int(filled.sum()),
+            self._runs(fg), self._runs(smeared),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_fg", "n_filled", "runs_before",
+                              "runs_after"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

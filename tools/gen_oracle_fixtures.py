@@ -5427,6 +5427,129 @@ def gen_adpcm_moments_bytes() -> None:
     print("byteuniform_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_ffd_rlsa() -> None:
+    """Expected q424/q426 rows from INDEPENDENT twins: a scalar
+    python-loop first-fit-decreasing packer (vs the query's vectorized
+    argmax first-fit scan); a per-pixel scalar row-walk RLSA.  q425's
+    window-distinct oracle is pure SQL (range self-join)."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q424 FFD bin packing over part sizes (heap-indexed twin:
+    # maintain bins in a size-indexed structure but preserve FIRST-fit
+    # order by scanning candidate bins in creation order)
+    CAP = 100
+    parts = pq.read_table("/root/testdata/sf0.01/part.parquet",
+                          columns=["p_partkey", "p_size"]).to_pandas()
+    items = sorted(zip(parts["p_size"], -parts["p_partkey"]),
+                   key=lambda t: (-t[0], -t[1]))
+    sizes = [int(sz) for sz, _ in items]
+    bins: list = []   # remaining capacity per bin, creation order
+    for sz in sizes:
+        for i in range(len(bins)):
+            if bins[i] >= sz:
+                bins[i] -= sz
+                break
+        else:
+            bins.append(CAP - sz)
+    total = sum(sizes)
+    lb = -(-total // CAP)
+    agg = pd.DataFrame([{
+        "n_items": len(sizes),
+        "total_size": total,
+        "lower_bound": lb,
+        "n_bins": len(bins),
+        "waste": len(bins) * CAP - total,
+    }]).astype("int64")
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "ffd_sf0.01.parquet"))
+    print("ffd_sf0.01.parquet:", agg.to_dict("records"))
+
+    # ---- q426 RLSA (scalar row walk twin)
+    def otsu(lum) -> int:
+        hist = [0] * 766
+        for row in lum:
+            for v in row:
+                hist[v] += 1
+        total = sum(hist)
+        tot_sum = sum(t * h for t, h in enumerate(hist))
+        best_t, best_num, best_den = 0, -1, 1
+        w0 = s0 = 0
+        for t in range(766):
+            w0 += hist[t]
+            if w0 == 0 or w0 == total:
+                continue
+            s0 += t * hist[t]
+            num = (s0 * total - tot_sum * w0) ** 2
+            den = w0 * (total - w0)
+            if num * best_den > best_num * den:
+                best_t, best_num, best_den = t, num, den
+        return best_t
+
+    S = 4
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        h, w = len(lum), len(lum[0])
+        t = otsu(lum)
+        fgrows = [[lum[y][x] > t for x in range(w)] for y in range(h)]
+        n_fg = sum(sum(r) for r in fgrows)
+        if n_fg * 2 > h * w:
+            fgrows = [[not v for v in r] for r in fgrows]
+            n_fg = h * w - n_fg
+        filled = 0
+        rb = ra = 0
+        for r in fgrows:
+            # runs before + smear by explicit gap-run scan
+            sm = list(r)
+            x = 0
+            prev_fg_end = None
+            while x < w:
+                if r[x]:
+                    if prev_fg_end is not None:
+                        gap = x - prev_fg_end
+                        if 0 < gap <= S:
+                            for g in range(prev_fg_end, x):
+                                sm[g] = True
+                            filled += gap
+                    while x < w and r[x]:
+                        x += 1
+                    prev_fg_end = x
+                else:
+                    x += 1
+            in_run = False
+            for v in r:
+                if v and not in_run:
+                    rb += 1
+                in_run = v
+            in_run = False
+            for v in sm:
+                if v and not in_run:
+                    ra += 1
+                in_run = v
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n_fg
+        st[2] += filled
+        st[3] += rb
+        st[4] += ra
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "sum_fg", "sum_filled",
+                 "sum_runs_before", "sum_runs_after"],
+    ).astype({c: "int64" for c in (
+        "n_images", "sum_fg", "sum_filled", "sum_runs_before",
+        "sum_runs_after")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "rlsa_sf0.01.parquet"))
+    print("rlsa_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5440,6 +5563,7 @@ def main() -> None:
     gen_linebreak_rs_euler()
     gen_dither_silence()
     gen_adpcm_moments_bytes()
+    gen_ffd_rlsa()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
