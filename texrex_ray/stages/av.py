@@ -617,3 +617,54 @@ class AdpcmAudit:
         for name, lst in zip(("n_blocks", "sse", "max_err"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class WalshOnsets:
+    """Actor-pool stage: spectral-flux onset census over the Walsh
+    sequency spectrum — frame-to-frame L1 change of the EXACT-integer
+    Walsh energy vector (reusing WalshSpectrum's butterfly + sequency
+    reorder): onsets are frames whose flux beats twice the clip's
+    median flux, compared with integer cross-multiplication
+    (2·median_lo ≤ flux·2 vs ... precisely: flux > 2·median where the
+    median of an even count is the LOWER middle — a fixed integer
+    spec).  The temporal-change complement to q402's static band
+    census.  Adds ``n_frames``, ``n_onsets``, ``max_flux`` (int64).
+    """
+
+    FRAME = 64
+
+    def __init__(self) -> None:
+        self.decode = decode_audio
+        self._ws = WalshSpectrum()
+
+    def _census(self, pcm: np.ndarray) -> tuple[int, int, int]:
+        F = self.FRAME
+        n_frames = len(pcm) // F
+        if n_frames < 2:
+            return n_frames, 0, 0
+        w = pcm[: n_frames * F].astype(np.int64).reshape(n_frames, F).copy()
+        h = 1
+        while h < F:
+            w = w.reshape(n_frames, F // (2 * h), 2, h)
+            a = w[:, :, 0, :] + w[:, :, 1, :]
+            b = w[:, :, 0, :] - w[:, :, 1, :]
+            w = np.concatenate(
+                [a[:, :, None, :], b[:, :, None, :]], axis=2
+            ).reshape(n_frames, F)
+            h *= 2
+        e = (w * w)[:, self._ws.perm]
+        flux = np.abs(np.diff(e, axis=0)).sum(axis=1)
+        med = int(np.sort(flux)[(len(flux) - 1) // 2])  # lower middle
+        n_onsets = int((flux > 2 * med).sum())
+        return n_frames, n_onsets, int(flux.max())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            pcm, _sr = self.decode(raw)
+            for lst, v in zip(cols, self._census(pcm)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_frames", "n_onsets", "max_flux"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

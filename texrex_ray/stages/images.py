@@ -2278,3 +2278,78 @@ class RlsaLayout:
                               "runs_after"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class CannyHysteresis:
+    """Actor-pool stage: Canny-style double-threshold + hysteresis edge
+    census — strong edges (mag² > HI) seed a flood through weak pixels
+    (mag² > LO), so faint but CONNECTED contours survive while isolated
+    speckle dies: the edge-quality gate q403's line votes and q283's
+    orientation census both build on but never measure.
+
+    Sobel on the summed-channel plane (the HarrisCorners kernel);
+    hysteresis as iterative whole-array dilation of the strong mask
+    inside the weak mask until fixpoint (≤ diag iterations, each one
+    shifted-view OR).  Adds ``n_strong``, ``n_weak`` (weak-or-strong
+    count), ``n_kept`` (surviving edge pixels), ``n_iter`` (int64).
+    """
+
+    HI = 4_000_000
+    LO = 1_000_000
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        if h < 3 or w < 3:
+            return 0, 0, 0, 0
+        gx = (
+            lum[:-2, 2:] + 2 * lum[1:-1, 2:] + lum[2:, 2:]
+            - lum[:-2, :-2] - 2 * lum[1:-1, :-2] - lum[2:, :-2]
+        )
+        gy = (
+            lum[2:, :-2] + 2 * lum[2:, 1:-1] + lum[2:, 2:]
+            - lum[:-2, :-2] - 2 * lum[:-2, 1:-1] - lum[:-2, 2:]
+        )
+        mag2 = gx * gx + gy * gy
+        strong = mag2 > self.HI
+        weak = mag2 > self.LO
+        kept = np.zeros((strong.shape[0] + 2, strong.shape[1] + 2), bool)
+        kept[1:-1, 1:-1] = strong
+        wk = np.zeros_like(kept)
+        wk[1:-1, 1:-1] = weak
+        it = 0
+        while True:
+            it += 1
+            grow = kept.copy()
+            grow[1:, :] |= kept[:-1, :]
+            grow[:-1, :] |= kept[1:, :]
+            grow[:, 1:] |= kept[:, :-1]
+            grow[:, :-1] |= kept[:, 1:]
+            grow[1:, 1:] |= kept[:-1, :-1]
+            grow[1:, :-1] |= kept[:-1, 1:]
+            grow[:-1, 1:] |= kept[1:, :-1]
+            grow[:-1, :-1] |= kept[1:, 1:]
+            grow &= wk
+            if (grow == kept).all():
+                break
+            kept = grow
+        return (
+            int(strong.sum()), int(weak.sum()),
+            int(kept.sum()), it,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_strong", "n_weak", "n_kept", "n_iter"),
+                             cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -5550,6 +5550,102 @@ def gen_ffd_rlsa() -> None:
     print("rlsa_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_canny_onsets() -> None:
+    """Expected q427/q428 rows from INDEPENDENT twins: BFS hysteresis
+    flood from strong seeds (vs the stage's iterative whole-array
+    dilation); per-frame explicit Sylvester-matmul flux with a sorted-
+    list median.  q429's all-quantifier oracle is pure SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q427 Canny hysteresis (scalar BFS twin)
+    HI, LO = 4_000_000, 1_000_000
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        h, w = len(lum), len(lum[0])
+        strong = set()
+        weak = set()
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (lum[y - 1][x + 1] + 2 * lum[y][x + 1]
+                      + lum[y + 1][x + 1] - lum[y - 1][x - 1]
+                      - 2 * lum[y][x - 1] - lum[y + 1][x - 1])
+                gy = (lum[y + 1][x - 1] + 2 * lum[y + 1][x]
+                      + lum[y + 1][x + 1] - lum[y - 1][x - 1]
+                      - 2 * lum[y - 1][x] - lum[y - 1][x + 1])
+                m2 = gx * gx + gy * gy
+                if m2 > HI:
+                    strong.add((y, x))
+                if m2 > LO:
+                    weak.add((y, x))
+        kept = set(strong)
+        stack = list(strong)
+        while stack:
+            y, x = stack.pop()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    p = (y + dy, x + dx)
+                    if p in weak and p not in kept:
+                        kept.add(p)
+                        stack.append(p)
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(strong)
+        st[2] += len(weak)
+        st[3] += len(kept)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "sum_strong", "sum_weak",
+                 "sum_kept"],
+    ).astype({c: "int64" for c in (
+        "n_images", "sum_strong", "sum_weak", "sum_kept")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "canny_sf0.01.parquet"))
+    print("canny_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q428 Walsh onset flux (explicit matmul + sorted median twin)
+    from texrex_ray.sources.av import decode_audio
+    from texrex_ray.sources.av import fixture_path as av_fixture
+
+    H = np.array([[1]], dtype=np.int64)
+    while H.shape[0] < 64:
+        H = np.block([[H, H], [H, -H]])
+    H = H[np.argsort([int((np.diff(r) != 0).sum()) for r in H])]
+
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm = decode_audio(raw)[0]
+        nf = len(pcm) // 64
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += nf
+        if nf < 2:
+            continue
+        fr = pcm[: nf * 64].astype(np.int64).reshape(nf, 64)
+        e = (fr @ H.T) ** 2
+        flux = [int(np.abs(e[i + 1] - e[i]).sum()) for i in range(nf - 1)]
+        med = sorted(flux)[(len(flux) - 1) // 2]
+        st[2] += sum(1 for f2 in flux if f2 > 2 * med)
+        st[3] = max(st[3], max(flux))
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_clips", "n_frames", "n_onsets", "max_flux"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "n_frames", "n_onsets", "max_flux")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "onsets_sf0.01.parquet"))
+    print("onsets_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5564,6 +5660,7 @@ def main() -> None:
     gen_dither_silence()
     gen_adpcm_moments_bytes()
     gen_ffd_rlsa()
+    gen_canny_onsets()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
