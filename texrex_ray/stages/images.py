@@ -2353,3 +2353,67 @@ class CannyHysteresis:
                              cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class CrackPerimeter:
+    """Actor-pool stage: crack-boundary perimeter + isoperimetric
+    compactness of the LARGEST 4-connected bright component (same
+    threshold-383 foreground and min-label relaxation as LargestBlob)
+    — boundary length is the shape signal q372's area and q422's
+    moments both miss: a disk and a starburst of equal area differ
+    by 10x in perimeter.
+
+    Crack perimeter = number of unit edges between a largest-blob
+    pixel and anything else (other components, background, or the
+    image border) — two padded-diff counts, no boundary walk.
+    Compactness = P²·10⁶ // A exactly (disk ≈ 12.6e6, square 16e6,
+    filament ≫).  Adds ``blob_area``, ``blob_perim``, ``compact_ppm``
+    (0,0,0 when no foreground).
+    """
+
+    def __init__(self, thresh: int = 383) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+        self.thresh = thresh
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        fg = lum >= self.thresh
+        if not fg.any():
+            return 0, 0, 0
+        h, w = fg.shape
+        big = np.int64(h * w + 1)
+        cur = np.where(
+            fg, np.arange(h * w, dtype=np.int64).reshape(h, w), big
+        )
+        while True:
+            nxt = cur.copy()
+            nxt[1:, :] = np.minimum(nxt[1:, :], cur[:-1, :])
+            nxt[:-1, :] = np.minimum(nxt[:-1, :], cur[1:, :])
+            nxt[:, 1:] = np.minimum(nxt[:, 1:], cur[:, :-1])
+            nxt[:, :-1] = np.minimum(nxt[:, :-1], cur[:, 1:])
+            nxt = np.where(fg, nxt, big)
+            if np.array_equal(nxt, cur):
+                break
+            cur = nxt
+        labels = cur[fg]
+        uniq, counts = np.unique(labels, return_counts=True)
+        best = uniq[np.lexsort((uniq, -counts))][0]
+        m = np.zeros((h + 2, w + 2), bool)
+        m[1:-1, 1:-1] = fg & (cur == best)
+        perim = int((m[:, 1:] != m[:, :-1]).sum()) + int(
+            (m[1:, :] != m[:-1, :]).sum())
+        area = int(counts[uniq == best][0])
+        return area, perim, perim * perim * 1_000_000 // area
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("blob_area", "blob_perim", "compact_ppm"),
+                             cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

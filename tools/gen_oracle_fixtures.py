@@ -5646,6 +5646,92 @@ def gen_canny_onsets() -> None:
     print("onsets_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_perimeter_keyword() -> None:
+    """Expected q430/q432 rows from INDEPENDENT twins: BFS largest
+    component + scalar edge-count perimeter; scalar colorfulness +
+    dict keyword attribution.  q431's Kendall-tau oracle is pure SQL."""
+    import pandas as pd
+    import re
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(
+        os.path.join(d, "images.parquet"),
+        columns=["bytes", "fmt", "caption"]).to_pandas()
+
+    # ---- q430 crack perimeter (BFS + scalar edge count)
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        fg = {(y, x) for y in range(h) for x in range(w)
+              if lum[y, x] >= 383}
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        if not fg:
+            continue
+        comps = []
+        rest = set(fg)
+        while rest:
+            seed = min(rest)
+            comp = {seed}
+            stack = [seed]
+            while stack:
+                y, x = stack.pop()
+                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    p = (y + dy, x + dx)
+                    if p in fg and p not in comp:
+                        comp.add(p)
+                        stack.append(p)
+            comps.append(comp)
+            rest -= comp
+        # largest; ties -> component containing the smallest (y, x)
+        best = max(comps, key=lambda c: (len(c), [-v for v in min(c)]))
+        perim = 0
+        for (y, x) in best:
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                if (y + dy, x + dx) not in best:
+                    perim += 1
+        a = len(best)
+        st[1] += a
+        st[2] += perim
+        st[3] = max(st[3], perim * perim * 1_000_000 // a)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "sum_area", "sum_perim",
+                 "max_compact_ppm"],
+    ).astype({c: "int64" for c in (
+        "n_images", "sum_area", "sum_perim", "max_compact_ppm")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "perimeter_sf0.01.parquet"))
+    print("perimeter_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q432 keyword chroma attribution (scalar twin)
+    tok_re = re.compile(r"[a-z]+")
+    stats: dict[str, list] = {}
+    for raw, cap in zip(imgs["bytes"], imgs["caption"]):
+        px = decode_image(raw).astype(np.int64)
+        rg = px[:, :, 0] - px[:, :, 1]
+        srg2 = int((rg * rg).sum())
+        npx = int(rg.size)
+        for tok in {t for t in tok_re.findall(cap.lower())
+                    if len(t) >= 3}:
+            st = stats.setdefault(tok, [0, 0, 0])
+            st[0] += 1
+            st[1] += srg2
+            st[2] += npx
+    rows = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    agg = pd.DataFrame(
+        [(k, *v) for k, v in rows],
+        columns=["token", "n_images", "sum_rg2", "sum_px"],
+    ).astype({c: "int64" for c in ("n_images", "sum_rg2", "sum_px")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "keyword_chroma_sf0.01.parquet"))
+    print("keyword_chroma_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5661,6 +5747,7 @@ def main() -> None:
     gen_adpcm_moments_bytes()
     gen_ffd_rlsa()
     gen_canny_onsets()
+    gen_perimeter_keyword()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
