@@ -668,3 +668,109 @@ class WalshOnsets:
         for name, lst in zip(("n_frames", "n_onsets", "max_flux"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class StaticTiles:
+    """Actor-pool stage: temporally-static tile census — per 4x4
+    spatial tile the RANGE of its summed luminance across frames:
+    overlay regions (logos, watermarks, UI chrome) hold still while
+    content moves, so tiles with range ≤ JITTER·tile_px flag overlay
+    real estate — the temporal complement to q398's spatial template
+    search.  Tile sums are one reshape-reduce per frame stack; the
+    range is max−min over the frame axis (exact ints).  Adds
+    ``n_tiles``, ``n_static``, ``max_range`` (int64; a single-frame
+    clip reports every tile static).
+    """
+
+    T = 4
+    JITTER = 6  # summed-channel gray levels per pixel
+
+    def __init__(self) -> None:
+        self.decode = decode_video
+
+    def _census(self, frames: np.ndarray) -> tuple[int, int, int]:
+        n, h, w, _ = frames.shape
+        T = self.T
+        th, tw = h // T, w // T
+        if n == 0 or th == 0 or tw == 0:
+            return 0, 0, 0
+        lum = frames.astype(np.int64).sum(axis=3)
+        tiles = lum[:, : th * T, : tw * T].reshape(n, th, T, tw, T
+                                                   ).sum(axis=(2, 4))
+        rng = tiles.max(axis=0) - tiles.min(axis=0)
+        static = rng <= self.JITTER * T * T
+        return th * tw, int(static.sum()), int(rng.max())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            frames, _fps = self.decode(raw)
+            for lst, v in zip(cols, self._census(frames)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_tiles", "n_static", "max_range"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out
+
+
+class TemporalSsim:
+    """Actor-pool stage: temporal SSIM census — the exact-integer
+    8x8-tile SSIM rational (SsimAudit's cleared-of-means form, C1=7,
+    C2=59) evaluated between CONSECUTIVE FRAMES instead of between an
+    image and its reconstruction: perceptual shot coherence (cuts and
+    hard motion crater tile SSIM even when exposure is stable — the
+    perceptual complement to q387's L1 deltas and q411's global
+    sums).  Per frame pair the tile sums are whole-array reductions;
+    the ≤256 per-tile rational finishes are bounded Python ints.
+    Adds ``n_pairs``, ``n_tiles`` (pairs x tiles), ``sum_ssim_ppm``,
+    ``min_ssim_ppm`` (int64; 1e6 min for clips with < 2 frames).
+    """
+
+    C1 = 7
+    C2 = 59
+    T = 8
+
+    def __init__(self) -> None:
+        self.decode = decode_video
+
+    def _census(self, frames: np.ndarray) -> tuple[int, int, int, int]:
+        n, h, w, _ = frames.shape
+        T = self.T
+        th, tw = h // T, w // T
+        if n < 2 or th == 0 or tw == 0:
+            return 0, 0, 0, 1_000_000
+        lum = frames.astype(np.int64).sum(axis=3) // 3
+        x = lum[:, : th * T, : tw * T].reshape(n, th, T, tw, T)
+        sx = x.sum(axis=(2, 4)).reshape(n, -1)
+        sxx = (x * x).sum(axis=(2, 4)).reshape(n, -1)
+        sxy = (x[:-1] * x[1:]).sum(axis=(2, 4)).reshape(n - 1, -1)
+        nn = (T * T) ** 2
+        npix = T * T
+        total = 0
+        mn = None
+        for p in range(n - 1):
+            a_l, b_l = sx[p].tolist(), sx[p + 1].tolist()
+            aa_l, bb_l = sxx[p].tolist(), sxx[p + 1].tolist()
+            ab_l = sxy[p].tolist()
+            for a, b, aa, bb, ab in zip(a_l, b_l, aa_l, bb_l, ab_l):
+                a1 = 2 * a * b + self.C1 * nn
+                a2 = 2 * (npix * ab - a * b) + self.C2 * nn
+                b1 = a * a + b * b + self.C1 * nn
+                b2 = (npix * aa - a * a) + (npix * bb - b * b) \
+                    + self.C2 * nn
+                v = (a1 * a2 * 1_000_000) // (b1 * b2)
+                total += v
+                mn = v if mn is None or v < mn else mn
+        return n - 1, (n - 1) * th * tw, total, mn if mn is not None else 1_000_000
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            frames, _fps = self.decode(raw)
+            for lst, v in zip(cols, self._census(frames)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_pairs", "n_tiles", "sum_ssim_ppm",
+                              "min_ssim_ppm"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

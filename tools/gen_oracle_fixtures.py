@@ -5732,6 +5732,105 @@ def gen_perimeter_keyword() -> None:
     print("keyword_chroma_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_static_tssim() -> None:
+    """Expected q433/q435 rows from INDEPENDENT scalar twins (per-tile
+    scalar min/max walk; per-tile scalar-loop temporal SSIM).  q434's
+    hapax oracle is pure SQL."""
+    import pandas as pd
+    from texrex_ray.sources.av import decode_video
+    from texrex_ray.sources.av import fixture_path as av_fixture
+
+    d = av_fixture(n=100, seed=42)
+    vid = pq.read_table(os.path.join(d, "video.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+
+    # ---- q433 static tiles (scalar tile walk)
+    T, JIT = 4, 6
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(vid["bytes"], vid["fmt"]):
+        frames, _fps = decode_video(raw)
+        n, h, w, _ = frames.shape
+        th, tw = h // T, w // T
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        if n == 0 or th == 0 or tw == 0:
+            continue
+        lum = frames.astype(np.int64).sum(axis=3).tolist()
+        st[1] += th * tw
+        for by in range(th):
+            for bx in range(tw):
+                sums = []
+                for f in range(n):
+                    tot = 0
+                    for y in range(by * T, by * T + T):
+                        for x in range(bx * T, bx * T + T):
+                            tot += lum[f][y][x]
+                    sums.append(tot)
+                rng = max(sums) - min(sums)
+                if rng <= JIT * T * T:
+                    st[2] += 1
+                st[3] = max(st[3], rng)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_clips", "n_tiles", "n_static", "max_range"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "n_tiles", "n_static", "max_range")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "statictiles_sf0.01.parquet"))
+    print("statictiles_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q435 temporal SSIM (per-tile scalar loops)
+    C1, C2, TT = 7, 59, 8
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(vid["bytes"], vid["fmt"]):
+        frames, _fps = decode_video(raw)
+        n, h, w, _ = frames.shape
+        th, tw = h // TT, w // TT
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, None])
+        st[0] += 1
+        if n < 2 or th == 0 or tw == 0:
+            continue
+        lum = (frames.astype(np.int64).sum(axis=3) // 3).tolist()
+        npix = TT * TT
+        nn = npix * npix
+        for p in range(n - 1):
+            for by in range(th):
+                for bx in range(tw):
+                    a = b = aa = bb = ab = 0
+                    for y in range(by * TT, by * TT + TT):
+                        for x in range(bx * TT, bx * TT + TT):
+                            u, v = lum[p][y][x], lum[p + 1][y][x]
+                            a += u
+                            b += v
+                            aa += u * u
+                            bb += v * v
+                            ab += u * v
+                    a1 = 2 * a * b + C1 * nn
+                    a2 = 2 * (npix * ab - a * b) + C2 * nn
+                    b1 = a * a + b * b + C1 * nn
+                    b2 = (npix * aa - a * a) + (npix * bb - b * b) \
+                        + C2 * nn
+                    val = (a1 * a2 * 1_000_000) // (b1 * b2)
+                    st[2] += val
+                    st[3] = val if st[3] is None else min(st[3], val)
+        st[1] += (n - 1) * th * tw
+    rows = []
+    for f in sorted(per_fmt2):
+        n_clips, n_tiles, tot, mn = per_fmt2[f]
+        rows.append((f, n_clips, n_tiles, tot,
+                     1_000_000 if mn is None else mn))
+    agg = pd.DataFrame(
+        rows,
+        columns=["fmt", "n_clips", "n_tiles", "sum_ssim_ppm",
+                 "min_ssim_ppm"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "n_tiles", "sum_ssim_ppm", "min_ssim_ppm")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "tssim_sf0.01.parquet"))
+    print("tssim_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5748,6 +5847,7 @@ def main() -> None:
     gen_ffd_rlsa()
     gen_canny_onsets()
     gen_perimeter_keyword()
+    gen_static_tssim()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
