@@ -774,3 +774,88 @@ class TemporalSsim:
                               "min_ssim_ppm"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class WalshCompaction:
+    """Actor-pool stage: adaptive energy-compaction census — per
+    64-sample frame, the share of Walsh energy captured by the 8
+    LARGEST coefficients (vs q402's FIXED sequency bands): the
+    compressibility signal transform coders actually exploit (tonal
+    frames compact into few coefficients, noise spreads flat).
+
+    Reuses the exact butterfly; per-frame top-8 via np.partition along
+    the coefficient axis (no ordering spec needed — the top-8 SUM is
+    permutation-invariant, ties included either way sum equal).  Adds
+    ``n_frames``, ``top8_energy``, ``total_energy`` (int64).
+    """
+
+    FRAME = 64
+    K = 8
+
+    def __init__(self) -> None:
+        self.decode = decode_audio
+
+    def _census(self, pcm: np.ndarray) -> tuple[int, int, int]:
+        F = self.FRAME
+        n_frames = len(pcm) // F
+        if n_frames == 0:
+            return 0, 0, 0
+        w = pcm[: n_frames * F].astype(np.int64).reshape(n_frames, F).copy()
+        h = 1
+        while h < F:
+            w = w.reshape(n_frames, F // (2 * h), 2, h)
+            a = w[:, :, 0, :] + w[:, :, 1, :]
+            b = w[:, :, 0, :] - w[:, :, 1, :]
+            w = np.concatenate(
+                [a[:, :, None, :], b[:, :, None, :]], axis=2
+            ).reshape(n_frames, F)
+            h *= 2
+        e = w * w
+        top = np.partition(e, F - self.K, axis=1)[:, F - self.K:]
+        return n_frames, int(top.sum()), int(e.sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            pcm, _sr = self.decode(raw)
+            for lst, v in zip(cols, self._census(pcm)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_frames", "top8_energy", "total_energy"),
+                             cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out
+
+
+class GopDeltaBound:
+    """Actor-pool stage: GOP delta-encoding size bound — one keyframe
+    (all pixels) plus, per later frame, the count of pixels whose RGB
+    differs from the previous frame: the intra/inter compression
+    planning bound that complements q396's motion vectors (which model
+    WHERE pixels went, not how many changed) and q387's cut detector.
+    Whole-array frame diffs.  Adds ``n_key_px``, ``n_delta_px``
+    (changed-pixel total across non-key frames), ``n_frames``.
+    """
+
+    def __init__(self) -> None:
+        self.decode = decode_video
+
+    def _census(self, frames: np.ndarray) -> tuple[int, int, int]:
+        n, h, w, _ = frames.shape
+        if n == 0:
+            return 0, 0, 0
+        if n == 1:
+            return h * w, 0, 1
+        diff = (frames[1:] != frames[:-1]).any(axis=3)
+        return h * w, int(diff.sum()), n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            frames, _fps = self.decode(raw)
+            for lst, v in zip(cols, self._census(frames)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_key_px", "n_delta_px", "n_frames"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

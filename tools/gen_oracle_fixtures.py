@@ -5831,6 +5831,78 @@ def gen_static_tssim() -> None:
     print("tssim_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_compaction_gop() -> None:
+    """Expected q436/q438 rows from INDEPENDENT scalar twins (explicit
+    Sylvester matmul + per-frame sorted top-8; per-pixel scalar frame
+    diff).  q437's relational-division oracle is pure SQL."""
+    import pandas as pd
+    from texrex_ray.sources.av import (decode_audio, decode_video,
+                                       fixture_path as av_fixture)
+
+    # ---- q436 Walsh compaction (matmul + sorted top-8 twin)
+    H = np.array([[1]], dtype=np.int64)
+    while H.shape[0] < 64:
+        H = np.block([[H, H], [H, -H]])
+
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm = decode_audio(raw)[0]
+        nf = len(pcm) // 64
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += nf
+        if nf == 0:
+            continue
+        fr = pcm[: nf * 64].astype(np.int64).reshape(nf, 64)
+        e = (fr @ H.T) ** 2
+        for row in e.tolist():
+            st[2] += sum(sorted(row)[-8:])
+            st[3] += sum(row)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_clips", "n_frames", "top8_energy",
+                 "total_energy"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "n_frames", "top8_energy", "total_energy")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "compaction_sf0.01.parquet"))
+    print("compaction_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q438 GOP delta bound (per-pixel scalar diff twin)
+    d = av_fixture(n=100, seed=42)
+    vid = pq.read_table(os.path.join(d, "video.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(vid["bytes"], vid["fmt"]):
+        frames, _fps = decode_video(raw)
+        n, h, w, _ = frames.shape
+        fl = frames.tolist()
+        delta = 0
+        for f in range(1, n):
+            for y in range(h):
+                for x in range(w):
+                    if fl[f][y][x] != fl[f - 1][y][x]:
+                        delta += 1
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += h * w
+        st[2] += delta
+        st[3] += n
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_clips", "sum_key_px", "sum_delta_px",
+                 "sum_frames"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "sum_key_px", "sum_delta_px", "sum_frames")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "gop_sf0.01.parquet"))
+    print("gop_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5848,6 +5920,7 @@ def main() -> None:
     gen_canny_onsets()
     gen_perimeter_keyword()
     gen_static_tssim()
+    gen_compaction_gop()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
