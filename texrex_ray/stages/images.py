@@ -2417,3 +2417,48 @@ class CrackPerimeter:
                              cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class TexturePeriodicity:
+    """Actor-pool stage: long-range texture-periodicity census — raw
+    integer autocorrelation of the luminance plane at five fixed lags
+    ((0,4), (4,0), (4,4), (0,8), (8,0)): tiled/repeating backgrounds
+    (wallpaper, watermark grids) light up at their period while GLCM
+    (q400, adjacent pairs) and LBP (q399, 1-px ring) stay blind to
+    structure beyond 1 px.  Emitted as raw products + overlap counts
+    so the downstream normalization is exact.  Each lag is one
+    shifted-view multiply-reduce.  Adds ``n_px``, ``sum_x2`` (zero-lag
+    reference) and ``ac_h4, ac_v4, ac_d4, ac_h8, ac_v8`` (int64).
+    """
+
+    LAGS = ((0, 4), (4, 0), (4, 4), (0, 8), (8, 0))
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        out = [int(lum.size), int((lum * lum).sum())]
+        for dy, dx in self.LAGS:
+            if h <= dy or w <= dx:
+                out.append(0)
+                continue
+            a = lum[: h - dy, : w - dx]
+            b = lum[dy:, dx:]
+            out.append(int((a * b).sum()))
+        return tuple(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = ("n_px", "sum_x2", "ac_h4", "ac_v4", "ac_d4",
+                 "ac_h8", "ac_v8")
+        cols = tuple([] for _ in names)
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(names, cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -5903,6 +5903,45 @@ def gen_compaction_gop() -> None:
     print("gop_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_periodicity() -> None:
+    """Expected q439 rows from the INDEPENDENT per-pixel scalar
+    product-walk twin.  q440/q441 oracles are pure SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    LAGS = ((0, 4), (4, 0), (4, 4), (0, 8), (8, 0))
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        h, w = len(lum), len(lum[0])
+        vals = [h * w, sum(v * v for row in lum for v in row)]
+        for dy, dx in LAGS:
+            tot = 0
+            for y in range(h - dy):
+                for x in range(w - dx):
+                    tot += lum[y][x] * lum[y + dy][x + dx]
+            vals.append(tot)
+        st = per_fmt.setdefault(fmt, [0] + [0] * 7)
+        st[0] += 1
+        for i, v in enumerate(vals):
+            st[1 + i] += v
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "n_px", "sum_x2", "ac_h4", "ac_v4",
+                 "ac_d4", "ac_h8", "ac_v8"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_px", "sum_x2", "ac_h4", "ac_v4", "ac_d4",
+        "ac_h8", "ac_v8")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "periodicity_sf0.01.parquet"))
+    print("periodicity_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5921,6 +5960,7 @@ def main() -> None:
     gen_perimeter_keyword()
     gen_static_tssim()
     gen_compaction_gop()
+    gen_periodicity()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
