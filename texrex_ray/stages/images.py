@@ -2462,3 +2462,42 @@ class TexturePeriodicity:
         for name, lst in zip(names, cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class ByteBigrams:
+    """Actor-pool stage: second-order byte-structure census of the RAW
+    payload — distinct adjacent byte PAIRS and the modal pair: where
+    q423's first-order histogram sees symbol balance, the bigram
+    census sees sequential structure (run-length-coded streams reuse
+    few pairs, entropy-coded streams cover the 65536 space).  One
+    bincount of 16-bit packed codes per payload; modal ties break to
+    the smallest code (argmax contract).  Adds ``n_pairs``,
+    ``n_distinct_pairs``, ``top_pair``, ``top_count`` (int64;
+    -1/0 top for payloads under 2 bytes).
+    """
+
+    def __init__(self) -> None:
+        pass
+
+    def _census(self, raw: bytes) -> tuple[int, int, int, int]:
+        buf = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        if len(buf) < 2:
+            return 0, 0, -1, 0
+        codes = buf[:-1] * 256 + buf[1:]
+        counts = np.bincount(codes, minlength=65536)
+        top = int(np.argmax(counts))
+        return (
+            int(len(codes)), int((counts > 0).sum()),
+            top, int(counts[top]),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(raw)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_pairs", "n_distinct_pairs", "top_pair",
+                              "top_count"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -5942,6 +5942,103 @@ def gen_periodicity() -> None:
     print("periodicity_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_crest_bigrams() -> None:
+    """Expected q443/q444 rows from INDEPENDENT scalar twins (per-
+    sample scalar peak/energy walk; per-pair dict census).  q442's
+    cross-modal tau oracle is pure SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.av import decode_audio
+    from texrex_ray.sources.av import fixture_path as av_fixture
+
+    # ---- q443 crest factor (scalar walk)
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm = decode_audio(raw)[0].tolist()
+        n = len(pcm)
+        peak = 0
+        energy = 0
+        for v in pcm:
+            a = -v if v < 0 else v
+            if a > peak:
+                peak = a
+            energy += v * v
+        crest = energy * 1_000_000 // (n * peak * peak) if peak else 0
+        st = per_fmt.setdefault(fmt, [0, 0, 0, None, None])
+        st[0] += 1
+        st[1] += n
+        st[2] += energy
+        st[3] = crest if st[3] is None else min(st[3], crest)
+        st[4] = crest if st[4] is None else max(st[4], crest)
+    rows = [(f, v[0], v[1], v[2],
+             0 if v[3] is None else v[3], 0 if v[4] is None else v[4])
+            for f, v in sorted(per_fmt.items())]
+    agg = pd.DataFrame(rows, columns=[
+        "fmt", "n_clips", "n_samples", "sum_energy", "min_crest_ppm",
+        "max_crest_ppm"]).astype({c: "int64" for c in (
+            "n_clips", "n_samples", "sum_energy", "min_crest_ppm",
+            "max_crest_ppm")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "crest_sf0.01.parquet"))
+    print("crest_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q442 cross-modal tau (scalar pair-scan twin over metadata)
+    dimg = img_fixture(n=300, seed=42)
+    imt = pq.read_table(
+        os.path.join(dimg, "images.parquet"),
+        columns=["image_id", "w", "h", "caption"]).to_pandas()
+    imt = imt.sort_values("image_id").reset_index(drop=True)
+    px = (imt["w"].astype(int) * imt["h"].astype(int)).tolist()
+    cl = [len(c) for c in imt["caption"]]
+    n = len(px)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sgn = (px[i] - px[j]) * (cl[i] - cl[j])
+            conc += sgn > 0
+            disc += sgn < 0
+    pr = n * (n - 1) // 2
+    num = (conc - disc) * 1_000_000
+    tau = abs(num) // pr * (1 if num >= 0 else -1)
+    agg = pd.DataFrame([{"n_images": n, "n_conc": conc, "n_disc": disc,
+                         "tau_a_ppm": tau}]).astype("int64")
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "xtau_sf0.01.parquet"))
+    print("xtau_sf0.01.parquet:", agg.to_dict("records"))
+
+    # ---- q444 byte bigrams (dict census twin)
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        counts: dict[int, int] = {}
+        bs = list(raw)
+        for i in range(len(bs) - 1):
+            c = bs[i] * 256 + bs[i + 1]
+            counts[c] = counts.get(c, 0) + 1
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += max(0, len(bs) - 1)
+        st[2] += len(counts)
+        if counts:
+            best = min(counts, key=lambda k: (-counts[k], k))
+            st[3] = max(st[3], counts[best])
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_images", "n_pairs", "sum_distinct_pairs",
+                 "max_top_count"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_pairs", "sum_distinct_pairs", "max_top_count")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "bigrams_sf0.01.parquet"))
+    print("bigrams_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -5961,6 +6058,7 @@ def main() -> None:
     gen_static_tssim()
     gen_compaction_gop()
     gen_periodicity()
+    gen_crest_bigrams()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
