@@ -896,3 +896,46 @@ class CrestFactor:
                               "crest_inv_ppm"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class LoudnessRange:
+    """Actor-pool stage: loudness-range census (LRA-lite) — the spread
+    between the 10th and 95th percentile of 20 ms frame energies
+    (nearest-rank on the sorted list, indices floor(0.10·(n−1)) and
+    floor(0.95·(n−1)) — a fixed integer spec): broadcast loudness
+    normalization gates on exactly this spread, which q443's global
+    crest (one peak) and q395's binary activity can't see.  Frame
+    energies are one reshape-reduce; the two taps come from
+    np.partition (no full sort).  Adds ``n_frames``, ``e_p10``,
+    ``e_p95``, ``lra_e`` (= e_p95 − e_p10, int64).
+    """
+
+    FRAME_MS = 20
+
+    def __init__(self) -> None:
+        self.decode = decode_audio
+
+    def _census(self, pcm: np.ndarray, sr: int) -> tuple[int, int, int, int]:
+        flen = max(1, sr * self.FRAME_MS // 1000)
+        n_frames = len(pcm) // flen
+        if n_frames == 0:
+            return 0, 0, 0, 0
+        x = pcm[: n_frames * flen].astype(np.int64)
+        e = (x * x).reshape(n_frames, flen).sum(axis=1)
+        i10 = (10 * (n_frames - 1)) // 100
+        i95 = (95 * (n_frames - 1)) // 100
+        p10 = int(np.partition(e, i10)[i10])
+        p95 = int(np.partition(e, i95)[i95])
+        return n_frames, p10, p95, p95 - p10
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            pcm, sr = self.decode(raw)
+            for lst, v in zip(cols, self._census(pcm, sr)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_frames", "e_p10", "e_p95", "lra_e"),
+                             cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -2501,3 +2501,75 @@ class ByteBigrams:
                               "top_count"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class QuadtreeLeaves:
+    """Actor-pool stage: quadtree homogeneity decomposition census —
+    recursively quarter the luminance plane until a tile is
+    homogeneous (max − min ≤ T) or a dimension goes odd: graphics
+    collapse into a few large leaves, texture shatters into thousands
+    — the classic spatial-complexity measure behind BSP coders and
+    mixed-content detection (orthogonal to q365's fixed-grid tile
+    variance: the quadtree ADAPTS its tiling).
+
+    Whole-array implementation: min/max pyramids by pairwise
+    reduction (one level per halving, no recursion), then a top-down
+    mask walk counts leaves per level.  Adds ``n_leaves``,
+    ``max_depth`` (deepest split level reached), ``n_px`` (int64).
+    """
+
+    T = 24  # summed-channel homogeneity tolerance
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        # quadtree tiles are ASPECT-PRESERVING quarters (h/2^d, w/2^d);
+        # the deepest splittable depth is the smaller 2-adic valuation
+        # (at that depth one tile dimension is odd or 1 -> forced leaf)
+        D = 0
+        while h % (1 << (D + 1)) == 0 and w % (1 << (D + 1)) == 0:
+            D += 1
+        bh, bw = h >> D, w >> D
+        g = 1 << D
+        base = lum.reshape(g, bh, g, bw)
+        mins = [base.min(axis=(1, 3))]  # index k=0 -> finest grid g x g
+        maxs = [base.max(axis=(1, 3))]
+        while mins[-1].shape[0] > 1:
+            m, M = mins[-1], maxs[-1]
+            mins.append(np.minimum(
+                np.minimum(m[0::2, 0::2], m[0::2, 1::2]),
+                np.minimum(m[1::2, 0::2], m[1::2, 1::2])))
+            maxs.append(np.maximum(
+                np.maximum(M[0::2, 0::2], M[0::2, 1::2]),
+                np.maximum(M[1::2, 0::2], M[1::2, 1::2])))
+        n_leaves = 0
+        max_depth = 0
+        active = np.ones((1, 1), dtype=bool)  # root grid
+        for depth in range(D + 1):
+            k = D - depth  # pyramid index holding this depth's grid
+            homog = (maxs[k] - mins[k]) <= self.T
+            leaf = active & (homog | (depth == D))
+            cnt = int(leaf.sum())
+            if cnt:
+                n_leaves += cnt
+                max_depth = depth
+            if depth == D:
+                break
+            active = np.repeat(np.repeat(active & ~leaf, 2, axis=0),
+                               2, axis=1)
+        return n_leaves, max_depth, h * w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_leaves", "max_depth", "n_px"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

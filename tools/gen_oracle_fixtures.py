@@ -6039,6 +6039,91 @@ def gen_crest_bigrams() -> None:
     print("bigrams_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_lra_quadtree() -> None:
+    """Expected q445/q447 rows from INDEPENDENT twins: sorted-list
+    percentile taps; an explicit RECURSIVE quadtree splitter (vs the
+    stage's min/max pyramids).  q446's heavy-change oracle is pure
+    SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.av import decode_audio
+    from texrex_ray.sources.av import fixture_path as av_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q445 loudness range (sorted-list twin)
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm, sr = decode_audio(raw)
+        flen = max(1, sr * 20 // 1000)
+        nf = len(pcm) // flen
+        st = per_fmt.setdefault(fmt, [0, 0, 0, None])
+        st[0] += 1
+        if nf == 0:
+            continue
+        x = pcm[: nf * flen].astype(np.int64).tolist()
+        es = sorted(
+            sum(v * v for v in x[i * flen:(i + 1) * flen])
+            for i in range(nf)
+        )
+        p10 = es[(10 * (nf - 1)) // 100]
+        p95 = es[(95 * (nf - 1)) // 100]
+        st[1] += nf
+        st[2] += p95 - p10
+        st[3] = (p95 - p10) if st[3] is None else max(st[3], p95 - p10)
+    rows = [(f, v[0], v[1], v[2], 0 if v[3] is None else v[3])
+            for f, v in sorted(per_fmt.items())]
+    agg = pd.DataFrame(rows, columns=[
+        "fmt", "n_clips", "n_frames", "sum_lra", "max_lra"
+    ]).astype({c: "int64" for c in (
+        "n_clips", "n_frames", "sum_lra", "max_lra")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "lra_sf0.01.parquet"))
+    print("lra_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q447 quadtree (explicit recursion twin)
+    T = 24
+
+    def leaves(lum, y0, x0, h, w, depth):
+        sub = [row[x0:x0 + w] for row in lum[y0:y0 + h]]
+        mn = min(min(r) for r in sub)
+        mx = max(max(r) for r in sub)
+        if mx - mn <= T or h % 2 or w % 2 or h == 1 or w == 1:
+            return 1, depth
+        n = 0
+        md = 0
+        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            c, d2 = leaves(lum, y0 + dy * (h // 2), x0 + dx * (w // 2),
+                           h // 2, w // 2, depth + 1)
+            n += c
+            md = max(md, d2)
+        return n, md
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        n, md = leaves(lum, 0, 0, len(lum), len(lum[0]), 0)
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n
+        st[2] = max(st[2], md)
+        st[3] += len(lum) * len(lum[0])
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_images", "sum_leaves", "max_depth", "n_px"],
+    ).astype({c: "int64" for c in (
+        "n_images", "sum_leaves", "max_depth", "n_px")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "quadtree_sf0.01.parquet"))
+    print("quadtree_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -6059,6 +6144,7 @@ def main() -> None:
     gen_compaction_gop()
     gen_periodicity()
     gen_crest_bigrams()
+    gen_lra_quadtree()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
