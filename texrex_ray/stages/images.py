@@ -2573,3 +2573,49 @@ class QuadtreeLeaves:
         for name, lst in zip(("n_leaves", "max_depth", "n_px"), cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class ExposureClipping:
+    """Actor-pool stage: exposure-clipping census — the photographic
+    curation gate (blown highlights / crushed shadows / unused dynamic
+    range): counts of near-black (lum ≤ 15) and near-white (lum ≥ 750)
+    summed-channel pixels plus the nearest-rank p1-p99 used range from
+    ONE 766-bin histogram (tap indices (k·(n−1))//100 — a fixed
+    integer spec).  Adds ``n_px``, ``n_under``, ``n_over``,
+    ``used_range`` (int64).
+    """
+
+    UNDER = 15
+    OVER = 750
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        n = lum.size
+        hist = np.bincount(lum.ravel(), minlength=766)
+        cum = hist.cumsum()
+        i1 = (1 * (n - 1)) // 100
+        i99 = (99 * (n - 1)) // 100
+        p1 = int(np.searchsorted(cum, i1 + 1))
+        p99 = int(np.searchsorted(cum, i99 + 1))
+        return (
+            n,
+            int(hist[: self.UNDER + 1].sum()),
+            int(hist[self.OVER:].sum()),
+            p99 - p1,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_px", "n_under", "n_over", "used_range"),
+                             cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

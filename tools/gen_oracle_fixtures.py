@@ -6124,6 +6124,42 @@ def gen_lra_quadtree() -> None:
     print("quadtree_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_exposure() -> None:
+    """Expected q450 rows from the INDEPENDENT sorted-list percentile
+    twin (no histogram).  q448/q449 oracles are pure SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = sorted(
+            decode_image(raw).astype(np.int64).sum(axis=2).ravel().tolist()
+        )
+        n = len(lum)
+        p1 = lum[(1 * (n - 1)) // 100]
+        p99 = lum[(99 * (n - 1)) // 100]
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n
+        st[2] += sum(1 for v in lum if v <= 15)
+        st[3] += sum(1 for v in lum if v >= 750)
+        st[4] = max(st[4], p99 - p1)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "n_px", "sum_under", "sum_over",
+                 "max_used_range"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_px", "sum_under", "sum_over", "max_used_range")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "exposure_sf0.01.parquet"))
+    print("exposure_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -6145,6 +6181,7 @@ def main() -> None:
     gen_periodicity()
     gen_crest_bigrams()
     gen_lra_quadtree()
+    gen_exposure()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
