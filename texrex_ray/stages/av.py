@@ -939,3 +939,46 @@ class LoudnessRange:
                              cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class ZeroCrossIntervals:
+    """Actor-pool stage: zero-crossing INTERVAL census — the
+    distribution of gaps between successive sign changes (crossing at
+    i iff sign(x[i]) != sign(x[i-1]), zeros counted as positive — a
+    fixed spec): a pure tone shows one dominant interval (half its
+    period), speech/noise spreads — the period-DISTRIBUTION
+    complement to q386's single ACF argmax and AudioDecoder's global
+    rate.  Crossings via one sign-diff, intervals via np.diff, modal
+    interval from one bincount (ties to the smallest interval).
+    Adds ``n_intervals``, ``modal_gap``, ``modal_n``, ``max_gap``
+    (int64; zeros when fewer than 2 crossings).
+    """
+
+    def __init__(self) -> None:
+        self.decode = decode_audio
+
+    def _census(self, pcm: np.ndarray) -> tuple[int, int, int, int]:
+        if len(pcm) < 2:
+            return 0, 0, 0, 0
+        pos = pcm >= 0
+        cross = np.nonzero(pos[1:] != pos[:-1])[0] + 1
+        if len(cross) < 2:
+            return 0, 0, 0, 0
+        gaps = np.diff(cross)
+        counts = np.bincount(gaps)
+        modal = int(np.argmax(counts))  # argmax ties -> smallest gap
+        return (
+            int(len(gaps)), modal, int(counts[modal]), int(gaps.max()),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            pcm, _sr = self.decode(raw)
+            for lst, v in zip(cols, self._census(pcm)):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_intervals", "modal_gap", "modal_n",
+                              "max_gap"), cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -2619,3 +2619,40 @@ class ExposureClipping:
                              cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class SaturationCensus:
+    """Actor-pool stage: channel-spread saturation census — per pixel
+    max(R,G,B) − min(R,G,B) (the HSV-free saturation proxy): raw first
+    and second moments plus the near-gray count (spread ≤ 8), the
+    direct complement to Colorfulness's OPPONENT moments (rg/yb can
+    cancel on balanced mixtures where the channel spread cannot).
+    Whole-array numpy.  Adds ``n_px``, ``sum_sat``, ``sum_sat2``,
+    ``n_gray`` (int64).
+    """
+
+    GRAY_T = 8
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int, int]:
+        p = px.astype(np.int64)
+        sat = p.max(axis=2) - p.min(axis=2)
+        return (
+            int(sat.size), int(sat.sum()), int((sat * sat).sum()),
+            int((sat <= self.GRAY_T).sum()),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_px", "sum_sat", "sum_sat2", "n_gray"),
+                             cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -6160,6 +6160,77 @@ def gen_exposure() -> None:
     print("exposure_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_saturation_zc() -> None:
+    """Expected q452/q453 rows from INDEPENDENT scalar twins (per-pixel
+    channel-spread walk; per-sample crossing walk with dict gap
+    census).  q451's velocity oracle is pure SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.av import decode_audio
+    from texrex_ray.sources.av import fixture_path as av_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q452 saturation census (scalar walk)
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        px = decode_image(raw).astype(np.int64).tolist()
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0, 0])
+        st[0] += 1
+        for row in px:
+            for r, g, b in row:
+                sat = max(r, g, b) - min(r, g, b)
+                st[1] += 1
+                st[2] += sat
+                st[3] += sat * sat
+                st[4] += sat <= 8
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "n_px", "sum_sat", "sum_sat2",
+                 "n_gray"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_px", "sum_sat", "sum_sat2", "n_gray")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "saturation_sf0.01.parquet"))
+    print("saturation_sf0.01.parquet:", len(agg), "rows")
+
+    # ---- q453 zero-crossing intervals (scalar walk + dict census)
+    d = av_fixture(n=150, seed=42)
+    aud = pq.read_table(os.path.join(d, "audio.parquet"),
+                        columns=["bytes", "fmt"]).to_pandas()
+    per_fmt2: dict[str, list] = {}
+    for raw, fmt in zip(aud["bytes"], aud["fmt"]):
+        pcm = decode_audio(raw)[0].tolist()
+        cross = [i for i in range(1, len(pcm))
+                 if (pcm[i] >= 0) != (pcm[i - 1] >= 0)]
+        st = per_fmt2.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        if len(cross) < 2:
+            continue
+        gaps: dict[int, int] = {}
+        mx = 0
+        for a, b in zip(cross, cross[1:]):
+            g = b - a
+            gaps[g] = gaps.get(g, 0) + 1
+            mx = max(mx, g)
+        st[1] += len(cross) - 1
+        modal = min(gaps, key=lambda k: (-gaps[k], k))
+        st[2] += gaps[modal]
+        st[3] = max(st[3], mx)
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt2.items())],
+        columns=["fmt", "n_clips", "n_intervals", "sum_modal_n",
+                 "max_gap"],
+    ).astype({c: "int64" for c in (
+        "n_clips", "n_intervals", "sum_modal_n", "max_gap")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "zc_intervals_sf0.01.parquet"))
+    print("zc_intervals_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -6182,6 +6253,7 @@ def main() -> None:
     gen_crest_bigrams()
     gen_lra_quadtree()
     gen_exposure()
+    gen_saturation_zc()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
