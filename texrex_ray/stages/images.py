@@ -2656,3 +2656,48 @@ class SaturationCensus:
                              cols):
             out = out.append_column(name, pa.array(lst, pa.int64()))
         return out
+
+
+class TileDistinct:
+    """Actor-pool stage: per-tile distinct-value census — number of
+    DISTINCT luminance values inside each 8x8 tile (summed over the
+    image, plus the max tile): the quantization-aware complexity
+    signal q365's variance misses (a 2-value checkerboard has huge
+    variance but distinct=2; smooth gradients have low variance but
+    distinct≈64).  Whole-array: sort each tile's 64 values along one
+    axis, count strict increases + 1.  Adds ``n_tiles``,
+    ``sum_distinct``, ``max_distinct`` (int64).
+    """
+
+    T = 8
+
+    def __init__(self) -> None:
+        from texrex_ray.sources.images import decode_image
+
+        self.decode = decode_image
+
+    def _census(self, px: np.ndarray) -> tuple[int, int, int]:
+        lum = px.astype(np.int64).sum(axis=2)
+        h, w = lum.shape
+        T = self.T
+        th, tw = h // T, w // T
+        if th == 0 or tw == 0:
+            return 0, 0, 0
+        tiles = lum[: th * T, : tw * T].reshape(th, T, tw, T
+                                                ).transpose(0, 2, 1, 3
+                                                            ).reshape(
+            th * tw, T * T)
+        srt = np.sort(tiles, axis=1)
+        distinct = (np.diff(srt, axis=1) > 0).sum(axis=1) + 1
+        return th * tw, int(distinct.sum()), int(distinct.max())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ([], [], [])
+        for raw in batch["bytes"].to_pylist():
+            for lst, v in zip(cols, self._census(self.decode(raw))):
+                lst.append(v)
+        out = batch
+        for name, lst in zip(("n_tiles", "sum_distinct", "max_distinct"),
+                             cols):
+            out = out.append_column(name, pa.array(lst, pa.int64()))
+        return out

@@ -6231,6 +6231,70 @@ def gen_saturation_zc() -> None:
     print("zc_intervals_sf0.01.parquet:", len(agg), "rows")
 
 
+
+def gen_subset_tiledistinct() -> None:
+    """Expected q454/q455 rows from INDEPENDENT twins: a python-SET
+    subset-sum DP (vs the query's uint64 bitset words); a per-tile
+    set() census.  q456's lead-time oracle is pure SQL."""
+    import pandas as pd
+    from texrex_ray.pipelines.caption import fixture_path as img_fixture
+    from texrex_ray.sources.images import decode_image
+
+    # ---- q454 subset sums (python set DP twin).  Restricted to the
+    # LARGE parts (size >= 25) with bound 500 so reachability has
+    # structure (the 1..24 gap) instead of being trivially dense.
+    CAP = 500
+    parts = pq.read_table("/root/testdata/sf0.01/part.parquet",
+                          columns=["p_size"]).to_pandas()
+    sizes = [int(v) for v in parts["p_size"] if v >= 25]
+    reach = {0}
+    for sz in sizes:
+        reach |= {v + sz for v in reach if v + sz <= CAP}
+        if len(reach) == CAP + 1:
+            break
+    n_reach = len(reach) - 1  # exclude the empty sum
+    missing = sorted(set(range(1, CAP + 1)) - reach)
+    agg = pd.DataFrame([{
+        "n_items": len(sizes),
+        "bound": CAP,
+        "n_reachable": n_reach,
+        "min_unreachable": missing[0] if missing else 0,
+        "max_reachable": max(v for v in reach if v <= CAP),
+    }]).astype("int64")
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "subset_sf0.01.parquet"))
+    print("subset_sf0.01.parquet:", agg.to_dict("records"))
+
+    # ---- q455 tile distinct (per-tile set twin)
+    d = img_fixture(n=300, seed=42)
+    imgs = pq.read_table(os.path.join(d, "images.parquet"),
+                         columns=["bytes", "fmt"]).to_pandas()
+    per_fmt: dict[str, list] = {}
+    for raw, fmt in zip(imgs["bytes"], imgs["fmt"]):
+        lum = decode_image(raw).astype(np.int64).sum(axis=2).tolist()
+        h, w = len(lum), len(lum[0])
+        th, tw = h // 8, w // 8
+        st = per_fmt.setdefault(fmt, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += th * tw
+        for by in range(th):
+            for bx in range(tw):
+                vals = {lum[y][x]
+                        for y in range(by * 8, by * 8 + 8)
+                        for x in range(bx * 8, bx * 8 + 8)}
+                st[2] += len(vals)
+                st[3] = max(st[3], len(vals))
+    agg = pd.DataFrame(
+        [(f, *v) for f, v in sorted(per_fmt.items())],
+        columns=["fmt", "n_images", "n_tiles", "sum_distinct",
+                 "max_distinct"],
+    ).astype({c: "int64" for c in (
+        "n_images", "n_tiles", "sum_distinct", "max_distinct")})
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                   os.path.join(OUT, "tiledistinct_sf0.01.parquet"))
+    print("tiledistinct_sf0.01.parquet:", len(agg), "rows")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     gen_pca_dtw()
@@ -6254,6 +6318,7 @@ def main() -> None:
     gen_lra_quadtree()
     gen_exposure()
     gen_saturation_zc()
+    gen_subset_tiledistinct()
     gen_boiler_scores()
     gen_geo_blocks()
     gen_pipeline_pins()
