@@ -1351,7 +1351,11 @@ class SsimAudit:
         T = self.T
         th, tw = h2 // T, w2 // T
         if th == 0 or tw == 0:
-            return 0, 0, 0
+            # No full 8x8 tile: min must stay NEUTRAL for the per-format
+            # Min aggregate, so emit the SSIM identity value (1.0 in ppm)
+            # rather than 0 — a 0 here would read as one tiny image
+            # reporting catastrophic structural loss.
+            return 0, 0, 1_000_000
         box = (
             lum[0::2, 0::2] + lum[0::2, 1::2] + lum[1::2, 0::2] + lum[1::2, 1::2]
         ) // 4
@@ -1375,7 +1379,7 @@ class SsimAudit:
             v = (a1 * a2 * 1_000_000) // (b1 * b2)
             total += v
             mn = v if mn is None or v < mn else mn
-        return th * tw, total, mn if mn is not None else 0
+        return th * tw, total, mn if mn is not None else 1_000_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         nt, sm, mn = [], [], []

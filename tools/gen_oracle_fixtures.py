@@ -4264,7 +4264,9 @@ def gen_ssim_template_lbp() -> None:
                 v = (a1 * a2 * 1_000_000) // (b1 * b2)
                 total += v
                 mn = v if mn is None else min(mn, v)
-        rows.append((fmt, th * tw, total, 0 if mn is None else mn))
+        # Tileless images emit the neutral SSIM identity (1.0 ppm), not 0,
+        # so they cannot drag the per-format Min down (mirrors the stage).
+        rows.append((fmt, th * tw, total, 1_000_000 if mn is None else mn))
     df = pd.DataFrame(rows, columns=["fmt", "nt", "sm", "mn"])
     agg = df.groupby("fmt").agg(
         n_images=("nt", "size"), n_tiles=("nt", "sum"),
@@ -5286,7 +5288,24 @@ def gen_adpcm_moments_bytes() -> None:
     from texrex_ray.sources.av import decode_audio
     from texrex_ray.sources.av import fixture_path as av_fixture
     from texrex_ray.sources.images import decode_image
-    from texrex_ray.stages.av import _IMA_INDEX, _IMA_STEPS
+
+    # IMA ADPCM step-size / index-adjust tables transcribed here
+    # INDEPENDENTLY from the published IMA/DVI ADPCM spec (Intel/DVI
+    # "Recommended Practices for Enhancing Digital Audio Compatibility",
+    # rev 3.00, 1992 — the same public table every codec implements),
+    # NOT imported from texrex_ray.stages.av, so a transcription error
+    # on either side shows up as an oracle mismatch.
+    _IMA_STEPS = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]
+    _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
     # ---- q421 IMA ADPCM audit (scalar per-sample state machine)
     def block_roundtrip(block: list) -> tuple[int, int]:
