@@ -17,6 +17,11 @@ import shutil
 import sys
 import time
 
+# Silence the spurious per-actor-pool core_worker.cc restart warning
+# (ray-project/ray#53727; see tools/check_oracle.py for the full note) so
+# bench stderr stays readable; Python-level errors still propagate.
+os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "fatal")
+
 
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

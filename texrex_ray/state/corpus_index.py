@@ -194,6 +194,12 @@ class HashIndexProbe:
 
     Construct via ``map_batches(HashIndexProbe, fn_constructor_kwargs=...,
     concurrency=N)``; shards load lazily per actor and stay cached.
+
+    Restart safety: the constructor takes PATHS and plain strings — never
+    ObjectRefs — so a restarted actor rebuilds its state from disk alone.
+    (Ray still logs the blanket core_worker restart warning for every
+    Ray Data actor pool, ray-project/ray#53727; it does not apply to the
+    arguments here.)
     """
 
     def __init__(self, index_dir: str, hash_col: str = "h", flag_col: str = "known"):

@@ -10,7 +10,18 @@ stringified).  Usage::
 
 from __future__ import annotations
 
+import os
 import sys
+
+# Ray 2.49 logs a spurious core_worker.cc ERROR ("constructor arguments in
+# the object store and max_restarts > 0", ray-project/ray#53727) for EVERY
+# Ray Data actor pool — actor-creation args are always promoted to the
+# object store, and Ray Data defaults max_restarts=-1 for fault tolerance.
+# The args here are driver-owned (the driver outlives every pool), so the
+# restart-failure scenario the warning describes cannot occur in this
+# deployment.  Silence C++-level logs in the sweep: genuine failures still
+# surface as Python exceptions / FAIL lines, never as C++ stderr only.
+os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "fatal")
 
 import duckdb
 import pandas as pd
