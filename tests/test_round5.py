@@ -1,0 +1,80 @@
+"""Round-5 scale fallbacks: butterfly wedge-shuffle plan (q348's page-
+scale path) and its equivalence to the co-occurrence-matrix plan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from texrex_ray.ops.graph import butterfly_fold
+
+
+def _rand_bipartite(n_left: int, n_right: int, n_edges: int, seed: int,
+                    hot_left_frac: float = 0.0) -> pd.DataFrame:
+    """Distinct random (s, p) edges; optionally concentrate edges on a
+    few hot RIGHT nodes to exercise salting."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n_left, n_edges)
+    if hot_left_frac > 0:
+        # route a fraction of edges to 2 hot parts
+        hot = rng.random(n_edges) < hot_left_frac
+        p = rng.integers(0, n_right, n_edges)
+        p[hot] = rng.integers(0, 2, hot.sum())
+    else:
+        p = rng.integers(0, n_right, n_edges)
+    return (
+        pd.DataFrame({"s": s.astype(np.int64), "p": p.astype(np.int64)})
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+
+
+def _local_truth(e: pd.DataFrame) -> tuple[int, int]:
+    """Quadratic self-join truth — independent of either distributed plan."""
+    mm = e.merge(e, on="p")
+    mm = mm[mm["s_x"] < mm["s_y"]]
+    m = mm.groupby(["s_x", "s_y"]).size().to_numpy(np.int64)
+    return int(m.sum()), int((m * (m - 1) // 2).sum())
+
+
+@pytest.mark.parametrize("plan,kwargs", [
+    ("matrix", {}),
+    ("shuffle", {}),
+    # tiny thresholds force EVERY part through the salted replicate path
+    ("shuffle", {"hot_degree": 2, "chunk_target": 2}),
+])
+def test_butterfly_plans_match_truth(plan, kwargs):
+    e = _rand_bipartite(60, 40, 600, seed=7, hot_left_frac=0.3)
+    truth = _local_truth(e)
+    got = butterfly_fold(ray.data.from_pandas(e), plan=plan, **kwargs)
+    assert got == truth
+
+
+def test_butterfly_auto_switches_to_shuffle():
+    """Above matrix_max_left the auto plan must take the shuffle path and
+    still be exact (this is the >driver-limit equivalence the matrix
+    plan's ValueError used to guard)."""
+    e = _rand_bipartite(500, 60, 2500, seed=11)
+    truth = _local_truth(e)
+    # auto with a tiny matrix cap -> shuffle path
+    got = butterfly_fold(e_ds := ray.data.from_pandas(e), plan="auto",
+                         matrix_max_left=100)
+    assert got == truth
+    # matrix refuses loudly beyond the cap
+    with pytest.raises(ValueError, match="matrix_max_left"):
+        butterfly_fold(e_ds, plan="matrix", matrix_max_left=100)
+
+
+def test_butterfly_empty_and_degenerate():
+    # single part, d suppliers: wedges C(d,2), butterflies 0 (m==1 pairs)
+    d = 9
+    e = pd.DataFrame({"s": np.arange(d, dtype=np.int64),
+                      "p": np.zeros(d, dtype=np.int64)})
+    for plan in ("matrix", "shuffle"):
+        assert butterfly_fold(ray.data.from_pandas(e), plan=plan) == (
+            d * (d - 1) // 2, 0)
+    # two identical parts: every pair has m=2 -> butterflies C(d,2)
+    e2 = pd.concat([e, e.assign(p=1)], ignore_index=True)
+    for plan in ("matrix", "shuffle"):
+        assert butterfly_fold(ray.data.from_pandas(e2), plan=plan) == (
+            d * (d - 1), d * (d - 1) // 2)

@@ -2313,3 +2313,263 @@ def bridges_articulation_brute(edges: list[tuple[str, str]]) -> dict:
         "n_bridges": n_bridges,
         "n_articulation": n_art,
     }
+
+
+# --------------------------------------------------------------------------
+# Bipartite butterfly (2x2 biclique) fold
+# --------------------------------------------------------------------------
+
+def butterfly_fold(
+    edges: ray.data.Dataset,
+    *,
+    n_left: int | None = None,
+    expected_edges: int | None = None,
+    plan: str = "auto",
+    matrix_max_left: int = 30_000,
+    hot_degree: int = 4096,
+    chunk_target: int = 2048,
+) -> tuple[int, int]:
+    """Exact (n_wedges, n_butterflies) of a DISTINCT bipartite edge set.
+
+    ``edges`` must hold distinct (s:int64 left, p:int64 right) rows.
+    Butterflies fold from per-left-pair co-neighbourhood counts m(s1,s2)
+    as Σ C(m,2); wedges are Σ m = Σ_p d(p)·(d(p)−1)/2.
+
+    Two plans, identical results (tests force both):
+
+    - ``plan="matrix"`` — small LEFT side: each p-complete bucket builds
+      a local 0/1 incidence B over its parts and emits triu(B @ B^T);
+      partial matrices SUM across buckets (parts partition cleanly), so
+      the only exchange is a bucket-count driver reduce of
+      L·(L−1)/2-entry vectors.  Dot products are integers < 2^24, exact
+      in float32 BLAS.  Driver memory is O(L²) — capped by
+      ``matrix_max_left``.
+    - ``plan="shuffle"`` — the page-scale wedge-pair shuffle: a part of
+      degree d emits its d·(d−1)/2 supplier pairs inside a p-bucketed
+      combine, pairs exchange hashed on (s1,s2), and each pair bucket
+      folds Σ m and Σ C(m,2) locally so only bucket-count partials reach
+      the driver.  HOT parts (d > ``hot_degree``) are salted first:
+      their edges split into K = ceil(d / ``chunk_target``) hashed
+      chunks and replicate K× to the chunk-pair groups (a,b) a≤b —
+      within-chunk pairs fold in (r,r), cross-chunk pairs in (a,b) a<b,
+      so every pair is produced EXACTLY once while the per-task
+      explosion shrinks from O(d²) to O(chunk_target·d).
+
+    ``plan="auto"`` picks matrix while n_left ≤ ``matrix_max_left``,
+    else shuffle.  (Reference analogue: texrex has no graph ops; this
+    serves the crawl-graph analytics the frontier scheduler feeds on,
+    same role as pagerank_int above.)
+    """
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    if expected_edges is None:
+        expected_edges = edges.count()
+
+    if n_left is None:
+        n_left = bucketed_groupby(
+            edges, "s", lambda df: df[["s"]].drop_duplicates(),
+            expected_rows=expected_edges,
+        ).count()
+
+    if plan == "auto":
+        plan = "matrix" if n_left <= matrix_max_left else "shuffle"
+    if plan == "matrix":
+        if n_left > matrix_max_left:
+            raise ValueError(
+                f"butterfly_fold: {n_left} left nodes exceeds "
+                f"matrix_max_left={matrix_max_left}; use plan='shuffle'"
+            )
+        return _butterfly_matrix(edges, n_left, expected_edges)
+    if plan == "shuffle":
+        return _butterfly_shuffle(
+            edges, expected_edges, hot_degree=hot_degree,
+            chunk_target=chunk_target,
+        )
+    raise ValueError(f"butterfly_fold: unknown plan {plan!r}")
+
+
+def _butterfly_matrix(
+    edges: ray.data.Dataset, n_left: int, expected_edges: int
+) -> tuple[int, int]:
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    s_ids = np.sort(
+        pd.concat(
+            [
+                b.to_pandas()
+                for b in bucketed_groupby(
+                    edges, "s", lambda df: df[["s"]].drop_duplicates(),
+                    expected_rows=expected_edges,
+                ).iter_batches(batch_format="pyarrow", batch_size=65536)
+            ]
+        )["s"].to_numpy(np.int64)
+    )
+    pos = {int(v): i for i, v in enumerate(s_ids)}
+    pos_ref = ray.put(pos)
+    L = n_left
+
+    def comat(df: pd.DataFrame) -> pd.DataFrame:
+        # one bucket = a p-COMPLETE slice (bucketed_groupby hashes on p),
+        # so every part's full supplier set co-locates here — a plain
+        # map_batches split would tear parts across blocks and silently
+        # undercount cross-block pairs
+        pm = ray.get(pos_ref)
+        si = df["s"].map(pm).to_numpy(np.int64)
+        p_codes, uniq_p = pd.factorize(df["p"], sort=False)
+        B = np.zeros((L, len(uniq_p)), np.float32)
+        B[si, p_codes] = 1.0
+        M = B @ B.T
+        i, j = np.triu_indices(L, 1)
+        return pd.DataFrame({"m_flat": [M[i, j].astype(np.int64).tobytes()]})
+
+    m = np.zeros(L * (L - 1) // 2, np.int64)
+    for row in bucketed_groupby(
+        edges, "p", comat, expected_rows=expected_edges
+    ).iter_rows():
+        m += np.frombuffer(row["m_flat"], np.int64)
+    return int(m.sum()), int((m * (m - 1) // 2).sum())
+
+
+def _butterfly_shuffle(
+    edges: ray.data.Dataset,
+    expected_edges: int,
+    *,
+    hot_degree: int,
+    chunk_target: int,
+) -> tuple[int, int]:
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    # -- degrees per right node; the hot set (d > hot_degree) is tiny by
+    # definition (Σd = |E| bounds it to |E|/hot_degree entries), so it
+    # broadcasts; the full degree table never leaves the cluster.
+    deg = bucketed_groupby(
+        edges, "p",
+        lambda df: df.groupby("p", sort=False).size().reset_index(name="d"),
+        expected_rows=expected_edges,
+    ).materialize()
+
+    def wedge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy(np.int64)
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]})
+
+    total_wedges = int(
+        sum(
+            r["w"]
+            for r in deg.map_batches(
+                wedge_partial, batch_format="pandas"
+            ).iter_rows()
+        )
+    )
+
+    def hot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["d"] > hot_degree]
+
+    hot = deg.map_batches(hot_partial, batch_format="pandas").to_pandas()
+    # an all-cold graph yields a columnless empty frame — no hot parts
+    hot_k = (
+        {}
+        if hot.empty
+        else {
+            int(p): max(2, -(-int(d) // chunk_target))
+            for p, d in zip(hot["p"], hot["d"])
+        }
+    )
+    hot_ref = ray.put(hot_k)
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def salt(df: pd.DataFrame) -> pd.DataFrame:
+        """Emit (p, a, b, r, s): non-hot parts once under (0,0,0); a hot
+        part's edges replicate to every chunk-pair containing their
+        hashed chunk r."""
+        hk = ray.get(hot_ref)
+        p = df["p"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        hot_mask = np.isin(p, np.fromiter(hk.keys(), np.int64, len(hk))) \
+            if hk else np.zeros(len(p), bool)
+        cold = df[~hot_mask]
+        out = [
+            pd.DataFrame({
+                "p": cold["p"].to_numpy(np.int64),
+                "a": 0, "b": 0, "r": 0,
+                "s": cold["s"].to_numpy(np.int64),
+            })
+        ]
+        if hot_mask.any():
+            hp, hs = p[hot_mask], s[hot_mask]
+            for part in np.unique(hp):
+                k = hk[int(part)]
+                m = hp == part
+                sv = hs[m]
+                r = ((sv.astype(np.uint64) * _MIX) % np.uint64(k)).astype(np.int64)
+                # replicate each edge to chunk-pairs (i, r) ∀ i: the pair
+                # group is (min(i,r), max(i,r)), so (r,r) holds the
+                # within-chunk pairs and (a,b) a<b the cross pairs
+                i = np.tile(np.arange(k, dtype=np.int64), len(sv))
+                rr = np.repeat(r, k)
+                out.append(pd.DataFrame({
+                    "p": part,
+                    "a": np.minimum(i, rr),
+                    "b": np.maximum(i, rr),
+                    "r": rr,
+                    "s": np.repeat(sv, k),
+                }))
+        return pd.concat(out, ignore_index=True)
+
+    salted = edges.map_batches(salt, batch_format="pandas")
+    n_rep = max(hot_k.values(), default=1)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket of (p,a,b)-complete groups → (s1,s2,m_part) wedge
+        pair partials, pre-aggregated before the pair exchange."""
+        outs: list[pd.DataFrame] = []
+        for (_, a, b), grp in g.groupby(["p", "a", "b"], sort=False):
+            sv = grp["s"].to_numpy(np.int64)
+            if a == b:
+                if len(sv) < 2:
+                    continue
+                sv = np.sort(sv)
+                i, j = np.triu_indices(len(sv), 1)
+                s1, s2 = sv[i], sv[j]
+            else:
+                r = grp["r"].to_numpy(np.int64)
+                x, y = sv[r == a], sv[r == b]
+                if not len(x) or not len(y):
+                    continue
+                xr = np.repeat(x, len(y))
+                yr = np.tile(y, len(x))
+                s1, s2 = np.minimum(xr, yr), np.maximum(xr, yr)
+            outs.append(pd.DataFrame({"s1": s1, "s2": s2}))
+        if not outs:
+            return pd.DataFrame({
+                "s1": pd.Series([], dtype=np.int64),
+                "s2": pd.Series([], dtype=np.int64),
+                "m_part": pd.Series([], dtype=np.int64),
+            })
+        allp = pd.concat(outs, ignore_index=True)
+        agg = allp.groupby(["s1", "s2"], sort=False).size().reset_index(name="m_part")
+        agg["m_part"] = agg["m_part"].astype(np.int64)
+        return agg
+
+    pair_parts = bucketed_groupby(
+        salted, ["p", "a", "b"], pairs,
+        expected_rows=expected_edges * n_rep,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["s1", "s2"], sort=False)["m_part"].sum().to_numpy(np.int64)
+        return pd.DataFrame({
+            "w_part": [int(m.sum())],
+            "b_part": [int((m * (m - 1) // 2).sum())],
+        })
+
+    folded = bucketed_groupby(
+        pair_parts, ["s1", "s2"], fold, expected_rows=total_wedges
+    ).to_pandas()
+    n_wedges = int(folded["w_part"].sum())
+    n_butterflies = int(folded["b_part"].sum())
+    assert n_wedges == total_wedges, (
+        f"butterfly_fold shuffle plan wedge mismatch: folded {n_wedges} "
+        f"vs degree-derived {total_wedges}"
+    )
+    return n_wedges, n_butterflies
