@@ -78,3 +78,54 @@ def test_butterfly_empty_and_degenerate():
     for plan in ("matrix", "shuffle"):
         assert butterfly_fold(ray.data.from_pandas(e2), plan=plan) == (
             d * (d - 1), d * (d - 1) // 2)
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters plan="shuffle" (sharded label state)
+# ---------------------------------------------------------------------------
+
+from texrex_ray.dedup.clusters import dup_clusters  # noqa: E402
+
+
+def _rand_pairs(n_nodes: int, n_edges: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "id_a": rng.integers(0, n_nodes, n_edges).astype(np.int64),
+        "id_b": rng.integers(0, n_nodes, n_edges).astype(np.int64),
+    })
+
+
+def test_dup_clusters_shuffle_matches_driver():
+    pairs = _rand_pairs(60, 50, seed=13)
+    ds = ray.data.from_pandas(pairs)
+    d = dup_clusters(ds, plan="driver")
+    s = dup_clusters(ds, plan="shuffle")
+    assert d.equals(s)
+
+
+def test_dup_clusters_auto_takes_shuffle_beyond_driver_limit():
+    """>driver_edge_limit edges must route plan="auto" through the
+    sharded-label shuffle path and still match the driver plan."""
+    pairs = _rand_pairs(40, 30, seed=29)
+    ds = ray.data.from_pandas(pairs)
+    d = dup_clusters(ds, plan="driver")
+    s = dup_clusters(ds, plan="auto", driver_edge_limit=10)  # 30 edges > 10
+    assert d.equals(s)
+
+
+def test_dup_clusters_shuffle_chain_and_strings():
+    # path graph: worst-case diameter; path halving must converge fast
+    chain = pd.DataFrame({
+        "id_a": np.arange(40, dtype=np.int64),
+        "id_b": np.arange(1, 41, dtype=np.int64),
+    })
+    s = dup_clusters(ray.data.from_pandas(chain), plan="shuffle")
+    assert (s["cluster_id"] == 0).all() and len(s) == 41
+    # string doc ids survive the join/min machinery
+    sp = pd.DataFrame({
+        "id_a": [f"d{i:03d}" for i in [1, 2, 5, 7]],
+        "id_b": [f"d{i:03d}" for i in [2, 3, 6, 5]],
+    })
+    d2 = dup_clusters(ray.data.from_pandas(sp), plan="driver")
+    s2 = dup_clusters(ray.data.from_pandas(sp), plan="shuffle")
+    assert d2.equals(s2)
