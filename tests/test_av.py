@@ -45,9 +45,38 @@ def test_video_roundtrip_bit_exact():
     np.testing.assert_array_equal(dec, frames)
 
 
-def test_decode_external_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_external(b"RIFFxxxx")
+def test_decode_external_raises_only_without_codec_lib():
+    import texrex_ray.sources.av as m
+
+    if m._soundfile is None:
+        with pytest.raises(NotImplementedError):
+            decode_external(b"RIFFxxxx")
+    else:  # pragma: no cover - container has no soundfile
+        pytest.skip("soundfile present; real path covered below")
+    if m._pyav is None:
+        with pytest.raises(NotImplementedError):
+            decode_external(b"\x00\x00\x00\x18ftypmp42")
+
+
+@pytest.mark.skipif(
+    __import__("texrex_ray.sources.av", fromlist=["_soundfile"])._soundfile
+    is None,
+    reason="real audio codec path needs soundfile",
+)
+def test_decode_external_real_wav_roundtrip():  # pragma: no cover
+    """On a soundfile-capable host a real RIFF/WAV decodes through the
+    same seam the synthetic containers bypass."""
+    import io
+
+    import soundfile as sf
+
+    rng = np.random.default_rng(3)
+    pcm = _synth_pcm(rng, 2000, 8000)
+    buf = io.BytesIO()
+    sf.write(buf, pcm, 8000, format="WAV", subtype="PCM_16")
+    dec, sr = decode_audio(buf.getvalue())
+    assert sr == 8000
+    np.testing.assert_array_equal(dec, pcm)
 
 
 def test_audio_stage_columns(ray_session):

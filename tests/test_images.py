@@ -25,9 +25,34 @@ def test_codec_roundtrip_invariants():
         assert psnr(px, out) >= 40.0, fmt
 
 
-def test_decode_external_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_external(b"\x89PNG\r\n\x1a\n...")
+def test_decode_external_raises_only_without_codec_lib():
+    import texrex_ray.sources.images as m
+
+    if m._pil_image is None:
+        with pytest.raises(NotImplementedError):
+            decode_external(b"\x89PNG\r\n\x1a\n...")
+    else:  # pragma: no cover - container has no PIL
+        pytest.skip("PIL present; real path covered below")
+
+
+@pytest.mark.skipif(
+    __import__("texrex_ray.sources.images", fromlist=["_pil_image"])._pil_image
+    is None,
+    reason="real image codec path needs PIL",
+)
+def test_decode_external_real_png_roundtrip():  # pragma: no cover
+    """On a PIL-capable host, a real PNG decodes bit-exact through the
+    same seam the synthetic containers bypass."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    out = decode_image(buf.getvalue())  # unknown magic -> external seam
+    np.testing.assert_array_equal(out, px)
 
 
 def test_make_images_deterministic_with_dups():

@@ -38,7 +38,7 @@ def encode_audio(pcm: np.ndarray, sr: int, fmt: str) -> bytes:
 def decode_audio(raw: bytes) -> tuple[np.ndarray, int]:
     """Synthetic container bytes → ((n,) int16 pcm, sample_rate)."""
     if raw[:4] not in AUDIO_MAGIC.values():
-        return decode_external(raw)
+        return decode_external_audio(raw)
     sr = int.from_bytes(raw[4:8], "big")
     n = int.from_bytes(raw[8:12], "big")
     return np.frombuffer(raw[12:], dtype=np.int16)[:n], sr
@@ -60,7 +60,7 @@ def encode_video(frames: np.ndarray, fps: int) -> bytes:
 def decode_video(raw: bytes) -> tuple[np.ndarray, int]:
     """Synthetic container bytes → ((n, h, w, 3) uint8 frames, fps)."""
     if raw[:4] != VIDEO_MAGIC["rawv"]:
-        return decode_external(raw)
+        return decode_external_video(raw)
     w = int.from_bytes(raw[4:8], "big")
     h = int.from_bytes(raw[8:12], "big")
     n = int.from_bytes(raw[12:16], "big")
@@ -68,14 +68,61 @@ def decode_video(raw: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(raw[20:], dtype=np.uint8).reshape(n, h, w, 3), fps
 
 
-def decode_external(raw: bytes):
-    """STUB: real WAV/OGG/MP4 decoding needs codec libraries absent from
-    this container.  Schema, batch sizing and actor signatures are
-    identical either way."""
+try:  # optional real-codec seam (lance_io.py fallback pattern): decodes
+    # real WAV/OGG on hosts with soundfile; this sandbox has none
+    import soundfile as _soundfile
+except ImportError:  # pragma: no cover - container has no soundfile
+    _soundfile = None
+
+try:  # real video frames on hosts with PyAV
+    import av as _pyav
+except ImportError:  # pragma: no cover - container has no PyAV
+    _pyav = None
+
+
+def decode_external_audio(raw: bytes) -> tuple[np.ndarray, int]:
+    """Real-codec seam: WAV/OGG/FLAC → ((n,) int16 mono pcm, sr) via
+    soundfile when importable; raises only when it is absent."""
+    if _soundfile is not None:
+        import io
+
+        data, sr = _soundfile.read(io.BytesIO(raw), dtype="int16")
+        if data.ndim > 1:  # downmix to mono, matching the synthetic shape
+            data = (data.astype(np.int32).mean(axis=1)).astype(np.int16)
+        return np.ascontiguousarray(data), int(sr)
     raise NotImplementedError(
-        "real media codecs unavailable in this environment; "
-        "payloads use the synthetic SWAV/SOGG/SVID containers"
+        "no audio codec library importable (tried soundfile); "
+        "payloads use the synthetic SWAV/SOGG containers"
     )
+
+
+def decode_external_video(raw: bytes) -> tuple[np.ndarray, int]:
+    """Real-codec seam: MP4/WebM → ((n, h, w, 3) uint8 frames, fps) via
+    PyAV when importable; raises only when it is absent."""
+    if _pyav is not None:
+        import io
+
+        with _pyav.open(io.BytesIO(raw)) as container:
+            stream = container.streams.video[0]
+            fps = int(round(float(stream.average_rate or 0)))
+            frames = [
+                f.to_ndarray(format="rgb24") for f in container.decode(stream)
+            ]
+        return np.stack(frames), fps
+    raise NotImplementedError(
+        "no video codec library importable (tried PyAV); "
+        "payloads use the synthetic SVID container"
+    )
+
+
+def decode_external(raw: bytes):
+    """Back-compat dispatcher for unknown-magic payloads: audio headers
+    route to soundfile, anything else to PyAV; raises only when the
+    needed library is absent.  Schema, batch sizing and actor signatures
+    are identical either way."""
+    if raw[:4] in (b"RIFF", b"OggS", b"fLaC"):
+        return decode_external_audio(raw)
+    return decode_external_video(raw)
 
 
 def snr_db(orig: np.ndarray, dec: np.ndarray) -> float:

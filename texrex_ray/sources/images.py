@@ -50,12 +50,26 @@ def decode_image(raw: bytes) -> np.ndarray:
     return np.frombuffer(raw[12:], dtype=np.uint8).reshape(h, w, 3)
 
 
+try:  # optional real-codec seam (lance_io.py fallback pattern): on a
+    # host WITH an image library, real PNG/JPEG/WebP payloads decode;
+    # this sandbox has none, so the synthetic containers carry all tests
+    from PIL import Image as _pil_image
+except ImportError:  # pragma: no cover - container has no PIL
+    _pil_image = None
+
+
 def decode_external(raw: bytes) -> np.ndarray:
-    """STUB: real PNG/JPEG/WebP decoding requires an image codec library
-    that is not available in this container.  The Ray-side plumbing
-    (schema, batch sizing, actor signature) is identical either way."""
+    """Real-codec seam: PNG/JPEG/WebP → (h, w, 3) uint8 via PIL when the
+    library is importable; raises only when it is absent.  The Ray-side
+    plumbing (schema, batch sizing, actor signature) is identical either
+    way."""
+    if _pil_image is not None:
+        import io
+
+        with _pil_image.open(io.BytesIO(raw)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
     raise NotImplementedError(
-        "real image codecs unavailable in this environment; "
+        "no image codec library importable (tried PIL); "
         "payloads use the synthetic SPNG/SJPG/SWEB container"
     )
 
