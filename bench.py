@@ -7,6 +7,11 @@ Prints ONE JSON line:
 --scaling runs the identical bench in two fresh processes
 (num_cpus=8 and num_cpus=32) and reports throughput at both plus the
 scaling efficiency (T8/T32)/4.
+
+--sf1 runs the same stages over a synthesized 10x corpus (token-permuted
+document copies, rolled embedding copies, 10x image fixture, ~10x web
+graph) and reports per-leg times plus object-spilling stats — the
+nonlinearity probe the seconds-per-leg sf0.1 run cannot provide.
 """
 
 from __future__ import annotations
@@ -23,7 +28,7 @@ import time
 os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "fatal")
 
 
-def run_bench() -> dict:
+def run_bench(shutdown: bool = True) -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -63,6 +68,11 @@ def run_bench() -> dict:
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # scale knobs (the --sf1 leg raises these 10x; defaults = sf0.1 leg)
+    img_n = int(os.environ.get("GRAFT_BENCH_IMG_N", "1000"))
+    n_hosts = int(os.environ.get("GRAFT_BENCH_HOSTS", "1200"))
+    max_steps = int(os.environ.get("GRAFT_BENCH_STEPS", "8000"))
+
     # ---- untimed prewarm: input-fixture generation + worker/JIT warmup ---
     # A fresh Ray session pays worker spawn, module imports, per-worker
     # table caches and first-touch page faults on the first pipeline of
@@ -71,7 +81,7 @@ def run_bench() -> dict:
     # is data synthesis, not pipeline work — it never belongs in a stage
     # time.  Everything in this block is deterministic and tiny.
     t0 = time.perf_counter()
-    img_dir = fixture_path(n=1000, seed=42)
+    img_dir = fixture_path(n=img_n, seed=42)
     _wg = make_webgraph(
         n_hosts=20, pages_per_host_base=5, n_seeds=8, seed=1, with_images=True
     )
@@ -104,7 +114,7 @@ def run_bench() -> dict:
     # ---- crawl: fetch + strip + politeness + bloom over synthetic web ----
     t0 = time.perf_counter()
     graph = make_webgraph(
-        n_hosts=1200, pages_per_host_base=6, n_seeds=512, seed=42,
+        n_hosts=n_hosts, pages_per_host_base=6, n_seeds=512, seed=42,
         max_pages_per_host=60, with_images=True,
     )
     extras["webgraph_gen_sec"] = round(time.perf_counter() - t0, 2)
@@ -115,7 +125,7 @@ def run_bench() -> dict:
         seed=42, config=CrawlConfig(collect_images=True),
         out_dir=f"{out_root}/crawl",
     )
-    stats = eng.run(max_steps=8000)
+    stats = eng.run(max_steps=max_steps)
     eng.checkpoint()
     eng.shutdown()  # release the actors' CPU reservations for later stages
     times["crawl"] = time.perf_counter() - t0
@@ -179,7 +189,14 @@ def run_bench() -> dict:
     extras["clean_runs"] = clean_runs
     import pyarrow.parquet as _pq
 
-    n_docs_one = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    _docs_path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(_docs_path):  # the synthesized sf1 table is a dir
+        n_docs_one = sum(
+            _pq.read_metadata(f).num_rows
+            for f in sorted(_glob.glob(f"{_docs_path}/*.parquet"))
+        )
+    else:
+        n_docs_one = _pq.read_metadata(_docs_path).num_rows
     n_clean = repl * n_docs_one + stats.outputs
     extras["clean_rows"] = n_clean
     extras["clean_rows_per_sec"] = round(n_clean / times["clean"], 1)
@@ -224,6 +241,121 @@ def run_bench() -> dict:
         "fetch_clean_rows_per_sec": round(urls_and_rows / (times["crawl"] + times["clean"]), 1),
         **extras,
     }
+    if shutdown:
+        ray.shutdown()
+    return result
+
+
+def synthesize_sf1(src_dir: str, out_dir: str, copies: int = 10) -> str:
+    """Deterministic 10x corpus derived from the sf0.1 tables (no external
+    data; cached by directory).  Documents replicate with a per-copy
+    SEEDED TOKEN PERMUTATION — the permutation destroys n-gram shingles,
+    so the copies neither explode tender's near-dup pair counts nor
+    collapse under exact dedup; the token/char distributions (what the
+    cleaning chain is sensitive to) are preserved exactly.  Embeddings
+    replicate with a per-copy np.roll — same norms, decorrelated
+    directions.  Synthesis is Ray-parallel and untimed (data generation,
+    not pipeline work)."""
+    import ray
+    import ray.data
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    import numpy as np
+    import pandas as pd
+
+    def doc_copies(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [df]
+        for c in range(1, copies):
+            rng = np.random.default_rng(c)
+            texts = []
+            for t in df["text"]:
+                toks = (t or "").split()
+                texts.append(" ".join(
+                    toks[i] for i in rng.permutation(len(toks))
+                ))
+            cp = df.copy()
+            cp["doc_id"] = df["doc_id"] + c * 10_000_000
+            cp["text"] = texts
+            outs.append(cp)
+        return pd.concat(outs, ignore_index=True)
+
+    docs = ray.data.read_parquet(f"{src_dir}/documents.parquet")
+    docs.map_batches(
+        doc_copies, batch_format="pandas", batch_size=512
+    ).write_parquet(f"{out_dir}/documents.parquet")
+
+    def emb_copies(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        outs = [df]
+        for c in range(1, copies):
+            cp = df.copy()
+            cp["vec_id"] = df["vec_id"] + c * 10_000_000
+            cp["embedding"] = list(np.roll(mat, c, axis=1))
+            outs.append(cp)
+        return pd.concat(outs, ignore_index=True)
+
+    emb = ray.data.read_parquet(f"{src_dir}/embeddings.parquet")
+    emb.map_batches(
+        emb_copies, batch_format="pandas", batch_size=1024
+    ).write_parquet(f"{out_dir}/embeddings.parquet")
+
+    open(done, "w").write("ok")
+    return out_dir
+
+
+def run_sf1() -> dict:
+    """The 10x leg (VERDICT r4 item #5): same stages as the sf0.1 bench
+    over a synthesized 10x corpus, 10x image fixture and ~10x web graph,
+    with object-spilling stats — catches nonlinearity (and silent
+    spill-thrash) that the seconds-per-leg sf0.1 run cannot."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    src = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local", num_cpus=num_cpus,
+        include_dashboard=False, logging_level="ERROR",
+        runtime_env={"env_vars": {"POLARS_MAX_THREADS": "2"}},
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    t0 = time.perf_counter()
+    sf1_dir = synthesize_sf1(src, "/tmp/texrex_ray_sf1", copies=10)
+    synth_sec = round(time.perf_counter() - t0, 2)
+
+    os.environ["GRAFT_SF_DIR"] = sf1_dir
+    os.environ.setdefault("GRAFT_BENCH_IMG_N", "10000")
+    os.environ.setdefault("GRAFT_BENCH_HOSTS", "12000")
+    # step budget stays at the default: crawl cost is step-bound (the 10x
+    # graph tests frontier/bloom/politeness state size, not step count)
+
+    # ray already initialised; keep the session alive for the spill stats
+    result = run_bench(shutdown=False)
+    result["metric"] = "texrex_ray headline pipelines at 10x (sf1 leg)"
+    result["sf"] = 1.0
+    result["sf1_synth_sec"] = synth_sec
+
+    # object-store spill stats for the whole session
+    try:
+        from ray._private.internal_api import memory_summary
+
+        ms = memory_summary(stats_only=True)
+        import re as _re
+
+        sp = _re.search(r"Spilled (\d+) MiB, (\d+) objects", ms)
+        rs = _re.search(r"Restored (\d+) MiB, (\d+) objects", ms)
+        result["spilled_mib"] = int(sp.group(1)) if sp else 0
+        result["spilled_objects"] = int(sp.group(2)) if sp else 0
+        result["restored_mib"] = int(rs.group(1)) if rs else 0
+    except Exception as e:  # stats are best-effort, never fail the bench
+        result["spill_stats_error"] = str(e)
     ray.shutdown()
     return result
 
@@ -309,5 +441,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--sf1" in sys.argv:
+        print(json.dumps(run_sf1()))
     else:
         print(json.dumps(run_bench()))

@@ -25,8 +25,9 @@ def test_ssim_flat_image_is_perfect():
     cb[1::2, ::2] = 255
     nt, sm, mn = sa._census(cb)
     assert nt == 4 and mn < 100_000
-    # tiny image: no full tile
-    assert sa._census(np.zeros((4, 4, 3), np.uint8)) == (0, 0, 0)
+    # tiny image: no full tile — min stays the NEUTRAL SSIM identity so a
+    # tileless image can never drag the per-format Min aggregate to 0
+    assert sa._census(np.zeros((4, 4, 3), np.uint8)) == (0, 0, 1_000_000)
 
 
 def test_ssim_matches_scalar_twin():

@@ -1,0 +1,4044 @@
+"""Structure census tail part 2 (substrings, Haar, density cores, Lindley, BWT, transforms; q297-q344).
+
+Split from the former pipelines/queries.py monolith; registration
+order across chunks is preserved by the package __init__ (which also
+applies the curated first-50 driver window)."""
+
+from __future__ import annotations
+
+from texrex_ray.pipelines.queries._core import (  # noqa: F401
+    Any,
+    Callable,
+    Count,
+    Max,
+    Min,
+    ORACLE,
+    QUERIES,
+    Sum,
+    _cents,
+    _read,
+    np,
+    pa,
+    pc,
+    pd,
+    pq,
+    query,
+    ray,
+    re,
+)
+from texrex_ray.pipelines.queries.census_a import SESSION_US  # noqa: F401
+
+
+
+# --------------------------------------------------------------------------
+# Distinct substring count via suffix automaton (q297)
+# --------------------------------------------------------------------------
+
+_DSUB_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/dsub_sf0.01.parquet'))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+       CAST(SUM(n_distinct * 1000 // (n_chars * (n_chars + 1) // 2))
+            AS BIGINT) AS sum_fill_milli
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q297_distinct_substrings", sql=_DSUB_SQL)
+def q297_distinct_substrings(sf_dir: str):
+    """Distinct-substring count per document via a LINEAR suffix
+    automaton (Blumer et al. 1985; sum of len(v)-len(link(v)))
+    (functions/complexity.py::distinct_substrings) — the saturation
+    counterpart to q289's LZ76: fill = distinct/(n(n+1)/2) approaches
+    1 for incompressible text, collapses for templates.  Doc-local
+    linear scan.  Oracle: committed fixture from the INDEPENDENT
+    suffix-array twin (n(n+1)/2 - sum adjacent LCP).  Output: (lang,
+    n_docs, sum_distinct, sum_fill_milli)."""
+    from texrex_ray.functions.complexity import distinct_substrings
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        ds_ = [distinct_substrings(s) for s in texts]
+        df = pd.DataFrame(
+            {
+                "lang": langs,
+                "d": ds_,
+                "fill": [
+                    d * 1000 // (len(s) * (len(s) + 1) // 2)
+                    for d, s in zip(ds_, texts)
+                ],
+            }
+        )
+        g = df.groupby("lang").agg(
+            n_docs=("d", "size"), sum_distinct=("d", "sum"),
+            sum_fill_milli=("fill", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_distinct", alias_name="sum_distinct"),
+            Sum("sum_fill_milli", alias_name="sum_fill_milli"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "sum_distinct", "sum_fill_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Haar wavelet band energy (q298)
+# --------------------------------------------------------------------------
+
+_HAAR_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/haar_fixture.parquet'))
+SELECT fmt, band, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(energy) AS BIGINT) AS sum_energy,
+       CAST(MAX(energy) AS BIGINT) AS max_energy
+FROM f GROUP BY fmt, band ORDER BY fmt, band
+"""
+
+
+@query("q298_haar_energy", sql=_HAAR_SQL)
+def q298_haar_energy(sf_dir: str):
+    """2-level integer Haar band energies per image (stages/
+    images.py::HaarEnergy) — multi-resolution texture profile: flat
+    graphics pile energy into LL2, photographs spread it across
+    LH/HL/HH; the frequency-domain complement to q283's orientation
+    histogram.  Unnormalized +-sums of 2x2 blocks, exact int64 squares;
+    7 scalar rows per image shuffle.  Oracle: committed fixture from
+    the INDEPENDENT per-pixel nested-loop twin.  Output: (fmt, band,
+    n_images, sum_energy, max_energy)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import HaarEnergy
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    rows = ds.map_batches(
+        HaarEnergy, concurrency=2, batch_size=64, batch_format="pyarrow"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["fmt", "band"])["energy"]
+        return pd.DataFrame(
+            {"n_images": g.size(), "sum_energy": g.sum(),
+             "max_energy": g.max()}
+        ).reset_index()
+
+    out = (
+        rows.map_batches(partial, batch_format="pandas")
+        .groupby(["fmt", "band"])
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_energy", alias_name="sum_energy"),
+            Max("max_energy", alias_name="max_energy"),
+        )
+        .to_pandas()
+        .sort_values(["fmt", "band"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "sum_energy", "max_energy"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Density core-point census over quantized embeddings (q299)
+# --------------------------------------------------------------------------
+
+DENSITY_RADIUS_SQ = 1_400_000  # milli-quantized L2^2 threshold
+DENSITY_MIN_PTS = 5            # neighbors (excluding self) for a core
+
+_DENSITY_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/density_sf0.01.parquet'))
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN n_neighbors >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core,
+       CAST(SUM(n_neighbors) AS BIGINT) AS sum_neighbors,
+       CAST(MAX(n_neighbors) AS BIGINT) AS max_neighbors
+FROM f GROUP BY label ORDER BY label
+"""
+
+
+@query("q299_density_core_census", sql=_DENSITY_SQL)
+def q299_density_core_census(sf_dir: str):
+    """DBSCAN-style core-point census over embeddings: per vector, the
+    count of OTHER vectors within integer L2^2 radius after milli-unit
+    quantization (q = round(v*1000): 64-dim dots <= 64e6, EXACT in
+    float64 matmul — no float ambiguity), cores have >= 5.  The density
+    signal behind semantic-dedup clustering: cores mark over-sampled
+    semantic neighborhoods.  Plan: quantized matrix broadcast once
+    (ray.put), each batch computes one block x corpus distance matmul —
+    at page scale swap the broadcast for the LSH/IVF prefilter
+    (dedup/embed.py) as documented there.  Oracle: committed fixture
+    from the INDEPENDENT scalar per-pair loop twin.  Output: (label,
+    n_vecs, n_core, sum_neighbors, max_neighbors)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    all_df = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = np.rint(np.asarray(list(all_df["embedding"]), dtype=np.float64)
+                * 1000.0).astype(np.float64)
+    norms = (q * q).sum(axis=1)
+    ref = ray.put((q, norms))
+
+    def count_neighbors(t: pa.Table) -> pa.Table:
+        corpus, cn = ray.get(ref)
+        block = np.rint(
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+        )
+        bn = (block * block).sum(axis=1)
+        # L2^2 = |a|^2 + |b|^2 - 2ab, all integer-valued float64
+        d2 = bn[:, None] + cn[None, :] - 2.0 * (block @ corpus.T)
+        within = (d2 <= float(DENSITY_RADIUS_SQ)).sum(axis=1) - 1  # self
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": t["label"],
+                "n_neighbors": pa.array(within.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_vec = emb.map_batches(count_neighbors, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label")["n_neighbors"]
+        return pd.DataFrame(
+            {
+                "n_vecs": g.size(),
+                "n_core": df.groupby("label")["n_neighbors"]
+                .apply(lambda s: int((s >= DENSITY_MIN_PTS).sum())),
+                "sum_neighbors": g.sum(),
+                "max_neighbors": g.max(),
+            }
+        ).reset_index()
+
+    out = (
+        per_vec.map_batches(partial, batch_format="pandas")
+        .groupby("label")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("n_core", alias_name="n_core"),
+            Sum("sum_neighbors", alias_name="sum_neighbors"),
+            Max("max_neighbors", alias_name="max_neighbors"),
+        )
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    for c in ("label", "n_vecs", "n_core", "sum_neighbors", "max_neighbors"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Double-sweep BFS diameter bound (q300)
+# --------------------------------------------------------------------------
+
+_DIAM_SQL = """
+SELECT start_node, CAST(ecc_start AS BIGINT) AS ecc_start,
+       peak_node, CAST(ecc_peak AS BIGINT) AS ecc_peak,
+       CAST(n_reached AS BIGINT) AS n_reached,
+       CAST(n_nodes AS BIGINT) AS n_nodes
+FROM read_parquet('/root/repo/tests/fixtures/oracle/diameter_fixture.parquet')
+"""
+
+
+@query("q300_diameter_bound", sql=_DIAM_SQL)
+def q300_diameter_bound(sf_dir: str):
+    """Double-sweep BFS diameter lower bound of the undirected crawl
+    graph: BFS from the lexicographically smallest node, then BFS from
+    the farthest node found (ties -> lex-min); ecc_peak is the
+    classic 2-sweep bound (exact on trees, near-exact on web graphs) —
+    the hop-budget sizing input for frontier scheduling.  Plan:
+    adjacency built ONCE (kcore-style exchange); each BFS level is one
+    map over adjacency with the frontier broadcast; level count =
+    eccentricity (~tens).  Oracle: committed fixture from the
+    INDEPENDENT deque-BFS twin.  Output: one row."""
+    from texrex_ray.ops.graph import double_sweep
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    r = double_sweep(edges)
+    return pd.DataFrame([r])[
+        ["start_node", "ecc_start", "peak_node", "ecc_peak",
+         "n_reached", "n_nodes"]
+    ]
+
+
+# --------------------------------------------------------------------------
+# Lindley queue waits (q301)
+# --------------------------------------------------------------------------
+
+LINDLEY_SERVICE_US = 120_000_000  # fixed 2-min service per event
+
+_LINDLEY_SQL = """
+WITH a AS (
+  SELECT event_type, epoch_us(ts) AS at,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS k
+  FROM events
+),
+u AS (
+  SELECT event_type, at, k,
+         at - k * 120000000 AS uu
+  FROM a
+),
+w AS (
+  SELECT event_type,
+         GREATEST(0, MAX(uu) OVER (PARTITION BY event_type ORDER BY k
+                                   ROWS UNBOUNDED PRECEDING) - uu) AS wait
+  FROM u
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_arrivals,
+       CAST(SUM(CASE WHEN wait > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_delayed,
+       CAST(SUM(wait) AS BIGINT) AS sum_wait_us,
+       CAST(MAX(wait) AS BIGINT) AS max_wait_us
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q301_lindley_queue", sql=_LINDLEY_SQL)
+def q301_lindley_queue(sf_dir: str):
+    """Single-server queue waits per event type via the Lindley
+    recursion W_{k+1} = max(0, W_k + S - gap_k) with fixed service
+    S = 2 min — the backpressure model for a fetch/decode worker fed by
+    this arrival stream: n_delayed and max_wait tell you whether ONE
+    worker keeps up and how deep the buffer must be.  Closed form
+    W_k = max(0, runmax_j<=k(U_j) - U_k) with U_j = A_j - j*S turns
+    the recursion into a prefix max — vectorized per type in
+    map_groups AND expressible as a pure-SQL window (the oracle; no
+    fixture).  Order: (ts, event_id).  Output: (event_type,
+    n_arrivals, n_delayed, sum_wait_us, max_wait_us)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "event_id"])
+
+    def waits(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        at = g["ts"].astype("int64").to_numpy()
+        k = np.arange(1, len(at) + 1, dtype=np.int64)
+        u = at - k * LINDLEY_SERVICE_US
+        w = np.maximum(np.maximum.accumulate(u) - u, 0)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_arrivals": [len(at)],
+                "n_delayed": [int((w > 0).sum())],
+                "sum_wait_us": [int(w.sum())],
+                "max_wait_us": [int(w.max()) if len(w) else 0],
+            }
+        )
+
+    out = (
+        ev.groupby("event_type")
+        .map_groups(waits, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_arrivals", "n_delayed", "sum_wait_us", "max_wait_us"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Longest increasing subsequence per user (q302)
+# --------------------------------------------------------------------------
+
+_LIS_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/lis_sf0.01.parquet'))
+SELECT CAST(lis_len AS BIGINT) AS lis_len,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events
+FROM f GROUP BY lis_len ORDER BY lis_len
+"""
+
+
+@query("q302_lis_per_user", sql=_LIS_SQL)
+def q302_lis_per_user(sf_dir: str):
+    """Longest STRICTLY increasing subsequence of each user's
+    value-cents stream (ordered by ts, event_id) via patience sorting
+    (O(n log n) bisect on pile tops) — the monotone-trend depth that
+    rank correlations blur: a long LIS certifies a sustained escalation
+    path.  ONE user-keyed exchange; per-group bisect scan.  Oracle:
+    committed fixture from the INDEPENDENT O(n^2) DP twin.  Output
+    histogram: (lis_len, n_users, sum_events)."""
+    import bisect
+
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id", "value"])
+
+    def lis(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        vals = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        tops: list[int] = []
+        for v in vals.tolist():
+            i = bisect.bisect_left(tops, v)
+            if i == len(tops):
+                tops.append(v)
+            else:
+                tops[i] = v
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(vals)],
+                "lis_len": [len(tops)],
+            }
+        )
+
+    per_user = ev.groupby("user_id").map_groups(lis, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lis_len").agg(
+            n_users=("user_id", "size"), sum_events=("n_events", "sum")
+        ).reset_index()
+
+    out = (
+        per_user.map_batches(hist, batch_format="pandas")
+        .groupby("lis_len")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("sum_events", alias_name="sum_events"))
+        .to_pandas()
+        .sort_values("lis_len")
+        .reset_index(drop=True)
+    )
+    for c in ("lis_len", "n_users", "sum_events"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Belady OPT vs LRU cache replay (q303)
+# --------------------------------------------------------------------------
+
+CACHE_SIZES = (4, 8, 16, 32)
+
+_BELADY_SQL = """
+SELECT CAST(cache_size AS BIGINT) AS cache_size,
+       CAST(n_accesses AS BIGINT) AS n_accesses,
+       CAST(lru_hits AS BIGINT) AS lru_hits,
+       CAST(opt_hits AS BIGINT) AS opt_hits
+FROM read_parquet('/root/repo/tests/fixtures/oracle/belady_sf0.01.parquet')
+ORDER BY cache_size
+"""
+
+
+@query("q303_belady_vs_lru", sql=_BELADY_SQL)
+def q303_belady_vs_lru(sf_dir: str):
+    """Offline-optimal (Belady) vs LRU hit counts on the user-access
+    stream at several cache sizes — the headroom audit for q268's
+    miss-ratio curve: opt_hits - lru_hits is what a smarter eviction
+    could still win.  OPT evicts the resident key with the farthest
+    next use (never-again first, ties -> largest key).  Plan: the
+    (ts, event_id) sort is distributed; the replay is one
+    constant-memory scan per cache size over the stream — at 100 TB
+    replay the SHARDS-sampled substream exactly as q268 does.  Oracle:
+    committed fixture from the INDEPENDENT twin (OrderedDict LRU +
+    next-use-chain OPT; the query uses array scans).  Output:
+    (cache_size, n_accesses, lru_hits, opt_hits)."""
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id"])
+    trace = (
+        ev.sort(["ts", "event_id"])
+        .to_pandas()["user_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n = len(trace)
+    # next-use index per position (n = never again)
+    nxt = np.full(n, n, dtype=np.int64)
+    last: dict[int, int] = {}
+    for i in range(n - 1, -1, -1):
+        k = int(trace[i])
+        nxt[i] = last.get(k, n)
+        last[k] = i
+    rows = []
+    for cap in CACHE_SIZES:
+        # LRU via recency stamps
+        lru_hits = 0
+        stamp: dict[int, int] = {}
+        for i in range(n):
+            k = int(trace[i])
+            if k in stamp:
+                lru_hits += 1
+            elif len(stamp) >= cap:
+                victim = min(stamp, key=lambda x: stamp[x])
+                del stamp[victim]
+            stamp[k] = i
+        # OPT: resident -> its next use position, refreshed on access
+        opt_hits = 0
+        res: dict[int, int] = {}
+        for i in range(n):
+            k = int(trace[i])
+            if k in res:
+                opt_hits += 1
+            elif len(res) >= cap:
+                # farthest next use; ties (never again) -> largest key
+                victim = max(res, key=lambda x: (res[x], x))
+                del res[victim]
+            res[k] = int(nxt[i])
+        rows.append((cap, n, lru_hits, opt_hits))
+    return pd.DataFrame(
+        rows, columns=["cache_size", "n_accesses", "lru_hits", "opt_hits"]
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# DGIM sliding-window count sketch (q304)
+# --------------------------------------------------------------------------
+
+DGIM_WINDOW_US = 14 * 86_400_000_000  # last 14 days
+DGIM_K = 2                            # max buckets per size
+
+
+def _dgim_run(ts_list: list[int]) -> tuple[int, int, int]:
+    """DGIM (Datar-Gionis-Indyk-Motwani 2002) over a time-based window:
+    process 1-bits at timestamps ascending; buckets (size, rightmost
+    ts), at most DGIM_K per size — on K+1, merge the OLDEST two into
+    one of double size (rightmost ts of the newer); expire buckets
+    with rightmost ts <= t_end - W.  Estimate = sum of all bucket
+    sizes minus half the oldest (floor) — the classic <=50% bound on
+    the oldest bucket's straddle.  Returns (estimate, n_buckets,
+    oldest_size)."""
+    buckets: list[tuple[int, int]] = []  # oldest first
+    for t in ts_list:
+        buckets.append((1, t))
+        # cascade merges: scan sizes ascending
+        size = 1
+        while True:
+            idx = [i for i, b in enumerate(buckets) if b[0] == size]
+            if len(idx) <= DGIM_K:
+                break
+            i0, i1 = idx[0], idx[1]  # the two OLDEST of this size
+            merged = (size * 2, buckets[i1][1])
+            buckets = (
+                buckets[:i0] + [merged] + buckets[i0 + 1:i1]
+                + buckets[i1 + 1:]
+            )
+            size *= 2
+    if not ts_list:
+        return 0, 0, 0
+    t_end = ts_list[-1]
+    buckets = [b for b in buckets if b[1] > t_end - DGIM_WINDOW_US]
+    if not buckets:
+        return 0, 0, 0
+    total = sum(b[0] for b in buckets)
+    oldest = buckets[0][0]
+    return total - oldest + oldest // 2 + (oldest % 2), len(buckets), oldest
+
+
+_DGIM_SQL = """
+WITH a AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+m AS (SELECT event_type, MAX(t) AS t_end FROM a GROUP BY event_type),
+ex AS (
+  SELECT a.event_type, CAST(count(*) AS BIGINT) AS exact_w
+  FROM a JOIN m USING (event_type)
+  WHERE a.t > m.t_end - 1209600000000
+  GROUP BY a.event_type
+),
+f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/dgim_sf0.01.parquet'))
+SELECT f.event_type, ex.exact_w, f.est_w, f.n_buckets, f.oldest_size
+FROM f JOIN ex USING (event_type) ORDER BY f.event_type
+"""
+
+
+@query("q304_dgim_window_count", sql=_DGIM_SQL)
+def q304_dgim_window_count(sf_dir: str):
+    """DGIM sliding-window counting per event type: O(log^2 W) memory
+    per counter instead of buffering the window — the constant-memory
+    'events in the last 14 days' gauge a streaming collector keeps per
+    key.  Window anchored at each TYPE's own last arrival.  Plan: per-type
+    map_groups runs the bucket cascade over (ts)-sorted groups; the
+    exact window count is ONE distributed filtered aggregate.  Oracle:
+    exact side recomputed in SQL from raw events; sketch side from the
+    committed INDEPENDENT deque-twin fixture.  Output: (event_type,
+    exact_w, est_w, n_buckets, oldest_size); tests pin the DGIM bound
+    |est-exact| <= oldest_size/2."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy()).tolist()
+        est, nb, oldest = _dgim_run(ts)
+        exact = int(
+            (np.asarray(ts) > ts[-1] - DGIM_WINDOW_US).sum()
+        ) if ts else 0
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "exact_w": [exact],
+                "est_w": [est],
+                "n_buckets": [nb],
+                "oldest_size": [oldest],
+            }
+        )
+
+    out = (
+        ev.groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("exact_w", "est_w", "n_buckets", "oldest_size"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing collision census (q305)
+# --------------------------------------------------------------------------
+
+FEATHASH_BUCKETS = 16
+
+_FEATHASH_SQL = """
+WITH tok AS (
+  SELECT t AS token
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE length(t) > 0
+),
+tc AS (SELECT token, count(*) AS occ FROM tok GROUP BY token),
+tb AS (SELECT token, occ, md5_number_lower(token) % 16 AS b FROM tc),
+bl AS (
+  SELECT b, count(*) AS load, SUM(occ) AS occ_sum
+  FROM tb GROUP BY b
+)
+SELECT CAST(load AS BIGINT) AS load,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(occ_sum) AS BIGINT) AS sum_occurrences
+FROM bl GROUP BY load ORDER BY load
+"""
+
+
+@query("q305_feature_hash_census", sql=_FEATHASH_SQL)
+def q305_feature_hash_census(sf_dir: str):
+    """Hashing-trick collision census: vocabulary -> 16 buckets via
+    md5 (the q47/q60 convention; bucket count sized to the synthetic
+    vocab so collisions actually occur), histogram of bucket loads (distinct
+    tokens per bucket) with the token-occurrence mass riding along —
+    the audit that tells you how much feature mass a hashed
+    vectorizer smears (buckets with load >= 2).  Plan: per-batch token
+    counts -> ONE token-keyed exchange -> bucket-sized combine;
+    pure-SQL oracle (string_split + md5_number_lower), no fixture.
+    Output: (load, n_buckets, sum_occurrences)."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for txt in t["text"].to_pylist():
+            for w in txt.split(" "):
+                if w:
+                    cnt[w] = cnt.get(w, 0) + 1
+        toks = list(cnt)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "occ": pa.array([cnt[w] for w in toks], pa.int64()),
+            }
+        )
+
+    per_token = (
+        docs.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("occ", alias_name="occ"))
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (md5_lower64(t["token"].to_pylist())
+             % np.uint64(FEATHASH_BUCKETS)).astype(np.int64)
+        df = pd.DataFrame({"b": b, "occ": t["occ"].to_numpy()})
+        g = df.groupby("b").agg(load=("occ", "size"),
+                                occ_sum=("occ", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        per_token.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("load", alias_name="load"),
+                   Sum("occ_sum", alias_name="occ_sum"))
+        .to_pandas()
+        .groupby("load")
+        .agg(n_buckets=("b", "size"), sum_occurrences=("occ_sum", "sum"))
+        .reset_index()
+        .sort_values("load")
+        .reset_index(drop=True)
+    )
+    for c in ("load", "n_buckets", "sum_occurrences"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Power-of-two-choices load balance (q306)
+# --------------------------------------------------------------------------
+
+P2C_BUCKETS = 64
+
+_P2C_SQL = """
+SELECT scheme, CAST(max_load AS BIGINT) AS max_load,
+       CAST(nonempty AS BIGINT) AS nonempty,
+       CAST(sum_sq AS BIGINT) AS sum_sq
+FROM read_parquet('/root/repo/tests/fixtures/oracle/p2c_sf0.01.parquet')
+ORDER BY scheme
+"""
+
+
+@query("q306_power_of_two_choices", sql=_P2C_SQL)
+def q306_power_of_two_choices(sf_dir: str):
+    """Balls-into-bins audit: place doc_ids (ascending — the placement
+    ORDER is part of the spec) into 64 bins by (a) one hash and (b)
+    the lesser-loaded of two hashes (Azar et al. 1994: exponential ->
+    log-log max-load drop); md5-derived h1/h2, ties -> smaller bin.
+    The shard-placement policy comparison for q209's hash ring.  The
+    hashes compute distributed; the two-choice placement is a
+    key-count-sized sequential fold (at scale: per-shard streams).
+    Oracle: committed fixture from the INDEPENDENT array-walk twin.
+    Output: (scheme, max_load, nonempty, sum_sq)."""
+    from texrex_ray.functions.hashing import md5_lower64
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h1 = (md5_lower64([f"{int(i)}:1" for i in ids])
+              % np.uint64(P2C_BUCKETS)).astype(np.int64)
+        h2 = (md5_lower64([f"{int(i)}:2" for i in ids])
+              % np.uint64(P2C_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "h1": pa.array(h1), "h2": pa.array(h2)}
+        )
+
+    hdf = (
+        docs.map_batches(hashes, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    single = np.bincount(hdf["h1"].to_numpy(), minlength=P2C_BUCKETS)
+    loads = np.zeros(P2C_BUCKETS, dtype=np.int64)
+    for a, b in zip(hdf["h1"].tolist(), hdf["h2"].tolist()):
+        if loads[a] < loads[b] or (loads[a] == loads[b] and a <= b):
+            loads[a] += 1
+        else:
+            loads[b] += 1
+    rows = [
+        ("p2c", int(loads.max()), int((loads > 0).sum()),
+         int((loads ** 2).sum())),
+        ("single", int(single.max()), int((single > 0).sum()),
+         int((single ** 2).sum())),
+    ]
+    return pd.DataFrame(
+        rows, columns=["scheme", "max_load", "nonempty", "sum_sq"]
+    ).astype({"max_load": "int64", "nonempty": "int64", "sum_sq": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Weighted interval scheduling DP (q307)
+# --------------------------------------------------------------------------
+
+_WIS_SQL = """
+SELECT user_id, n_events, total_value_c, best_value_c
+FROM read_parquet('/root/repo/tests/fixtures/oracle/wis_sf0.01.parquet')
+ORDER BY user_id
+"""
+
+
+@query("q307_weighted_intervals", sql=_WIS_SQL)
+def q307_weighted_intervals(sf_dir: str):
+    """Maximum total VALUE of non-overlapping 30-min sessions per user
+    (weighted interval scheduling) — where q296's unweighted greedy is
+    provably optimal, the weighted case needs the classic DP
+    dp[i] = max(dp[i-1], v_i + dp[pred(i)]); the revenue-capacity bound
+    per user.  Vectorized: ends sorted, pred(i) via ONE searchsorted,
+    then a linear fold.  ONE user-keyed exchange.  Oracle: committed
+    fixture from the INDEPENDENT recursive-memo twin.  Output:
+    (user_id, n_events, total_value_c, best_value_c)."""
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id", "value"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        st = g["ts"].astype("int64").to_numpy()
+        val = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((st, st + SESSION_US))  # by end, then start
+        st = st[order]
+        val = val[order]
+        ends = st + SESSION_US
+        pred = np.searchsorted(ends, st, side="right")
+        dp = np.zeros(len(st) + 1, dtype=np.int64)
+        for i in range(1, len(st) + 1):
+            take = val[i - 1] + dp[pred[i - 1]]
+            dp[i] = dp[i - 1] if dp[i - 1] >= take else take
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(st)],
+                "total_value_c": [int(val.sum())],
+                "best_value_c": [int(dp[-1])],
+            }
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "n_events", "total_value_c", "best_value_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Merkle tree root (q308)
+# --------------------------------------------------------------------------
+
+def _merkle_root(leaves: list[bytes]) -> tuple[str, int]:
+    """Iterative Merkle fold: blake2b-16 of left+right per pair, an odd
+    trailing node promotes UNCHANGED; returns (root hex, depth)."""
+    import hashlib
+
+    if not leaves:
+        return "", 0
+    level = list(leaves)
+    depth = 0
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(hashlib.blake2b(level[i] + level[i + 1],
+                                       digest_size=16).digest())
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+        depth += 1
+    return level[0].hex(), depth
+
+
+_MERKLE_SQL = """
+SELECT CAST(n_leaves AS BIGINT) AS n_leaves,
+       CAST(depth AS BIGINT) AS depth, root_hex
+FROM read_parquet('/root/repo/tests/fixtures/oracle/merkle_sf0.01.parquet')
+"""
+
+
+@query("q308_merkle_root", sql=_MERKLE_SQL)
+def q308_merkle_root(sf_dir: str):
+    """Merkle root of the corpus (leaves = md5(text) in doc_id order,
+    blake2b-16 internal nodes, odd node promoted) — the tamper-evident
+    counterpart to q275's CRC ledger: a replica can verify any single
+    document against the root with a log-depth proof instead of
+    re-hashing the corpus.  Leaf hashing is distributed; the fold runs
+    on the leaf-digest vector (16 bytes/doc — at 10^9 docs, fold
+    per-shard subtrees and combine the log-sized crowns).  Oracle:
+    committed fixture from the INDEPENDENT recursive-halving twin.
+    Output: (n_leaves, depth, root_hex)."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def leaf(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(
+                    [hashlib.md5(s.encode()).digest()
+                     for s in t["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    ld = (
+        docs.map_batches(leaf, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    leaves = [bytes(b) for b in ld["h"]]
+    root, depth = _merkle_root(leaves)
+    return pd.DataFrame(
+        {"n_leaves": [len(leaves)], "depth": [depth], "root_hex": [root]}
+    ).astype({"n_leaves": "int64", "depth": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking dedup (q309)
+# --------------------------------------------------------------------------
+
+CDC_WINDOW = 8
+CDC_BASE = 257        # rolling polynomial base (mod 2^64)
+CDC_MASK_MOD = 64     # boundary when window hash % 64 == 0
+
+_CDC_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/cdc_sf0.01.parquet')),
+d AS (SELECT chunk_md5, count(*) AS occ, MIN(chunk_len) AS clen
+      FROM f GROUP BY chunk_md5)
+SELECT CAST(SUM(occ) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(occ - 1) AS BIGINT) AS dup_chunks,
+       CAST(SUM((occ - 1) * clen) AS BIGINT) AS dup_chars
+FROM d
+"""
+
+
+@query("q309_cdc_dedup", sql=_CDC_SQL)
+def q309_cdc_dedup(sf_dir: str):
+    """Content-defined chunking (the rsync/borg primitive) over
+    documents: split after every position whose 8-byte rolling
+    polynomial hash (base 257 mod 2^64) is divisible by 64 — boundaries
+    move WITH content, so an insertion only re-chunks its neighborhood
+    (fixed-size blocks would shift every later block) — then count
+    duplicate chunks corpus-wide: the storage-dedup win estimate.
+    Boundary set is a pure per-position function (no min-length state),
+    so chunking is embarrassingly parallel; ONE chunk-hash-keyed
+    exchange counts occurrences.  Oracle: committed fixture of per-doc
+    chunks from the INDEPENDENT scalar Python-int rolling twin, dedup
+    aggregates recomputed in SQL.  Output: (n_chunks, n_distinct,
+    dup_chunks, dup_chars)."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        hs, ls = [], []
+        pw = np.array(
+            [pow(CDC_BASE, CDC_WINDOW - 1 - j, 1 << 64)
+             for j in range(CDC_WINDOW)],
+            dtype=np.uint64,
+        )
+        for txt in t["text"].to_pylist():
+            b = np.frombuffer(txt.encode(), dtype=np.uint8)
+            n = len(b)
+            if n < CDC_WINDOW:
+                cuts = [n]
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(b, CDC_WINDOW)
+                with np.errstate(over="ignore"):
+                    h = (w.astype(np.uint64) * pw[None, :]).sum(axis=1)
+                # position i = window END index (i + CDC_WINDOW - 1)
+                ends = np.flatnonzero(h % np.uint64(CDC_MASK_MOD) == 0) \
+                    + CDC_WINDOW
+                cuts = sorted(set(ends.tolist()) | {n})
+            prev = 0
+            raw = txt.encode()
+            for c in cuts:
+                if c > prev:
+                    piece = raw[prev:c]
+                    hs.append(hashlib.md5(piece).hexdigest())
+                    ls.append(len(piece))
+                    prev = c
+        return pa.table(
+            {
+                "chunk_md5": pa.array(hs, pa.string()),
+                "chunk_len": pa.array(ls, pa.int64()),
+                "one": pa.array([1] * len(hs), pa.int64()),
+            }
+        )
+
+    per_hash = (
+        docs.map_batches(chunks, batch_format="pyarrow")
+        .groupby("chunk_md5")
+        .aggregate(Sum("one", alias_name="occ"),
+                   Min("chunk_len", alias_name="clen"))
+        .to_pandas()
+    )
+    occ = per_hash["occ"].astype("int64")
+    clen = per_hash["clen"].astype("int64")
+    return pd.DataFrame(
+        {
+            "n_chunks": [int(occ.sum())],
+            "n_distinct": [len(per_hash)],
+            "dup_chunks": [int((occ - 1).sum())],
+            "dup_chars": [int(((occ - 1) * clen).sum())],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Max s-t flow / edge connectivity (q310)
+# --------------------------------------------------------------------------
+
+_MAXFLOW_SQL = """
+SELECT s_node, t_node, CAST(max_flow AS BIGINT) AS max_flow
+FROM read_parquet('/root/repo/tests/fixtures/oracle/maxflow_fixture.parquet')
+"""
+
+
+@query("q310_maxflow", sql=_MAXFLOW_SQL)
+def q310_maxflow(sf_dir: str):
+    """Edge-disjoint path count (unit-capacity max s-t flow = s-t edge
+    connectivity, Menger) between q300's two sweep endpoints — the
+    redundancy audit: how many independent routes survive link loss.
+    Edge canonicalization is distributed; Edmonds-Karp augmentation
+    runs on the edge-sized residual graph (driver plan, ego-radius cap
+    documented for page scale).  The flow VALUE is unique, so the
+    oracle fixture runs DINIC (a different algorithm) and must agree.
+    Output: (s_node, t_node, max_flow)."""
+    from texrex_ray.ops.graph import maxflow_int
+
+    dm = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/diameter_fixture.parquet"
+    ).iloc[0]
+    s, t = str(dm["start_node"]), str(dm["peak_node"])
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    f = maxflow_int(edges, s, t)
+    return pd.DataFrame(
+        {"s_node": [s], "t_node": [t], "max_flow": [f]}
+    ).astype({"max_flow": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Maximum bipartite matching (q311)
+# --------------------------------------------------------------------------
+
+_MATCHING_SQL = """
+SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(matching AS BIGINT) AS matching
+FROM read_parquet('/root/repo/tests/fixtures/oracle/matching_sf0.01.parquet')
+"""
+
+
+@query("q311_bipartite_matching", sql=_MATCHING_SQL)
+def q311_bipartite_matching(sf_dir: str):
+    """Maximum supplier-part matching over the distinct (l_suppkey,
+    l_partkey) bipartite graph — the one-part-per-supplier assignment
+    capacity (how many parts can ship simultaneously if each supplier
+    handles one): Hopcroft-Karp on the deduped edge list.  The SIZE is
+    unique (Koenig), so the fixture twin runs plain Kuhn augmentation.
+    Edge dedup is ONE distributed exchange; matching runs on the
+    distinct-edge-sized graph.  Output: (n_suppliers, n_parts,
+    n_edges, matching)."""
+    import sys
+
+    from texrex_ray.ops.graph import hopcroft_karp
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs_df = (
+        li.map_batches(dedup, batch_format="pandas")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    pairs = [(f"s{int(s)}", f"p{int(p)}")
+             for s, p in zip(pairs_df["l_suppkey"], pairs_df["l_partkey"])]
+    sys.setrecursionlimit(max(10_000, 4 * len(pairs)))
+    m = hopcroft_karp(pairs)
+    return pd.DataFrame(
+        {
+            "n_suppliers": [len({a for a, _ in pairs})],
+            "n_parts": [len({b for _, b in pairs})],
+            "n_edges": [len(pairs)],
+            "matching": [m],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Selinger join-order DP (q312)
+# --------------------------------------------------------------------------
+
+_SELINGER_SQL = """
+SELECT best_order, CAST(best_cost AS BIGINT) AS best_cost,
+       worst_order, CAST(worst_cost AS BIGINT) AS worst_cost,
+       CAST(n_valid_orders AS BIGINT) AS n_valid_orders
+FROM read_parquet('/root/repo/tests/fixtures/oracle/selinger_sf0.01.parquet')
+"""
+
+# join graph: customer-orders (custkey), orders-lineitem (orderkey),
+# customer-nation (nationkey)
+_SEL_TABLES = ("c", "l", "n", "o")
+_SEL_PREDS = {frozenset("co"), frozenset("ol"), frozenset("cn")}
+
+
+def _sel_connected(sub: frozenset) -> bool:
+    if len(sub) <= 1:
+        return True
+    seen = {next(iter(sub))}
+    grew = True
+    while grew:
+        grew = False
+        for t in sub - seen:
+            if any(frozenset((t, s)) in _SEL_PREDS for s in seen):
+                seen.add(t)
+                grew = True
+    return seen == sub
+
+
+@query("q312_selinger_join_order", sql=_SELINGER_SQL)
+def q312_selinger_join_order(sf_dir: str):
+    """Selinger (System R 1979) left-deep join-order DP over
+    {customer, orders, lineitem, nation} with cost = SUM of EXACT
+    intermediate join cardinalities (cross products forbidden) — the
+    optimizer audit run against TRUE sizes instead of estimates, the
+    ground truth q164's estimate audit compares against.  Every
+    connected-subset cardinality is ONE distributed broadcast-membership
+    count (np.isin against ray.put key sets); the DP itself is
+    16-subset-sized.  Tie-break: lexicographic order string.  Oracle:
+    committed fixture from the INDEPENDENT full-permutation-enumeration
+    twin with pandas-merge cardinalities.  Output: (best_order,
+    best_cost, worst_order, worst_cost, n_valid_orders)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    cust_keys = ray.put(cust["c_custkey"].to_numpy().astype(np.int64))
+    nat_ok_cust = ray.put(
+        cust.loc[cust["c_nationkey"].isin(set(nat["n_nationkey"])),
+                 "c_custkey"].to_numpy().astype(np.int64)
+    )
+
+    def count_in(ds, col, ref):
+        def f(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            v = t[col].to_numpy(zero_copy_only=False)
+            return pa.table({"n": pa.array([int(np.isin(v, ks).sum())],
+                                           pa.int64())})
+
+        return int(ds.map_batches(f, batch_format="pyarrow").sum("n"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    co = count_in(orders, "o_custkey", cust_keys)          # |c ⋈ o|
+    ol = int(li.count())                                   # |o ⋈ l| (FK)
+    cn = int(cust["c_nationkey"].isin(set(nat["n_nationkey"])).sum())
+    # orders whose cust exists AND cust's nation exists
+    con = count_in(orders, "o_custkey", nat_ok_cust)
+    # lineitems whose order's cust exists: broadcast the joined orderkeys
+    odf = orders.to_pandas()
+    ok_orders = ray.put(
+        odf.loc[odf["o_custkey"].isin(set(cust["c_custkey"])),
+                "o_orderkey"].to_numpy().astype(np.int64)
+    )
+    col_ = count_in(li, "l_orderkey", ok_orders)
+    full_ok = ray.put(
+        odf.loc[odf["o_custkey"].isin(
+            set(cust.loc[cust["c_nationkey"].isin(set(nat["n_nationkey"])),
+                         "c_custkey"])),
+                "o_orderkey"].to_numpy().astype(np.int64)
+    )
+    conl = count_in(li, "l_orderkey", full_ok)
+    card = {
+        frozenset("co"): co, frozenset("ol"): ol, frozenset("cn"): cn,
+        frozenset("col"): col_, frozenset("con"): con,
+        frozenset("coln"): conl,
+    }
+    # DP over connected subsets, left-deep, no cross products
+    from itertools import combinations
+
+    best: dict = {}
+    worst: dict = {}
+    npaths: dict = {}
+    for t in _SEL_TABLES:
+        s = frozenset(t)
+        best[s] = (0, t)
+        worst[s] = (0, t)
+        npaths[s] = 1
+    for size in (2, 3, 4):
+        for combo in combinations(_SEL_TABLES, size):
+            s = frozenset(combo)
+            if not _sel_connected(s) or s not in card:
+                continue
+            cands_b, cands_w, cnt = [], [], 0
+            for t in sorted(s):
+                rest = s - {t}
+                if rest in best and _sel_connected(rest) and any(
+                    frozenset((t, r)) in _SEL_PREDS for r in rest
+                ):
+                    cands_b.append((best[rest][0] + card[s],
+                                    best[rest][1] + t))
+                    cands_w.append((worst[rest][0] + card[s],
+                                    worst[rest][1] + t))
+                    cnt += npaths[rest]
+            if cands_b:
+                best[s] = min(cands_b)
+                worst[s] = max(cands_w)
+                npaths[s] = cnt
+    full = frozenset(_SEL_TABLES)
+    return pd.DataFrame(
+        {
+            "best_order": [best[full][1]],
+            "best_cost": [best[full][0]],
+            "worst_order": [worst[full][1]],
+            "worst_cost": [worst[full][0]],
+            "n_valid_orders": [npaths[full]],
+        }
+    ).astype({"best_cost": "int64", "worst_cost": "int64",
+              "n_valid_orders": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Bridges and articulation points (q313)
+# --------------------------------------------------------------------------
+
+_BRIDGES_SQL = """
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges_und AS BIGINT) AS n_edges_und,
+       CAST(n_bridges AS BIGINT) AS n_bridges,
+       CAST(n_articulation AS BIGINT) AS n_articulation
+FROM read_parquet('/root/repo/tests/fixtures/oracle/bridges_fixture.parquet')
+"""
+
+
+@query("q313_bridges_articulation", sql=_BRIDGES_SQL)
+def q313_bridges_articulation(sf_dir: str):
+    """Single-point-of-failure census of the crawl graph: bridges
+    (links whose loss disconnects) and articulation points (pages
+    whose loss does) via iterative Tarjan low-link (ops/graph.py) —
+    the structural complement to q173's hub-removal robustness.  Both
+    sets are unique graph properties (DFS-order independent), so the
+    fixture twin uses brute-force removal + component recount.  Edge
+    canonicalization distributed; linear DFS on the edge-sized
+    adjacency.  Output: one row."""
+    from texrex_ray.ops.graph import bridges_articulation
+
+    edges = ray.data.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    r = bridges_articulation(edges)
+    return pd.DataFrame([r]).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Roaring-style container census (q314)
+# --------------------------------------------------------------------------
+
+ROAR_SPAN = 1024  # container id-span; array if 2*count < span/8 bytes
+
+_ROARING_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus AS status, o_orderkey // 1024 AS chunk,
+         count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+cls AS (
+  SELECT status, chunk, cnt,
+         CASE WHEN 2 * cnt < 128 THEN 2 * cnt ELSE 128 END AS bytes,
+         CASE WHEN 2 * cnt < 128 THEN 1 ELSE 0 END AS is_array
+  FROM cells
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_containers,
+       CAST(SUM(is_array) AS BIGINT) AS n_array,
+       CAST(count(*) - SUM(is_array) AS BIGINT) AS n_bitmap,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM cls GROUP BY status ORDER BY status
+"""
+
+
+@query("q314_roaring_census", sql=_ROARING_SQL)
+def q314_roaring_census(sf_dir: str):
+    """Roaring-bitmap container census for a value-index on
+    o_orderstatus: per (value, 1024-id chunk), store the posting as a
+    sorted ARRAY (2 bytes/id) when that beats the dense BITMAP
+    (span/8 = 128 bytes), the Chambi et al. 2016 rule scaled to the
+    chunk span — the storage planner's answer to 'how big is a bitmap
+    index on this column'.  ONE (value, chunk)-keyed exchange; the
+    classification is per-cell arithmetic.  Pure-SQL oracle.  Output:
+    (status, n_containers, n_array, n_bitmap, bytes_total, n_rows)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "status": df["o_orderstatus"],
+                    "chunk": df["o_orderkey"].astype("int64") // ROAR_SPAN,
+                    "cnt": 1,
+                }
+            )
+            .groupby(["status", "chunk"], as_index=False)
+            .sum()
+        )
+        return g
+
+    per_cell = (
+        ds.map_batches(cells, batch_format="pandas")
+        .groupby(["status", "chunk"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    bitmap_bytes = ROAR_SPAN // 8
+    arr = 2 * per_cell["cnt"] < bitmap_bytes
+    per_cell["bytes"] = np.where(arr, 2 * per_cell["cnt"], bitmap_bytes)
+    per_cell["is_array"] = arr.astype(int)
+    out = (
+        per_cell.groupby("status")
+        .agg(
+            n_containers=("chunk", "size"),
+            n_array=("is_array", "sum"),
+            bytes_total=("bytes", "sum"),
+            n_rows=("cnt", "sum"),
+        )
+        .reset_index()
+        .sort_values("status")
+        .reset_index(drop=True)
+    )
+    out["n_bitmap"] = out["n_containers"] - out["n_array"]
+    out = out[["status", "n_containers", "n_array", "n_bitmap",
+               "bytes_total", "n_rows"]]
+    for c in ("n_containers", "n_array", "n_bitmap", "bytes_total", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# MATTR lexical diversity (q315)
+# --------------------------------------------------------------------------
+
+MATTR_WINDOW = 20
+
+_MATTR_SQL = """
+WITH dt AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos, len(toks) AS n_toks
+  FROM dt
+),
+wins AS (
+  SELECT s.doc_id, s.lang, s.pos AS w, t.token
+  FROM tok s JOIN tok t
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.pos AND s.pos + 19
+  WHERE s.pos <= s.n_toks - 19
+),
+perwin AS (
+  SELECT doc_id, lang, w, count(DISTINCT token) AS d
+  FROM wins GROUP BY doc_id, lang, w
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(SUM(d) AS BIGINT) AS sum_distinct,
+       CAST(SUM(d) * 1000 // (20 * count(*)) AS BIGINT) AS mattr_milli
+FROM perwin GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q315_mattr", sql=_MATTR_SQL)
+def q315_mattr(sf_dir: str):
+    """MATTR (moving-average type-token ratio, Covington & McFall
+    2010, window 20) per language — the length-invariant lexical-
+    diversity measure plain TTR is not (TTR falls with doc length;
+    MATTR's windows don't): the corpus-linguistics quality gauge next
+    to q159's HHI.  Per-doc incremental sliding distinct count (one
+    dict, O(tokens)); language-sized aggregates shuffle.  Pure-SQL
+    oracle (window self-join + COUNT DISTINCT).  Output: (lang,
+    n_windows, sum_distinct, mattr_milli)."""
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows: dict[str, list[int]] = {}
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            toks = [w for w in txt.split(" ") if w]
+            n = len(toks)
+            acc = rows.setdefault(lang, [0, 0])
+            if n < MATTR_WINDOW:
+                continue
+            cnt: dict[str, int] = {}
+            distinct = 0
+            s = 0
+            for i, w in enumerate(toks):
+                c = cnt.get(w, 0)
+                if c == 0:
+                    distinct += 1
+                cnt[w] = c + 1
+                if i >= MATTR_WINDOW:
+                    old = toks[i - MATTR_WINDOW]
+                    cnt[old] -= 1
+                    if cnt[old] == 0:
+                        distinct -= 1
+                if i >= MATTR_WINDOW - 1:
+                    acc[0] += 1
+                    acc[1] += distinct
+        langs = sorted(rows)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_windows": pa.array([rows[l][0] for l in langs], pa.int64()),
+                "sum_distinct": pa.array([rows[l][1] for l in langs],
+                                         pa.int64()),
+            }
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_windows", alias_name="n_windows"),
+                   Sum("sum_distinct", alias_name="sum_distinct"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["mattr_milli"] = (
+        out["sum_distinct"] * 1000 // (MATTR_WINDOW * out["n_windows"])
+    )
+    for c in ("n_windows", "sum_distinct", "mattr_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Local-supplier volume (TPC-H Q5 shape) (q316)
+# --------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+_Q5_SQL = f"""
+WITH f AS (SELECT n.n_name AS nation,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+           WHERE c.c_nationkey = s.s_nationkey
+             AND r.r_name = '{Q5_REGION}'
+             AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+             AND o.o_orderdate <  TIMESTAMP '{Q5_DATE_HI}')
+SELECT nation, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(vol_c) AS BIGINT) AS revenue_c
+FROM f GROUP BY nation ORDER BY revenue_c DESC, nation
+"""
+
+
+@query("q316_local_supplier_volume", sql=_Q5_SQL)
+def q316_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — revenue from orders where customer and
+    supplier sit in the SAME nation (the cyclic join predicate that
+    breaks naive join trees), nations restricted to one region, orders
+    to one year.  Plan: the date filter prunes orders AT the scan;
+    ONE shuffle_join joins the two fact tables; nation equality rides
+    broadcast dimension maps (c_custkey -> nationkey, s_suppkey ->
+    nationkey) compared per batch — the cycle costs NO extra exchange.
+    Output: (nation, n_items, revenue_c)."""
+    from texrex_ray.ops.join import broadcast_join, shuffle_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    lo = pd.Timestamp(Q5_DATE_LO).value // 1000
+    hi = pd.Timestamp(Q5_DATE_HI).value // 1000
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                       pc.less(d, pa.scalar(hi)))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(date_filter, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = set(
+        nat.merge(reg[reg["r_name"] == Q5_REGION],
+                  left_on="n_regionkey", right_on="r_regionkey")
+        ["n_nationkey"]
+    )
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     expected_rows=li.count())
+    j = broadcast_join(j, cust[["c_custkey", "c_nationkey"]],
+                       on="o_custkey", right_on="c_custkey")
+    j = broadcast_join(j, supp[["s_suppkey", "s_nationkey"]],
+                       on="l_suppkey", right_on="s_suppkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["c_nationkey"] == df["s_nationkey"])
+                & df["c_nationkey"].isin(asia)]
+        if not len(df):
+            return pd.DataFrame({"nation": [], "n_items": [], "vol_c": []})
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        df = df.assign(
+            nation=df["c_nationkey"].map(nname),
+            n_items=1,
+            vol_c=price_c * (100 - disc_h) // 100,
+        )
+        return df.groupby("nation", as_index=False)[["n_items", "vol_c"]].sum()
+
+    out = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("nation")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("vol_c", alias_name="revenue_c"))
+        .to_pandas()
+        .sort_values(["revenue_c", "nation"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    for c in ("n_items", "revenue_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Shipping-priority top-k (TPC-H Q3 shape) (q317)
+# --------------------------------------------------------------------------
+
+Q3_DATE = "1997-07-01"
+Q3_TOPK = 10
+
+_Q3_SQL = f"""
+WITH f AS (SELECT l.l_orderkey,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+             AND l.l_shipdate > TIMESTAMP '{Q3_DATE}')
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(vol_c) AS BIGINT) AS revenue_c
+FROM f GROUP BY l_orderkey
+ORDER BY revenue_c DESC, l_orderkey LIMIT {Q3_TOPK}
+"""
+
+
+@query("q317_shipping_priority", sql=_Q3_SQL)
+def q317_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — top-{Q3_TOPK} unshipped orders by outstanding
+    revenue at a cutoff date (ordered before, shipped after).  Plan:
+    BOTH date predicates prune at the scans (the selective filters do
+    the heavy lifting before any exchange); the surviving slice joins
+    via broadcast of the filtered orderkey set (small after the
+    filter), per-order partials combine, grouped top-k finishes.
+    Output: (l_orderkey, n_items, revenue_c)."""
+    cut = pd.Timestamp(Q3_DATE).value // 1000
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"].cast(pa.int64()), pa.scalar(cut))
+        return t.filter(keep).select(["o_orderkey"])
+
+    ok = ray.put(
+        orders.map_batches(ofilter, batch_format="pyarrow")
+        .to_pandas()["o_orderkey"].to_numpy().astype(np.int64)
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"].cast(pa.int64()), pa.scalar(cut))
+        t = t.filter(keep)
+        keys = ray.get(ok)
+        ks = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(ks, keys)))
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64()),
+                             "vol_c": pa.array([], pa.int64())})
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        df = df.assign(n_items=1, vol_c=price_c * (100 - disc_h) // 100)
+        g = df.groupby("l_orderkey", as_index=False)[["n_items", "vol_c"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("vol_c", alias_name="revenue_c"))
+        .to_pandas()
+        .sort_values(["revenue_c", "l_orderkey"], ascending=[False, True])
+        .head(Q3_TOPK)
+        .reset_index(drop=True)
+    )
+    for c in ("l_orderkey", "n_items", "revenue_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Promo revenue share (TPC-H Q14 shape) (q318)
+# --------------------------------------------------------------------------
+
+Q14_LO = "1997-07-01"
+Q14_HI = "1997-08-01"
+
+_Q14_SQL = f"""
+WITH f AS (SELECT p.p_type,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO}'
+             AND l.l_shipdate <  TIMESTAMP '{Q14_HI}')
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol_c ELSE 0 END)
+            AS BIGINT) AS promo_c,
+       CAST(SUM(vol_c) AS BIGINT) AS total_c,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol_c ELSE 0 END)
+            * 1000000 // SUM(vol_c) AS BIGINT) AS promo_ppm
+FROM f
+"""
+
+
+@query("q318_promo_share", sql=_Q14_SQL)
+def q318_promo_share(sf_dir: str):
+    """TPC-H Q14 shape — share of one month's revenue from PROMO-type
+    parts: the conditional-aggregate-over-a-join pattern every
+    marketing dashboard runs.  Plan: the ship-date predicate prunes at
+    the scan; part types ride ONE broadcast map (partkey -> is_promo);
+    three integers leave each task.  Output: (n_items, promo_c,
+    total_c, promo_ppm)."""
+    lo = pd.Timestamp(Q14_LO).value // 1000
+    hi = pd.Timestamp(Q14_HI).value // 1000
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = ray.put(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"]
+        .to_numpy().astype(np.int64)
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                       pc.less(d, pa.scalar(hi)))
+        t = t.filter(keep)
+        pk = ray.get(promo)
+        ks = t["l_partkey"].to_numpy(zero_copy_only=False)
+        is_promo = np.isin(ks, pk)
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_h = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        vol = price_c * (100 - disc_h) // 100
+        return pa.table(
+            {
+                "n_items": pa.array([len(vol)], pa.int64()),
+                "promo_c": pa.array([int(vol[is_promo].sum())], pa.int64()),
+                "total_c": pa.array([int(vol.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("promo_c", alias_name="promo_c"),
+                   Sum("total_c", alias_name="total_c"))
+        .to_pandas()
+    )
+    n, p, tt = (int(agg["n_items"].iloc[0]), int(agg["promo_c"].iloc[0]),
+                int(agg["total_c"].iloc[0]))
+    return pd.DataFrame(
+        {
+            "n_items": [n],
+            "promo_c": [p],
+            "total_c": [tt],
+            "promo_ppm": [p * 1_000_000 // tt],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Small-quantity-order revenue (TPC-H Q17 shape) (q319)
+# --------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#2"
+
+_Q17_SQL = f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+st AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+         count(*) AS cnt
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+  GROUP BY l_partkey
+),
+f AS (
+  SELECT l.l_partkey, CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS ep_c
+  FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+  WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 * st.cnt
+        < st.sum_qty_c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(SUM(ep_c) AS BIGINT) AS revenue_c
+FROM f
+"""
+
+
+@query("q319_small_qty_revenue", sql=_Q17_SQL)
+def q319_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue from lineitems of one brand whose
+    quantity is below 20% of that PART's average quantity: the
+    correlated-aggregate pattern (per-key threshold computed from the
+    same fact table), kept integer-exact by cross-multiplying the
+    average away (qty_c * 5 * cnt < sum_qty_c).  Plan: brand filter
+    broadcasts the partkey set; per-part (sum, count) is ONE keyed
+    exchange whose result broadcasts back — the fact table never
+    shuffles twice.  Output: (n_items, n_parts, revenue_c)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_keys = ray.put(
+        part.loc[part["p_brand"] == Q17_BRAND, "p_partkey"]
+        .to_numpy().astype(np.int64)
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_only(t: pa.Table) -> pa.Table:
+        ks = ray.get(brand_keys)
+        keep = np.isin(t["l_partkey"].to_numpy(zero_copy_only=False), ks)
+        return t.filter(pa.array(keep))
+
+    branded = li.map_batches(brand_only, batch_format="pyarrow")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty_c=np.round(df["l_quantity"] * 100).astype(np.int64), cnt=1
+        )
+        return df.groupby("l_partkey", as_index=False)[["qty_c", "cnt"]].sum()
+
+    st = (
+        branded.map_batches(stats, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                   Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    st_ref = ray.put(
+        {int(k): (int(s), int(c))
+         for k, s, c in zip(st["l_partkey"], st["sum_qty_c"], st["cnt"])}
+    )
+
+    def below(t: pa.Table) -> pa.Table:
+        stm = ray.get(st_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty_c = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ep_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = np.zeros(len(pk), dtype=bool)
+        for i, k in enumerate(pk.tolist()):
+            s, c = stm[k]
+            keep[i] = qty_c[i] * 5 * c < s
+        kept = pd.DataFrame({"pk": pk[keep], "ep": ep_c[keep]})
+        g = kept.groupby("pk", as_index=False).agg(
+            n_items=("ep", "size"), revenue_c=("ep", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        branded.map_batches(below, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_items": [int(agg["n_items"].sum())],
+            "n_parts": [int((agg["n_items"] > 0).sum())],
+            "revenue_c": [int(agg["revenue_c"].sum())],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Large-volume customers (TPC-H Q18 shape) (q320)
+# --------------------------------------------------------------------------
+
+Q18_QTY_C = 9_000  # HAVING sum(quantity) > 90.00 (cents scale)
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > {Q18_QTY_C}
+)
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       CAST(b.sum_qty_c AS BIGINT) AS sum_qty_c
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_c DESC, o_orderkey LIMIT 20
+"""
+
+
+@query("q320_large_volume_orders", sql=_Q18_SQL)
+def q320_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape — customers behind the largest-quantity orders:
+    fact-side HAVING (per-order quantity sum over a threshold) feeding
+    a dimension join and a top-k.  Plan: ONE orderkey-keyed exchange
+    computes the sums; only qualifying orderkeys (a tiny set) ship to
+    the driver to broadcast-join orders/customer; top-20 by
+    (totalprice, orderkey).  Output: (c_custkey, o_orderkey,
+    totalprice_c, sum_qty_c)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qsum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(q=np.round(df["l_quantity"] * 100).astype(np.int64))
+        return df.groupby("l_orderkey", as_index=False)["q"].sum()
+
+    sums = (
+        li.map_batches(qsum, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="sum_qty_c"))
+        .to_pandas()
+    )
+    big = sums[sums["sum_qty_c"] > Q18_QTY_C]
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
+    out = (
+        big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .assign(
+            totalprice_c=lambda d: np.round(
+                d["o_totalprice"] * 100).astype(np.int64)
+        )
+        .rename(columns={"o_custkey": "c_custkey"})
+        .sort_values(["totalprice_c", "o_orderkey"],
+                     ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )[["c_custkey", "o_orderkey", "totalprice_c", "sum_qty_c"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Order-priority EXISTS semi-join (TPC-H Q4 shape) (q321)
+# --------------------------------------------------------------------------
+
+Q4_LO = "1996-01-01"
+Q4_HI = "1996-04-01"
+Q4_LATE_DAYS = 60
+
+_Q4_SQL = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+@query("q321_priority_exists", sql=_Q4_SQL)
+def q321_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape — orders per priority (one quarter) having AT
+    LEAST ONE lineitem shipped more than {Q4_LATE_DAYS} days after the
+    order date: the EXISTS semi-join with a cross-table predicate.
+    Plan: quarter filter prunes orders at the scan; the (orderkey ->
+    orderdate) map of the pruned quarter broadcasts; lineitem batches
+    emit the DISTINCT late orderkeys they see (semi-join = set union,
+    no row multiplication); the priority count runs on the order side.
+    Output: (o_orderpriority, order_count)."""
+    lo = pd.Timestamp(Q4_LO).value // 1000
+    hi = pd.Timestamp(Q4_HI).value // 1000
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].astype("int64")
+        return df[(d >= lo) & (d < hi)]
+
+    odf = orders.map_batches(ofilter, batch_format="pandas").to_pandas()
+    odate = ray.put(
+        dict(zip(odf["o_orderkey"].astype(int),
+                 odf["o_orderdate"].astype("int64").astype(int)))
+    )
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        om = ray.get(odate)
+        ks = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hit = set()
+        for k, s in zip(ks.tolist(), sd.tolist()):
+            od = om.get(k)
+            if od is not None and s > od + late_us:
+                hit.add(k)
+        return pa.table({"k": pa.array(sorted(hit), pa.int64())})
+
+    late = (
+        li.map_batches(late_keys, batch_format="pyarrow")
+        .to_pandas()["k"].unique()
+    )
+    sel = odf[odf["o_orderkey"].isin(set(late.tolist()))]
+    out = (
+        sel.groupby("o_orderpriority")
+        .size()
+        .rename("order_count")
+        .reset_index()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Important-stock share (TPC-H Q11 shape) (q322)
+# --------------------------------------------------------------------------
+
+Q11_MEAN_NUM, Q11_MEAN_DEN = 3, 2  # keep parts > 1.5x the mean value
+
+_Q11_SQL = f"""
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100)
+             AS value_c
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(value_c) AS total_c, count(*) AS n_parts FROM v)
+SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
+FROM v, tot
+WHERE value_c * n_parts * {Q11_MEAN_DEN} > total_c * {Q11_MEAN_NUM}
+ORDER BY value_c DESC, l_partkey
+"""
+
+
+@query("q322_important_stock", sql=_Q11_SQL)
+def q322_important_stock(sf_dir: str):
+    """TPC-H Q11 shape — parts whose traded value exceeds 1.5x the
+    GLOBAL mean part value: the group-vs-global-scalar HAVING (each
+    group compared against an aggregate over everything),
+    integer-exact via cross-multiplication (v*n*2 > total*3).  Plan: ONE
+    partkey exchange builds per-part values; the global total is a
+    driver scalar; the filter runs on the part-sized frame.  Output:
+    (l_partkey, value_c) ordered by value desc."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        df = df.assign(v=price_c * (100 - disc_h) // 100)
+        return df.groupby("l_partkey", as_index=False)["v"].sum()
+
+    per_part = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("v", alias_name="value_c"))
+        .to_pandas()
+    )
+    total = int(per_part["value_c"].sum())
+    n_parts = len(per_part)
+    out = (
+        per_part[per_part["value_c"] * n_parts * Q11_MEAN_DEN
+                 > total * Q11_MEAN_NUM]
+        .sort_values(["value_c", "l_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    for c in ("l_partkey", "value_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Top supplier by quarter revenue (TPC-H Q15 shape) (q323)
+# --------------------------------------------------------------------------
+
+Q15_LO = "1997-01-01"
+Q15_HI = "1997-04-01"
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100)
+             AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, CAST(total_rev_c AS BIGINT) AS total_rev_c
+FROM rev WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@query("q323_top_supplier", sql=_Q15_SQL)
+def q323_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — the supplier(s) whose quarter revenue EQUALS
+    the maximum (the view + scalar-subquery-equality pattern that must
+    return ALL ties, not a LIMIT-1).  Plan: date prune at the scan,
+    ONE suppkey exchange, max + equality filter on the supplier-sized
+    frame.  Output: (s_suppkey, total_rev_c)."""
+    lo = pd.Timestamp(Q15_LO).value // 1000
+    hi = pd.Timestamp(Q15_HI).value // 1000
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                       pc.less(d, pa.scalar(hi)))
+        df = t.filter(keep).to_pandas()
+        if not len(df):
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        df = df.assign(v=price_c * (100 - disc_h) // 100)
+        g = df.groupby("l_suppkey", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("v", alias_name="total_rev_c"))
+        .to_pandas()
+    )
+    mx = int(rev["total_rev_c"].max())
+    out = (
+        rev[rev["total_rev_c"] == mx]
+        .rename(columns={"l_suppkey": "s_suppkey"})
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    for c in ("s_suppkey", "total_rev_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Dormant rich customers (TPC-H Q22 shape) (q324)
+# --------------------------------------------------------------------------
+
+Q22_NATIONS = (1, 3, 5, 7, 9)
+Q22_CUTOFF = "2000-06-01"
+
+_Q22_SQL = f"""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN {Q22_NATIONS}
+),
+avgp AS (
+  SELECT SUM(bal_c) AS s, count(*) AS n FROM pool WHERE bal_c > 0
+),
+rich AS (
+  SELECT p.* FROM pool p, avgp WHERE p.bal_c * avgp.n > avgp.s
+),
+dormant AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c
+FROM dormant GROUP BY c_nationkey ORDER BY nationkey
+"""
+
+
+@query("q324_dormant_rich", sql=_Q22_SQL)
+def q324_dormant_rich(sf_dir: str):
+    """TPC-H Q22 shape — customers in selected nations with
+    above-average (positive-balance average, cross-multiplied exact)
+    account balance and NO orders since {Q22_CUTOFF} (dormant):
+    scalar-subquery threshold + NOT EXISTS anti-join.  Plan: the candidate pool is customer-sized
+    (dimension); the anti-join broadcasts the candidate key set and
+    subtracts the order-side hits gathered in ONE distributed pass.
+    Output: (nationkey, n_cust, sum_bal_c)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
+    pool = cust[cust["c_nationkey"].isin(Q22_NATIONS)].copy()
+    pool["bal_c"] = np.round(pool["c_acctbal"] * 100).astype(np.int64)
+    pos = pool[pool["bal_c"] > 0]
+    s, n = int(pos["bal_c"].sum()), len(pos)
+    rich = pool[pool["bal_c"] * n > s]
+    keys = ray.put(rich["c_custkey"].to_numpy().astype(np.int64))
+    cut = pd.Timestamp(Q22_CUTOFF).value // 1000
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["o_orderdate"].cast(pa.int64()),
+                                pa.scalar(cut))
+        t = t.filter(keep)
+        ks = ray.get(keys)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        got = np.unique(ck[np.isin(ck, ks)])
+        return pa.table({"k": pa.array(got, pa.int64())})
+
+    with_orders = set(
+        orders.map_batches(hits, batch_format="pyarrow")
+        .to_pandas()["k"].tolist()
+    )
+    dormant = rich[~rich["c_custkey"].isin(with_orders)]
+    out = (
+        dormant.groupby("c_nationkey")
+        .agg(n_cust=("c_custkey", "size"), sum_bal_c=("bal_c", "sum"))
+        .reset_index()
+        .rename(columns={"c_nationkey": "nationkey"})
+        .sort_values("nationkey")
+        .reset_index(drop=True)
+    )
+    for c in ("nationkey", "n_cust", "sum_bal_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (q325)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_merges(word_freq: dict[str, int], k: int) -> list[tuple]:
+    """First k BPE merges (Sennrich et al. 2016) over a word-frequency
+    table: symbols start as characters; each round merges the most
+    frequent adjacent pair (ties -> lexicographically smallest pair).
+    Returns [(idx, left, right, pair_freq)]."""
+    seqs = {w: tuple(w) for w in word_freq}
+    out = []
+    for idx in range(k):
+        counts: dict[tuple, int] = {}
+        for w, seq in seqs.items():
+            f = word_freq[w]
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        out.append((idx, best[0], best[1], counts[best]))
+        merged = best[0] + best[1]
+        new_seqs = {}
+        for w, seq in seqs.items():
+            res = []
+            i = 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == best[0]
+                        and seq[i + 1] == best[1]):
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(res)
+        seqs = new_seqs
+    return out
+
+
+_BPE_SQL = """
+SELECT CAST(merge_idx AS BIGINT) AS merge_idx, left_sym, right_sym,
+       CAST(pair_freq AS BIGINT) AS pair_freq
+FROM read_parquet('/root/repo/tests/fixtures/oracle/bpe_sf0.01.parquet')
+ORDER BY merge_idx
+"""
+
+
+@query("q325_bpe_merges", sql=_BPE_SQL)
+def q325_bpe_merges(sf_dir: str):
+    """First 8 BPE tokenizer-training merges over the corpus (Sennrich
+    et al. 2016): the fast-BPE decomposition — the CORPUS pass (word
+    frequencies) is the distributed part (per-batch token counts, ONE
+    token-keyed exchange), the merge loop then runs on the VOCAB-sized
+    frequency table (exactly how production BPE trainers scale: corpus
+    O(TB) -> vocab O(MB)).  Ties -> lexicographically smallest pair,
+    so the merge sequence is unique.  Oracle: committed fixture from
+    the INDEPENDENT regex-free scalar twin fed by a pandas word count.
+    Output: (merge_idx, left_sym, right_sym, pair_freq)."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for txt in t["text"].to_pylist():
+            for w in txt.split(" "):
+                if w:
+                    cnt[w] = cnt.get(w, 0) + 1
+        toks = list(cnt)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "occ": pa.array([cnt[w] for w in toks], pa.int64()),
+            }
+        )
+
+    wf = (
+        docs.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("occ", alias_name="occ"))
+        .to_pandas()
+    )
+    merges = _bpe_merges(
+        dict(zip(wf["token"], wf["occ"].astype(int))), BPE_MERGES
+    )
+    return pd.DataFrame(
+        merges, columns=["merge_idx", "left_sym", "right_sym", "pair_freq"]
+    ).astype({"merge_idx": "int64", "pair_freq": "int64"})
+
+
+# --------------------------------------------------------------------------
+# kNN label-noise census (q326)
+# --------------------------------------------------------------------------
+
+KNN_NOISE_K = 5
+
+_KNNNOISE_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/knnnoise_sf0.01.parquet'))
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN maj_label <> label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disagree
+FROM f GROUP BY label ORDER BY label
+"""
+
+
+@query("q326_knn_label_noise", sql=_KNNNOISE_SQL)
+def q326_knn_label_noise(sf_dir: str):
+    """Label-noise census via k-NN disagreement (the confident-learning
+    heuristic): a vector whose 5 nearest neighbors (integer-quantized
+    dot products — exact in float64 matmul) majority-vote a DIFFERENT
+    label is a relabel/removal candidate.  Deterministic tie-breaks:
+    neighbors by (-dot, vec_id); majority by (count desc, label asc).
+    Plan: quantized matrix broadcast once, per-batch top-k against it;
+    the LSH/IVF prefilter swap at page scale as in q299.  Oracle:
+    committed fixture from the INDEPENDENT scalar per-pair twin.
+    Output: (label, n_vecs, n_disagree)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    all_df = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = np.rint(np.asarray(list(all_df["embedding"]), dtype=np.float64)
+                * 1000.0)
+    ids = all_df["vec_id"].to_numpy().astype(np.int64)
+    labels = all_df["label"].to_numpy().astype(np.int64)
+    ref = ray.put((q, ids, labels))
+
+    def vote(t: pa.Table) -> pa.Table:
+        corpus, cids, clab = ray.get(ref)
+        block = np.rint(
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+        )
+        bids = t["vec_id"].to_numpy(zero_copy_only=False)
+        dots = block @ corpus.T
+        maj = np.empty(len(bids), dtype=np.int64)
+        for i in range(len(bids)):
+            d = dots[i]
+            order = np.lexsort((cids, -d))
+            picked = []
+            for j in order:
+                if cids[j] == bids[i]:
+                    continue
+                picked.append(j)
+                if len(picked) == KNN_NOISE_K:
+                    break
+            cnt: dict[int, int] = {}
+            for j in picked:
+                cnt[int(clab[j])] = cnt.get(int(clab[j]), 0) + 1
+            maj[i] = min(cnt, key=lambda l: (-cnt[l], l))
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": t["label"],
+                "maj_label": pa.array(maj, pa.int64()),
+            }
+        )
+
+    per_vec = emb.map_batches(vote, batch_format="pyarrow").to_pandas()
+    per_vec["dis"] = (per_vec["maj_label"] != per_vec["label"]).astype(int)
+    out = (
+        per_vec.groupby("label")
+        .agg(n_vecs=("vec_id", "size"), n_disagree=("dis", "sum"))
+        .reset_index()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    for c in ("label", "n_vecs", "n_disagree"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Class-balanced resampling plan (q327)
+# --------------------------------------------------------------------------
+
+_BALANCE_SQL = """
+WITH cnt AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+),
+mx AS (SELECT MAX(n) AS target FROM cnt)
+SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+       CAST(target // n AS BIGINT) AS base_mult,
+       CAST(target % n AS BIGINT) AS n_extra
+FROM cnt, mx ORDER BY label
+"""
+
+
+@query("q327_class_balance_plan", sql=_BALANCE_SQL)
+def q327_class_balance_plan(sf_dir: str):
+    """Exact class-balancing oversample plan: every label is brought
+    to the majority-class count with base multiplicity target//n plus
+    n_extra = target%n single extra copies (assigned by hash rank at
+    apply time, q281-style) — totals are EXACTLY target per class, no
+    float sampling rates.  ONE label-sized aggregate.  Pure-SQL
+    oracle.  Output: (label, n, base_mult, n_extra)."""
+    emb = _read(sf_dir, "embeddings", ["label"])
+    cnt = (
+        emb.groupby("label")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    target = int(cnt["n"].max())
+    cnt["base_mult"] = target // cnt["n"]
+    cnt["n_extra"] = target % cnt["n"]
+    for c in ("label", "n", "base_mult", "n_extra"):
+        cnt[c] = cnt[c].astype("int64")
+    return cnt
+
+
+# --------------------------------------------------------------------------
+# Linear-threshold cascade (q328)
+# --------------------------------------------------------------------------
+
+LT_SEEDS = 25       # top-in-degree seed count
+LT_MAX_ROUNDS = 10  # fixed simulation horizon (standard LTM practice)
+
+
+def _lt_thresholds(nodes: list[str]) -> dict[str, int]:
+    """Deterministic per-node activation threshold in [1, 100]:
+    md5-derived — the 'random' thresholds of the Kempe-Kleinberg-
+    Tardos linear-threshold model, pinned for replay."""
+    import hashlib
+
+    return {
+        v: int.from_bytes(hashlib.md5(f"lt:{v}".encode()).digest()[:4],
+                          "little") % 100 + 1
+        for v in nodes
+    }
+
+
+_LT_SQL = """
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_active AS BIGINT) AS n_active
+FROM read_parquet('/root/repo/tests/fixtures/oracle/cascade_fixture.parquet')
+ORDER BY round
+"""
+
+
+@query("q328_lt_cascade", sql=_LT_SQL)
+def q328_lt_cascade(sf_dir: str):
+    """Linear-threshold influence cascade (Kempe-Kleinberg-Tardos
+    2003) on the crawl graph: seeds = top-{LT_SEEDS} in-degree pages;
+    a page activates when the share of its in-neighbors active
+    reaches its md5-pinned threshold percent (integer cross-multiplied:
+    active_in * 100 >= thresh * in_deg) — the virality model for how
+    content spreads through link neighborhoods.  Synchronous rounds =
+    deterministic.  Plan: per-round ONE map over the edge set with the
+    active bitmap broadcast (double_sweep-style); horizon fixed at
+    LT_MAX_ROUNDS rounds (the standard fixed-budget simulation).
+    Oracle: committed fixture from the INDEPENDENT scalar
+    adjacency-walk twin.  Output: (round, n_new, n_active)."""
+    edges_df = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    edges_df = edges_df[edges_df["src"] != edges_df["dst"]].drop_duplicates()
+    nodes = np.sort(
+        pd.unique(pd.concat([edges_df["src"], edges_df["dst"]]))
+    )
+    idx = pd.Index(nodes)
+    s = idx.get_indexer(edges_df["src"]).astype(np.int64)
+    d = idx.get_indexer(edges_df["dst"]).astype(np.int64)
+    n = len(nodes)
+    in_deg = np.bincount(d, minlength=n).astype(np.int64)
+    thr_map = _lt_thresholds(list(nodes))
+    thr = np.array([thr_map[v] for v in nodes], dtype=np.int64)
+    order = np.lexsort((nodes, -in_deg))
+    seeds = order[:LT_SEEDS]
+    active = np.zeros(n, dtype=bool)
+    active[seeds] = True
+    edges_ds = ray.data.from_pandas(
+        pd.DataFrame({"s": s, "d": d})
+    ).materialize()
+    rows = [(0, LT_SEEDS, LT_SEEDS)]
+    rnd = 0
+    while rnd < LT_MAX_ROUNDS:
+        rnd += 1
+        aref = ray.put(active)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            am = ray.get(aref)
+            hit = am[df["s"].to_numpy()]
+            cnt = np.bincount(df["d"].to_numpy()[hit], minlength=n)
+            return pd.DataFrame({"node": np.flatnonzero(cnt),
+                                 "k": cnt[cnt > 0]})
+
+        acc = (
+            edges_ds.map_batches(partial, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Sum("k", alias_name="k"))
+            .to_pandas()
+        )
+        active_in = np.zeros(n, dtype=np.int64)
+        active_in[acc["node"].to_numpy()] = acc["k"].to_numpy()
+        newly = (~active) & (in_deg > 0) & (
+            active_in * 100 >= thr * in_deg
+        )
+        if not newly.any():
+            break
+        active |= newly
+        rows.append((rnd, int(newly.sum()), int(active.sum())))
+    out = pd.DataFrame(rows, columns=["round", "n_new", "n_active"])
+    return out.astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Clustering coefficient by degree bucket (q329)
+# --------------------------------------------------------------------------
+
+_CLUSTCOEF_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+    '/root/repo/tests/fixtures/oracle/clustcoef_fixture.parquet'))
+SELECT CAST(deg_bucket AS BIGINT) AS deg_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(tri2) AS BIGINT) AS sum_tri2,
+       CAST(SUM(wedges) AS BIGINT) AS sum_wedges,
+       CAST(CASE WHEN SUM(wedges) > 0
+                 THEN SUM(tri2) * 1000000 // SUM(wedges)
+                 ELSE 0 END AS BIGINT) AS coef_ppm
+FROM f GROUP BY deg_bucket ORDER BY deg_bucket
+"""
+
+
+@query("q329_clustering_by_degree", sql=_CLUSTCOEF_SQL)
+def q329_clustering_by_degree(sf_dir: str):
+    """Local clustering coefficient curve by degree bucket (bucket =
+    bit_length(deg)) — the c(k) ~ k^-1 signature that separates
+    hierarchical web graphs from random ones (Ravasz-Barabasi).
+    Per-node: tri2 = 2x triangles through the node (closed wedges),
+    wedges = deg*(deg-1); coefficient = ppm ratio per bucket.
+    Plan: sorted-adjacency intersection per node batch (the q266
+    two-pointer idiom) with the CSR broadcast; exchange is node-sized.
+    Oracle: committed fixture from the INDEPENDENT per-edge dict-set
+    twin.  Output: (deg_bucket, n_nodes, sum_tri2, sum_wedges,
+    coef_ppm)."""
+    edges_df = pd.read_parquet(
+        "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+    )
+    a = edges_df["src"].to_numpy()
+    b = edges_df["dst"].to_numpy()
+    und = {(x, y) if x < y else (y, x) for x, y in zip(a, b) if x != y}
+    nodes = np.sort(pd.unique(np.array([v for e in und for v in e])))
+    idx = pd.Index(nodes)
+    ea = idx.get_indexer([e[0] for e in und]).astype(np.int64)
+    eb = idx.get_indexer([e[1] for e in und]).astype(np.int64)
+    n = len(nodes)
+    # CSR of sorted neighbors
+    both_a = np.concatenate([ea, eb])
+    both_b = np.concatenate([eb, ea])
+    o = np.lexsort((both_b, both_a))
+    both_a, both_b = both_a[o], both_b[o]
+    offs = np.searchsorted(both_a, np.arange(n + 1))
+    deg = (offs[1:] - offs[:-1]).astype(np.int64)
+    csr_ref = ray.put((offs, both_b, deg))
+
+    def per_node(t: pa.Table) -> pa.Table:
+        offs_, tails, deg_ = ray.get(csr_ref)
+        vs = t["v"].to_numpy(zero_copy_only=False)
+        tri2 = np.zeros(len(vs), dtype=np.int64)
+        for i, v in enumerate(vs.tolist()):
+            nb = tails[offs_[v]:offs_[v + 1]]
+            cnt = 0
+            for u in nb.tolist():
+                nu = tails[offs_[u]:offs_[u + 1]]
+                cnt += int(
+                    np.isin(nb, nu, assume_unique=True).sum()
+                )
+            tri2[i] = cnt
+        return pa.table(
+            {
+                "v": pa.array(vs),
+                "tri2": pa.array(tri2),
+                "wedges": pa.array(deg_[vs] * (deg_[vs] - 1)),
+                "deg_bucket": pa.array(
+                    np.array([int(x).bit_length() for x in deg_[vs]],
+                             dtype=np.int64)
+                ),
+            }
+        )
+
+    per = (
+        ray.data.from_pandas(pd.DataFrame({"v": np.arange(n)}))
+        .map_batches(per_node, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    g = per.groupby("deg_bucket").agg(
+        n_nodes=("v", "size"), sum_tri2=("tri2", "sum"),
+        sum_wedges=("wedges", "sum"),
+    ).reset_index()
+    g["coef_ppm"] = np.where(
+        g["sum_wedges"] > 0,
+        g["sum_tri2"] * 1_000_000 // g["sum_wedges"], 0
+    )
+    g = g.sort_values("deg_bucket").reset_index(drop=True)
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g
+
+
+# --------------------------------------------------------------------------
+# Directed-edge reciprocity (q330)
+# --------------------------------------------------------------------------
+
+_EDGES_FIXTURE = "/root/repo/tests/fixtures/oracle/pagerank_edges.parquet"
+
+_RECIP_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst
+  FROM read_parquet('{_EDGES_FIXTURE}') WHERE src <> dst
+),
+m AS (
+  SELECT e1.src, e1.dst FROM e e1 JOIN e e2
+    ON e1.src = e2.dst AND e1.dst = e2.src
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM m) AS BIGINT) AS n_mutual_arcs,
+       CAST((SELECT count(*) FROM m) * 1000000
+            // (SELECT count(*) FROM e) AS BIGINT) AS reciprocity_ppm
+"""
+
+
+@query("q330_reciprocity", sql=_RECIP_SQL)
+def q330_reciprocity(sf_dir: str):
+    """Link reciprocity of the directed crawl graph — the fraction of
+    arcs with a reverse arc (Garlaschelli-Loffredo): mutual linking
+    separates editorial link exchanges from organic citation.  Plan:
+    canonical-pair keying makes this ONE exchange: each arc maps to
+    (min, max, dir-bit); a pair is mutual iff both bits appear — no
+    self-join.  Pure-SQL oracle (the naive reversed self-join).
+    Output: (n_edges, n_mutual_arcs, reciprocity_ppm)."""
+    edges = ray.data.read_parquet(_EDGES_FIXTURE)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        lo = np.minimum(df["src"], df["dst"])
+        hi = np.maximum(df["src"], df["dst"])
+        return pd.DataFrame(
+            {"lo": lo, "hi": hi,
+             "fwd": (df["src"].to_numpy() == lo.to_numpy()).astype(int),
+             "bwd": (df["src"].to_numpy() != lo.to_numpy()).astype(int)}
+        ).drop_duplicates()
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pandas")
+        .groupby(["lo", "hi"])
+        .aggregate(Sum("fwd", alias_name="fwd"),
+                   Sum("bwd", alias_name="bwd"))
+        .to_pandas()
+    )
+    fwd = pairs["fwd"].clip(upper=1)
+    bwd = pairs["bwd"].clip(upper=1)
+    n_edges = int(fwd.sum() + bwd.sum())
+    mutual_pairs = int(((fwd > 0) & (bwd > 0)).sum())
+    n_mutual_arcs = 2 * mutual_pairs
+    return pd.DataFrame(
+        {
+            "n_edges": [n_edges],
+            "n_mutual_arcs": [n_mutual_arcs],
+            "reciprocity_ppm": [n_mutual_arcs * 1_000_000 // n_edges],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# 1-D k-means price quantization (q331)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 8
+
+
+_KMEANS_SQL = """
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(centroid_c AS BIGINT) AS centroid_c,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_c AS BIGINT) AS sum_c
+FROM read_parquet('/root/repo/tests/fixtures/oracle/kmeans1d_sf0.01.parquet')
+ORDER BY bucket
+"""
+
+
+@query("q331_price_kmeans", sql=_KMEANS_SQL)
+def q331_price_kmeans(sf_dir: str):
+    """Distributed 1-D Lloyd k-means over order totals (k=8, 8 fixed
+    iterations) — learned price-bucket boundaries for histogram
+    equalization / zone-map design, integer-exact end to end:
+    deterministic spread init (min + span*(2i+1)//2k), nearest-centroid
+    assignment with ties to the LOWER bucket, floor-mean updates, empty
+    clusters keep their centroid.  The classic distributed-Lloyd
+    shape: centroids broadcast per iteration (ray.put), per-batch
+    (sum, count) partials, k-sized driver update — the same pattern
+    dedup/embed.py::train_centroids runs over vectors.  Oracle:
+    committed fixture from the INDEPENDENT scalar loop twin.  Output:
+    (bucket, centroid_c, n, sum_c)."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        return pd.DataFrame({"lo": [int(c.min())], "hi": [int(c.max())]})
+
+    mm = orders.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    cent = np.array(
+        [lo + (hi - lo) * (2 * i + 1) // (2 * KMEANS_K)
+         for i in range(KMEANS_K)],
+        dtype=np.int64,
+    )
+    for _ in range(KMEANS_ITERS):
+        cref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cc = ray.get(cref)
+            v = np.round(df["o_totalprice"] * 100).astype(np.int64).to_numpy()
+            d = np.abs(v[:, None] - cc[None, :])
+            a = d.argmin(axis=1)  # argmin takes the LOWEST index on ties
+            return pd.DataFrame(
+                {"bucket": a, "s": v, "n": np.ones(len(v), dtype=np.int64)}
+            ).groupby("bucket", as_index=False).sum()
+
+        agg = (
+            orders.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        new = cent.copy()
+        for b, s, n in zip(agg["bucket"], agg["s"], agg["n"]):
+            new[int(b)] = int(s) // int(n)
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    cref = ray.put(cent)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cc = ray.get(cref)
+        v = np.round(df["o_totalprice"] * 100).astype(np.int64).to_numpy()
+        a = np.abs(v[:, None] - cc[None, :]).argmin(axis=1)
+        return pd.DataFrame(
+            {"bucket": a, "sum_c": v, "n": np.ones(len(v), dtype=np.int64)}
+        ).groupby("bucket", as_index=False).sum()
+
+    out = (
+        orders.map_batches(final, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("sum_c", alias_name="sum_c"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["centroid_c"] = [int(cent[int(b)]) for b in out["bucket"]]
+    out = out[["bucket", "centroid_c", "n", "sum_c"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Shuffle adjacency audit (q332)
+# --------------------------------------------------------------------------
+
+SHUFFLE_AUDIT_SALT = "shuffle"
+
+_SHUFAUD_SQL = f"""
+WITH o AS (
+  SELECT source,
+         LAG(source) OVER (
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)
+                                     || ':{SHUFFLE_AUDIT_SALT}'), doc_id
+         ) AS prev_source
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_adjacent_same
+FROM o
+"""
+
+
+@query("q332_shuffle_adjacency", sql=_SHUFAUD_SQL)
+def q332_shuffle_adjacency(sf_dir: str):
+    """Shuffle-quality audit of ops/shuffle.py::deterministic_shuffle:
+    count adjacent pairs in the training order that share a source —
+    a well-mixed order keeps this near the random-permutation
+    expectation Sum n_s(n_s-1)/n; clumps mean curriculum leakage.
+    Plan: the shuffle's own global positions make the adjacency
+    distributed: per-batch interior LAG compare + block-count-sized
+    boundary stitching on the driver — no second exchange.  Pure-SQL
+    oracle recomputes the SAME md5 order with a window LAG.  Output:
+    (n_rows, n_adjacent_same)."""
+    from texrex_ray.ops.shuffle import deterministic_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    shuffled = deterministic_shuffle(docs, id_col="doc_id",
+                                     salt=SHUFFLE_AUDIT_SALT)
+
+    def interior(t: pa.Table) -> pa.Table:
+        df = t.select(["pos", "source"]).to_pandas().sort_values("pos")
+        src = df["source"].to_numpy()
+        same = int((src[1:] == src[:-1]).sum()) if len(src) > 1 else 0
+        return pa.table(
+            {
+                "same": pa.array([same], pa.int64()),
+                "n": pa.array([len(df)], pa.int64()),
+                "first_pos": pa.array([int(df["pos"].iloc[0])], pa.int64()),
+                "first_src": pa.array([df["source"].iloc[0]], pa.string()),
+                "last_pos": pa.array([int(df["pos"].iloc[-1])], pa.int64()),
+                "last_src": pa.array([df["source"].iloc[-1]], pa.string()),
+            }
+        )
+
+    parts = shuffled.map_batches(
+        interior, batch_format="pyarrow"
+    ).to_pandas().sort_values("first_pos")
+    n_rows = int(parts["n"].sum())
+    same = int(parts["same"].sum())
+    # stitch block boundaries (consecutive positions across blocks)
+    last_pos = parts["last_pos"].to_numpy()[:-1]
+    next_pos = parts["first_pos"].to_numpy()[1:]
+    touching = last_pos + 1 == next_pos
+    same += int(
+        (touching
+         & (parts["last_src"].to_numpy()[:-1]
+            == parts["first_src"].to_numpy()[1:])).sum()
+    )
+    return pd.DataFrame(
+        {"n_rows": [n_rows], "n_adjacent_same": [same]}
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Deficit round robin (q333)
+# --------------------------------------------------------------------------
+
+DRR_QUANTUM_C = 1_000
+DRR_ROUNDS = 200
+
+
+def _drr_run(queues: dict[str, list[int]]) -> list[tuple]:
+    """Deficit Round Robin (Shreedhar-Varghese 1996): types served in
+    sorted order; each visit adds QUANTUM to the deficit, serves heads
+    while size <= deficit, zeroes the deficit when the queue drains.
+    Fixed {DRR_ROUNDS}-round horizon.  Returns per type:
+    (type, n_served, served_value_c, backlog, deficit_end)."""
+    types = sorted(queues)
+    head = {t: 0 for t in types}
+    deficit = {t: 0 for t in types}
+    served = {t: 0 for t in types}
+    value = {t: 0 for t in types}
+    for _ in range(DRR_ROUNDS):
+        for t in types:
+            q = queues[t]
+            if head[t] >= len(q):
+                deficit[t] = 0
+                continue
+            deficit[t] += DRR_QUANTUM_C
+            while head[t] < len(q) and q[head[t]] <= deficit[t]:
+                deficit[t] -= q[head[t]]
+                value[t] += q[head[t]]
+                served[t] += 1
+                head[t] += 1
+            if head[t] >= len(q):
+                deficit[t] = 0
+    return [
+        (t, served[t], value[t], len(queues[t]) - served[t], deficit[t])
+        for t in types
+    ]
+
+
+_DRR_SQL = """
+SELECT event_type, CAST(n_served AS BIGINT) AS n_served,
+       CAST(served_value_c AS BIGINT) AS served_value_c,
+       CAST(backlog AS BIGINT) AS backlog,
+       CAST(deficit_end AS BIGINT) AS deficit_end
+FROM read_parquet('/root/repo/tests/fixtures/oracle/drr_sf0.01.parquet')
+ORDER BY event_type
+"""
+
+
+@query("q333_deficit_round_robin", sql=_DRR_SQL)
+def q333_deficit_round_robin(sf_dir: str):
+    """Deficit-round-robin fairness replay (Shreedhar-Varghese 1996)
+    over per-type event queues (FIFO by ts, size = value cents,
+    quantum 1000c, 200 rounds) — the byte-fair scheduler audit for a
+    multi-tenant fetch/ingest pipeline: DRR guarantees each type's
+    served value per round approaches the quantum regardless of item
+    sizes.  Plan: queue construction is ONE type-keyed exchange with
+    per-group (ts, event_id) sort; the scheduler fold runs on the
+    queue heads (at scale: one DRR per dispatcher shard).  Oracle:
+    committed fixture from the INDEPENDENT deque-twin.  Output:
+    (event_type, n_served, served_value_c, backlog, deficit_end)."""
+    ev = _read(sf_dir, "events", ["ts", "event_id", "event_type", "value"])
+
+    def q_lists(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        sizes = np.maximum(
+            np.rint(g["value"].to_numpy() * 100).astype(np.int64), 1
+        )
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "sizes": [sizes.tolist()]}
+        )
+
+    qs = (
+        ev.groupby("event_type")
+        .map_groups(q_lists, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = _drr_run(dict(zip(qs["event_type"], qs["sizes"])))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_served", "served_value_c",
+                       "backlog", "deficit_end"]
+    )
+    for c in ("n_served", "served_value_c", "backlog", "deficit_end"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Forecast revenue change (TPC-H Q6 shape) (q334)
+# --------------------------------------------------------------------------
+
+Q6_LO = "1996-01-01"
+Q6_HI = "1997-01-01"
+
+_Q6_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT) // 100)
+            AS BIGINT) AS revenue_delta_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q6_HI}'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6
+  AND CAST(ROUND(l_quantity * 100) AS BIGINT) < 2400
+"""
+
+
+@query("q334_forecast_revenue", sql=_Q6_SQL)
+def q334_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — revenue given up to small-quantity discounts
+    in a year (price x discount over a 3-predicate slice): the pure
+    scan-filter-aggregate that measures how well predicates push to
+    the read.  NO join, NO exchange — two integers leave each task.
+    Output: (n_items, revenue_delta_c)."""
+    lo = pd.Timestamp(Q6_LO).value // 1000
+    hi = pd.Timestamp(Q6_HI).value // 1000
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                              pa.scalar(100.0))), pa.int64())
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"],
+                                             pa.scalar(100.0))), pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                    pc.less(d, pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_h, pa.scalar(4)),
+                        pc.less_equal(disc_h, pa.scalar(6))),
+                pc.less(qty_c, pa.scalar(2400)),
+            ),
+        )
+        t2 = t.filter(keep)
+        price_c = np.round(
+            t2["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dh = np.round(
+            t2["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        delta = price_c * dh // 100
+        return pa.table(
+            {
+                "n_items": pa.array([t2.num_rows], pa.int64()),
+                "delta": pa.array([int(delta.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("delta", alias_name="revenue_delta_c"))
+        .to_pandas()
+    )
+    return agg[["n_items", "revenue_delta_c"]].astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Returned-item top customers (TPC-H Q10 shape) (q335)
+# --------------------------------------------------------------------------
+
+Q10_LO = "1996-01-01"
+Q10_HI = "1996-07-01"
+Q10_TOPK = 20
+
+_Q10_SQL = f"""
+WITH f AS (SELECT o.o_custkey,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      // 100 AS vol_c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_returnflag = 'R'
+             AND o.o_orderdate >= TIMESTAMP '{Q10_LO}'
+             AND o.o_orderdate <  TIMESTAMP '{Q10_HI}')
+SELECT c.c_custkey, n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(f.vol_c) AS BIGINT) AS lost_revenue_c
+FROM f JOIN customer c ON c.c_custkey = f.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY c.c_custkey, n.n_name
+ORDER BY lost_revenue_c DESC, c_custkey LIMIT {Q10_TOPK}
+"""
+
+
+@query("q335_returned_items", sql=_Q10_SQL)
+def q335_returned_items(sf_dir: str):
+    """TPC-H Q10 shape — customers who returned the most revenue in a
+    half-year window: returnflag filter on the fact side, date filter
+    on orders, customer+nation dimension decoration, top-20.  Plan:
+    both filters prune at the scans; the half-year orderkey->custkey
+    map broadcasts (small after the filter); per-customer partials
+    combine before the customer-sized top-k.  Output: (c_custkey,
+    nation, n_items, lost_revenue_c)."""
+    lo = pd.Timestamp(Q10_LO).value // 1000
+    hi = pd.Timestamp(Q10_HI).value // 1000
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].astype("int64")
+        return df.loc[(d >= lo) & (d < hi), ["o_orderkey", "o_custkey"]]
+
+    omap_df = orders.map_batches(ofilter, batch_format="pandas").to_pandas()
+    omap = ray.put(dict(zip(omap_df["o_orderkey"].astype(int),
+                            omap_df["o_custkey"].astype(int))))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        om = ray.get(omap)
+        ks = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cust = np.array([om.get(int(k), -1) for k in ks], dtype=np.int64)
+        sel = cust >= 0
+        df = t.to_pandas()[sel]
+        if not len(df):
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64()),
+                             "vol_c": pa.array([], pa.int64())})
+        price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_h = np.round(df["l_discount"] * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"c_custkey": cust[sel], "n_items": 1,
+             "vol_c": price_c * (100 - disc_h) // 100}
+        ).groupby("c_custkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("vol_c", alias_name="lost_revenue_c"))
+        .to_pandas()
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dec = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = (
+        per_cust.merge(dec[["c_custkey", "n_name"]], on="c_custkey")
+        .rename(columns={"n_name": "nation"})
+        .sort_values(["lost_revenue_c", "c_custkey"],
+                     ascending=[False, True])
+        .head(Q10_TOPK)
+        .reset_index(drop=True)
+    )[["c_custkey", "nation", "n_items", "lost_revenue_c"]]
+    for c in ("c_custkey", "n_items", "lost_revenue_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Disjunctive predicate revenue (TPC-H Q19 shape) (q336)
+# --------------------------------------------------------------------------
+
+_Q19_SQL = """
+WITH f AS (
+  SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+             // 100 AS vol_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+         AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) BETWEEN 100 AND 1500)
+     OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 5 AND 20
+         AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) BETWEEN 1000 AND 3000)
+     OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 10 AND 40
+         AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) BETWEEN 2000 AND 5000)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(vol_c) AS BIGINT) AS revenue_c
+FROM f
+"""
+
+Q19_ARMS = (
+    ("Brand#2", 1, 10, 100, 1500),
+    ("Brand#17", 5, 20, 1000, 3000),
+    ("Brand#25", 10, 40, 2000, 5000),
+)
+
+
+@query("q336_disjunctive_revenue", sql=_Q19_SQL)
+def q336_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue under a 3-arm DISJUNCTION of
+    (brand, size-range, quantity-range) predicates: the OR-of-ANDs
+    slice planners must union instead of intersecting.  Plan: each arm
+    compiles to a broadcast partkey set (brand+size prune on the
+    dimension); lineitem batches test arm membership + quantity range
+    vectorized and union the arms with one boolean OR — the fact table
+    is scanned ONCE for all arms.  Output: (n_items, revenue_c)."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    arms = []
+    for brand, slo, shi, qlo, qhi in Q19_ARMS:
+        keys = part.loc[
+            (part["p_brand"] == brand)
+            & (part["p_size"] >= slo) & (part["p_size"] <= shi),
+            "p_partkey",
+        ].to_numpy().astype(np.int64)
+        arms.append((ray.put(keys), qlo, qhi))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty_c = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = np.zeros(len(pk), dtype=bool)
+        for ref, qlo, qhi in arms:
+            ks = ray.get(ref)
+            keep |= np.isin(pk, ks) & (qty_c >= qlo) & (qty_c <= qhi)
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_h = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        vol = (price_c * (100 - disc_h) // 100)[keep]
+        return pa.table(
+            {
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_c": pa.array([int(vol.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    return agg[["n_items", "revenue_c"]].astype("int64")
+
+
+@ray.remote(num_cpus=0.5)
+class _PinnedShardActor:
+    """Holds one edge shard in memory for ITERATIVE algorithms
+    (Boruvka rounds, delta-stepping relax phases): per-round work is a
+    millisecond actor call over the pinned frame instead of a fresh
+    Dataset execution (whose fixed startup dominates log-V round
+    loops).  The Dataset-API equivalent stays as the one-shot path;
+    this is the documented raw-actor exception for iterative state.
+    Killed by the caller when the loop ends (idle actors hold CPUs)."""
+
+    def __init__(self, ds) -> None:
+        self.df = ds.to_pandas()
+
+    def apply(self, fn, *args):
+        return fn(self.df, *args)
+
+
+def _pin_shards(ds: ray.data.Dataset, n: int = 4) -> list:
+    return [_PinnedShardActor.remote(part) for part in ds.split(n)]
+
+
+# --------------------------------------------------------------------------
+# Boruvka minimum spanning forest over the supplier-part graph (q337)
+# --------------------------------------------------------------------------
+
+_MST_SQL = (
+    "SELECT n_nodes, n_edges, n_components, n_mst_edges, mst_weight_c "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/mst_sf0.01.parquet')"
+)
+
+
+@query("q337_boruvka_msf", sql=_MST_SQL)
+def q337_boruvka_msf(sf_dir: str):
+    """Minimum spanning forest of the bipartite supplier-part graph
+    (edge weight = MIN lineitem extendedprice in cents for the pair),
+    computed with DISTRIBUTED Boruvka rounds: per round, every
+    component's cheapest outgoing edge is found with one combiner-style
+    ``map_batches`` partial + a component-keyed groupby over a packed
+    ``(w, src, dst)`` int64 key (lexicographic min == integer min), and
+    only the per-component winners reach the driver's union-find.
+    Components at least halve per round, so the loop is O(log V) rounds
+    of edge-local work — the textbook MST shape for map-reduce.  The
+    node->component label array is driver-broadcast per round (V here is
+    suppliers+parts ~ 2.1k; at web scale labels shard into actor state
+    and merging uses pointer-jumping, same plan switch as
+    ops/graph.py::dup_clusters).  Every MSF has the same total weight
+    and edge count, so the output is implementation-independent; the
+    oracle fixture is an INDEPENDENT Kruskal twin
+    (tools/gen_oracle_fixtures.py::gen_mst).  Output one row:
+    (n_nodes, n_edges, n_components, n_mst_edges, mst_weight_c)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_extendedprice"])
+
+    # edge aggregation: per-batch min per (src, dst), then one shuffle
+    def edge_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "dst": t["l_partkey"].to_numpy(zero_copy_only=False)
+                + 1_000_000,
+                "w_c": np.round(
+                    t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["src", "dst"], as_index=False)["w_c"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    edges = bucketed_groupby(
+        li.map_batches(edge_partial, batch_format="pyarrow"),
+        ["src", "dst"],
+        lambda df: df.groupby(["src", "dst"], as_index=False)["w_c"].min(),
+        expected_rows=li.count(),
+    ).materialize()  # reused every Boruvka round; edge-list-sized
+    n_edges = edges.count()
+
+    # driver-side node universe + dense index (V = result-sized here)
+    uniq = (
+        pd.concat(
+            [
+                b.to_pandas()
+                for b in edges.select_columns(["src", "dst"]).iter_batches(
+                    batch_format="pyarrow", batch_size=65536
+                )
+            ]
+        )
+        .melt(value_name="node")["node"]
+        .drop_duplicates()
+        .sort_values()
+        .to_numpy()
+    )
+    n_nodes = len(uniq)
+    node_pos = {int(v): i for i, v in enumerate(uniq)}
+    pos_ref = ray.put(node_pos)
+
+    # dense endpoint indices are computed ONCE (the per-round passes
+    # below must not pay a Python dict map over every edge again)
+    def add_idx(df: pd.DataFrame) -> pd.DataFrame:
+        pos = ray.get(pos_ref)
+        return pd.DataFrame(
+            {
+                "si": df["src"].map(pos).to_numpy(np.int64),
+                "di": df["dst"].map(pos).to_numpy(np.int64),
+                "w_c": df["w_c"].to_numpy(np.int64),
+            }
+        )
+
+    shards = _pin_shards(
+        edges.map_batches(add_idx, batch_format="pandas"), n=4
+    )
+
+    # union-find on dense node indices (driver: component-sized state)
+    parent = np.arange(n_nodes, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return int(x)
+
+    # packed lexicographic key (w, src, dst) -> one int64 so the
+    # per-component argmin is a plain integer Min aggregate.  Index
+    # width is sized from V at the driver; the weight gets the rest of
+    # the 63 bits, asserted loudly (beyond that, switch the winner
+    # aggregate to a map_groups lexicographic min).
+    idx_bits = max(int(np.ceil(np.log2(max(n_nodes, 2)))), 1)
+    w_bits = 63 - 2 * idx_bits
+
+    def min_out(df: pd.DataFrame, lab: np.ndarray) -> pd.DataFrame:
+        si = df["si"].to_numpy(np.int64)
+        di = df["di"].to_numpy(np.int64)
+        c1, c2 = lab[si], lab[di]
+        live = c1 != c2
+        if not live.any():
+            return pd.DataFrame({"comp": [], "packed": []}).astype(
+                {"comp": np.int64, "packed": np.int64}
+            )
+        w = df["w_c"].to_numpy(np.int64)[live]
+        if w.max(initial=0) >= (1 << w_bits):
+            raise ValueError(
+                f"q337 packed-key overflow: w_c needs >= {w_bits} bits"
+            )
+        packed = (
+            (w << (2 * idx_bits)) | (si[live] << idx_bits) | di[live]
+        )
+        both = pd.DataFrame(
+            {
+                "comp": np.concatenate([c1[live], c2[live]]),
+                "packed": np.concatenate([packed, packed]),
+            }
+        )
+        return both.groupby("comp", as_index=False)["packed"].min()
+
+    mst_w = 0
+    mst_e = 0
+    while True:
+        # component label per node, shipped once per round
+        labels = np.array([find(i) for i in range(n_nodes)], dtype=np.int64)
+        # shard partials are already per-comp minima; reduce on driver
+        partials = pd.concat(
+            ray.get([s.apply.remote(min_out, labels) for s in shards])
+        )
+        if partials.empty:
+            break
+        winners = partials.groupby("comp", as_index=False)["packed"].min()
+        if winners.empty:
+            break
+        merged_any = False
+        # sort for determinism; unpack and union
+        for p in np.sort(winners["packed"].to_numpy(np.int64)):
+            w = int(p >> (2 * idx_bits))
+            si = int((p >> idx_bits) & ((1 << idx_bits) - 1))
+            di = int(p & ((1 << idx_bits) - 1))
+            ra, rb = find(si), find(di)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                mst_w += w
+                mst_e += 1
+                merged_any = True
+        if not merged_any:
+            break
+
+    for s in shards:
+        ray.kill(s)
+    n_comp = len({find(i) for i in range(n_nodes)})
+    return pd.DataFrame(
+        {
+            "n_nodes": [n_nodes],
+            "n_edges": [n_edges],
+            "n_components": [n_comp],
+            "n_mst_edges": [mst_e],
+            "mst_weight_c": [mst_w],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# AMS F2 sketch audit over the event stream (q338)
+# --------------------------------------------------------------------------
+
+_AMS_J = 17  # odd estimator count -> the median is an exact element
+
+_AMS_SQL = f"""
+WITH cnt AS (
+  SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+est AS (
+  SELECT j,
+         CAST(SUM(CASE WHEN md5_number_lower(CAST(u AS VARCHAR) || ':' ||
+                                             CAST(j AS VARCHAR)) % 2 = 0
+                       THEN c ELSE -c END) AS BIGINT) AS s
+  FROM cnt CROSS JOIN (SELECT unnest(range({_AMS_J})) AS j)
+  GROUP BY j
+),
+ranked AS (
+  SELECT s * s AS e, row_number() OVER (ORDER BY s * s) AS rn FROM est
+),
+x AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM cnt),
+m AS (SELECT e AS est_f2 FROM ranked WHERE rn = {(_AMS_J + 1) // 2})
+SELECT exact_f2, est_f2,
+       CAST(ABS(est_f2 - exact_f2) * 10000 // exact_f2 AS BIGINT) AS rel_err_bp
+FROM x, m
+"""
+
+
+@query("q338_ams_f2", sql=_AMS_SQL)
+def q338_ams_f2(sf_dir: str):
+    """AMS second-frequency-moment sketch audit: F2 = sum over users of
+    count^2 (the self-join size of the stream), estimated with 17
+    four-wise-ish +/-1 estimators S_j = sum_u sign_j(u) * c_u, taking
+    the MEDIAN of S_j^2 — versus the exact F2 from the same grouped
+    counts.  Ray plan: combiner-style per-batch partial counts ->
+    groupby-user sum (the only key-cardinality exchange); the 17 signed
+    sums fold over the RESULT-SIZED user table per batch and meet in a
+    17-row groupby — the signs (md5_number_lower(u:j) parity, identical
+    in DuckDB and Python) are computed on aggregated keys, never per
+    event.  At 100 TB the user table itself streams: the signed partial
+    per batch is 17 numbers, so the second exchange stays 17 rows.
+    Output: (exact_f2, est_f2, rel_err_bp)."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"u": u.astype(np.int64), "c": c.astype(np.int64)})
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def signed(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        js = np.empty(_AMS_J, np.int64)
+        ss = np.empty(_AMS_J, np.int64)
+        f2 = int((c.astype(object) * c).sum())
+        for j in range(_AMS_J):
+            sign = np.fromiter(
+                (
+                    1
+                    if int.from_bytes(
+                        hashlib.md5(f"{int(x)}:{j}".encode()).digest()[8:],
+                        "little",
+                    )
+                    % 2
+                    == 0
+                    else -1
+                    for x in u
+                ),
+                np.int64,
+                len(u),
+            )
+            js[j] = j
+            ss[j] = int((sign * c).sum())
+        out = pa.table({"j": js, "s": ss})
+        return out.append_column(
+            "f2", pa.array([f2] + [0] * (_AMS_J - 1), pa.int64())
+        )
+
+    folded = (
+        counts.map_batches(signed, batch_format="pyarrow")
+        .groupby("j")
+        .aggregate(Sum("s", alias_name="s"), Sum("f2", alias_name="f2"))
+        .to_pandas()
+    )
+    exact = int(folded["f2"].sum())
+    ests = np.sort((folded["s"].to_numpy(np.int64) ** 2))
+    est = int(ests[(_AMS_J - 1) // 2])
+    return pd.DataFrame(
+        {
+            "exact_f2": [exact],
+            "est_f2": [est],
+            "rel_err_bp": [abs(est - exact) * 10000 // exact],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Profit by nation and ship year (TPC-H Q9 shape) (q339)
+# --------------------------------------------------------------------------
+
+_Q9_SQL = """
+WITH f AS (
+  SELECT n.n_name,
+         CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) // 100
+           - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+             * CAST(ROUND(l.l_quantity * 100) AS BIGINT) // 100 AS amount_c
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey  = l.l_partkey
+  JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+)
+SELECT n_name, o_year, CAST(SUM(amount_c) AS BIGINT) AS profit_c
+FROM f GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+@query("q339_nation_profit", sql=_Q9_SQL)
+def q339_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape — profit by (supplier nation, ship year) for 'red'
+    parts, with retail price standing in for supply cost (no partsupp
+    table).  Plan: the two dimension sides are broadcast lookup arrays
+    (partkey -> retail cents for the name-filtered parts; suppkey ->
+    nation name via a driver-side 100x25 join), the fact table is
+    scanned once with a combiner-style partial aggregate on
+    (nation, year), and the final exchange is nation*year-sized.
+    Integer-exact cents arithmetic end to end (the q94 discipline).
+    Output: (n_name, o_year, profit_c) ordered by nation, year DESC."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    red = part[part["p_name"].str.contains("red")]
+    retail_c = dict(
+        zip(
+            red["p_partkey"].astype(np.int64),
+            np.round(red["p_retailprice"].to_numpy() * 100).astype(np.int64),
+        )
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    s2n = dict(
+        zip(
+            sup["s_suppkey"].astype(np.int64),
+            sup["s_nationkey"].map(
+                dict(zip(nat["n_nationkey"], nat["n_name"]))
+            ),
+        )
+    )
+    retail_ref, s2n_ref = ray.put(retail_c), ray.put(s2n)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rc = ray.get(retail_ref)
+        sn = ray.get(s2n_ref)
+        r = df["l_partkey"].map(rc)
+        keep = r.notna()
+        if not keep.any():
+            return pd.DataFrame(
+                {"n_name": pd.Series([], dtype=str),
+                 "o_year": pd.Series([], dtype=np.int64),
+                 "profit_c": pd.Series([], dtype=np.int64)}
+            )
+        d = df.loc[keep]
+        price_c = np.round(d["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_h = np.round(d["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty_c = np.round(d["l_quantity"].to_numpy() * 100).astype(np.int64)
+        amount = (price_c * (100 - disc_h) // 100
+                  - r[keep].to_numpy(np.int64) * qty_c // 100)
+        g = pd.DataFrame(
+            {
+                "n_name": d["l_suppkey"].map(sn).to_numpy(),
+                "o_year": d["l_shipdate"].dt.year.to_numpy(np.int64),
+                "profit_c": amount,
+            }
+        ).groupby(["n_name", "o_year"], as_index=False)["profit_c"].sum()
+        return g
+
+    out = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("profit_c", alias_name="profit_c"))
+        .to_pandas()
+        .sort_values(["n_name", "o_year"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit_c"] = out["profit_c"].astype("int64")
+    return out[["n_name", "o_year", "profit_c"]]
+
+
+# --------------------------------------------------------------------------
+# Johnson two-machine flow-shop makespan (q340)
+# --------------------------------------------------------------------------
+
+_FS_MOD = 86_400  # synthetic per-machine processing seconds: [1, 86400]
+
+_JOHNSON_SQL = f"""
+WITH j AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) % {_FS_MOD} + 1 AS p1,
+         (o_orderkey * 37 + 11) % {_FS_MOD} + 1                    AS p2
+  FROM orders
+),
+s AS (
+  SELECT *,
+         CASE WHEN p1 < p2 THEN 0 ELSE 1 END AS grp,
+         CASE WHEN p1 < p2 THEN p1 ELSE -p2 END AS k2
+  FROM j
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_jobs,
+             CAST(SUM(p1) AS BIGINT) AS total_p1,
+             CAST(SUM(p2) AS BIGINT) AS total_p2 FROM j),
+jo AS (
+  SELECT CAST(MAX(score) AS BIGINT) AS makespan_johnson FROM (
+    SELECT SUM(p1) OVER (ORDER BY grp, k2, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      + (SELECT total_p2 FROM t)
+      - COALESCE(SUM(p2) OVER (ORDER BY grp, k2, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS score FROM s)
+),
+fi AS (
+  SELECT CAST(MAX(score) AS BIGINT) AS makespan_fifo FROM (
+    SELECT SUM(p1) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      + (SELECT total_p2 FROM t)
+      - COALESCE(SUM(p2) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS score FROM s)
+)
+SELECT n_jobs, total_p1, total_p2, makespan_johnson, makespan_fifo
+FROM t, jo, fi
+"""
+
+
+@query("q340_johnson_flowshop", sql=_JOHNSON_SQL)
+def q340_johnson_flowshop(sf_dir: str):
+    """Johnson's rule for the two-machine flow shop: every order is a
+    job with synthetic deterministic processing times (p1 from the
+    price cents, p2 from the key), scheduled by the optimal rule
+    (p1<p2 ascending p1 first, then the rest descending p2) and
+    compared against FIFO key order.  The makespan uses the CLOSED
+    FORM C = max_j (cumsum_p1(j) + total_p2 - cumsum_p2(j-1)), so the
+    sequential machine-2 recurrence becomes two distributed EXCLUSIVE
+    prefix scans (ops/window.py::prefix_scan_sum — contiguous range
+    slices, driver carries are bucket-count-sized) over a packed
+    integer schedule key + one global max: no global sort, no
+    driver-side job list.  Output one row:
+    (n_jobs, total_p1, total_p2, makespan_johnson, makespan_fifo)."""
+    ods = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p1 = (
+            np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)
+            % _FS_MOD
+            + 1
+        )
+        p2 = (k * 37 + 11) % _FS_MOD + 1
+        if k.max(initial=0) >= (1 << 21):
+            raise ValueError("q340 packed key: o_orderkey needs >= 21 bits")
+        grp = (p1 >= p2).astype(np.int64)
+        k2 = np.where(grp == 0, p1, -p2)
+        # (grp, k2, key) packed into one int64 order key for the scans
+        ord_j = (grp << 39) | ((k2 + (1 << 17)) << 21) | k
+        return pa.table({"key": k, "p1": p1, "p2": p2, "ord_j": ord_j})
+
+    # both scans + all scalars re-read this: pin once, ONE stats pass
+    jobs = ods.map_batches(derive, batch_format="pyarrow").materialize()
+    stats = (
+        jobs.groupby(None)
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("p1", alias_name="tp1"),
+            Sum("p2", alias_name="tp2"),
+            Min("ord_j", alias_name="lo_j"),
+            Max("ord_j", alias_name="hi_j"),
+            Min("key", alias_name="lo_k"),
+            Max("key", alias_name="hi_k"),
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    n_jobs = int(stats["n"])
+    total_p1 = int(stats["tp1"])
+    total_p2 = int(stats["tp2"])
+    bounds = {"ord_j": (int(stats["lo_j"]), int(stats["hi_j"])),
+              "key": (int(stats["lo_k"]), int(stats["hi_k"]))}
+
+    def makespan(ds: ray.data.Dataset, order_col: str) -> int:
+        # DUAL exclusive prefix scan (p1 and p2 share one slicing, one
+        # bucket-sum pass, one combine) — prefix_scan_sum's plan run
+        # once instead of twice, then the closed-form max folds inline
+        lo, hi = bounds[order_col]
+        width = max((hi - lo) // 64 + 1, 1)
+
+        def assign(t: pa.Table) -> pa.Table:
+            o = t[order_col].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "_b", pa.array((o - int(lo)) // width, pa.int64())
+            )
+
+        bucketed = ds.map_batches(assign, batch_format="pyarrow")
+        bsum = (
+            bucketed.groupby("_b")
+            .aggregate(Sum("p1", alias_name="_s1"),
+                       Sum("p2", alias_name="_s2"))
+            .to_pandas()
+            .sort_values("_b")
+        )
+        carry: dict[int, tuple[int, int]] = {}
+        r1 = r2 = 0
+        for b, s1v, s2v in zip(bsum["_b"], bsum["_s1"], bsum["_s2"]):
+            carry[int(b)] = (r1, r2)
+            r1 += int(s1v)
+            r2 += int(s2v)
+        carry_ref = ray.put(carry)
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(carry_ref)
+            best = -(1 << 62)
+            for b, sub in df.groupby("_b", sort=False):
+                sub = sub.sort_values(order_col, kind="mergesort")
+                c1, c2 = c.get(int(b), (0, 0))
+                cum1 = c1 + sub["p1"].to_numpy(np.int64).cumsum()
+                cum2 = c2 + np.concatenate(
+                    ([0], sub["p2"].to_numpy(np.int64).cumsum()[:-1])
+                )
+                best = max(best, int((cum1 + total_p2 - cum2).max()))
+            return pd.DataFrame({"m": [best]})
+
+        from texrex_ray.ops.aggregate import bucketed_groupby
+
+        return int(
+            bucketed_groupby(bucketed, "_b", combine, n_buckets=64)
+            .to_pandas()["m"].max()
+        )
+
+    return pd.DataFrame(
+        {
+            "n_jobs": [n_jobs],
+            "total_p1": [total_p1],
+            "total_p2": [total_p2],
+            "makespan_johnson": [makespan(jobs, "ord_j")],
+            "makespan_fifo": [makespan(jobs, "key")],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Delta-stepping single-source shortest paths (q341)
+# --------------------------------------------------------------------------
+
+_SSSP_SQL = (
+    "SELECT n_nodes, n_reached, sum_dist_c, max_dist_c "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/sssp_sf0.01.parquet')"
+)
+
+_SSSP_DELTA = 1 << 21  # bucket width in cents (~21k USD)
+
+
+@query("q341_delta_stepping", sql=_SSSP_SQL)
+def q341_delta_stepping(sf_dir: str):
+    """Delta-stepping SSSP (Meyer & Sanders) over the undirected
+    supplier-part graph (edge weight = MIN lineitem extendedprice
+    cents for the pair), source = the smallest node id.  The classic
+    scalable SSSP: distances are binned into width-DELTA buckets; the
+    lowest bucket is drained with repeated LIGHT-edge (w < DELTA)
+    relaxation phases, then HEAVY edges of the removed set relax once.
+    Every relaxation phase is DISTRIBUTED: one map_batches over the
+    (materialized, edge-aggregated) edge dataset with the frontier
+    mask + distance array broadcast, a per-batch min-per-dst combiner,
+    and a dst-keyed groupby min — the driver only merges per-node
+    winners (V-sized here; sharded actor state at web scale, the same
+    plan note as q337).  The oracle fixture is an INDEPENDENT binary-
+    heap Dijkstra twin (tools/gen_oracle_fixtures.py::gen_sssp).
+    Output: (n_nodes, n_reached, sum_dist_c, max_dist_c)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_extendedprice"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            + 1_000_000
+        w = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "src": np.concatenate([s, d]),  # undirected: both ways
+                "dst": np.concatenate([d, s]),
+                "w_c": np.concatenate([w, w]),
+            }
+        ).groupby(["src", "dst"], as_index=False)["w_c"].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    edges = bucketed_groupby(
+        li.map_batches(edge_partial, batch_format="pyarrow"),
+        ["src", "dst"],
+        lambda df: df.groupby(["src", "dst"], as_index=False)["w_c"].min(),
+        expected_rows=2 * li.count(),
+    ).materialize()  # reused every relaxation phase
+
+    uniq = (
+        pd.concat(
+            [
+                b.to_pandas()
+                for b in edges.select_columns(["src"]).iter_batches(
+                    batch_format="pyarrow", batch_size=65536
+                )
+            ]
+        )["src"]
+        .drop_duplicates()
+        .sort_values()
+        .to_numpy(np.int64)
+    )
+    n_nodes = len(uniq)
+    pos = {int(v): i for i, v in enumerate(uniq)}
+    pos_ref = ray.put(pos)
+
+    # dense indices + light/heavy class computed ONCE; relax phases
+    # must not re-pay the Python dict map per pass
+    def add_idx(df: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pos_ref)
+        w = df["w_c"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "si": df["src"].map(pm).to_numpy(np.int64),
+                "di": df["dst"].map(pm).to_numpy(np.int64),
+                "w_c": w,
+                "light": w < _SSSP_DELTA,
+            }
+        )
+
+    # relax phases are a log-depth loop over a pinned working set:
+    # shard actors (see _PinnedShardActor) make each phase a
+    # millisecond call instead of a Dataset execution
+    shards = _pin_shards(
+        edges.map_batches(add_idx, batch_format="pandas"), n=4
+    )
+
+    INF = np.int64(1 << 62)
+    dist = np.full(n_nodes, INF, np.int64)
+    dist[0] = 0  # uniq is sorted: index 0 == smallest node id
+    pending = np.zeros(n_nodes, bool)
+    pending[0] = True
+
+    def phase(df: pd.DataFrame, a: np.ndarray, dd: np.ndarray,
+              light: bool) -> pd.DataFrame:
+        si = df["si"].to_numpy(np.int64)
+        w = df["w_c"].to_numpy(np.int64)
+        kind = df["light"].to_numpy(bool)
+        if not light:
+            kind = ~kind
+        live = a[si] & kind
+        if not live.any():
+            return pd.DataFrame(
+                {"di": pd.Series([], dtype=np.int64),
+                 "cand": pd.Series([], dtype=np.int64)}
+            )
+        di = df["di"].to_numpy(np.int64)[live]
+        cand = dd[si[live]] + w[live]
+        out = pd.DataFrame({"di": di, "cand": cand})
+        return out.groupby("di", as_index=False)["cand"].min()
+
+    def relax(active: np.ndarray, light: bool) -> pd.DataFrame:
+        # shard partials are per-dst minima; driver reduces the
+        # n_shards x frontier-sized remainder
+        req = pd.concat(
+            ray.get([s.apply.remote(phase, active, dist, light)
+                     for s in shards])
+        )
+        if req.empty:
+            return req
+        return req.groupby("di", as_index=False)["cand"].min()
+
+    def apply(req: pd.DataFrame) -> np.ndarray:
+        improved = np.zeros(n_nodes, bool)
+        if len(req):
+            di = req["di"].to_numpy(np.int64)
+            cand = req["cand"].to_numpy(np.int64)
+            better = cand < dist[di]
+            dist[di[better]] = cand[better]
+            improved[di[better]] = True
+        return improved
+
+    while pending.any():
+        i = int(dist[pending].min()) // _SSSP_DELTA
+        in_bucket = pending & (dist < INF) & (dist // _SSSP_DELTA == i)
+        removed = np.zeros(n_nodes, bool)
+        while in_bucket.any():
+            removed |= in_bucket
+            pending &= ~in_bucket
+            pending |= apply(relax(in_bucket, light=True))
+            in_bucket = pending & (dist // _SSSP_DELTA == i)
+        pending |= apply(relax(removed, light=False))
+
+    for s in shards:
+        ray.kill(s)
+    reached = dist < INF
+    return pd.DataFrame(
+        {
+            "n_nodes": [n_nodes],
+            "n_reached": [int(reached.sum())],
+            "sum_dist_c": [int(dist[reached].sum())],
+            "max_dist_c": [int(dist[reached].max())],
+        }
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# Parts-supplier relationship census (TPC-H Q16 shape) (q342)
+# --------------------------------------------------------------------------
+
+_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+_Q16_SQL = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN {_Q16_SIZES}
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 25
+"""
+
+
+@query("q342_supplier_census", sql=_Q16_SQL)
+def q342_supplier_census(sf_dir: str):
+    """TPC-H Q16 shape — COUNT(DISTINCT supplier) per (brand, type,
+    size) for a size-list slice, excluding one brand, one type, and
+    complained-about suppliers (acctbal < 0, the Q16 anti-join).  Plan:
+    both dimension filters are broadcast lookups (part dim -> attrs,
+    supplier exclusion set); the fact scan dedupes
+    (brand, type, size, suppkey) per batch (combiner), one groupby
+    collapses cross-batch duplicates, a second groupby counts distinct
+    suppliers — the exchanges carry distinct COMBINATIONS, never fact
+    rows.  Output: top-25 by (supplier_cnt DESC, brand, type, size)."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    keep = part[
+        (part["p_brand"] != "Brand#2")
+        & (part["p_type"] != "PROMO")
+        & part["p_size"].isin(_Q16_SIZES)
+    ]
+    attrs = {
+        int(r.p_partkey): (r.p_brand, r.p_type, int(r.p_size))
+        for r in keep.itertuples()
+    }
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    excl = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype(int))
+    attrs_ref, excl_ref = ray.put(attrs), ray.put(excl)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def combos(df: pd.DataFrame) -> pd.DataFrame:
+        am = ray.get(attrs_ref)
+        ex = ray.get(excl_ref)
+        d = df[df["l_partkey"].isin(am) & ~df["l_suppkey"].isin(ex)]
+        if d.empty:
+            return pd.DataFrame(
+                {"p_brand": pd.Series([], dtype=str),
+                 "p_type": pd.Series([], dtype=str),
+                 "p_size": pd.Series([], dtype=np.int64),
+                 "suppkey": pd.Series([], dtype=np.int64)}
+            )
+        rows = d.drop_duplicates(["l_partkey", "l_suppkey"])
+        att = rows["l_partkey"].map(am)
+        return pd.DataFrame(
+            {
+                "p_brand": att.str[0].to_numpy(),
+                "p_type": att.str[1].to_numpy(),
+                "p_size": att.str[2].to_numpy(np.int64),
+                "suppkey": rows["l_suppkey"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    distinct = bucketed_groupby(
+        li.map_batches(combos, batch_format="pandas"),
+        ["p_brand", "p_type", "p_size", "suppkey"],
+        lambda df: df.drop_duplicates(),
+        expected_rows=li.count(),
+    )
+    counts = (
+        bucketed_groupby(
+            distinct,
+            ["p_brand", "p_type", "p_size"],
+            lambda df: df.groupby(
+                ["p_brand", "p_type", "p_size"], as_index=False
+            ).size().rename(columns={"size": "supplier_cnt"}),
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        )
+        .head(25)
+        .reset_index(drop=True)
+    )
+    counts["p_size"] = counts["p_size"].astype("int64")
+    counts["supplier_cnt"] = counts["supplier_cnt"].astype("int64")
+    return counts[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
+# --------------------------------------------------------------------------
+# Burrows-Wheeler run compressibility (q343)
+# --------------------------------------------------------------------------
+
+_BWT_PREFIX = 512
+
+_BWT_SQL = (
+    "SELECT source, n_docs, sum_chars, sum_runs, runs_ppm "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/bwt_sf0.01.parquet') "
+    "ORDER BY source"
+)
+
+
+@query("q343_bwt_runs", sql=_BWT_SQL)
+def q343_bwt_runs(sf_dir: str):
+    """Per-source Burrows-Wheeler compressibility: BWT each document's
+    first 512 chars (+ sentinel) and count the transform's character
+    RUNS — the bzip2 pipeline's leverage (repetitive text -> few runs).
+    The per-doc suffix array uses numpy prefix doubling
+    (functions/complexity.py::bwt_runs, O(n log^2 n) lexsort rounds);
+    the oracle fixture is the INDEPENDENT explicit-rotation-sort twin.
+    Per-doc work is embarrassingly parallel map_batches; the exchange
+    is source-count-sized partial sums.  Output per source:
+    (source, n_docs, sum_chars, sum_runs, runs_ppm) where
+    runs_ppm = sum_runs * 1e6 // sum_chars (lower = more squeezable)."""
+    from texrex_ray.functions.complexity import bwt_runs
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src_name, sub in df.groupby("source", sort=False):
+            n_c = 0
+            n_r = 0
+            for t in sub["text"]:
+                c, r = bwt_runs(str(t)[:_BWT_PREFIX])
+                n_c += c
+                n_r += r
+            rows.append((src_name, len(sub), n_c, n_r))
+        return pd.DataFrame(
+            rows, columns=["source", "n_docs", "sum_chars", "sum_runs"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("sum_runs", alias_name="sum_runs"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["runs_ppm"] = (
+        out["sum_runs"] * 1_000_000 // out["sum_chars"]
+    ).astype("int64")
+    for c in ("n_docs", "sum_chars", "sum_runs"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n_docs", "sum_chars", "sum_runs", "runs_ppm"]]
+
+
+# --------------------------------------------------------------------------
+# L1 distance-transform audit over the image payload table (q344)
+# --------------------------------------------------------------------------
+
+_DT_SQL = (
+    "SELECT fmt, n_images, n_fg, sum_dt, max_dt "
+    "FROM read_parquet('/root/repo/tests/fixtures/oracle/dt_sf0.01.parquet') "
+    "ORDER BY fmt"
+)
+
+
+@query("q344_distance_transform", sql=_DT_SQL)
+def q344_distance_transform(sf_dir: str):
+    """Exact L1 distance transform per image (separable two-pass lower
+    envelope, stages/images.py::DistanceTransform): how far background
+    pixels sit from the nearest bright (luminance >= 383) pixel — the
+    layout-sparsity audit behind content-crop and saliency heuristics.
+    Decode + transform run in the actor pool (pixels never shuffle);
+    three int64 scalars per image reach the per-fmt aggregate.  Oracle:
+    committed fixture from the INDEPENDENT multi-source BFS-dilation
+    twin (L1 distance == 4-neighbour BFS depth on an obstacle-free
+    grid).  Output per fmt: (fmt, n_images, n_fg, sum_dt, max_dt)."""
+    from texrex_ray.pipelines.caption import fixture_path
+    from texrex_ray.sources.lance_io import read_images
+    from texrex_ray.stages.images import DistanceTransform
+
+    d = fixture_path(n=300, seed=42)
+    ds = read_images(f"{d}/images_table", columns=["image_id", "bytes", "fmt"])
+    scored = ds.map_batches(
+        DistanceTransform, concurrency=2, batch_size=64,
+        batch_format="pyarrow",
+    ).select_columns(["fmt", "n_fg", "sum_dt", "max_dt"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")
+        return pd.DataFrame(
+            {
+                "n_images": g.size(),
+                "n_fg": g["n_fg"].sum(),
+                "sum_dt": g["sum_dt"].sum(),
+                "max_dt": g["max_dt"].max(),
+            }
+        ).reset_index()
+
+    out = (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_fg", alias_name="n_fg"),
+            Sum("sum_dt", alias_name="sum_dt"),
+            Max("max_dt", alias_name="max_dt"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+    for c in ("n_images", "n_fg", "sum_dt", "max_dt"):
+        out[c] = out[c].astype("int64")
+    return out[["fmt", "n_images", "n_fg", "sum_dt", "max_dt"]]
