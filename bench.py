@@ -32,6 +32,10 @@ def run_bench(shutdown: bool = True) -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf) if sf else 0.1
+    except ValueError:  # non-testdata dir (e.g. the synthesized sf1 leg)
+        sf_val = -1.0
 
     import ray
 
@@ -162,6 +166,14 @@ def run_bench(shutdown: bool = True) -> dict:
     import glob as _glob
 
     corpus_files = sorted(_glob.glob(f"{out_root}/crawl/corpus/part=*/*.parquet"))
+    # the synthesized sf1 documents table is a DIRECTORY of part files;
+    # read_parquet rejects directories inside a path list, so expand
+    _docs_src = f"{sf_dir}/documents.parquet"
+    docs_files = (
+        sorted(_glob.glob(f"{_docs_src}/*.parquet"))
+        if os.path.isdir(_docs_src)
+        else [_docs_src]
+    )
 
     def clean_once(n_paths: int, out: str) -> None:
         # ONE pruned read over both sources (crawl corpus + replicated
@@ -170,7 +182,7 @@ def run_bench(shutdown: bool = True) -> dict:
         # CPU counts (two input branches + union + write contend for the
         # few operator slots: measured 2.2× slower at 4 CPUs) and its
         # per-branch chains can't share the fused read→chain tasks.
-        paths = corpus_files + [f"{sf_dir}/documents.parquet"] * n_paths
+        paths = corpus_files + docs_files * n_paths
         ds = ray.data.read_parquet(paths, columns=["text"])
         clean_documents(ds, minhash_k=64, batch_size=1024).select_columns(
             compact_cols
@@ -236,7 +248,7 @@ def run_bench(shutdown: bool = True) -> dict:
         "value": round(total, 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
-        "sf": float(sf) if sf else 0.1,
+        "sf": sf_val,
         "num_cpus": num_cpus,
         "fetch_clean_rows_per_sec": round(urls_and_rows / (times["crawl"] + times["clean"]), 1),
         **extras,
@@ -342,18 +354,27 @@ def run_sf1() -> dict:
     result["sf"] = 1.0
     result["sf1_synth_sec"] = synth_sec
 
-    # object-store spill stats for the whole session
+    # object-store spill stats for the whole session: the raylet logs
+    # cumulative "Spilled N MiB, M objects" lines (grpc-based state APIs
+    # are unavailable in this container) — the LAST match is the total;
+    # no match means nothing spilled.
     try:
-        from ray._private.internal_api import memory_summary
-
-        ms = memory_summary(stats_only=True)
+        import glob as _glob
         import re as _re
 
-        sp = _re.search(r"Spilled (\d+) MiB, (\d+) objects", ms)
-        rs = _re.search(r"Restored (\d+) MiB, (\d+) objects", ms)
-        result["spilled_mib"] = int(sp.group(1)) if sp else 0
-        result["spilled_objects"] = int(sp.group(2)) if sp else 0
-        result["restored_mib"] = int(rs.group(1)) if rs else 0
+        spilled_mib = spilled_objects = restored_mib = 0
+        for lf in _glob.glob("/tmp/ray/session_latest/logs/raylet*.out"):
+            txt = open(lf, errors="replace").read()
+            sp = _re.findall(r"Spilled (\d+) MiB, (\d+) objects", txt)
+            rs = _re.findall(r"Restored (\d+) MiB", txt)
+            if sp:
+                spilled_mib = max(spilled_mib, int(sp[-1][0]))
+                spilled_objects = max(spilled_objects, int(sp[-1][1]))
+            if rs:
+                restored_mib = max(restored_mib, int(rs[-1]))
+        result["spilled_mib"] = spilled_mib
+        result["spilled_objects"] = spilled_objects
+        result["restored_mib"] = restored_mib
     except Exception as e:  # stats are best-effort, never fail the bench
         result["spill_stats_error"] = str(e)
     ray.shutdown()
