@@ -129,3 +129,29 @@ def test_dup_clusters_shuffle_chain_and_strings():
     d2 = dup_clusters(ray.data.from_pandas(sp), plan="driver")
     s2 = dup_clusters(ray.data.from_pandas(sp), plan="shuffle")
     assert d2.equals(s2)
+
+
+# ---------------------------------------------------------------------------
+# registry: curated driver window + split-package integrity
+# ---------------------------------------------------------------------------
+
+
+def test_registry_curated_window_and_completeness():
+    """The driver's correctness gate samples the FIRST 50 registered
+    queries; the package __init__ must keep the curated window intact,
+    every entry oracle-backed, and the full registry at its frozen size."""
+    import texrex_ray.pipelines.queries as q
+
+    assert len(q.QUERIES) == 456
+    assert len(q.ORACLE) == 456
+    first = list(q.QUERIES)[:50]
+    assert first == q._CURATED_FIRST
+    # window samples the named subsystems (spot anchors)
+    for must in ("q54_bigbig_join", "q97_boiler_scores", "q98_sessionization",
+                 "q102_cuckoo_dedup", "q106_semdedup", "q62_segment_dedup",
+                 "q39_dup_clusters", "q44_image_harvest"):
+        assert must in first
+    # same iteration order on both dicts
+    assert list(q.ORACLE)[:50] == first
+    # monolith import compatibility: underscore helpers still reachable
+    from texrex_ray.pipelines.queries import _av_n, _read  # noqa: F401
