@@ -22,14 +22,29 @@ def test_ntt_matches_direct_convolution():
     assert convolve_exact([0, 1], [0, 1]) == [0, 0, 1]
 
 
-def test_ntt_overflow_guard():
+def test_ntt_crt_path_beyond_single_prime():
+    """Values past one modulus (the r5 10x-leg failure mode) now resolve
+    exactly via the 3-prime CRT path; only the ~7.8e25 CRT range raises."""
+    import numpy as np
     import pytest
 
-    from texrex_ray.ops.ntt import convolve_exact
+    from texrex_ray.ops.ntt import _CRT_BOUND, convolve_exact
 
-    big = [60_000] * 300  # 60000^2 * 300 >> P
+    big = [60_000] * 300  # 60000^2 * 300 >> P — used to raise, now exact
+    direct = [int(v) for v in np.convolve(np.array(big, object),
+                                          np.array(big, object))]
+    assert convolve_exact(big, big) == direct
+    # mixed magnitudes across the modulus boundary, random spot check
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 10**9, 50).tolist()
+    y = rng.integers(0, 10**9, 37).tolist()
+    direct = [int(v) for v in np.convolve(np.array(x, object),
+                                          np.array(y, object))]
+    assert convolve_exact(x, y) == direct
+    # the CRT range itself still guards loudly
+    over = int((_CRT_BOUND // 2) ** 0.5) + 1
     with pytest.raises(AssertionError):
-        convolve_exact(big, big)
+        convolve_exact([over, over], [over, over])
 
 
 def test_pair_sum_query_matches_brute_force(ray_session):

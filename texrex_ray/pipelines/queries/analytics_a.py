@@ -3400,12 +3400,17 @@ def q186_kaplan_meier(sf_dir: str):
         d = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         return pd.DataFrame({"user_id": df["user_id"], "day": d})
 
-    u = (
-        ds.map_batches(to_days, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Min("day", alias_name="mn"), Max("day", alias_name="mx"))
-        .materialize()  # users-sized
-    )
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    n_ev = ds.count()  # metadata-only on parquet
+    u = bucketed_groupby(
+        ds.map_batches(to_days, batch_format="pandas"),
+        "user_id",
+        lambda g: g.groupby("user_id", as_index=False)["day"]
+        .agg(["min", "max"])
+        .rename(columns={"min": "mn", "max": "mx"}),
+        expected_rows=n_ev,
+    ).materialize()  # users-sized
     gmax = int(u.max("mx"))
 
     def grid_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3653,12 +3658,15 @@ def q189_ta_topk(sf_dir: str):
             .rename(columns={"sum": "v_c", "size": "n"})
         )
 
-    u = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("v_c", alias_name="v_c"), Sum("n", alias_name="n"))
-        .materialize()  # users-sized
-    )
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    n_ev = ds.count()  # metadata-only on parquet
+    u = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id",
+        lambda g: g.groupby("user_id", as_index=False)[["v_c", "n"]].sum(),
+        expected_rows=n_ev,
+    ).materialize()  # users-sized
     n_users = u.count()
     by_v = u.sort("v_c", descending=True).materialize()
     by_n = u.sort("n", descending=True).materialize()

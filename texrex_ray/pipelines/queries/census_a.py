@@ -563,12 +563,12 @@ def q252_nation_flows(sf_dir: str):
 
     agg = (
         j.map_batches(partial, batch_format="pandas")
-        .groupby(["cust_nation", "supp_nation"])
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("vol_c", alias_name="volume_c"),
-        )
-        .to_pandas()  # nation-pair-sized
+        .to_pandas()  # nation-pair-sized partials per batch
+        .groupby(["cust_nation", "supp_nation"], as_index=False)[
+            ["n_items", "vol_c"]
+        ]
+        .sum()
+        .rename(columns={"vol_c": "volume_c"})
         .sort_values(
             ["volume_c", "cust_nation", "supp_nation"],
             ascending=[False, True, True],
@@ -1540,10 +1540,13 @@ def q264_funnel_ordered(sf_dir: str):
         return fn
 
     def collect(stage_ds) -> dict[int, int]:
+        # per-batch partials are already user-min frames and the result
+        # becomes a driver-resident broadcast dict anyway — a driver
+        # reduce replaces the per-stage groupby exchange (3 exchanges
+        # saved; the map stays distributed)
         df = (
-            stage_ds.groupby("user_id")
-            .aggregate(Min("t", alias_name="t"))
-            .to_pandas()
+            stage_ds.to_pandas()
+            .groupby("user_id", as_index=False)["t"].min()
         )
         return dict(zip(df["user_id"].astype(int), df["t"].astype(int)))
 

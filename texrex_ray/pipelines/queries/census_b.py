@@ -1028,19 +1028,23 @@ def q311_bipartite_matching(sf_dir: str):
     n_edges, matching)."""
     import sys
 
+    from texrex_ray.ops.aggregate import bucketed_groupby
     from texrex_ray.ops.graph import hopcroft_karp
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    n_li = li.count()  # metadata-only on parquet
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    pairs_df = (
-        li.map_batches(dedup, batch_format="pandas")
-        .groupby(["l_suppkey", "l_partkey"])
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+    # edge-cardinality keys: native sort-groupby pays per-group overhead
+    # (measured 40 s at sf0.1); the coarse-bucket combine is ~2 s
+    pairs_df = bucketed_groupby(
+        li.map_batches(dedup, batch_format="pandas"),
+        ["l_suppkey", "l_partkey"],
+        lambda g: g.drop_duplicates(),
+        expected_rows=n_li,
+    ).to_pandas()
     pairs = [(f"s{int(s)}", f"p{int(p)}")
              for s, p in zip(pairs_df["l_suppkey"], pairs_df["l_partkey"])]
     sys.setrecursionlimit(max(10_000, 4 * len(pairs)))
@@ -1804,18 +1808,23 @@ def q320_large_volume_orders(sf_dir: str):
     the driver to broadcast-join orders/customer; top-20 by
     (totalprice, orderkey).  Output: (c_custkey, o_orderkey,
     totalprice_c, sum_qty_c)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    n_li = li.count()  # metadata-only on parquet
 
     def qsum(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(q=np.round(df["l_quantity"] * 100).astype(np.int64))
         return df.groupby("l_orderkey", as_index=False)["q"].sum()
 
-    sums = (
-        li.map_batches(qsum, batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("q", alias_name="sum_qty_c"))
-        .to_pandas()
-    )
+    # orderkey-cardinality groups (~|orders|): bucketed combine, not the
+    # native per-group sort aggregate (34 s -> ~2 s at sf0.1)
+    sums = bucketed_groupby(
+        li.map_batches(qsum, batch_format="pandas"),
+        "l_orderkey",
+        lambda g: g.groupby("l_orderkey", as_index=False)["q"].sum(),
+        expected_rows=n_li,
+    ).to_pandas().rename(columns={"q": "sum_qty_c"})
     big = sums[sums["sum_qty_c"] > Q18_QTY_C]
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
@@ -1945,8 +1954,11 @@ def q322_important_stock(sf_dir: str):
     partkey exchange builds per-part values; the global total is a
     driver scalar; the filter runs on the part-sized frame.  Output:
     (l_partkey, value_c) ordered by value desc."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_extendedprice", "l_discount"])
+    n_li = li.count()  # metadata-only on parquet
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         price_c = np.round(df["l_extendedprice"] * 100).astype(np.int64)
@@ -1954,12 +1966,13 @@ def q322_important_stock(sf_dir: str):
         df = df.assign(v=price_c * (100 - disc_h) // 100)
         return df.groupby("l_partkey", as_index=False)["v"].sum()
 
-    per_part = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby("l_partkey")
-        .aggregate(Sum("v", alias_name="value_c"))
-        .to_pandas()
-    )
+    # partkey-cardinality groups: bucketed combine (27 s -> ~2 s at sf0.1)
+    per_part = bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"),
+        "l_partkey",
+        lambda g: g.groupby("l_partkey", as_index=False)["v"].sum(),
+        expected_rows=n_li,
+    ).to_pandas().rename(columns={"v": "value_c"})
     total = int(per_part["value_c"].sum())
     n_parts = len(per_part)
     out = (
@@ -2407,14 +2420,12 @@ def q328_lt_cascade(sf_dir: str):
             return pd.DataFrame({"node": np.flatnonzero(cnt),
                                  "k": cnt[cnt > 0]})
 
-        acc = (
-            edges_ds.map_batches(partial, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Sum("k", alias_name="k"))
-            .to_pandas()
-        )
+        # partials are already node-sized bincounts per batch — a driver
+        # scatter-add replaces the per-round groupby exchange (10 s -> 2 s
+        # across the whole cascade at sf0.1)
+        acc = edges_ds.map_batches(partial, batch_format="pandas").to_pandas()
         active_in = np.zeros(n, dtype=np.int64)
-        active_in[acc["node"].to_numpy()] = acc["k"].to_numpy()
+        np.add.at(active_in, acc["node"].to_numpy(), acc["k"].to_numpy())
         newly = (~active) & (in_deg > 0) & (
             active_in * 100 >= thr * in_deg
         )
@@ -2640,11 +2651,12 @@ def q331_price_kmeans(sf_dir: str):
                 {"bucket": a, "s": v, "n": np.ones(len(v), dtype=np.int64)}
             ).groupby("bucket", as_index=False).sum()
 
+        # k-sized partials per batch: driver reduce, no per-iteration
+        # groupby exchange (the exchange's fixed cost x ITERS dominated)
         agg = (
             orders.map_batches(partial, batch_format="pandas")
-            .groupby("bucket")
-            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
             .to_pandas()
+            .groupby("bucket", as_index=False)[["s", "n"]].sum()
         )
         new = cent.copy()
         for b, s, n in zip(agg["bucket"], agg["s"], agg["n"]):
@@ -2664,10 +2676,8 @@ def q331_price_kmeans(sf_dir: str):
 
     out = (
         orders.map_batches(final, batch_format="pandas")
-        .groupby("bucket")
-        .aggregate(Sum("sum_c", alias_name="sum_c"),
-                   Sum("n", alias_name="n"))
         .to_pandas()
+        .groupby("bucket", as_index=False)[["sum_c", "n"]].sum()
         .sort_values("bucket")
         .reset_index(drop=True)
     )

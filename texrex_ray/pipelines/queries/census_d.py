@@ -1701,12 +1701,16 @@ def q410_grouped_mode(sf_dir: str):
         g = df.groupby(["event_type", "user_id"])
         return pd.DataFrame({"pn": g.size()}).reset_index()
 
-    per_user = (
-        events.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Sum("pn", alias_name="n"))
-        .to_pandas()
-    )
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    n_ev = events.count()  # metadata-only on parquet
+    per_user = bucketed_groupby(
+        events.map_batches(partial, batch_format="pandas"),
+        ["event_type", "user_id"],
+        lambda g: g.groupby(["event_type", "user_id"], as_index=False)["pn"]
+        .sum().rename(columns={"pn": "n"}),
+        expected_rows=n_ev,
+    ).to_pandas()
     rows = []
     for et, sub in per_user.groupby("event_type"):
         sub = sub.sort_values(["n", "user_id"], ascending=[False, True])
@@ -1964,10 +1968,17 @@ def q414_pareto_revenue(sf_dir: str):
         g = df.groupby("o_custkey")
         return pd.DataFrame({"pr": g["r"].sum()}).reset_index()
 
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    n_orders = orders.count()  # metadata-only on parquet
     cust = (
-        orders.map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("pr", alias_name="r"))
+        bucketed_groupby(
+            orders.map_batches(partial, batch_format="pandas"),
+            "o_custkey",
+            lambda g: g.groupby("o_custkey", as_index=False)["pr"].sum()
+            .rename(columns={"pr": "r"}),
+            expected_rows=n_orders,
+        )
         .to_pandas()
         .sort_values(["r", "o_custkey"], ascending=[False, True])
         .reset_index(drop=True)
@@ -2961,10 +2972,19 @@ def q429_all_quantifier(sf_dir: str):
         g = df.groupby(["nk", "pc"])
         return pd.DataFrame({"pn": g.size()}).reset_index()
 
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    n_orders = orders.count()  # metadata-only on parquet
+    # (nation, price) keys are near-distinct-value cardinality: bucketed
+    # combine, not the native per-group sort aggregate (22 s -> ~2 s)
     vc = (
-        orders.map_batches(vc_partial, batch_format="pandas")
-        .groupby(["nk", "pc"])
-        .aggregate(Sum("pn", alias_name="n"))
+        bucketed_groupby(
+            orders.map_batches(vc_partial, batch_format="pandas"),
+            ["nk", "pc"],
+            lambda g: g.groupby(["nk", "pc"], as_index=False)["pn"].sum()
+            .rename(columns={"pn": "n"}),
+            expected_rows=n_orders,
+        )
         .to_pandas()
         .sort_values(["nk", "pc"])
     )
@@ -2986,12 +3006,12 @@ def q429_all_quantifier(sf_dir: str):
         g = df.groupby(["nk", "o_custkey"])
         return pd.DataFrame({"mn": g["pc"].min()}).reset_index()
 
-    cust = (
-        orders.map_batches(cust_partial, batch_format="pandas")
-        .groupby(["nk", "o_custkey"])
-        .aggregate(Min("mn", alias_name="mn"))
-        .to_pandas()
-    )
+    cust = bucketed_groupby(
+        orders.map_batches(cust_partial, batch_format="pandas"),
+        ["nk", "o_custkey"],
+        lambda g: g.groupby(["nk", "o_custkey"], as_index=False)["mn"].min(),
+        expected_rows=n_orders,
+    ).to_pandas()
     rows = []
     for nk, sub in cust.groupby("nk"):
         med = medians[int(nk)]
@@ -3496,6 +3516,8 @@ def q437_relational_division(sf_dir: str):
     the broadcast map swaps for ops/join.shuffle_join on orderkey —
     the pair-combine stays identical.  Output: (s_suppkey,
     n_regions)."""
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_nationkey"]).to_pandas()
@@ -3519,12 +3541,13 @@ def q437_relational_division(sf_dir: str):
         })
         return out.drop_duplicates()
 
-    sr = (
-        li.map_batches(pairs, batch_format="pandas")
-        .groupby(["sk", "rk"])
-        .aggregate(Count(alias_name="c"))
-        .to_pandas()
-    )
+    n_li = li.count()  # metadata-only on parquet
+    sr = bucketed_groupby(
+        li.map_batches(pairs, batch_format="pandas"),
+        ["sk", "rk"],
+        lambda g: g[["sk", "rk"]].drop_duplicates(),
+        expected_rows=n_li,
+    ).to_pandas()
     cov = sr.groupby("sk").size()
     out = pd.DataFrame({
         "s_suppkey": cov[cov == n_regions_total].index.astype("int64"),
@@ -3708,18 +3731,31 @@ def q440_token_dispersion(sf_dir: str):
             columns=["token", "doc_id", "pn"],
         )
 
-    cnt = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby(["token", "doc_id"])
-        .aggregate(Sum("pn", alias_name="c"))
-        .to_pandas()
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    # (token, doc) keys ≈ rows: bucketed combines end-to-end — the native
+    # sort aggregate measured 12 s at sf0.1, and the pair table never
+    # lands on the driver (only the token-sized second combine does)
+    cnt = bucketed_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["token", "doc_id"],
+        lambda g: g.groupby(["token", "doc_id"], as_index=False)["pn"]
+        .sum().rename(columns={"pn": "c"}),
+        expected_rows=n_docs_total * 200,
     )
-    g = cnt.groupby("token")
-    agg = pd.DataFrame({
-        "n_docs": g.size(),
-        "total_n": g["c"].sum(),
-        "sum_sq": g["c"].agg(lambda s: int((s.astype("int64") ** 2).sum())),
-    }).reset_index()
+
+    def tok_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(c=g["c"].astype("int64"), c2=g["c"].astype("int64") ** 2)
+        gg = g.groupby("token")
+        return pd.DataFrame({
+            "n_docs": gg.size(),
+            "total_n": gg["c"].sum(),
+            "sum_sq": gg["c2"].sum(),
+        }).reset_index()
+
+    agg = bucketed_groupby(
+        cnt, "token", tok_combine, expected_rows=n_docs_total * 200
+    ).to_pandas()
     agg = agg.sort_values(["total_n", "token"],
                           ascending=[False, True]).head(10)
     agg["fano_ppm"] = [
