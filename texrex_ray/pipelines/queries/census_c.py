@@ -3281,12 +3281,12 @@ def q379_fk_integrity(sf_dir: str):
                 rows.append((fk_name, len(df), bad))
             return pd.DataFrame(rows, columns=["fk", "n_rows", "n_orphans"])
 
+        # partials are fk-sized per batch (≤3 rows): driver reduce, no
+        # per-probe groupby exchange (5 exchanges saved across the census)
         return (
             ds.map_batches(partial, batch_format="pandas")
-            .groupby("fk")
-            .aggregate(Sum("n_rows", alias_name="n_rows"),
-                       Sum("n_orphans", alias_name="n_orphans"))
             .to_pandas()
+            .groupby("fk", as_index=False)[["n_rows", "n_orphans"]].sum()
             .to_records(index=False)
             .tolist()
         )

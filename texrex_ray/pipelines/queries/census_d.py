@@ -4415,17 +4415,31 @@ def q451_order_velocity(sf_dir: str):
                          ).groupby(["ck", "d"])
         return pd.DataFrame({"pn": g.size()}).reset_index()
 
-    cd = (
-        orders.map_batches(partial, batch_format="pandas")
-        .groupby(["ck", "d"])
-        .aggregate(Sum("pn", alias_name="c"))
-        .to_pandas()
-    )
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    n_rows = orders.count()  # metadata-only on parquet
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # cust-day keys ≈ orders: fold the verdict INSIDE each bucket so
+        # only bucket-count partials reach the driver (the native sort
+        # aggregate + full cust-day pull measured 17 s at sf0.1)
+        c = g.groupby(["ck", "d"], sort=False)["pn"].sum()
+        return pd.DataFrame({
+            "n_cd": [len(c)],
+            "n_multi": [int((c > 1).sum())],
+            "mx": [int(c.max())],
+            "tot": [int(c.sum())],
+        })
+
+    parts = bucketed_groupby(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["ck", "d"], fold, expected_rows=n_rows,
+    ).to_pandas()
     return pd.DataFrame([{
-        "n_cust_days": len(cd),
-        "n_multi_days": int((cd["c"] > 1).sum()),
-        "max_per_day": int(cd["c"].max()),
-        "n_orders": int(cd["c"].sum()),
+        "n_cust_days": int(parts["n_cd"].sum()),
+        "n_multi_days": int(parts["n_multi"].sum()),
+        "max_per_day": int(parts["mx"].max()),
+        "n_orders": int(parts["tot"].sum()),
     }]).astype("int64")
 
 
