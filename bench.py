@@ -25,7 +25,12 @@ import time
 # Silence the spurious per-actor-pool core_worker.cc restart warning
 # (ray-project/ray#53727; see tools/check_oracle.py for the full note) so
 # bench stderr stays readable; Python-level errors still propagate.
-os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "fatal")
+# EXCEPTION: the --sf1 leg needs the raylet's INFO-level cumulative
+# "Spilled N MiB" lines for its spill stats, which `fatal` would drop —
+# under --sf1 the level stays at info and the one noisy warning is the
+# price of a truthful spill counter.
+if "--sf1" not in sys.argv:
+    os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "fatal")
 
 
 def run_bench(shutdown: bool = True) -> dict:
@@ -201,14 +206,9 @@ def run_bench(shutdown: bool = True) -> dict:
     extras["clean_runs"] = clean_runs
     import pyarrow.parquet as _pq
 
-    _docs_path = f"{sf_dir}/documents.parquet"
-    if os.path.isdir(_docs_path):  # the synthesized sf1 table is a dir
-        n_docs_one = sum(
-            _pq.read_metadata(f).num_rows
-            for f in sorted(_glob.glob(f"{_docs_path}/*.parquet"))
-        )
-    else:
-        n_docs_one = _pq.read_metadata(_docs_path).num_rows
+    # docs_files already expanded dir-vs-file above — count the same list
+    # clean_once actually read
+    n_docs_one = sum(_pq.read_metadata(f).num_rows for f in docs_files)
     n_clean = repl * n_docs_one + stats.outputs
     extras["clean_rows"] = n_clean
     extras["clean_rows_per_sec"] = round(n_clean / times["clean"], 1)
@@ -362,8 +362,14 @@ def run_sf1() -> dict:
         import glob as _glob
         import re as _re
 
+        # resolve the live session dir from Ray itself — the tmp root is
+        # host-configurable (/tmp/ray/ray/session_* on this box), so a
+        # hardcoded /tmp/ray/session_latest silently matches nothing
+        import ray._private.worker as _rw
+
+        session_dir = _rw._global_node.get_session_dir_path()
         spilled_mib = spilled_objects = restored_mib = 0
-        for lf in _glob.glob("/tmp/ray/session_latest/logs/raylet*.out"):
+        for lf in _glob.glob(f"{session_dir}/logs/raylet*.out"):
             txt = open(lf, errors="replace").read()
             sp = _re.findall(r"Spilled (\d+) MiB, (\d+) objects", txt)
             rs = _re.findall(r"Restored (\d+) MiB", txt)

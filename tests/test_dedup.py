@@ -309,8 +309,12 @@ def test_dup_clusters_plans_agree(ray_session):
     )
     ds = ray.data.from_pandas(edges).repartition(3)
     fast = dup_clusters(ds)
-    slow = dup_clusters(ds, driver_edge_limit=0)  # force the distributed loop
+    # driver_edge_limit=0 routes auto to the shuffle plan; the broadcast
+    # plan keeps explicit coverage so it cannot silently rot
+    slow = dup_clusters(ds, driver_edge_limit=0)
+    bcast = dup_clusters(ds, plan="broadcast")
     assert fast.values.tolist() == slow.values.tolist()
+    assert fast.values.tolist() == bcast.values.tolist()
 
 
 def test_segment_dedup_keep_first(ray_session):

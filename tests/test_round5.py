@@ -155,3 +155,19 @@ def test_registry_curated_window_and_completeness():
     assert list(q.ORACLE)[:50] == first
     # monolith import compatibility: underscore helpers still reachable
     from texrex_ray.pipelines.queries import _av_n, _read  # noqa: F401
+
+
+def test_dup_clusters_shuffle_salted_hop():
+    """A dominant component makes every node share one lab — the hop
+    self-join's hot key.  Forcing a tiny hot threshold exercises the
+    salted path; results must still match the driver plan."""
+    star = pd.DataFrame({
+        "id_a": np.zeros(30, dtype=np.int64),
+        "id_b": np.arange(1, 31, dtype=np.int64),
+    })
+    extra = pd.DataFrame({"id_a": [40, 41], "id_b": [41, 42]})
+    pairs = pd.concat([star, extra], ignore_index=True)
+    ds = ray.data.from_pandas(pairs)
+    d = dup_clusters(ds, plan="driver")
+    s = dup_clusters(ds, plan="shuffle", hop_hot_threshold=2)
+    assert d.equals(s)

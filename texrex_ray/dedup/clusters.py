@@ -48,6 +48,7 @@ def dup_clusters(
     max_iters: int = 50,
     driver_edge_limit: int = 5_000_000,
     plan: str = "auto",
+    hop_hot_threshold: int = 100_000,
 ) -> pd.DataFrame:
     """(doc_id, cluster_id) for every document in a pair; cluster_id =
     the smallest doc_id in its connected component.
@@ -71,7 +72,10 @@ def dup_clusters(
     if plan == "broadcast":
         return _cc_broadcast(edges_ds, id_a, id_b, max_iters)
     if plan == "shuffle":
-        return _cc_shuffle(edges_ds, id_a, id_b, max_iters, n_edges)
+        return _cc_shuffle(
+            edges_ds, id_a, id_b, max_iters, n_edges,
+            hop_hot_threshold=hop_hot_threshold,
+        )
     raise ValueError(f"dup_clusters: unknown plan {plan!r}")
 
 
@@ -208,6 +212,8 @@ def _cc_shuffle(
     id_b: str,
     max_iters: int,
     n_edges: int,
+    *,
+    hop_hot_threshold: int = 100_000,
 ) -> pd.DataFrame:
     """Shuffle plan: labels are a Dataset keyed by node; each round is
     (1) directed edges ⋈ labels on src, (2) per-dst candidate-min
@@ -283,15 +289,40 @@ def _cc_shuffle(
             lab_ds = stepped.select_columns(["node", "lab"]).materialize()
             break
         # (4) one pointer-jump hop: lab ← min(lab, lab[lab]); a label is
-        # itself a node id, so the hop is the label table self-joined
+        # itself a node id, so the hop is the label table self-joined.
+        # SKEW: as components converge, every member shares ONE lab value
+        # — a giant near-dup component would pile into a single hop
+        # bucket.  Detect hot labs first (per-batch pre-aggregated counts,
+        # so the count exchange carries ≤ n_blocks rows per lab) and salt
+        # them through shuffle_join's hot_keys path.
         cur = stepped.select_columns(["node", "lab"])
+
+        def lab_counts(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df["lab"].value_counts().rename_axis("lab")
+                .reset_index(name="c")
+            )
+
+        hot_thresh = hop_hot_threshold
+        hot_df = bucketed_groupby(
+            cur.map_batches(lab_counts, batch_format="pandas"),
+            "lab",
+            lambda g: g.groupby("lab", as_index=False)["c"].sum(),
+            expected_rows=n_nodes,
+        ).map_batches(
+            lambda df: df[df["c"] > hot_thresh], batch_format="pandas"
+        ).to_pandas()  # bounded: ≤ n_nodes / hot_thresh rows
+        hot_labs = (
+            None if hot_df.empty else list(hot_df["lab"])
+        )
+
         hop_src = cur.map_batches(
             lambda t: t.rename_columns(["hnode", "hlab"]),
             batch_format="pyarrow",
         )
         hop_j = shuffle_join(
             cur, hop_src, on="lab", right_on="hnode", how="left",
-            expected_rows=n_nodes,
+            expected_rows=n_nodes, hot_keys=hot_labs, skew_salt=16,
         )
         lab_ds = hop_j.map_batches(
             lambda df: _min_update(df, "lab", "hlab"), batch_format="pandas"

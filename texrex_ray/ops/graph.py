@@ -2325,7 +2325,7 @@ def butterfly_fold(
     n_left: int | None = None,
     expected_edges: int | None = None,
     plan: str = "auto",
-    matrix_max_left: int = 30_000,
+    matrix_max_left: int = 10_000,
     hot_degree: int = 4096,
     chunk_target: int = 2048,
 ) -> tuple[int, int]:
@@ -2342,8 +2342,11 @@ def butterfly_fold(
       partial matrices SUM across buckets (parts partition cleanly), so
       the only exchange is a bucket-count driver reduce of
       L·(L−1)/2-entry vectors.  Dot products are integers < 2^24, exact
-      in float32 BLAS.  Driver memory is O(L²) — capped by
-      ``matrix_max_left``.
+      in float32 BLAS.  Per-bucket AND driver memory is O(L²) —
+      ``matrix_max_left`` defaults to 10k (≈400 MB of float32 per
+      bucket task + one int64 partial vector on the driver; 30k would
+      be 3.6 GB per task, which this host's slow first-touch pages
+      turn into minutes before it OOMs).
     - ``plan="shuffle"`` — the page-scale wedge-pair shuffle: a part of
       degree d emits its d·(d−1)/2 supplier pairs inside a p-bucketed
       combine, pairs exchange hashed on (s1,s2), and each pair bucket
@@ -2364,6 +2367,8 @@ def butterfly_fold(
 
     if expected_edges is None:
         expected_edges = edges.count()
+    if expected_edges == 0:
+        return 0, 0
 
     if n_left is None:
         n_left = bucketed_groupby(
@@ -2379,7 +2384,7 @@ def butterfly_fold(
                 f"butterfly_fold: {n_left} left nodes exceeds "
                 f"matrix_max_left={matrix_max_left}; use plan='shuffle'"
             )
-        return _butterfly_matrix(edges, n_left, expected_edges)
+        return _butterfly_matrix(edges, expected_edges)
     if plan == "shuffle":
         return _butterfly_shuffle(
             edges, expected_edges, hot_degree=hot_degree,
@@ -2389,24 +2394,25 @@ def butterfly_fold(
 
 
 def _butterfly_matrix(
-    edges: ray.data.Dataset, n_left: int, expected_edges: int
+    edges: ray.data.Dataset, expected_edges: int
 ) -> tuple[int, int]:
     from texrex_ray.ops.aggregate import bucketed_groupby
 
-    s_ids = np.sort(
-        pd.concat(
-            [
-                b.to_pandas()
-                for b in bucketed_groupby(
-                    edges, "s", lambda df: df[["s"]].drop_duplicates(),
-                    expected_rows=expected_edges,
-                ).iter_batches(batch_format="pyarrow", batch_size=65536)
-            ]
-        )["s"].to_numpy(np.int64)
-    )
+    batches = [
+        b.to_pandas()
+        for b in bucketed_groupby(
+            edges, "s", lambda df: df[["s"]].drop_duplicates(),
+            expected_rows=expected_edges,
+        ).iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    if not batches:
+        return 0, 0
+    s_ids = np.sort(pd.concat(batches)["s"].to_numpy(np.int64))
     pos = {int(v): i for i, v in enumerate(s_ids)}
     pos_ref = ray.put(pos)
-    L = n_left
+    # L from the distinct set actually built — a caller-supplied n_left
+    # hint smaller than the truth would make comat index out of bounds
+    L = len(s_ids)
 
     def comat(df: pd.DataFrame) -> pd.DataFrame:
         # one bucket = a p-COMPLETE slice (bucketed_groupby hashes on p),
@@ -2566,6 +2572,8 @@ def _butterfly_shuffle(
     folded = bucketed_groupby(
         pair_parts, ["s1", "s2"], fold, expected_rows=total_wedges
     ).to_pandas()
+    if folded.empty:  # no wedges at all (e.g. every part has degree 1)
+        folded = pd.DataFrame({"w_part": [0], "b_part": [0]})
     n_wedges = int(folded["w_part"].sum())
     n_butterflies = int(folded["b_part"].sum())
     assert n_wedges == total_wedges, (

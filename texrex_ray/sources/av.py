@@ -104,10 +104,16 @@ def decode_external_video(raw: bytes) -> tuple[np.ndarray, int]:
 
         with _pyav.open(io.BytesIO(raw)) as container:
             stream = container.streams.video[0]
+            # average_rate is None for some variable-rate containers —
+            # report 0 rather than crash; callers treat 0 as "unknown"
             fps = int(round(float(stream.average_rate or 0)))
             frames = [
                 f.to_ndarray(format="rgb24") for f in container.decode(stream)
             ]
+        if not frames:
+            raise ValueError(
+                "video container has a stream but no decodable frames"
+            )
         return np.stack(frames), fps
     raise NotImplementedError(
         "no video codec library importable (tried PyAV); "
@@ -120,7 +126,13 @@ def decode_external(raw: bytes):
     route to soundfile, anything else to PyAV; raises only when the
     needed library is absent.  Schema, batch sizing and actor signatures
     are identical either way."""
-    if raw[:4] in (b"RIFF", b"OggS", b"fLaC"):
+    # RIFF is both WAV (audio) and AVI (video) — disambiguate on the
+    # form-type field at bytes 8:12
+    if raw[:4] == b"RIFF":
+        if raw[8:12] == b"WAVE":
+            return decode_external_audio(raw)
+        return decode_external_video(raw)
+    if raw[:4] in (b"OggS", b"fLaC"):
         return decode_external_audio(raw)
     return decode_external_video(raw)
 
