@@ -2643,7 +2643,7 @@ def q229_payload_storage(sf_dir: str):
         int(b) * PPM // int(r) for b, r in zip(m["sum_bytes"], m["sum_raw"])
     ]
     out = m[["fmt", "n_images", "sum_bytes", "sum_px", "bytes_per_kpx",
-             "vs_raw_ppm"]]
+             "vs_raw_ppm"]].copy()
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
