@@ -1539,15 +1539,22 @@ def q264_funnel_ordered(sf_dir: str):
 
         return fn
 
+    from texrex_ray.ops.aggregate import bucketed_groupby
+
+    n_ev = ev.count()  # metadata-only on parquet
+
     def collect(stage_ds) -> dict[int, int]:
-        # per-batch partials are already user-min frames and the result
-        # becomes a driver-resident broadcast dict anyway — a driver
-        # reduce replaces the per-stage groupby exchange (3 exchanges
-        # saved; the map stays distributed)
-        df = (
-            stage_ds.to_pandas()
-            .groupby("user_id", as_index=False)["t"].min()
-        )
+        # users-keyed bucketed reduce (NOT the native per-group sort
+        # aggregate, and NOT a driver pull of the raw per-batch partials
+        # — with many users per batch those approach event count); the
+        # driver frame is exactly users-sized, which the broadcast dict
+        # needs anyway
+        df = bucketed_groupby(
+            stage_ds,
+            "user_id",
+            lambda g: g.groupby("user_id", as_index=False)["t"].min(),
+            expected_rows=n_ev,
+        ).to_pandas()
         return dict(zip(df["user_id"].astype(int), df["t"].astype(int)))
 
     t1 = collect(ev.map_batches(stage_min(None, "view"), batch_format="pandas"))

@@ -4419,21 +4419,29 @@ def q451_order_velocity(sf_dir: str):
 
     n_rows = orders.count()  # metadata-only on parquet
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        # cust-day keys ≈ orders: fold the verdict INSIDE each bucket so
-        # only bucket-count partials reach the driver (the native sort
-        # aggregate + full cust-day pull measured 17 s at sf0.1)
-        c = g.groupby(["ck", "d"], sort=False)["pn"].sum()
+    # stage 1: PURE per-key combine (bucketed_groupby's contract — one
+    # output row per (ck, d) under any future bucket splitting); the
+    # native sort aggregate + full cust-day driver pull measured 17 s
+    cd = bucketed_groupby(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["ck", "d"],
+        lambda g: g.groupby(["ck", "d"], as_index=False)["pn"].sum()
+        .rename(columns={"pn": "c"}),
+        expected_rows=n_rows,
+    )
+
+    # stage 2: verdict partials per OUTPUT block — exact regardless of
+    # blocking because stage 1 emits each key exactly once
+    def verdict_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "n_cd": [len(c)],
-            "n_multi": [int((c > 1).sum())],
-            "mx": [int(c.max())],
-            "tot": [int(c.sum())],
+            "n_cd": [len(df)],
+            "n_multi": [int((df["c"] > 1).sum())],
+            "mx": [int(df["c"].max()) if len(df) else 0],
+            "tot": [int(df["c"].sum())],
         })
 
-    parts = bucketed_groupby(
-        orders.map_batches(partial, batch_format="pandas"),
-        ["ck", "d"], fold, expected_rows=n_rows,
+    parts = cd.map_batches(
+        verdict_partial, batch_format="pandas"
     ).to_pandas()
     return pd.DataFrame([{
         "n_cust_days": int(parts["n_cd"].sum()),
