@@ -116,6 +116,67 @@ def test_checkpoint_resume_identical(graph, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_abrupt_actor_kill_resume(graph, tmp_path):
+    """Node-loss drill (north rule: resumable from per-partition
+    checkpoints).  Unlike the graceful test above, every actor is
+    hard-killed mid-window — no shutdown, no final checkpoint, with
+    output files flushed PAST the last COMMIT (a crash between a flush
+    and its COMMIT marker).  Resume must (a) restart from the last
+    committed round, discarding the uncommitted tail, (b) garbage-collect
+    the orphaned post-commit output files, and (c) complete a walk
+    bit-identical to an uninterrupted run, with every corpus URL written
+    exactly once."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    cfg = CrawlConfig()
+    full = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg)
+    full.run(max_steps=120)
+
+    d = str(tmp_path / "crash")
+    e1 = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg, out_dir=d)
+    # checkpoints COMMIT at rounds 8/16/24; run() flushes rounds 25-27 at
+    # exit but never commits them — exactly the torn-checkpoint window
+    e1.run(max_steps=120, checkpoint_every=8, max_rounds=27)
+    assert e1.steps < 120
+    steps_at_crash = e1.steps
+    # visits/corpus files stamped beyond round 24 exist on disk (orphans)
+    vd = os.path.join(d, "visits")
+
+    def _round_of(fname):
+        return int(fname.split("-r")[1].split("-")[0])
+
+    assert any(_round_of(f) > 24 for f in os.listdir(vd))
+    # simulate node loss: hard-kill every state-holding actor
+    for a in list(e1.parts) + list(e1.shards):
+        ray.kill(a, no_restart=True)
+
+    e2 = CrawlEngine.resume(graph, d)
+    assert e2.round == 24  # last COMMITTED window, not the crash point
+    assert e2.steps <= steps_at_crash  # uncommitted tail discarded
+    # orphaned post-commit outputs were removed before re-crawling
+    assert all(_round_of(f) <= 24 for f in os.listdir(vd))
+    e2.run(max_steps=120)
+
+    # the completed walk is bit-identical to the uninterrupted run
+    # (flushed pre-crash rows <= round 24 + re-crawled tail)
+    assert [v[1:] for v in e2.visit_order()] == [v[1:] for v in full.visit_order()]
+    assert e2.steps == full.steps
+    assert e2.url_seen() == full.url_seen()
+    # exactly-once output: no corpus URL appears twice across all flushes
+    urls = []
+    croot = os.path.join(d, "corpus")
+    for part in sorted(os.listdir(croot)):
+        pdir = os.path.join(croot, part)
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                urls.extend(pq.read_table(os.path.join(pdir, f), columns=["url"])["url"].to_pylist())
+    assert len(urls) == len(set(urls))
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_driver_memory_bounded(graph, tmp_path):
     """North-rule design point: the driver holds no per-URL state — the
     visit log truncates at every flush and the URL-seen set lives in the
