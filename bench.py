@@ -147,7 +147,7 @@ def run_bench(shutdown: bool = True) -> dict:
     t0 = time.perf_counter()
     corpus_ds = ray.data.read_parquet(f"{out_root}/crawl/corpus")
     harvested = harvest_images(
-        corpus_ds, ray.put(graph.images),
+        corpus_ds, graph.images,  # dict → zero-copy ArrowBytesStore inside
         n_buckets=n_parts, expected_rows=stats.outputs * 2,
         concurrency=(1, max(2, num_cpus // 2)), batch_size=512,
     )

@@ -10,7 +10,13 @@ import urllib.error
 import pytest
 
 from texrex_ray.crawl.engine import CrawlEngine
-from texrex_ray.crawl.fetcher import DictTransport, HttpTransport, fetch_parse, plain_pages
+from texrex_ray.crawl.fetcher import (
+    ArrowPagesTransport,
+    DictTransport,
+    HttpTransport,
+    fetch_parse,
+    plain_pages,
+)
 from texrex_ray.crawl.policy import CrawlConfig
 from texrex_ray.sources.webgraph import make_webgraph
 
@@ -96,14 +102,41 @@ def test_fetch_parse_identical_over_dict_and_http(graph):
     pages = plain_pages(graph)
     cfg = CrawlConfig()
     http = HttpTransport(opener_factory=lambda: _FakeOpener(pages))
+    arrow = ArrowPagesTransport.from_graph(graph)
     checked = 0
     for url in list(pages)[:40]:
         a = fetch_parse(pages, url, cfg)
         b = fetch_parse(DictTransport(pages), url, cfg)
         c = fetch_parse(http, url, cfg)
-        assert a == b == c
+        d = fetch_parse(arrow, url, cfg)
+        assert a == b == c == d
         checked += 1
     assert checked == 40
+
+
+def test_arrow_transports_pickle_roundtrip_parity(graph):
+    """ArrowPagesTransport (zero-copy pages) and ArrowBytesStore (zero-copy
+    image CDN) must return byte-identical tuples to the dicts they replace,
+    across a pickle round-trip (the ray.put path) with the lazy index
+    dropped and rebuilt."""
+    import pickle
+
+    pages = plain_pages(graph)
+    t = pickle.loads(pickle.dumps(ArrowPagesTransport.from_graph(graph)))
+    assert t._idx is None  # the index never travels
+    for u, want in pages.items():
+        assert t.get(u) == want
+    assert t.get("http://missing.example/x") is None
+
+    from texrex_ray.pipelines.harvest import ArrowBytesStore
+
+    g = make_webgraph(n_hosts=4, pages_per_host_base=6, n_seeds=2, seed=7,
+                      with_images=True)
+    store = pickle.loads(pickle.dumps(ArrowBytesStore.from_dict(g.images)))
+    assert store._idx is None
+    for u, want in g.images.items():
+        assert store.get(u) == want
+    assert store.get("http://missing.example/i.png") is None
 
 
 def test_engine_visit_order_transport_agnostic(ray_session, graph):

@@ -465,7 +465,7 @@ class CrawlEngine:
         out_dir: str | None = None,
         transport=None,
     ):
-        from texrex_ray.crawl.fetcher import plain_pages
+        from texrex_ray.crawl.fetcher import ArrowPagesTransport
 
         self.graph = graph
         self.cfg = config or CrawlConfig()
@@ -481,7 +481,9 @@ class CrawlEngine:
         # unchanged (politeness, robots, Bloom, ordering all pinned by
         # the oracle-fidelity tests).
         self.pages_ref = ray.put(
-            transport if transport is not None else plain_pages(graph)
+            transport
+            if transport is not None
+            else ArrowPagesTransport.from_graph(graph)
         )
 
         seeds_split = split_seeds(graph.seeds, n_walkers)

@@ -164,6 +164,64 @@ class DictTransport:
         return self.pages.get(url)
 
 
+class ArrowPagesTransport:
+    """Zero-copy synthetic transport: the page corpus as ONE Arrow table.
+
+    A broadcast ``plain_pages`` dict is re-deserialized O(corpus) in every
+    partition actor (measured: 3.2 s first-round latency on the 232k-page
+    10x bench graph — the whole leg's nonlinearity).  An Arrow table rides
+    ``ray.put`` as out-of-band plasma buffers, so each actor attaches
+    zero-copy; the only per-actor cost is the lazy url→row index
+    (~0.2 s), and page bytes are copied out only for pages actually
+    fetched.  This is also the 100-TB shape: a replay corpus lives in
+    Arrow/Parquet, not in a Python dict."""
+
+    def __init__(self, table):
+        self._tbl = table.combine_chunks()
+        self._idx: dict | None = None
+
+    @classmethod
+    def from_graph(cls, graph) -> "ArrowPagesTransport":
+        import pyarrow as pa
+
+        pages = graph.pages.values()
+        t = pa.table(
+            {
+                "url": pa.array([p.url for p in pages], pa.string()),
+                "status": pa.array([p.status for p in pages], pa.int32()),
+                "content": pa.array([p.content for p in pages], pa.large_binary()),
+                "charset": pa.array([p.charset for p in pages], pa.string()),
+                "redirect_to": pa.array(
+                    [p.redirect_to for p in pages], pa.string()
+                ),
+            }
+        )
+        return cls(t)
+
+    def __getstate__(self):
+        return {"_tbl": self._tbl}  # the index rebuilds lazily per process
+
+    def __setstate__(self, state):
+        self._tbl = state["_tbl"]
+        self._idx = None
+
+    def get(self, url: str):
+        if self._idx is None:
+            self._idx = {
+                u: i for i, u in enumerate(self._tbl["url"].to_pylist())
+            }
+        i = self._idx.get(url)
+        if i is None:
+            return None
+        t = self._tbl
+        return (
+            t["status"][i].as_py(),
+            t["content"][i].as_py(),
+            t["charset"][i].as_py(),
+            t["redirect_to"][i].as_py(),
+        )
+
+
 class HttpTransport:
     """Real-HTTP transport (stdlib urllib; no extra deps on a cluster).
 

@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 import ray
 
-from texrex_ray.crawl.fetcher import fetch_parse, plain_pages
+from texrex_ray.crawl.fetcher import ArrowPagesTransport, fetch_parse
 from texrex_ray.crawl.policy import CrawlConfig
 from texrex_ray.functions.urlkit import host_of
 from texrex_ray.sources.webgraph import WebGraph
@@ -187,7 +187,7 @@ class PriorityCrawlEngine:
         self.cfg = config or CrawlConfig()
         self.n_partitions = n_partitions
         self.budget = budget_per_round
-        pages_ref = ray.put(plain_pages(graph))
+        pages_ref = ray.put(ArrowPagesTransport.from_graph(graph))
         self.parts = [
             PriorityFrontierActor.remote(
                 p, graph.robots, pages_ref, self.cfg, host_scores

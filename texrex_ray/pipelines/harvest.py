@@ -118,14 +118,53 @@ def first_wins_refs(
     return bucketed.groupby("bucket").map_groups(bucket_first, batch_format="pandas")
 
 
+class ArrowBytesStore:
+    """Zero-copy synthetic CDN: (img_url → encoded bytes) as ONE Arrow
+    table.  A broadcast Python dict is re-deserialized O(store) in every
+    fetcher actor (the 10x bench graph's 113k-image store cost ~1 s per
+    actor); an Arrow table rides ``ray.put`` as out-of-band plasma
+    buffers, so actors attach zero-copy and only pay the lazy url→row
+    index.  Same .get(url) duck type as the dict it replaces."""
+
+    def __init__(self, table) -> None:
+        self._tbl = table.combine_chunks()
+        self._idx: dict | None = None
+
+    @classmethod
+    def from_dict(cls, store: dict) -> "ArrowBytesStore":
+        return cls(
+            pa.table(
+                {
+                    "url": pa.array(list(store.keys()), pa.string()),
+                    "bytes": pa.array(list(store.values()), pa.large_binary()),
+                }
+            )
+        )
+
+    def __getstate__(self):
+        return {"_tbl": self._tbl}  # the index rebuilds lazily per process
+
+    def __setstate__(self, state):
+        self._tbl = state["_tbl"]
+        self._idx = None
+
+    def get(self, url: str):
+        if self._idx is None:
+            self._idx = {
+                u: i for i, u in enumerate(self._tbl["url"].to_pylist())
+            }
+        i = self._idx.get(url)
+        return None if i is None else self._tbl["bytes"][i].as_py()
+
+
 class ImageFetcher:
     """Actor-pool stage: src → container bytes + header dims + phash.
 
-    ``store_ref``: ``ray.put`` handle to the synthetic CDN dict
-    (img_url → encoded bytes), materialized once per actor.  Misses (a
-    page referenced an image the store never served) are dropped, counted
-    in ``fetch_misses``.  Production swap-in: an HTTP client pool with the
-    same ``__call__`` contract."""
+    ``store_ref``: ``ray.put`` handle to the synthetic CDN store
+    (``ArrowBytesStore``, or any .get(url)→bytes|None object), attached
+    once per actor.  Misses (a page referenced an image the store never
+    served) are dropped, counted in ``fetch_misses``.  Production
+    swap-in: an HTTP client pool with the same ``__call__`` contract."""
 
     def __init__(self, store_ref) -> None:
         self.store = ray.get(store_ref) if isinstance(store_ref, ray.ObjectRef) else store_ref
@@ -173,11 +212,14 @@ def harvest_images(
     Output columns: ``image_id bytes w h fmt caption phash`` plus
     provenance ``src page_url round walker_id`` (select the canonical 7
     before writing the Lance table — ``harvest_to_table``)."""
-    ref = (
-        image_store
-        if isinstance(image_store, ray.ObjectRef)
-        else ray.put(image_store)
-    )
+    if isinstance(image_store, ray.ObjectRef):
+        ref = image_store
+    else:
+        ref = ray.put(
+            ArrowBytesStore.from_dict(image_store)
+            if isinstance(image_store, dict)
+            else image_store
+        )
     refs = corpus.map_batches(explode_image_refs, batch_format="pyarrow")
     winners = first_wins_refs(refs, n_buckets=n_buckets, expected_rows=expected_rows)
     kw: dict = dict(batch_format="pyarrow", batch_size=batch_size)
