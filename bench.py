@@ -58,6 +58,16 @@ def run_bench(shutdown: bool = True) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # Single-file inputs (the testdata tables and the images fixture — a
+    # layout the DuckDB oracle dictates) read as ONE task that SplitBlocks
+    # post-read; Ray's default 2-block streaming-generator buffer then
+    # throttles every downstream stage to the block-dispatch RTT
+    # (measured at 32 cpus: images leg 3.9 -> 1.5 s, tender 2.1 -> 0.8 s).
+    # 16 × the ~1-4 MB blocks these inputs split into keeps per-task
+    # buffering under ~100 MB; a cluster reading many-file tables at the
+    # default 128 MB target block size should keep Ray's default of 2.
+    if hasattr(ctx, "_max_num_blocks_in_streaming_gen_buffer"):
+        ctx._max_num_blocks_in_streaming_gen_buffer = 16
 
     import pyarrow as pa
 

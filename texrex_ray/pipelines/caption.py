@@ -41,8 +41,11 @@ def fixture_path(n: int, seed: int = 42, root: str = "/tmp/texrex_ray_fixtures")
     ):
         os.makedirs(d, exist_ok=True)
         images, expected = make_images(n=n, seed=seed)
-        pq.write_table(images, imgs_p + ".tmp")
-        pq.write_table(expected, exp_p + ".tmp")
+        # bounded row groups: a single-row-group binary column serializes
+        # the whole read into ONE task (Ray splits parquet at row-group
+        # granularity) — measured 1.5 s of the images bench leg at n=10k
+        pq.write_table(images, imgs_p + ".tmp", row_group_size=512)
+        pq.write_table(expected, exp_p + ".tmp", row_group_size=4096)
         os.replace(imgs_p + ".tmp", imgs_p)
         os.replace(exp_p + ".tmp", exp_p)
         write_images(images, tbl_d)

@@ -84,7 +84,10 @@ def write_images(
     else:
         if isinstance(ds, pa.Table):
             f = os.path.join(path, "part-00000.parquet")
-            pq.write_table(ds, f + ".tmp")
+            # bounded row groups: parquet reads split at row-group
+            # granularity, so one giant binary row group would serialize
+            # every downstream read into a single task
+            pq.write_table(ds, f + ".tmp", row_group_size=512)
             os.replace(f + ".tmp", f)
         else:
             ds.write_parquet(path)

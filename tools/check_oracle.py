@@ -59,7 +59,13 @@ def main() -> int:
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # single-file testdata tables read as ONE task whose 2-block streaming
+    # generator buffer throttles deep chains (see bench.py for the
+    # measurement); the sweep's blocks are small at sf0.01/0.1
+    if hasattr(ctx, "_max_num_blocks_in_streaming_gen_buffer"):
+        ctx._max_num_blocks_in_streaming_gen_buffer = 16
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
