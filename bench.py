@@ -68,6 +68,17 @@ def run_bench(shutdown: bool = True) -> dict:
     # default 128 MB target block size should keep Ray's default of 2.
     if hasattr(ctx, "_max_num_blocks_in_streaming_gen_buffer"):
         ctx._max_num_blocks_in_streaming_gen_buffer = 16
+    # Ray's per-operator resource reservation (ratio 0.5) caps the hot
+    # map operator of a deep chain at ~half the CPUs even when every
+    # other operator is idle — measured 4.35 -> 2.65 s on the sf1 tender
+    # chain (5M-row Rabin explode at concurrency ~10 of 32).  These
+    # pipelines are shallow task chains with output-sized tails, so the
+    # anti-starvation reservation only strands CPUs; a pipeline mixing
+    # big concurrent actor pools should leave it on.
+    if os.environ.get("GRAFT_OP_RESERVATION", "0") != "1" and hasattr(
+        ctx, "op_resource_reservation_enabled"
+    ):
+        ctx.op_resource_reservation_enabled = False
 
     import pyarrow as pa
 
