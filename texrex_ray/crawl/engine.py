@@ -432,6 +432,44 @@ class FrontierPartActor:
         self.corpus_buf = list(snap.get("corpus_buf", []))
 
 
+def prune_committed_checkpoints(out_dir: str, keep_last: int) -> list[str]:
+    """Shared retention helper (see ``CrawlEngine.prune_checkpoints`` for
+    the contract); used by both crawl engines."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ckroot = os.path.join(out_dir, "ckpt")
+    try:
+        committed = sorted(
+            d for d in os.listdir(ckroot)
+            if os.path.exists(os.path.join(ckroot, d, "COMMIT"))
+        )
+    except FileNotFoundError:
+        return []
+    pruned = []
+    for d in committed[:-keep_last]:
+        path = os.path.join(ckroot, d)
+        os.remove(os.path.join(path, "COMMIT"))  # invisible to resume now
+        shutil.rmtree(path, ignore_errors=True)
+        pruned.append(path)
+    return pruned
+
+
+def latest_committed_checkpoint(out_dir: str) -> str:
+    """Path of the newest COMMITTED checkpoint under ``out_dir``/ckpt;
+    raises FileNotFoundError when none exists (shared by both engines)."""
+    ckroot = os.path.join(out_dir, "ckpt")
+    try:
+        rounds = sorted(
+            d for d in os.listdir(ckroot)
+            if os.path.exists(os.path.join(ckroot, d, "COMMIT"))
+        )
+    except FileNotFoundError:
+        rounds = []
+    if not rounds:
+        raise FileNotFoundError(f"no committed checkpoint under {ckroot}")
+    return os.path.join(ckroot, rounds[-1])
+
+
 def partition_of(
     hosts: list[str], n_partitions: int, salt: dict[str, int] | None = None
 ) -> np.ndarray:
@@ -936,23 +974,7 @@ class CrawlEngine:
         checkpoint paths.
         """
         assert self.out_dir
-        if keep_last < 1:
-            raise ValueError("keep_last must be >= 1")
-        ckroot = os.path.join(self.out_dir, "ckpt")
-        try:
-            committed = sorted(
-                d for d in os.listdir(ckroot)
-                if os.path.exists(os.path.join(ckroot, d, "COMMIT"))
-            )
-        except FileNotFoundError:
-            return []
-        pruned = []
-        for d in committed[:-keep_last]:
-            path = os.path.join(ckroot, d)
-            os.remove(os.path.join(path, "COMMIT"))  # invisible to resume now
-            shutil.rmtree(path, ignore_errors=True)
-            pruned.append(path)
-        return pruned
+        return prune_committed_checkpoints(self.out_dir, keep_last)
 
     def _flush_outputs(self) -> None:
         assert self.out_dir
@@ -985,14 +1007,7 @@ class CrawlEngine:
 
     @classmethod
     def resume(cls, graph: WebGraph, out_dir: str, **kw) -> "CrawlEngine":
-        ckroot = os.path.join(out_dir, "ckpt")
-        rounds = sorted(
-            d for d in os.listdir(ckroot)
-            if os.path.exists(os.path.join(ckroot, d, "COMMIT"))
-        )
-        if not rounds:
-            raise FileNotFoundError(f"no committed checkpoint under {ckroot}")
-        ck = os.path.join(ckroot, rounds[-1])
+        ck = latest_committed_checkpoint(out_dir)
         with open(os.path.join(ck, "meta.json")) as f:
             meta = json.load(f)
         # Remove output files from rounds BEYOND the restored checkpoint

@@ -27,21 +27,30 @@ most once), unlike the walker where the Bloom gates output only.
 from __future__ import annotations
 
 import heapq
+import json
+import os
+import pickle
 import time
 from collections import Counter
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 
 from texrex_ray.crawl.fetcher import ArrowPagesTransport, fetch_parse
 from texrex_ray.crawl.policy import CrawlConfig
 from texrex_ray.functions.urlkit import host_of
 from texrex_ray.sources.webgraph import WebGraph
-from texrex_ray.state.urlseen import make_url_seen
+from texrex_ray.state.urlseen import make_url_seen, restore_url_seen
 from texrex_ray.state.politeness import PolitenessManager
 
-from texrex_ray.crawl.engine import partition_of
+from texrex_ray.crawl.engine import (
+    CrawlEngine,
+    latest_committed_checkpoint,
+    partition_of,
+    prune_committed_checkpoints,
+)
 
 
 @dataclass
@@ -170,6 +179,54 @@ class PriorityFrontierActor:
     def get_metrics(self) -> dict:
         return dict(self.metrics)
 
+    def flush_corpus(self, out_dir: str, upto_round: int) -> int:
+        """Buffered corpus rows → per-partition round-stamped parquet
+        (same resumable layout + tmp→rename discipline as the walk
+        engine's FrontierPartActor.flush_corpus)."""
+        if not self.corpus_buf:
+            return 0
+        d = os.path.join(out_dir, "corpus", f"part={self.part_id:04d}")
+        os.makedirs(d, exist_ok=True)
+        rows = self.corpus_buf
+        ltypes = {"links": pa.list_(pa.string())}
+        t = pa.table(
+            {k: pa.array([r[k] for r in rows], type=ltypes.get(k)) for k in rows[0]}
+        )
+        path = os.path.join(d, f"corpus-r{upto_round:08d}.parquet")
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        n = len(rows)
+        self.corpus_buf = []
+        return n
+
+    def snapshot(self) -> bytes:
+        """Full frontier-partition state: priority heap, in-degree
+        counters, politeness clocks, URL-seen filter, metrics, and any
+        still-buffered corpus rows (empty when the engine flushed before
+        snapshotting, the checkpoint contract)."""
+        return pickle.dumps(
+            {
+                "politeness": self.pm.snapshot(),
+                "seen": self.seen.snapshot(),
+                "heap": list(self.heap),
+                "host_degree": dict(self.host_degree),
+                "host_bias": dict(self.host_bias),
+                "metrics": dict(self.metrics),
+                "corpus_buf": self.corpus_buf,
+            }
+        )
+
+    def restore(self, blob: bytes) -> None:
+        snap = pickle.loads(blob)
+        self.pm = PolitenessManager.restore(snap["politeness"])
+        self.seen = restore_url_seen(snap["seen"])
+        self.heap = [tuple(it) for it in snap["heap"]]
+        heapq.heapify(self.heap)
+        self.host_degree = Counter(snap["host_degree"])
+        self.host_bias = dict(snap.get("host_bias", {}))
+        self.metrics = Counter(snap["metrics"])
+        self.corpus_buf = list(snap.get("corpus_buf", []))
+
 
 class PriorityCrawlEngine:
     """Round-based degree-biased BFS-style crawler over the priority frontier."""
@@ -182,11 +239,13 @@ class PriorityCrawlEngine:
         budget_per_round: int = 64,
         config: CrawlConfig | None = None,
         host_scores: dict | None = None,
+        out_dir: str | None = None,
     ):
         self.graph = graph
         self.cfg = config or CrawlConfig()
         self.n_partitions = n_partitions
         self.budget = budget_per_round
+        self.out_dir = out_dir
         pages_ref = ray.put(ArrowPagesTransport.from_graph(graph))
         self.parts = [
             PriorityFrontierActor.remote(
@@ -195,7 +254,12 @@ class PriorityCrawlEngine:
             for p in range(n_partitions)
         ]
         self.round = 0
+        self.fetched = 0  # cumulative across resume (the max_fetches budget)
+        # UNFLUSHED visit rows only; with out_dir set, checkpoints flush
+        # and truncate (driver memory O(checkpoint window), same contract
+        # as CrawlEngine)
         self.visit_log: list[tuple[int, str, str]] = []  # (round, url, host)
+        self._visits_flushed_rows = 0
         self._route_enqueue([(u, 0) for u in graph.seeds])
 
     def _route_enqueue(self, links: list[tuple[str, int]]) -> int:
@@ -213,10 +277,20 @@ class PriorityCrawlEngine:
         ]
         return sum(ray.get(futs))
 
-    def run(self, max_fetches: int, max_rounds: int | None = None) -> PriorityStats:
+    def run(
+        self,
+        max_fetches: int,
+        max_rounds: int | None = None,
+        checkpoint_every: int | None = None,
+        keep_checkpoints: int | None = None,
+    ) -> PriorityStats:
+        """``max_fetches`` is the TOTAL budget including pre-resume fetches
+        (the CrawlEngine ``max_steps`` convention), so a resumed run
+        finishes the same crawl."""
         stats = PriorityStats()
+        start_fetched = self.fetched
         t0 = time.perf_counter()
-        while stats.fetched < max_fetches:
+        while self.fetched < max_fetches:
             if max_rounds is not None and self.round >= max_rounds:
                 break
             now = self.round
@@ -243,22 +317,154 @@ class PriorityCrawlEngine:
             for p in sorted(by_part):
                 for r in ray.get(res_futs[p]):
                     if r["ok"]:
-                        stats.fetched += 1
+                        self.fetched += 1
                         self.visit_log.append((now, r["url"], host_of(r["url"])))
                     else:
                         stats.failed += 1
                     new_links.extend((u, self.round) for u in r["links"])
             stats.enqueued += self._route_enqueue(sorted(set(new_links)))
+            if checkpoint_every and self.out_dir and self.round % checkpoint_every == 0:
+                self.checkpoint()
+                if keep_checkpoints:
+                    prune_committed_checkpoints(self.out_dir, keep_checkpoints)
+        stats.fetched = self.fetched - start_fetched
         stats.rounds = self.round
         stats.elapsed_sec = time.perf_counter() - t0
         stats.urls_per_sec = stats.fetched / stats.elapsed_sec if stats.elapsed_sec else 0.0
         stats.partition_metrics = {
             p: m for p, m in enumerate(ray.get([a.get_metrics.remote() for a in self.parts]))
         }
+        if self.out_dir:
+            self._flush_outputs()
         return stats
 
+    # -- checkpoint / resume ------------------------------------------------
+
+    def _flush_outputs(self) -> None:
+        assert self.out_dir
+        vd = os.path.join(self.out_dir, "visits")
+        os.makedirs(vd, exist_ok=True)
+        if self.visit_log:
+            rows = sorted(self.visit_log)
+            t = pa.table(
+                {
+                    "round": pa.array([r[0] for r in rows], pa.int64()),
+                    "url": pa.array([r[1] for r in rows], pa.string()),
+                    "host": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+            path = os.path.join(
+                vd, f"visits-r{self.round:08d}-{self._visits_flushed_rows:010d}.parquet"
+            )
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            self._visits_flushed_rows += len(rows)
+            self.visit_log = []
+        ray.get([p.flush_corpus.remote(self.out_dir, self.round) for p in self.parts])
+
+    def checkpoint(self) -> str:
+        """Per-partition checkpoint: frontier heap + degree counters +
+        politeness + URL-seen snapshots, flushed outputs, a lineage
+        manifest and a COMMIT marker — the north rule's resumable
+        priority frontier (same directory contract as CrawlEngine)."""
+        assert self.out_dir
+        ck = os.path.join(self.out_dir, "ckpt", f"round={self.round:08d}")
+        os.makedirs(ck, exist_ok=True)
+        # flush BEFORE snapshotting so restored corpus buffers are empty
+        self._flush_outputs()
+        blobs = ray.get([p.snapshot.remote() for p in self.parts])
+        metrics = ray.get([p.get_metrics.remote() for p in self.parts])
+        sizes = ray.get([p.frontier_size.remote() for p in self.parts])
+        for i, b in enumerate(blobs):
+            with open(os.path.join(ck, f"part-{i}.pkl"), "wb") as f:
+                f.write(b)
+        meta = {
+            "round": self.round, "fetched": self.fetched,
+            "n_partitions": self.n_partitions, "budget": self.budget,
+        }
+        with open(os.path.join(ck, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+        def _files(d: str) -> list[str]:
+            try:
+                return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            except FileNotFoundError:
+                return []
+
+        lineage = {
+            "round": self.round,
+            "visits_files": _files(os.path.join(self.out_dir, "visits")),
+            "partitions": [
+                {
+                    "part_id": i,
+                    "metrics": dict(metrics[i]),
+                    "frontier_size": sizes[i],
+                    "corpus_files": _files(
+                        os.path.join(self.out_dir, "corpus", f"part={i:04d}")
+                    ),
+                    "state_bytes": len(blobs[i]),
+                }
+                for i in range(self.n_partitions)
+            ],
+        }
+        with open(os.path.join(ck, "lineage.json"), "w") as f:
+            json.dump(lineage, f)
+        with open(os.path.join(ck, "COMMIT"), "w") as f:
+            f.write("ok")
+        return ck
+
+    @classmethod
+    def resume(cls, graph: WebGraph, out_dir: str, **kw) -> "PriorityCrawlEngine":
+        """Resume from the last COMMITTED checkpoint: orphaned post-commit
+        output files are removed, partition state restored, and a
+        subsequent ``run(max_fetches=N)`` completes the identical crawl
+        (pinned by tests incl. an abrupt actor-kill drill).  Pass the same
+        ``config``/``host_scores`` the original engine used."""
+        ck = latest_committed_checkpoint(out_dir)
+        with open(os.path.join(ck, "meta.json")) as f:
+            meta = json.load(f)
+        CrawlEngine._remove_orphan_outputs(out_dir, meta["round"])
+        eng = cls(
+            graph,
+            n_partitions=meta["n_partitions"],
+            budget_per_round=meta["budget"],
+            out_dir=out_dir,
+            **kw,
+        )
+        for i, p in enumerate(eng.parts):
+            with open(os.path.join(ck, f"part-{i}.pkl"), "rb") as f:
+                ray.get(p.restore.remote(f.read()))
+        eng.round = meta["round"]
+        eng.fetched = meta["fetched"]
+        eng._visits_flushed_rows = eng._count_flushed_visits()
+        return eng
+
+    def _count_flushed_visits(self) -> int:
+        vd = os.path.join(self.out_dir, "visits") if self.out_dir else None
+        if not vd or not os.path.isdir(vd):
+            return 0
+        return sum(
+            pq.read_metadata(os.path.join(vd, f)).num_rows
+            for f in os.listdir(vd)
+            if f.endswith(".parquet")
+        )
+
+    def _flushed_visit_rows(self) -> list[tuple[int, str, str]]:
+        if not self.out_dir:
+            return []
+        vd = os.path.join(self.out_dir, "visits")
+        if not os.path.isdir(vd):
+            return []
+        rows: list[tuple[int, str, str]] = []
+        for f in sorted(os.listdir(vd)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(vd, f))
+            rows.extend(zip(*(t[c].to_pylist() for c in ("round", "url", "host"))))
+        return rows
+
     def visit_order(self) -> list[tuple[int, str, str]]:
-        return sorted(self.visit_log)
+        return sorted(self._flushed_visit_rows() + self.visit_log)
 
     def collect_corpus(self) -> list[dict]:
         out: list[dict] = []
