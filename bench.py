@@ -143,10 +143,27 @@ def run_bench(shutdown: bool = True) -> dict:
 
     # ---- crawl: fetch + strip + politeness + bloom over synthetic web ----
     t0 = time.perf_counter()
-    graph = make_webgraph(
-        n_hosts=n_hosts, pages_per_host_base=6, n_seeds=512, seed=42,
-        max_pages_per_host=60, with_images=True,
-    )
+    # input synthesis, untimed in the legs; the per-page RNG loop costs
+    # ~100 s at the 12k-host --sf1 size, so big graphs cache as a pickle
+    # (deterministic given the parameters below — seed 42)
+    _wg_cache = f"/tmp/texrex_ray_fixtures/webgraph_h{n_hosts}_s42.pkl"
+    if n_hosts >= 4000 and os.path.exists(_wg_cache):
+        import pickle as _pickle
+
+        with open(_wg_cache, "rb") as _f:
+            graph = _pickle.load(_f)
+    else:
+        graph = make_webgraph(
+            n_hosts=n_hosts, pages_per_host_base=6, n_seeds=512, seed=42,
+            max_pages_per_host=60, with_images=True,
+        )
+        if n_hosts >= 4000:
+            import pickle as _pickle
+
+            os.makedirs(os.path.dirname(_wg_cache), exist_ok=True)
+            with open(_wg_cache + ".tmp", "wb") as _f:
+                _pickle.dump(graph, _f, protocol=5)
+            os.replace(_wg_cache + ".tmp", _wg_cache)
     extras["webgraph_gen_sec"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     n_parts = max(2, num_cpus // 4)
