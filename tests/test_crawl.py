@@ -309,10 +309,15 @@ def test_priority_engine_checkpoint_resume(graph, tmp_path):
 
     d = str(tmp_path / "prio")
     e1 = PriorityCrawlEngine(graph, n_partitions=4, budget_per_round=8, out_dir=d)
-    e1.run(max_fetches=80, checkpoint_every=3, max_rounds=6)
+    e1.run(max_fetches=80, checkpoint_every=3, max_rounds=6, keep_checkpoints=1)
     assert e1.fetched < 80
-    ck = os.path.join(d, "ckpt", "round=00000006")
-    assert os.path.exists(os.path.join(ck, "COMMIT"))
+    ckroot = os.path.join(d, "ckpt")
+    committed = [
+        c for c in os.listdir(ckroot)
+        if os.path.exists(os.path.join(ckroot, c, "COMMIT"))
+    ]
+    assert committed == ["round=00000006"]  # retention bound enforced
+    ck = os.path.join(ckroot, "round=00000006")
     import json as _json
 
     with open(os.path.join(ck, "lineage.json")) as f:
