@@ -144,9 +144,19 @@ def run_bench(shutdown: bool = True) -> dict:
     # ---- crawl: fetch + strip + politeness + bloom over synthetic web ----
     t0 = time.perf_counter()
     # input synthesis, untimed in the legs; the per-page RNG loop costs
-    # ~100 s at the 12k-host --sf1 size, so big graphs cache as a pickle
-    # (deterministic given the parameters below — seed 42)
-    _wg_cache = f"/tmp/texrex_ray_fixtures/webgraph_h{n_hosts}_s42.pkl"
+    # ~100 s at the 12k-host --sf1 size, so big graphs cache as a pickle.
+    # The cache key hashes the generator MODULE source + every call-site
+    # parameter, so changing the generator (or these args) can never
+    # silently reuse a stale corpus.
+    import hashlib as _hashlib
+    import inspect as _inspect
+
+    import texrex_ray.sources.webgraph as _wgmod
+
+    _wg_key = _hashlib.md5(
+        (_inspect.getsource(_wgmod) + f"|{n_hosts}|6|512|42|60|img").encode()
+    ).hexdigest()[:10]
+    _wg_cache = f"/tmp/texrex_ray_fixtures/webgraph_h{n_hosts}_{_wg_key}.pkl"
     if n_hosts >= 4000 and os.path.exists(_wg_cache):
         import pickle as _pickle
 

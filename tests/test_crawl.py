@@ -464,12 +464,18 @@ def test_checkpoint_pruning_keeps_resume_working(graph, tmp_path):
     )
     assert len(committed) == 2  # retention bound enforced during run()
 
-    # an uncommitted (in-flight) directory is never touched
+    # an uncommitted dir NEWER than the last commit is never touched (it
+    # may belong to a checkpoint in flight); a torn dir OLDER than the
+    # last commit is garbage-collected (it can never be completed)
     stray = os.path.join(ckroot, "round=99999999")
+    torn = os.path.join(ckroot, "round=00000001")
     os.makedirs(stray)
+    os.makedirs(torn, exist_ok=True)
+    open(os.path.join(torn, "part-0.pkl"), "wb").write(b"x")
     pruned = e1.prune_checkpoints(keep_last=1)
     assert os.path.isdir(stray)
-    assert len(pruned) == 1
+    assert not os.path.isdir(torn)
+    assert len(pruned) == 2  # one pruned commit + the torn dir
     survivors = sorted(
         c for c in os.listdir(ckroot)
         if os.path.exists(os.path.join(ckroot, c, "COMMIT"))

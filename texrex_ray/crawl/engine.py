@@ -451,6 +451,19 @@ def prune_committed_checkpoints(out_dir: str, keep_last: int) -> list[str]:
         os.remove(os.path.join(path, "COMMIT"))  # invisible to resume now
         shutil.rmtree(path, ignore_errors=True)
         pruned.append(path)
+    # Torn checkpoints (a crash between the state writes and the COMMIT
+    # marker) are invisible to resume but would otherwise leak their
+    # per-partition state blobs forever: rounds are monotonic, so a torn
+    # round=N directory is never rewritten once a NEWER round committed.
+    # An uncommitted dir >= the newest committed round is left alone — it
+    # may belong to a checkpoint() in flight right now.
+    if committed:
+        newest = committed[-1]
+        for d in os.listdir(ckroot):
+            if d.startswith("round=") and d < newest and d not in committed:
+                path = os.path.join(ckroot, d)
+                shutil.rmtree(path, ignore_errors=True)
+                pruned.append(path)
     return pruned
 
 
@@ -1024,12 +1037,14 @@ class CrawlEngine:
             out_dir=out_dir,
             **kw,
         )
+        futs = []
         for i, s in enumerate(eng.shards):
             with open(os.path.join(ck, f"shard-{i}.pkl"), "rb") as f:
-                ray.get(s.restore.remote(f.read()))
+                futs.append(s.restore.remote(f.read()))
         for i, p in enumerate(eng.parts):
             with open(os.path.join(ck, f"part-{i}.pkl"), "rb") as f:
-                ray.get(p.restore.remote(f.read()))
+                futs.append(p.restore.remote(f.read()))
+        ray.get(futs)  # batched: all restores deserialize in parallel
         eng.round = meta["round"]
         eng.steps = meta["steps"]
         eng.stats.outputs = meta["outputs"]

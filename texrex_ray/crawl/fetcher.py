@@ -164,21 +164,43 @@ class DictTransport:
         return self.pages.get(url)
 
 
-class ArrowPagesTransport:
-    """Zero-copy synthetic transport: the page corpus as ONE Arrow table.
+class ArrowKeyedStore:
+    """Base for zero-copy broadcast stores: ONE Arrow table keyed by a
+    ``url`` column.  A broadcast Python dict is re-deserialized O(size)
+    in EVERY actor that attaches it; an Arrow table rides ``ray.put`` as
+    out-of-band plasma buffers, so actors attach zero-copy and only pay
+    a lazily built url→row index (which never travels — it rebuilds per
+    process).  Subclasses define what a row lookup returns."""
 
-    A broadcast ``plain_pages`` dict is re-deserialized O(corpus) in every
-    partition actor (measured: 3.2 s first-round latency on the 232k-page
-    10x bench graph — the whole leg's nonlinearity).  An Arrow table rides
-    ``ray.put`` as out-of-band plasma buffers, so each actor attaches
-    zero-copy; the only per-actor cost is the lazy url→row index
-    (~0.2 s), and page bytes are copied out only for pages actually
-    fetched.  This is also the 100-TB shape: a replay corpus lives in
-    Arrow/Parquet, not in a Python dict."""
+    key_col = "url"
 
     def __init__(self, table):
         self._tbl = table.combine_chunks()
         self._idx: dict | None = None
+
+    def __getstate__(self):
+        return {"_tbl": self._tbl}  # the index rebuilds lazily per process
+
+    def __setstate__(self, state):
+        self._tbl = state["_tbl"]
+        self._idx = None
+
+    def _row(self, key: str) -> int | None:
+        if self._idx is None:
+            self._idx = {
+                u: i for i, u in enumerate(self._tbl[self.key_col].to_pylist())
+            }
+        return self._idx.get(key)
+
+
+class ArrowPagesTransport(ArrowKeyedStore):
+    """Zero-copy synthetic transport: the page corpus as ONE Arrow table.
+
+    A broadcast ``plain_pages`` dict cost 3.2 s of first-round latency on
+    the 232k-page 10x bench graph (the whole leg's nonlinearity); the
+    Arrow table attaches per actor in ~0.2 s, and page bytes are copied
+    out only for pages actually fetched.  This is also the 100-TB shape:
+    a replay corpus lives in Arrow/Parquet, not in a Python dict."""
 
     @classmethod
     def from_graph(cls, graph) -> "ArrowPagesTransport":
@@ -198,19 +220,8 @@ class ArrowPagesTransport:
         )
         return cls(t)
 
-    def __getstate__(self):
-        return {"_tbl": self._tbl}  # the index rebuilds lazily per process
-
-    def __setstate__(self, state):
-        self._tbl = state["_tbl"]
-        self._idx = None
-
     def get(self, url: str):
-        if self._idx is None:
-            self._idx = {
-                u: i for i, u in enumerate(self._tbl["url"].to_pylist())
-            }
-        i = self._idx.get(url)
+        i = self._row(url)
         if i is None:
             return None
         t = self._tbl

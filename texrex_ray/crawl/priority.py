@@ -289,6 +289,7 @@ class PriorityCrawlEngine:
         finishes the same crawl."""
         stats = PriorityStats()
         start_fetched = self.fetched
+        start_round = self.round
         t0 = time.perf_counter()
         while self.fetched < max_fetches:
             if max_rounds is not None and self.round >= max_rounds:
@@ -303,32 +304,35 @@ class PriorityCrawlEngine:
                 sizes = ray.get([p.frontier_size.remote() for p in self.parts])
                 if sum(sizes) == 0:
                     break
-                continue  # everything politeness-deferred this round
-            merged.sort(key=lambda x: x[1])  # global priority order
-            selected = merged[: self.budget]
-            by_part: dict[int, list[tuple[int, int, str]]] = {}
-            for pid, item in selected:
-                by_part.setdefault(pid, []).append(item)
-            res_futs = {
-                p: self.parts[p].fetch_selected.remote(items, now)
-                for p, items in by_part.items()
-            }
-            new_links: list[tuple[str, int]] = []
-            for p in sorted(by_part):
-                for r in ray.get(res_futs[p]):
-                    if r["ok"]:
-                        self.fetched += 1
-                        self.visit_log.append((now, r["url"], host_of(r["url"])))
-                    else:
-                        stats.failed += 1
-                    new_links.extend((u, self.round) for u in r["links"])
-            stats.enqueued += self._route_enqueue(sorted(set(new_links)))
+                # everything politeness-deferred this round — still fall
+                # through to the checkpoint-cadence check below (a streak
+                # of deferred rounds must not stretch the commit window)
+            else:
+                merged.sort(key=lambda x: x[1])  # global priority order
+                selected = merged[: self.budget]
+                by_part: dict[int, list[tuple[int, int, str]]] = {}
+                for pid, item in selected:
+                    by_part.setdefault(pid, []).append(item)
+                res_futs = {
+                    p: self.parts[p].fetch_selected.remote(items, now)
+                    for p, items in by_part.items()
+                }
+                new_links: list[tuple[str, int]] = []
+                for p in sorted(by_part):
+                    for r in ray.get(res_futs[p]):
+                        if r["ok"]:
+                            self.fetched += 1
+                            self.visit_log.append((now, r["url"], host_of(r["url"])))
+                        else:
+                            stats.failed += 1
+                        new_links.extend((u, self.round) for u in r["links"])
+                stats.enqueued += self._route_enqueue(sorted(set(new_links)))
             if checkpoint_every and self.out_dir and self.round % checkpoint_every == 0:
                 self.checkpoint()
                 if keep_checkpoints:
                     prune_committed_checkpoints(self.out_dir, keep_checkpoints)
         stats.fetched = self.fetched - start_fetched
-        stats.rounds = self.round
+        stats.rounds = self.round - start_round
         stats.elapsed_sec = time.perf_counter() - t0
         stats.urls_per_sec = stats.fetched / stats.elapsed_sec if stats.elapsed_sec else 0.0
         stats.partition_metrics = {
@@ -431,9 +435,11 @@ class PriorityCrawlEngine:
             out_dir=out_dir,
             **kw,
         )
+        futs = []
         for i, p in enumerate(eng.parts):
             with open(os.path.join(ck, f"part-{i}.pkl"), "rb") as f:
-                ray.get(p.restore.remote(f.read()))
+                futs.append(p.restore.remote(f.read()))
+        ray.get(futs)  # batched: restores deserialize in parallel
         eng.round = meta["round"]
         eng.fetched = meta["fetched"]
         eng._visits_flushed_rows = eng._count_flushed_visits()

@@ -34,10 +34,21 @@ def fixture_path(n: int, seed: int = 42, root: str = "/tmp/texrex_ray_fixtures")
     imgs_p = os.path.join(d, "images.parquet")
     exp_p = os.path.join(d, "images_expected.parquet")
     tbl_d = os.path.join(d, "images_table")
+
+    def _layout_current() -> bool:
+        # a fixture cached before the bounded-row-group fix keeps its one
+        # giant row group (and its single-task read) forever unless the
+        # freshness check inspects the layout, not just existence
+        try:
+            return pq.read_metadata(imgs_p).num_row_groups == -(-n // 512)
+        except Exception:
+            return False
+
     if not (
         os.path.exists(imgs_p)
         and os.path.exists(exp_p)
         and os.path.exists(os.path.join(tbl_d, "_FORMAT"))
+        and _layout_current()
     ):
         os.makedirs(d, exist_ok=True)
         images, expected = make_images(n=n, seed=seed)

@@ -46,6 +46,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from texrex_ray.crawl.fetcher import ArrowKeyedStore
 from texrex_ray.functions.hashing import doc_id_for_url, stable_hash64
 
 HARVEST_COLS = ["url", "round", "walker_id", "img_srcs", "img_caps"]
@@ -118,17 +119,11 @@ def first_wins_refs(
     return bucketed.groupby("bucket").map_groups(bucket_first, batch_format="pandas")
 
 
-class ArrowBytesStore:
+class ArrowBytesStore(ArrowKeyedStore):
     """Zero-copy synthetic CDN: (img_url → encoded bytes) as ONE Arrow
-    table.  A broadcast Python dict is re-deserialized O(store) in every
-    fetcher actor (the 10x bench graph's 113k-image store cost ~1 s per
-    actor); an Arrow table rides ``ray.put`` as out-of-band plasma
-    buffers, so actors attach zero-copy and only pay the lazy url→row
-    index.  Same .get(url) duck type as the dict it replaces."""
-
-    def __init__(self, table) -> None:
-        self._tbl = table.combine_chunks()
-        self._idx: dict | None = None
+    table (the 10x bench graph's 113k-image dict cost ~1 s of deserialize
+    per fetcher actor).  Same .get(url) duck type as the dict it
+    replaces; shared machinery in ``crawl/fetcher.py::ArrowKeyedStore``."""
 
     @classmethod
     def from_dict(cls, store: dict) -> "ArrowBytesStore":
@@ -141,19 +136,8 @@ class ArrowBytesStore:
             )
         )
 
-    def __getstate__(self):
-        return {"_tbl": self._tbl}  # the index rebuilds lazily per process
-
-    def __setstate__(self, state):
-        self._tbl = state["_tbl"]
-        self._idx = None
-
     def get(self, url: str):
-        if self._idx is None:
-            self._idx = {
-                u: i for i, u in enumerate(self._tbl["url"].to_pylist())
-            }
-        i = self._idx.get(url)
+        i = self._row(url)
         return None if i is None else self._tbl["bytes"][i].as_py()
 
 
