@@ -42,8 +42,30 @@ def test_cli_clarax_writes_resumable_output(tmp_path):
     out = str(tmp_path / "crawl")
     r = _run("clarax", out, "--steps", "150", "--walkers", "4", "--hosts", "10")
     assert r["steps"] >= 150
+    assert r["resumed"] is False
     assert os.path.isdir(os.path.join(out, "corpus"))
     assert glob.glob(os.path.join(out, "ckpt", "*", "COMMIT"))
+    # re-submit with the same out dir: resumes and extends the budget
+    r2 = _run("clarax", out, "--steps", "250", "--walkers", "4", "--hosts", "10")
+    assert r2["resumed"] is True
+    assert r2["steps"] >= 250
+
+
+def test_cli_priority_crawl_resumable(tmp_path):
+    out = str(tmp_path / "prio")
+    r = _run(
+        "priority", out, "--fetches", "60", "--hosts", "10",
+        "--seeds", "4", "--budget", "8", "--checkpoint-every", "2",
+    )
+    assert r["resumed"] is False
+    assert r["fetched"] >= 60
+    assert glob.glob(os.path.join(out, "ckpt", "*", "COMMIT"))
+    r2 = _run(
+        "priority", out, "--fetches", "120", "--hosts", "10",
+        "--seeds", "4", "--budget", "8", "--checkpoint-every", "2",
+    )
+    assert r2["resumed"] is True
+    assert r2["fetched"] >= 120
 
 
 def test_cli_harvest_writes_image_table(tmp_path):

@@ -68,9 +68,18 @@ def cmd_texrex(args) -> dict:
     return {"rows": out.count(), "out": args.out}
 
 
+def _has_committed_checkpoint(out_dir: str) -> bool:
+    import glob as _glob
+    import os as _os
+
+    return bool(_glob.glob(_os.path.join(out_dir, "ckpt", "*", "COMMIT")))
+
+
 def cmd_clarax(args) -> dict:
     """Random-walk crawl over the deterministic synthetic web graph
-    (ref program: ClaraX, trwalkers.pas)."""
+    (ref program: ClaraX, trwalkers.pas).  Re-submitting with the same
+    OUT dir (and the same graph args) resumes from the last committed
+    checkpoint instead of restarting."""
     _ray()
     from texrex_ray.crawl.engine import CrawlEngine
     from texrex_ray.crawl.policy import CrawlConfig
@@ -79,17 +88,22 @@ def cmd_clarax(args) -> dict:
     g = make_webgraph(
         n_hosts=args.hosts, pages_per_host_base=8, n_seeds=args.walkers, seed=args.seed
     )
-    eng = CrawlEngine(
-        g, n_walkers=args.walkers, n_partitions=args.partitions,
-        seed=args.seed, out_dir=args.out,
-        config=CrawlConfig(url_seen_backend=args.url_seen),
-    )
+    cfg = CrawlConfig(url_seen_backend=args.url_seen)
+    resumed = _has_committed_checkpoint(args.out)
+    if resumed:
+        eng = CrawlEngine.resume(g, args.out, config=cfg)
+    else:
+        eng = CrawlEngine(
+            g, n_walkers=args.walkers, n_partitions=args.partitions,
+            seed=args.seed, out_dir=args.out, config=cfg,
+        )
     stats = eng.run(max_steps=args.steps, checkpoint_every=args.checkpoint_every)
     eng.checkpoint()
     eng.shutdown()
     return {
         "steps": stats.steps, "outputs": stats.outputs,
         "urls_per_sec": round(stats.urls_per_sec, 1), "out": args.out,
+        "resumed": resumed,
     }
 
 
@@ -130,6 +144,36 @@ def cmd_harvest(args) -> dict:
     return {
         "steps": stats.steps, "outputs": stats.outputs, "images": n,
         "format": fmt, "out": args.out,
+    }
+
+
+def cmd_priority(args) -> dict:
+    """Degree-biased priority-frontier crawl (the north rule's scheduler
+    mode; no reference analogue — ClaraX walks randomly).  Re-submitting
+    with the same OUT dir (and the same graph args) resumes from the
+    last committed checkpoint."""
+    _ray()
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+    from texrex_ray.sources.webgraph import make_webgraph
+
+    g = make_webgraph(
+        n_hosts=args.hosts, pages_per_host_base=8, n_seeds=args.seeds, seed=args.seed
+    )
+    resumed = _has_committed_checkpoint(args.out)
+    if resumed:
+        eng = PriorityCrawlEngine.resume(g, args.out)
+    else:
+        eng = PriorityCrawlEngine(
+            g, n_partitions=args.partitions, budget_per_round=args.budget,
+            out_dir=args.out,
+        )
+    stats = eng.run(max_fetches=args.fetches, checkpoint_every=args.checkpoint_every)
+    eng.checkpoint()
+    eng.shutdown()
+    return {
+        "fetched": eng.fetched, "rounds": eng.round,
+        "urls_per_sec": round(stats.urls_per_sec, 1), "out": args.out,
+        "resumed": resumed,
     }
 
 
@@ -603,6 +647,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--checkpoint-every", type=int, default=None)
     s.set_defaults(fn=cmd_harvest)
+
+    s = sub.add_parser(
+        "priority", help="degree-biased priority-frontier crawl (resumable)"
+    )
+    s.add_argument("out")
+    s.add_argument("--fetches", type=int, default=2000)
+    s.add_argument("--seeds", type=int, default=16)
+    s.add_argument("--hosts", type=int, default=200)
+    s.add_argument("--partitions", type=int, default=4)
+    s.add_argument("--budget", type=int, default=64)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--checkpoint-every", type=int, default=None)
+    s.set_defaults(fn=cmd_priority)
 
     s = sub.add_parser("tender", help="near-duplicate pair detection")
     s.add_argument("input"); s.add_argument("out")
