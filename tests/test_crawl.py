@@ -336,6 +336,33 @@ def test_priority_engine_checkpoint_resume(graph, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_priority_checkpoint_cadence_under_deferral(tmp_path):
+    """Politeness-deferred rounds (nothing eligible to fetch) must still
+    hit the checkpoint_every cadence — a crawl-delay streak must not
+    stretch the commit window beyond the contract."""
+    import os
+
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+
+    g = make_webgraph(n_hosts=2, pages_per_host_base=10, n_seeds=2, seed=7)
+    # every host slow: most rounds defer entirely behind Crawl-delay
+    g.robots = {h: "User-agent: *\nCrawl-delay: 4\n" for h in g.hosts}
+    d = str(tmp_path / "defer")
+    eng = PriorityCrawlEngine(g, n_partitions=2, budget_per_round=4, out_dir=d)
+    eng.run(max_fetches=50, max_rounds=9, checkpoint_every=1)
+    ckroot = os.path.join(d, "ckpt")
+    committed = sorted(
+        c for c in os.listdir(ckroot)
+        if os.path.exists(os.path.join(ckroot, c, "COMMIT"))
+    )
+    # one commit per round, including the deferred ones
+    assert committed == [f"round={r:08d}" for r in range(1, 10)]
+    # sanity: the crawl-delay actually deferred most rounds
+    assert eng.fetched < 9
+    eng.shutdown()
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_priority_engine_abrupt_kill_resume(graph, tmp_path):
     """Node-loss drill for the priority engine: hard-kill all partition
     actors mid-window with outputs flushed past the last COMMIT; resume
