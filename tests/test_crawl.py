@@ -177,6 +177,34 @@ def test_abrupt_actor_kill_resume(graph, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_resume_ignores_torn_latest_checkpoint(graph, tmp_path):
+    """A crash mid-checkpoint leaves a round directory without COMMIT;
+    resume must fall back to the previous committed round and still
+    complete the identical walk."""
+    import os
+
+    cfg = CrawlConfig()
+    full = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg)
+    full.run(max_steps=100)
+
+    d = str(tmp_path / "torn")
+    e1 = CrawlEngine(graph, n_walkers=2, n_partitions=4, seed=42, config=cfg, out_dir=d)
+    e1.run(max_steps=100, checkpoint_every=10, max_rounds=20)
+    # simulate a crash midway through a LATER checkpoint: state blobs
+    # written, COMMIT never reached
+    torn = os.path.join(d, "ckpt", "round=00000025")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-0.pkl"), "wb") as f:
+        f.write(b"\x80\x04N.")  # valid pickle of None — must never be read
+
+    e2 = CrawlEngine.resume(graph, d)
+    assert e2.round == 20  # the torn round=25 dir was ignored
+    e2.run(max_steps=100)
+    assert [v[1:] for v in e2.visit_order()] == [v[1:] for v in full.visit_order()]
+    assert e2.url_seen() == full.url_seen()
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_driver_memory_bounded(graph, tmp_path):
     """North-rule design point: the driver holds no per-URL state — the
     visit log truncates at every flush and the URL-seen set lives in the
