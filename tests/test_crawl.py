@@ -364,6 +364,35 @@ def test_priority_engine_checkpoint_resume(graph, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_priority_rebalance_preserves_schedule(graph, tmp_path):
+    """Salted hot-host rebalance (north rule: skewed hot-host shards split
+    via salted repartition) migrates frontier/degree/politeness state and
+    chains URL-seen history — and must not move a single visit: candidate
+    selection is a global merge, so placement affects memory, never
+    order.  The salt map survives checkpoint/resume."""
+    from texrex_ray.crawl.priority import PriorityCrawlEngine
+
+    base = PriorityCrawlEngine(graph, n_partitions=4, budget_per_round=8)
+    base.run(max_fetches=120)
+
+    d = str(tmp_path / "rebal")
+    eng = PriorityCrawlEngine(graph, n_partitions=4, budget_per_round=8, out_dir=d)
+    eng.run(max_fetches=40, checkpoint_every=5)
+    moved = eng.rebalance_hot_partitions(hot_ratio=1.0, max_hosts=4)
+    assert moved  # ratio 1.0 forces a move off any above-mean partition
+    eng.run(max_fetches=120)
+    assert eng.visit_order() == base.visit_order()
+    assert eng.fetched == base.fetched
+
+    eng.checkpoint()
+    e2 = PriorityCrawlEngine.resume(graph, d)
+    assert e2.salt == eng.salt  # reroutes survive resume
+    base.shutdown()
+    eng.shutdown()
+    e2.shutdown()
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_priority_checkpoint_cadence_under_deferral(tmp_path):
     """Politeness-deferred rounds (nothing eligible to fetch) must still
     hit the checkpoint_every cadence — a crawl-delay streak must not

@@ -172,6 +172,60 @@ class PriorityFrontierActor:
     def frontier_size(self) -> int:
         return len(self.heap)
 
+    def host_frontier_load(self) -> dict:
+        """host → #frontier entries (the heap-memory skew signal)."""
+        c: Counter = Counter(host_of(u) for _, _, u in self.heap)
+        return dict(c)
+
+    def export_hosts(self, hosts: list[str]) -> bytes:
+        """Extract (and drop) everything this partition owns for the given
+        hosts: frontier heap entries, in-degree counters, bias, politeness
+        state.  URL-seen bits cannot be extracted per host — the caller
+        chains a frozen snapshot instead (``attach_seen_base``)."""
+        hs = set(hosts)
+        mine = [it for it in self.heap if host_of(it[2]) in hs]
+        self.heap = [it for it in self.heap if host_of(it[2]) not in hs]
+        heapq.heapify(self.heap)
+        deg = {h: self.host_degree.pop(h) for h in hosts if h in self.host_degree}
+        bias = {h: self.host_bias[h] for h in hosts if h in self.host_bias}
+        pol = {}
+        for h in hosts:
+            st = self.pm.hosts.pop(h, None)
+            if st is not None:
+                pol[h] = (
+                    st.last_access,
+                    st.robots_fetched_at,
+                    st.robots.disallows if st.robots else None,
+                    st.robots.crawl_delay if st.robots else 0,
+                )
+        return pickle.dumps({"heap": mine, "deg": deg, "bias": bias, "pol": pol})
+
+    def import_hosts(self, blob: bytes) -> None:
+        from texrex_ray.state.politeness import HostState, RobotsRules
+
+        snap = pickle.loads(blob)
+        for it in snap["heap"]:
+            heapq.heappush(self.heap, tuple(it))
+        self.host_degree.update(snap["deg"])
+        self.host_bias.update(snap["bias"])
+        for h, (la, rf, dis, cd) in snap["pol"].items():
+            st = HostState(last_access=la, robots_fetched_at=rf)
+            if dis is not None:
+                st.robots = RobotsRules(disallows=list(dis), crawl_delay=cd)
+            self.pm.hosts[h] = st
+
+    def export_seen(self) -> bytes:
+        return pickle.dumps(self.seen.snapshot())
+
+    def attach_seen_base(self, blob: bytes) -> None:
+        """Chain another partition's URL-seen segments as frozen read-only
+        history (no false negatives for migrated hosts; small extra
+        false-positive rate — same trade as the walk engine's
+        ``attach_bloom_base``)."""
+        base = restore_url_seen(pickle.loads(blob))
+        base.freeze()
+        self.seen.chain_base(base)
+
     def drain_corpus(self) -> list[dict]:
         rows, self.corpus_buf = self.corpus_buf, []
         return rows
@@ -255,6 +309,7 @@ class PriorityCrawlEngine:
         ]
         self.round = 0
         self.fetched = 0  # cumulative across resume (the max_fetches budget)
+        self.salt: dict[str, int] = {}  # host → partition overrides
         # UNFLUSHED visit rows only; with out_dir set, checkpoints flush
         # and truncate (driver memory O(checkpoint window), same contract
         # as CrawlEngine)
@@ -266,7 +321,7 @@ class PriorityCrawlEngine:
         if not links:
             return 0
         hosts = [host_of(u) for u, _ in links]
-        parts = partition_of(hosts, self.n_partitions)
+        parts = partition_of(hosts, self.n_partitions, self.salt)
         by_part: dict[int, list[tuple[str, int]]] = {}
         for (u, r), p in zip(links, parts.tolist()):
             by_part.setdefault(p, []).append((u, r))
@@ -342,6 +397,52 @@ class PriorityCrawlEngine:
             self._flush_outputs()
         return stats
 
+    def rebalance_hot_partitions(
+        self, hot_ratio: float = 2.0, max_hosts: int = 8
+    ) -> dict[str, int]:
+        """Split hot frontier partitions (heap size > ``hot_ratio`` × mean)
+        by rerouting their heaviest hosts to the currently lightest
+        partition: heap entries, in-degree counters and politeness state
+        migrate, the source's URL-seen history is chained into the target
+        (frozen, read-only), and future links follow the salt map (north
+        rule: skewed hot-host shards split via salted repartition).  The
+        SCHEDULE is invariant: candidate selection is a global merge with
+        per-host dedup, and hosts live in exactly one partition, so where
+        a host's frontier sits affects memory and fetch placement, never
+        visit order (tested).  Returns {host: new_partition}."""
+        sizes = ray.get([p.frontier_size.remote() for p in self.parts])
+        mean = sum(sizes) / max(1, len(sizes))
+        moved: dict[str, int] = {}
+        if mean <= 0:
+            return moved
+        for src in sorted(range(self.n_partitions), key=lambda p: -sizes[p]):
+            if sizes[src] <= hot_ratio * mean:
+                continue
+            dst = min(range(self.n_partitions), key=lambda p: sizes[p])
+            if dst == src:
+                continue
+            load = ray.get(self.parts[src].host_frontier_load.remote())
+            excess = sizes[src] - int(mean)
+            hosts: list[str] = []
+            for h, cnt in sorted(load.items(), key=lambda kv: (-kv[1], kv[0])):
+                if excess <= 0 or len(hosts) >= max_hosts:
+                    break
+                hosts.append(h)
+                excess -= cnt
+            if not hosts:
+                continue
+            blob = ray.get(self.parts[src].export_hosts.remote(hosts))
+            seen_blob = ray.get(self.parts[src].export_seen.remote())
+            ray.get(self.parts[dst].import_hosts.remote(blob))
+            ray.get(self.parts[dst].attach_seen_base.remote(seen_blob))
+            n_moved = sum(load[h] for h in hosts)
+            sizes[src] -= n_moved
+            sizes[dst] += n_moved
+            for h in hosts:
+                self.salt[h] = dst
+                moved[h] = dst
+        return moved
+
     # -- checkpoint / resume ------------------------------------------------
 
     def _flush_outputs(self) -> None:
@@ -385,6 +486,7 @@ class PriorityCrawlEngine:
         meta = {
             "round": self.round, "fetched": self.fetched,
             "n_partitions": self.n_partitions, "budget": self.budget,
+            "salt": self.salt,
         }
         with open(os.path.join(ck, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -442,6 +544,7 @@ class PriorityCrawlEngine:
         ray.get(futs)  # batched: restores deserialize in parallel
         eng.round = meta["round"]
         eng.fetched = meta["fetched"]
+        eng.salt = dict(meta.get("salt", {}))
         eng._visits_flushed_rows = eng._count_flushed_visits()
         return eng
 
